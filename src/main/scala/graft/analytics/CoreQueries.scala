@@ -1,0 +1,457 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.etl.DimDate
+import graft.ingest.Ingest
+import QueryDsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface (SURVEY §2.1-2.8): scans, projections, filters,
+  * joins, aggregations, windows, sorts, set ops, scalar functions — each
+  * entry paired with its DuckDB oracle. Join strategy notes inline: small
+  * dimensions are broadcast explicitly; aggregations rely on partial
+  * (map-side) aggregation; every output is deterministically ordered so
+  * the driver's hash compare is stable.
+  */
+object CoreQueries {
+
+  private def li(s: SparkSession, d: String) = lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = orders(s, d)
+
+  // --- aggregations -------------------------------------------------------
+
+  /** A4/F10: TPC-H-Q1-shaped pricing summary. */
+  val pricingSummary = Q("q_pricing_summary",
+    (s, d) => li(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             ${dsumSql("l_extendedprice")} AS sum_base_price,
+             ${dsumSql(revenueSql)} AS sum_disc_price,
+             count(*) AS count_order
+             FROM lineitem GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A1-A3: grand-total KPIs (total revenue, row count, average price). */
+  val kpiTotals = Q("q_kpi_totals",
+    (s, d) => li(s, d).agg(
+      dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("total_revenue"),
+      count(lit(1)).as("n_items"),
+      (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_item_price")),
+    Some(s"""SELECT ${dsumSql(revenueSql)} AS total_revenue,
+             count(*) AS n_items,
+             ${dsumSql("l_extendedprice")} / count(*) AS avg_item_price
+             FROM lineitem"""))
+
+  /** A9: scalar MAX for surrogate-key sequencing. */
+  val maxKey = Q("q_max_key",
+    (s, d) => ord(s, d).agg(max(col("o_orderkey")).as("max_key")),
+    Some("SELECT max(o_orderkey) AS max_key FROM orders"))
+
+  /** A5/A6/A8: projected distinct, sorted (UI option lists). */
+  val distinctFlags = Q("q_distinct_flags",
+    (s, d) => li(s, d).select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val distinctPriorities = Q("q_distinct_priorities",
+    (s, d) => ord(s, d).select(col("o_orderpriority")).distinct().orderBy(col("o_orderpriority")),
+    Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"))
+
+  /** A10: sales-performance mart — nation × year × status rollup. */
+  val martSalesPerformance = Q("q_mart_sales_performance",
+    (s, d) => ord(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .agg(
+        dsum(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_order_value"))
+      .orderBy(col("n_name"), col("order_year"), col("o_orderstatus")),
+    Some(s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+             ${dsumSql("o_totalprice")} AS total_sales,
+             count(*) AS n_orders,
+             ${dsumSql("o_totalprice")} / count(*) AS avg_order_value
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name, year(o_orderdate), o_orderstatus
+             ORDER BY n_name, order_year, o_orderstatus"""))
+
+  /** A10: category-analysis mart over part type. */
+  val martCategoryAnalysis = Q("q_mart_category_analysis",
+    (s, d) => li(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_type")),
+    Some(s"""SELECT p_type, ${dsumSql(revenueSql)} AS revenue,
+             ${dsumSql("l_quantity")} AS total_qty, count(*) AS n_lines
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_type ORDER BY p_type"""))
+
+  // --- filters / projections ---------------------------------------------
+
+  /** P5: equality filter, aggregated (filter reaches the parquet scan). */
+  val filterReturns = Q("q_filter_returns",
+    (s, d) => li(s, d).filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_linestatus")),
+    Some(s"""SELECT l_linestatus, count(*) AS n, ${dsumSql("l_extendedprice")} AS total_price
+             FROM lineitem WHERE l_returnflag = 'R'
+             GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** P6: conjunctive predicate, row output. */
+  val filterConj = Q("q_filter_conj",
+    (s, d) => ord(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+            ORDER BY o_orderkey"""))
+
+  /** P8: inequality filter (rest-of-market slice). */
+  val filterNeq = Q("q_filter_neq",
+    (s, d) => part(s, d).filter(col("p_brand") =!= "Brand#13")
+      .groupBy(col("p_type")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_type")),
+    Some("""SELECT p_type, count(*) AS n_parts FROM part
+            WHERE p_brand <> 'Brand#13' GROUP BY p_type ORDER BY p_type"""))
+
+  /** P1-P4: projection + renames (the reference's dim column mapping). */
+  val projectRename = Q("q_project_rename",
+    (s, d) => customer(s, d).select(
+      col("c_custkey").as("customer_key"),
+      col("c_name").as("customer_name"),
+      col("c_mktsegment").as("segment"))
+      .orderBy(col("customer_key")),
+    Some("""SELECT c_custkey AS customer_key, c_name AS customer_name,
+            c_mktsegment AS segment FROM customer ORDER BY customer_key"""))
+
+  // --- joins --------------------------------------------------------------
+
+  /** J1: key-mapping left join, dimension broadcast. */
+  val keymapJoin = Q("q_keymap_join",
+    (s, d) => ord(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_name").as("customer_name"), col("c_mktsegment").as("segment"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_totalprice, c_name AS customer_name,
+            c_mktsegment AS segment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
+  /** J2 flagship: 3-way star join + calendar rollup (the dashboard's
+    * star query re-expressed). lineitem⋈orders shuffles on orderkey;
+    * customer broadcasts.
+    */
+  val starMonthlySegment = Q("q_star_monthly_segment",
+    (s, d) => li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        col("c_mktsegment").as("segment"))
+      .agg(
+        dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("order_year"), col("order_month"), col("segment")),
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(month(o_orderdate) AS INT) AS order_month,
+             c_mktsegment AS segment,
+             ${dsumSql(revenueSql)} AS revenue, count(*) AS n_lines
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2, 3 ORDER BY order_year, order_month, segment"""))
+
+  /** Left-anti join: customers with no orders. */
+  val antiJoin = Q("q_anti_join",
+    (s, d) => customer(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Left-semi join: customers with at least one order. */
+  val semiJoin = Q("q_semi_join",
+    (s, d) => customer(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  // --- windows ------------------------------------------------------------
+
+  /** W1: monthly revenue trend + MoM growth via lag. */
+  val monthlyGrowth = Q("q_monthly_growth",
+    (s, d) => {
+      val monthly = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      val w = Window.orderBy(col("order_year"), col("order_month"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("growth_pct",
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 6))
+        .orderBy(col("order_year"), col("order_month"))
+    },
+    Some(s"""WITH monthly AS (
+             SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                    CAST(month(o_orderdate) AS INT) AS order_month,
+                    ${dsumSql(revenueSql)} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1, 2)
+             SELECT order_year, order_month, revenue,
+                    lag(revenue) OVER (ORDER BY order_year, order_month) AS prev_revenue,
+                    round((revenue - lag(revenue) OVER (ORDER BY order_year, order_month))
+                          / lag(revenue) OVER (ORDER BY order_year, order_month) * 100, 6) AS growth_pct
+             FROM monthly ORDER BY order_year, order_month"""))
+
+  /** W2/A11: revenue share of total per segment (empty-frame window). */
+  val revenueShare = Q("q_revenue_share",
+    (s, d) => {
+      val seg = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      seg.withColumn("share_pct",
+          round(col("revenue") / sum(col("revenue")).over(Window.partitionBy()) * 100, 6))
+        .orderBy(col("segment"))
+    },
+    Some(s"""WITH seg AS (
+             SELECT c_mktsegment AS segment, ${dsumSql(revenueSql)} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+             SELECT segment, revenue,
+                    round(revenue / sum(revenue) OVER () * 100, 6) AS share_pct
+             FROM seg ORDER BY segment"""))
+
+  /** W3/O3: top-10 customers by revenue (rank + deterministic tiebreak). */
+  val topCustomers = Q("q_top_customers",
+    (s, d) => {
+      val rev = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+      rev.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("rk"), col("o_custkey").as("custkey"),
+          col("c_name").as("customer_name"), col("revenue"))
+        .orderBy(col("rk"))
+    },
+    Some(s"""WITH rev AS (
+             SELECT o_custkey, ${dsumSql(revenueSql)} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+             ranked AS (
+             SELECT row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
+                    o_custkey AS custkey, revenue FROM rev)
+             SELECT rk, custkey, c_name AS customer_name, revenue
+             FROM ranked JOIN customer ON custkey = c_custkey
+             WHERE rk <= 10 ORDER BY rk"""))
+
+  /** W4: quarterly revenue with YoY comparison (lag 4). */
+  val quarterlyYoy = Q("q_quarterly_yoy",
+    (s, d) => {
+      val q = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          quarter(col("o_orderdate")).as("order_quarter"))
+        .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      val w = Window.orderBy(col("order_year"), col("order_quarter"))
+      q.withColumn("prev_year_revenue", lag(col("revenue"), 4).over(w))
+        .withColumn("yoy_pct", round(
+          (col("revenue") - col("prev_year_revenue")) / col("prev_year_revenue") * 100, 6))
+        .orderBy(col("order_year"), col("order_quarter"))
+    },
+    Some(s"""WITH q AS (
+             SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                    CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+                    ${dsumSql(revenueSql)} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+             SELECT order_year, order_quarter, revenue,
+                    lag(revenue, 4) OVER (ORDER BY order_year, order_quarter) AS prev_year_revenue,
+                    round((revenue - lag(revenue, 4) OVER (ORDER BY order_year, order_quarter))
+                          / lag(revenue, 4) OVER (ORDER BY order_year, order_quarter) * 100, 6) AS yoy_pct
+             FROM q ORDER BY order_year, order_quarter"""))
+
+  /** W5: deterministic dense surrogate keys via row_number. */
+  val surrogateKeys = Q("q_surrogate_keys",
+    (s, d) => part(s, d).select(col("p_partkey"), col("p_name"))
+      .withColumn("surrogate_key",
+        row_number().over(Window.orderBy(col("p_partkey"))).cast("bigint"))
+      .orderBy(col("surrogate_key")),
+    Some("""SELECT p_partkey, p_name,
+            row_number() OVER (ORDER BY p_partkey) AS surrogate_key
+            FROM part ORDER BY surrogate_key"""))
+
+  // --- set operations -----------------------------------------------------
+
+  /** U1: union of two slices, re-aggregated. */
+  val unionPriorities = Q("q_union_priorities",
+    (s, d) => {
+      val o = ord(s, d)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .unionByName(o.filter(col("o_orderpriority") === "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+             FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+                   UNION ALL SELECT * FROM orders WHERE o_orderpriority = '2-HIGH')
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** EXCEPT: customer keys with no orders (set semantics). */
+  val exceptCustomers = Q("q_except_customers",
+    (s, d) => customer(s, d).select(col("c_custkey"))
+      .except(ord(s, d).select(col("o_custkey")))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM customer
+            EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey"""))
+
+  /** INTERSECT: customer keys that did order. */
+  val intersectCustomers = Q("q_intersect_customers",
+    (s, d) => customer(s, d).select(col("c_custkey"))
+      .intersect(ord(s, d).select(col("o_custkey")))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM customer
+            INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey"""))
+
+  // --- scalar functions / date dim ---------------------------------------
+
+  /** F3/F4/F9: the date dimension (yyyymmdd key, calendar parts, pandas
+    * Mon=0 weekday, weekend + fiscal-year buckets).
+    */
+  val dateDim = Q("q_date_dim",
+    (s, d) => DimDate.fromColumn(ord(s, d), "o_orderdate").orderBy(col("order_date")),
+    Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
+            CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INT) AS date_key,
+            CAST(year(o_orderdate) AS INT) AS year,
+            CAST(quarter(o_orderdate) AS INT) AS quarter,
+            CAST(month(o_orderdate) AS INT) AS month,
+            CAST(isodow(o_orderdate) - 1 AS INT) AS weekday,
+            CAST(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+            CAST(CASE WHEN month(o_orderdate) >= 7 THEN year(o_orderdate)+1
+                      ELSE year(o_orderdate) END AS INT) AS fiscal_year
+            FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
+            ORDER BY order_date"""))
+
+  /** F5/F6: null synthesis + fill defaults (numeric and string). */
+  val fillNa = Q("q_fillna",
+    (s, d) => customer(s, d)
+      .withColumn("segment_raw", when(col("c_mktsegment") === "BUILDING", lit(null))
+        .otherwise(col("c_mktsegment")))
+      .withColumn("bal_raw", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .na.fill(Map("segment_raw" -> "UNKNOWN", "bal_raw" -> 0.0))
+      .select(col("c_custkey"), col("segment_raw").as("segment_filled"),
+        col("bal_raw").as("bal_filled"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+            coalesce(CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END,
+                     'UNKNOWN') AS segment_filled,
+            coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled
+            FROM customer ORDER BY c_custkey"""))
+
+  /** F9: CASE bucketing (declared age-group/segment buckets, applied to
+    * account balance).
+    */
+  val caseBuckets = Q("q_case_buckets",
+    (s, d) => customer(s, d)
+      .withColumn("balance_bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 1000, "low")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy(col("balance_bucket")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("balance_bucket")),
+    Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 1000 THEN 'low'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS balance_bucket,
+            count(*) AS n_customers FROM customer
+            GROUP BY 1 ORDER BY balance_bucket"""))
+
+  /** F8: md5 row-hash change-detection fingerprint. */
+  val rowHash = Q("q_row_hash",
+    (s, d) => nation(s, d).select(col("n_nationkey"),
+      md5(concat_ws("|", col("n_nationkey").cast("string"), col("n_name"),
+        col("n_regionkey").cast("string"))).as("row_hash"))
+      .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey,
+            md5(concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                CAST(n_regionkey AS VARCHAR))) AS row_hash
+            FROM nation ORDER BY n_nationkey"""))
+
+  /** S7: JSON field extraction (the declared REST/JSON flatten path). */
+  val jsonExtract = Q("q_json_extract",
+    (s, d) => events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY k"""))
+
+  // --- source/sink roundtrips --------------------------------------------
+
+  /** S1/S2/P2/F2: CSV sink + scan roundtrip with explicit schema. */
+  val csvRoundtrip = Q("q_csv_roundtrip",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.replaceAll("[^a-z0-9.]", "_")}"
+      region(s, d).coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      Ingest.readCsv(s, out, schema).orderBy(col("r_regionkey"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  /** S5/S6: parquet sink + scan roundtrip. */
+  val parquetRoundtrip = Q("q_parquet_roundtrip",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pq_${d.replaceAll("[^a-z0-9.]", "_")}"
+      nation(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  /** X5: approx distinct (HLL++) — no exact oracle, rows-only check. */
+  val approxDistinctParts = Q("q_approx_distinct_parts",
+    (s, d) => li(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      count(lit(1)).as("n_rows")),
+    None)
+
+  val all: Seq[Q] = Seq(
+    pricingSummary, kpiTotals, maxKey, distinctFlags, distinctPriorities,
+    martSalesPerformance, martCategoryAnalysis, filterReturns, filterConj,
+    filterNeq, projectRename, keymapJoin, starMonthlySegment, antiJoin,
+    semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
+    surrogateKeys, unionPriorities, exceptCustomers, intersectCustomers,
+    dateDim, fillNa, caseBuckets, rowHash, jsonExtract, csvRoundtrip,
+    parquetRoundtrip, approxDistinctParts)
+}

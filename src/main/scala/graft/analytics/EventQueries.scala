@@ -1,0 +1,81 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY §2.9), verified through batch-equivalent runs
+  * of the SAME transforms over the static `events` table. The DuckDB
+  * oracles re-express tumbling/sliding/session windows in ANSI SQL
+  * (time_bucket, lateral range, gaps-and-islands).
+  *
+  * All oracle SQL casts `ts` (stored as timestamp[ns]) to microsecond
+  * TIMESTAMP first — Spark truncates ns→µs on read, so the oracle must
+  * see the same instants.
+  */
+object EventQueries {
+
+  /** ST1: tumbling 1-hour counts/sums per event_type. */
+  val eventsHourly = Q("q_events_hourly",
+    (s, d) => EventStreams.tumblingHourly(events(s, d))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+            event_type, count(*) AS n_events,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** ST2: sliding 1-hour/15-minute windows. Each event lands in exactly 4
+    * windows — the oracle materializes them with a lateral range(4).
+    */
+  val eventsSliding = Q("q_events_sliding",
+    (s, d) => EventStreams.slidingCounts(events(s, d))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                     - i * INTERVAL '15 minutes' AS window_start,
+            event_type, count(*) AS n_events
+            FROM events, range(4) AS t(i)
+            GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** ST3: watermark horizon — events within 10 minutes of the max ts. */
+  val eventsRecent = Q("q_events_recent",
+    (s, d) => EventStreams.recentHorizon(events(s, d)).orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n_events FROM events
+            WHERE CAST(ts AS TIMESTAMP) >=
+              (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL '10 minutes'
+            GROUP BY 1 ORDER BY event_type"""))
+
+  /** ST4: 30-minute-gap sessionization (gaps-and-islands oracle). */
+  val eventsSessions = Q("q_events_sessions",
+    (s, d) => EventStreams.sessionize(events(s, d))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** ST5: stream dedup on event_id (first-by-timestamp survivors). */
+  val eventsDedup = Q("q_events_dedup",
+    (s, d) => EventStreams.dedupEvents(events(s, d)).orderBy(col("event_id")),
+    Some("""SELECT event_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
+            count(*) AS n_dupes FROM events GROUP BY 1 ORDER BY event_id"""))
+
+  /** Exact distinct users per event type (pairs with the approx variant). */
+  val exactDistinctUsers = Q("q_exact_distinct_users",
+    (s, d) => events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+            count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
+    eventsSessions, eventsDedup, exactDistinctUsers)
+}

@@ -1,0 +1,223 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.functions.{TextFunctions => TF}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline operators (SURVEY §2.10): dedup tiers,
+  * text analysis, embedding similarity, multimodal plumbing — over the
+  * driver's `documents`/`embeddings` tables.
+  */
+object NorthStarQueries {
+
+  /** Subset predicate used by the quadratic ops (pair joins stay bounded
+    * at every scale factor; production path is LSH-first anyway).
+    */
+  private val docSubset = col("doc_id") % 10 === 0
+
+  // --- text analysis ------------------------------------------------------
+
+  /** X4: per-document stats — chars, whitespace tokens, BPE-ish tokens,
+    * punctuation ratio.
+    */
+  val textStats = Q("q_text_stats",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      TF.charCount(col("text")).cast("bigint").as("n_chars_text"),
+      TF.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      TF.bpeishTokenCount(col("text")).cast("bigint").as("n_bpeish_tokens"),
+      round(TF.punctRatio(col("text")), 6).as("punct_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_text,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+              AS n_bpeish_tokens,
+            round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+                       / length(text) END, 6) AS punct_ratio
+            FROM documents ORDER BY doc_id"""))
+
+  /** X4: language ID via stopword-marker argmax. */
+  val langId = Q("q_lang_id",
+    (s, d) => documents(s, d).select(
+      col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some {
+      val markers = TF.langMarkers.map { case (lang, ws) =>
+        lang -> s"len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}'))"
+      }
+      val best = markers.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = markers.map { case (l, e) => s"WHEN $e = best THEN '$l'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang,
+          CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, lang, text, $best AS best FROM documents)
+          ORDER BY doc_id"""
+    })
+
+  /** X4: composite quality score (length/punct/stopword heuristic). */
+  val qualityScore = Q("q_quality_score",
+    (s, d) => documents(s, d).select(
+      col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, length(text) AS n,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+             len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS puncts,
+             len(regexp_extract_all(text,
+               '${TF.enStopwords.mkString("\\b(", "|", ")\\b")}')) AS stops
+             FROM documents)
+             SELECT doc_id, round(
+               least(CAST(n AS DOUBLE)/500.0, 1.0) * 0.5
+               + (1.0 - least(CASE WHEN n = 0 THEN 0.0
+                   ELSE CAST(puncts AS DOUBLE)/n END * 10, 1.0)) * 0.25
+               + least(CASE WHEN toks = 0 THEN 0.0
+                   ELSE CAST(stops AS DOUBLE)/toks END * 5, 1.0) * 0.25, 6) AS quality
+             FROM t ORDER BY doc_id"""))
+
+  /** X4: rolling-hash document fingerprint (aggregate HOF; oracle uses
+    * list_reduce over the same character sequence).
+    */
+  val fingerprint = Q("q_fingerprint",
+    (s, d) => documents(s, d).select(
+      col("doc_id"), TF.rollingHashFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            CASE WHEN length(text) = 0 THEN 7
+            ELSE list_reduce(list_prepend(CAST(7 AS BIGINT),
+              [CAST(ascii(x) AS BIGINT) FOR x IN string_split(text, '')]),
+              (acc, ch) -> (acc * 31 + ch) % 2147483647) END AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  // --- dedup tiers --------------------------------------------------------
+
+  /** X1: exact dedup via hash group-by. */
+  val exactDedup = Q("q_exact_dedup",
+    (s, d) => Dedup.exactByHash(documents(s, d), "text", "doc_id")
+      .orderBy(col("text_hash")),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+            count(*) AS n_copies FROM documents
+            GROUP BY 1 ORDER BY text_hash"""))
+
+  /** X2 ground truth: exact word-3-gram Jaccard pairs over a doc subset. */
+  val jaccardPairs = Q("q_jaccard_pairs",
+    (s, d) => Dedup.jaccardPairs(
+      documents(s, d).filter(docSubset), "text", "doc_id", n = 3, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH docs AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 10 = 0),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                        FOR i IN range(greatest(len(toks) - 2, 0))]) AS shingle
+              FROM docs),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter,
+                   round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                       JOIN sizes sb ON id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+            ORDER BY id_a, id_b"""))
+
+  /** X2 scale path: MinHash+LSH banded candidates (xxhash64-based —
+    * DuckDB lacks the hash, so rows-only check; Jaccard above is the
+    * semantic verifier).
+    */
+  val minhashCandidates = Q("q_minhash_candidates",
+    (s, d) => Dedup.minhashLshCandidates(
+      documents(s, d).filter(docSubset), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** X2: 16-bit md5-derived SimHash sketch (oracle replays the nibble
+    * votes in SQL).
+    */
+  val simhash = Q("q_simhash",
+    (s, d) => documents(s, d).filter(docSubset)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE doc_id % 10 = 0),
+            bits AS (
+              SELECT doc_id, b.i AS bit,
+                sum(CASE WHEN
+                  floor((strpos('0123456789abcdef', substr(md5(tok), b.i // 4 + 1, 1)) - 1)
+                        / power(2, b.i % 4)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+              FROM toks, range(16) AS b(i) GROUP BY 1, 2)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS simhash
+            FROM bits GROUP BY 1 ORDER BY doc_id"""))
+
+  // --- embedding similarity ----------------------------------------------
+
+  /** X3 baseline: brute-force cosine top-k against the vec_id=0 query. */
+  val embedTopK = Q("q_embed_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 10)
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(
+              list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                        FOR p IN list_zip(embedding, qv)])
+              / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]))
+                 * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]))), 6)
+              AS cosine_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10"""))
+
+  /** X3 scale path: sign-LSH bucketed ANN (probe = bucket join, then
+    * exact cosine within bucket). Rows-only — hyperplane constants are
+    * engine-side.
+    */
+  val annLsh = Q("q_ann_lsh",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    None)
+
+  // --- multimodal ---------------------------------------------------------
+
+  /** Multimodal metadata features (codegen path, no decode). */
+  val multimodalMeta = Q("q_multimodal_meta",
+    (s, d) => Multimodal.metadataFeatures(
+      Multimodal.assetsFromDocuments(documents(s, d)))
+      .orderBy(col("asset_id")),
+    Some("""SELECT doc_id AS asset_id, 'image' AS modality,
+            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+            (doc_id % 1920 + 1) * (doc_id % 1080 + 1) AS pixels
+            FROM documents ORDER BY asset_id"""))
+
+  /** Multimodal decode-stub features via mapPartitions batching. */
+  val multimodalFeatures = Q("q_multimodal_features",
+    (s, d) => Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(documents(s, d)))
+      .orderBy(col("asset_id")),
+    Some("""SELECT doc_id AS asset_id,
+            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+            CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                 ELSE CAST(list_sum([CAST(ascii(x) AS BIGINT)
+                        FOR x IN string_split(text, '')]) AS DOUBLE)
+                      / octet_length(encode(text)) END AS mean_byte
+            FROM documents ORDER BY asset_id"""))
+
+  val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
+    exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
+    annLsh, multimodalMeta, multimodalFeatures)
+}

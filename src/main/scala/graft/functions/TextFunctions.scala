@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface (north-star
+  * operators over the `documents` table). All are composed from built-in
+  * codegen'd expressions — no Scala UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. `split` on empty string yields one empty
+    * token in both Spark and ANSI SQL — callers on possibly-empty text
+    * should guard with `when(length(c) === 0, 0)`.
+    */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword-shaped token count: runs of letters, runs of digits,
+    * or single non-space symbols — a cheap deterministic proxy for a real
+    * tokenizer's token count.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Ratio of punctuation characters to total characters (quality signal). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[\\.,;:!\\?]")).cast("double") / length(c))
+
+  /** Ratio of tokens that are English stopwords (quality signal). */
+  val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    regexp_count(c, lit(words.mkString("\\b(", "|", ")\\b")))
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokenCount(c)
+    when(toks === 0, lit(0.0)).otherwise(stopwordHits(c, enStopwords).cast("double") / toks)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation density and some stopword mass (boilerplate-vs-prose
+    * heuristic used by pretraining-data filters).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(c)
+    val stop = stopwordRatio(c)
+    round(lenScore * 0.5 + (lit(1.0) - least(punct * 10, lit(1.0))) * 0.25 +
+      least(stop * 5, lit(1.0)) * 0.25, 6)
+  }
+
+  /** n-gram-heuristic language ID: count stopword hits per candidate
+    * language, argmax wins (ties broken by fixed language order). Purely
+    * codegen'd — one regexp_count per language.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+  )
+
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) => (lang, stopwordHits(c, words)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstMatch = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+    firstMatch
+  }
+
+  /** Deterministic 64-bit document fingerprint: polynomial rolling hash of
+    * the UTF-8 text, computed with the `aggregate` higher-order function —
+    * distributed, no UDF, and oracle-expressible (DuckDB `list_reduce`).
+    * Uses mod 2^31-1 to stay in exactly-representable integer range for
+    * cross-engine parity.
+    */
+  def rollingHashFingerprint(c: Column): Column =
+    aggregate(
+      // Java split keeps a trailing "" element; drop empties for parity
+      // with DuckDB's string_split(text, '') character list.
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(7L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
+
+  /** Word n-gram shingles of a text column: array of space-joined n-grams
+    * over whitespace tokens. Empty/short docs yield an empty array.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), count - 1), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Pluggable source/sink abstraction (reference S3-S8): the reference
+  * reads CSV + MySQL and writes MySQL + BigQuery; in this offline engine
+  * the same roles are filled by parquet/CSV/JSON, with the JDBC path
+  * compiled (same Spark API) but not exercised — no database is reachable
+  * in the build environment.
+  */
+trait Source { def read(spark: SparkSession): DataFrame }
+trait Sink { def write(df: DataFrame): Unit }
+
+final case class ParquetSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+final case class CsvSource(path: String, schema: StructType, encoding: String = "UTF-8") extends Source {
+  def read(spark: SparkSession): DataFrame =
+    graft.ingest.Ingest.readCsv(spark, path, schema, encoding)
+}
+
+/** JSON source with explicit schema — covers the reference's declared REST
+  * API ingestion (fetch happens driver-side; Spark parses/flattens).
+  * Nested structs flatten with `select("rating.*")`-style projections.
+  */
+final case class JsonSource(path: String, schema: StructType) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
+/** JDBC scan (reference S3). Compiled-but-untested in this environment:
+  * `partitionColumn/numPartitions` make the read parallel at scale instead
+  * of a single-connection pull.
+  */
+final case class JdbcSource(
+    url: String, table: String, user: String, password: String,
+    partitionColumn: Option[String] = None,
+    lowerBound: Long = 0, upperBound: Long = 1L << 20,
+    numPartitions: Int = 32) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+    partitionColumn.fold(base) { pc =>
+      base.option("partitionColumn", pc)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }.load()
+  }
+}
+
+final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Nil) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
+
+/** JDBC append sink (reference S4) — compiled-but-untested here. */
+final case class JdbcSink(url: String, table: String, user: String, password: String) extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password).save()
+}
