@@ -133,8 +133,7 @@ object NorthStarQueries {
     * semantic verifier).
     */
   val minhashCandidates = Q("q_minhash_candidates",
-    (s, d) => Dedup.minhashLshCandidates(
-      documents(s, d).filter(docSubset), "text", "doc_id")
+    (s, d) => Dedup.minhashLshCandidates(documents(s, d), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b")),
     None)
 

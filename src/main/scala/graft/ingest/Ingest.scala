@@ -25,6 +25,14 @@ object Ingest {
   def normalizeColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
 
+  /** Spark 4 validates charsets strictly — accept the common pandas-style
+    * aliases the reference uses and canonicalize them.
+    */
+  private val charsetAliases = Map(
+    "latin1" -> "iso-8859-1", "latin-1" -> "iso-8859-1", "ascii" -> "us-ascii")
+  def canonicalCharset(name: String): String =
+    charsetAliases.getOrElse(name.toLowerCase, name)
+
   /** CSV scan with explicit schema + encoding (reference S1/S2).
     * `mode=PERMISSIVE` mirrors pandas' tolerant parse.
     */
@@ -36,7 +44,7 @@ object Ingest {
       header: Boolean = true): DataFrame =
     spark.read
       .option("header", header.toString)
-      .option("encoding", encoding)
+      .option("encoding", canonicalCharset(encoding))
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(path)
@@ -47,7 +55,7 @@ object Ingest {
   def readCsvInferred(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
     spark.read
       .option("header", "true")
-      .option("encoding", encoding)
+      .option("encoding", canonicalCharset(encoding))
       .option("inferSchema", "true")
       .csv(path)
 

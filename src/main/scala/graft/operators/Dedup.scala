@@ -61,12 +61,16 @@ object Dedup {
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("doc"),
-      minhashSignature(TextFunctions.wordShingles(col(textCol), shingleSize), numHashes).as("sig"))
-      .filter(size(col("sig")) > 0)
+    // Materialize the (distinct) shingle array ONCE per row before fanning
+    // out into the per-hash aggregates — inlining the array expression
+    // would re-split the text numHashes times.
+    val sig = df
+      .select(col(idCol).as("doc"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
 
     val banded = sig.select(col("doc"), explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>

@@ -1,0 +1,100 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = Scd2Config(
+    naturalKey = Seq("id"),
+    tracked = Seq("name", "segment"),
+    surrogateKey = "key")
+
+  private val d1 = java.sql.Date.valueOf("2024-01-01")
+  private val d2 = java.sql.Date.valueOf("2024-02-01")
+
+  private def batch(rows: (String, String, String)*): DataFrame =
+    rows.toDF("id", "name", "segment")
+
+  private def byKey(df: DataFrame) =
+    df.orderBy("key").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        Option(r.getDate(4)).map(_.toString).orNull,
+        Option(r.getDate(5)).map(_.toString).orNull,
+        r.getInt(6))).toList
+
+  test("initial load assigns dense keys in natural-key order") {
+    val dim = Scd2.initialLoad(batch(("b", "Bob", "X"), ("a", "Ann", "Y")), cfg, d1)
+    assert(byKey(dim) === List(
+      (1L, "a", "Ann", "Y", "2024-01-01", null, 1),
+      (2L, "b", "Bob", "X", "2024-01-01", null, 1)))
+  }
+
+  test("changed attribute expires old version and appends a new one") {
+    val dim0 = Scd2.initialLoad(batch(("a", "Ann", "Y"), ("b", "Bob", "X")), cfg, d1)
+    val dim1 = Scd2.merge(dim0, batch(("a", "Ann", "Z"), ("b", "Bob", "X")), cfg, d2)
+    assert(byKey(dim1) === List(
+      (1L, "a", "Ann", "Y", "2024-01-01", "2024-02-01", 0),
+      (2L, "b", "Bob", "X", "2024-01-01", null, 1),
+      (3L, "a", "Ann", "Z", "2024-02-01", null, 1)))
+  }
+
+  test("new key appends without touching existing rows") {
+    val dim0 = Scd2.initialLoad(batch(("a", "Ann", "Y")), cfg, d1)
+    val dim1 = Scd2.merge(dim0, batch(("a", "Ann", "Y"), ("c", "Cal", "W")), cfg, d2)
+    assert(byKey(dim1) === List(
+      (1L, "a", "Ann", "Y", "2024-01-01", null, 1),
+      (2L, "c", "Cal", "W", "2024-02-01", null, 1)))
+  }
+
+  test("keys absent from the batch carry forward unchanged") {
+    val dim0 = Scd2.initialLoad(batch(("a", "Ann", "Y"), ("b", "Bob", "X")), cfg, d1)
+    val dim1 = Scd2.merge(dim0, batch(("a", "Ann", "Y")), cfg, d2)
+    assert(byKey(dim1) === List(
+      (1L, "a", "Ann", "Y", "2024-01-01", null, 1),
+      (2L, "b", "Bob", "X", "2024-01-01", null, 1)))
+  }
+
+  test("replaying the same batch is a no-op (idempotence)") {
+    val b = batch(("a", "Ann", "Y"), ("b", "Bob", "X"), ("c", null, "W"))
+    val dim1 = Scd2.merge(Scd2.initialLoad(b, cfg, d1), b, cfg, d2)
+    val dim2 = Scd2.merge(dim1, b, cfg, d2)
+    assert(byKey(dim1) === byKey(Scd2.initialLoad(b, cfg, d1)))
+    assert(byKey(dim2) === byKey(dim1))
+  }
+
+  test("null attributes compare null-safe (null == null is unchanged)") {
+    val b = batch(("a", null, "Y"))
+    val dim1 = Scd2.merge(Scd2.initialLoad(b, cfg, d1), b, cfg, d2)
+    assert(byKey(dim1) === List((1L, "a", null, "Y", "2024-01-01", null, 1)))
+    // null -> value IS a change
+    val dim2 = Scd2.merge(dim1, batch(("a", "Ann", "Y")), cfg, d2)
+    assert(byKey(dim2) === List(
+      (1L, "a", null, "Y", "2024-01-01", "2024-02-01", 0),
+      (2L, "a", "Ann", "Y", "2024-02-01", null, 1)))
+  }
+
+  test("in-batch duplicate natural keys collapse deterministically") {
+    val dim = Scd2.initialLoad(
+      batch(("a", "Zed", "Y"), ("a", "Ann", "Y")), cfg, d1)
+    // smallest tracked-tuple wins
+    assert(byKey(dim) === List((1L, "a", "Ann", "Y", "2024-01-01", null, 1)))
+  }
+
+  test("invariant: exactly one current row per natural key after many merges") {
+    val b1 = batch(("a", "A1", "X"), ("b", "B1", "X"))
+    val b2 = batch(("a", "A2", "X"), ("b", "B1", "Y"), ("c", "C1", "Z"))
+    val b3 = batch(("a", "A3", "X"), ("c", "C1", "Z"))
+    val dim = Seq(b2, b3).foldLeft(Scd2.initialLoad(b1, cfg, d1)) {
+      (acc, b) => Scd2.merge(acc, b, cfg, d2)
+    }
+    val perKey = dim.filter(col("is_current") === 1)
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(perKey.forall(_ == 1L))
+    // surrogate keys unique across all versions
+    val n = dim.count()
+    assert(dim.select("key").distinct().count() === n)
+  }
+}

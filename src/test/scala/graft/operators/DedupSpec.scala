@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text with no overlap at all"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactByHash groups exact copies, keeps smallest id") {
+    val got = Dedup.exactByHash(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(got.length === 3)
+    val dup = got.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // keep_id of the duplicated text
+  }
+
+  test("exactSurvivors keeps one full row per distinct text") {
+    val got = Dedup.exactSurvivors(docs, "text", "doc_id")
+    assert(got.count() === 3)
+    assert(got.filter(col("doc_id") === 4).count() === 0)
+  }
+
+  test("jaccardPairs finds the near-dup pair with correct similarity") {
+    val got = Dedup.jaccardPairs(docs.filter(col("doc_id") =!= 4), "text", "doc_id", 3, 0.5)
+      .collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1)) === (1L, 2L))
+    // 9 tokens -> 7 shingles each; 6 shared -> 6/8 = 0.75
+    assert(got(0).getDouble(3) === 0.75)
+  }
+
+  test("minhash LSH surfaces near-dup candidates without false negatives on exact dups") {
+    val got = Dedup.minhashLshCandidates(docs, "text", "doc_id").collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides on every band
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) }) // disjoint doc never pairs
+  }
+
+  test("simhash16: identical texts agree, disjoint texts differ") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    assert(sh(1L) !== sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+}

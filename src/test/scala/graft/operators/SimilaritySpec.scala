@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineSimilarity on known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(round(VectorFunctions.cosineSimilarity(col("a"), col("b")), 6).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(0.0, 1.0))
+  }
+
+  test("bruteForceTopK returns self-similar nearest first") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, Seq(1.0, 0.0, 0.0), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L))
+  }
+
+  test("lshTopK ranks within buckets and never self-matches") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val got = Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 3)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // ranks are 1..k per query
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(VectorFunctions.hyperplanes(2, 4) === VectorFunctions.hyperplanes(2, 4))
+  }
+}

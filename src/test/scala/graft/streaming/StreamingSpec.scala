@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Drives the SAME transforms used by the batch oracle queries through an
+  * actual Structured Streaming query (MemoryStream source, memory sink) and
+  * checks stream results equal batch results — the semantic contract that
+  * lets the static `events` table oracle the streaming surface.
+  */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = Tables.events(spark, sf001)
+    .select("event_id", "ts", "user_id", "event_type", "value")
+
+  private def runStream(name: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val rows = batchEvents.as[Ev].collect()
+    val q = EventStreams.toMemorySink(f(stream.toDF()), name, "complete")
+    // two micro-batches to exercise incremental state
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    stream.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumblingHourly over a real stream equals the batch run") {
+    val streamed = runStream("t_hourly", EventStreams.tumblingHourly)
+    val batch = EventStreams.tumblingHourly(batchEvents)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionize over a real stream equals the batch run") {
+    val streamed = runStream("t_sessions", EventStreams.sessionize(_))
+    val batch = EventStreams.sessionize(batchEvents)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("slidingCounts assigns each event to exactly 4 windows") {
+    val n = batchEvents.count()
+    val windowed = EventStreams.slidingCounts(batchEvents)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(windowed === 4 * n)
+  }
+
+  test("dedupEvents: testdata event_ids are unique") {
+    val d = EventStreams.dedupEvents(batchEvents)
+    assert(d.filter(col("n_dupes") > 1).count() === 0)
+    assert(d.count() === batchEvents.count())
+  }
+}
