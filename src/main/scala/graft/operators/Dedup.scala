@@ -36,17 +36,20 @@ object Dedup {
     * Pure built-ins (higher-order functions + xxhash64) — codegen'd,
     * deterministic, no UDF, no ml.linalg dependency.
     */
+  // Universal hashing mod 2^31-1: shrink xxhash64 into [0, p) first so
+  // a*h + b stays well inside the long range (ANSI-safe, no overflow).
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private def hashParams(i: Int, seed: Long): (Long, Long) =
+    (1L + ((seed + i * 1299709L) % (P - 1)), (seed * 31L + i * 7919L) % P)
+
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    // Universal hashing mod 2^31-1: shrink xxhash64 into [0, p) first so
-    // a*h + b stays well inside the long range (ANSI-safe, no overflow).
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    // Hash each shingle ONCE, then run the cheap permutation arithmetic
+    // over the long array per hash function.
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(P)))
     val sigs = (0 until numHashes).map { i =>
-      val a = 1L + ((seed + i * 1299709L) % (p - 1))
-      val b = (seed * 31L + i * 7919L) % p
-      aggregate(
-        shingles,
-        lit(Long.MaxValue),
-        (acc, s) => least(acc, pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
+      val (a, b) = hashParams(i, seed)
+      aggregate(hashed, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * a + b, lit(P))))
     }
     array(sigs: _*)
   }
@@ -63,21 +66,29 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Materialize the (distinct) shingle array ONCE per row before fanning
-    // out into the per-hash aggregates — inlining the array expression
-    // would re-split the text numHashes times.
-    val sig = df
+    // Explode shingles to rows and compute signatures as ONE codegen'd
+    // hash aggregate with numHashes min() columns: xxhash64 runs once per
+    // shingle, map-side partial aggregation shrinks the shuffle to one row
+    // per doc, and no interpreted higher-order lambda sits on the hot
+    // path. This is the 100 TB shape — the array-HOF variant
+    // ([[minhashSignature]]) is kept for composable column use.
+    val seed = 42L
+    val exploded = df
       .select(col(idCol).as("doc"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))).as("s"))
+      .select(col("doc"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i, seed)
+      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
+    }
+    val sig = exploded.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
 
-    val banded = sig.select(col("doc"), explode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
+    val banded = sig.select(col("doc"), explode(array(
+      (0 until bands).map { b =>
         md5(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
-          b.cast("string")))))
-      .as("bucket"))
+          (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
+            :+ lit(b.toString): _*))
+      }: _*)).as("bucket"))
 
     val a = banded.as("a")
     val b = banded.as("b")
