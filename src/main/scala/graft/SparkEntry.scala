@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{CoreQueries, EventQueries, NorthStarQueries, Q, Scd2Queries}
+import graft.analytics.{CoreQueries, EventQueries, ExtendedQueries, NorthStarQueries, Q, Scd2Queries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val catalog: Seq[Q] =
-    CoreQueries.all ++ Scd2Queries.all ++ EventQueries.all ++ NorthStarQueries.all
+    CoreQueries.all ++ Scd2Queries.all ++ EventQueries.all ++
+      NorthStarQueries.all ++ ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,101 @@
+package graft.analytics
+
+import graft.Tables._
+import QueryDsl._
+import org.apache.spark.sql.functions._
+
+/** Extended analytics surface beyond the reference's literal queries:
+  * hierarchical rollups, pivoted cross-tabs, exact percentiles — the
+  * standard BI shapes a user of the reference's dashboard would reach for
+  * next, all oracle-verified.
+  */
+object ExtendedQueries {
+
+  /** ROLLUP: nation → year hierarchy with subtotals and a grand total.
+    * `grouping()` flags disambiguate real nulls from subtotal rows.
+    */
+  val rollupSales = Q("q_rollup_sales",
+    (s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("n_name"), col("order_year"))
+      .agg(dsum(col("o_totalprice")).as("total_sales"), count(lit(1)).as("n_orders"),
+        (grouping(col("n_name")) * 2 + grouping(col("order_year")))
+          .cast("int").as("is_total_row"))
+      .orderBy(col("is_total_row"), col("n_name"), col("order_year")),
+    Some(s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+             ${dsumSql("o_totalprice")} AS total_sales, count(*) AS n_orders,
+             CAST(CASE WHEN GROUPING(n_name) = 1 AND GROUPING(year(o_orderdate)) = 1 THEN 3
+                       WHEN GROUPING(year(o_orderdate)) = 1 THEN 1
+                       ELSE 0 END AS INT) AS is_total_row
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY ROLLUP (n_name, year(o_orderdate))
+             ORDER BY is_total_row, n_name, order_year"""))
+
+  /** Pivot: revenue per year cross-tabbed by market segment (the
+    * dashboard's stacked-chart shape). Oracle uses conditional
+    * aggregation — column names must match the pivoted output.
+    */
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  val pivotSegmentYear = Q("q_pivot_segment_year",
+    (s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("c_mktsegment", segments)
+      .agg(dsum(col("o_totalprice")))
+      .orderBy(col("order_year")),
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             ${segments.map(g =>
+               s"CAST(sum(CASE WHEN c_mktsegment = '$g' THEN CAST(o_totalprice AS DECIMAL(27,4)) END) AS DOUBLE) AS $g")
+               .mkString(", ")}
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1 ORDER BY order_year"""))
+
+  /** Exact interpolated percentiles (median/p90 order value per status).
+    * Spark `percentile` and DuckDB `quantile_cont` share the continuous
+    * interpolation definition.
+    */
+  val percentiles = Q("q_percentiles",
+    (s, d) => orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+            round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+            round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+            count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
+
+  /** Histogram bucketing via width_bucket (value distribution shape). */
+  val histogram = Q("q_histogram",
+    (s, d) => lineitem(s, d)
+      .select(width_bucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket")),
+    // DuckDB 1.0 has no width_bucket — replay its definition arithmetically.
+    Some("""SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+                             WHEN l_quantity >= 50 THEN 11
+                             ELSE 1 + floor(l_quantity / 5.0) END AS BIGINT) AS bucket,
+            count(*) AS n FROM lineitem GROUP BY 1 ORDER BY bucket"""))
+
+  /** Conditional aggregation (count_if / sum-where family). */
+  val conditionalAgg = Q("q_conditional_agg",
+    (s, d) => lineitem(s, d).agg(
+      count_if(col("l_returnflag") === "R").as("n_returned"),
+      count_if(col("l_discount") > 0.05).as("n_discounted"),
+      dsum(when(col("l_returnflag") === "R",
+        revenue(col("l_extendedprice"), col("l_discount")))).as("returned_revenue")),
+    Some(s"""SELECT count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             CAST(sum(CAST($revenueSql AS DECIMAL(27,4)))
+                  FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_revenue
+             FROM lineitem"""))
+
+  val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
+    conditionalAgg)
+}

@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native cosine expression equals the HOF formulation bit-for-bit") {
+    val e = graft.Tables.embeddings(spark, sf001).limit(200)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val native = e.select(col("vec_id"),
+      graft.functions.CosineExpression.cosine(col("embedding"), typedLit(q)).as("c"))
+    val hof = e.select(col("vec_id"),
+      VectorFunctions.cosineSimilarity(col("embedding"), typedLit(q)).as("c"))
+    val n = native.orderBy("vec_id").collect().map(_.getDouble(1))
+    val h = hof.orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(n.toSeq === h.toSeq)
+  }
+
+  test("native cosine expression rejects non-float-array inputs") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.CosineExpression.cosine(col("a"), col("b"))).collect()
+    }
+  }
+
   test("hyperplanes are deterministic") {
     assert(VectorFunctions.hyperplanes(2, 4) === VectorFunctions.hyperplanes(2, 4))
   }
