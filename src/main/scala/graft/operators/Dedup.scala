@@ -66,22 +66,35 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Explode shingles to rows and compute signatures as ONE codegen'd
-    // hash aggregate with numHashes min() columns: xxhash64 runs once per
-    // shingle, map-side partial aggregation shrinks the shuffle to one row
-    // per doc, and no interpreted higher-order lambda sits on the hot
-    // path. This is the 100 TB shape — the array-HOF variant
+    // Fully codegen'd signature pipeline, no interpreted lambda anywhere:
+    //   1. posexplode tokens (skinny doc/pos/token rows);
+    //   2. hash each token ONCE with xxhash64;
+    //   3. form each shingle's hash from `shingleSize` consecutive token
+    //      hashes via `lead` over a per-doc window (never materializing
+    //      the n-gram string);
+    //   4. one hash aggregate with numHashes min() columns — map-side
+    //      partial agg shrinks the shuffle to one row per doc. Duplicate
+    //      shingles are left in place: they cannot change a min.
+    // This is the 100 TB shape — the array-HOF variant
     // ([[minhashSignature]]) is kept for composable column use.
     val seed = 42L
-    val exploded = df
-      .select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize))).as("s"))
-      .select(col("doc"), pmod(xxhash64(col("s")), lit(P)).as("h"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("pos"), pmod(xxhash64(col("tok")), lit(P)).as("h0"))
+    val shingled = toks
+      .select(col("doc") +:
+        (0 until shingleSize).map(k =>
+          (if (k == 0) col("h0") else lead(col("h0"), k).over(w)).as(s"h$k")): _*)
+      .filter(col(s"h${shingleSize - 1}").isNotNull)
+      .select(col("doc"),
+        (0 until shingleSize).map(k => col(s"h$k") * (2 * k + 1))
+          .reduce(_ + _).as("h"))
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = hashParams(i, seed)
-      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
+      min(pmod(pmod(col("h"), lit(P)) * a + b, lit(P))).as(s"s_$i")
     }
-    val sig = exploded.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+    val sig = shingled.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
 
     val banded = sig.select(col("doc"), explode(array(
       (0 until bands).map { b =>

@@ -54,6 +54,26 @@ class StreamingSpec extends SparkSpec {
     assert(windowed === 4 * n)
   }
 
+  test("dropDuplicatesWithinWatermark dedups across micro-batches on a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, sec: Int) =
+      Ev(id, new java.sql.Timestamp(t0.getTime + sec * 1000L), 1L, "click", 1.0)
+    val deduped = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = EventStreams.toMemorySink(deduped, "t_dedup", "append")
+    stream.addData(ev(1, 0), ev(2, 1), ev(1, 2)) // in-batch dup
+    q.processAllAvailable()
+    stream.addData(ev(2, 3), ev(3, 4)) // cross-batch dup within watermark
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("dedupEvents: testdata event_ids are unique") {
     val d = EventStreams.dedupEvents(batchEvents)
     assert(d.filter(col("n_dupes") > 1).count() === 0)
