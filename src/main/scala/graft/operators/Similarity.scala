@@ -48,10 +48,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim)
+    val sb = graft.functions.SignBucketExpression.signBucket(_: org.apache.spark.sql.Column, planes)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
-      VectorFunctions.signBucket(col(vecCol), planes).as("bucket"))
+      sb(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      VectorFunctions.signBucket(col(vecCol), planes).as("bucket"))
+      sb(col(vecCol)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
     q.join(c, Seq("bucket"))

@@ -83,6 +83,18 @@ class Scd2Spec extends SparkSpec {
     assert(byKey(dim) === List((1L, "a", "Ann", "Y", "2024-01-01", null, 1)))
   }
 
+  test("same-day re-merge with changed attrs corrects in place (no zero-length version)") {
+    val dim0 = Scd2.initialLoad(batch(("a", "Ann", "Y")), cfg, d1)
+    // second merge the SAME day with a different segment
+    val dim1 = Scd2.merge(dim0, batch(("a", "Ann", "Z")), cfg, d1)
+    assert(byKey(dim1) === List((1L, "a", "Ann", "Z", "2024-01-01", null, 1)))
+    // a later-day change still versions normally
+    val dim2 = Scd2.merge(dim1, batch(("a", "Ann", "W")), cfg, d2)
+    assert(byKey(dim2) === List(
+      (1L, "a", "Ann", "Z", "2024-01-01", "2024-02-01", 0),
+      (2L, "a", "Ann", "W", "2024-02-01", null, 1)))
+  }
+
   test("invariant: exactly one current row per natural key after many merges") {
     val b1 = batch(("a", "A1", "X"), ("b", "B1", "X"))
     val b2 = batch(("a", "A2", "X"), ("b", "B1", "Y"), ("c", "C1", "Z"))

@@ -61,4 +61,17 @@ class SimilaritySpec extends SparkSpec {
   test("hyperplanes are deterministic") {
     assert(VectorFunctions.hyperplanes(2, 4) === VectorFunctions.hyperplanes(2, 4))
   }
+
+  test("native sign-bucket expression equals the HOF formulation") {
+    val e = graft.Tables.embeddings(spark, sf001).limit(100)
+    val planes = VectorFunctions.hyperplanes(8, 64)
+    val native = e.select(col("vec_id"),
+      graft.functions.SignBucketExpression.signBucket(col("embedding"), planes).as("b"))
+      .orderBy("vec_id").collect().map(_.getString(1))
+    val hof = e.select(col("vec_id"),
+      VectorFunctions.signBucket(col("embedding"), planes).as("b"))
+      .orderBy("vec_id").collect().map(_.getString(1))
+    assert(native.toSeq === hof.toSeq)
+    assert(native.forall(_.length == 8))
+  }
 }
