@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{CosineSimilarityExpr, SignBucketExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the engine's native expressions, via the
+  * standard `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * `sign_bucket(vec, k, dim, seed)` builds its hyperplanes from the
+  * literal arguments so pure SQL users get the same deterministic planes
+  * as the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+      cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sign_bucket"),
+      new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
+      signBucketBuilder))
+  }
+}
+
+object GraftExtensions {
+  private def lit2long(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+
+  val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "cosine_similarity(a, b)")
+    CosineSimilarityExpr(children(0), children(1))
+  }
+
+  val signBucketBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 4, "sign_bucket(vec, numPlanes, dim, seed)")
+    val k = lit2long(children(1), "numPlanes").toInt
+    val dim = lit2long(children(2), "dim").toInt
+    val seed = lit2long(children(3), "seed")
+    SignBucketExpr(children(0),
+      functions.VectorFunctions.hyperplanes(k, dim, seed).map(_.toArray).toArray)
+  }
+
+  /** Register both functions on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "cosine_similarity", cosineBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "sign_bucket", signBucketBuilder)
+  }
+}

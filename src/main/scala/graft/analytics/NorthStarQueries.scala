@@ -216,7 +216,62 @@ object NorthStarQueries {
                       / octet_length(encode(text)) END AS mean_byte
             FROM documents ORDER BY asset_id"""))
 
+  /** Corpus-prep pipeline, oracle-able prefix: annotate → quality/length
+    * gate → exact dedup → per-language token accounting. (The near-dup
+    * stage rides on xxhash64 LSH, so the FULL pipeline is the rows-only
+    * query below; its Jaccard confirm is oracled via q_jaccard_pairs.)
+    */
+  val corpusPrep = Q("q_corpus_prep",
+    (s, d) => {
+      import graft.operators.CorpusPipeline
+      val cfg = CorpusPipeline.Config()
+      CorpusPipeline.tokenReport(
+        CorpusPipeline.exactDedup(CorpusPipeline.gate(documents(s, d), cfg)))
+        .orderBy(col("lang_pred"))
+    },
+    Some {
+      val markers = TF.langMarkers.map { case (lang, ws) =>
+        lang -> s"len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}'))"
+      }
+      val best = markers.map(_._2).mkString("greatest(", ", ", ")")
+      val langCase = "CASE WHEN " + best + " = 0 THEN 'und' " +
+        markers.map { case (l, e) => s"WHEN $e = $best THEN '$l'" }.mkString(" ") +
+        " ELSE 'und' END"
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+            len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS puncts,
+            len(regexp_extract_all(text,
+              '${TF.enStopwords.mkString("\\b(", "|", ")\\b")}')) AS stops
+            FROM documents),
+          ann AS (SELECT doc_id, text, n AS n_chars_text,
+            CAST(toks AS BIGINT) AS n_tokens,
+            round(least(CAST(n AS DOUBLE)/500.0, 1.0) * 0.5
+              + (1.0 - least(CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(puncts AS DOUBLE)/n END * 10, 1.0)) * 0.25
+              + least(CASE WHEN toks = 0 THEN 0.0
+                  ELSE CAST(stops AS DOUBLE)/toks END * 5, 1.0) * 0.25, 6) AS quality,
+            $langCase AS lang_pred
+            FROM t),
+          gated AS (SELECT * FROM ann
+            WHERE n_chars_text >= 50 AND quality >= 0.3
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+          SELECT lang_pred, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(n_chars_text) AS BIGINT) AS total_chars
+          FROM gated GROUP BY 1 ORDER BY lang_pred"""
+    })
+
+  /** Full pipeline incl. LSH near-dedup (rows-only; see q_corpus_prep). */
+  val corpusPrepFull = Q("q_corpus_prep_full",
+    (s, d) => {
+      import graft.operators.CorpusPipeline
+      CorpusPipeline.tokenReport(CorpusPipeline.prepare(documents(s, d)))
+        .orderBy(col("lang_pred"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
-    annLsh, multimodalMeta, multimodalFeatures)
+    annLsh, multimodalMeta, multimodalFeatures, corpusPrep, corpusPrepFull)
 }

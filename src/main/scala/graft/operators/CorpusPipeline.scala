@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the composition a pretraining
+  * data pipeline actually runs, as one declarative plan —
+  *
+  *   1. per-doc stats (chars, tokens, quality, language);
+  *   2. quality + length gate;
+  *   3. exact dedup (hash group-by, smallest doc_id survives);
+  *   4. near-dup removal via LSH candidates → exact-Jaccard confirm
+  *      (drop the larger doc_id of each confirmed pair);
+  *   5. token accounting for the surviving corpus.
+  *
+  * Every stage is a narrow transform or a key-partitioned shuffle; the
+  * quadratic step touches only LSH candidates. At 100 TB each stage
+  * checkpoints to partitioned parquet; here it is one composable plan.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minChars: Int = 50,
+      minQuality: Double = 0.3,
+      langs: Seq[String] = Nil, // empty = keep all
+      nearDupShingle: Int = 3,
+      nearDupThreshold: Double = 0.6)
+
+  /** Stage 1-2: annotate and gate. */
+  def gate(docs: DataFrame, cfg: Config): DataFrame = {
+    val annotated = docs.select(
+      col("doc_id"), col("text"),
+      TextFunctions.charCount(col("text")).as("n_chars_text"),
+      TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+    val gated = annotated
+      .filter(col("n_chars_text") >= cfg.minChars && col("quality") >= cfg.minQuality)
+    if (cfg.langs.isEmpty) gated
+    else gated.filter(col("lang_pred").isin(cfg.langs: _*))
+  }
+
+  /** Stage 3: exact dedup keeping the smallest doc_id per text hash. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Stage 4: near-dup removal — LSH candidates, exact-Jaccard confirm,
+    * drop the larger id of each confirmed pair.
+    */
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
+    val candidates = Dedup.minhashLshCandidates(docs, "text", "doc_id",
+        shingleSize = cfg.nearDupShingle)
+      .select(col("id_a"), col("id_b"))
+    val textsA = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val textsB = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val confirmed = candidates
+      .join(textsA, "id_a").join(textsB, "id_b")
+      .filter(jaccardExpr(col("text_a"), col("text_b"), cfg.nearDupShingle)
+        >= cfg.nearDupThreshold)
+      .select(col("id_b").as("drop_id")).distinct()
+    docs.join(confirmed, docs("doc_id") === confirmed("drop_id"), "left_anti")
+  }
+
+  /** Exact word-n-gram Jaccard between two text columns (set semantics),
+    * used pairwise on candidates only.
+    */
+  def jaccardExpr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val sa = array_distinct(TextFunctions.wordShingles(a, n))
+    val sb = array_distinct(TextFunctions.wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Full pipeline; returns the surviving corpus with its annotations. */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    nearDedup(exactDedup(gate(docs, cfg)), cfg)
+
+  /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
+  def tokenReport(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars_text").cast("bigint")).as("total_chars"))
+      .orderBy(col("lang_pred"))
+}
