@@ -257,9 +257,12 @@ object CoreQueries {
         .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
         .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      // Distributed top-k (TakeOrderedAndProject) first; the global
+      // row_number window then sorts only the 10 survivors — never the
+      // whole per-customer aggregate through one partition.
+      val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(10)
       val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-      rev.withColumn("rk", row_number().over(w).cast("bigint"))
-        .filter(col("rk") <= 10)
+      top.withColumn("rk", row_number().over(w).cast("bigint"))
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select(col("rk"), col("o_custkey").as("custkey"),
           col("c_name").as("customer_name"), col("revenue"))
