@@ -84,7 +84,8 @@ object NorthStarQueries {
     */
   val fingerprint = Q("q_fingerprint",
     (s, d) => documents(s, d).select(
-      col("doc_id"), TF.rollingHashFingerprint(col("text")).as("fp"))
+      col("doc_id"),
+      graft.functions.RollingHashExpression.rollingHash(col("text")).as("fp"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
             CASE WHEN length(text) = 0 THEN 7

@@ -75,4 +75,21 @@ object EventStreams {
     */
   def toMemorySink(df: DataFrame, name: String, outputMode: String = "complete") =
     df.writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+
+  /** File-source stream over a directory of event parquet files (the
+    * production ingestion shape: a landing directory new files drop
+    * into). Declares the events schema explicitly with `ts` as a raw ns
+    * long — file streams cannot infer — and converts exactly like
+    * [[graft.Tables.events]].
+    */
+  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -42,4 +42,11 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](TextFunctions.rollingHashFingerprint(col("t")), "ab") === expected)
     assert(one[Long](TextFunctions.rollingHashFingerprint(col("t")), "") === 7L)
   }
+
+  test("native rolling-hash expression equals the HOF formulation") {
+    import graft.functions.RollingHashExpression.rollingHash
+    for (s <- Seq("", "ab", "the quick brown fox", "héllo wörld"))
+      assert(one[Long](rollingHash(col("t")), s) ===
+        one[Long](TextFunctions.rollingHashFingerprint(col("t")), s), s"for '$s'")
+  }
 }

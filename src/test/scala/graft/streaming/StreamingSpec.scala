@@ -74,6 +74,22 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("file-source stream over a landing directory equals the batch run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // land the raw events file as-is (ns timestamps and all)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf001, "events.parquet"),
+      java.nio.file.Paths.get(dir, "batch0.parquet"))
+    val q = EventStreams.toMemorySink(
+      EventStreams.tumblingHourly(EventStreams.fromParquetDir(spark, dir)),
+      "t_file_hourly", "complete")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_file_hourly")
+    val batch = EventStreams.tumblingHourly(batchEvents)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("dedupEvents: testdata event_ids are unique") {
     val d = EventStreams.dedupEvents(batchEvents)
     assert(d.filter(col("n_dupes") > 1).count() === 0)
