@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scale-path physical layout checks: bucketed tables co-locate joins
+  * (no Exchange on either side), and a year-partitioned fact prunes
+  * partitions under a date filter. These are plan-shape assertions — the
+  * properties that decide whether the same query survives a 100×
+  * scale-up.
+  */
+class BucketingSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — remove stale locations
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq("b_orders", "b_customer")) {
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Tables.orders(spark, sf001).write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(spark, sf001).write
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    // disable broadcast so the join must pick a co-located strategy
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      joined.collect() // force execution with the final (AQE) plan
+      val plan = physicalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+        s"orders side shuffled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"),
+        s"customer side shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("year-partitioned fact prunes partitions under a date filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("order_year") === 1995)
+      .agg(count(lit(1)))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_year") && scan.contains("1995"),
+      s"no partition pruning:\n$scan")
+    // and the pruned answer is right
+    val expect = Tables.orders(spark, sf001)
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(q.collect()(0).getLong(0) === expect)
+  }
+}
