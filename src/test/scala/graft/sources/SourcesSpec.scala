@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Source abstraction specs, incl. the declared REST→JSON shape: Fake
+  * Store products with a nested `rating {rate, count}` struct, flattened
+  * (reference README.md:108-112, :54-56).
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("JsonSource parses nested structs and flattens rating.*") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(Paths.get(dir, "products.json"),
+      """{"id": 1, "title": "Fjallraven Backpack", "price": 109.95, "rating": {"rate": 3.9, "count": 120}}
+        |{"id": 2, "title": "Mens Casual T-Shirt", "price": 22.3, "rating": {"rate": 4.1, "count": 259}}
+        |{"id": 3, "title": "No rating product", "price": 55.99, "rating": null}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("title", StringType),
+      StructField("price", DoubleType),
+      StructField("rating", StructType(Seq(
+        StructField("rate", DoubleType), StructField("count", LongType))))))
+    val flat = JsonSource(dir, schema).read(spark)
+      .select(col("id"), col("title"), col("price"),
+        col("rating.rate").as("rating_rate"),
+        col("rating.count").as("rating_count"))
+      .orderBy("id")
+    val rows = flat.collect()
+    assert(rows.length === 3)
+    assert(rows(0).getDouble(3) === 3.9 && rows(0).getLong(4) === 120L)
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
+  }
+
+  test("CsvSource honors schema and encoding end to end") {
+    val dir = Files.createTempDirectory("graft_srccsv").toString
+    Files.writeString(Paths.get(dir, "d.csv"), "k,v\n1,x\n2,y\n")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    assert(CsvSource(dir, schema).read(spark).count() === 2)
+  }
+
+  test("ParquetSink/ParquetSource roundtrip with partitioning") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/t"
+    val df = graft.Tables.orders(spark, sf001)
+      .withColumn("y", year(col("o_orderdate")))
+    ParquetSink(dir, partitionBy = Seq("y")).write(df)
+    val back = ParquetSource(dir).read(spark)
+    assert(back.count() === df.count())
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("y=")))
+  }
+}
