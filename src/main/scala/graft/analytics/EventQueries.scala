@@ -68,6 +68,22 @@ object EventQueries {
     Some("""SELECT event_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
             count(*) AS n_dupes FROM events GROUP BY 1 ORDER BY event_id"""))
 
+  /** Stream-stream interval join (batch equivalent): purchases attributed
+    * to same-user signups within the preceding hour.
+    */
+  val eventsAttribution = Q("q_events_attribution",
+    (s, d) => graft.streaming.StatefulStreams.purchaseAttribution(events(s, d))
+      .orderBy(col("user_id"), col("signup_ts"), col("purchase_ts")),
+    Some("""SELECT p.user_id AS user_id, s.ts AS signup_ts,
+            p.ts AS purchase_ts, p.value AS value
+            FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                  FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'signup') s
+            ON p.user_id = s.user_id
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+            ORDER BY user_id, signup_ts, purchase_ts"""))
+
   /** Exact distinct users per event type (pairs with the approx variant). */
   val exactDistinctUsers = Q("q_exact_distinct_users",
     (s, d) => events(s, d).groupBy(col("event_type"))
@@ -77,5 +93,5 @@ object EventQueries {
             count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
-    eventsSessions, eventsDedup, exactDistinctUsers)
+    eventsSessions, eventsDedup, eventsAttribution, exactDistinctUsers)
 }
