@@ -55,12 +55,11 @@ object CorpusPipeline {
     val candidates = Dedup.minhashLshCandidates(docs, "text", "doc_id",
         shingleSize = cfg.nearDupShingle)
       .select(col("id_a"), col("id_b"))
-    val textsA = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val textsB = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-    val confirmed = candidates
-      .join(textsA, "id_a").join(textsB, "id_b")
-      .filter(jaccardExpr(col("text_a"), col("text_b"), cfg.nearDupShingle)
-        >= cfg.nearDupThreshold)
+    // Confirm with exact Jaccard over hashed shingle sets — computed once
+    // per doc, joined per candidate pair; no per-pair re-shingling.
+    val confirmed = Dedup
+      .jaccardOnCandidates(candidates, docs, "text", "doc_id", cfg.nearDupShingle)
+      .filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as("drop_id")).distinct()
     docs.join(confirmed, docs("doc_id") === confirmed("drop_id"), "left_anti")
   }

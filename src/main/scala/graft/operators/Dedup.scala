@@ -66,30 +66,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Fully codegen'd signature pipeline, no interpreted lambda anywhere:
-    //   1. posexplode tokens (skinny doc/pos/token rows);
-    //   2. hash each token ONCE with xxhash64;
-    //   3. form each shingle's hash from `shingleSize` consecutive token
-    //      hashes via `lead` over a per-doc window (never materializing
-    //      the n-gram string);
-    //   4. one hash aggregate with numHashes min() columns — map-side
-    //      partial agg shrinks the shuffle to one row per doc. Duplicate
-    //      shingles are left in place: they cannot change a min.
-    // This is the 100 TB shape — the array-HOF variant
-    // ([[minhashSignature]]) is kept for composable column use.
     val seed = 42L
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val toks = df.select(col(idCol).as("doc"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-      .select(col("doc"), col("pos"), pmod(xxhash64(col("tok")), lit(P)).as("h0"))
-    val shingled = toks
-      .select(col("doc") +:
-        (0 until shingleSize).map(k =>
-          (if (k == 0) col("h0") else lead(col("h0"), k).over(w)).as(s"h$k")): _*)
-      .filter(col(s"h${shingleSize - 1}").isNotNull)
-      .select(col("doc"),
-        (0 until shingleSize).map(k => col(s"h$k") * (2 * k + 1))
-          .reduce(_ + _).as("h"))
+    val shingled = shingleHashRows(df, textCol, idCol, shingleSize)
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = hashParams(i, seed)
       min(pmod(pmod(col("h"), lit(P)) * a + b, lit(P))).as(s"s_$i")
@@ -108,6 +86,60 @@ object Dedup {
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Skinny (doc, shingle-hash) rows, fully codegen'd — no interpreted
+    * lambda anywhere:
+    *   1. posexplode tokens;
+    *   2. hash each token ONCE with xxhash64;
+    *   3. form each shingle's hash from `n` consecutive token hashes via
+    *      `lead` over a per-doc window (never materializing the n-gram
+    *      string).
+    * Shared by MinHash signatures (duplicates kept — they cannot change a
+    * min) and hashed-shingle Jaccard (use `.distinct()` for set
+    * semantics). This is the 100 TB shape — the array-HOF variants in
+    * [[TextFunctions.wordShingles]]/[[minhashSignature]] remain for
+    * composable column use.
+    */
+  def shingleHashRows(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("pos"), pmod(xxhash64(col("tok")), lit(P)).as("h0"))
+    toks
+      .select(col("doc") +:
+        (0 until n).map(k =>
+          (if (k == 0) col("h0") else lead(col("h0"), k).over(w)).as(s"h$k")): _*)
+      .filter(col(s"h${n - 1}").isNotNull)
+      .select(col("doc"),
+        (0 until n).map(k => col(s"h$k") * (2 * k + 1)).reduce(_ + _).as("h"))
+  }
+
+  /** Exact Jaccard over hashed shingle SETS for given candidate pairs
+    * (id_a, id_b) — the confirm stage after LSH. Returns the pairs with
+    * their similarity; collisions in the 2^31 hash space are negligible
+    * for near-dup decisions.
+    */
+  def jaccardOnCandidates(
+      candidates: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val sh = shingleHashRows(df, textCol, idCol, n).distinct()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("doc").as("id_a"), col("h"))
+    val shB = sh.select(col("doc").as("id_b"), col("h"))
+    val inter = candidates.select(col("id_a"), col("id_b"))
+      .join(shA, "id_a")
+      .join(shB, Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
   }
 
   /** 16-bit SimHash from md5 nibbles of each token: bit b of the sketch is
