@@ -64,18 +64,6 @@ object CorpusPipeline {
     docs.join(confirmed, docs("doc_id") === confirmed("drop_id"), "left_anti")
   }
 
-  /** Exact word-n-gram Jaccard between two text columns (set semantics),
-    * used pairwise on candidates only.
-    */
-  def jaccardExpr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-      n: Int): org.apache.spark.sql.Column = {
-    val sa = array_distinct(TextFunctions.wordShingles(a, n))
-    val sb = array_distinct(TextFunctions.wordShingles(b, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val union = (size(sa) + size(sb)).cast("double") - inter
-    when(union === 0, lit(0.0)).otherwise(inter / union)
-  }
-
   /** Full pipeline; returns the surviving corpus with its annotations. */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(gate(docs, cfg)), cfg)

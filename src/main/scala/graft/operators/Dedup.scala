@@ -126,20 +126,43 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // Cache the shingle rows: they feed sizes + both join sides, and Spark
+    // has no common-subplan elimination across self-joins — uncached, the
+    // tokenize/hash/window pipeline would run three times over the corpus.
+    // (Spark evicts cache blocks LRU, so no explicit unpersist is owed.)
     val sh = shingleHashRows(df, textCol, idCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))
     val shB = sh.select(col("doc").as("id_b"), col("h"))
-    val inter = candidates.select(col("id_a"), col("id_b"))
+    val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
+    val inter = pairs
       .join(shA, "id_a")
       .join(shB, Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    candidates.select(col("id_a"), col("id_b"))
+    // Left joins throughout: a doc shorter than n tokens has no shingle
+    // rows, and its pairs must surface with jaccard 0, not vanish.
+    pairs
       .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"), "left")
+      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"), "left")
+      .na.fill(0L, Seq("sz_a", "sz_b"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        when(col("sz_a") + col("sz_b") - col("inter") === 0, lit(0.0))
+          .otherwise(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter"))))
+  }
+
+  /** Column-level pairwise word-n-gram Jaccard (set semantics) for ad-hoc
+    * two-text comparison; zero-union pairs score 0.0, matching
+    * [[jaccardOnCandidates]]. For bulk confirm use the hashed-row path.
+    */
+  def jaccardColumns(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(TextFunctions.wordShingles(a, n))
+    val sb = array_distinct(TextFunctions.wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = (size(sa) + size(sb)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
   /** 16-bit SimHash from md5 nibbles of each token: bit b of the sketch is

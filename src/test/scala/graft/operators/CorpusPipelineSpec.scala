@@ -53,9 +53,19 @@ class CorpusPipelineSpec extends SparkSpec {
   test("pairwise jaccard expression matches the set definition") {
     val j = Seq(("a b c d e", "a b c d x"))
       .toDF("x", "y")
-      .select(CorpusPipeline.jaccardExpr(col("x"), col("y"), 3).as("j"))
+      .select(Dedup.jaccardColumns(col("x"), col("y"), 3).as("j"))
       .collect()(0).getDouble(0)
     // shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
     assert(j === 0.5)
+  }
+
+  test("jaccardOnCandidates keeps short-doc pairs at 0 and tolerates duplicate pairs") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "xy")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardOnCandidates(cands, d, "text", "doc_id", 3)
+      .orderBy("id_a", "id_b").collect()
+    assert(got.length === 2) // duplicates collapsed, short-doc pair kept
+    assert(got(0).getAs[Double]("jaccard") === 0.5)
+    assert(got(1).getAs[Double]("jaccard") === 0.0) // doc 3 has < 3 tokens
   }
 }
