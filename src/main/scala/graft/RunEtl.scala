@@ -29,7 +29,11 @@ object RunEtl {
     spark.sparkContext.setLogLevel("WARN")
 
     val prior = RetailWarehouse.readPriorDims(spark, outDir)
-    val res = RetailWarehouse.runFromCsv(spark, csvPath, asOf, prior)
+    val res0 = RetailWarehouse.runFromCsv(spark, csvPath, asOf, prior)
+    // The fact feeds the sink, both marts, and the run log — persist it
+    // once instead of recomputing the CSV→dims→join pipeline per action.
+    val res = res0.copy(fact = res0.fact
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     RetailWarehouse.writeWarehouse(res, outDir)
     val marts = Seq(
       "mart_sales_performance" ->
@@ -39,10 +43,11 @@ object RunEtl {
     marts.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$n")
     }
+    val factRows = res.fact.count()
     val counts = (res.dims.map { case (n, d) => n -> d.count() } ++
-      Map("fact_sales" -> res.fact.count(), "dim_date" -> res.dimDate.count()))
+      Map("fact_sales" -> factRows, "dim_date" -> res.dimDate.count()))
     counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(s"[etl] $n: $c rows") }
-    RetailWarehouse.runLogEntry(spark, "full_etl", res.fact.count(), asOf)
+    RetailWarehouse.runLogEntry(spark, "full_etl", factRows, asOf)
       .write.mode("append").parquet(s"$outDir/etl_run_log")
     spark.stop()
   }

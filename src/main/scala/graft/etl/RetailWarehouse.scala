@@ -192,13 +192,18 @@ object RetailWarehouse {
   }
 
   /** Re-read prior dimension state for an incremental run (reference
-    * load_to_query.py:99-103); absent path → empty prior.
+    * load_to_query.py:99-103); absent path → empty prior. Existence goes
+    * through the Hadoop FileSystem API — a java.io.File check is always
+    * false on HDFS/object stores and would silently restart all SCD2
+    * history as an initial load.
     */
-  def readPriorDims(spark: SparkSession, dir: String): Map[String, DataFrame] =
+  def readPriorDims(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    import org.apache.hadoop.fs.Path
     dimensions.flatMap { spec =>
-      val p = s"$dir/${spec.name}"
-      if (new java.io.File(p).exists)
-        Some(spec.name -> spark.read.parquet(p))
+      val p = new Path(s"$dir/${spec.name}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spec.name -> spark.read.parquet(p.toString))
       else None
     }.toMap
+  }
 }

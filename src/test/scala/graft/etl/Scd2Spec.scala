@@ -95,6 +95,32 @@ class Scd2Spec extends SparkSpec {
       (2L, "a", "Ann", "W", "2024-02-01", null, 1)))
   }
 
+  test("key-only dimension (no tracked columns) loads without error") {
+    val kc = Scd2Config(Seq("id"), Nil, "key")
+    val dim = Scd2.initialLoad(Seq("b", "a", "a").toDF("id"), kc, d1)
+      .orderBy("key").collect()
+    assert(dim.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // re-merge: nothing changes for key-only dims
+    val again = Scd2.merge(
+      Scd2.initialLoad(Seq("a", "b").toDF("id"), kc, d1),
+      Seq("a", "b", "c").toDF("id"), kc, d2)
+    assert(again.count() === 3)
+    assert(again.filter(col("is_current") === 1).count() === 3)
+  }
+
+  test("scalableKeys assignment produces identical keys to the window path") {
+    val sc = cfg.copy(scalableKeys = true)
+    val b = batch(("c", "Cal", "W"), ("a", "Ann", "Y"), ("b", "Bob", "X"))
+    val viaWindow = Scd2.initialLoad(b, cfg, d1)
+    val viaZip = Scd2.initialLoad(b, sc, d1)
+    assert(byKey(viaZip) === byKey(viaWindow))
+    // and on a follow-up merge with changes
+    val changed = batch(("a", "Ann", "Z"), ("b", "Bob", "X"), ("d", "Dee", "V"))
+    assert(byKey(Scd2.merge(viaZip, changed, sc, d2)) ===
+      byKey(Scd2.merge(viaWindow, changed, cfg, d2)))
+  }
+
   test("invariant: exactly one current row per natural key after many merges") {
     val b1 = batch(("a", "A1", "X"), ("b", "B1", "X"))
     val b2 = batch(("a", "A2", "X"), ("b", "B1", "Y"), ("c", "C1", "Z"))

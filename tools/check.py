@@ -97,7 +97,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         if sql is None:
             status = f"rows-only ({len(spark_df)} rows)"
             if len(spark_df) == 0:
-                status += "  *** EMPTY"
+                status = "FAIL rows-only result is EMPTY"
         else:
             try:
                 duck_df = con.sql(sql).df()
