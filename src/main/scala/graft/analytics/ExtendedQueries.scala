@@ -96,6 +96,57 @@ object ExtendedQueries {
                   FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_revenue
              FROM lineitem"""))
 
+  /** GROUPING SETS: two independent rollup axes (by nation, by status) in
+    * one pass over the join — the general form of the marts' rollups.
+    */
+  val groupingSets = Q("q_grouping_sets",
+    (s, d) => {
+      val j = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      j.groupingSets(Seq(Seq(col("n_name")), Seq(col("o_orderstatus"))),
+          col("n_name"), col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("total_sales"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"), col("o_orderstatus"))
+    },
+    Some(s"""SELECT n_name, o_orderstatus,
+             ${dsumSql("o_totalprice")} AS total_sales, count(*) AS n_orders
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY GROUPING SETS ((n_name), (o_orderstatus))
+             ORDER BY n_name, o_orderstatus"""))
+
+  /** Cumulative revenue over months (running-total window; exact decimal
+    * accumulation keeps the cumulative sums oracle-exact too).
+    */
+  val runningTotal = Q("q_running_total",
+    (s, d) => {
+      val monthly = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(27,4)")).as("rev_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("order_year"), col("order_month"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      monthly
+        .withColumn("cumulative_revenue", sum(col("rev_dec")).over(w).cast("double"))
+        .select(col("order_year"), col("order_month"),
+          col("rev_dec").cast("double").as("revenue"), col("cumulative_revenue"))
+        .orderBy(col("order_year"), col("order_month"))
+    },
+    Some(s"""WITH monthly AS (
+             SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                    CAST(month(o_orderdate) AS INT) AS order_month,
+                    sum(CAST($revenueSql AS DECIMAL(27,4))) AS rev_dec
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+             SELECT order_year, order_month,
+                    CAST(rev_dec AS DOUBLE) AS revenue,
+                    CAST(sum(rev_dec) OVER (ORDER BY order_year, order_month
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
+             FROM monthly ORDER BY order_year, order_month"""))
+
   val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
-    conditionalAgg)
+    conditionalAgg, groupingSets, runningTotal)
 }
