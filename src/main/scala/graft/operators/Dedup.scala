@@ -55,8 +55,18 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
-    * pairs; exact Jaccard on candidates only. `bands * rowsPerBand` must
-    * equal the signature length. Returns (id_a, id_b, n_shared_bands).
+    * pairs; exact Jaccard on candidates only. `bands` must divide
+    * `numHashes` (enforced — a remainder would silently drop trailing hash
+    * functions and degrade recall). Returns (id_a, id_b, n_shared_bands).
+    *
+    * Hot-bucket bound: the band self-join is quadratic PER BUCKET, so a
+    * boilerplate-heavy corpus that lands k near-identical docs in one
+    * bucket would emit k² pairs. Buckets larger than `maxBucketSize` docs
+    * are excluded from pairing (the count rides a window over the same
+    * bucket hash-partitioning the join needs, so the cap adds no extra
+    * shuffle). This is NOT a silent cap: audit dropped mass with
+    * [[lshBucketStats]] before raising the bound; docs in a dropped
+    * bucket usually still pair through their other `bands - 1` buckets.
     */
   def minhashLshCandidates(
       df: DataFrame,
@@ -64,7 +74,30 @@ object Dedup {
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes); a remainder would drop trailing hashes")
+    val banded = bandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
+    val bucketW = Window.partitionBy(col("bucket"))
+    val bounded = banded
+      .withColumn("_bsz", count(lit(1)).over(bucketW))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
+
+    val a = bounded.as("a")
+    val b = bounded.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** (doc, bucket) rows of the banded MinHash signature — the pairing key
+    * space of [[minhashLshCandidates]], exposed for bucket audits.
+    */
+  private def bandBuckets(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val seed = 42L
     val shingled = shingleHashRows(df, textCol, idCol, shingleSize)
@@ -73,19 +106,31 @@ object Dedup {
       min(pmod(pmod(col("h"), lit(P)) * a + b, lit(P))).as(s"s_$i")
     }
     val sig = shingled.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
-
-    val banded = sig.select(col("doc"), explode(array(
+    sig.select(col("doc"), explode(array(
       (0 until bands).map { b =>
         md5(concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
             :+ lit(b.toString): _*))
       }: _*)).as("bucket"))
+  }
 
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+  /** Per-bucket doc counts of the LSH band space, largest first — the
+    * audit companion to `maxBucketSize`: `n_docs * (n_docs-1) / 2` is the
+    * pair mass a bucket would emit, so the dropped mass of a cap is the
+    * sum of that expression over rows with `n_docs > maxBucketSize`.
+    */
+  def lshBucketStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    bandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bucket"))
   }
 
   /** Skinny (doc, shingle-hash) rows, fully codegen'd — no interpreted
@@ -126,11 +171,20 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // Only docs that appear in some candidate pair need shingles — at LSH
+    // selectivity that is ≪ the corpus, so semi-join-prune BEFORE the
+    // tokenize/hash/window pipeline runs (and before the persist below,
+    // whose footprint would otherwise be corpus-sized — at 100 TB the
+    // unpruned persist simply would not fit).
+    val candidateIds = candidates.select(col("id_a").as("_cand_doc"))
+      .unionByName(candidates.select(col("id_b").as("_cand_doc")))
+      .distinct()
+    val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
     // Cache the shingle rows: they feed sizes + both join sides, and Spark
     // has no common-subplan elimination across self-joins — uncached, the
     // tokenize/hash/window pipeline would run three times over the corpus.
     // (Spark evicts cache blocks LRU, so no explicit unpersist is owed.)
-    val sh = shingleHashRows(df, textCol, idCol, n).distinct()
+    val sh = shingleHashRows(pruned, textCol, idCol, n).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))
