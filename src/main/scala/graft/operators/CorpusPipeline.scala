@@ -52,16 +52,17 @@ object CorpusPipeline {
     * drop the larger id of each confirmed pair.
     */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
-    val candidates = Dedup.minhashLshCandidates(docs, "text", "doc_id",
+    val corpus = docs
+    val candidates = Dedup.minhashLshCandidates(corpus, "text", "doc_id",
         shingleSize = cfg.nearDupShingle)
       .select(col("id_a"), col("id_b"))
     // Confirm with exact Jaccard over hashed shingle sets — computed once
     // per doc, joined per candidate pair; no per-pair re-shingling.
     val confirmed = Dedup
-      .jaccardOnCandidates(candidates, docs, "text", "doc_id", cfg.nearDupShingle)
+      .jaccardOnCandidates(candidates, corpus, "text", "doc_id", cfg.nearDupShingle)
       .filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as("drop_id")).distinct()
-    docs.join(confirmed, docs("doc_id") === confirmed("drop_id"), "left_anti")
+    corpus.join(confirmed, corpus("doc_id") === confirmed("drop_id"), "left_anti")
   }
 
   /** Full pipeline; returns the surviving corpus with its annotations. */

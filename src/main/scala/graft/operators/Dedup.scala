@@ -62,11 +62,15 @@ object Dedup {
     * Hot-bucket bound: the band self-join is quadratic PER BUCKET, so a
     * boilerplate-heavy corpus that lands k near-identical docs in one
     * bucket would emit k² pairs. Buckets larger than `maxBucketSize` docs
-    * are excluded from pairing (the count rides a window over the same
-    * bucket hash-partitioning the join needs, so the cap adds no extra
-    * shuffle). This is NOT a silent cap: audit dropped mass with
-    * [[lshBucketStats]] before raising the bound; docs in a dropped
-    * bucket usually still pair through their other `bands - 1` buckets.
+    * switch to star pairing: every doc pairs with the bucket's smallest
+    * doc id only — O(k) pairs instead of O(k²), and the cluster stays
+    * CONNECTED through the representative, so a transitive-closure dedup
+    * still collapses it (dropping hot buckets outright would make exactly
+    * the most-duplicated content invisible, because a large near-dup
+    * cluster is hot in EVERY band). The size/representative ride one
+    * window over the same bucket hash-partitioning the join needs, and
+    * the star restriction is a left-side-only predicate, so the cap adds
+    * no extra shuffle or scan. Audit bucket mass with [[lshBucketStats]].
     */
   def minhashLshCandidates(
       df: DataFrame,
@@ -80,14 +84,16 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes); a remainder would drop trailing hashes")
     val banded = bandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
     val bucketW = Window.partitionBy(col("bucket"))
-    val bounded = banded
+    val counted = banded
       .withColumn("_bsz", count(lit(1)).over(bucketW))
-      .filter(col("_bsz") <= maxBucketSize)
-      .drop("_bsz")
+      .withColumn("_rep", min(col("doc")).over(bucketW))
 
-    val a = bounded.as("a")
-    val b = bounded.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+    val a = counted.as("a")
+    val b = counted.as("b")
+    // In an oversized bucket only the representative may sit on the left
+    // of a pair — a predicate on side `a` alone, pushed below the join.
+    val leftEligible = col("a._bsz") <= maxBucketSize || col("a.doc") === col("a._rep")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -171,13 +177,20 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // The candidate plan feeds FOUR consumers (the id prune below, the
+    // intersection join, and the final pair frame twice) and is typically
+    // the whole LSH pipeline — persist the distinct pairs once so that
+    // plan runs once, not four times. Pairs are two longs per row, tiny
+    // next to the corpus at LSH selectivity.
+    val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Only docs that appear in some candidate pair need shingles — at LSH
     // selectivity that is ≪ the corpus, so semi-join-prune BEFORE the
     // tokenize/hash/window pipeline runs (and before the persist below,
     // whose footprint would otherwise be corpus-sized — at 100 TB the
     // unpruned persist simply would not fit).
-    val candidateIds = candidates.select(col("id_a").as("_cand_doc"))
-      .unionByName(candidates.select(col("id_b").as("_cand_doc")))
+    val candidateIds = pairs.select(col("id_a").as("_cand_doc"))
+      .unionByName(pairs.select(col("id_b").as("_cand_doc")))
       .distinct()
     val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
     // Cache the shingle rows: they feed sizes + both join sides, and Spark
@@ -189,7 +202,6 @@ object Dedup {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))
     val shB = sh.select(col("doc").as("id_b"), col("h"))
-    val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
     val inter = pairs
       .join(shA, "id_a")
       .join(shB, Seq("id_b", "h"))

@@ -44,6 +44,57 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) }) // disjoint doc never pairs
   }
 
+  // Three identical docs land in the same bucket of EVERY band — the
+  // hot-bucket shape (a big near-dup cluster is hot in all bands at once).
+  private val hotDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (4L, "totally unrelated words about something else entirely here"),
+  ).toDF("doc_id", "text")
+
+  test("oversized buckets degrade to star pairing around the min doc, keeping the cluster connected") {
+    val got = Dedup.minhashLshCandidates(hotDocs, "text", "doc_id", maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // k=3 > cap=2: each doc pairs with the representative (doc 1) only.
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 2L), (1L, 3L)))
+    // Identical docs share all 8 band buckets even on the star path.
+    assert(got.forall(_._3 === 8L))
+  }
+
+  test("buckets at or under maxBucketSize emit all pairs") {
+    val got = Dedup.minhashLshCandidates(hotDocs, "text", "doc_id", maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bands must divide numHashes") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashLshCandidates(docs, "text", "doc_id", numHashes = 16, bands = 3)
+    }
+    assert(ex.getMessage.contains("must divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.lshBucketStats(docs, "text", "doc_id", numHashes = 16, bands = 3)
+    }
+  }
+
+  test("lshBucketStats surfaces the hot bucket's pair mass, largest first") {
+    val stats = Dedup.lshBucketStats(hotDocs, "text", "doc_id").collect()
+    // 8 bands × one bucket of the 3 identical docs lead the ranking.
+    assert(stats.take(8).forall(_.getLong(1) === 3L))
+    assert(stats.drop(8).forall(_.getLong(1) === 1L))
+  }
+
+  test("jaccardOnCandidates scores supplied pairs and keeps zero-overlap pairs") {
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardOnCandidates(cands, docs, "text", "doc_id", 3)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(got((1L, 2L)) === 0.75) // 6 shared of 8 distinct shingles
+    assert(got((1L, 3L)) === 0.0)  // disjoint pair surfaces with 0, not dropped
+  }
+
   test("simhash16: identical texts agree, disjoint texts differ") {
     val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
