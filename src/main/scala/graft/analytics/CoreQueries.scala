@@ -303,11 +303,16 @@ object CoreQueries {
                           / lag(revenue, 4) OVER (ORDER BY order_year, order_quarter) * 100, 6) AS yoy_pct
              FROM q ORDER BY order_year, order_quarter"""))
 
-  /** W5: deterministic dense surrogate keys via row_number. */
+  /** W5: deterministic dense surrogate keys — the scalable assignment
+    * ([[graft.etl.Scd2.denseKeys]]: range-partition + in-partition sort +
+    * zipWithIndex). Same 1..n sequence a global `row_number` window would
+    * produce, with no single-partition sort in the plan (Scd2Spec asserts
+    * the plan shape).
+    */
   val surrogateKeys = Q("q_surrogate_keys",
-    (s, d) => part(s, d).select(col("p_partkey"), col("p_name"))
-      .withColumn("surrogate_key",
-        row_number().over(Window.orderBy(col("p_partkey"))).cast("bigint"))
+    (s, d) => graft.etl.Scd2.denseKeys(
+      part(s, d).select(col("p_partkey"), col("p_name")),
+      Seq("p_partkey"), "surrogate_key")
       .orderBy(col("surrogate_key")),
     Some("""SELECT p_partkey, p_name,
             row_number() OVER (ORDER BY p_partkey) AS surrogate_key
@@ -364,6 +369,25 @@ object CoreQueries {
                       ELSE year(o_orderdate) END AS INT) AS fiscal_year
             FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
             ORDER BY order_date"""))
+
+  /** Declared analytical query #5 (reference README.md:290): weekend vs
+    * weekday revenue — star join × the DimDate weekend flag (pandas
+    * Mon=0 weekday semantics, so weekend = weekday >= 5).
+    */
+  val weekendRevenue = Q("q_weekend_revenue",
+    (s, d) => li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(weekday(col("o_orderdate")).geq(5).cast("int").as("is_weekend"))
+      .agg(
+        dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("is_weekend")),
+    Some(s"""SELECT CAST(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend,
+             ${dsumSql(revenueSql)} AS revenue, count(*) AS n_lines,
+             count(DISTINCT o_orderkey) AS n_orders
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1 ORDER BY is_weekend"""))
 
   /** F5/F6: null synthesis + fill defaults (numeric and string). */
   val fillNa = Q("q_fillna",
@@ -455,6 +479,6 @@ object CoreQueries {
     filterNeq, projectRename, keymapJoin, starMonthlySegment, antiJoin,
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, unionPriorities, exceptCustomers, intersectCustomers,
-    dateDim, fillNa, caseBuckets, rowHash, jsonExtract, csvRoundtrip,
-    parquetRoundtrip, approxDistinctParts)
+    dateDim, weekendRevenue, fillNa, caseBuckets, rowHash, jsonExtract,
+    csvRoundtrip, parquetRoundtrip, approxDistinctParts)
 }

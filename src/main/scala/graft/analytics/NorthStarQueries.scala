@@ -162,13 +162,14 @@ object NorthStarQueries {
 
   // --- embedding similarity ----------------------------------------------
 
-  /** X3 baseline: brute-force cosine top-k against the vec_id=0 query. */
+  /** X3 baseline: brute-force cosine top-k against the vec_id=0 query —
+    * the query row broadcasts into the scan (no driver-side `.head()`).
+    */
   val embedTopK = Q("q_embed_topk",
     (s, d) => {
       val e = embeddings(s, d)
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 10)
+      Similarity.bruteForceTopKDf(
+        e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0), 10)
     },
     Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, round(

@@ -32,7 +32,8 @@ object Scd2Queries {
             c_mktsegment AS segment,
             DATE '2024-06-01' AS effective_date,
             CAST(NULL AS DATE) AS expiry_date,
-            CAST(1 AS INT) AS is_current
+            CAST(1 AS INT) AS is_current,
+            CAST(1 AS INT) AS version
             FROM customer ORDER BY customer_key"""))
 
   /** A7 incremental merge: every 7th customer changes segment → prior
@@ -56,12 +57,14 @@ object Scd2Queries {
             SELECT customer_key, customer_id, customer_name, segment,
                    DATE '2024-06-01' AS effective_date,
                    CASE WHEN customer_id % 7 = 0 THEN DATE '2024-07-01' END AS expiry_date,
-                   CAST(CASE WHEN customer_id % 7 = 0 THEN 0 ELSE 1 END AS INT) AS is_current
+                   CAST(CASE WHEN customer_id % 7 = 0 THEN 0 ELSE 1 END AS INT) AS is_current,
+                   CAST(1 AS INT) AS version
             FROM dim
             UNION ALL
             SELECT (SELECT n FROM mx) + row_number() OVER (ORDER BY customer_id),
                    customer_id, customer_name, 'CHANGED',
-                   DATE '2024-07-01', CAST(NULL AS DATE), CAST(1 AS INT)
+                   DATE '2024-07-01', CAST(NULL AS DATE), CAST(1 AS INT),
+                   CAST(2 AS INT)
             FROM changed
             ORDER BY customer_key"""))
 

@@ -19,6 +19,7 @@ final case class Scd2Config(
     effectiveCol: String = "effective_date",
     expiryCol: String = "expiry_date",
     currentCol: String = "is_current",
+    versionCol: String = "version",
     scalableKeys: Boolean = false) {
   def attrCols: Seq[String] = naturalKey ++ tracked
 }
@@ -65,12 +66,14 @@ object Scd2 {
       .withColumn(cfg.effectiveCol, lit(null).cast("date"))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
       .withColumn(cfg.currentCol, lit(null).cast("int"))
+      .withColumn(cfg.versionCol, lit(null).cast("int"))
       .select(outputCols(cfg).map(col): _*)
     base.filter(lit(false))
   }
 
   def outputCols(cfg: Scd2Config): Seq[String] =
-    (cfg.surrogateKey +: cfg.attrCols) ++ Seq(cfg.effectiveCol, cfg.expiryCol, cfg.currentCol)
+    (cfg.surrogateKey +: cfg.attrCols) ++
+      Seq(cfg.effectiveCol, cfg.expiryCol, cfg.currentCol, cfg.versionCol)
 
   /** Merge `incoming` (raw attribute rows) into `current` (prior dimension
     * state, possibly empty) as of `asOf`. Returns the full new dimension.
@@ -114,6 +117,7 @@ object Scd2 {
         cfg.tracked.map(c0 => col(c0).as(s"c_$c0")) ++ Seq(
           col(cfg.surrogateKey).as("c_key"),
           col(cfg.effectiveCol).as("c_eff"),
+          col(cfg.versionCol).as("c_ver"),
           col(hashC).as("c_hash")): _*)
 
     val joinCond = keyCols.map(k => col(s"i_$k") <=> col(s"c_$k")).reduce(_ && _)
@@ -135,11 +139,16 @@ object Scd2 {
         cfg.tracked.map(t => col(s"i_$t").as(t)) ++ Seq(
           col("c_eff").as(cfg.effectiveCol),
           lit(null).cast("date").as(cfg.expiryCol),
-          lit(1).as(cfg.currentCol)): _*)
+          lit(1).as(cfg.currentCol),
+          col("c_ver").as(cfg.versionCol)): _*)
 
-    // Rows needing a fresh version: brand-new keys + changed keys.
+    // Rows needing a fresh version: brand-new keys (version 1) + changed
+    // keys (prior current's version + 1 — the README-declared
+    // incrementing version number, /root/reference/README.md:305-311).
     val freshAttrs = j.filter(isNew || isChanged)
-      .select(keyCols.map(k => col(s"i_$k").as(k)) ++ cfg.tracked.map(t => col(s"i_$t").as(t)): _*)
+      .select(keyCols.map(k => col(s"i_$k").as(k)) ++
+        cfg.tracked.map(t => col(s"i_$t").as(t)) :+
+        (coalesce(col("c_ver"), lit(0)) + 1).cast("int").as(cfg.versionCol): _*)
     val fresh = assignSurrogateKeys(freshAttrs, cfg, maxKeyDf)
       .withColumn(cfg.effectiveCol, lit(asOf))
       .withColumn(cfg.expiryCol, lit(null).cast("date"))
@@ -152,7 +161,8 @@ object Scd2 {
         cfg.tracked.map(t => col(s"c_$t").as(t)) ++ Seq(
           col("c_eff").as(cfg.effectiveCol),
           lit(asOf).as(cfg.expiryCol),
-          lit(0).as(cfg.currentCol)): _*)
+          lit(0).as(cfg.currentCol),
+          col("c_ver").as(cfg.versionCol)): _*)
 
     // Unchanged or absent-from-batch current rows: carry forward verbatim.
     val kept = j.filter(isUnchanged)
@@ -161,7 +171,8 @@ object Scd2 {
         cfg.tracked.map(t => col(s"c_$t").as(t)) ++ Seq(
           col("c_eff").as(cfg.effectiveCol),
           lit(null).cast("date").as(cfg.expiryCol),
-          lit(1).as(cfg.currentCol)): _*)
+          lit(1).as(cfg.currentCol),
+          col("c_ver").as(cfg.versionCol)): _*)
 
     val ordered = outputCols(cfg)
     hist.select(ordered.map(col): _*)
@@ -171,13 +182,35 @@ object Scd2 {
       .unionByName(fresh.select(ordered.map(col): _*))
   }
 
+  /** Dense 1..n bigint keys for `df` in `orderCols` order, computed
+    * DISTRIBUTIVELY: range-partition on the order columns, sort within
+    * partitions, `zipWithIndex` for globally consecutive indices. No
+    * single-partition window anywhere — the only extra cost is the one
+    * partition-offset job zipWithIndex runs, so the same code assigns
+    * keys to a 10-row delta and a 10-billion-row initial load. Ties in
+    * `orderCols` get arbitrary relative indices (range boundaries may
+    * split them); callers needing determinism pass a unique order key.
+    */
+  def denseKeys(df: DataFrame, orderCols: Seq[String], keyName: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(indexed,
+      schema.add(org.apache.spark.sql.types.StructField(keyName,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Dense surrogate keys (offset + 1..n in natural-key order) for the
     * fresh delta. Default: a global `row_number` window — one sort task,
     * fine for incremental deltas, matches the oracle's sequencing exactly.
-    * `cfg.scalableKeys`: range-partition by key, sort within partitions,
-    * `zipWithIndex` — the same total order computed distributively (one
-    * extra count job for partition offsets), for initial loads where the
-    * delta IS the whole dimension.
+    * `cfg.scalableKeys`: [[denseKeys]] — the same total order computed
+    * distributively, used for initial loads where the delta IS the whole
+    * dimension (see [[initialLoad]]).
     */
   private def assignSurrogateKeys(
       attrs: DataFrame, cfg: Scd2Config, maxKeyDf: DataFrame): DataFrame = {
@@ -190,24 +223,20 @@ object Scd2 {
           row_number().over(freshW).cast("bigint") + col("_graft_max_key"))
         .drop("_graft_max_key")
     } else {
-      val spark = attrs.sparkSession
-      val withOffset = attrs.crossJoin(broadcast(maxKeyDf))
-      val schema = withOffset.schema
-      val sorted = withOffset
-        .repartitionByRange(keyCols.map(col): _*)
-        .sortWithinPartitions(keyCols.map(col): _*)
-      val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-      }
-      spark.createDataFrame(indexed,
-          schema.add(org.apache.spark.sql.types.StructField("_graft_idx",
-            org.apache.spark.sql.types.LongType)))
+      denseKeys(attrs.crossJoin(broadcast(maxKeyDf)), keyCols, "_graft_idx")
         .withColumn(cfg.surrogateKey, col("_graft_idx") + col("_graft_max_key"))
         .drop("_graft_idx", "_graft_max_key")
     }
   }
 
-  /** Initial load: merge into an empty dimension. */
+  /** Initial load: merge into an empty dimension. The whole batch is the
+    * fresh delta here, so key assignment always takes the scalable
+    * [[denseKeys]] path — a global `row_number` window would drag the
+    * entire dimension through one sort task, the one plan shape that
+    * cannot survive a 100× scale-up. Incremental [[merge]] keeps the
+    * window default (the delta is small) unless `cfg.scalableKeys` opts
+    * in; both paths produce identical keys (Scd2Spec pins it).
+    */
   def initialLoad(incoming: DataFrame, cfg: Scd2Config, asOf: java.sql.Date): DataFrame =
-    merge(emptyDim(incoming, cfg), incoming, cfg, asOf)
+    merge(emptyDim(incoming, cfg), incoming, cfg.copy(scalableKeys = true), asOf)
 }

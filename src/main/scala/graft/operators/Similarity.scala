@@ -36,6 +36,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force cosine top-k against a ONE-ROW query frame. The query
+    * vector rides a broadcast cross join instead of a driver-side
+    * `.head()` fetch, so building the plan launches no eager job and the
+    * operator composes lazily like everything else (the same pattern as
+    * the Scd2 broadcast max-key frame).
+    */
+  def bruteForceTopKDf(
+      corpus: DataFrame,
+      queryDf: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queryDf.select(col(vecCol).as("_graft_qvec"))
+    corpus
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(graft.functions.CosineExpression.cosine(col(vecCol), col("_graft_qvec")), 6)
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k for every query row of `queries` against `corpus` — window
     * row_number per query over the bucketed candidate join.
     */

@@ -46,7 +46,8 @@ class Scd2PropertySpec extends SparkSpec {
           })
       }.get.collect()
 
-      // columns: 0 key, 1 id, 2 attr, 3 effective, 4 expiry, 5 is_current
+      // columns: 0 key, 1 id, 2 attr, 3 effective, 4 expiry, 5 is_current,
+      // 6 version
       val currents = dim.filter(_.getInt(5) == 1)
       val expired = dim.filter(_.getInt(5) == 0)
       val seenKeys = batches.flatten.map(_._1).toSet
@@ -60,9 +61,16 @@ class Scd2PropertySpec extends SparkSpec {
       val currentNoExpiry = currents.forall(_.isNullAt(4))
       val expiredHasExpiry = expired.forall(!_.isNullAt(4))
       val latestAttrWins = currents.forall(r => latest(r.getString(1)) == r.getString(2))
+      // 6. versions are dense 1..n per key, monotone in effective date,
+      //    and the current row carries the max version.
+      val versionsDense = dim.groupBy(_.getString(1)).forall { case (_, rows) =>
+        val byEff = rows.sortBy(_.getDate(3).toString).map(_.getInt(6)).toSeq
+        byEff == (1 to rows.length) &&
+          rows.filter(_.getInt(5) == 1).forall(_.getInt(6) == rows.length)
+      }
 
       oneCurrentPerKey && allSeenCurrent && denseUnique &&
-        currentNoExpiry && expiredHasExpiry && latestAttrWins
+        currentNoExpiry && expiredHasExpiry && latestAttrWins && versionsDense
     }, minSuccessful = 15)
   }
 

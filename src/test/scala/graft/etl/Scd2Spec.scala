@@ -109,6 +109,17 @@ class Scd2Spec extends SparkSpec {
     assert(again.filter(col("is_current") === 1).count() === 3)
   }
 
+  test("denseKeys assigns 1..n in order with no window in the plan") {
+    val df = Seq(("b", 20), ("c", 30), ("a", 10)).toDF("k", "v")
+    val keyed = Scd2.denseKeys(df, Seq("k"), "sk")
+    assert(keyed.orderBy("sk").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // distributed assignment: no WindowExec (and so no single-partition
+    // global sort) anywhere in the physical plan
+    assert(!keyed.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("scalableKeys assignment produces identical keys to the window path") {
     val sc = cfg.copy(scalableKeys = true)
     val b = batch(("c", "Cal", "W"), ("a", "Ann", "Y"), ("b", "Bob", "X"))
@@ -119,6 +130,24 @@ class Scd2Spec extends SparkSpec {
     val changed = batch(("a", "Ann", "Z"), ("b", "Bob", "X"), ("d", "Dee", "V"))
     assert(byKey(Scd2.merge(viaZip, changed, sc, d2)) ===
       byKey(Scd2.merge(viaWindow, changed, cfg, d2)))
+  }
+
+  test("version increments per natural key; corrections don't bump it") {
+    val d3 = java.sql.Date.valueOf("2024-03-01")
+    val dim0 = Scd2.initialLoad(batch(("a", "Ann", "X"), ("b", "Bob", "X")), cfg, d1)
+    val dim1 = Scd2.merge(dim0, batch(("a", "Ann", "Y"), ("b", "Bob", "X")), cfg, d2)
+    val dim2 = Scd2.merge(dim1, batch(("a", "Ann", "Z"), ("c", "Cal", "W")), cfg, d3)
+    val got = dim2.select("id", "segment", "version", "is_current").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      ("a", "X", 1, 0), ("a", "Y", 2, 0), ("a", "Z", 3, 1),
+      ("b", "X", 1, 1), ("c", "W", 1, 1)))
+    // same-day correction replaces attributes in place, version unchanged
+    val corr = Scd2.merge(dim2, batch(("c", "Cal", "V")), cfg, d3)
+    val cRow = corr.filter(col("id") === "c").collect()
+    assert(cRow.length === 1)
+    assert(cRow(0).getAs[String]("segment") === "V")
+    assert(cRow(0).getAs[Int]("version") === 1)
   }
 
   test("invariant: exactly one current row per natural key after many merges") {

@@ -25,6 +25,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(1L, 2L))
   }
 
+  test("bruteForceTopKDf matches the literal-vector form with no eager job") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val qv = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble)
+    val viaLit = Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaDf = Similarity.bruteForceTopKDf(
+      e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0), 10)
+    assert(viaDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === viaLit)
+    // the query row arrives via broadcast, not a driver fetch
+    assert(viaDf.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
+
   test("lshTopK ranks within buckets and never self-matches") {
     val e = graft.Tables.embeddings(spark, sf001)
     val got = Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 3)
