@@ -370,6 +370,33 @@ object CoreQueries {
             FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate FROM orders)
             ORDER BY order_date"""))
 
+  /** The declared 4-dim model's product-category dimension (reference
+    * README.md:132-138 gives category its own dim; the warehouse folds it
+    * into dim_product): distinct (p_type, p_brand) take scalable dense
+    * surrogate keys ([[graft.etl.Scd2.denseKeys]] — no single-partition
+    * window), products bridge to the dim on the natural key, and the mart
+    * aggregates per category_key.
+    */
+  val categoryBridge = Q("q_category_bridge",
+    (s, d) => {
+      val dim = graft.etl.Scd2.denseKeys(
+        part(s, d).select(col("p_type"), col("p_brand")).distinct(),
+        Seq("p_type", "p_brand"), "category_key")
+      part(s, d)
+        .join(broadcast(dim), Seq("p_type", "p_brand"))
+        .groupBy(col("category_key"), col("p_type"), col("p_brand"))
+        .agg(count(lit(1)).as("n_products"),
+          dsum(col("p_retailprice")).as("total_retail"))
+        .orderBy(col("category_key"))
+    },
+    Some(s"""WITH dim AS (SELECT p_type, p_brand,
+               row_number() OVER (ORDER BY p_type, p_brand) AS category_key
+               FROM (SELECT DISTINCT p_type, p_brand FROM part))
+             SELECT category_key, p.p_type, p.p_brand, count(*) AS n_products,
+               ${dsumSql("p_retailprice")} AS total_retail
+             FROM part p JOIN dim ON p.p_type = dim.p_type AND p.p_brand = dim.p_brand
+             GROUP BY 1, 2, 3 ORDER BY category_key"""))
+
   /** Declared analytical query #5 (reference README.md:290): weekend vs
     * weekday revenue — star join × the DimDate weekend flag (pandas
     * Mon=0 weekday semantics, so weekend = weekday >= 5).
@@ -478,7 +505,8 @@ object CoreQueries {
     martSalesPerformance, martCategoryAnalysis, filterReturns, filterConj,
     filterNeq, projectRename, keymapJoin, starMonthlySegment, antiJoin,
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
-    surrogateKeys, unionPriorities, exceptCustomers, intersectCustomers,
-    dateDim, weekendRevenue, fillNa, caseBuckets, rowHash, jsonExtract,
-    csvRoundtrip, parquetRoundtrip, approxDistinctParts)
+    surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
+    intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
+    rowHash, jsonExtract, csvRoundtrip, parquetRoundtrip,
+    approxDistinctParts)
 }

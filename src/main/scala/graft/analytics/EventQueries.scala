@@ -84,6 +84,43 @@ object EventQueries {
                AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
             ORDER BY user_id, signup_ts, purchase_ts"""))
 
+  /** Backward as-of join: each purchase attributed to the LATEST same-user
+    * signup at or before it (vs the interval join above, which keeps ALL
+    * signups in range). The right side is deduped per (user, ts) keeping
+    * the max event_id so "latest" is a total order in both engines;
+    * DuckDB's native ASOF JOIN is the oracle.
+    */
+  val asofJoin = Q("q_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val signups = ev.filter(col("event_type") === "signup")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_event_id"))
+      graft.operators.AsOfJoin.backward(purchases, signups,
+          keyCols = Seq("user_id"), leftTime = "purchase_ts",
+          rightTime = "signup_ts",
+          rightPayload = Seq("signup_ts", "signup_event_id"), prefix = "")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+                       FROM events WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts,
+                              event_id AS signup_event_id
+                       FROM events WHERE event_type = 'signup'
+                       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                                  ORDER BY event_id DESC) = 1)
+            SELECT p.event_id, p.user_id, p.purchase_ts, p.value,
+                   s.signup_ts, s.signup_event_id
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND s.signup_ts <= p.purchase_ts
+            ORDER BY p.event_id"""))
+
   /** Exact distinct users per event type (pairs with the approx variant). */
   val exactDistinctUsers = Q("q_exact_distinct_users",
     (s, d) => events(s, d).groupBy(col("event_type"))
@@ -93,5 +130,6 @@ object EventQueries {
             count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
-    eventsSessions, eventsDedup, eventsAttribution, exactDistinctUsers)
+    eventsSessions, eventsDedup, eventsAttribution, asofJoin,
+    exactDistinctUsers)
 }

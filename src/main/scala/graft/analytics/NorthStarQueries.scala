@@ -193,6 +193,49 @@ object NorthStarQueries {
     },
     None)
 
+  /** X3 storage path: the corpus written parquet-partitioned by its sign
+    * bucket, then probed — dynamic partition pruning limits the scan to
+    * the probed buckets (SimilaritySpec asserts the pruning; this entry
+    * proves the layout end-to-end and must equal q_ann_lsh's answer).
+    * Rows-only like q_ann_lsh.
+    */
+  val annBucketed = Q("q_ann_bucketed",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${d.replaceAll("[^a-z0-9.]", "_")}"
+      val e = embeddings(s, d)
+      Similarity.writeBucketedCorpus(e, out)
+      Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    None)
+
+  /** X2/X3 embedding-cosine near-dup, exact verifier form on a 20% sample
+    * (oracled — DuckDB replays the same dot/norm math).
+    */
+  val embedNearDup = Q("q_embed_neardup",
+    (s, d) => Similarity.cosinePairsBrute(
+      embeddings(s, d).filter(col("vec_id") % 5 === 0), threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                                FOR p IN list_zip(a.embedding, b.embedding)])
+                / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN a.embedding]))
+                   * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN b.embedding]))), 6)
+                  AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM pairs
+            WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b"""))
+
+  /** Embedding near-dup scale path: bucket self-join + exact-cosine
+    * confirm (rows-only — approximate recall by construction).
+    */
+  val embedNearDupLsh = Q("q_embed_neardup_lsh",
+    (s, d) => Similarity.cosineNearDupLsh(embeddings(s, d), threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   // --- multimodal ---------------------------------------------------------
 
   /** Multimodal metadata features (codegen path, no decode). */
@@ -275,5 +318,6 @@ object NorthStarQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
-    annLsh, multimodalMeta, multimodalFeatures, corpusPrep, corpusPrepFull)
+    annLsh, annBucketed, embedNearDup, embedNearDupLsh,
+    multimodalMeta, multimodalFeatures, corpusPrep, corpusPrepFull)
 }

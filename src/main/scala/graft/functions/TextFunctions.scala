@@ -26,10 +26,14 @@ object TextFunctions {
 
   def charCount(c: Column): Column = length(c)
 
-  /** Ratio of punctuation characters to total characters (quality signal). */
+  /** Ratio of punctuation characters to total characters (quality signal).
+    * Counted as `length - length(translate(...))` — the same count the
+    * regex `[.,;:!?]` gives, at plain-char-scan cost instead of regex-
+    * engine cost (this sits on the corpus-gate hot path).
+    */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
-      .otherwise(regexp_count(c, lit("[\\.,;:!\\?]")).cast("double") / length(c))
+      .otherwise((length(c) - length(translate(c, ".,;:!?", ""))).cast("double") / length(c))
 
   /** Ratio of tokens that are English stopwords (quality signal). */
   val enStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the single latest right
+  * row whose time is <= the left row's time, per key — the canonical
+  * event-attribution / point-in-time-lookup operator that plain equi-joins
+  * cannot express and an interval join over-produces for.
+  *
+  * Spark has no native as-of join, so this composes existing operators
+  * (preference (a) of the build contract): tag both sides, union them, and
+  * run one `last(_, ignoreNulls)` carry-forward window partitioned by key
+  * and ordered by (time, side, payload). That is exactly ONE hash shuffle
+  * on the key and an in-partition sort — no per-key driver loop, no
+  * time-range cross product, and skew behaves like any keyed aggregation.
+  * At 100 TB both inputs stream through the same exchange; nothing is
+  * collected or broadcast.
+  *
+  * Determinism: within a tie on (key, time), right rows order before left
+  * rows (side 0 < 1, giving `<=` semantics), and equal-time right rows
+  * order by their payload struct, so "latest" is a total order and the
+  * result is partition-count independent.
+  */
+object AsOfJoin {
+
+  /** @param rightPayload right columns to attach (include the right time
+    *                     column itself if the caller wants the matched
+    *                     timestamp); emitted as `prefix + name`. Left rows
+    *                     with no prior right row keep them null (left-join
+    *                     semantics).
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lStructT = left.select(lCols.map(col): _*).schema
+    val rStructT = right.select(rightPayload.map(col): _*).schema
+    val lp = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("_t"), lit(1).as("_side"),
+        struct(lCols.map(col): _*).as("_l"),
+        lit(null).cast(rStructT).as("_r")): _*)
+    val rp = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("_t"), lit(0).as("_side"),
+        lit(null).cast(lStructT).as("_l"),
+        struct(rightPayload.map(col): _*).as("_r")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_r").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lp.unionByName(rp)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(lCols.map(c => col("_l").getField(c).as(c)) ++
+        rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
+  }
+}

@@ -52,7 +52,13 @@ object CorpusPipeline {
     * drop the larger id of each confirmed pair.
     */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
-    val corpus = docs
+    // The incoming corpus feeds THREE consumers — LSH candidate
+    // generation, the confirm stage's semi-join prune, and the final
+    // anti-join — and in `prepare` it carries the regex-heavy gate
+    // annotate plus the exact-dedup window upstream. Persist once so that
+    // pipeline runs once, not three times; at 100 TB this stage boundary
+    // is a parquet checkpoint instead (see the scaladoc above), same idea.
+    val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = Dedup.minhashLshCandidates(corpus, "text", "doc_id",
         shingleSize = cfg.nearDupShingle)
       .select(col("id_a"), col("id_b"))
@@ -62,7 +68,13 @@ object CorpusPipeline {
       .jaccardOnCandidates(candidates, corpus, "text", "doc_id", cfg.nearDupShingle)
       .filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as("drop_id")).distinct()
-    corpus.join(confirmed, corpus("doc_id") === confirmed("drop_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Drop set is bounded by the confirmed pairs — when it fits a
+    // broadcast, the anti-join is map-side and the corpus is never
+    // shuffled end-to-end in this stage.
+    val drops =
+      if (confirmed.count() <= 4000000L) broadcast(confirmed) else confirmed
+    corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
   }
 
   /** Full pipeline; returns the surviving corpus with its annotations. */

@@ -184,14 +184,23 @@ object Dedup {
     // next to the corpus at LSH selectivity.
     val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materializing the persist also yields the pair count for free, and
+    // that count picks the join strategy: at LSH selectivity candidates
+    // are ≪ the corpus, so the id set and per-pair frames broadcast and
+    // the corpus side never shuffles — the plan a 100 TB confirm wants.
+    // Past the threshold (≈ tens of MB broadcast) fall back to shuffles.
+    val smallCandidates = pairs.count() <= 4000000L
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (smallCandidates) broadcast(d) else d
     // Only docs that appear in some candidate pair need shingles — at LSH
     // selectivity that is ≪ the corpus, so semi-join-prune BEFORE the
     // tokenize/hash/window pipeline runs (and before the persist below,
     // whose footprint would otherwise be corpus-sized — at 100 TB the
     // unpruned persist simply would not fit).
-    val candidateIds = pairs.select(col("id_a").as("_cand_doc"))
-      .unionByName(pairs.select(col("id_b").as("_cand_doc")))
-      .distinct()
+    val candidateIds = maybeBroadcast(
+      pairs.select(col("id_a").as("_cand_doc"))
+        .unionByName(pairs.select(col("id_b").as("_cand_doc")))
+        .distinct())
     val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
     // Cache the shingle rows: they feed sizes + both join sides, and Spark
     // has no common-subplan elimination across self-joins — uncached, the
@@ -202,16 +211,20 @@ object Dedup {
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))
     val shB = sh.select(col("doc").as("id_b"), col("h"))
-    val inter = pairs
+    val inter = maybeBroadcast(pairs)
       .join(shA, "id_a")
       .join(shB, Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     // Left joins throughout: a doc shorter than n tokens has no shingle
     // rows, and its pairs must surface with jaccard 0, not vanish.
+    // The right sides are all bounded by the candidate set, so they ride
+    // the same broadcast decision — the assembly is map-side when small.
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a")), Seq("id_a"), "left")
-      .join(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b")), Seq("id_b"), "left")
+      .join(maybeBroadcast(inter), Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(maybeBroadcast(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a"))),
+        Seq("id_a"), "left")
+      .join(maybeBroadcast(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b"))),
+        Seq("id_b"), "left")
       .na.fill(0L, Seq("sz_a", "sz_b"))
       .withColumn("jaccard",
         when(col("sz_a") + col("sz_b") - col("inter") === 0, lit(0.0))

@@ -59,7 +59,10 @@ object Similarity {
   }
 
   /** Top-k for every query row of `queries` against `corpus` — window
-    * row_number per query over the bucketed candidate join.
+    * row_number per query over the bucketed candidate join. The query
+    * frame is broadcast: the corpus (the 100 TB side) is never shuffled —
+    * candidates form map-side, and only the bucket-matched candidate rows
+    * (tiny at LSH selectivity) move for the per-query ranking window.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -75,14 +78,122 @@ object Similarity {
       sb(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sb(col(vecCol)).as("bucket"))
+    bucketProbe(c, q, k)
+  }
+
+  /** The shared probe core: broadcast bucket equi-join, exact cosine on
+    * candidates, per-query top-k window. `c` = (corpus_id, cvec, bucket),
+    * `q` = (query_id, qvec, bucket).
+    */
+  private def bucketProbe(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    q.join(c, Seq("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine_sim",
         round(graft.functions.CosineExpression.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine_sim"), col("rk"))
+  }
+
+  /** Embedding-cosine near-dup, exact form: every pair (id_a < id_b) with
+    * cosine >= threshold. O(n²) pair space — the ground-truth verifier,
+    * meant for bounded subsets (the oracled catalog query runs it on a 20%
+    * sample); the production path is [[cosineNearDupLsh]].
+    */
+  def cosinePairsBrute(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(graft.functions.CosineExpression.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-dup, scale path: sign-LSH bucket the vectors,
+    * self-join within buckets only, exact-cosine confirm on candidates —
+    * the same candidates-then-confirm shape as MinHash+LSH text dedup.
+    * Fewer planes than the ANN probe (recall over precision: a near-dup
+    * pair survives bucketing with probability (1 - θ/π)^numPlanes, so a
+    * threshold-style filter wants a coarse sketch). Approximate by
+    * construction — pairs split across buckets are missed; recall what the
+    * brute verifier measures.
+    */
+  def cosineNearDupLsh(
+      df: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.hyperplanes(numPlanes, dim)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      graft.functions.SignBucketExpression.signBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(graft.functions.CosineExpression.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Write `corpus` as parquet PARTITIONED BY its sign-LSH bucket — the
+    * storage layout for an ANN corpus at scale: each of the 2^numPlanes
+    * buckets is a partition directory, so a probe prunes to its matching
+    * buckets before any scan happens. The planes are deterministic
+    * ([[VectorFunctions.hyperplanes]]), so index build and probe agree
+    * with no shared state.
+    */
+  def writeBucketedCorpus(
+      corpus: DataFrame,
+      path: String,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val planes = VectorFunctions.hyperplanes(numPlanes, dim)
+    // "b" prefix keeps the partition value a string: an all-digit sign
+    // pattern would otherwise be type-inferred back as an integer on read,
+    // silently dropping leading zeros and breaking probe equality.
+    corpus.select(col(idCol), col(vecCol),
+        concat(lit("b"),
+          graft.functions.SignBucketExpression.signBucket(col(vecCol), planes)).as("bucket"))
+      // cluster by bucket before writing: one writer task per bucket
+      // directory (not tasks × buckets small files) — the layout a probe
+      // wants to scan at 100 TB
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Probe a [[writeBucketedCorpus]] layout: top-k per query reading ONLY
+    * the partitions whose bucket matches some query. The bucket equi-join
+    * against the broadcast query frame triggers dynamic partition pruning
+    * on the partitioned scan (SimilaritySpec asserts it), so the scan cost
+    * is proportional to the probed buckets, not the corpus.
+    */
+  def probeBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.hyperplanes(numPlanes, dim)
+    val c = spark.read.parquet(path)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      concat(lit("b"),
+        graft.functions.SignBucketExpression.signBucket(col(vecCol), planes)).as("bucket"))
+    bucketProbe(c, q, k)
   }
 }

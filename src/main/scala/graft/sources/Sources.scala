@@ -5,9 +5,10 @@ import org.apache.spark.sql.types.StructType
 
 /** Pluggable source/sink abstraction (reference S3-S8): the reference
   * reads CSV + MySQL and writes MySQL + BigQuery; in this offline engine
-  * the same roles are filled by parquet/CSV/JSON, with the JDBC path
-  * compiled (same Spark API) but not exercised — no database is reachable
-  * in the build environment.
+  * the same roles are filled by parquet/CSV/JSON. The JDBC path is the
+  * same Spark API the MySQL deployment would use and is exercised
+  * end-to-end against embedded Derby (SourcesSpec) — only the URL/driver
+  * differ in production.
   */
 trait Source { def read(spark: SparkSession): DataFrame }
 trait Sink { def write(df: DataFrame): Unit }
@@ -30,21 +31,24 @@ final case class JsonSource(path: String, schema: StructType) extends Source {
     spark.read.schema(schema).json(path)
 }
 
-/** JDBC scan (reference S3). Compiled-but-untested in this environment:
-  * `partitionColumn/numPartitions` make the read parallel at scale instead
-  * of a single-connection pull.
+/** JDBC scan (reference S3), exercised against embedded Derby in
+  * SourcesSpec: `partitionColumn/numPartitions` make the read parallel at
+  * scale (one connection per partition range) instead of a
+  * single-connection pull.
   */
 final case class JdbcSource(
     url: String, table: String, user: String, password: String,
     partitionColumn: Option[String] = None,
     lowerBound: Long = 0, upperBound: Long = 1L << 20,
-    numPartitions: Int = 32) extends Source {
+    numPartitions: Int = 32,
+    driver: Option[String] = None) extends Source {
   def read(spark: SparkSession): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
-    partitionColumn.fold(base) { pc =>
-      base.option("partitionColumn", pc)
+    val withDriver = driver.fold(base)(base.option("driver", _))
+    partitionColumn.fold(withDriver) { pc =>
+      withDriver.option("partitionColumn", pc)
         .option("lowerBound", lowerBound).option("upperBound", upperBound)
         .option("numPartitions", numPartitions)
     }.load()
@@ -59,10 +63,16 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
   }
 }
 
-/** JDBC append sink (reference S4) — compiled-but-untested here. */
-final case class JdbcSink(url: String, table: String, user: String, password: String) extends Sink {
-  def write(df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).format("jdbc")
+/** JDBC append sink (reference S4), exercised against embedded Derby in
+  * SourcesSpec — append creates the table on first write, matching the
+  * reference's `to_sql(..., if_exists="append")` bootstrap.
+  */
+final case class JdbcSink(url: String, table: String, user: String, password: String,
+    driver: Option[String] = None) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val base = df.write.mode(SaveMode.Append).format("jdbc")
       .option("url", url).option("dbtable", table)
-      .option("user", user).option("password", password).save()
+      .option("user", user).option("password", password)
+    driver.fold(base)(base.option("driver", _)).save()
+  }
 }

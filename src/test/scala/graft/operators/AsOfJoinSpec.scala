@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
+      .orderBy("id")
+
+  test("backward picks the latest right row at or before each left time") {
+    val left = Seq((1L, "a", 5L), (2L, "a", 2L), (3L, "b", 9L)).toDF("id", "k", "lt")
+    val right = Seq(("a", 1L, "r1"), ("a", 3L, "r3"), ("a", 7L, "r7"), ("b", 9L, "rb"))
+      .toDF("k", "rt", "rv")
+    val got = run(left, right).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString).orNull, if (r.isNullAt(4)) null else r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, "3", "r3"),   // latest at-or-before 5 is t=3 (t=7 is future)
+      (2L, "1", "r1"),   // latest at-or-before 2 is t=1
+      (3L, "9", "rb")))  // tie: right at the same instant matches (<=)
+  }
+
+  test("left rows with no prior right row keep null payload (left join)") {
+    val left = Seq((1L, "a", 1L), (2L, "zzz", 5L)).toDF("id", "k", "lt")
+    val right = Seq(("a", 3L, "r3")).toDF("k", "rt", "rv")
+    val got = run(left, right).collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("equal-time right duplicates resolve to the max payload deterministically") {
+    val left = Seq((1L, "a", 5L)).toDF("id", "k", "lt")
+    val right = Seq(("a", 3L, "alpha"), ("a", 3L, "omega")).toDF("k", "rt", "rv")
+    val got = run(left, right).collect()
+    assert(got.head.getString(4) === "omega")
+  }
+
+  test("result is partition-count independent") {
+    val left = (1L to 100L).map(i => (i, s"k${i % 7}", i)).toDF("id", "k", "lt")
+    val right = (1L to 50L).map(i => (s"k${i % 7}", i * 2 - 1, s"v$i")).toDF("k", "rt", "rv")
+    val a = run(left.repartition(1), right.repartition(1)).collect().map(_.toSeq).toSeq
+    val b = run(left.repartition(13), right.repartition(5)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.length === 100)
+  }
+}

@@ -51,6 +51,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("probeBucketed over a partitioned layout equals lshTopK and prunes dynamically") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val out = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
+    Similarity.writeBucketedCorpus(e, out)
+    // one partition directory per occupied bucket, string-typed values
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=b")))
+    val q = e.filter(col("vec_id") < 20)
+    val probe = Similarity.probeBucketed(spark, out, q, k = 5)
+    val direct = Similarity.lshTopK(e, q, k = 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(probe) === key(direct))
+    // the scan is pruned at runtime by the broadcast query buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
+  test("cosineNearDupLsh is a subset of brute pairs with identical cosines") {
+    val e = graft.Tables.embeddings(spark, sf001).filter(col("vec_id") < 200)
+    val brute = Similarity.cosinePairsBrute(e, 0.15).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupLsh(e, 0.15).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty && lsh.nonEmpty)
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (pair, sim) => assert(brute(pair) === sim) }
+  }
+
   test("native cosine expression equals the HOF formulation bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf001).limit(200)
     val q = e.filter(col("vec_id") === 0).select("embedding")

@@ -43,6 +43,29 @@ class SourcesSpec extends SparkSpec {
     assert(CsvSource(dir, schema).read(spark).count() === 2)
   }
 
+  test("JdbcSink appends and JdbcSource reads back (embedded Derby)") {
+    // Keep Derby's log out of the repo working directory.
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val df = graft.Tables.nation(spark, sf001)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    JdbcSink(url, "staging_nation", "", "", driver).write(df)
+    // append twice: the reference's if_exists="append" staging pattern
+    JdbcSink(url, "staging_nation", "", "", driver).write(df)
+    val back = JdbcSource(url, "staging_nation", "", "", driver = driver).read(spark)
+    assert(back.count() === df.count() * 2)
+    assert(back.select("n_name").distinct().count() === df.count())
+    // parallel range read: one connection per key-range partition
+    val ranged = JdbcSource(url, "staging_nation", "", "",
+      partitionColumn = Some("n_nationkey"), lowerBound = 0, upperBound = 25,
+      numPartitions = 4, driver = driver).read(spark)
+    assert(ranged.rdd.getNumPartitions === 4)
+    assert(ranged.count() === df.count() * 2)
+    assert(ranged.agg(sum(col("n_nationkey"))).head().getLong(0) ===
+      df.agg(sum(col("n_nationkey"))).head().getLong(0) * 2)
+  }
+
   test("ParquetSink/ParquetSource roundtrip with partitioning") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/t"
     val df = graft.Tables.orders(spark, sf001)
