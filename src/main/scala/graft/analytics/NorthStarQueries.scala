@@ -209,6 +209,19 @@ object NorthStarQueries {
     },
     None)
 
+  /** X3 scale path #2: IVF coarse-quantizer ANN (map-side centroid
+    * assignment, nProbe inverted lists per query). Rows-only — centroid
+    * assignment is engine-side; exhaustive-probe exactness is pinned in
+    * SimilaritySpec.
+    */
+  val annIvf = Q("q_ann_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    None)
+
   /** X2/X3 embedding-cosine near-dup, exact verifier form on a 20% sample
     * (oracled — DuckDB replays the same dot/norm math).
     */
@@ -318,6 +331,6 @@ object NorthStarQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
-    annLsh, annBucketed, embedNearDup, embedNearDupLsh,
+    annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, corpusPrep, corpusPrepFull)
 }

@@ -35,10 +35,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  // Mismatched dimensions yield null (not a silently-truncated prefix
+  // cosine) — the same answer the zip_with HOF formulation gives, so the
+  // SimilaritySpec equivalence holds on malformed inputs too.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
+    val n = x.length
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -61,15 +67,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val den = ctx.freshName("den")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.getFloat($i);
-          double $yi = (double) $b.getFloat($i);
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $a.getFloat($i);
+            double $yi = (double) $b.getFloat($i);
+            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          }
+          double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+          ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
         }
-        double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-        ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
       """
     })
 

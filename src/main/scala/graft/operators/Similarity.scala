@@ -145,6 +145,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** IVF-style ANN: a coarse quantizer over deterministically sampled
+    * centroids (the nCentroids smallest-id corpus vectors). Index build
+    * assigns every corpus vector to its nearest centroid ENTIRELY
+    * map-side — the centroid list rides a one-row broadcast and the
+    * argmax is an array expression, so the corpus never shuffles for the
+    * build. A probe fans each query out to its nProbe nearest centroids
+    * and runs the exact-cosine top-k over those inverted lists only.
+    * With nProbe = nCentroids the search is exhaustive and equals brute
+    * force (SimilaritySpec pins it); smaller nProbe trades recall for a
+    * ~nProbe/nCentroids-scale candidate set. Complements the sign-LSH
+    * path: IVF adapts to the data's actual clustering, LSH needs no
+    * index pass.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .agg(collect_list(struct(col(idCol).as("cent_id"), col(vecCol).as("centv")))
+        .as("_cents"))
+    // nearest-n centroids of the current row's vector, best first —
+    // (sim, cent_id) structs sorted by natural struct order, reversed
+    def nearest(n: Int): org.apache.spark.sql.Column =
+      slice(reverse(array_sort(transform(col("_cents"), c =>
+        struct(
+          graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
+          c.getField("cent_id").as("cent_id"))))), 1, n)
+    val c = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
+        element_at(nearest(1), 1).getField("cent_id").as("bucket"))
+    val q = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(nearest(nProbe).getField("cent_id")).as("bucket"))
+    bucketProbe(c, q, k)
+  }
+
   /** Write `corpus` as parquet PARTITIONED BY its sign-LSH bucket — the
     * storage layout for an ANN corpus at scale: each of the 2^numPlanes
     * buckets is a partition directory, so a probe prunes to its matching

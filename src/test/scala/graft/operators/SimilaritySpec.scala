@@ -81,6 +81,36 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (pair, sim) => assert(brute(pair) === sim) }
   }
 
+  test("ivfTopK with exhaustive probe equals brute force; partial probe is sound") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 5)
+    val full = Similarity.ivfTopK(e, queries, k = 5, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // per query, exhaustive probe must reproduce exact brute-force top-k
+    val brute = (0L until 5L).flatMap { qid =>
+      Similarity.bruteForceTopKDf(
+        e.filter(col("vec_id") =!= qid), e.filter(col("vec_id") === qid), 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(full === brute)
+    val partial = Similarity.ivfTopK(e, queries, k = 5, nCentroids = 8, nProbe = 2)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial.forall(r => r.getLong(0) != r.getLong(1)))
+    partial.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("native cosine returns null on mismatched dimensions, matching the HOF form") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val native = df.select(
+      graft.functions.CosineExpression.cosine(col("a"), col("b"))).collect()
+    val hof = df.select(
+      VectorFunctions.cosineSimilarity(col("a"), col("b"))).collect()
+    assert(native.head.isNullAt(0) && hof.head.isNullAt(0))
+  }
+
   test("native cosine expression equals the HOF formulation bit-for-bit") {
     val e = graft.Tables.embeddings(spark, sf001).limit(200)
     val q = e.filter(col("vec_id") === 0).select("embedding")
