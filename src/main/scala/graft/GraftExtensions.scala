@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       signBucketBuilder))
+    // Whole-operator extension: plans graft.plans.AsOfJoinNode to its
+    // native physical merge (see AsOfJoin.backwardNative for runtime use).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

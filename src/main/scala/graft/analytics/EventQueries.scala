@@ -86,9 +86,12 @@ object EventQueries {
 
   /** Backward as-of join: each purchase attributed to the LATEST same-user
     * signup at or before it (vs the interval join above, which keeps ALL
-    * signups in range). The right side is deduped per (user, ts) keeping
-    * the max event_id so "latest" is a total order in both engines;
-    * DuckDB's native ASOF JOIN is the oracle.
+    * signups in range). Runs through the engine's native Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]] — custom logical node + strategy +
+    * one-pass sorted merge); the composed union+window form is spec-pinned
+    * equal. The right side is deduped per (user, ts) keeping the max
+    * event_id so "latest" is a total order in both engines; DuckDB's
+    * native ASOF JOIN is the oracle.
     */
   val asofJoin = Q("q_asof_join",
     (s, d) => {
@@ -102,7 +105,7 @@ object EventQueries {
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("user_id"), col("ts").as("signup_ts"),
           col("event_id").as("signup_event_id"))
-      graft.operators.AsOfJoin.backward(purchases, signups,
+      graft.operators.AsOfJoin.backwardNative(purchases, signups,
           keyCols = Seq("user_id"), leftTime = "purchase_ts",
           rightTime = "signup_ts",
           rightPayload = Seq("signup_ts", "signup_event_id"), prefix = "")

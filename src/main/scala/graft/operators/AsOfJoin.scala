@@ -61,4 +61,43 @@ object AsOfJoin {
       .select(lCols.map(c => col("_l").getField(c).as(c)) ++
         rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
   }
+
+  /** The same backward as-of join through the native Catalyst operator
+    * ([[graft.plans.AsOfJoinExec]]): each side shuffles/sorts by its own
+    * key and the partitions merge in one forward pass with O(1) state —
+    * no struct wrapping, no union, no window buffering. Registers the
+    * planner strategy on first use; result equality with [[backward]] is
+    * pinned in AsOfJoinSpec (null-time right rows excluded, which never
+    * match in either form on non-degenerate data).
+    */
+  def backwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val spark = left.sparkSession
+    GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // Fresh aliases give the right side new expression ids, so
+    // self-joins (both sides from one relation) stay unambiguous.
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(right.columns.map(c => col(c).as(s"_graft_r_$c")): _*)
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan = GraftBridge.analyzed(r)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)),
+      keyCols.map(n => attr(rPlan, s"_graft_r_$n")),
+      attr(lPlan, leftTime),
+      attr(rPlan, s"_graft_r_$rightTime"),
+      rightPayload.map(n => attr(rPlan, s"_graft_r_$n")))
+    GraftBridge.dataFrame(spark, node)
+      .toDF(left.columns ++ rightPayload.map(prefix + _): _*)
+  }
 }

@@ -10,6 +10,10 @@ class AsOfJoinSpec extends SparkSpec {
     AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
       .orderBy("id")
 
+  private def runNative(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.backwardNative(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
+      .orderBy("id")
+
   test("backward picks the latest right row at or before each left time") {
     val left = Seq((1L, "a", 5L), (2L, "a", 2L), (3L, "b", 9L)).toDF("id", "k", "lt")
     val right = Seq(("a", 1L, "r1"), ("a", 3L, "r3"), ("a", 7L, "r7"), ("b", 9L, "rb"))
@@ -44,5 +48,44 @@ class AsOfJoinSpec extends SparkSpec {
     val b = run(left.repartition(13), right.repartition(5)).collect().map(_.toSeq).toSeq
     assert(a === b)
     assert(a.length === 100)
+  }
+
+  test("native operator equals the composed form on all scenarios") {
+    // scenario fixtures from the composed tests
+    val fixtures = Seq(
+      (Seq((1L, "a", 5L), (2L, "a", 2L), (3L, "b", 9L)).toDF("id", "k", "lt"),
+        Seq(("a", 1L, "r1"), ("a", 3L, "r3"), ("a", 7L, "r7"), ("b", 9L, "rb"))
+          .toDF("k", "rt", "rv")),
+      (Seq((1L, "a", 1L), (2L, "zzz", 5L)).toDF("id", "k", "lt"),
+        Seq(("a", 3L, "r3")).toDF("k", "rt", "rv")),
+      (Seq((1L, "a", 5L)).toDF("id", "k", "lt"),
+        Seq(("a", 3L, "alpha"), ("a", 3L, "omega")).toDF("k", "rt", "rv")),
+      // dense random-ish data across several keys and repeated times
+      ((1L to 200L).map(i => (i, s"k${i % 11}", i % 37)).toDF("id", "k", "lt"),
+        (1L to 80L).map(i => (s"k${i % 11}", i % 29, s"v$i")).toDF("k", "rt", "rv")))
+    fixtures.foreach { case (l, r) =>
+      assert(runNative(l, r).collect().map(_.toSeq).toSeq ===
+        run(l, r).collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("native operator plans through AsOfJoinExec and is partition independent") {
+    val left = (1L to 100L).map(i => (i, s"k${i % 7}", i)).toDF("id", "k", "lt")
+    val right = (1L to 50L).map(i => (s"k${i % 7}", i * 2 - 1, s"v$i")).toDF("k", "rt", "rv")
+    val df = runNative(left.repartition(13), right.repartition(5))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "expected the native operator in the physical plan")
+    assert(df.collect().map(_.toSeq).toSeq ===
+      runNative(left.repartition(1), right.repartition(1)).collect().map(_.toSeq).toSeq)
+  }
+
+  test("native operator self-join from one relation resolves unambiguously") {
+    val ev = (1L to 60L).map(i =>
+      (i, s"u${i % 5}", i % 13, if (i % 2 == 0) "p" else "s")).toDF("id", "k", "lt", "side")
+    val l = ev.filter(col("side") === "p").select("id", "k", "lt")
+    val r = ev.filter(col("side") === "s")
+      .select(col("k"), col("lt").as("rt"), col("id").cast("string").as("rv"))
+    assert(runNative(l, r).collect().map(_.toSeq).toSeq ===
+      run(l, r).collect().map(_.toSeq).toSeq)
   }
 }
