@@ -274,6 +274,46 @@ object NorthStarQueries {
                       / octet_length(encode(text)) END AS mean_byte
             FROM documents ORDER BY asset_id"""))
 
+  /** Multimodal frame sampling: every 3rd frame up to 16 per video asset,
+    * integer-exact timestamps (oracle replays the arithmetic with a range
+    * comprehension).
+    */
+  val frameSample = Q("q_frame_sample",
+    (s, d) => Multimodal.sampleFrames(
+      Multimodal.videoAssetsFromDocuments(documents(s, d)), everyNth = 3, maxFrames = 16)
+      .orderBy(col("asset_id"), col("frame_idx")),
+    Some("""WITH v AS (SELECT doc_id AS asset_id,
+                       ((doc_id % 120) + 1) * 1000 AS duration_ms,
+                       CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS fps
+                       FROM documents),
+                 f AS (SELECT asset_id, fps,
+                       least((duration_ms * fps // 1000 - 1) // 3 + 1, 16) AS n_take
+                       FROM v WHERE duration_ms * fps // 1000 > 0),
+                 x AS (SELECT asset_id, fps,
+                       unnest([CAST(i * 3 AS BIGINT) FOR i IN range(n_take)]) AS frame_idx
+                       FROM f)
+            SELECT asset_id, frame_idx,
+                   CAST(frame_idx * 1000000 // fps AS BIGINT) AS ts_us
+            FROM x ORDER BY asset_id, frame_idx"""))
+
+  /** Multimodal resize planning: aspect-fit into a 224px box (integer
+    * arithmetic; metadata-only — the pixel work is the decode stub's).
+    */
+  val resizeDims = Q("q_resize_dims",
+    (s, d) => Multimodal.resizeDims(
+      Multimodal.assetsFromDocuments(documents(s, d)), box = 224)
+      .orderBy(col("asset_id")),
+    Some("""WITH a AS (SELECT doc_id AS asset_id,
+                       CAST(doc_id % 1920 + 1 AS INT) AS meta_width,
+                       CAST(doc_id % 1080 + 1 AS INT) AS meta_height
+                       FROM documents)
+            SELECT asset_id, meta_width, meta_height,
+                   CAST(greatest(1, meta_width * 224 // greatest(meta_width, meta_height))
+                     AS BIGINT) AS out_width,
+                   CAST(greatest(1, meta_height * 224 // greatest(meta_width, meta_height))
+                     AS BIGINT) AS out_height
+            FROM a ORDER BY asset_id"""))
+
   /** Corpus-prep pipeline, oracle-able prefix: annotate → quality/length
     * gate → exact dedup → per-language token accounting. (The near-dup
     * stage rides on xxhash64 LSH, so the FULL pipeline is the rows-only
@@ -332,5 +372,6 @@ object NorthStarQueries {
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
-    multimodalMeta, multimodalFeatures, corpusPrep, corpusPrepFull)
+    multimodalMeta, multimodalFeatures, frameSample, resizeDims,
+    corpusPrep, corpusPrepFull)
 }

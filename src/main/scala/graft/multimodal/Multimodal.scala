@@ -78,4 +78,50 @@ object Multimodal {
       col("asset_id"), col("modality"),
       octet_length(col("payload")).cast("bigint").as("payload_bytes"),
       (col("meta_width").cast("long") * col("meta_height")).as("pixels"))
+
+  /** Video-shaped asset table from the documents table: deterministic
+    * duration/fps metadata (1-120 s, 24 or 30 fps by id parity) standing
+    * in for container-header fields a real demuxer would read.
+    */
+  def videoAssetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("video").as("modality"),
+      ((pmod(col("doc_id"), lit(120)) + 1) * 1000).cast("int").as("duration_ms"),
+      when(pmod(col("doc_id"), lit(2)) === 0, 24).otherwise(30).cast("int").as("fps"))
+
+  /** Frame sampling plan: every `everyNth` frame up to `maxFrames` per
+    * asset, with integer-exact frame timestamps — one output row per
+    * sampled frame. Pure `sequence` + `explode` (codegen'd, no UDF): the
+    * row explosion happens executor-side with no shuffle, which is the
+    * shape a 100 TB video corpus needs — the decoder then seeks only the
+    * sampled offsets instead of decoding whole clips. All arithmetic is
+    * integer division so an oracle reproduces it bit-exactly.
+    */
+  def sampleFrames(videoAssets: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
+    require(everyNth > 0 && maxFrames > 0)
+    videoAssets
+      .withColumn("_n_frames", expr("duration_ms * fps div 1000"))
+      .withColumn("_n_take",
+        least(expr(s"(_n_frames - 1) div $everyNth") + 1, lit(maxFrames.toLong)))
+      .filter(col("_n_frames") > 0)
+      .select(col("asset_id"), col("fps"),
+        explode(sequence(lit(0L), (col("_n_take") - 1) * everyNth,
+          lit(everyNth.toLong))).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        expr("frame_idx * 1000000 div fps").as("ts_us"))
+  }
+
+  /** Aspect-fit resize planning: target dimensions fitting a `box`×`box`
+    * square, preserving aspect ratio, min 1px — the metadata half of a
+    * resize (the pixel work belongs to the stubbed decoder). Integer
+    * arithmetic throughout for oracle parity.
+    */
+  def resizeDims(assets: DataFrame, box: Int): DataFrame =
+    assets.select(
+      col("asset_id"), col("meta_width"), col("meta_height"),
+      greatest(lit(1L),
+        expr(s"(meta_width * $box) div greatest(meta_width, meta_height)")).as("out_width"),
+      greatest(lit(1L),
+        expr(s"(meta_height * $box) div greatest(meta_width, meta_height)")).as("out_height"))
 }

@@ -50,6 +50,41 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // Thresholds sized for test data: the application side is tiny, so
+    // lower its floor to 0; keep the join a shuffle join so the bloom
+    // filter (not a broadcast reuse) is the pruning mechanism.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevApp = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, sf001)
+      val ord = Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = physicalPlan(q)
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      // pruned plan answers identically to the plain join
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    }
+  }
+
   test("year-partitioned fact prunes partitions under a date filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sf001)
