@@ -484,6 +484,53 @@ object CoreQueries {
     },
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
 
+  /** Data-quality audit over lineitem: four constraints evaluated in one
+    * aggregation pass ([[graft.operators.DataQuality.audit]]); null
+    * constraint results count as violations (IS NOT TRUE) in both
+    * engines.
+    */
+  val dataQuality = Q("q_data_quality",
+    (s, d) => graft.operators.DataQuality.audit(li(s, d), Seq(
+      graft.operators.DataQuality.Check("discount_range",
+        col("l_discount") >= 0 && col("l_discount") <= 0.1),
+      graft.operators.DataQuality.Check("orderkey_not_null",
+        col("l_orderkey").isNotNull),
+      graft.operators.DataQuality.Check("quantity_range",
+        col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      graft.operators.DataQuality.Check("revenue_positive",
+        revenue(col("l_extendedprice"), col("l_discount")) > 0)))
+      .orderBy(col("check_name")),
+    Some("""WITH t AS (SELECT count(*) AS n_rows,
+              count(*) FILTER (WHERE (l_discount >= 0 AND l_discount <= 0.1) IS NOT TRUE)
+                AS v_disc,
+              count(*) FILTER (WHERE (l_orderkey IS NOT NULL) IS NOT TRUE) AS v_ok,
+              count(*) FILTER (WHERE (l_quantity >= 1 AND l_quantity <= 50) IS NOT TRUE)
+                AS v_qty,
+              count(*) FILTER (WHERE (l_extendedprice*(1-l_discount) > 0) IS NOT TRUE)
+                AS v_rev
+              FROM lineitem)
+            SELECT 'discount_range' AS check_name, v_disc AS n_violations, n_rows FROM t
+            UNION ALL SELECT 'orderkey_not_null', v_ok, n_rows FROM t
+            UNION ALL SELECT 'quantity_range', v_qty, n_rows FROM t
+            UNION ALL SELECT 'revenue_positive', v_rev, n_rows FROM t
+            ORDER BY check_name"""))
+
+  /** Skew-salted join through the oracle gate: the salted plan must equal
+    * the plain join exactly (the oracle IS the plain join), while fanning
+    * any hot part key over saltFactor reducers.
+    */
+  val skewJoin = Q("q_skew_join",
+    (s, d) => graft.operators.SkewJoin.saltedJoin(
+        li(s, d).withColumnRenamed("l_partkey", "p_partkey"),
+        part(s, d).select(col("p_partkey"), col("p_type")),
+        keys = Seq("p_partkey"), saltFactor = 8, joinType = "inner")
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("p_type")),
+    Some(s"""SELECT p_type, count(*) AS n_lines, ${dsumSql("l_quantity")} AS total_qty
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_type ORDER BY p_type"""))
+
   /** S5/S6: parquet sink + scan roundtrip. */
   val parquetRoundtrip = Q("q_parquet_roundtrip",
     (s, d) => {
@@ -507,6 +554,6 @@ object CoreQueries {
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
-    rowHash, jsonExtract, csvRoundtrip, parquetRoundtrip,
-    approxDistinctParts)
+    rowHash, jsonExtract, dataQuality, skewJoin, csvRoundtrip,
+    parquetRoundtrip, approxDistinctParts)
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality auditing: evaluate a set of row-level
+  * constraints in ONE aggregation pass (map-side partial counts, one
+  * scalar row shuffled) and emit a per-check report — the pre-load
+  * validation step a warehouse pipeline runs before publishing a batch.
+  *
+  * Null semantics: a constraint that evaluates to null (e.g. a range
+  * check on a null value) counts as a VIOLATION (`IS NOT TRUE`), so null
+  * data cannot silently pass a check that never looked at it.
+  */
+object DataQuality {
+
+  final case class Check(name: String, constraint: Column)
+
+  /** One row per check: (check_name, n_violations, n_rows). The single
+    * `agg` keeps this one pass over the data however many checks run;
+    * the per-check explode happens on the one-row aggregate.
+    */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c => sum(when(c.constraint, 0L).otherwise(1L)).as(s"_v_${c.name}"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map(c =>
+          struct(lit(c.name).as("check_name"), col(s"_v_${c.name}").as("n_violations"))): _*))
+        .as("_c"), col("n_rows"))
+      .select(col("_c.check_name"), col("_c.n_violations"), col("n_rows"))
+  }
+
+  /** Gate form: fail fast (throw) if any check has violations — the
+    * behavior a scheduled load wants instead of silently publishing.
+    */
+  def enforce(df: DataFrame, checks: Seq[Check]): Unit = {
+    val bad = audit(df, checks).filter(col("n_violations") > 0)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(s"data-quality violations: ${bad.mkString(", ")}")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1, Some(10), "a"),
+    (2, Some(-5), "b"),
+    (3, None, "c"),
+    (4, Some(7), null)).toDF("id", "v", "s")
+
+  test("audit counts violations per check in one pass; null constraint = violation") {
+    val got = DataQuality.audit(df, Seq(
+      DataQuality.Check("v_positive", col("v") > 0),
+      DataQuality.Check("s_not_null", col("s").isNotNull),
+      DataQuality.Check("id_range", col("id").between(1, 10))))
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // v_positive: -5 violates, null v counts as violation too -> 2
+    assert(got.toSeq === Seq(
+      ("id_range", 0L, 4L), ("s_not_null", 1L, 4L), ("v_positive", 2L, 4L)))
+  }
+
+  test("audit runs as a single aggregation (no per-check scans)") {
+    val plan = DataQuality.audit(df, Seq(
+      DataQuality.Check("a", col("v") > 0),
+      DataQuality.Check("b", col("s").isNotNull)))
+      .queryExecution.executedPlan.toString
+    // one scan of the input, not one per check
+    assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1)
+  }
+
+  test("enforce throws on violations, passes on clean data") {
+    DataQuality.enforce(df, Seq(DataQuality.Check("id_range", col("id").between(1, 10))))
+    val ex = intercept[IllegalStateException] {
+      DataQuality.enforce(df, Seq(DataQuality.Check("v_positive", col("v") > 0)))
+    }
+    assert(ex.getMessage.contains("v_positive=2"))
+  }
+}
