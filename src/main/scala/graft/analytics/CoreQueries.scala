@@ -523,7 +523,8 @@ object CoreQueries {
     (s, d) => graft.operators.SkewJoin.saltedJoin(
         li(s, d).withColumnRenamed("l_partkey", "p_partkey"),
         part(s, d).select(col("p_partkey"), col("p_type")),
-        keys = Seq("p_partkey"), saltFactor = 8, joinType = "inner")
+        keys = Seq("p_partkey"), saltFactor = 8, joinType = "inner",
+        discriminators = Seq("l_orderkey"))
       .groupBy(col("p_type"))
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
       .orderBy(col("p_type")),

@@ -201,7 +201,11 @@ object NorthStarQueries {
     */
   val annBucketed = Q("q_ann_bucketed",
     (s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${d.replaceAll("[^a-z0-9.]", "_")}"
+      // Path carries the Spark applicationId: concurrent processes (e.g.
+      // Verify and Bench on the same dataset) must not overwrite each
+      // other's index mid-probe.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
       val e = embeddings(s, d)
       Similarity.writeBucketedCorpus(e, out)
       Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5)

@@ -183,12 +183,30 @@ object RetailWarehouse {
     */
   def writeSwap(df: DataFrame, target: String): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverSwap(df.sparkSession, target)
     val staged = new Path(target + "._staged")
     val tgt = new Path(target)
     val fs = tgt.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(staged.toString)
     if (fs.exists(tgt)) fs.delete(tgt, true)
     fs.rename(staged, tgt)
+  }
+
+  /** Finish an interrupted [[writeSwap]]: a crash between its delete and
+    * rename leaves the target missing with a COMPLETE staged copy beside
+    * it (the staged write finished before the delete started). Readers
+    * that would otherwise see "no dimension" — and wrongly restart SCD2
+    * history as an initial load — must call this first; writeSwap itself
+    * also starts with it. A leftover staged dir NEXT TO an existing
+    * target is a half-written abandoned stage and is simply ignored
+    * (writeSwap overwrites it).
+    */
+  def recoverSwap(spark: SparkSession, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staged = new Path(target + "._staged")
+    val tgt = new Path(target)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tgt) && fs.exists(staged)) fs.rename(staged, tgt)
   }
 
   /** Re-read prior dimension state for an incremental run (reference

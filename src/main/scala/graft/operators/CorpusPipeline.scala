@@ -58,6 +58,11 @@ object CorpusPipeline {
     // annotate plus the exact-dedup window upstream. Persist once so that
     // pipeline runs once, not three times; at 100 TB this stage boundary
     // is a parquet checkpoint instead (see the scaladoc above), same idea.
+    // Lifetime note: the returned plan keeps reading these persists, so
+    // there is no safe place to unpersist inside the operator — blocks
+    // are reclaimed by LRU eviction (callers that fully materialize the
+    // result may spark.catalog.clearCache(), as Bench does per
+    // iteration).
     val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = Dedup.minhashLshCandidates(corpus, "text", "doc_id",
         shingleSize = cfg.nearDupShingle)
@@ -73,7 +78,7 @@ object CorpusPipeline {
     // broadcast, the anti-join is map-side and the corpus is never
     // shuffled end-to-end in this stage.
     val drops =
-      if (confirmed.count() <= 4000000L) broadcast(confirmed) else confirmed
+      if (confirmed.count() <= Dedup.broadcastPairLimit) broadcast(confirmed) else confirmed
     corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
   }
 

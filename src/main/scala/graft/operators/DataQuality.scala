@@ -22,8 +22,10 @@ object DataQuality {
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    // count(when(...)) not sum(when(...)): sum over ZERO rows is null,
+    // which would report null violations on an empty input; count is 0.
     val aggs = count(lit(1)).as("n_rows") +:
-      checks.map(c => sum(when(c.constraint, 0L).otherwise(1L)).as(s"_v_${c.name}"))
+      checks.map(c => count(when(!(c.constraint <=> true), lit(1))).as(s"_v_${c.name}"))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(checks.map(c =>
           struct(lit(c.name).as("check_name"), col(s"_v_${c.name}").as("n_violations"))): _*))

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Max candidate-pair count that still rides explicit broadcast hints
+    * in the confirm stage. Sized for the HASHED relation, not the raw
+    * rows: 500k (id_a, id_b) pairs ≈ 8 MB raw ≈ a few tens of MB as a
+    * broadcast hash map — safely inside default driver/executor budgets,
+    * which matters because an explicit broadcast() hint bypasses the
+    * autoBroadcastJoinThreshold safety valve. Shared with
+    * [[CorpusPipeline.nearDedup]]'s drop-set decision.
+    */
+  val broadcastPairLimit: Long = 500000L
+
   /** Exact dedup: keep the smallest `idCol` per distinct `textCol` hash.
     * Group-by on md5 (not the raw text) keeps shuffle rows narrow —
     * at 100 TB you shuffle 16-byte keys, not document bodies.
@@ -188,8 +198,8 @@ object Dedup {
     // that count picks the join strategy: at LSH selectivity candidates
     // are ≪ the corpus, so the id set and per-pair frames broadcast and
     // the corpus side never shuffles — the plan a 100 TB confirm wants.
-    // Past the threshold (≈ tens of MB broadcast) fall back to shuffles.
-    val smallCandidates = pairs.count() <= 4000000L
+    // Past the threshold fall back to shuffles.
+    val smallCandidates = pairs.count() <= Dedup.broadcastPairLimit
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (smallCandidates) broadcast(d) else d
     // Only docs that appear in some candidate pair need shingles — at LSH

@@ -71,24 +71,30 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim)
     val sb = graft.functions.SignBucketExpression.signBucket(_: org.apache.spark.sql.Column, planes)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
       sb(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sb(col(vecCol)).as("bucket"))
-    bucketProbe(c, q, k)
+    bucketProbe(c, q, k, broadcastQueries)
   }
 
-  /** The shared probe core: broadcast bucket equi-join, exact cosine on
-    * candidates, per-query top-k window. `c` = (corpus_id, cvec, bucket),
-    * `q` = (query_id, qvec, bucket).
+  /** The shared probe core: bucket equi-join, exact cosine on candidates,
+    * per-query top-k window. `c` = (corpus_id, cvec, bucket), `q` =
+    * (query_id, qvec, bucket). The query side broadcasts when
+    * `broadcastQueries` (the probe shape: few queries against a huge
+    * corpus — the corpus never shuffles); pass false from callers probing
+    * with a corpus-scale query frame, which falls back to a shuffle join
+    * rather than forcing a giant broadcast past the size safety valve.
     */
-  private def bucketProbe(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private def bucketProbe(
+      c: DataFrame, q: DataFrame, k: Int, broadcastQueries: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine_sim",
         round(graft.functions.CosineExpression.cosine(col("qvec"), col("cvec")), 6))
@@ -165,7 +171,8 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .agg(collect_list(struct(col(idCol).as("cent_id"), col(vecCol).as("centv")))
         .as("_cents"))
@@ -182,7 +189,7 @@ object Similarity {
     val q = queries.crossJoin(broadcast(cents))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         explode(nearest(nProbe).getField("cent_id")).as("bucket"))
-    bucketProbe(c, q, k)
+    bucketProbe(c, q, k, broadcastQueries)
   }
 
   /** Write `corpus` as parquet PARTITIONED BY its sign-LSH bucket — the
@@ -227,13 +234,14 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim)
     val c = spark.read.parquet(path)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       concat(lit("b"),
         graft.functions.SignBucketExpression.signBucket(col(vecCol), planes)).as("bucket"))
-    bucketProbe(c, q, k)
+    bucketProbe(c, q, k, broadcastQueries)
   }
 }

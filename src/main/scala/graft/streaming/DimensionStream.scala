@@ -27,6 +27,11 @@ object DimensionStream {
   private def currentDim(
       spark: SparkSession, path: String, batch: DataFrame, cfg: Scd2Config): DataFrame = {
     import org.apache.hadoop.fs.Path
+    // A crash between writeSwap's delete and rename leaves the published
+    // path missing with a complete staged copy — finish that swap before
+    // the exists() check, or a replayed batch would silently re-run as an
+    // initial load and erase the dimension's history.
+    RetailWarehouse.recoverSwap(spark, path)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(path)

@@ -57,6 +57,8 @@ class BucketingSpec extends SparkSpec {
     val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val prevApp = spark.conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+    val prevEnabled = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
@@ -81,7 +83,7 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
     }
   }
 

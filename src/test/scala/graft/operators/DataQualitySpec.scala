@@ -33,6 +33,14 @@ class DataQualitySpec extends SparkSpec {
     assert("LocalTableScan|Scan ExistingRDD".r.findAllIn(plan).size <= 1)
   }
 
+  test("audit on an empty input reports 0 violations, not null") {
+    val got = DataQuality.audit(df.filter(col("id") > 100),
+      Seq(DataQuality.Check("v_positive", col("v") > 0))).collect()
+    assert(got.length === 1)
+    assert(!got.head.isNullAt(1) && got.head.getLong(1) === 0L)
+    assert(got.head.getLong(2) === 0L)
+  }
+
   test("enforce throws on violations, passes on clean data") {
     DataQuality.enforce(df, Seq(DataQuality.Check("id_range", col("id").between(1, 10))))
     val ex = intercept[IllegalStateException] {

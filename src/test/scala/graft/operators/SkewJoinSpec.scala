@@ -29,4 +29,23 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.length === 3)
     assert(got(2).isNullAt(2))
   }
+
+  test("discriminator salt fans identical hot rows across reducers deterministically") {
+    import spark.implicits._
+    // 400 byte-identical rows except a unique id: whole-row salting would
+    // still fan these (id differs), so check the discriminator path
+    // directly and its determinism across runs
+    val hot = (1 to 400).map(i => ("hotkey", i.toLong)).toDF("k", "uid")
+    val dim = Seq(("hotkey", "d")).toDF("k", "dv")
+    val a = SkewJoin.saltedJoin(hot, dim, Seq("k"), saltFactor = 8,
+      discriminators = Seq("uid")).collect().map(_.toSeq).toSet
+    val b = SkewJoin.saltedJoin(hot, dim, Seq("k"), saltFactor = 8,
+      discriminators = Seq("uid")).collect().map(_.toSeq).toSet
+    assert(a === b && a.size === 400)
+    // the salt expression itself spreads the uids over several buckets
+    val salts = hot.select(
+      pmod(xxhash64(col("uid")), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(salts > 4)
+  }
 }
