@@ -147,6 +147,76 @@ object ExtendedQueries {
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
              FROM monthly ORDER BY order_year, order_month"""))
 
+  /** Distribution window functions over one window spec (one sort):
+    * segment-relative quartile, percent rank, cumulative distribution,
+    * and the segment leader via first_value. Ties are broken by customer
+    * key, so rank-family results are engine-independent.
+    */
+  val windowStats = Q("q_window_stats",
+    (s, d) => {
+      val rev = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+      rev.select(
+        col("c_custkey"), col("c_mktsegment"), col("revenue"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("c_custkey")).over(w).as("segment_leader"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some(s"""WITH rev AS (
+               SELECT c_custkey, c_mktsegment,
+                      ${dsumSql("o_totalprice")} AS revenue
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_custkey, c_mktsegment)
+             SELECT c_custkey, c_mktsegment, revenue,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               first_value(c_custkey) OVER w AS segment_leader
+             FROM rev
+             WINDOW w AS (PARTITION BY c_mktsegment
+                          ORDER BY revenue DESC, c_custkey)
+             ORDER BY c_mktsegment, c_custkey"""))
+
+  /** Multiset set ops: EXCEPT ALL / INTERSECT ALL on order-priority
+    * bags of two adjacent years (duplicates preserved — the semantics
+    * DISTINCT-based set ops lose).
+    */
+  val exceptAllPriorities = Q("q_except_all",
+    (s, d) => {
+      def bag(y: Int) = orders(s, d)
+        .filter(year(col("o_orderdate")) === y).select(col("o_orderpriority"))
+      bag(1995).exceptAll(bag(1996))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995),
+                 b AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996),
+                 x AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            SELECT o_orderpriority, count(*) AS n FROM x
+            GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  val intersectAllPriorities = Q("q_intersect_all",
+    (s, d) => {
+      def bag(y: Int) = orders(s, d)
+        .filter(year(col("o_orderdate")) === y).select(col("o_orderpriority"))
+      bag(1995).intersectAll(bag(1996))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995),
+                 b AS (SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996),
+                 x AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            SELECT o_orderpriority, count(*) AS n FROM x
+            GROUP BY 1 ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
-    conditionalAgg, groupingSets, runningTotal)
+    conditionalAgg, groupingSets, runningTotal, windowStats,
+    exceptAllPriorities, intersectAllPriorities)
 }
