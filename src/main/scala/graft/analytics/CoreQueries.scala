@@ -541,6 +541,60 @@ object CoreQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
+  /** S5/S6 variant: ORC sink + scan roundtrip (the second columnar
+    * format a warehouse migration needs; same content oracle as parquet).
+    */
+  val orcRoundtrip = Q("q_orc_roundtrip",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      nation(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  /** The SQL entry point end-to-end: temp views + `spark.sql` — the
+    * dashboard's query path (reference dashboard/app.py:51-58 runs SQL
+    * strings against the warehouse).
+    */
+  val sqlInterface = Q("q_sql_interface",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("v_orders")
+      customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_sales
+               FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS total_sales
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** The native cosine expression reached from PURE SQL via the
+    * registered extension function — proves the custom Expression is a
+    * first-class SQL citizen, and the oracle replays the math with list
+    * comprehensions.
+    */
+  val sqlCosine = Q("q_sql_cosine",
+    (s, d) => {
+      graft.GraftExtensions.register(s)
+      embeddings(s, d).createOrReplaceTempView("v_embeddings")
+      s.sql("""WITH q AS (SELECT embedding AS qv FROM v_embeddings WHERE vec_id = 0)
+               SELECT vec_id, round(cosine_similarity(embedding, qv), 6) AS cosine_sim
+               FROM v_embeddings, q WHERE vec_id <> 0
+               ORDER BY cosine_sim DESC, vec_id LIMIT 10""")
+    },
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(
+              list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                        FOR p IN list_zip(embedding, qv)])
+              / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]))
+                 * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]))), 6)
+              AS cosine_sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10"""))
+
   /** X5: approx distinct (HLL++) — no exact oracle, rows-only check. */
   val approxDistinctParts = Q("q_approx_distinct_parts",
     (s, d) => li(s, d).agg(
@@ -556,5 +610,6 @@ object CoreQueries {
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
     rowHash, jsonExtract, dataQuality, skewJoin, csvRoundtrip,
-    parquetRoundtrip, approxDistinctParts)
+    parquetRoundtrip, orcRoundtrip, sqlInterface, sqlCosine,
+    approxDistinctParts)
 }
