@@ -124,6 +124,42 @@ object EventQueries {
               ON p.user_id = s.user_id AND s.signup_ts <= p.purchase_ts
             ORDER BY p.event_id"""))
 
+  /** Forward as-of join: each signup attributed to its user's EARLIEST
+    * purchase at or after it (the "next event" lookup — the mirror of
+    * q_asof_join). Right side deduped per (user, ts) keeping the MIN
+    * event_id so "earliest" is total in both engines.
+    */
+  val asofForward = Q("q_asof_forward",
+    (s, d) => {
+      val ev = events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts").as("signup_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").asc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_event_id"), col("value"))
+      graft.operators.AsOfJoin.forward(signups, purchases,
+          keyCols = Seq("user_id"), leftTime = "signup_ts",
+          rightTime = "purchase_ts",
+          rightPayload = Seq("purchase_ts", "purchase_event_id", "value"),
+          prefix = "")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+                       FROM events WHERE event_type = 'signup'),
+                 p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+                              event_id AS purchase_event_id, value
+                       FROM events WHERE event_type = 'purchase'
+                       QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                                  ORDER BY event_id ASC) = 1)
+            SELECT s.event_id, s.user_id, s.signup_ts,
+                   p.purchase_ts, p.purchase_event_id, p.value
+            FROM s ASOF LEFT JOIN p
+              ON s.user_id = p.user_id AND s.signup_ts <= p.purchase_ts
+            ORDER BY s.event_id"""))
+
   /** Exact distinct users per event type (pairs with the approx variant). */
   val exactDistinctUsers = Q("q_exact_distinct_users",
     (s, d) => events(s, d).groupBy(col("event_type"))
@@ -133,6 +169,6 @@ object EventQueries {
             count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
-    eventsSessions, eventsDedup, eventsAttribution, asofJoin,
+    eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
     exactDistinctUsers)
 }

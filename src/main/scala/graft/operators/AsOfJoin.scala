@@ -62,6 +62,47 @@ object AsOfJoin {
         rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
   }
 
+  /** Forward as-of join: for each left row, the single EARLIEST right row
+    * with right.time >= left.time on the same key — the "next event"
+    * lookup (first purchase after signup, next maintenance after failure).
+    * Mirror of [[backward]]: same one-shuffle union + window, with a
+    * [current, following) carry and `first` instead of `last`; ties on
+    * (key, time) resolve to the smallest payload. Null-time right rows
+    * sort before every left row and therefore never match.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val lStructT = left.select(lCols.map(col): _*).schema
+    val rStructT = right.select(rightPayload.map(col): _*).schema
+    // left = side 0 so equal-time right rows (side 1) land INSIDE the
+    // [current row, following] frame — `>=` semantics
+    val lp = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("_t"), lit(0).as("_side"),
+        struct(lCols.map(col): _*).as("_l"),
+        lit(null).cast(rStructT).as("_r")): _*)
+    val rp = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("_t"), lit(1).as("_side"),
+        lit(null).cast(lStructT).as("_l"),
+        struct(rightPayload.map(col): _*).as("_r")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_r").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lp.unionByName(rp)
+      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(lCols.map(c => col("_l").getField(c).as(c)) ++
+        rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
+  }
+
   /** The same backward as-of join through the native Catalyst operator
     * ([[graft.plans.AsOfJoinExec]]): each side shuffles/sorts by its own
     * key and the partitions merge in one forward pass with O(1) state —

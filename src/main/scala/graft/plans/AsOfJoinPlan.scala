@@ -98,7 +98,16 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
     val outExprs = output
@@ -147,10 +156,11 @@ case class AsOfJoinExec(
             scan = false // right ahead in key space
           }
         }
-        val r =
-          if (held != null && heldKey != null && keyOrd.compare(heldKey, lk) == 0) held
-          else nullRight
-        resultProj(joined(l, r))
+        val matched =
+          held != null && heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
+        resultProj(joined(l, if (matched) held else nullRight))
       }
     }
   }

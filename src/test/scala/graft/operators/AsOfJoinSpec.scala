@@ -50,6 +50,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.length === 100)
   }
 
+  test("forward picks the earliest right row at or after each left time") {
+    val left = Seq((1L, "a", 5L), (2L, "a", 8L), (3L, "b", 9L)).toDF("id", "k", "lt")
+    val right = Seq(("a", 3L, "r3"), ("a", 5L, "r5"), ("a", 7L, "r7"), ("b", 9L, "rb"))
+      .toDF("k", "rt", "rv")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString).orNull,
+        if (r.isNullAt(4)) null else r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, "5", "r5"),   // tie: right at the same instant matches (>=)
+      (2L, null, null),  // nothing at-or-after 8
+      (3L, "9", "rb")))
+    // equal-time right duplicates resolve to the min payload
+    val dup = Seq(("a", 5L, "omega"), ("a", 5L, "alpha")).toDF("k", "rt", "rv")
+    val one = AsOfJoin.forward(Seq((1L, "a", 1L)).toDF("id", "k", "lt"),
+      dup, Seq("k"), "lt", "rt", Seq("rv")).collect()
+    assert(one.head.getString(3) === "alpha")
+  }
+
   test("native operator equals the composed form on all scenarios") {
     // scenario fixtures from the composed tests
     val fixtures = Seq(
