@@ -216,7 +216,60 @@ object ExtendedQueries {
             SELECT o_orderpriority, count(*) AS n FROM x
             GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** Gap-fill / resample: a complete month spine (sequence + explode over
+    * the broadcast min/max span) left-joined to a sparse monthly series,
+    * missing months filled with zeros — the time-series densification
+    * every trend chart needs before plotting.
+    */
+  val gapFill = Q("q_gap_fill",
+    (s, d) => {
+      val sparse = orders(s, d).filter(col("o_totalprice") > 450000)
+      val monthly = sparse
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      val span = sparse.agg(
+        trunc(min(col("o_orderdate")), "month").as("_lo"),
+        trunc(max(col("o_orderdate")), "month").as("_hi"))
+      val spine = span.select(
+        explode(sequence(col("_lo"), col("_hi"), expr("INTERVAL 1 MONTH"))).as("month"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("month"))
+    },
+    Some(s"""WITH sparse AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+             monthly AS (
+               SELECT date_trunc('month', o_orderdate) AS month,
+                      ${dsumSql("o_totalprice")} AS revenue, count(*) AS n_orders
+               FROM sparse GROUP BY 1),
+             spine AS (
+               SELECT unnest(generate_series(
+                 (SELECT date_trunc('month', min(o_orderdate)) FROM sparse),
+                 (SELECT date_trunc('month', max(o_orderdate)) FROM sparse),
+                 INTERVAL 1 MONTH))::DATE AS month)
+             SELECT s.month, coalesce(m.revenue, 0.0) AS revenue,
+                    coalesce(m.n_orders, 0) AS n_orders
+             FROM spine s LEFT JOIN monthly m ON s.month = m.month
+             ORDER BY s.month"""))
+
+  /** Sorted array aggregation, emitted as a joined string (driver-hash
+    * safe): the distinct priorities seen per order status.
+    */
+  val arrayAgg = Q("q_array_agg",
+    (s, d) => orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+            string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+              AS priorities,
+            count(*) AS n
+            FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
-    exceptAllPriorities, intersectAllPriorities)
+    exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg)
 }
