@@ -269,7 +269,36 @@ object ExtendedQueries {
             count(*) AS n
             FROM orders GROUP BY 1 ORDER BY o_orderstatus"""))
 
+  /** Top-3 customers per segment: the rank-filter shape Spark rewrites
+    * into WindowGroupLimit (per-partition top-k before the full sort —
+    * BucketingSpec asserts the optimized plan), vs q_top_customers'
+    * global orderBy().limit().
+    */
+  val topPerGroup = Q("q_top_per_group",
+    (s, d) => {
+      val rev = orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+      rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .orderBy(col("c_mktsegment"), col("rk"))
+    },
+    Some(s"""WITH rev AS (
+               SELECT c_custkey, c_mktsegment,
+                      ${dsumSql("o_totalprice")} AS revenue
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_custkey, c_mktsegment),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY revenue DESC, c_custkey) AS rk FROM rev)
+             SELECT c_custkey, c_mktsegment, revenue, rk
+             FROM ranked WHERE rk <= 3 ORDER BY c_mktsegment, rk"""))
+
   val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
-    exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg)
+    exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
+    topPerGroup)
 }

@@ -196,8 +196,11 @@ object NorthStarQueries {
   /** X3 storage path: the corpus written parquet-partitioned by its sign
     * bucket, then probed — dynamic partition pruning limits the scan to
     * the probed buckets (SimilaritySpec asserts the pruning; this entry
-    * proves the layout end-to-end and must equal q_ann_lsh's answer).
-    * Rows-only like q_ann_lsh.
+    * proves the layout end-to-end). The plane count adapts to corpus
+    * size so buckets average ≥ ~128 vectors (the nlist-sizing heuristic
+    * every IVF index uses): a toy corpus gets a handful of partition
+    * dirs instead of 256 near-empty ones, and a 100 TB corpus gets the
+    * full sketch width. Rows-only like q_ann_lsh.
     */
   val annBucketed = Q("q_ann_bucketed",
     (s, d) => {
@@ -207,8 +210,11 @@ object NorthStarQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
         s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
       val e = embeddings(s, d)
-      Similarity.writeBucketedCorpus(e, out)
-      Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5)
+      val planes = math.max(2, math.min(8,
+        (math.log(math.max(e.count(), 1L) / 128.0) / math.log(2)).toInt))
+      Similarity.writeBucketedCorpus(e, out, numPlanes = planes)
+      Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5,
+          numPlanes = planes)
         .orderBy(col("query_id"), col("rk"))
     },
     None)

@@ -87,6 +87,13 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("rank-filter queries push the limit into WindowGroupLimit") {
+    val plan = graft.analytics.ExtendedQueries.topPerGroup
+      .run(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown in:\n$plan")
+  }
+
   test("year-partitioned fact prunes partitions under a date filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sf001)
