@@ -38,29 +38,9 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
-    val lCols = left.columns.toSeq
-    val lStructT = left.select(lCols.map(col): _*).schema
-    val rStructT = right.select(rightPayload.map(col): _*).schema
-    val lp = left.select(
-      keyCols.map(col) ++ Seq(
-        col(leftTime).as("_t"), lit(1).as("_side"),
-        struct(lCols.map(col): _*).as("_l"),
-        lit(null).cast(rStructT).as("_r")): _*)
-    val rp = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTime).as("_t"), lit(0).as("_side"),
-        lit(null).cast(lStructT).as("_l"),
-        struct(rightPayload.map(col): _*).as("_r")): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_r").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lp.unionByName(rp)
-      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(lCols.map(c => col("_l").getField(c).as(c)) ++
-        rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
-  }
+      prefix: String = "asof_"): DataFrame =
+    composed(left, right, keyCols, leftTime, rightTime, rightPayload, prefix,
+      backwardDir = true)
 
   /** Forward as-of join: for each left row, the single EARLIEST right row
     * with right.time >= left.time on the same key — the "next event"
@@ -77,28 +57,51 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    composed(left, right, keyCols, leftTime, rightTime, rightPayload, prefix,
+      backwardDir = false)
+
+  /** Shared union+window core. Direction is encoded in three mirrored
+    * choices: which side sorts first on a time tie (right-before-left
+    * gives `<=`, left-before-right gives `>=`), which way the window
+    * frame opens, and whether the carry takes the `last` or `first`
+    * non-null right payload (so backward ties prefer the MAX payload,
+    * forward ties the MIN — both total orders).
+    */
+  private def composed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      prefix: String,
+      backwardDir: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val lStructT = left.select(lCols.map(col): _*).schema
     val rStructT = right.select(rightPayload.map(col): _*).schema
-    // left = side 0 so equal-time right rows (side 1) land INSIDE the
-    // [current row, following] frame — `>=` semantics
+    val (lSide, rSide) = if (backwardDir) (1, 0) else (0, 1)
     val lp = left.select(
       keyCols.map(col) ++ Seq(
-        col(leftTime).as("_t"), lit(0).as("_side"),
+        col(leftTime).as("_t"), lit(lSide).as("_side"),
         struct(lCols.map(col): _*).as("_l"),
         lit(null).cast(rStructT).as("_r")): _*)
     val rp = right.select(
       keyCols.map(col) ++ Seq(
-        col(rightTime).as("_t"), lit(1).as("_side"),
+        col(rightTime).as("_t"), lit(rSide).as("_side"),
         lit(null).cast(lStructT).as("_l"),
         struct(rightPayload.map(col): _*).as("_r")): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val ordered = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc, col("_r").asc_nulls_first)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w =
+      if (backwardDir) ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry =
+      if (backwardDir) last(col("_r"), ignoreNulls = true)
+      else first(col("_r"), ignoreNulls = true)
     lp.unionByName(rp)
-      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
+      .withColumn("_match", carry.over(w))
+      .filter(col("_side") === lSide)
       .select(lCols.map(c => col("_l").getField(c).as(c)) ++
         rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)
   }
