@@ -585,15 +585,7 @@ object CoreQueries {
                FROM v_embeddings, q WHERE vec_id <> 0
                ORDER BY cosine_sim DESC, vec_id LIMIT 10""")
     },
-    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(
-              list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
-                        FOR p IN list_zip(embedding, qv)])
-              / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]))
-                 * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]))), 6)
-              AS cosine_sim
-            FROM embeddings, q WHERE vec_id <> 0
-            ORDER BY cosine_sim DESC, vec_id LIMIT 10"""))
+    Some(NorthStarQueries.cosineTopKOracle))
 
   /** X5: approx distinct (HLL++) — no exact oracle, rows-only check. */
   val approxDistinctParts = Q("q_approx_distinct_parts",

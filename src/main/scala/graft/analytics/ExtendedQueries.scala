@@ -147,6 +147,20 @@ object ExtendedQueries {
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
              FROM monthly ORDER BY order_year, order_month"""))
 
+  /** Per-customer revenue within segment + its ranking window — shared by
+    * q_window_stats and q_top_per_group so the tiebreak can never drift
+    * between them.
+    */
+  private def segmentRevenue(s: org.apache.spark.sql.SparkSession, d: String) =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+
+  private val segmentRevenueWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("c_mktsegment"))
+    .orderBy(col("revenue").desc, col("c_custkey"))
+
   /** Distribution window functions over one window spec (one sort):
     * segment-relative quartile, percent rank, cumulative distribution,
     * and the segment leader via first_value. Ties are broken by customer
@@ -154,14 +168,8 @@ object ExtendedQueries {
     */
   val windowStats = Q("q_window_stats",
     (s, d) => {
-      val rev = orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_mktsegment"))
-        .agg(dsum(col("o_totalprice")).as("revenue"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-      rev.select(
+      val w = segmentRevenueWindow
+      segmentRevenue(s, d).select(
         col("c_custkey"), col("c_mktsegment"), col("revenue"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
@@ -275,17 +283,10 @@ object ExtendedQueries {
     * global orderBy().limit().
     */
   val topPerGroup = Q("q_top_per_group",
-    (s, d) => {
-      val rev = orders(s, d)
-        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"), col("c_mktsegment"))
-        .agg(dsum(col("o_totalprice")).as("revenue"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c_mktsegment"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-      rev.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .orderBy(col("c_mktsegment"), col("rk"))
-    },
+    (s, d) => segmentRevenue(s, d)
+      .withColumn("rk", row_number().over(segmentRevenueWindow))
+      .filter(col("rk") <= 3)
+      .orderBy(col("c_mktsegment"), col("rk")),
     Some(s"""WITH rev AS (
                SELECT c_custkey, c_mktsegment,
                       ${dsumSql("o_totalprice")} AS revenue

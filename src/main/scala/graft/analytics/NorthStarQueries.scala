@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object NorthStarQueries {
 
+  /** Memoized ANN plane sizing per dataset dir (see q_ann_bucketed). */
+  private val annPlanes = scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** Subset predicate used by the quadratic ops (pair joins stay bounded
     * at every scale factor; production path is LSH-first anyway).
     */
@@ -165,21 +168,28 @@ object NorthStarQueries {
   /** X3 baseline: brute-force cosine top-k against the vec_id=0 query —
     * the query row broadcasts into the scan (no driver-side `.head()`).
     */
+  /** Shared by q_embed_topk and q_sql_cosine (same math, same tiebreak —
+    * the two queries are answer-equal by design, so they must share one
+    * oracle text).
+    */
+  val cosineTopKOracle: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id, round(
+         list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                   FOR p IN list_zip(embedding, qv)])
+         / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]))
+            * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]))), 6)
+         AS cosine_sim
+       FROM embeddings, q WHERE vec_id <> 0
+       ORDER BY cosine_sim DESC, vec_id LIMIT 10"""
+
   val embedTopK = Q("q_embed_topk",
     (s, d) => {
       val e = embeddings(s, d)
       Similarity.bruteForceTopKDf(
         e.filter(col("vec_id") =!= 0), e.filter(col("vec_id") === 0), 10)
     },
-    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(
-              list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
-                        FOR p IN list_zip(embedding, qv)])
-              / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN embedding]))
-                 * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]))), 6)
-              AS cosine_sim
-            FROM embeddings, q WHERE vec_id <> 0
-            ORDER BY cosine_sim DESC, vec_id LIMIT 10"""))
+    Some(cosineTopKOracle))
 
   /** X3 scale path: sign-LSH bucketed ANN (probe = bucket join, then
     * exact cosine within bucket). Rows-only — hyperplane constants are
@@ -210,8 +220,9 @@ object NorthStarQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
         s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
       val e = embeddings(s, d)
-      val planes = math.max(2, math.min(8,
-        (math.log(math.max(e.count(), 1L) / 128.0) / math.log(2)).toInt))
+      // one corpus count per dataset per JVM (the sizing input is stable)
+      val planes = annPlanes.getOrElseUpdate(d, math.max(2, math.min(8,
+        (math.log(math.max(e.count(), 1L) / 128.0) / math.log(2)).toInt)))
       Similarity.writeBucketedCorpus(e, out, numPlanes = planes)
       Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5,
           numPlanes = planes)

@@ -86,7 +86,13 @@ object AsOfJoin {
         col(leftTime).as("_t"), lit(lSide).as("_side"),
         struct(lCols.map(col): _*).as("_l"),
         lit(null).cast(rStructT).as("_r")): _*)
-    val rp = right.select(
+    // Null-time rows never participate in a time comparison: drop
+    // null-time rights entirely (without this, a null-time right sorts
+    // first and the forward frame of a null-time left — or the backward
+    // frame of EVERY left — would swallow it as a phantom match), and
+    // null out the carry for null-time lefts below. Matches the native
+    // operator and the property-spec model exactly.
+    val rp = right.filter(col(rightTime).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("_t"), lit(rSide).as("_side"),
         lit(null).cast(lStructT).as("_l"),
@@ -100,7 +106,8 @@ object AsOfJoin {
       if (backwardDir) last(col("_r"), ignoreNulls = true)
       else first(col("_r"), ignoreNulls = true)
     lp.unionByName(rp)
-      .withColumn("_match", carry.over(w))
+      .withColumn("_match",
+        when(col("_t").isNotNull, carry.over(w)).otherwise(lit(null).cast(rStructT)))
       .filter(col("_side") === lSide)
       .select(lCols.map(c => col("_l").getField(c).as(c)) ++
         rightPayload.map(c => col("_match").getField(c).as(prefix + c)): _*)

@@ -26,10 +26,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for each left row, the latest right row with key equal and
   * `rightTime <= leftTime`; ties on (key, time) resolve to the largest
   * payload (the declared right-side ordering), matching the composed
-  * form. Right rows with null time never match (the one divergence from
-  * the composed form, where a null-time right row would sort first and
-  * shadow nothing — callers should not rely on null event times either
-  * way); left rows with null time match nothing.
+  * form. Rows with null times never participate: null-time right rows
+  * never match and null-time left rows match nothing — identical to the
+  * composed form, which enforces the same rule explicitly.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,

@@ -69,6 +69,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(one.head.getString(3) === "alpha")
   }
 
+  test("null times never match: null-time lefts get null, null-time rights are invisible") {
+    val left = Seq((1L, "a", Some(5L)), (2L, "a", None)).toDF("id", "k", "lt")
+    val right = Seq(("a", Some(3L), "r3"), ("a", None, "rnull")).toDF("k", "rt", "rv")
+    for (run <- Seq(
+        AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")),
+        AsOfJoin.backwardNative(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")),
+        AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")))) {
+      val rows = run.orderBy("id").collect()
+      // the null-time left row matches nothing in any direction/impl
+      assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+      // the null-time right row is never returned as a match
+      assert(rows.forall(r => r.isNullAt(4) || r.getString(4) != "rnull"))
+    }
+  }
+
   test("native operator equals the composed form on all scenarios") {
     // scenario fixtures from the composed tests
     val fixtures = Seq(
