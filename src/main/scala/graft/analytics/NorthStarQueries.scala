@@ -163,6 +163,36 @@ object NorthStarQueries {
                 AS simhash
             FROM bits GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Deterministic 80/10/10 train/val/test split by content hash
+    * ([[TF.splitBucket]]): membership depends only on the text, so
+    * re-processing the corpus can never migrate an example across splits.
+    * The oracle replays the md5-prefix arithmetic digit by digit.
+    */
+  val trainTestSplit = Q("q_train_test_split",
+    (s, d) => {
+      val b = TF.splitBucket(col("text"), 100)
+      documents(s, d)
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+          TF.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                CAST(list_sum([
+                  (strpos('0123456789abcdef', substr(md5(text), i + 1, 1)) - 1)
+                    * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % 100 AS bucket,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                  AS n_tokens
+              FROM documents)
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                   count(*) AS n_docs, sum(n_tokens) AS total_tokens
+            FROM h GROUP BY 1 ORDER BY split"""))
+
   // --- embedding similarity ----------------------------------------------
 
   /** X3 baseline: brute-force cosine top-k against the vec_id=0 query —
@@ -391,7 +421,7 @@ object NorthStarQueries {
     None)
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
-    exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
+    trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull)

@@ -92,6 +92,17 @@ object TextFunctions {
       lit(7L),
       (acc, ch) => pmod(acc * 31 + ascii(ch), lit(2147483647L)))
 
+  /** Deterministic split bucket in [0, buckets): md5 of the column's
+    * content, first 8 hex digits as an integer, mod buckets. Content
+    * hashing (not rand/row position) makes the assignment stable across
+    * runs, partitionings, and engines — the property a train/val/test
+    * split must have so no example ever migrates between splits when the
+    * corpus is re-processed. md5 (not xxhash64) keeps it oracle-
+    * replayable in ANSI SQL.
+    */
+  def splitBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+
   /** Word n-gram shingles of a text column: array of space-joined n-grams
     * over whitespace tokens. Empty/short docs yield an empty array.
     */
