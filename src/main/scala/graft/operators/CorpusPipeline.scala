@@ -42,11 +42,12 @@ object CorpusPipeline {
     else gated.filter(col("lang_pred").isin(cfg.langs: _*))
   }
 
-  /** Stage 3: exact dedup keeping the smallest doc_id per text hash. */
-  def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-  }
+  /** Stage 3: exact dedup keeping the smallest doc_id per text hash —
+    * the hash-aggregate form (see [[Dedup.exactSurvivors]]: min_by, no
+    * sort, duplicates collapse map-side before the shuffle).
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    Dedup.exactSurvivors(docs, "text", "doc_id")
 
   /** Stage 4: near-dup removal — LSH candidates, exact-Jaccard confirm,
     * drop the larger id of each confirmed pair.

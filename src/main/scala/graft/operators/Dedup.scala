@@ -35,10 +35,18 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Survivor set of exact dedup: the full rows whose id was kept. */
+  /** Survivor set of exact dedup: the full rows whose id was kept
+    * (smallest `idCol` per text hash). A hash aggregate with `min_by`,
+    * NOT a row_number window: no per-partition sort, and partial
+    * aggregation collapses duplicate copies map-side — on a
+    * duplication-heavy 100 TB corpus the shuffle carries one row per
+    * distinct text per map partition instead of every copy.
+    */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
   /** MinHash signature: for each of `numHashes` seeded permutations,
