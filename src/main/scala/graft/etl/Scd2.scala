@@ -91,13 +91,18 @@ object Scd2 {
     // tracked-tuple wins (stable under re-runs and row-order changes).
     // Key-only dims (no tracked columns survive the column guard) order
     // by the key itself — every row of a key is identical then anyway.
+    // min_by over the ordering struct, not a row_number window: hash
+    // aggregate with map-side partials instead of a per-partition sort —
+    // on an initial load this is the whole dimension, and struct
+    // comparison is field-by-field ascending nulls-first, matching the
+    // window ordering it replaces (Scd2Spec/PropertySpec pin equality).
     val dedupOrder = if (cfg.tracked.nonEmpty) cfg.tracked else keyCols
-    val dedupW = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(dedupOrder.map(c => col(c).asc_nulls_first): _*)
     val inc = incoming
       .select(cfg.attrCols.map(col): _*)
-      .withColumn("_rn", row_number().over(dedupW))
-      .filter(col("_rn") === 1).drop("_rn")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cfg.attrCols.map(col): _*),
+        struct(dedupOrder.map(col): _*)).as("_graft_row"))
+      .select(cfg.attrCols.map(c => col(s"_graft_row.$c").as(c)): _*)
       .withColumn(hashC, rowHash(cfg.tracked))
 
     val cur  = current.filter(col(cfg.currentCol) === 1).withColumn(hashC, rowHash(cfg.tracked))
