@@ -141,6 +141,56 @@ object NorthStarQueries {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** X2, fully oracled: the md5-variant MinHash+LSH candidates —
+    * DuckDB replays shingling, the md5-prefix hash, all 16 permutations,
+    * banding, and the bucket self-join, so the LSH machinery itself (not
+    * just its Jaccard confirm) is verified hash-exact against an
+    * independent engine.
+    */
+  val minhashMd5 = Q("q_minhash_md5",
+    (s, d) => Dedup.minhashLshCandidatesMd5(documents(s, d), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val P = Dedup.minhashModulus
+      val numHashes = 16
+      val bands = 8
+      val rpb = numHashes / bands
+      val minCols = (0 until numHashes).map { i =>
+        val (a, b) = Dedup.permutation(i)
+        s"min((h * $a + $b) % $P) AS s_$i"
+      }.mkString(",\n                ")
+      val bandExprs = (0 until bands).map { b =>
+        val sigs = (0 until rpb).map(r => s"s_${b * rpb + r}::VARCHAR")
+        s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
+      }.mkString(",\n                 ")
+      s"""WITH docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+          sh AS (
+            SELECT doc_id,
+              unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                      FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
+            FROM docs),
+          h AS (
+            SELECT doc_id,
+              CAST(list_sum([
+                (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
+                  * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
+            FROM sh),
+          sig AS (
+            SELECT doc_id,
+                $minCols
+            FROM h GROUP BY doc_id),
+          banded AS (
+            SELECT doc_id,
+              unnest([$bandExprs]) AS bucket
+            FROM sig)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+          FROM banded a JOIN banded b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY id_a, id_b"""
+    })
+
   /** X2: 16-bit md5-derived SimHash sketch (oracle replays the nibble
     * votes in SQL).
     */
@@ -421,7 +471,8 @@ object NorthStarQueries {
     None)
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
-    trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, simhash, embedTopK,
+    trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,
+    simhash, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull)

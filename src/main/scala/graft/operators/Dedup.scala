@@ -116,6 +116,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** MinHash+LSH candidates with an md5-derived shingle hash — the
+    * CROSS-ENGINE-VERIFIABLE twin of [[minhashLshCandidates]]: every step
+    * (3-gram shingles, md5-prefix hash, the 16 permutations, banding,
+    * bucket self-join) is ANSI-replayable, so a DuckDB oracle confirms
+    * the banding end-to-end (q_minhash_md5). The xxhash64 variant remains
+    * the fast path; this one is the semantic witness that the LSH
+    * machinery — not just its Jaccard confirm — matches an independent
+    * engine bit-for-bit.
+    */
+  def minhashLshCandidatesMd5(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val seed = 42L
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)))
+          .as("shingle"))
+      .select(col("doc"),
+        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
+          .as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i, seed)
+      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
+    }
+    val sig = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc"), explode(array(
+      (0 until bands).map { b =>
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
+            :+ lit(b.toString): _*))
+      }: _*)).as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The permutation constants of hash function `i` (exposed so the md5
+    * variant's SQL oracle can replay them).
+    */
+  def permutation(i: Int, seed: Long = 42L): (Long, Long) = hashParams(i, seed)
+  /** The Mersenne modulus of the minhash universe (oracle twin). */
+  val minhashModulus: Long = P
+
   /** (doc, bucket) rows of the banded MinHash signature — the pairing key
     * space of [[minhashLshCandidates]], exposed for bucket audits.
     */
