@@ -148,7 +148,8 @@ object NorthStarQueries {
     * independent engine.
     */
   val minhashMd5 = Q("q_minhash_md5",
-    (s, d) => Dedup.minhashLshCandidatesMd5(documents(s, d), "text", "doc_id")
+    (s, d) => Dedup.minhashLshCandidatesMd5(
+        documents(s, d).filter(docSubset), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b")),
     Some {
       val P = Dedup.minhashModulus
@@ -165,7 +166,7 @@ object NorthStarQueries {
       }.mkString(",\n                 ")
       s"""WITH docs AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents),
+            FROM documents WHERE doc_id % 10 = 0),
           sh AS (
             SELECT doc_id,
               unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
@@ -415,6 +416,45 @@ object NorthStarQueries {
                      AS BIGINT) AS out_height
             FROM a ORDER BY asset_id"""))
 
+  /** Shared oracle fragment: CTEs `t`/`ann`/`gated` reproducing the
+    * corpus gate (annotate → quality/length filter → exact dedup) — used
+    * by q_corpus_prep and q_corpus_prep_md5 so the gate logic cannot
+    * drift between them.
+    */
+  private def gatedSqlCtes(where: String = ""): String = {
+    val markers = TF.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}'))"
+    }
+    val best = markers.map(_._2).mkString("greatest(", ", ", ")")
+    val langCase = "CASE WHEN " + best + " = 0 THEN 'und' " +
+      markers.map { case (l, e) => s"WHEN $e = $best THEN '$l'" }.mkString(" ") +
+      " ELSE 'und' END"
+    s"""t AS (SELECT doc_id, text, length(text) AS n,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
+            len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS puncts,
+            len(regexp_extract_all(text,
+              '${TF.enStopwords.mkString("\\b(", "|", ")\\b")}')) AS stops
+            FROM documents $where),
+          ann AS (SELECT doc_id, text, n AS n_chars_text,
+            CAST(toks AS BIGINT) AS n_tokens,
+            round(least(CAST(n AS DOUBLE)/500.0, 1.0) * 0.5
+              + (1.0 - least(CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(puncts AS DOUBLE)/n END * 10, 1.0)) * 0.25
+              + least(CASE WHEN toks = 0 THEN 0.0
+                  ELSE CAST(stops AS DOUBLE)/toks END * 5, 1.0) * 0.25, 6) AS quality,
+            $langCase AS lang_pred
+            FROM t),
+          gated AS (SELECT * FROM ann
+            WHERE n_chars_text >= 50 AND quality >= 0.3
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)"""
+  }
+
+  private val reportSql: String =
+    """SELECT lang_pred, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(n_chars_text) AS BIGINT) AS total_chars"""
+
   /** Corpus-prep pipeline, oracle-able prefix: annotate → quality/length
     * gate → exact dedup → per-language token accounting. (The near-dup
     * stage rides on xxhash64 LSH, so the FULL pipeline is the rows-only
@@ -428,38 +468,9 @@ object NorthStarQueries {
         CorpusPipeline.exactDedup(CorpusPipeline.gate(documents(s, d), cfg)))
         .orderBy(col("lang_pred"))
     },
-    Some {
-      val markers = TF.langMarkers.map { case (lang, ws) =>
-        lang -> s"len(regexp_extract_all(text, '${ws.mkString("\\b(", "|", ")\\b")}'))"
-      }
-      val best = markers.map(_._2).mkString("greatest(", ", ", ")")
-      val langCase = "CASE WHEN " + best + " = 0 THEN 'und' " +
-        markers.map { case (l, e) => s"WHEN $e = $best THEN '$l'" }.mkString(" ") +
-        " ELSE 'und' END"
-      s"""WITH t AS (SELECT doc_id, text, length(text) AS n,
-            CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks,
-            len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS puncts,
-            len(regexp_extract_all(text,
-              '${TF.enStopwords.mkString("\\b(", "|", ")\\b")}')) AS stops
-            FROM documents),
-          ann AS (SELECT doc_id, text, n AS n_chars_text,
-            CAST(toks AS BIGINT) AS n_tokens,
-            round(least(CAST(n AS DOUBLE)/500.0, 1.0) * 0.5
-              + (1.0 - least(CASE WHEN n = 0 THEN 0.0
-                  ELSE CAST(puncts AS DOUBLE)/n END * 10, 1.0)) * 0.25
-              + least(CASE WHEN toks = 0 THEN 0.0
-                  ELSE CAST(stops AS DOUBLE)/toks END * 5, 1.0) * 0.25, 6) AS quality,
-            $langCase AS lang_pred
-            FROM t),
-          gated AS (SELECT * FROM ann
-            WHERE n_chars_text >= 50 AND quality >= 0.3
-            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
-          SELECT lang_pred, count(*) AS n_docs,
-            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-            CAST(sum(n_chars_text) AS BIGINT) AS total_chars
-          FROM gated GROUP BY 1 ORDER BY lang_pred"""
-    })
+    Some(s"""WITH ${gatedSqlCtes()}
+          $reportSql
+          FROM gated GROUP BY 1 ORDER BY lang_pred"""))
 
   /** Full pipeline incl. LSH near-dedup (rows-only; see q_corpus_prep). */
   val corpusPrepFull = Q("q_corpus_prep_full",
@@ -470,10 +481,82 @@ object NorthStarQueries {
     },
     None)
 
+  /** The full near-dedup pipeline, ORACLED end-to-end: gate → exact
+    * dedup → md5-LSH candidates → string-shingle Jaccard confirm →
+    * survivors → report, every stage replayed by DuckDB. The strongest
+    * correctness statement the flagship LLM-data operation can make —
+    * q_corpus_prep_full (xxhash64) remains the fast path, this pins its
+    * semantics against an independent engine.
+    */
+  val corpusPrepMd5 = Q("q_corpus_prep_md5",
+    (s, d) => {
+      import graft.operators.CorpusPipeline
+      CorpusPipeline.tokenReport(
+          CorpusPipeline.prepareVerified(documents(s, d).filter(docSubset)))
+        .orderBy(col("lang_pred"))
+    },
+    Some {
+      val P = Dedup.minhashModulus
+      val numHashes = 16
+      val bands = 8
+      val rpb = numHashes / bands
+      val minCols = (0 until numHashes).map { i =>
+        val (a, b) = Dedup.permutation(i)
+        s"min((h * $a + $b) % $P) AS s_$i"
+      }.mkString(",\n                ")
+      val bandExprs = (0 until bands).map { b =>
+        val sigs = (0 until rpb).map(r => s"s_${b * rpb + r}::VARCHAR")
+        s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
+      }.mkString(",\n                 ")
+      s"""WITH ${gatedSqlCtes("WHERE doc_id % 10 = 0")},
+          gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                    FROM gated),
+          shs AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
+                  FROM gtoks),
+          h AS (SELECT doc_id,
+                  CAST(list_sum([
+                    (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
+                      * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
+                FROM shs),
+          sig AS (SELECT doc_id,
+                $minCols
+            FROM h GROUP BY doc_id),
+          banded AS (SELECT doc_id,
+                 unnest([$bandExprs]) AS bucket
+            FROM sig),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM pairs p
+            JOIN shs a ON p.id_a = a.doc_id
+            JOIN shs b ON p.id_b = b.doc_id AND a.shingle = b.shingle
+            GROUP BY 1, 2),
+          conf AS (SELECT p.id_a, p.id_b,
+              coalesce(i.inter, 0) AS inter,
+              coalesce(sa.sz, 0) AS sz_a, coalesce(sb.sz, 0) AS sz_b
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            LEFT JOIN sizes sa ON p.id_a = sa.doc_id
+            LEFT JOIN sizes sb ON p.id_b = sb.doc_id),
+          drops AS (SELECT DISTINCT id_b AS doc_id FROM conf
+            WHERE (CASE WHEN sz_a + sz_b - inter = 0 THEN 0.0
+                        ELSE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) END) >= 0.6),
+          surv AS (SELECT g.* FROM gated g
+            LEFT JOIN drops d ON g.doc_id = d.doc_id
+            WHERE d.doc_id IS NULL)
+          $reportSql
+          FROM surv GROUP BY 1 ORDER BY lang_pred"""
+    })
+
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,
     simhash, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
-    corpusPrep, corpusPrepFull)
+    corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

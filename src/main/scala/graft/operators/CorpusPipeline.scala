@@ -87,6 +87,29 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(gate(docs, cfg)), cfg)
 
+  /** The cross-engine-VERIFIABLE pipeline: identical stages, but the LSH
+    * candidates use the md5 variant and the Jaccard confirm runs over
+    * string shingles, so an ANSI oracle replays gate → exact dedup →
+    * LSH → confirm → survivors end-to-end hash-exactly (q_corpus_prep_md5).
+    * [[prepare]] (xxhash64 + hashed-shingle confirm) stays the fast path
+    * — narrower shuffle keys, same shapes.
+    */
+  def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val corpus = exactDedup(gate(docs, cfg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = Dedup.minhashLshCandidatesMd5(corpus, "text", "doc_id",
+        shingleSize = cfg.nearDupShingle)
+      .select(col("id_a"), col("id_b"))
+    val confirmed = Dedup
+      .jaccardOnCandidatesStrings(candidates, corpus, "text", "doc_id", cfg.nearDupShingle)
+      .filter(col("jaccard") >= cfg.nearDupThreshold)
+      .select(col("id_b").as("drop_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops =
+      if (confirmed.count() <= Dedup.broadcastPairLimit) broadcast(confirmed) else confirmed
+    corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
+  }
+
   /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
   def tokenReport(corpus: DataFrame): DataFrame =
     corpus.groupBy(col("lang_pred"))

@@ -300,6 +300,53 @@ object Dedup {
             / (col("sz_a") + col("sz_b") - col("inter"))))
   }
 
+  /** Exact Jaccard over STRING shingle sets for given candidate pairs —
+    * the oracle-replayable twin of [[jaccardOnCandidates]] (whose hashed
+    * shingles ride xxhash64): identical join shape, but the shingle key
+    * is the n-gram string itself, so an ANSI engine reproduces every
+    * intersection count bit-for-bit and no hash-collision caveat applies.
+    * Costs wider shuffle keys than the hashed path — use it where
+    * verifiability matters more than shuffle bytes.
+    */
+  def jaccardOnCandidatesStrings(
+      candidates: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallCandidates = pairs.count() <= Dedup.broadcastPairLimit
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (smallCandidates) broadcast(d) else d
+    val candidateIds = maybeBroadcast(
+      pairs.select(col("id_a").as("_cand_doc"))
+        .unionByName(pairs.select(col("id_b").as("_cand_doc")))
+        .distinct())
+    val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
+    val sh = pruned.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col("doc").as("id_a"), col("h"))
+    val shB = sh.select(col("doc").as("id_b"), col("h"))
+    val inter = maybeBroadcast(pairs)
+      .join(shA, "id_a")
+      .join(shB, Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(maybeBroadcast(inter), Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(maybeBroadcast(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a"))),
+        Seq("id_a"), "left")
+      .join(maybeBroadcast(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b"))),
+        Seq("id_b"), "left")
+      .na.fill(0L, Seq("sz_a", "sz_b"))
+      .withColumn("jaccard",
+        when(col("sz_a") + col("sz_b") - col("inter") === 0, lit(0.0))
+          .otherwise(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter"))))
+  }
+
   /** Column-level pairwise word-n-gram Jaccard (set semantics) for ad-hoc
     * two-text comparison; zero-union pairs score 0.0, matching
     * [[jaccardOnCandidates]]. For bulk confirm use the hashed-row path.
