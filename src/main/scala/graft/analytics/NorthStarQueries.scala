@@ -141,6 +141,51 @@ object NorthStarQueries {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** Shared oracle fragment: the md5-LSH CTE chain (shingles → md5-prefix
+    * hash → permutation minima → banding → bucket stats → candidate
+    * pairs, including the hot-bucket star-pairing cap) over a source
+    * relation `(doc_id, toks)` named `gtoks`. Used by q_minhash_md5 and
+    * q_corpus_prep_md5 so the LSH replay cannot drift between them.
+    */
+  private def md5LshSqlCtes(maxBucketSize: Int = 1000): String = {
+    val P = Dedup.minhashModulus
+    val numHashes = 16
+    val bands = 8
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = Dedup.permutation(i)
+      s"min((h * $a + $b) % $P) AS s_$i"
+    }.mkString(",\n                ")
+    val bandExprs = (0 until bands).map { b =>
+      val sigs = (0 until rpb).map(r => s"s_${b * rpb + r}::VARCHAR")
+      s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
+    }.mkString(",\n                 ")
+    s"""shs AS (SELECT doc_id,
+                    unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
+                  FROM gtoks),
+          h AS (SELECT doc_id,
+                  CAST(list_sum([
+                    (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
+                      * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
+                FROM shs),
+          sig AS (SELECT doc_id,
+                $minCols
+            FROM h GROUP BY doc_id),
+          banded AS (SELECT doc_id,
+                 unnest([$bandExprs]) AS bucket
+            FROM sig),
+          bstats AS (SELECT bucket, count(*) AS bsz, min(doc_id) AS rep
+            FROM banded GROUP BY 1),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              count(*) AS n_shared_bands
+            FROM banded a
+            JOIN bstats st ON a.bucket = st.bucket
+            JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE st.bsz <= $maxBucketSize OR a.doc_id = st.rep
+            GROUP BY 1, 2)"""
+  }
+
   /** X2, fully oracled: the md5-variant MinHash+LSH candidates —
     * DuckDB replays shingling, the md5-prefix hash, all 16 permutations,
     * banding, and the bucket self-join, so the LSH machinery itself (not
@@ -151,46 +196,12 @@ object NorthStarQueries {
     (s, d) => Dedup.minhashLshCandidatesMd5(
         documents(s, d).filter(docSubset), "text", "doc_id")
       .orderBy(col("id_a"), col("id_b")),
-    Some {
-      val P = Dedup.minhashModulus
-      val numHashes = 16
-      val bands = 8
-      val rpb = numHashes / bands
-      val minCols = (0 until numHashes).map { i =>
-        val (a, b) = Dedup.permutation(i)
-        s"min((h * $a + $b) % $P) AS s_$i"
-      }.mkString(",\n                ")
-      val bandExprs = (0 until bands).map { b =>
-        val sigs = (0 until rpb).map(r => s"s_${b * rpb + r}::VARCHAR")
-        s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
-      }.mkString(",\n                 ")
-      s"""WITH docs AS (
+    Some(s"""WITH gtoks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
             FROM documents WHERE doc_id % 10 = 0),
-          sh AS (
-            SELECT doc_id,
-              unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-                      FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
-            FROM docs),
-          h AS (
-            SELECT doc_id,
-              CAST(list_sum([
-                (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
-                  * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
-            FROM sh),
-          sig AS (
-            SELECT doc_id,
-                $minCols
-            FROM h GROUP BY doc_id),
-          banded AS (
-            SELECT doc_id,
-              unnest([$bandExprs]) AS bucket
-            FROM sig)
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-          FROM banded a JOIN banded b
-            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 ORDER BY id_a, id_b"""
-    })
+          ${md5LshSqlCtes()}
+          SELECT id_a, id_b, n_shared_bands FROM pairs
+          ORDER BY id_a, id_b"""))
 
   /** X2: 16-bit md5-derived SimHash sketch (oracle replays the nibble
     * votes in SQL).
@@ -241,7 +252,8 @@ object NorthStarQueries {
               FROM documents)
             SELECT CASE WHEN bucket < 80 THEN 'train'
                         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-                   count(*) AS n_docs, sum(n_tokens) AS total_tokens
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM h GROUP BY 1 ORDER BY split"""))
 
   // --- embedding similarity ----------------------------------------------
@@ -495,41 +507,10 @@ object NorthStarQueries {
           CorpusPipeline.prepareVerified(documents(s, d).filter(docSubset)))
         .orderBy(col("lang_pred"))
     },
-    Some {
-      val P = Dedup.minhashModulus
-      val numHashes = 16
-      val bands = 8
-      val rpb = numHashes / bands
-      val minCols = (0 until numHashes).map { i =>
-        val (a, b) = Dedup.permutation(i)
-        s"min((h * $a + $b) % $P) AS s_$i"
-      }.mkString(",\n                ")
-      val bandExprs = (0 until bands).map { b =>
-        val sigs = (0 until rpb).map(r => s"s_${b * rpb + r}::VARCHAR")
-        s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
-      }.mkString(",\n                 ")
-      s"""WITH ${gatedSqlCtes("WHERE doc_id % 10 = 0")},
+    Some(s"""WITH ${gatedSqlCtes("WHERE doc_id % 10 = 0")},
           gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                     FROM gated),
-          shs AS (SELECT doc_id,
-                    unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-                            FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
-                  FROM gtoks),
-          h AS (SELECT doc_id,
-                  CAST(list_sum([
-                    (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
-                      * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
-                FROM shs),
-          sig AS (SELECT doc_id,
-                $minCols
-            FROM h GROUP BY doc_id),
-          banded AS (SELECT doc_id,
-                 unnest([$bandExprs]) AS bucket
-            FROM sig),
-          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
+          ${md5LshSqlCtes()},
           sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
           inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
             FROM pairs p
@@ -550,8 +531,7 @@ object NorthStarQueries {
             LEFT JOIN drops d ON g.doc_id = d.doc_id
             WHERE d.doc_id IS NULL)
           $reportSql
-          FROM surv GROUP BY 1 ORDER BY lang_pred"""
-    })
+          FROM surv GROUP BY 1 ORDER BY lang_pred"""))
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation: the composition a pretraining

@@ -44,8 +44,12 @@ object Dedup {
     */
   def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val cols = df.columns.toSeq
+    // Ordering wrapped in a struct: a bare null id would make min_by SKIP
+    // the row (an all-null-id group would emit a corrupt all-NULL row);
+    // struct ordering is never-null and sorts a null field first, which
+    // matches the asc_nulls_first window this replaced.
     df.groupBy(md5(col(textCol)).as("_h"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .agg(min_by(struct(cols.map(col): _*), struct(col(idCol))).as("_row"))
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
@@ -131,7 +135,8 @@ object Dedup {
       idCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -153,8 +158,17 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
             :+ lit(b.toString): _*))
       }: _*)).as("bucket"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+    // Same hot-bucket star-pairing cap as the fast path (see
+    // [[minhashLshCandidates]]) so the two variants stay semantically
+    // aligned; the oracle replays the cap with a bucket-stats CTE.
+    val bucketW = Window.partitionBy(col("bucket"))
+    val counted = banded
+      .withColumn("_bsz", count(lit(1)).over(bucketW))
+      .withColumn("_rep", min(col("doc")).over(bucketW))
+    val leftEligible =
+      col("a._bsz") <= maxBucketSize || col("a.doc") === col("a._rep")
+    counted.as("a").join(counted.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -244,37 +258,38 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int): DataFrame = {
-    // The candidate plan feeds FOUR consumers (the id prune below, the
-    // intersection join, and the final pair frame twice) and is typically
-    // the whole LSH pipeline — persist the distinct pairs once so that
-    // plan runs once, not four times. Pairs are two longs per row, tiny
-    // next to the corpus at LSH selectivity.
+      n: Int): DataFrame =
+    jaccardConfirm(candidates, df, idCol,
+      pruned => shingleHashRows(pruned, textCol, idCol, n).distinct())
+
+  /** The shared confirm tail of both Jaccard variants: persist the
+    * distinct candidate pairs (they feed four consumers and are typically
+    * the whole LSH pipeline), semi-join-prune the corpus to candidate
+    * docs BEFORE shingling (at 100 TB an unpruned shingle persist would
+    * not fit), then intersection counts + left-join assembly. The
+    * materialized pair count picks shuffle-vs-broadcast for every
+    * candidate-bounded frame — at LSH selectivity the corpus side never
+    * shuffles. Left joins keep short-doc pairs visible at jaccard 0.
+    */
+  private def jaccardConfirm(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      shingleRows: DataFrame => DataFrame): DataFrame = {
     val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materializing the persist also yields the pair count for free, and
-    // that count picks the join strategy: at LSH selectivity candidates
-    // are ≪ the corpus, so the id set and per-pair frames broadcast and
-    // the corpus side never shuffles — the plan a 100 TB confirm wants.
-    // Past the threshold fall back to shuffles.
     val smallCandidates = pairs.count() <= Dedup.broadcastPairLimit
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (smallCandidates) broadcast(d) else d
-    // Only docs that appear in some candidate pair need shingles — at LSH
-    // selectivity that is ≪ the corpus, so semi-join-prune BEFORE the
-    // tokenize/hash/window pipeline runs (and before the persist below,
-    // whose footprint would otherwise be corpus-sized — at 100 TB the
-    // unpruned persist simply would not fit).
     val candidateIds = maybeBroadcast(
       pairs.select(col("id_a").as("_cand_doc"))
         .unionByName(pairs.select(col("id_b").as("_cand_doc")))
         .distinct())
     val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
     // Cache the shingle rows: they feed sizes + both join sides, and Spark
-    // has no common-subplan elimination across self-joins — uncached, the
-    // tokenize/hash/window pipeline would run three times over the corpus.
-    // (Spark evicts cache blocks LRU, so no explicit unpersist is owed.)
-    val sh = shingleHashRows(pruned, textCol, idCol, n).distinct()
+    // has no common-subplan elimination across self-joins. (LRU eviction
+    // reclaims the blocks; no explicit unpersist is owed.)
+    val sh = shingleRows(pruned)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))
@@ -283,10 +298,6 @@ object Dedup {
       .join(shA, "id_a")
       .join(shB, Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    // Left joins throughout: a doc shorter than n tokens has no shingle
-    // rows, and its pairs must surface with jaccard 0, not vanish.
-    // The right sides are all bounded by the candidate set, so they ride
-    // the same broadcast decision — the assembly is map-side when small.
     pairs
       .join(maybeBroadcast(inter), Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
       .join(maybeBroadcast(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a"))),
@@ -313,39 +324,10 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      n: Int): DataFrame = {
-    val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val smallCandidates = pairs.count() <= Dedup.broadcastPairLimit
-    def maybeBroadcast(d: DataFrame): DataFrame =
-      if (smallCandidates) broadcast(d) else d
-    val candidateIds = maybeBroadcast(
-      pairs.select(col("id_a").as("_cand_doc"))
-        .unionByName(pairs.select(col("id_b").as("_cand_doc")))
-        .distinct())
-    val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
-    val sh = pruned.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col("doc").as("id_a"), col("h"))
-    val shB = sh.select(col("doc").as("id_b"), col("h"))
-    val inter = maybeBroadcast(pairs)
-      .join(shA, "id_a")
-      .join(shB, Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    pairs
-      .join(maybeBroadcast(inter), Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
-      .join(maybeBroadcast(sizes.select(col("doc").as("id_a"), col("sz").as("sz_a"))),
-        Seq("id_a"), "left")
-      .join(maybeBroadcast(sizes.select(col("doc").as("id_b"), col("sz").as("sz_b"))),
-        Seq("id_b"), "left")
-      .na.fill(0L, Seq("sz_a", "sz_b"))
-      .withColumn("jaccard",
-        when(col("sz_a") + col("sz_b") - col("inter") === 0, lit(0.0))
-          .otherwise(col("inter").cast("double")
-            / (col("sz_a") + col("sz_b") - col("inter"))))
-  }
+      n: Int): DataFrame =
+    jaccardConfirm(candidates, df, idCol,
+      pruned => pruned.select(col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h")))
 
   /** Column-level pairwise word-n-gram Jaccard (set semantics) for ad-hoc
     * two-text comparison; zero-union pairs score 0.0, matching
