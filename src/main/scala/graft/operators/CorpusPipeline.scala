@@ -51,32 +51,34 @@ object CorpusPipeline {
   /** Stage 4: near-dup removal — LSH candidates, exact-Jaccard confirm,
     * drop the larger id of each confirmed pair.
     */
-  def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
-    // The incoming corpus feeds THREE consumers — LSH candidate
-    // generation, the confirm stage's semi-join prune, and the final
-    // anti-join — and in `prepare` it carries the regex-heavy gate
-    // annotate plus the exact-dedup window upstream. Persist once so that
-    // pipeline runs once, not three times; at 100 TB this stage boundary
-    // is a parquet checkpoint instead (see the scaladoc above), same idea.
-    // Lifetime note: the returned plan keeps reading these persists, so
-    // there is no safe place to unpersist inside the operator — blocks
-    // are reclaimed by LRU eviction (callers that fully materialize the
-    // result may spark.catalog.clearCache(), as Bench does per
-    // iteration).
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
+    nearDedupWith(docs, cfg,
+      c => Dedup.minhashLshCandidates(c, "text", "doc_id",
+        shingleSize = cfg.nearDupShingle),
+      (cand, c) => Dedup.jaccardOnCandidates(cand, c, "text", "doc_id",
+        cfg.nearDupShingle))
+
+  /** The shared near-dedup tail: persist the corpus once (it feeds LSH
+    * candidate generation, the confirm stage's semi-join prune, and the
+    * final anti-join — at 100 TB this stage boundary is a parquet
+    * checkpoint instead), confirm candidates with exact Jaccard, and
+    * anti-join the confirmed drop set — broadcast when it fits, so the
+    * corpus is never shuffled end-to-end in this stage. Lifetime note:
+    * the returned plan keeps reading the persists, so there is no safe
+    * place to unpersist inside the operator; LRU eviction reclaims the
+    * blocks (Bench clears the cache per iteration).
+    */
+  private def nearDedupWith(
+      docs: DataFrame,
+      cfg: Config,
+      candidatesOf: DataFrame => DataFrame,
+      confirmOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = Dedup.minhashLshCandidates(corpus, "text", "doc_id",
-        shingleSize = cfg.nearDupShingle)
-      .select(col("id_a"), col("id_b"))
-    // Confirm with exact Jaccard over hashed shingle sets — computed once
-    // per doc, joined per candidate pair; no per-pair re-shingling.
-    val confirmed = Dedup
-      .jaccardOnCandidates(candidates, corpus, "text", "doc_id", cfg.nearDupShingle)
+    val candidates = candidatesOf(corpus).select(col("id_a"), col("id_b"))
+    val confirmed = confirmOf(candidates, corpus)
       .filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as("drop_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Drop set is bounded by the confirmed pairs — when it fits a
-    // broadcast, the anti-join is map-side and the corpus is never
-    // shuffled end-to-end in this stage.
     val drops =
       if (confirmed.count() <= Dedup.broadcastPairLimit) broadcast(confirmed) else confirmed
     corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
@@ -86,28 +88,19 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(gate(docs, cfg)), cfg)
 
-  /** The cross-engine-VERIFIABLE pipeline: identical stages, but the LSH
-    * candidates use the md5 variant and the Jaccard confirm runs over
-    * string shingles, so an ANSI oracle replays gate → exact dedup →
-    * LSH → confirm → survivors end-to-end hash-exactly (q_corpus_prep_md5).
+  /** The cross-engine-VERIFIABLE pipeline: the same stages via
+    * [[nearDedupWith]], with the md5-variant LSH and the string-shingle
+    * confirm, so an ANSI oracle replays gate → exact dedup → LSH →
+    * confirm → survivors end-to-end hash-exactly (q_corpus_prep_md5).
     * [[prepare]] (xxhash64 + hashed-shingle confirm) stays the fast path
     * — narrower shuffle keys, same shapes.
     */
-  def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val corpus = exactDedup(gate(docs, cfg))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = Dedup.minhashLshCandidatesMd5(corpus, "text", "doc_id",
-        shingleSize = cfg.nearDupShingle)
-      .select(col("id_a"), col("id_b"))
-    val confirmed = Dedup
-      .jaccardOnCandidatesStrings(candidates, corpus, "text", "doc_id", cfg.nearDupShingle)
-      .filter(col("jaccard") >= cfg.nearDupThreshold)
-      .select(col("id_b").as("drop_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops =
-      if (confirmed.count() <= Dedup.broadcastPairLimit) broadcast(confirmed) else confirmed
-    corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
-  }
+  def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    nearDedupWith(exactDedup(gate(docs, cfg)), cfg,
+      c => Dedup.minhashLshCandidatesMd5(c, "text", "doc_id",
+        shingleSize = cfg.nearDupShingle),
+      (cand, c) => Dedup.jaccardOnCandidatesStrings(cand, c, "text", "doc_id",
+        cfg.nearDupShingle))
 
   /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
   def tokenReport(corpus: DataFrame): DataFrame =
