@@ -68,6 +68,31 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("md5 variant applies the same hot-bucket star cap and bands require") {
+    val star = Dedup.minhashLshCandidatesMd5(hotDocs, "text", "doc_id", maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star.map(t => (t._1, t._2)) === Set((1L, 2L), (1L, 3L)))
+    assert(star.forall(_._3 === 8L))
+    val full = Dedup.minhashLshCandidatesMd5(hotDocs, "text", "doc_id", maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshCandidatesMd5(hotDocs, "text", "doc_id", bands = 3)
+    }
+  }
+
+  test("exactSurvivors keeps null-id rows intact (nulls-first ordering, no corrupt rows)") {
+    val withNulls = Seq(
+      (Some(5L), "same text"), (None, "same text"),
+      (None, "only null ids here"), (None, "only null ids here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSurvivors(withNulls, "text", "doc_id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1))).toSet
+    // null id sorts first (matches the asc_nulls_first window this
+    // replaced), and the all-null group yields a REAL row, not all-NULLs
+    assert(got === Set((None, "same text"), (None, "only null ids here")))
+  }
+
   test("bands must divide numHashes") {
     val ex = intercept[IllegalArgumentException] {
       Dedup.minhashLshCandidates(docs, "text", "doc_id", numHashes = 16, bands = 3)
