@@ -291,7 +291,10 @@ object NorthStarQueries {
   val annLsh = Q("q_ann_lsh",
     (s, d) => {
       val e = embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5)
+      // the 20-row probe frame is known-small: assert the broadcast so
+      // the corpus side never shuffles
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
     None)
@@ -318,7 +321,7 @@ object NorthStarQueries {
         (math.log(math.max(e.count(), 1L) / 128.0) / math.log(2)).toInt)))
       Similarity.writeBucketedCorpus(e, out, numPlanes = planes)
       Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5,
-          numPlanes = planes)
+          numPlanes = planes, broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
     None)
@@ -331,7 +334,8 @@ object NorthStarQueries {
   val annIvf = Q("q_ann_ivf",
     (s, d) => {
       val e = embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
     None)

@@ -90,9 +90,15 @@ object AsOfJoin {
     // null-time rights entirely (without this, a null-time right sorts
     // first and the forward frame of a null-time left — or the backward
     // frame of EVERY left — would swallow it as a phantom match), and
-    // null out the carry for null-time lefts below. Matches the native
+    // null out the carry for null-time lefts below. Null KEYS follow SQL
+    // join semantics too (null = null is never true): any-null-key rights
+    // are dropped here, which leaves any-null-key lefts alone in their
+    // window partition — Window.partitionBy would otherwise group null
+    // keys together and hand them phantom matches. Matches the native
     // operator and the property-spec model exactly.
-    val rp = right.filter(col(rightTime).isNotNull).select(
+    val rKeep = keyCols.foldLeft(col(rightTime).isNotNull)(
+      (acc, k) => acc && col(k).isNotNull)
+    val rp = right.filter(rKeep).select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("_t"), lit(rSide).as("_side"),
         lit(null).cast(lStructT).as("_l"),
@@ -134,7 +140,13 @@ object AsOfJoin {
     GraftBridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
     // Fresh aliases give the right side new expression ids, so
     // self-joins (both sides from one relation) stay unambiguous.
-    val r = right.filter(col(rightTime).isNotNull)
+    // Null-time and any-null-key rights are filtered for the same SQL
+    // semantics as the composed form (the exec also enforces this, so
+    // direct AsOfJoinNode users get it too — this filter just prunes
+    // before the shuffle).
+    val rKeep = keyCols.foldLeft(col(rightTime).isNotNull)(
+      (acc, k) => acc && col(k).isNotNull)
+    val r = right.filter(rKeep)
       .select(right.columns.map(c => col(c).as(s"_graft_r_$c")): _*)
     val lPlan = GraftBridge.analyzed(left)
     val rPlan = GraftBridge.analyzed(r)

@@ -59,10 +59,17 @@ object Similarity {
   }
 
   /** Top-k for every query row of `queries` against `corpus` — window
-    * row_number per query over the bucketed candidate join. The query
-    * frame is broadcast: the corpus (the 100 TB side) is never shuffled —
-    * candidates form map-side, and only the bucket-matched candidate rows
-    * (tiny at LSH selectivity) move for the per-query ranking window.
+    * row_number per query over the bucketed candidate join. With
+    * `broadcastQueries` the query frame is broadcast and the corpus (the
+    * 100 TB side) never shuffles — candidates form map-side. The default
+    * leaves the join to the planner (AQE + autoBroadcastJoinThreshold
+    * still broadcast a provably-small side): an unconditional hint would
+    * bypass the size safety valve and OOM on a corpus-scale query frame.
+    * Callers that KNOW the query frame is small (the probe shape) pass
+    * `broadcastQueries = true`. `excludeSelf` assumes queries and corpus
+    * share one id space (the self-probe shape); pass false when the id
+    * spaces are independent, or coinciding ids silently lose their top
+    * candidate.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -72,30 +79,35 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim)
     val sb = graft.functions.SignBucketExpression.signBucket(_: org.apache.spark.sql.Column, planes)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"),
       sb(col(vecCol)).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sb(col(vecCol)).as("bucket"))
-    bucketProbe(c, q, k, broadcastQueries)
+    bucketProbe(c, q, k, broadcastQueries, excludeSelf)
   }
 
   /** The shared probe core: bucket equi-join, exact cosine on candidates,
     * per-query top-k window. `c` = (corpus_id, cvec, bucket), `q` =
-    * (query_id, qvec, bucket). The query side broadcasts when
-    * `broadcastQueries` (the probe shape: few queries against a huge
-    * corpus — the corpus never shuffles); pass false from callers probing
-    * with a corpus-scale query frame, which falls back to a shuffle join
-    * rather than forcing a giant broadcast past the size safety valve.
+    * (query_id, qvec, bucket). The query side broadcasts only when the
+    * caller asserts it is small via `broadcastQueries` (the probe shape:
+    * few queries against a huge corpus — the corpus never shuffles);
+    * otherwise the planner picks, so a corpus-scale query frame falls
+    * back to a shuffle join instead of a forced giant broadcast.
+    * `excludeSelf` drops query_id == corpus_id candidates — correct only
+    * when both frames share one id space (self-probes).
     */
   private def bucketProbe(
-      c: DataFrame, q: DataFrame, k: Int, broadcastQueries: Boolean = true): DataFrame = {
+      c: DataFrame, q: DataFrame, k: Int,
+      broadcastQueries: Boolean, excludeSelf: Boolean): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
-      .filter(col("query_id") =!= col("corpus_id"))
+    val candidates = c.join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
+    (if (excludeSelf) candidates.filter(col("query_id") =!= col("corpus_id"))
+     else candidates)
       .withColumn("cosine_sim",
         round(graft.functions.CosineExpression.cosine(col("qvec"), col("cvec")), 6))
       .withColumn("rk", row_number().over(w))
@@ -172,7 +184,8 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .agg(collect_list(struct(col(idCol).as("cent_id"), col(vecCol).as("centv")))
         .as("_cents"))
@@ -189,7 +202,7 @@ object Similarity {
     val q = queries.crossJoin(broadcast(cents))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         explode(nearest(nProbe).getField("cent_id")).as("bucket"))
-    bucketProbe(c, q, k, broadcastQueries)
+    bucketProbe(c, q, k, broadcastQueries, excludeSelf)
   }
 
   /** Write `corpus` as parquet PARTITIONED BY its sign-LSH bucket — the
@@ -235,13 +248,14 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
     val planes = VectorFunctions.hyperplanes(numPlanes, dim)
     val c = spark.read.parquet(path)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"), col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       concat(lit("b"),
         graft.functions.SignBucketExpression.signBucket(col(vecCol), planes)).as("bucket"))
-    bucketProbe(c, q, k, broadcastQueries)
+    bucketProbe(c, q, k, broadcastQueries, excludeSelf)
   }
 }

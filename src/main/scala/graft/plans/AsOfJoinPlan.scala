@@ -28,7 +28,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * payload (the declared right-side ordering), matching the composed
   * form. Rows with null times never participate: null-time right rows
   * never match and null-time left rows match nothing — identical to the
-  * composed form, which enforces the same rule explicitly.
+  * composed form, which enforces the same rule explicitly. Null KEYS
+  * follow SQL join semantics (null = null is never true): a right row
+  * with any null key never matches, and a left row with any null key
+  * gets the unmatched null payload — enforced in the merge itself, not
+  * just in the DataFrame wrapper, so direct node users get it too.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -43,6 +47,13 @@ case class AsOfJoinNode(
     "as-of join key lists must align in length and type")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time columns must share a type, got ${leftTime.dataType} vs ${rightTime.dataType}")
+  // The physical operator sorts the right child by the payload columns to
+  // make "latest" total on (key, time) ties; an unorderable payload type
+  // (e.g. map) would only fail deep inside the inserted SortExec — fail
+  // here instead, at construction, with a readable message.
+  require(rightPayload.forall(a => RowOrdering.isOrderable(a.dataType)),
+    s"as-of right payload columns must be orderable (they break ties), got " +
+      rightPayload.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", "))
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -133,30 +144,46 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
       var held: InternalRow = null
       var heldKey: InternalRow = null
+      val nKeys = lKeyExprs.length
+      // SQL join semantics for null keys: null = anything (incl. null) is
+      // never true, while the natural ordering used by the merge treats
+      // null == null as equal — so null keys must be screened explicitly.
+      def anyNullKey(key: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) { if (key.isNullAt(i)) return true; i += 1 }
+        false
+      }
       lIter.map { l =>
         val lk = lKeyProj(l)
         val lt = ltProj(l)
-        var scan = true
+        // Null-key left rows match nothing; they also sort first (nulls
+        // first), so skipping the scan leaves the right cursor intact.
+        var scan = !anyNullKey(lk)
         while (scan && rBuf.hasNext) {
-          val cmp = keyOrd.compare(rKeyProj(rBuf.head), lk)
-          if (cmp < 0) {
-            rBuf.next() // right key behind every remaining left key: discard
-          } else if (cmp == 0) {
-            val rt = rtProj(rBuf.head)
-            if (rt.isNullAt(0)) {
-              rBuf.next() // null right time never matches
-            } else if (!lt.isNullAt(0) && timeOrd.compare(rt, lt) <= 0) {
-              held = rBuf.next().copy() // candidate; later ones overwrite
-              heldKey = lk.copy()
-            } else {
-              scan = false // right ahead in time; stop for this left row
-            }
+          val rk = rKeyProj(rBuf.head)
+          if (anyNullKey(rk)) {
+            rBuf.next() // null-key right rows never match anyone: discard
           } else {
-            scan = false // right ahead in key space
+            val cmp = keyOrd.compare(rk, lk)
+            if (cmp < 0) {
+              rBuf.next() // right key behind every remaining left key: discard
+            } else if (cmp == 0) {
+              val rt = rtProj(rBuf.head)
+              if (rt.isNullAt(0)) {
+                rBuf.next() // null right time never matches
+              } else if (!lt.isNullAt(0) && timeOrd.compare(rt, lt) <= 0) {
+                held = rBuf.next().copy() // candidate; later ones overwrite
+                heldKey = lk.copy()
+              } else {
+                scan = false // right ahead in time; stop for this left row
+              }
+            } else {
+              scan = false // right ahead in key space
+            }
           }
         }
-        val matched =
-          held != null && heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        val matched = held != null && heldKey != null &&
+          !anyNullKey(lk) && keyOrd.compare(heldKey, lk) == 0
         numOutputRows += 1
         if (matched) numMatchedRows += 1
         resultProj(joined(l, if (matched) held else nullRight))

@@ -41,7 +41,12 @@ object GraftBridge {
   def addStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    // extraStrategies is a plain var on the shared session: the
+    // contains-then-append must be atomic or two threads planning
+    // concurrently can lose each other's strategy (or double-append).
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
   }
 }

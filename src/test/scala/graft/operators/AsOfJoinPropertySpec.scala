@@ -28,32 +28,42 @@ class AsOfJoinPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // ~1 in 9 keys is null on either side: SQL join semantics say a null
+  // key matches nothing (null = null is never true), pinned in the model.
+  private def genKey(nKeys: Int): Gen[String] =
+    Gen.frequency(8 -> Gen.choose(0, nKeys - 1).map(i => s"k$i"),
+      1 -> Gen.const(null: String))
+
   private val genData = for {
     nKeys <- Gen.choose(1, 5)
     nLeft <- Gen.choose(0, 40)
     nRight <- Gen.choose(0, 40)
     lefts <- Gen.listOfN(nLeft, for {
-      k <- Gen.choose(0, nKeys - 1).map(i => s"k$i")
+      k <- genKey(nKeys)
       t <- Gen.choose(0L, 20L)
     } yield (k, t))
     rights <- Gen.listOfN(nRight, for {
-      k <- Gen.choose(0, nKeys - 1).map(i => s"k$i")
+      k <- genKey(nKeys)
       t <- Gen.choose(0L, 20L)
       v <- Gen.choose(0, 99).map(i => f"v$i%02d")
     } yield R(k, t, v))
   } yield (lefts.zipWithIndex.map { case ((k, t), i) => L(i.toLong, k, t) }, rights)
 
-  /** Reference model: latest right at-or-before; (rt, rv) max on ties. */
+  /** Reference model: latest right at-or-before; (rt, rv) max on ties;
+    * null keys on either side never match.
+    */
   private def modelBackward(ls: Seq[L], rs: Seq[R]): Map[Long, Option[(Long, String)]] =
     ls.map { l =>
-      l.id -> rs.filter(r => r.k == l.k && r.rt <= l.lt)
+      l.id -> rs.filter(r => l.k != null && r.k != null && r.k == l.k && r.rt <= l.lt)
         .sortBy(r => (r.rt, r.rv)).lastOption.map(r => (r.rt, r.rv))
     }.toMap
 
-  /** Reference model: earliest right at-or-after; (rt, rv) min on ties. */
+  /** Reference model: earliest right at-or-after; (rt, rv) min on ties;
+    * null keys on either side never match.
+    */
   private def modelForward(ls: Seq[L], rs: Seq[R]): Map[Long, Option[(Long, String)]] =
     ls.map { l =>
-      l.id -> rs.filter(r => r.k == l.k && r.rt >= l.lt)
+      l.id -> rs.filter(r => l.k != null && r.k != null && r.k == l.k && r.rt >= l.lt)
         .sortBy(r => (r.rt, r.rv)).headOption.map(r => (r.rt, r.rv))
     }.toMap
 

@@ -84,6 +84,36 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("null keys never match: null-key lefts get null, null-key rights are invisible") {
+    // SQL join semantics: null = null is never true — a null-key right
+    // row must not become the match for null-key left rows (the natural
+    // ordering and Window.partitionBy would otherwise pair them up).
+    val left = Seq((1L, Some("a"), 5L), (2L, None, 5L)).toDF("id", "k", "lt")
+    val right = Seq((Some("a"), 3L, "r3"), (None, 1L, "rnull"))
+      .toDF("k", "rt", "rv")
+    for (res <- Seq(
+        AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")),
+        AsOfJoin.backwardNative(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")),
+        AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv")))) {
+      val rows = res.orderBy("id").collect()
+      // non-null-key left still matches normally (backward forms)
+      assert(rows(0).isNullAt(4) || rows(0).getString(4) == "r3")
+      // the null-key left row matches nothing
+      assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+      // the null-key right row is never returned as a match
+      assert(rows.forall(r => r.isNullAt(4) || r.getString(4) != "rnull"))
+    }
+  }
+
+  test("unorderable payload types fail at construction with a clear message") {
+    val left = Seq((1L, "a", 5L)).toDF("id", "k", "lt")
+    val right = Seq(("a", 3L, Map("x" -> 1))).toDF("k", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardNative(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("orderable"))
+  }
+
   test("native operator equals the composed form on all scenarios") {
     // scenario fixtures from the composed tests
     val fixtures = Seq(

@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("excludeSelf=false keeps coinciding-id candidates for independent id spaces") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val q = e.filter(col("vec_id") < 5)
+    val withSelf = Similarity.lshTopK(e, q, k = 3, excludeSelf = false).collect()
+    // a query vector always lands in its own bucket with cosine 1.0:
+    // every query's rank-1 candidate is itself when self-matches stay
+    val rank1 = withSelf.filter(_.getInt(3) == 1)
+    assert(rank1.nonEmpty)
+    assert(rank1.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) === 1.0))
+    // and the default still drops them
+    val noSelf = Similarity.lshTopK(e, q, k = 3).collect()
+    assert(noSelf.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("probeBucketed over a partitioned layout equals lshTopK and prunes dynamically") {
     val e = graft.Tables.embeddings(spark, sf001)
     val out = java.nio.file.Files.createTempDirectory("graft_annidx").toString + "/idx"
@@ -59,8 +73,9 @@ class SimilaritySpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=b")))
     val q = e.filter(col("vec_id") < 20)
-    val probe = Similarity.probeBucketed(spark, out, q, k = 5)
-    val direct = Similarity.lshTopK(e, q, k = 5)
+    // broadcastQueries asserted: the DPP below rides the broadcast
+    val probe = Similarity.probeBucketed(spark, out, q, k = 5, broadcastQueries = true)
+    val direct = Similarity.lshTopK(e, q, k = 5, broadcastQueries = true)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(key(probe) === key(direct))
