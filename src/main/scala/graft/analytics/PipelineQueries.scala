@@ -1,0 +1,178 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.operators.TrainingData
+import org.apache.spark.sql.functions._
+
+/** Training-data curation queries (the tier above dedup in a pretraining
+  * pipeline): benchmark decontamination, repetition quality rules,
+  * boilerplate mining, deterministic mixture/stratified sampling,
+  * vocabulary statistics, and identifier masking. Every entry is DuckDB-
+  * oracled — the sampling ones lean on the same md5-bucket arithmetic the
+  * train/val/test split already pins cross-engine.
+  */
+object PipelineQueries {
+
+  /** Shared oracle fragment: the md5-derived bucket in [0,100) of a text
+    * expression — the SQL twin of [[graft.functions.TextFunctions.splitBucket]].
+    */
+  private def md5BucketSql(expr: String): String =
+    s"""CAST(list_sum([
+          (strpos('0123456789abcdef', substr(md5($expr), i + 1, 1)) - 1)
+            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % 100"""
+
+  /** Shared oracle fragment: distinct word n-gram shingles of `toks`. */
+  private def shingleSql(n: Int): String = {
+    val joins = (1 to n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"unnest(list_distinct([$joins FOR i IN range(greatest(len(toks) - ${n - 1}, 0))]))"
+  }
+
+  /** Benchmark decontamination: distinct word 4-grams of each test-split
+    * document that also occur in the train split (content-hash splits, so
+    * the report is reproducible across runs and engines). The gram join
+    * is the scale-defining stage — hash join on the gram key.
+    */
+  val decontaminate = Q("q_decontaminate",
+    (s, d) => TrainingData.decontaminate(documents(s, d), n = 4)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH b AS (SELECT doc_id, text, ${md5BucketSql("text")} AS bucket
+               FROM documents),
+             tg AS (SELECT DISTINCT ${shingleSql(4)} AS shingle
+               FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+                     FROM b WHERE bucket < 80)),
+             sg AS (SELECT doc_id, ${shingleSql(4)} AS shingle
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                     FROM b WHERE bucket >= 90)),
+             tot AS (SELECT doc_id, count(*) AS n_grams FROM sg GROUP BY 1),
+             hit AS (SELECT sg.doc_id, count(*) AS n_contaminated
+               FROM sg JOIN tg USING (shingle) GROUP BY 1)
+             SELECT tot.doc_id AS doc_id, n_grams,
+               coalesce(n_contaminated, 0) AS n_contaminated,
+               round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+                 AS contamination
+             FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+             ORDER BY tot.doc_id"""))
+
+  /** Repetition quality rules: most-frequent-token and most-frequent-
+    * 2-gram fractions per document, with a pass flag at the thresholds a
+    * published pretraining filter would use (calibrated to split this
+    * corpus non-trivially).
+    */
+  val repetition = Q("q_repetition",
+    (s, d) => TrainingData.repetitionStats(documents(s, d),
+        maxTopWordFrac = 0.10, maxTop2GramFrac = 0.04)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS gram
+              FROM documents WHERE length(trim(text)) > 0),
+            wc AS (SELECT doc_id, gram, count(*) AS c FROM toks GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                max(c) AS top FROM wc GROUP BY 1),
+            g2 AS (SELECT doc_id,
+                unnest([toks[i+1] || ' ' || toks[i+2]
+                        FOR i IN range(greatest(len(toks) - 1, 0))]) AS gram
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents)),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            g AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS tot2
+              FROM gc GROUP BY 1),
+            j AS (SELECT w.doc_id, w.n_tokens,
+                round(CAST(w.top AS DOUBLE) / w.n_tokens, 6) AS top_word_frac,
+                coalesce(round(CAST(g.top2 AS DOUBLE) / g.tot2, 6), 0.0)
+                  AS top_2gram_frac
+              FROM w LEFT JOIN g ON w.doc_id = g.doc_id)
+            SELECT doc_id, n_tokens, top_word_frac, top_2gram_frac,
+              (top_word_frac <= 0.10 AND top_2gram_frac <= 0.04) AS pass
+            FROM j ORDER BY doc_id"""))
+
+  /** Boilerplate mining: word 3-grams occurring in >= 5 distinct docs. */
+  val boilerplate = Q("q_boilerplate",
+    (s, d) => TrainingData.boilerplateNgrams(documents(s, d), n = 3, minDocs = 5L)
+      .orderBy(col("n_docs").desc, col("shingle")),
+    Some(s"""WITH sh AS (SELECT doc_id, ${shingleSql(3)} AS shingle
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                     FROM documents)),
+             c AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1)
+             SELECT shingle, n_docs FROM c WHERE n_docs >= 5
+             ORDER BY n_docs DESC, shingle"""))
+
+  /** Domain-mixture downsampling: per-source target rates (25/50/75/100%
+    * by source index) applied as a content-hash keep decision; the report
+    * compares realized vs target rates with kept-token accounting.
+    */
+  val domainMix = Q("q_domain_mix",
+    (s, d) => TrainingData.domainMixReport(documents(s, d),
+        src => (src.substr(lit(4), length(src)).cast("int") % 4 + 1) * 25)
+      .orderBy(col("source")),
+    Some(s"""WITH k AS (SELECT source,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) * 25 AS target_pct,
+               CASE WHEN ${md5BucketSql("source || ':' || text")}
+                    < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25
+                    THEN 1 ELSE 0 END AS keep,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                 AS n_tokens
+               FROM documents)
+             SELECT source, target_pct, count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS realized_rate,
+               CAST(sum(keep * n_tokens) AS BIGINT) AS tokens_kept
+             FROM k GROUP BY 1, 2 ORDER BY source"""))
+
+  /** Deterministic stratified sample: 5 docs per source, chosen by
+    * content-hash order (ties by doc_id) — reproducible across engines
+    * and partitionings, and WindowGroupLimit-friendly in the plan.
+    */
+  val stratifiedSample = Q("q_stratified_sample",
+    (s, d) => TrainingData.stratifiedSample(documents(s, d), "source", 5)
+      .orderBy(col("source"), col("rk")),
+    Some("""WITH r AS (SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+                AS rk
+              FROM documents)
+            SELECT source, doc_id, rk FROM r WHERE rk <= 5
+            ORDER BY source, rk"""))
+
+  /** Corpus vocabulary: top-30 tokens by occurrence count with document
+    * frequency and rank.
+    */
+  val vocabStats = Q("q_vocab_stats",
+    (s, d) => TrainingData.vocabStats(documents(s, d), topK = 30)
+      .orderBy(col("rank")),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT token, count(*) AS n_occurrences,
+                count(DISTINCT doc_id) AS n_docs
+              FROM toks GROUP BY 1),
+            r AS (SELECT token, n_occurrences, n_docs,
+                row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+              FROM c)
+            SELECT token, n_occurrences, n_docs, rank FROM r
+            WHERE rank <= 30 ORDER BY rank"""))
+
+  /** Identifier masking (PII-redaction shape): every digit of the
+    * customer name masked except the trailing 4 characters, plus the
+    * digit count — pure translate/substring, no regex engine.
+    */
+  val piiMask = Q("q_pii_mask",
+    (s, d) => customer(s, d).select(
+        col("c_custkey"),
+        TrainingData.maskDigits(col("c_name"), keep = 4).as("masked_id"),
+        (length(col("c_name")) -
+          length(translate(col("c_name"), "0123456789", ""))).cast("bigint")
+          .as("n_digits"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+              CASE WHEN length(c_name) <= 4 THEN c_name
+                   ELSE translate(substr(c_name, 1, length(c_name) - 4),
+                          '0123456789', '##########')
+                        || substr(c_name, length(c_name) - 3, 4) END AS masked_id,
+              CAST(length(c_name)
+                   - length(translate(c_name, '0123456789', '')) AS BIGINT)
+                AS n_digits
+            FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
+    stratifiedSample, vocabStats, piiMask)
+}

