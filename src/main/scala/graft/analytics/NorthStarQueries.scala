@@ -18,7 +18,7 @@ object NorthStarQueries {
   /** Subset predicate used by the quadratic ops (pair joins stay bounded
     * at every scale factor; production path is LSH-first anyway).
     */
-  private val docSubset = col("doc_id") % 10 === 0
+  private[analytics] val docSubset = col("doc_id") % 10 === 0
 
   // --- text analysis ------------------------------------------------------
 
@@ -107,14 +107,14 @@ object NorthStarQueries {
             count(*) AS n_copies FROM documents
             GROUP BY 1 ORDER BY text_hash"""))
 
-  /** X2 ground truth: exact word-3-gram Jaccard pairs over a doc subset. */
-  val jaccardPairs = Q("q_jaccard_pairs",
-    (s, d) => Dedup.jaccardPairs(
-      documents(s, d).filter(docSubset), "text", "doc_id", n = 3, threshold = 0.2)
-      .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH docs AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-              FROM documents WHERE doc_id % 10 = 0),
+  /** Shared oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/
+    * `sizes`/`inter`) over a doc selection — used by q_jaccard_pairs and
+    * q_dedup_components so the pair semantics cannot drift between them.
+    */
+  private[analytics] def jaccardSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
+    s"""docs AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents $where),
             sh AS (
               SELECT DISTINCT doc_id,
                 unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
@@ -124,7 +124,14 @@ object NorthStarQueries {
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+              GROUP BY 1, 2)"""
+
+  /** X2 ground truth: exact word-3-gram Jaccard pairs over a doc subset. */
+  val jaccardPairs = Q("q_jaccard_pairs",
+    (s, d) => Dedup.jaccardPairs(
+      documents(s, d).filter(docSubset), "text", "doc_id", n = 3, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH ${jaccardSqlCtes()}
             SELECT id_a, id_b, inter,
                    round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.doc_id
@@ -147,7 +154,7 @@ object NorthStarQueries {
     * relation `(doc_id, toks)` named `gtoks`. Used by q_minhash_md5 and
     * q_corpus_prep_md5 so the LSH replay cannot drift between them.
     */
-  private def md5LshSqlCtes(maxBucketSize: Int = 1000): String = {
+  private[analytics] def md5LshSqlCtes(maxBucketSize: Int = 1000): String = {
     val P = Dedup.minhashModulus
     val numHashes = 16
     val bands = 8
@@ -185,6 +192,32 @@ object NorthStarQueries {
             WHERE st.bsz <= $maxBucketSize OR a.doc_id = st.rep
             GROUP BY 1, 2)"""
   }
+
+  /** Shared oracle fragment: exact string-shingle Jaccard confirm of the
+    * md5-LSH candidate `pairs` (the SQL twin of
+    * [[graft.operators.Dedup.jaccardOnCandidatesStrings]], zero-guard
+    * included) → `jedges(id_a, id_b)` at the given threshold. Used by
+    * q_corpus_prep_md5 (drop set) and q_dedup_components (cluster edges)
+    * so the confirm semantics cannot drift between them.
+    */
+  private[analytics] def md5ConfirmedEdgesSqlCtes(threshold: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM pairs p
+            JOIN shs a ON p.id_a = a.doc_id
+            JOIN shs b ON p.id_b = b.doc_id AND a.shingle = b.shingle
+            GROUP BY 1, 2),
+          conf AS (SELECT p.id_a, p.id_b,
+              coalesce(i.inter, 0) AS inter,
+              coalesce(sa.sz, 0) AS sz_a, coalesce(sb.sz, 0) AS sz_b
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            LEFT JOIN sizes sa ON p.id_a = sa.doc_id
+            LEFT JOIN sizes sb ON p.id_b = sb.doc_id),
+          jedges AS (SELECT id_a, id_b FROM conf
+            WHERE (CASE WHEN sz_a + sz_b - inter = 0 THEN 0.0
+                        ELSE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) END)
+                  >= $threshold)"""
 
   /** X2, fully oracled: the md5-variant MinHash+LSH candidates —
     * DuckDB replays shingling, the md5-prefix hash, all 16 permutations,
@@ -515,22 +548,8 @@ object NorthStarQueries {
           gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                     FROM gated),
           ${md5LshSqlCtes()},
-          sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
-          inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
-            FROM pairs p
-            JOIN shs a ON p.id_a = a.doc_id
-            JOIN shs b ON p.id_b = b.doc_id AND a.shingle = b.shingle
-            GROUP BY 1, 2),
-          conf AS (SELECT p.id_a, p.id_b,
-              coalesce(i.inter, 0) AS inter,
-              coalesce(sa.sz, 0) AS sz_a, coalesce(sb.sz, 0) AS sz_b
-            FROM pairs p
-            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
-            LEFT JOIN sizes sa ON p.id_a = sa.doc_id
-            LEFT JOIN sizes sb ON p.id_b = sb.doc_id),
-          drops AS (SELECT DISTINCT id_b AS doc_id FROM conf
-            WHERE (CASE WHEN sz_a + sz_b - inter = 0 THEN 0.0
-                        ELSE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) END) >= 0.6),
+          ${md5ConfirmedEdgesSqlCtes(0.6)},
+          drops AS (SELECT DISTINCT id_b AS doc_id FROM jedges),
           surv AS (SELECT g.* FROM gated g
             LEFT JOIN drops d ON g.doc_id = d.doc_id
             WHERE d.doc_id IS NULL)

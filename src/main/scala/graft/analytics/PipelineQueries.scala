@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** Shared oracle fragment: the md5-derived bucket in [0,100) of a text
+  /** Shared oracle fragment: the md5-derived bucket in [0,mod) of a text
     * expression — the SQL twin of [[graft.functions.TextFunctions.splitBucket]].
     */
-  private def md5BucketSql(expr: String): String =
+  private def md5BucketSql(expr: String, mod: Int = 100): String =
     s"""CAST(list_sum([
           (strpos('0123456789abcdef', substr(md5($expr), i + 1, 1)) - 1)
-            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % 100"""
+            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $mod"""
 
   /** Shared oracle fragment: distinct word n-gram shingles of `toks`. */
   private def shingleSql(n: Int): String = {
@@ -173,6 +173,116 @@ object PipelineQueries {
                 AS n_digits
             FROM customer ORDER BY c_custkey"""))
 
+  /** Near-dup cluster resolution: connected components over the LSH-
+    * candidate pairs confirmed by exact Jaccard (min reachable doc_id as
+    * the component representative) — pairwise drop-the-larger
+    * under-deletes when clusters chain; this is the transitive-closure-
+    * correct form, built LSH-first because an exact all-pairs edge list
+    * is quadratic in the corpus (measured 16 s vs ~4 s at sf0.1). The
+    * oracle replays the full chain — md5 LSH, string-shingle confirm,
+    * then the closure as a recursive CTE.
+    */
+  val dedupComponents = Q("q_dedup_components",
+    (s, d) => {
+      import graft.operators.{Dedup, TrainingData}
+      val docs = documents(s, d)
+      val candidates = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val edges = Dedup.jaccardOnCandidatesStrings(candidates, docs,
+          "text", "doc_id", n = 3)
+        .filter(col("jaccard") >= 0.2).select(col("id_a"), col("id_b"))
+      TrainingData.connectedComponents(docs.select(col("doc_id")), edges)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE gtoks AS (
+               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+             ${NorthStarQueries.md5LshSqlCtes()},
+             ${NorthStarQueries.md5ConfirmedEdgesSqlCtes(0.2)},
+             sym AS (SELECT id_a AS a, id_b AS b FROM jedges
+                     UNION SELECT id_b, id_a FROM jedges),
+             reach(a, b) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+             SELECT a AS doc_id, min(b) AS component
+             FROM reach GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Training-sequence packing: content-hash-ordered concat within hash
+    * buckets, chunked into 256-token sequences; per-sequence accounting.
+    */
+  val packSequences = Q("q_pack_sequences",
+    (s, d) => TrainingData.packSequences(documents(s, d), seqLen = 256,
+        buckets = 8)
+      .orderBy(col("seq_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+               ${md5BucketSql("text", 8)} AS bucket,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                 AS n_tokens
+               FROM documents),
+             f AS (SELECT doc_id, bucket, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bucket
+                   ORDER BY md5(text), doc_id) AS cum
+               FROM t WHERE n_tokens > 0),
+             sq AS (SELECT bucket * 1000000
+                   + CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+                 n_tokens FROM f)
+             SELECT seq_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+             FROM sq GROUP BY 1 ORDER BY seq_id"""))
+
+  /** TF-IDF top terms per document (log-free `tf * N/df` score — IEEE
+    * multiply/divide of exact integers is bit-identical across engines,
+    * a libm `ln` is not).
+    */
+  val tfidf = Q("q_tfidf",
+    (s, d) => TrainingData.tfidfTopTerms(documents(s, d), topPerDoc = 3)
+      .orderBy(col("doc_id"), col("rk")),
+    Some("""WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs_total FROM toks),
+            scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                round(tf.tf * (CAST(n.n_docs_total AS DOUBLE) / df.df), 6)
+                  AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rk FROM scored)
+            SELECT doc_id, token, tf, df, score, rk FROM r
+            WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** Discrete-quantile length gate: drop docs outside the [p5, p95]
+    * token-count band, report survivors per stored language.
+    */
+  val lengthGate = Q("q_length_gate",
+    (s, d) => TrainingData.lengthGate(documents(s, d))
+      .orderBy(col("lang")),
+    Some("""WITH c AS (SELECT doc_id, lang,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                  AS n_tokens
+              FROM documents),
+            f AS (SELECT n_tokens, count(*) AS cnt FROM c GROUP BY 1),
+            cu AS (SELECT n_tokens,
+                sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM f),
+            t AS (SELECT count(*) AS n_total FROM c),
+            b AS (SELECT
+                min(CASE WHEN cum >= CAST(0.05 AS DOUBLE) * n_total
+                    THEN n_tokens END) AS lo,
+                min(CASE WHEN cum >= CAST(0.95 AS DOUBLE) * n_total
+                    THEN n_tokens END) AS hi
+              FROM cu CROSS JOIN t)
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              min(lo) AS lo, min(hi) AS hi
+            FROM c CROSS JOIN b
+            WHERE n_tokens >= lo AND n_tokens <= hi
+            GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
-    stratifiedSample, vocabStats, piiMask)
+    stratifiedSample, vocabStats, piiMask, dedupComponents, packSequences,
+    tfidf, lengthGate)
 }

@@ -215,6 +215,153 @@ object TrainingData {
       .filter(col("rank") <= topK)
   }
 
+  // --- dedup cluster resolution -------------------------------------------
+
+  /** Connected components over an undirected edge list: every node gets
+    * the minimum node id reachable from it. This is the cluster-
+    * resolution step a near-dedup pipeline runs after pair confirmation —
+    * pairwise drop-the-larger-id under-deletes when clusters chain
+    * (a~b, b~c but not a~c), while a component representative is
+    * transitive-closure-correct.
+    *
+    * Min-label propagation: each iteration joins labels across edges and
+    * takes the neighborhood minimum, converging in graph-diameter
+    * iterations — near-dup clusters are near-cliques, so 2-3 in practice.
+    * Each iteration `localCheckpoint`s the labels, cutting lineage so the
+    * plan doesn't grow exponentially (at 100 TB this is a parquet
+    * checkpoint, and the large-star/small-star variant bounds diameter
+    * for adversarial chain graphs).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only edge endpoints can ever change labels — iterate on that (much
+    // smaller) subgraph and union the untouched nodes back at the end,
+    // so each loop stage moves O(edges), not O(corpus).
+    val touched = sym.select(col("src").as("id")).distinct()
+    var labels = touched.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), labels("component"),
+          least(labels("component"), coalesce(col("nbr_min"), labels("component")))
+            .as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") < col("component")).count()
+      labels = updated.select(col("id"), col("next").as("component"))
+      iter += 1
+    }
+    sym.unpersist()
+    val untouched = nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(untouched).select(col("id").as(idCol), col("component"))
+  }
+
+  // --- sequence packing ----------------------------------------------------
+
+  /** Training-sequence packing plan: documents are concatenated in
+    * content-hash order within hash buckets and chunked into fixed
+    * `seqLen`-token sequences (a doc belongs to the sequence its first
+    * token lands in). Returns per-sequence doc and token counts.
+    *
+    * The running-total window partitions by the hash bucket, so
+    * parallelism is the bucket count and no global sort ever happens —
+    * the shape that packs a 100 TB corpus without a single-partition
+    * cumsum. Bucketing by content hash also makes the packing
+    * reproducible across runs and engines.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 256, buckets: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs
+      .select(col(idCol), col(textCol),
+        TF.splitBucket(col(textCol), buckets).as("bucket"),
+        TF.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", col("bucket") * 1000000L +
+        floor((col("cum") - col("n_tokens")) / seqLen).cast("bigint"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+  }
+
+  // --- TF-IDF --------------------------------------------------------------
+
+  /** Top `topPerDoc` terms per document by a log-free TF-IDF variant:
+    * `tf * (N / df)` — multiplication and division of exact integers are
+    * correctly-rounded IEEE doubles, so the score is bit-identical across
+    * engines (a `ln`-based IDF would be libm-dependent). The corpus size
+    * N rides in via a broadcast cross join (no driver-side `.head()`),
+    * and the per-doc rank window partitions by doc — parallel in the
+    * number of documents.
+    */
+  def tfidfTopTerms(docs: DataFrame, topPerDoc: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = toks.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs_total"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * (col("n_docs_total").cast("double") / col("df")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topPerDoc)
+  }
+
+  // --- percentile length gate ----------------------------------------------
+
+  /** Length gate at discrete token-count quantiles: documents whose token
+    * count falls outside [pLow, pHigh] (smallest value whose cumulative
+    * frequency reaches the quantile) are dropped, and the report counts
+    * survivors per stored language. Discrete rank — not interpolated
+    * `percentile` — because an interpolated bound one ulp apart between
+    * engines would flip documents sitting exactly on an integer boundary.
+    *
+    * The quantile runs over the token-count FREQUENCY table (cardinality
+    * = distinct lengths, tiny at any corpus size), so the global cumsum
+    * window is a post-aggregation no-op and the corpus itself is only
+    * scanned, never shuffled — the bounds ride back over the scan as a
+    * broadcast.
+    */
+  def lengthGate(docs: DataFrame, pLow: Double = 0.05, pHigh: Double = 0.95,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val counted = docs.select(col(idCol), col(langCol),
+      TF.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+    val freq = counted.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val cum = freq.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("n_tokens"))))
+    val total = counted.agg(count(lit(1)).as("n_total"))
+    val bounds = cum.crossJoin(broadcast(total)).agg(
+      min(when(col("cum") >= lit(pLow) * col("n_total"), col("n_tokens")))
+        .as("lo"),
+      min(when(col("cum") >= lit(pHigh) * col("n_total"), col("n_tokens")))
+        .as("hi"))
+    counted.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+  }
+
   // --- identifier masking --------------------------------------------------
 
   /** Mask every digit except the trailing `keep` characters of an

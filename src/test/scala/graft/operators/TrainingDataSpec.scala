@@ -109,6 +109,89 @@ class TrainingDataSpec extends SparkSpec {
     assert(none.forall(_.getAs[Long]("tokens_kept") === 0L))
   }
 
+  test("connectedComponents resolves a chain transitively to the min id") {
+    // a~b and b~c but NOT a~c: pairwise drop logic misses (a,c);
+    // component resolution must put all three in component 1.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = TrainingData.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents handles empty edge sets and long chains") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    val none = TrainingData.connectedComponents(nodes, Seq.empty[(Long, Long)]
+      .toDF("id_a", "id_b")).collect()
+    assert(none.forall(r => r.getLong(0) === r.getLong(1)))
+    // an 8-node path needs ceil(log) > 1 iterations — exercises the loop
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TrainingData.connectedComponents(nodes, chain).collect()
+    assert(got.forall(_.getLong(1) === 1L))
+  }
+
+  test("packSequences chunks the token stream per bucket deterministically") {
+    // Single bucket (buckets=1): all docs in hash order; seqLen 10.
+    val ds = Seq(
+      (1L, "a a a a a a"), // 6 tokens
+      (2L, "b b b b b b"), // 6 tokens
+      (3L, "c c"),         // 2 tokens
+    ).toDF("doc_id", "text")
+    val got = TrainingData.packSequences(ds, seqLen = 10, buckets = 1)
+      .orderBy("seq_id").collect()
+    // total 14 tokens -> sequences 0 and 1; doc boundaries depend on md5
+    // order, but totals must conserve tokens and every doc lands once
+    assert(got.map(_.getLong(2)).sum === 14L)
+    assert(got.map(_.getLong(1)).sum === 3L)
+    assert(got.forall(_.getLong(0) < 1000000L)) // all in bucket 0
+    // determinism across partitionings
+    val again = TrainingData.packSequences(ds.repartition(5), seqLen = 10,
+      buckets = 1).orderBy("seq_id").collect()
+    assert(got.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("packSequences assigns a doc to the sequence its first token lands in") {
+    // One doc per bucket impossible to force; instead verify the
+    // arithmetic on a single 25-token doc with seqLen 10: starts at 0 ->
+    // sequence 0 despite spanning three windows.
+    val one = Seq((1L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = TrainingData.packSequences(one, seqLen = 10, buckets = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) % 1000000L === 0L)
+    assert(got(0).getLong(2) === 25L)
+  }
+
+  test("tfidfTopTerms scores tf * N/df and ranks per doc") {
+    val ds = Seq(
+      (1L, "x x x y"),   // tf(x)=3, df(x)=1, N=2 -> score 6.0
+      (2L, "y y z"),     // y appears in both docs: df(y)=2
+    ).toDF("doc_id", "text")
+    val got = TrainingData.tfidfTopTerms(ds, topPerDoc = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got((1L, "x")).getAs[Double]("score") === 6.0) // 3 * 2/1
+    assert(got((1L, "x")).getAs[Int]("rk") === 1)
+    assert(got((1L, "y")).getAs[Double]("score") === 1.0) // 1 * 2/2
+    assert(got((2L, "z")).getAs[Double]("score") === 2.0) // 1 * 2/1
+    assert(got((2L, "y")).getAs[Double]("score") === 2.0) // 2 * 2/2
+    // tie at 2.0 in doc 2: token order breaks it -> y before z
+    assert(got((2L, "y")).getAs[Int]("rk") === 1)
+    assert(got((2L, "z")).getAs[Int]("rk") === 2)
+  }
+
+  test("lengthGate drops docs outside the discrete quantile band") {
+    // 10 docs with token counts 1..10; p05 -> lo = 1 (cum 1 >= 0.5),
+    // p95 -> hi = 10 (cum 10 >= 9.5); band keeps everything here, so
+    // tighten: pLow=0.25 -> lo = 3 (cum 3 >= 2.5), pHigh=0.75 -> hi = 8.
+    val ds = (1 to 10).map(i => (i.toLong, Seq.fill(i)("t").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TrainingData.lengthGate(ds, pLow = 0.25, pHigh = 0.75).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("lo") === 3L)
+    assert(got(0).getAs[Long]("hi") === 8L)
+    assert(got(0).getAs[Long]("n_docs") === 6L) // counts 3,4,5,6,7,8
+    assert(got(0).getAs[Long]("total_tokens") === 33L)
+  }
+
   test("maskDigits hides all digits except the kept tail") {
     val got = Seq("Customer#000000042", "ab1", "12345")
       .toDF("s")
