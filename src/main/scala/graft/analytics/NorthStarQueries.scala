@@ -18,7 +18,19 @@ object NorthStarQueries {
   /** Subset predicate used by the quadratic ops (pair joins stay bounded
     * at every scale factor; production path is LSH-first anyway).
     */
-  private[analytics] val docSubset = col("doc_id") % 10 === 0
+  private val docSubset = col("doc_id") % 10 === 0
+
+  /** Shared oracle fragment: the md5-derived bucket in [0,mod) of a text
+    * expression — the SQL twin of
+    * [[graft.functions.TextFunctions.splitBucket]] (and, at mod =
+    * [[graft.operators.Dedup.minhashModulus]], of the md5 shingle hash).
+    * One definition so the train/val/test split, the decontamination
+    * split, the mixture sampler, and the LSH hash can never drift apart.
+    */
+  private[analytics] def md5BucketSql(expr: String, mod: Long = 100L): String =
+    s"""CAST(list_sum([
+          (strpos('0123456789abcdef', substr(md5($expr), i + 1, 1)) - 1)
+            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $mod"""
 
   // --- text analysis ------------------------------------------------------
 
@@ -107,14 +119,15 @@ object NorthStarQueries {
             count(*) AS n_copies FROM documents
             GROUP BY 1 ORDER BY text_hash"""))
 
-  /** Shared oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/
-    * `sizes`/`inter`) over a doc selection — used by q_jaccard_pairs and
-    * q_dedup_components so the pair semantics cannot drift between them.
+  /** Oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/`sizes`/
+    * `inter`) over the doc subset, feeding q_jaccard_pairs' final select.
+    * (q_dedup_components replays the LSH-first chain instead — see
+    * [[md5LshSqlCtes]]/[[md5ConfirmedEdgesSqlCtes]].)
     */
-  private[analytics] def jaccardSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
+  private def jaccardSqlCtes(): String =
     s"""docs AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              FROM documents $where),
+              FROM documents WHERE doc_id % 10 = 0),
             sh AS (
               SELECT DISTINCT doc_id,
                 unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
@@ -172,9 +185,7 @@ object NorthStarQueries {
                             FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
                   FROM gtoks),
           h AS (SELECT doc_id,
-                  CAST(list_sum([
-                    (strpos('0123456789abcdef', substr(md5(shingle), i + 1, 1)) - 1)
-                      * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $P AS h
+                  ${md5BucketSql("shingle", P)} AS h
                 FROM shs),
           sig AS (SELECT doc_id,
                 $minCols
@@ -274,13 +285,11 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("split"))
     },
-    Some("""WITH h AS (
+    Some(s"""WITH h AS (
               SELECT doc_id,
-                CAST(list_sum([
-                  (strpos('0123456789abcdef', substr(md5(text), i + 1, 1)) - 1)
-                    * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % 100 AS bucket,
+                ${md5BucketSql("text")} AS bucket,
                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
                   AS n_tokens
               FROM documents)
             SELECT CASE WHEN bucket < 80 THEN 'train'

@@ -13,13 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** Shared oracle fragment: the md5-derived bucket in [0,mod) of a text
-    * expression — the SQL twin of [[graft.functions.TextFunctions.splitBucket]].
+  /** The md5-bucket oracle fragment lives in [[NorthStarQueries.md5BucketSql]]
+    * — one definition shared with the train/val/test split and the LSH
+    * hash so the bucket arithmetic can never drift between consumers.
     */
-  private def md5BucketSql(expr: String, mod: Int = 100): String =
-    s"""CAST(list_sum([
-          (strpos('0123456789abcdef', substr(md5($expr), i + 1, 1)) - 1)
-            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $mod"""
+  private def md5BucketSql(expr: String, mod: Long = 100L): String =
+    NorthStarQueries.md5BucketSql(expr, mod)
 
   /** Shared oracle fragment: distinct word n-gram shingles of `toks`. */
   private def shingleSql(n: Int): String = {
@@ -225,7 +224,7 @@ object PipelineQueries {
                  sum(n_tokens) OVER (PARTITION BY bucket
                    ORDER BY md5(text), doc_id) AS cum
                FROM t WHERE n_tokens > 0),
-             sq AS (SELECT bucket * 1000000
+             sq AS (SELECT bucket * 1099511627776
                    + CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
                  n_tokens FROM f)
              SELECT seq_id, count(*) AS n_docs,

@@ -108,14 +108,22 @@ object TrainingData {
           col("total"),
           round(col("top").cast("double") / col("total"), 6).as(fracName))
 
+    // One tokenize/explode feeds both granularities: the 1-gram counts
+    // and the lead()-formed 2-grams ride the same exploded frame (and
+    // the same doc-keyed shuffle), instead of scanning the corpus twice.
     val toks = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("gram"))
-    val words = topFrac(toks, "top_word_frac")
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val words = topFrac(toks.select(col("doc_id"), col("tok").as("gram")),
+        "top_word_frac")
       .withColumnRenamed("total", "n_tokens")
-    val grams2 = shingleRows(docs, textCol, idCol, 2)
-      .withColumnRenamed("shingle", "gram")
+    val wNext = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val nextTok = lead(col("tok"), 1).over(wNext)
+    val grams2 = toks
+      .select(col("doc_id"), concat_ws(" ", col("tok"), nextTok).as("gram"),
+        nextTok.isNotNull.as("_full"))
+      .filter(col("_full")).drop("_full")
     val two = topFrac(grams2, "top_2gram_frac").drop("total")
 
     words.join(two, Seq("doc_id"), "left")
@@ -209,10 +217,14 @@ object TrainingData {
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
+    // Distributed top-k (TakeOrderedAndProject) FIRST; the rank window
+    // then orders only the topK survivors — an unpartitioned window over
+    // the full vocabulary would single-partition-sort the entire token
+    // inventory (huge at corpus scale: ids, typos, hashes).
+    val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(topK)
     val w = Window.orderBy(col("n_occurrences").desc, col("token"))
-    counts.select(col("token"), col("n_occurrences"), col("n_docs"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= topK)
+    top.select(col("token"), col("n_occurrences"), col("n_docs"),
+      row_number().over(w).as("rank"))
   }
 
   // --- dedup cluster resolution -------------------------------------------
@@ -258,6 +270,15 @@ object TrainingData {
       iter += 1
     }
     sym.unpersist()
+    // Min-label propagation moves a label one hop per iteration, so a
+    // chain longer than maxIter exits unconverged — and a silently wrong
+    // component labeling under-deletes downstream. Fail loudly; callers
+    // with adversarial chain graphs should raise maxIter (or switch to a
+    // large-star/small-star variant whose round count is logarithmic).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter")
     val untouched = nodes.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
@@ -287,7 +308,11 @@ object TrainingData {
         TF.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("seq_id", col("bucket") * 1000000L +
+      // 2^40 spacing between buckets: a bucket would need >2^40 sequences
+      // (~2.8e14 tokens at seqLen=256) before chunk indexes could collide
+      // with the next bucket's id range — safe headroom at 100 TB, where
+      // the earlier 10^6 spacing overflowed at ~1.5 GB of text per bucket.
+      .withColumn("seq_id", col("bucket") * (1L << 40) +
         floor((col("cum") - col("n_tokens")) / seqLen).cast("bigint"))
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))

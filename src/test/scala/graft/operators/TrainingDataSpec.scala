@@ -124,10 +124,20 @@ class TrainingDataSpec extends SparkSpec {
     val none = TrainingData.connectedComponents(nodes, Seq.empty[(Long, Long)]
       .toDF("id_a", "id_b")).collect()
     assert(none.forall(r => r.getLong(0) === r.getLong(1)))
-    // an 8-node path needs ceil(log) > 1 iterations — exercises the loop
+    // an 8-node path has diameter 7 — min-label propagation needs one
+    // iteration per hop, exercising several loop rounds
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = TrainingData.connectedComponents(nodes, chain).collect()
     assert(got.forall(_.getLong(1) === 1L))
+  }
+
+  test("connectedComponents fails loudly instead of returning non-converged labels") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      TrainingData.connectedComponents(nodes, chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("packSequences chunks the token stream per bucket deterministically") {
@@ -143,7 +153,7 @@ class TrainingDataSpec extends SparkSpec {
     // order, but totals must conserve tokens and every doc lands once
     assert(got.map(_.getLong(2)).sum === 14L)
     assert(got.map(_.getLong(1)).sum === 3L)
-    assert(got.forall(_.getLong(0) < 1000000L)) // all in bucket 0
+    assert(got.forall(_.getLong(0) < (1L << 40))) // all in bucket 0
     // determinism across partitionings
     val again = TrainingData.packSequences(ds.repartition(5), seqLen = 10,
       buckets = 1).orderBy("seq_id").collect()
@@ -157,7 +167,7 @@ class TrainingDataSpec extends SparkSpec {
     val one = Seq((1L, Seq.fill(25)("w").mkString(" "))).toDF("doc_id", "text")
     val got = TrainingData.packSequences(one, seqLen = 10, buckets = 1).collect()
     assert(got.length === 1)
-    assert(got(0).getLong(0) % 1000000L === 0L)
+    assert(got(0).getLong(0) % (1L << 40) === 0L)
     assert(got(0).getLong(2) === 25L)
   }
 
