@@ -281,7 +281,34 @@ object PipelineQueries {
             WHERE n_tokens >= lo AND n_tokens <= hi
             GROUP BY lang ORDER BY lang"""))
 
+  /** UDAF surface: exact top-3 tokens per stored language via the typed
+    * [[graft.functions.TopKByCountAggregator]] — one shuffle of map-side-
+    * aggregated value→count maps, vs the two shuffles of the equivalent
+    * groupBy + rank-window plan (which the oracle replays).
+    */
+  val udafTopTokens = Q("q_udaf_top_tokens",
+    (s, d) => {
+      import graft.functions.TopKByCountAggregator.topKByCount
+      val toks = documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      toks.groupBy(col("lang"))
+        .agg(topKByCount(3)(col("token")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rk"),
+          col("col.value").as("token"), col("col.n").as("n"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""WITH toks AS (SELECT lang,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0),
+            c AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                ORDER BY n DESC, token) AS rk FROM c)
+            SELECT lang, CAST(rk AS BIGINT) AS rk, token, n FROM r
+            WHERE rk <= 3 ORDER BY lang, rk"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents, packSequences,
-    tfidf, lengthGate)
+    tfidf, lengthGate, udafTopTokens)
 }
