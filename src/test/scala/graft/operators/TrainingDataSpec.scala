@@ -202,6 +202,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(0).getAs[Long]("total_tokens") === 33L)
   }
 
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("vocabStats plan takes the distributed top-k before the rank window") {
+    val plan = executedPlan(TrainingData.vocabStats(docs, topK = 2))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("stratifiedSample plan pushes the rank filter into WindowGroupLimit") {
+    val plan = executedPlan(TrainingData.stratifiedSample(docs, "source", 2))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("tfidf plan broadcasts the corpus-size aggregate and group-limits the rank") {
+    val plan = executedPlan(TrainingData.tfidfTopTerms(docs, topPerDoc = 2))
+    assert(plan.contains("BroadcastExchange"))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("packSequences plan partitions the cumsum window by bucket, never globally") {
+    val plan = executedPlan(TrainingData.packSequences(docs, seqLen = 10, buckets = 4))
+    assert(plan.contains("hashpartitioning(bucket"))
+    // a global cumsum would show as a single-partition sort window
+    assert(!plan.contains("SinglePartition"))
+  }
+
   test("maskDigits hides all digits except the kept tail") {
     val got = Seq("Customer#000000042", "ab1", "12345")
       .toDF("s")
