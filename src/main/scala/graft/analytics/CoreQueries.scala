@@ -515,6 +515,24 @@ object CoreQueries {
             UNION ALL SELECT 'revenue_positive', v_rev, n_rows FROM t
             ORDER BY check_name"""))
 
+  /** Column-profile discovery over lineitem: per-column null and exact
+    * distinct counts in one scan ([[graft.operators.DataQuality.profile]])
+    * — the step that precedes writing audit checks.
+    */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+    "l_shipdate")
+
+  val profileLineitem = Q("q_profile",
+    (s, d) => graft.operators.DataQuality.profile(li(s, d), profileCols)
+      .orderBy(col("column_name")),
+    Some(profileCols.map(c =>
+        s"""SELECT '$c' AS column_name,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            count(*) AS n_rows FROM lineitem""")
+      .mkString("", "\nUNION ALL ", "\nORDER BY column_name")))
+
   /** Skew-salted join through the oracle gate: the salted plan must equal
     * the plain join exactly (the oracle IS the plain join), while fanning
     * any hot part key over saltFactor reducers.
@@ -601,7 +619,7 @@ object CoreQueries {
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
-    rowHash, jsonExtract, dataQuality, skewJoin, csvRoundtrip,
+    rowHash, jsonExtract, dataQuality, profileLineitem, skewJoin, csvRoundtrip,
     parquetRoundtrip, orcRoundtrip, sqlInterface, sqlCosine,
     approxDistinctParts)
 }

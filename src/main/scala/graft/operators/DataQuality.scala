@@ -33,6 +33,30 @@ object DataQuality {
       .select(col("_c.check_name"), col("_c.n_violations"), col("n_rows"))
   }
 
+  /** Single-pass per-column profile: null count and exact distinct count
+    * for each named column, plus the row count — the discovery step that
+    * precedes writing [[audit]] checks. One `agg` call; Spark plans the
+    * multiple exact distincts as one scan with an Expand (one duplicate
+    * of each row per profiled column), which is the exact-answer
+    * tradeoff — swap `count_distinct` for `approx_count_distinct` when
+    * profiling very wide tables at full scale, where ±2% is fine and the
+    * Expand multiplier is not.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"_n_$c"),
+      count_distinct(col(c)).as(s"_d_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("column_name"),
+          col(s"_n_$c").as("n_nulls"),
+          col(s"_d_$c").as("n_distinct"))): _*)).as("_c"),
+        col("n_rows"))
+      .select(col("_c.column_name"), col("_c.n_nulls"),
+        col("_c.n_distinct"), col("n_rows"))
+  }
+
   /** Gate form: fail fast (throw) if any check has violations — the
     * behavior a scheduled load wants instead of silently publishing.
     */

@@ -38,6 +38,27 @@ class TopKByCountAggregatorSpec extends SparkSpec {
     assert(run(rows) === run(rows.repartition(7)))
   }
 
+  test("works as a streaming aggregate: incremental batches equal the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(String, String)]
+    val agg = stream.toDF().toDF("g", "v")
+      .groupBy($"g").agg(topKByCount(2)($"v").as("top"))
+    val q = agg.writeStream.format("memory").queryName("t_udaf_topk")
+      .outputMode("complete").start()
+    val data = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"))
+    val late = Seq(("g1", "b"), ("g1", "b"), ("g2", "x"))
+    stream.addData(data)
+    q.processAllAvailable()
+    stream.addData(late) // b overtakes a only after the second batch
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_udaf_topk")
+    val batch = (data ++ late).toDF("g", "v")
+      .groupBy($"g").agg(topKByCount(2)($"v").as("top"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("null inputs are ignored, not counted") {
     val withNulls = Seq(("g", Some("a")), ("g", None), ("g", Some("a")))
       .toDF("g", "v")

@@ -41,6 +41,20 @@ class DataQualitySpec extends SparkSpec {
     assert(got.head.getLong(2) === 0L)
   }
 
+  test("profile reports per-column nulls, exact distincts, and row count") {
+    import spark.implicits._
+    val p = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b")),
+    ).toDF("x", "y")
+    val got = DataQuality.profile(p, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("x").getLong(1) === 1L) // one null x
+    assert(got("x").getLong(2) === 2L) // distinct {1, 2}
+    assert(got("y").getLong(1) === 1L)
+    assert(got("y").getLong(2) === 2L) // distinct {a, b}
+    assert(got.values.forall(_.getLong(3) === 4L))
+  }
+
   test("enforce throws on violations, passes on clean data") {
     DataQuality.enforce(df, Seq(DataQuality.Check("id_range", col("id").between(1, 10))))
     val ex = intercept[IllegalStateException] {
