@@ -515,6 +515,42 @@ object CoreQueries {
             UNION ALL SELECT 'revenue_positive', v_rev, n_rows FROM t
             ORDER BY check_name"""))
 
+  /** Point-in-interval range join via the bucketed scale path
+    * ([[graft.operators.RangeJoin.pointInInterval]]): orders assigned to
+    * quarter windows by containment, NOT by a nested-loop BETWEEN join —
+    * the shape that survives when both sides are too big to broadcast.
+    * 32-day buckets ≈ 4 buckets per quarter interval.
+    */
+  val rangeJoin = Q("q_range_join",
+    (s, d) => {
+      val pts = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        unix_date(to_date(col("o_orderdate"))).as("day"))
+      val iv = ord(s, d)
+        .select(to_date(date_trunc("quarter", col("o_orderdate"))).as("q_start"))
+        .distinct()
+        .select(col("q_start"),
+          unix_date(col("q_start")).as("s_day"),
+          (unix_date(add_months(col("q_start"), 3)) - 1).as("e_day"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, iv, "day", "s_day", "e_day", bucketWidth = 32L)
+        .groupBy(col("q_start"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("q_start"))
+    },
+    Some(s"""WITH pts AS (SELECT o_orderkey, o_totalprice,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+               FROM orders),
+             qs AS (SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                 AS q_start FROM orders),
+             iv AS (SELECT q_start,
+               CAST(q_start - DATE '1970-01-01' AS BIGINT) AS s_day,
+               CAST(CAST(q_start + INTERVAL 3 MONTH AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) - 1 AS e_day FROM qs)
+             SELECT q_start, count(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS revenue
+             FROM pts JOIN iv ON day BETWEEN s_day AND e_day
+             GROUP BY 1 ORDER BY q_start"""))
+
   /** Column-profile discovery over lineitem: per-column null and exact
     * distinct counts in one scan ([[graft.operators.DataQuality.profile]])
     * — the step that precedes writing audit checks.
@@ -619,7 +655,8 @@ object CoreQueries {
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
-    rowHash, jsonExtract, dataQuality, profileLineitem, skewJoin, csvRoundtrip,
+    rowHash, jsonExtract, dataQuality, profileLineitem, rangeJoin, skewJoin,
+    csvRoundtrip,
     parquetRoundtrip, orcRoundtrip, sqlInterface, sqlCosine,
     approxDistinctParts)
 }

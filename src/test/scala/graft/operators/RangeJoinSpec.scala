@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, -7L), (2L, 0L), (3L, 5L), (4L, 10L), (5L, 99L),
+  ).toDF("p_id", "p")
+
+  private val intervals = Seq(
+    (10L, -10L, 0L),  // negative domain, point on inclusive end
+    (20L, 0L, 9L),    // point on inclusive start
+    (30L, 4L, 42L),   // spans many buckets
+    (40L, 50L, 60L),  // matches nothing
+  ).toDF("iv_id", "s", "e")
+
+  private def naive(p: org.apache.spark.sql.DataFrame,
+      iv: org.apache.spark.sql.DataFrame) =
+    p.crossJoin(iv).filter(col("p") >= col("s") && col("p") <= col("e"))
+
+  test("bucketed result equals the naive BETWEEN join, boundaries inclusive") {
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = naive(points, intervals)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"bucketWidth=$w")
+    }
+    // sanity on content, not just equivalence with naive
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 3L)
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L), (4L, 30L)))
+  }
+
+  test("overlapping intervals multiply matches; no dedup is imposed") {
+    val iv = Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("iv_id", "s", "e")
+    val p = Seq((1L, 5L)).toDF("p_id", "p")
+    assert(RangeJoin.pointInInterval(p, iv, "p", "s", "e", 4L).count() === 2L)
+  }
+
+  test("random points and intervals: bucketed equals naive for any width") {
+    val genCase = for {
+      pts <- Gen.listOfN(12, Gen.choose(-50L, 50L))
+      ivs <- Gen.listOfN(6, for {
+        a <- Gen.choose(-50L, 50L); len <- Gen.choose(0L, 30L)
+      } yield (a, a + len))
+      w <- Gen.choose(1L, 25L)
+    } yield (pts, ivs, w)
+    val prop = Prop.forAll(genCase) { case (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("p_id", "p")
+      val iv = ivs.zipWithIndex.map { case ((s0, e0), i) => (i.toLong, s0, e0) }
+        .toDF("iv_id", "s", "e")
+      val got = RangeJoin.pointInInterval(p, iv, "p", "s", "e", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = naive(p, iv).select("p_id", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
