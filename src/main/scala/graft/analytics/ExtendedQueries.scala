@@ -34,6 +34,44 @@ object ExtendedQueries {
              GROUP BY ROLLUP (n_name, year(o_orderdate))
              ORDER BY is_total_row, n_name, order_year"""))
 
+  /** CUBE: all 2^2 grouping combinations of (status, priority) in one
+    * pass — the full-lattice form of the rollup above, with the same
+    * grouping-flag disambiguation of subtotal rows.
+    */
+  val cubeSales = Q("q_cube_sales",
+    (s, d) => orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("total_sales"), count(lit(1)).as("n_orders"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("grp"))
+      .orderBy(col("grp"), col("o_orderstatus"), col("o_orderpriority")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+             ${dsumSql("o_totalprice")} AS total_sales, count(*) AS n_orders,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+               AS grp
+             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY grp, o_orderstatus, o_orderpriority"""))
+
+  /** UNPIVOT/melt: wide per-flag metrics to long (flag, metric, value)
+    * rows — the inverse of the pivot below (metrics cast to one type, as
+    * melt requires).
+    */
+  val unpivotMetrics = Q("q_unpivot",
+    (s, d) => lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n_lines"),
+        dsum(col("l_quantity")).as("total_qty"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_lines"), col("total_qty")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric")),
+    Some(s"""WITH b AS (SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n_lines,
+               ${dsumSql("l_quantity")} AS total_qty
+               FROM lineitem GROUP BY 1)
+             SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM b
+             UNION ALL
+             SELECT l_returnflag, 'total_qty', total_qty FROM b
+             ORDER BY l_returnflag, metric"""))
+
   /** Pivot: revenue per year cross-tabbed by market segment (the
     * dashboard's stacked-chart shape). Oracle uses conditional
     * aggregation — column names must match the pivoted output.
@@ -298,7 +336,8 @@ object ExtendedQueries {
              SELECT c_custkey, c_mktsegment, revenue, rk
              FROM ranked WHERE rk <= 3 ORDER BY c_mktsegment, rk"""))
 
-  val all: Seq[Q] = Seq(rollupSales, pivotSegmentYear, percentiles, histogram,
+  val all: Seq[Q] = Seq(rollupSales, cubeSales, unpivotMetrics,
+    pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup)
