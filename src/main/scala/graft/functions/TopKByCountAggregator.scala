@@ -44,7 +44,10 @@ final class TopKByCountAggregator(k: Int)
 
   override def finish(reduction: Map[String, Long]): Seq[ValueCount] =
     reduction.toSeq
-      .sortBy { case (v, c) => (-c, v) }
+      .sortWith { case ((va, ca), (vb, cb)) =>
+        if (ca != cb) ca > cb
+        else TopKByCountAggregator.utf8Compare(va, vb) < 0
+      }
       .take(k)
       .map { case (v, c) => ValueCount(v, c) }
 
@@ -58,4 +61,24 @@ object TopKByCountAggregator {
   /** Column-function form: `topKByCount(3)(col("token"))`. */
   def topKByCount(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKByCountAggregator(k))
+
+  /** Unsigned UTF-8 byte comparison — the order Spark SQL string sorts
+    * and the DuckDB oracle's ORDER BY use. JVM `String.compareTo`
+    * (UTF-16 code units) diverges on supplementary-plane characters
+    * (surrogate pairs sort before U+E000..U+FFFF instead of after), so a
+    * tiebreak on it could pick a different k-th value than the oracle's
+    * rank-window replay.
+    */
+  private[functions] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 }

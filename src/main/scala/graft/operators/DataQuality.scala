@@ -44,6 +44,9 @@ object DataQuality {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be distinct, got duplicates: " +
+        cols.diff(cols.distinct).distinct.mkString(", "))
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       count(when(col(c).isNull, lit(1))).as(s"_n_$c"),
       count_distinct(col(c)).as(s"_d_$c")))

@@ -29,6 +29,8 @@ object RangeJoin {
     *   interval side, too large degrades the containment filter's
     *   selectivity (many same-bucket non-matches).
     */
+  private val bucketCol = "_rj_bucket"
+
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -37,23 +39,28 @@ object RangeJoin {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val p = points.withColumn("_bucket", floorDiv(col(pointCol), bucketWidth))
+    require(!points.columns.contains(bucketCol) &&
+        !intervals.columns.contains(bucketCol),
+      s"column name $bucketCol is reserved by pointInInterval")
+    val p = points.withColumn(bucketCol, floorDiv(col(pointCol), bucketWidth))
     val iv = intervals
-      .withColumn("_bucket", explode(sequence(
+      .withColumn(bucketCol, explode(sequence(
         floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol), bucketWidth))))
-    p.join(iv, "_bucket")
+    p.join(iv, bucketCol)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("_bucket")
+      .drop(bucketCol)
   }
 
   /** Floor division rounding toward negative infinity (so bucket
-    * boundaries stay aligned across zero), in exact integer arithmetic:
-    * subtract the non-negative `pmod` remainder first, then divide the
-    * exact multiple — no double-rounding hazard near bucket boundaries
-    * at large magnitudes.
+    * boundaries stay aligned across zero), in exact LONG arithmetic:
+    * integral `div` (truncating) corrected by one when the remainder is
+    * negative. No double rounding (a double quotient is inexact above
+    * 2^53 and would collapse adjacent epoch-nano buckets) and no
+    * subtract-the-remainder overflow near Long.MinValue.
     */
   private def floorDiv(c: Column, w: Long): Column = {
     val v = c.cast("long")
-    ((v - pmod(v, lit(w))) / w).cast("long")
+    call_function("div", v, lit(w)) -
+      when(v % w < 0, lit(1L)).otherwise(lit(0L))
   }
 }

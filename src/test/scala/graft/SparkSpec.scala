@@ -16,4 +16,14 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf001 = "/root/testdata/sf0.001"
+
+  /** Physical-plan string for shape assertions. `execute = true` runs the
+    * query first so AQE finalizes the plan (broadcast decisions, coalesced
+    * shuffles); false returns the initial plan.
+    */
+  def executedPlan(df: org.apache.spark.sql.DataFrame,
+      execute: Boolean = true): String = {
+    if (execute) df.collect()
+    df.queryExecution.executedPlan.toString
+  }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+    executedPlan(df, execute = false)
 
   test("bucketed tables join without any shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")

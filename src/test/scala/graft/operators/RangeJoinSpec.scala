@@ -36,6 +36,32 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L), (4L, 30L)))
   }
 
+  test("extreme magnitudes bucket exactly: epoch-nano scale and Long.MinValue edge") {
+    // above 2^53 a double quotient collapses adjacent buckets; the
+    // integral floorDiv must keep them distinct and the join exact
+    val base = 1700000000000000000L // ~epoch nanos, > 2^53
+    val p = Seq((1L, base + 5L), (2L, base + 300L), (3L, Long.MinValue + 2L))
+      .toDF("p_id", "p")
+    val iv = Seq(
+      (10L, base, base + 10L),            // contains base+5 only
+      (20L, base + 250L, base + 400L),    // contains base+300 only
+      (30L, Long.MinValue, Long.MinValue + 5L), // near-underflow edge
+    ).toDF("iv_id", "s", "e")
+    for (w <- Seq(3L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(p, iv, "p", "s", "e", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 10L), (2L, 20L), (3L, 30L)), s"bucketWidth=$w")
+    }
+  }
+
+  test("a reserved _rj_bucket column on either input is rejected, not clobbered") {
+    val bad = points.withColumn("_rj_bucket", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(bad, intervals, "p", "s", "e", 3L)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("overlapping intervals multiply matches; no dedup is imposed") {
     val iv = Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("iv_id", "s", "e")
     val p = Seq((1L, 5L)).toDF("p_id", "p")

@@ -202,11 +202,6 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(0).getAs[Long]("total_tokens") === 33L)
   }
 
-  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect() // force AQE to finalize
-    df.queryExecution.executedPlan.toString
-  }
-
   test("vocabStats plan takes the distributed top-k before the rank window") {
     val plan = executedPlan(TrainingData.vocabStats(docs, topK = 2))
     assert(plan.contains("TakeOrderedAndProject"))
