@@ -120,14 +120,15 @@ object NorthStarQueries {
             GROUP BY 1 ORDER BY text_hash"""))
 
   /** Oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/`sizes`/
-    * `inter`) over the doc subset, feeding q_jaccard_pairs' final select.
-    * (q_dedup_components replays the LSH-first chain instead — see
-    * [[md5LshSqlCtes]]/[[md5ConfirmedEdgesSqlCtes]].)
+    * `inter`) over a doc selection — shared by q_jaccard_pairs and
+    * q_minhash_recall's exact-ground-truth side so the pair semantics
+    * cannot drift. (q_dedup_components replays the LSH-first chain
+    * instead — see [[md5LshSqlCtes]]/[[md5ConfirmedEdgesSqlCtes]].)
     */
-  private def jaccardSqlCtes(): String =
+  private def jaccardSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
     s"""docs AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-              FROM documents WHERE doc_id % 10 = 0),
+              FROM documents $where),
             sh AS (
               SELECT DISTINCT doc_id,
                 unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
@@ -246,6 +247,53 @@ object NorthStarQueries {
           ${md5LshSqlCtes()}
           SELECT id_a, id_b, n_shared_bands FROM pairs
           ORDER BY id_a, id_b"""))
+
+  /** X2 quality-of-approximation: LSH recall against exact ground truth
+    * — the fraction of true near-dup pairs (word-3-gram Jaccard >= 0.2
+    * on a 1/4 doc subset) that the md5 MinHash+LSH banding surfaces as
+    * candidates. Both sides are independently oracled elsewhere
+    * (q_jaccard_pairs, q_minhash_md5); this query pins their
+    * COMPOSITION, so a silent recall regression in the LSH parameters
+    * (hashes, bands, cap) fails the gate instead of quietly dropping
+    * near-dups at 100 TB. Vacuous recall (no true pairs) reports 1.0.
+    */
+  val minhashRecall = Q("q_minhash_recall",
+    (s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") % 4 === 0)
+      // Both pair sets feed two consumers (their own count + the hit
+      // join); measured at sf0.1, neither persist (concurrent subplans
+      // never see a warm cache) nor eager checkpoint (extra jobs) beats
+      // recomputing the tiny pipelines — the cost is stage latency, not
+      // duplicated work.
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = 0.2).select(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"))
+    },
+    Some(s"""WITH ${jaccardSqlCtes("WHERE doc_id % 4 = 0")},
+             exact AS (
+               SELECT id_a, id_b
+               FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                          JOIN sizes sb ON id_b = sb.doc_id
+               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+             gtoks AS (SELECT doc_id, toks FROM docs),
+             ${md5LshSqlCtes()},
+             hit AS (SELECT e.id_a, e.id_b FROM exact e
+               JOIN pairs p ON e.id_a = p.id_a AND e.id_b = p.id_b)
+             SELECT (SELECT count(*) FROM exact) AS n_exact,
+               (SELECT count(*) FROM pairs) AS n_candidates,
+               (SELECT count(*) FROM hit) AS n_hit,
+               CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 1.0
+                    ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                         / (SELECT count(*) FROM exact), 6) END AS recall"""))
 
   /** X2: 16-bit md5-derived SimHash sketch (oracle replays the nibble
     * votes in SQL).
@@ -567,7 +615,7 @@ object NorthStarQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,
-    simhash, embedTopK,
+    minhashRecall, simhash, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
