@@ -295,6 +295,27 @@ object NorthStarQueries {
                     ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
                          / (SELECT count(*) FROM exact), 6) END AS recall"""))
 
+  /** Oracle fragment: the 16-bit md5-nibble SimHash sketch as CTEs
+    * (`toks`/`bits`/`sk(doc_id, simhash)`) — shared by q_simhash and
+    * q_simhash_neardup so the sketch replay cannot drift between them.
+    */
+  private def simhashSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
+    s"""toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents $where),
+            bits AS (
+              SELECT doc_id, b.i AS bit,
+                sum(CASE WHEN
+                  floor((strpos('0123456789abcdef', substr(md5(tok), b.i // 4 + 1, 1)) - 1)
+                        / power(2, b.i % 4)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+              FROM toks, range(16) AS b(i) GROUP BY 1, 2),
+            sk AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS simhash
+              FROM bits GROUP BY 1)"""
+
   /** X2: 16-bit md5-derived SimHash sketch (oracle replays the nibble
     * votes in SQL).
     */
@@ -302,20 +323,33 @@ object NorthStarQueries {
     (s, d) => documents(s, d).filter(docSubset)
       .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
       .orderBy(col("doc_id")),
-    Some("""WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-              FROM documents WHERE doc_id % 10 = 0),
-            bits AS (
-              SELECT doc_id, b.i AS bit,
-                sum(CASE WHEN
-                  floor((strpos('0123456789abcdef', substr(md5(tok), b.i // 4 + 1, 1)) - 1)
-                        / power(2, b.i % 4)) % 2 = 1
-                  THEN 1 ELSE -1 END) AS vote
-              FROM toks, range(16) AS b(i) GROUP BY 1, 2)
-            SELECT doc_id,
-              CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
-                AS simhash
-            FROM bits GROUP BY 1 ORDER BY doc_id"""))
+    Some(s"""WITH ${simhashSqlCtes()}
+            SELECT doc_id, simhash FROM sk ORDER BY doc_id"""))
+
+  /** X2: the SimHash sketch's actual USE — near-dup pairs at Hamming
+    * distance <= 3, found by pigeonhole nibble blocking (4 bands of 4
+    * bits; a pair within distance 3 must agree on a whole band, so the
+    * band join is a complete candidate set and the result is EXACT).
+    * Oracle replays sketch, banding, and the bit_count(xor) distance.
+    */
+  val simhashNearDup = Q("q_simhash_neardup",
+    (s, d) => Dedup.simhashNearDupPairs(
+        documents(s, d).filter(docSubset), "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH ${simhashSqlCtes()},
+            banded AS (
+              SELECT doc_id, simhash, b.i AS band,
+                (simhash >> (b.i * 4)) & 15 AS nib
+              FROM sk, range(4) AS b(i)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sk_a, b.simhash AS sk_b
+              FROM banded a
+              JOIN banded b ON a.band = b.band AND a.nib = b.nib
+                AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sk_a, sk_b)) AS hamming
+            FROM pairs WHERE bit_count(xor(sk_a, sk_b)) <= 3
+            ORDER BY id_a, id_b"""))
 
   /** Deterministic 80/10/10 train/val/test split by content hash
     * ([[TF.splitBucket]]): membership depends only on the text, so
@@ -615,7 +649,7 @@ object NorthStarQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,
-    minhashRecall, simhash, embedTopK,
+    minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)

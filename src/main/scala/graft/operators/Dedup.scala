@@ -330,6 +330,38 @@ object Dedup {
       pruned => pruned.select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h")))
 
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming, found by
+    * pigeonhole blocking: the 16-bit sketch splits into `maxHamming + 1`
+    * bands, and any pair within the distance budget must agree on at
+    * least one whole band (k flips can touch at most k bands) — so the
+    * band-equality self-join is a COMPLETE candidate set, not an
+    * approximation, and the bit_count(xor) filter makes the result
+    * exact. Join cost is the band-bucket self-join (hash-partitioned by
+    * (band, value)), never all-pairs.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(16 % bands == 0,
+      s"maxHamming + 1 ($bands) must divide the 16-bit sketch width")
+    val width = 16 / bands
+    val mask = (1 << width) - 1
+    val sk = df.select(col(idCol).as("doc"), simhash16(col(textCol)).as("sk"))
+    val banded = sk.select(col("doc"), col("sk"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sk"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "nib")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Column-level pairwise word-n-gram Jaccard (set semantics) for ad-hoc
     * two-text comparison; zero-union pairs score 0.0, matching
     * [[jaccardOnCandidates]]. For bulk confirm use the hashed-row path.

@@ -36,6 +36,29 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getDouble(3) === 0.75)
   }
 
+  test("simhashNearDupPairs equals brute-force hamming filter (pigeonhole completeness)") {
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with no overlap at all"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "alpha beta gamma delta epsilon"),
+    ).toDF("doc_id", "text")
+    val sk = corpus.select(col("doc_id").as("doc"),
+      Dedup.simhash16(col("text")).as("sk"))
+    val brute = sk.as("a").crossJoin(sk.as("b"))
+      .filter(col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc"),
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = Dedup.simhashNearDupPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute)
+    assert(got.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 }) // exact dup
+  }
+
   test("minhash LSH surfaces near-dup candidates without false negatives on exact dups") {
     val got = Dedup.minhashLshCandidates(docs, "text", "doc_id").collect()
     val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
