@@ -119,6 +119,37 @@ object NorthStarQueries {
             count(*) AS n_copies FROM documents
             GROUP BY 1 ORDER BY text_hash"""))
 
+  /** X1 continual-ingest form: a re-delivered batch (every 3rd doc)
+    * deduped within itself AND against the already-ingested corpus
+    * (every 2nd doc) — docs with id divisible by 6 are the overlap the
+    * content-hash anti-join must drop. Survivor accounting per language.
+    */
+  val incrementalDedup = Q("q_incremental_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.incrementalExactSurvivors(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH existing AS (
+              SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+              GROUP BY 1),
+            batch AS (
+              SELECT * FROM documents WHERE doc_id % 3 = 0
+              QUALIFY row_number() OVER (PARTITION BY md5(text)
+                ORDER BY doc_id) = 1),
+            surv AS (
+              SELECT b.* FROM batch b
+              LEFT JOIN existing e ON md5(b.text) = e.h
+              WHERE e.h IS NULL)
+            SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM surv GROUP BY 1 ORDER BY lang"""))
+
   /** Oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/`sizes`/
     * `inter`) over a doc selection — shared by q_jaccard_pairs and
     * q_minhash_recall's exact-ground-truth side so the pair semantics
@@ -648,7 +679,8 @@ object NorthStarQueries {
           FROM surv GROUP BY 1 ORDER BY lang_pred"""))
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
-    trainTestSplit, exactDedup, jaccardPairs, minhashCandidates, minhashMd5,
+    trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
+    minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,

@@ -330,6 +330,21 @@ object Dedup {
       pruned => pruned.select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h")))
 
+  /** Incremental exact dedup — the continual-ingest shape: keep the
+    * batch rows whose text is new BOTH within the batch (smallest id
+    * survives, as [[exactSurvivors]]) and against the already-ingested
+    * corpus (anti-join on the content hash). The corpus side reduces to
+    * its distinct hash set before the join — at 100 TB that set lives as
+    * a bucketed hash table (or a bloom filter pre-screen) so each
+    * incremental batch never rescans corpus text.
+    */
+  def incrementalExactSurvivors(batch: DataFrame, existing: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("_seen_hash")).distinct()
+    exactSurvivors(batch, textCol, idCol)
+      .join(seen, md5(col(textCol)) === col("_seen_hash"), "left_anti")
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming, found by
     * pigeonhole blocking: the 16-bit sketch splits into `maxHamming + 1`
     * bands, and any pair within the distance budget must agree on at

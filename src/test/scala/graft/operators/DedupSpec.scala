@@ -36,6 +36,19 @@ class DedupSpec extends SparkSpec {
     assert(got(0).getDouble(3) === 0.75)
   }
 
+  test("incrementalExactSurvivors drops in-batch dups and corpus-seen texts") {
+    val existing = Seq((10L, "already ingested words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "already ingested words"),  // seen in corpus -> dropped
+      (21L, "fresh new content here"),
+      (22L, "fresh new content here"),  // in-batch dup of 21 -> dropped
+      (23L, "another novel document"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactSurvivors(batch, existing, "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(21L, 23L))
+  }
+
   test("simhashNearDupPairs equals brute-force hamming filter (pigeonhole completeness)") {
     import org.apache.spark.sql.functions.{bit_count, col}
     val corpus = Seq(
