@@ -68,4 +68,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got(0).getAs[Double]("jaccard") === 0.5)
     assert(got(1).getAs[Double]("jaccard") === 0.0) // doc 3 has < 3 tokens
   }
+
+  test("the gate is streamable: MemoryStream run equals the batch run") {
+    // gate is a stateless narrow transform, so it runs unchanged over a
+    // stream in append mode — the property that lets a pipeline annotate
+    // and filter documents AS THEY ARRIVE, before any stateful dedup.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val cfg = CorpusPipeline.Config()
+    val q = CorpusPipeline.gate(stream.toDF().toDF("doc_id", "text"), cfg)
+      .writeStream.format("memory").queryName("t_gate").outputMode("append")
+      .start()
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    stream.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_gate")
+    val batch = CorpusPipeline.gate(
+      graft.Tables.documents(spark, sf001).select($"doc_id", $"text"), cfg)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
