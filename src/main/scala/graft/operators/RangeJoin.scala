@@ -22,12 +22,18 @@ object RangeJoin {
 
   /** Bucketed inner range join: rows of `points` paired with every row of
     * `intervals` whose [startCol, endCol] contains pointCol. Column names
-    * must be disjoint between the two inputs.
+    * must be disjoint between the two inputs (enforced).
     *
     * @param bucketWidth domain units per bucket — pick so a typical
     *   interval covers a handful of buckets: too small explodes the
     *   interval side, too large degrades the containment filter's
     *   selectivity (many same-bucket non-matches).
+    * @param maxBucketsPerInterval explosion safety valve: an interval
+    *   spanning more buckets than this fails the job with a clear message
+    *   instead of OOMing or tripping Spark's sequence element cap — the
+    *   failure mode of an open-ended sentinel interval (end =
+    *   Long.MaxValue) against a small bucketWidth. Raise bucketWidth (or
+    *   clamp sentinel ends to the observed domain) rather than this cap.
     */
   private val bucketCol = "_rj_bucket"
 
@@ -37,15 +43,32 @@ object RangeJoin {
       pointCol: String,
       startCol: String,
       endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     require(!points.columns.contains(bucketCol) &&
         !intervals.columns.contains(bucketCol),
       s"column name $bucketCol is reserved by pointInInterval")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals column names must be disjoint; both define " +
+        overlap.toSeq.sorted.mkString(", "))
     val p = points.withColumn(bucketCol, floorDiv(col(pointCol), bucketWidth))
-    val iv = intervals
-      .withColumn(bucketCol, explode(sequence(
-        floorDiv(col(startCol), bucketWidth), floorDiv(col(endCol), bucketWidth))))
+    val startB = floorDiv(col(startCol), bucketWidth)
+    val endB = floorDiv(col(endCol), bucketWidth)
+    // assert_true yields NULL on success, so the `when` collapses to endB
+    // on every valid row and the guard rides the same codegen stage — no
+    // extra pass over the interval side.
+    val guardedEnd = when(
+      assert_true(endB - startB < lit(maxBucketsPerInterval),
+        concat(lit("pointInInterval: interval ["), col(startCol), lit(", "),
+          col(endCol), lit(s"] covers more than $maxBucketsPerInterval " +
+            s"buckets at bucketWidth=$bucketWidth — open-ended sentinel " +
+            "interval? raise bucketWidth or maxBucketsPerInterval"))).isNull,
+      endB)
+    val iv = intervals.withColumn(bucketCol, explode(sequence(startB, guardedEnd)))
     p.join(iv, bucketCol)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(bucketCol)

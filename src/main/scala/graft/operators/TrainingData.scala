@@ -203,7 +203,7 @@ object TrainingData {
   // --- vocabulary statistics ----------------------------------------------
 
   /** Corpus token vocabulary: occurrence count, document frequency, and
-    * dense rank by descending count (ties broken by token). The heavy
+    * row_number over (count desc, token) — a total order. The heavy
     * stage is the (token)- and (doc,token)-keyed aggregations; the rank
     * window runs over the aggregated vocabulary, whose cardinality is
     * bounded by the token inventory, not the corpus.

@@ -62,6 +62,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("overlapping point/interval column names are rejected, not made ambiguous") {
+    val iv = intervals.withColumnRenamed("s", "p") // collides with points.p
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, iv, "p", "p", "e", 3L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("an open-ended sentinel interval fails loudly, not with an OOM/sequence cap") {
+    val iv = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iv_id", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, iv, "p", "s", "e", 10L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("open-ended sentinel")), e.getMessage)
+    // a wide-but-bounded interval under the cap still works
+    val ok = Seq((1L, 0L, 100000L)).toDF("iv_id", "s", "e")
+    assert(RangeJoin.pointInInterval(points, ok, "p", "s", "e", 10L).count() === 4L)
+  }
+
   test("overlapping intervals multiply matches; no dedup is imposed") {
     val iv = Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("iv_id", "s", "e")
     val p = Seq((1L, 5L)).toDF("p_id", "p")
