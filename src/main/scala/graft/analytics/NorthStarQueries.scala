@@ -15,6 +15,91 @@ object NorthStarQueries {
   /** Memoized ANN plane sizing per dataset dir (see q_ann_bucketed). */
   private val annPlanes = scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  /** ANN sketch width for a dataset: integer floor-log2 of rowCount/128,
+    * clamped to [2, 8] — buckets average ≥ ~128 vectors (the nlist-sizing
+    * heuristic every IVF index uses). The row count comes from parquet
+    * FOOTER metadata ([[graft.sources.ParquetMeta.rowCount]]), so sizing
+    * the index launches NO Spark job (SimilaritySpec asserts it with a
+    * listener). Pure integer arithmetic — `numberOfLeadingZeros`, not
+    * `math.log` — so the DuckDB oracle (`len(bin(q)) - 1`) replays it
+    * bit-exactly with no FP-boundary risk at counts of exactly 128·2^k.
+    */
+  private[graft] def annPlaneCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Int =
+    annPlanes.getOrElseUpdate(d, {
+      val rows = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      val q = math.max(rows / 128L, 1L)
+      math.max(2, math.min(8, 63 - java.lang.Long.numberOfLeadingZeros(q)))
+    })
+
+  /** SQL twin of [[annPlaneCount]]: floor-log2 via binary digit count —
+    * exact integer arithmetic, mirroring the Scala side's
+    * numberOfLeadingZeros formulation.
+    */
+  private val annPlaneCountSql: String =
+    "SELECT greatest(2, least(8, len(bin(greatest(count(*)//128, 1))) - 1)) FROM embeddings"
+
+  /** SQL fragment: the engine's cosine similarity between two list
+    * expressions — the replay of [[graft.functions.CosineSimilarityExpr]]
+    * (double accumulation, zero-norm → 0.0 guard, round 6 when ranked).
+    */
+  private def cosineSql(a: String, b: String, round6: Boolean = true): String = {
+    val den = s"""(sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $a]))
+                * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN $b])))"""
+    val raw = s"""CASE WHEN $den = 0 THEN 0.0
+           ELSE list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                          FOR p IN list_zip($a, $b)]) / $den END"""
+    if (round6) s"round($raw, 6)" else raw
+  }
+
+  /** Oracle CTEs `planes`/`sig`/`b(vec_id, bucket)`: DuckDB replays
+    * [[graft.functions.VectorFunctions.hyperplanes]] (the seed-42 integer
+    * LCG — BIGINT arithmetic is exact, and the `/2^31-1 * 2 - 1` scaling
+    * is the same IEEE ops in both engines) and
+    * [[graft.functions.SignBucketExpr]] (left-to-right double dot
+    * product, `>= 0` sign, planes concatenated in index order). A change
+    * to the engine-side plane constants fails these oracles loudly.
+    * `numPlanesSql` is a literal or a scalar subquery (q_ann_bucketed
+    * derives it from the corpus row count).
+    */
+  private def signBucketSqlCtes(numPlanesSql: String, dim: Int = 64): String =
+    s"""planes AS (
+          SELECT p AS plane,
+            [ (CAST(((42 + p*1315423911 + i*2654435761) & 2147483647) AS DOUBLE)
+               /2147483647.0)*2.0 - 1.0 FOR i IN range($dim) ] AS w
+          FROM range(8) t(p) WHERE p < ($numPlanesSql)),
+        sig AS (
+          SELECT e.vec_id, p.plane,
+            CASE WHEN list_sum([CAST(e.embedding[i+1] AS DOUBLE) * p.w[i+1]
+                                FOR i IN range(least(len(e.embedding), $dim))]) >= 0
+                 THEN '1' ELSE '0' END AS s
+          FROM embeddings e, planes p),
+        b AS (
+          SELECT vec_id, string_agg(s, '' ORDER BY plane) AS bucket
+          FROM sig GROUP BY 1)"""
+
+  /** Oracle tail shared by the sign-LSH probes (q_ann_lsh,
+    * q_ann_bucketed): bucket equi-join, self-exclusion, round-6 cosine
+    * BEFORE the rank (matching the engine's column order of operations),
+    * row_number over (cosine desc, corpus_id), top-k.
+    */
+  private def annProbeSql(numPlanesSql: String, k: Int): String =
+    s"""WITH ${signBucketSqlCtes(numPlanesSql)},
+        cand AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            ${cosineSql("qe.embedding", "ce.embedding")} AS cosine_sim
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          JOIN embeddings qe ON q.vec_id = qe.vec_id
+          JOIN embeddings ce ON c.vec_id = ce.vec_id
+          WHERE q.vec_id < 20),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rk
+          FROM cand)
+        SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= $k
+        ORDER BY query_id, rk"""
+
   /** Subset predicate used by the quadratic ops (pair joins stay bounded
     * at every scale factor; production path is LSH-first anyway).
     */
@@ -440,8 +525,11 @@ object NorthStarQueries {
     Some(cosineTopKOracle))
 
   /** X3 scale path: sign-LSH bucketed ANN (probe = bucket join, then
-    * exact cosine within bucket). Rows-only — hyperplane constants are
-    * engine-side.
+    * exact cosine within bucket). Fully oracled: the hyperplanes are a
+    * deterministic integer LCG, so DuckDB replays plane generation, the
+    * sign sketch, the bucket join, and the ranked cosine — the whole LSH
+    * machinery verified hash-exact against an independent engine (the
+    * embedding-space twin of q_minhash_md5).
     */
   val annLsh = Q("q_ann_lsh",
     (s, d) => {
@@ -452,7 +540,7 @@ object NorthStarQueries {
           broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
-    None)
+    Some(annProbeSql("8", 5)))
 
   /** X3 storage path: the corpus written parquet-partitioned by its sign
     * bucket, then probed — dynamic partition pruning limits the scan to
@@ -461,7 +549,11 @@ object NorthStarQueries {
     * size so buckets average ≥ ~128 vectors (the nlist-sizing heuristic
     * every IVF index uses): a toy corpus gets a handful of partition
     * dirs instead of 256 near-empty ones, and a 100 TB corpus gets the
-    * full sketch width. Rows-only like q_ann_lsh.
+    * full sketch width. Sizing reads parquet footer metadata — no eager
+    * count job at plan build ([[annPlaneCount]]). Fully oracled: the
+    * result is a pure function of the embeddings table (the partitioned
+    * layout is a physical detail), so DuckDB replays the adaptive plane
+    * count and the probe end-to-end.
     */
   val annBucketed = Q("q_ann_bucketed",
     (s, d) => {
@@ -471,19 +563,21 @@ object NorthStarQueries {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
         s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
       val e = embeddings(s, d)
-      // one corpus count per dataset per JVM (the sizing input is stable)
-      val planes = annPlanes.getOrElseUpdate(d, math.max(2, math.min(8,
-        (math.log(math.max(e.count(), 1L) / 128.0) / math.log(2)).toInt)))
+      val planes = annPlaneCount(s, d)
       Similarity.writeBucketedCorpus(e, out, numPlanes = planes)
       Similarity.probeBucketed(s, out, e.filter(col("vec_id") < 20), k = 5,
           numPlanes = planes, broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
-    None)
+    Some(annProbeSql(annPlaneCountSql, 5)))
 
   /** X3 scale path #2: IVF coarse-quantizer ANN (map-side centroid
-    * assignment, nProbe inverted lists per query). Rows-only — centroid
-    * assignment is engine-side; exhaustive-probe exactness is pinned in
+    * assignment, nProbe inverted lists per query). Fully oracled: the
+    * centroids are the 16 smallest-id vectors and assignment is a raw
+    * (unrounded) cosine argmax with ties to the larger cent_id — the
+    * exact reverse of the engine's ascending (sim, cent_id) struct sort —
+    * so DuckDB replays index build and probe with a rank window.
+    * Exhaustive-probe == brute-force is additionally pinned in
     * SimilaritySpec.
     */
   val annIvf = Q("q_ann_ivf",
@@ -493,7 +587,33 @@ object NorthStarQueries {
           broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
-    None)
+    Some(s"""WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT 16),
+        asgn AS (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
+                       c.cent_id DESC) AS rnk
+          FROM embeddings e, cents c),
+        cbuck AS (SELECT vec_id AS corpus_id, cent_id AS bucket FROM asgn
+          WHERE rnk = 1),
+        qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
+          WHERE rnk <= 4 AND vec_id < 20),
+        cand AS (
+          SELECT q.query_id, c.corpus_id,
+            ${cosineSql("qe.embedding", "ce.embedding")} AS cosine_sim
+          FROM qbuck q JOIN cbuck c ON q.bucket = c.bucket
+            AND q.query_id <> c.corpus_id
+          JOIN embeddings qe ON q.query_id = qe.vec_id
+          JOIN embeddings ce ON c.corpus_id = ce.vec_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rk
+          FROM cand)
+        SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""))
 
   /** X2/X3 embedding-cosine near-dup, exact verifier form on a 20% sample
     * (oracled — DuckDB replays the same dot/norm math).
@@ -515,12 +635,23 @@ object NorthStarQueries {
             WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b"""))
 
   /** Embedding near-dup scale path: bucket self-join + exact-cosine
-    * confirm (rows-only — approximate recall by construction).
+    * confirm. Approximate RECALL by construction (pairs split across
+    * buckets are missed — what q_embed_neardup's brute twin measures),
+    * but the bucketing itself is deterministic, so the answer is fully
+    * oracled: DuckDB replays the 4-plane sketch and the within-bucket
+    * confirm hash-exact.
     */
   val embedNearDupLsh = Q("q_embed_neardup_lsh",
     (s, d) => Similarity.cosineNearDupLsh(embeddings(s, d), threshold = 0.3)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(s"""WITH ${signBucketSqlCtes("4")}
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               ${cosineSql("ae.embedding", "be.embedding")} AS cosine_sim
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        JOIN embeddings ae ON a.vec_id = ae.vec_id
+        JOIN embeddings be ON bb.vec_id = be.vec_id
+        WHERE ${cosineSql("ae.embedding", "be.embedding")} >= 0.3
+        ORDER BY id_a, id_b"""))
 
   // --- multimodal ---------------------------------------------------------
 
