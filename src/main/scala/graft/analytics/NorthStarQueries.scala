@@ -100,10 +100,21 @@ object NorthStarQueries {
         SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= $k
         ORDER BY query_id, rk"""
 
-  /** Subset predicate used by the quadratic ops (pair joins stay bounded
-    * at every scale factor; production path is LSH-first anyway).
+  /** Quadratic-audit sample: the first `n` doc ids — an ABSOLUTE bound,
+    * not a fraction, so the ground-truth audits' all-pairs cost is
+    * CONSTANT in corpus scale. (A `doc_id % k` sample grows linearly with
+    * the corpus and its all-pairs confirm quadratically — at 100× the
+    * audits, not the production LSH paths, would become the
+    * scale-killers.) A fixed id range rather than a content-hash bucket
+    * because the bound must be exact, not expected-value; the production
+    * pipelines remain LSH-first over the FULL corpus.
     */
-  private val docSubset = col("doc_id") % 10 === 0
+  private def auditSample(n: Int) = col("doc_id") < n
+
+  /** Shared audit sample for the Jaccard/LSH ground-truth tier: 250 docs
+    * at every scale factor (≤ 31k candidate pairs before any threshold).
+    */
+  private val docSubset = auditSample(250)
 
   /** Shared oracle fragment: the md5-derived bucket in [0,mod) of a text
     * expression — the SQL twin of
@@ -241,7 +252,7 @@ object NorthStarQueries {
     * cannot drift. (q_dedup_components replays the LSH-first chain
     * instead — see [[md5LshSqlCtes]]/[[md5ConfirmedEdgesSqlCtes]].)
     */
-  private def jaccardSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
+  private def jaccardSqlCtes(where: String = "WHERE doc_id < 250"): String =
     s"""docs AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
               FROM documents $where),
@@ -359,14 +370,14 @@ object NorthStarQueries {
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH gtoks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-            FROM documents WHERE doc_id % 10 = 0),
+            FROM documents WHERE doc_id < 250),
           ${md5LshSqlCtes()}
           SELECT id_a, id_b, n_shared_bands FROM pairs
           ORDER BY id_a, id_b"""))
 
   /** X2 quality-of-approximation: LSH recall against exact ground truth
     * — the fraction of true near-dup pairs (word-3-gram Jaccard >= 0.2
-    * on a 1/4 doc subset) that the md5 MinHash+LSH banding surfaces as
+    * on the first-250-ids audit sample) that the md5 MinHash+LSH banding surfaces as
     * candidates. Both sides are independently oracled elsewhere
     * (q_jaccard_pairs, q_minhash_md5); this query pins their
     * COMPOSITION, so a silent recall regression in the LSH parameters
@@ -375,7 +386,7 @@ object NorthStarQueries {
     */
   val minhashRecall = Q("q_minhash_recall",
     (s, d) => {
-      val docs = documents(s, d).filter(col("doc_id") % 4 === 0)
+      val docs = documents(s, d).filter(docSubset)
       // Both pair sets feed two consumers (their own count + the hit
       // join); measured at sf0.1, neither persist (concurrent subplans
       // never see a warm cache) nor eager checkpoint (extra jobs) beats
@@ -394,7 +405,7 @@ object NorthStarQueries {
             .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 6))
             .as("recall"))
     },
-    Some(s"""WITH ${jaccardSqlCtes("WHERE doc_id % 4 = 0")},
+    Some(s"""WITH ${jaccardSqlCtes()},
              exact AS (
                SELECT id_a, id_b
                FROM inter JOIN sizes sa ON id_a = sa.doc_id
@@ -414,8 +425,12 @@ object NorthStarQueries {
   /** Oracle fragment: the 16-bit md5-nibble SimHash sketch as CTEs
     * (`toks`/`bits`/`sk(doc_id, simhash)`) — shared by q_simhash and
     * q_simhash_neardup so the sketch replay cannot drift between them.
+    * This tier audits a smaller [[auditSample]] (120) than the Jaccard
+    * one: a 16-bit sketch's nibble-band collisions are dense, so pair
+    * volume grows ~quadratically in the sample even before the Hamming
+    * filter.
     */
-  private def simhashSqlCtes(where: String = "WHERE doc_id % 10 = 0"): String =
+  private def simhashSqlCtes(where: String = "WHERE doc_id < 120"): String =
     s"""toks AS (
               SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
               FROM documents $where),
@@ -436,7 +451,7 @@ object NorthStarQueries {
     * votes in SQL).
     */
   val simhash = Q("q_simhash",
-    (s, d) => documents(s, d).filter(docSubset)
+    (s, d) => documents(s, d).filter(auditSample(120))
       .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
       .orderBy(col("doc_id")),
     Some(s"""WITH ${simhashSqlCtes()}
@@ -450,7 +465,7 @@ object NorthStarQueries {
     */
   val simhashNearDup = Q("q_simhash_neardup",
     (s, d) => Dedup.simhashNearDupPairs(
-        documents(s, d).filter(docSubset), "text", "doc_id", maxHamming = 3)
+        documents(s, d).filter(auditSample(120)), "text", "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH ${simhashSqlCtes()},
             banded AS (
@@ -615,14 +630,14 @@ object NorthStarQueries {
         SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""))
 
-  /** X2/X3 embedding-cosine near-dup, exact verifier form on a 20% sample
+  /** X2/X3 embedding-cosine near-dup, exact verifier form on a fixed 120-vector sample
     * (oracled — DuckDB replays the same dot/norm math).
     */
   val embedNearDup = Q("q_embed_neardup",
     (s, d) => Similarity.cosinePairsBrute(
-      embeddings(s, d).filter(col("vec_id") % 5 === 0), threshold = 0.3)
+      embeddings(s, d).filter(col("vec_id") < 120), threshold = 0.3)
       .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
@@ -797,7 +812,7 @@ object NorthStarQueries {
           CorpusPipeline.prepareVerified(documents(s, d).filter(docSubset)))
         .orderBy(col("lang_pred"))
     },
-    Some(s"""WITH ${gatedSqlCtes("WHERE doc_id % 10 = 0")},
+    Some(s"""WITH ${gatedSqlCtes("WHERE doc_id < 250")},
           gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                     FROM gated),
           ${md5LshSqlCtes()},
