@@ -241,8 +241,13 @@ object TrainingData {
     * iterations — near-dup clusters are near-cliques, so 2-3 in practice.
     * Each iteration `localCheckpoint`s the labels, cutting lineage so the
     * plan doesn't grow exponentially (at 100 TB this is a parquet
-    * checkpoint, and the large-star/small-star variant bounds diameter
-    * for adversarial chain graphs).
+    * checkpoint). The changed-label count rides the SAME job that
+    * materializes the checkpoint (an `observe` metric on the
+    * checkpointed frame), so each round costs exactly one job — no
+    * separate driver-blocking `count()`. For adversarial diameters
+    * (long chains) use [[connectedComponentsStar]], whose round count is
+    * logarithmic; equivalence is property-pinned in
+    * TrainingDataPropertySpec.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
@@ -260,12 +265,18 @@ object TrainingData {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"), labels("component"),
           least(labels("component"), coalesce(col("nbr_min"), labels("component")))
             .as("next"))
+        .observe(obs, sum(when(col("next") < col("component"), 1L).otherwise(0L))
+          .as("changed"))
         .localCheckpoint()
-      changed = updated.filter(col("next") < col("component")).count()
+      // the eager checkpoint IS the action that completes the metric —
+      // obs.get returns without launching anything further
+      changed = Option(obs.get("changed")).collect { case n: Long => n }
+        .getOrElse(0L)
       labels = updated.select(col("id"), col("next").as("component"))
       iter += 1
     }
@@ -283,6 +294,91 @@ object TrainingData {
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     labels.union(untouched).select(col("id").as(idCol), col("component"))
+  }
+
+  /** Connected components via alternating large-star/small-star rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): the round count is LOGARITHMIC in component size on any
+    * graph — a 1000-hop chain resolves in ~10 rounds where min-label
+    * propagation needs 1000. Use this variant for adversarial diameters;
+    * [[connectedComponents]] stays the default for near-dup clusters
+    * (near-cliques, diameter 2-3, one shuffle per round instead of two).
+    *
+    * Each round is two window-aggregated edge rewrites over the edge set
+    * only (never the node set):
+    *   - large-star: every node links its LARGER neighbors to its
+    *     neighborhood minimum — long tails collapse toward roots;
+    *   - small-star: every node links itself and its smaller neighbors
+    *     to its smallest neighbor — parent pointers compress.
+    * The edge frame stays bounded by the input pair count throughout, and
+    * each round `localCheckpoint`s with a fused `observe` signature
+    * (count + xxhash64 sum) — convergence detection rides the checkpoint
+    * job, no extra pass. On signature fixpoint the star-forest shape is
+    * verified EXACTLY with one final semi-join (roots have no parents),
+    * so a signature collision cannot smuggle out a wrong labeling.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy(col("src"))
+      sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val w = Window.partitionBy(col("src"))
+      val withM = or.withColumn("m", min(col("dst")).over(w))
+      withM.select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var cur = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var sig: (Long, String) = (-1L, "")
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val obs = org.apache.spark.sql.Observation()
+      // decimal(38,0) sum: 2^63-scale hashes over up to ~10^18 edges
+      // cannot overflow (ANSI mode makes a raw long sum throw)
+      val next = smallStar(largeStar(cur))
+        .observe(obs, count(lit(1)).as("cnt"),
+          sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("sig"))
+        .localCheckpoint()
+      val metrics = obs.get
+      val nextSig = (metrics("cnt").asInstanceOf[Long],
+        String.valueOf(metrics("sig")))
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      iter += 1
+    }
+    // exact fixpoint proof: a star forest has no parent that is itself a
+    // child — one semi-join, run once, so a signature collision (~2^-64
+    // per round) cannot yield a silently wrong labeling
+    if (!converged ||
+        !cur.join(cur.select(col("dst").as("src")), Seq("src"), "left_semi")
+          .isEmpty)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach a star forest in $maxIter " +
+          "rounds — raise maxIter")
+    val roots = cur.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("component"))
+    val children = cur.select(col("src").as("id"), col("dst").as("component"))
+    val labeled = children.union(roots)
+    val untouched = nodes.select(col(idCol).as("id"))
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labeled.union(untouched).select(col("id").as(idCol), col("component"))
   }
 
   // --- sequence packing ----------------------------------------------------

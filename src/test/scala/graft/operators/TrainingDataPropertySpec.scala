@@ -55,6 +55,16 @@ class TrainingDataPropertySpec extends SparkSpec {
     })
   }
 
+  test("connectedComponentsStar equals union-find on random graphs") {
+    check(Prop.forAll(genGraph) { case (nodes, edges) =>
+      val expected = unionFind(nodes, edges)
+      val got = TrainingData.connectedComponentsStar(
+          nodes.toDF("doc_id"), edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }, minSuccessful = 8)
+  }
+
   // --- random corpora ------------------------------------------------------
 
   private val genDoc: Gen[String] =

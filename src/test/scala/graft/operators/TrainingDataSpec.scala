@@ -140,6 +140,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponentsStar resolves a chain LONGER than min-label's default budget") {
+    // a 30-hop path exceeds connectedComponents' default maxIter=20 (one
+    // hop per round); the star variant's logarithmic rounds absorb it —
+    // plus a second component and isolated nodes to catch cross-talk
+    val nodes = (1L to 35L).toDF("doc_id")
+    val edges = ((1L to 30L).map(i => (i, i + 1)) ++ Seq((33L, 34L)))
+      .toDF("id_a", "id_b")
+    val got = TrainingData.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((1L to 31L).map(_ -> 1L) ++
+      Seq(32L -> 32L, 33L -> 33L, 34L -> 33L, 35L -> 35L)).toMap
+    assert(got === want)
+    // and min-label does fail on this diameter at its default budget,
+    // which is exactly why the star variant exists
+    intercept[IllegalStateException] {
+      TrainingData.connectedComponents(nodes, edges).collect()
+    }
+  }
+
   test("packSequences chunks the token stream per bucket deterministically") {
     // Single bucket (buckets=1): all docs in hash order; seqLen 10.
     val ds = Seq(
