@@ -35,6 +35,54 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
   }
 
+  test("HttpSource fetches file:// URLs through the limiter and flattens rating.*") {
+    // the reference's API shape: one endpoint returning a JSON ARRAY of
+    // products (not json-lines) — each array element must become a row
+    val dir = Files.createTempDirectory("graft_http").toString
+    Files.writeString(Paths.get(dir, "products.json"),
+      """[{"id": 1, "title": "Fjallraven Backpack", "price": 109.95, "rating": {"rate": 3.9, "count": 120}},
+        | {"id": 2, "title": "Mens Casual T-Shirt", "price": 22.3, "rating": {"rate": 4.1, "count": 259}}]""".stripMargin)
+    Files.writeString(Paths.get(dir, "more.json"),
+      """[{"id": 3, "title": "No rating product", "price": 55.99, "rating": null}]""")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("title", StringType),
+      StructField("price", DoubleType),
+      StructField("rating", StructType(Seq(
+        StructField("rate", DoubleType), StructField("count", LongType))))))
+    var acquires = 0
+    val countingLimiter = new RateLimiter(1000.0,
+      clock = () => { acquires += 1; 0L }, sleep = _ => ())
+    val flat = HttpSource(
+        Seq(s"file://$dir/products.json", s"file://$dir/more.json"), schema,
+        limiter = Some(countingLimiter)).read(spark)
+      .select(col("id"), col("title"), col("price"),
+        col("rating.rate").as("rating_rate"),
+        col("rating.count").as("rating_count"))
+      .orderBy("id")
+    val rows = flat.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).getDouble(3) === 4.1 && rows(1).getLong(4) === 259L)
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4))
+    assert(acquires === 2, "one limiter acquire per URL")
+  }
+
+  test("RateLimiter paces acquires one interval apart on an injected clock") {
+    var now = 0L
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // 2 rps → 500 ms interval; fake clock advances only when we say so
+    val rl = new RateLimiter(2.0, clock = () => now,
+      sleep = ms => { slept += ms; now += ms * 1000000L })
+    assert(rl.acquire() === 0L)           // first request is free
+    assert(rl.acquire() === 500L)         // immediate retry waits 500 ms
+    assert(slept.toSeq === Seq(500L))
+    now += 2000L * 1000000L               // idle past several intervals
+    assert(rl.acquire() === 0L)           // idle time is not banked...
+    assert(rl.acquire() === 500L)         // ...next one paces again
+    intercept[IllegalArgumentException] { new RateLimiter(0.0) }
+  }
+
   test("CsvSource honors schema and encoding end to end") {
     val dir = Files.createTempDirectory("graft_srccsv").toString
     Files.writeString(Paths.get(dir, "d.csv"), "k,v\n1,x\n2,y\n")
