@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   *
   * `SPARK_GRAFT_BENCH_ONLY=q_a,q_b` restricts to named queries (local
   * iteration loop); the driver runs the full catalog.
+  *
+  * Each query also reports a [[PlanFingerprint]] under `"plans"` — a
+  * hash of its normalized post-AQE physical plan, so a silent plan
+  * regression (lost broadcast, new shuffle) diffs loudly between round
+  * artifacts even when timing noise hides it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,6 +45,7 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ") + "\""
 
     var errors = Map.empty[String, String]
+    var plans = Map.empty[String, String]
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -47,8 +53,15 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val df = fn(spark, sfDir)
+          df.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // post-execution fingerprint: AQE's final shape is part of what
+          // a future artifact diff should catch (lost broadcast, new
+          // shuffle). Captured outside the timed region's significance —
+          // a toString+md5 costs microseconds.
+          plans += name -> PlanFingerprint.of(df)
+          Some(dt)
         } catch {
           case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -62,8 +75,11 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val planJson = plans.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonical fingerprint of a query's physical plan: md5 of the executed
+  * plan string with volatile tokens (expression ids, shuffle/codegen ids,
+  * temp paths, object addresses) normalized away.
+  *
+  * Bench emits one per query (`"plans":{...}`) so a plan regression — a
+  * lost broadcast, a new shuffle, a filter that stopped pushing down —
+  * shows up as a fingerprint diff between round artifacts even when
+  * timing noise hides the slowdown. Stability across sessions is pinned
+  * in PlanFingerprintSpec (two independent `newSession()`s must agree);
+  * the fingerprint is intentionally of the POST-execution plan, so AQE's
+  * final decisions (broadcast conversions, coalesced shuffles) are part
+  * of what's guarded.
+  */
+object PlanFingerprint {
+
+  def of(df: DataFrame): String = md5hex(normalize(
+    df.queryExecution.executedPlan.toString))
+
+  /** Strip per-session volatility, keep structure: every operator name,
+    * join strategy, pushed filter, and partition key survives; ids and
+    * locations don't.
+    */
+  private[graft] def normalize(s: String): String = s
+    .replaceAll("#\\d+", "#x")                       // expression ids
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")        // exchange/stage ids
+    .replaceAll("(file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
+    .replaceAll("/[^\\s,\\)\\]]*tmp[^\\s,\\)\\]]*", "<path>")
+    .replaceAll("@[0-9a-fA-F]{4,}", "@x")            // object identities
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
