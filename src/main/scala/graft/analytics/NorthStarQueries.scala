@@ -680,7 +680,12 @@ object NorthStarQueries {
             (doc_id % 1920 + 1) * (doc_id % 1080 + 1) AS pixels
             FROM documents ORDER BY asset_id"""))
 
-  /** Multimodal decode-stub features via mapPartitions batching. */
+  /** Multimodal decode features via mapPartitions batching. Text-derived
+    * payloads are not PPM, so the codec declines them all here and the
+    * byte-stat fallback is what the oracle replays (decoded=false, null
+    * raster fields); the REAL decode path is pinned on generated PPM
+    * fixtures in MultimodalSpec.
+    */
   val multimodalFeatures = Q("q_multimodal_features",
     (s, d) => Multimodal.extractFeatures(
       Multimodal.assetsFromDocuments(documents(s, d)))
@@ -690,7 +695,11 @@ object NorthStarQueries {
             CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
                  ELSE CAST(list_sum([CAST(ascii(x) AS BIGINT)
                         FOR x IN string_split(text, '')]) AS DOUBLE)
-                      / octet_length(encode(text)) END AS mean_byte
+                      / octet_length(encode(text)) END AS mean_byte,
+            FALSE AS decoded,
+            CAST(NULL AS INTEGER) AS img_width,
+            CAST(NULL AS INTEGER) AS img_height,
+            CAST(NULL AS DOUBLE) AS mean_pixel
             FROM documents ORDER BY asset_id"""))
 
   /** Multimodal frame sampling: every 3rd frame up to 16 per video asset,

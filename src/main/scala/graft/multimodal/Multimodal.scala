@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns + typed metadata, with per-partition batch feature
   * extraction via `mapPartitions` (the JVM analogue of `mapInPandas` —
-  * one iterator per partition, so a real decoder could batch to native
-  * code). The decode step itself is STUBBED deterministically — the
-  * container has no image/audio codecs — but the Spark-side contract
-  * (schema, batching, partitioning) is real and tested.
+  * one iterator per partition, so a production decoder batches to native
+  * code). The decode slot holds a REAL decoder for binary PPM (P6) — the
+  * simplest raster format, parsed dependency-free — with deterministic
+  * byte statistics as the fallback for formats the container has no
+  * codecs for; the Spark-side contract (schema, batching, partitioning)
+  * is identical either way.
   */
 object Multimodal {
 
@@ -34,11 +36,11 @@ object Multimodal {
       (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("meta_width"),
       (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("meta_height"))
 
-  /** STUB decoder: a real implementation would hand `payload` to an image
-    * library. Deterministic fake: "decode" = byte statistics. Kept out of
-    * codegen on purpose to model an opaque native call.
+  /** Fallback "decode": deterministic byte statistics — what every
+    * payload gets when no real codec claims it. Kept out of codegen on
+    * purpose to model an opaque native call.
     */
-  private def stubDecodeFeatures(payload: Array[Byte]): (Long, Double) = {
+  private def byteStats(payload: Array[Byte]): (Long, Double) = {
     if (payload == null) (0L, 0.0)
     else {
       var sum = 0L
@@ -48,23 +50,76 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for binary PPM (P6): ASCII header `P6 <w> <h> <maxval>`
+    * (with `#` comments), exactly one whitespace byte, then w·h·3 raw RGB
+    * bytes (maxval ≤ 255, and the payload length must match exactly —
+    * truncated or padded rasters are rejected, not mis-averaged). Returns
+    * (width, height, mean pixel value). This runs inside the
+    * mapPartitions batch exactly where a production codec would; formats
+    * without an in-container codec fall back to [[byteStats]].
+    */
+  private[multimodal] def decodePpm(p: Array[Byte]): Option[(Int, Int, Double)] = {
+    if (p == null || p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte)
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < p.length) {
+        if (p(i) == '#'.toByte) { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
+        else if (p(i).toChar.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(p, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- readInt(); h <- readInt(); maxv <- readInt()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256
+      if i < p.length && p(i).toChar.isWhitespace
+      dataStart = i + 1
+      n = w.toLong * h * 3L
+      if dataStart.toLong + n == p.length.toLong
+    } yield {
+      var sum = 0L
+      var j = dataStart
+      while (j < p.length) { sum += p(j) & 0xff; j += 1 }
+      (w, h, sum.toDouble / n)
+    }
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("mean_byte", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("img_width", IntegerType, nullable = true),
+    StructField("img_height", IntegerType, nullable = true),
+    StructField("mean_pixel", DoubleType, nullable = true),
   ))
 
   /** Per-partition batched feature extraction (mapPartitions = the
-    * `mapInPandas` shape: one iterator in, one iterator out, so the stub
-    * could be replaced by a batched native decoder without plan changes).
+    * `mapInPandas` shape: one iterator in, one iterator out). Payloads a
+    * codec claims ([[decodePpm]]) report real raster dimensions and pixel
+    * mean with `decoded = true`; everything else keeps the byte-stat
+    * fallback with null raster fields — one schema either way, so the
+    * metadata-path oracle stays exact on non-image corpora.
     */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = Encoders.row(featureSchema)
     assets.select(col("asset_id"), col("payload"))
       .mapPartitions { it =>
         it.map { r =>
-          val (len, mean) = stubDecodeFeatures(r.getAs[Array[Byte]]("payload"))
-          Row(r.getLong(0), len, mean)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (len, mean) = byteStats(payload)
+          decodePpm(payload) match {
+            case Some((w, h, mp)) => Row(r.getLong(0), len, mean, true, w, h, mp)
+            case None => Row(r.getLong(0), len, mean, false, null, null, null)
+          }
         }
       }(enc)
   }

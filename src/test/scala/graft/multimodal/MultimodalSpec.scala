@@ -25,6 +25,43 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1).getDouble(2) === 0.0)
   }
 
+  private def ppm(w: Int, h: Int, header: String = "")(pixels: Int*): Array[Byte] = {
+    val head = s"P6$header\n$w $h\n255\n".getBytes("US-ASCII")
+    head ++ pixels.map(_.toByte).toArray
+  }
+
+  test("extractFeatures REALLY decodes P6 PPM payloads in the batch slot") {
+    // 2x1 image: pixels (10,20,30) and (40,50,60) -> mean 35.0; header
+    // carries a comment line, which the parser must skip
+    val img = ppm(2, 1, "\n# a comment")(10, 20, 30, 40, 50, 60)
+    val rows = Seq(
+      (0L, img),
+      (1L, "not an image".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    val f = Multimodal.extractFeatures(rows).orderBy("asset_id").collect()
+    assert(f(0).getBoolean(3), "PPM payload must take the decode path")
+    assert((f(0).getInt(4), f(0).getInt(5)) === ((2, 1)))
+    assert(f(0).getDouble(6) === 35.0)
+    assert(f(0).getLong(1) === img.length.toLong) // byte stats still present
+    assert(!f(1).getBoolean(3) && f(1).isNullAt(4) && f(1).isNullAt(6))
+    assert(!f(2).getBoolean(3) && f(2).getLong(1) === 0L)
+  }
+
+  test("decodePpm rejects malformed rasters instead of mis-averaging") {
+    val good = ppm(2, 2)(Seq.fill(12)(100): _*)
+    assert(Multimodal.decodePpm(good) === Some((2, 2, 100.0)))
+    // truncated raster (one byte short) and padded raster (one extra)
+    assert(Multimodal.decodePpm(good.dropRight(1)) === None)
+    assert(Multimodal.decodePpm(good :+ 0.toByte) === None)
+    // 16-bit maxval (65535) is a different wire format — decline it
+    val deep = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array.fill(6)(1.toByte)
+    assert(Multimodal.decodePpm(deep) === None)
+    // P5 (grayscale) magic is not P6
+    assert(Multimodal.decodePpm("P5\n1 1\n255\n abc".getBytes) === None)
+    assert(Multimodal.decodePpm(null) === None)
+  }
+
   test("metadataFeatures stays codegen-side and reports sizes") {
     val m = Multimodal.metadataFeatures(Multimodal.assetsFromDocuments(docs))
       .orderBy("asset_id").collect()
