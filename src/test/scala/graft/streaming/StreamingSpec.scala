@@ -47,6 +47,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("append-mode sessions drop a late event past the watermark; batch absorbs it") {
+    // The semantics divergence window, pinned: in APPEND mode a session
+    // emits once its window closes under the watermark, and an event
+    // arriving later than the 10-minute watermark delay is DROPPED —
+    // while the batch form of the same transform (the oracle) sees all
+    // rows and absorbs the late event into the session. Anyone swapping
+    // batch for append-mode streaming needs exactly this contract.
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, user: Long) =
+      Ev(id, java.sql.Timestamp.valueOf(t), user, "click", 1.0)
+    val onTime = Seq(
+      ev(1, "2024-01-01 00:00:00", 1), ev(2, "2024-01-01 00:05:00", 1),
+      ev(3, "2024-01-01 00:00:00", 2))
+    val horizon = ev(9, "2024-01-01 02:00:00", 3) // pushes watermark to 01:50
+    val late = ev(4, "2024-01-01 00:01:00", 1)    // 110 min behind it
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.toMemorySink(
+      EventStreams.sessionize(stream.toDF()), "t_append_sessions", "append")
+    stream.addData(onTime)
+    q.processAllAvailable()
+    stream.addData(Seq(horizon))
+    q.processAllAvailable()               // sessions of users 1,2 close + emit
+    stream.addData(Seq(late))
+    q.processAllAvailable()               // late event is beyond the watermark
+    q.stop()
+    val emitted = spark.table("t_append_sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toMap
+    assert(emitted === Map(1L -> 2L, 2L -> 1L),
+      "closed sessions emit once; user 3's open session stays unemitted " +
+        "and the late event must not reopen user 1's")
+    // the batch oracle over ALL rows (late one included) absorbs it
+    val batch = EventStreams.sessionize(
+        (onTime :+ horizon :+ late).toDF())
+      .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().toMap
+    assert(batch(1L) === 3L, "batch semantics: the late event joins the session")
+    assert(batch(2L) === 1L && batch(3L) === 1L)
+  }
+
   test("slidingCounts assigns each event to exactly 4 windows") {
     val n = batchEvents.count()
     val windowed = EventStreams.slidingCounts(batchEvents)
