@@ -16,9 +16,9 @@ import org.apache.spark.sql.SparkSession
   * iteration loop); the driver runs the full catalog.
   *
   * Each query also reports a [[PlanFingerprint]] under `"plans"` — a
-  * hash of its normalized post-AQE physical plan, so a silent plan
-  * regression (lost broadcast, new shuffle) diffs loudly between round
-  * artifacts even when timing noise hides it.
+  * hash of its normalized statically-planned physical tree, so a silent
+  * plan regression (lost broadcast, new shuffle) diffs loudly between
+  * round artifacts even when timing noise hides it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,14 +54,12 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          df.count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // post-execution fingerprint: AQE's final shape is part of what
-          // a future artifact diff should catch (lost broadcast, new
-          // shuffle). Captured outside the timed region's significance —
-          // a toString+md5 costs microseconds.
+          // static-plan fingerprint, taken BEFORE execution: deterministic
+          // across runs (post-AQE trees carry scheduling-dependent stage
+          // reuse/coalesce artifacts). A toString+md5 costs microseconds.
           plans += name -> PlanFingerprint.of(df)
-          Some(dt)
+          df.count()
+          Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

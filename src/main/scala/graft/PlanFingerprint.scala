@@ -2,18 +2,22 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-/** Canonical fingerprint of a query's physical plan: md5 of the executed
-  * plan string with volatile tokens (expression ids, shuffle/codegen ids,
-  * temp paths, object addresses) normalized away.
+/** Canonical fingerprint of a query's physical plan: md5 of the
+  * statically planned physical tree with volatile tokens (expression
+  * ids, shuffle/codegen ids, temp paths, object addresses) normalized
+  * away.
   *
   * Bench emits one per query (`"plans":{...}`) so a plan regression — a
   * lost broadcast, a new shuffle, a filter that stopped pushing down —
   * shows up as a fingerprint diff between round artifacts even when
   * timing noise hides the slowdown. Stability across sessions is pinned
-  * in PlanFingerprintSpec (two independent `newSession()`s must agree);
-  * the fingerprint is intentionally of the POST-execution plan, so AQE's
-  * final decisions (broadcast conversions, coalesced shuffles) are part
-  * of what's guarded.
+  * in PlanFingerprintSpec (two independent `newSession()`s must agree).
+  *
+  * Deliberately the PRE-execution plan: join strategies, exchange
+  * structure, pushed filters, and partitioning are all statically
+  * decided and deterministic, while the post-AQE tree carries runtime
+  * artifacts (query-stage reuse order, coalesced-partition counts) that
+  * vary with scheduling and would make equal plans hash unequal.
   */
 object PlanFingerprint {
 
@@ -30,7 +34,10 @@ object PlanFingerprint {
     .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")        // exchange/stage ids
     .replaceAll("(file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
     .replaceAll("/[^\\s,\\)\\]]*tmp[^\\s,\\)\\]]*", "<path>")
-    .replaceAll("@[0-9a-fA-F]{4,}", "@x")            // object identities
+    // object identities — e.g. a literal plane matrix prints as [[D@1a2b,
+    // and scan-node truncation can cut the hash to ANY length ([[D@40...),
+    // so match one-or-more hex chars, not a minimum width
+    .replaceAll("@[0-9a-fA-F]+", "@x")
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

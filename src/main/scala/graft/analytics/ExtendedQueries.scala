@@ -336,9 +336,55 @@ object ExtendedQueries {
              SELECT c_custkey, c_mktsegment, revenue, rk
              FROM ranked WHERE rk <= 3 ORDER BY c_mktsegment, rk"""))
 
+  /** Statistical profile per return flag: Pearson correlation, population
+    * covariance, and population stddev of (extendedprice, quantity) —
+    * from DECIMAL-EXACT co-moment sums ([[QueryDsl.dsum]] family)
+    * combined in double only at the very end, so both engines execute
+    * the identical final IEEE ops and the result hash-compares exactly.
+    * Spark's built-in `corr`/`covar_pop` accumulate co-moments in
+    * doubles with partition-order-dependent rounding — statistically
+    * fine, but not reproducible across engines or partitionings; the
+    * exact-sum form is also the one-pass shape a 100 TB profile job
+    * wants (six map-side-combined sums, one shuffle).
+    */
+  val correlation = Q("q_correlation",
+    (s, d) => {
+      val x = col("l_extendedprice")
+      val y = col("l_quantity")
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"), dsum(x * y).as("sxy"),
+          dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_price_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+            .as("covar_pop_price_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")), 6)
+            .as("stddev_pop_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH s AS (
+             SELECT l_returnflag, count(*) AS n,
+               ${dsumSql("l_extendedprice")} AS sx,
+               ${dsumSql("l_quantity")} AS sy,
+               ${dsumSql("l_extendedprice*l_quantity")} AS sxy,
+               ${dsumSql("l_extendedprice*l_extendedprice")} AS sxx,
+               ${dsumSql("l_quantity*l_quantity")} AS syy
+             FROM lineitem GROUP BY 1)
+             SELECT l_returnflag, n,
+               round((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+                 AS corr_price_qty,
+               round((sxy - sx*sy/n)/n, 6) AS covar_pop_price_qty,
+               round(sqrt((sxx - sx*sx/n)/n), 6) AS stddev_pop_price
+             FROM s ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(rollupSales, cubeSales, unpivotMetrics,
     pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
-    topPerGroup)
+    topPerGroup, correlation)
 }

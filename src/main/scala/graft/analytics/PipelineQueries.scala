@@ -181,19 +181,29 @@ object PipelineQueries {
     * oracle replays the full chain — md5 LSH, string-shingle confirm,
     * then the closure as a recursive CTE.
     */
-  val dedupComponents = Q("q_dedup_components",
-    (s, d) => {
-      import graft.operators.{Dedup, TrainingData}
-      val docs = documents(s, d)
-      val candidates = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
-        .select(col("id_a"), col("id_b"))
-      val edges = Dedup.jaccardOnCandidatesStrings(candidates, docs,
-          "text", "doc_id", n = 3)
-        .filter(col("jaccard") >= 0.2).select(col("id_a"), col("id_b"))
-      TrainingData.connectedComponents(docs.select(col("doc_id")), edges)
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH RECURSIVE gtoks AS (
+  /** Shared by both component queries: docs plus the LSH-confirmed edge
+    * list at Jaccard >= 0.2.
+    */
+  private def confirmedDedupEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Dedup
+    val docs = documents(s, d)
+    val candidates = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
+      .select(col("id_a"), col("id_b"))
+    val edges = Dedup.jaccardOnCandidatesStrings(candidates, docs,
+        "text", "doc_id", n = 3)
+      .filter(col("jaccard") >= 0.2).select(col("id_a"), col("id_b"))
+    (docs, edges)
+  }
+
+  /** One oracle text for both component queries: the labeling is a pure
+    * function of the confirmed edge set, so min-label propagation and
+    * the large-star/small-star algorithm must both hash-match it — two
+    * independent distributed algorithms pinned to one recursive-CTE
+    * closure.
+    */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE gtoks AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                FROM documents),
              ${NorthStarQueries.md5LshSqlCtes()},
@@ -205,7 +215,31 @@ object PipelineQueries {
                UNION
                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
              SELECT a AS doc_id, min(b) AS component
-             FROM reach GROUP BY 1 ORDER BY doc_id"""))
+             FROM reach GROUP BY 1 ORDER BY doc_id"""
+
+  val dedupComponents = Q("q_dedup_components",
+    (s, d) => {
+      val (docs, edges) = confirmedDedupEdges(s, d)
+      graft.operators.TrainingData
+        .connectedComponents(docs.select(col("doc_id")), edges)
+        .orderBy(col("doc_id"))
+    },
+    Some(componentsOracleSql))
+
+  /** The same cluster resolution through the logarithmic-round
+    * large-star/small-star algorithm — the variant for adversarial
+    * diameters (chained near-dups longer than any fixed propagation
+    * budget). Identical output by construction; the oracle makes that an
+    * enforced cross-engine fact rather than a code comment.
+    */
+  val dedupComponentsStar = Q("q_dedup_components_star",
+    (s, d) => {
+      val (docs, edges) = confirmedDedupEdges(s, d)
+      graft.operators.TrainingData
+        .connectedComponentsStar(docs.select(col("doc_id")), edges)
+        .orderBy(col("doc_id"))
+    },
+    Some(componentsOracleSql))
 
   /** Training-sequence packing: content-hash-ordered concat within hash
     * buckets, chunked into 256-token sequences; per-sequence accounting.
@@ -308,7 +342,35 @@ object PipelineQueries {
             SELECT lang, CAST(rk AS BIGINT) AS rk, token, n FROM r
             WHERE rk <= 3 ORDER BY lang, rk"""))
 
+  /** Count-min-sketch heavy hitters: tokens whose fixed-memory sketch
+    * estimate reaches 1/50 of the token stream, with exact counts
+    * alongside (est >= exact — the overestimate invariant CountMinSpec
+    * property-pins). The md5-salted hashes make the sketch replayable
+    * cell-for-cell in DuckDB, so the approximate structure itself is
+    * hash-oracled — same treatment q_minhash_md5 gives LSH.
+    */
+  val heavyHitters = Q("q_heavy_hitters",
+    (s, d) => graft.operators.CountMin.heavyHitters(documents(s, d))
+      .orderBy(col("tok")),
+    Some(s"""WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0),
+        thr AS (SELECT CAST(count(*) // 50 AS BIGINT) AS thr FROM toks),
+        rb AS (SELECT tok, r.i AS h,
+            ${NorthStarQueries.md5BucketSql(
+              "concat('cms', CAST(r.i AS VARCHAR), tok)", 256)} AS bucket
+          FROM toks, range(4) r(i)),
+        sk AS (SELECT h, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        dt AS (SELECT DISTINCT tok, h, bucket FROM rb),
+        est AS (SELECT dt.tok, min(sk.cnt) AS est
+          FROM dt JOIN sk USING (h, bucket) GROUP BY 1),
+        exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1)
+        SELECT e.tok, e.est, x.n_exact
+        FROM est e JOIN exact x ON e.tok = x.tok, thr
+        WHERE e.est >= thr.thr ORDER BY e.tok"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
-    stratifiedSample, vocabStats, piiMask, dedupComponents, packSequences,
-    tfidf, lengthGate, udafTopTokens)
+    stratifiedSample, vocabStats, piiMask, dedupComponents,
+    dedupComponentsStar, packSequences, tfidf, lengthGate, udafTopTokens,
+    heavyHitters)
 }

@@ -10,19 +10,25 @@ import org.apache.spark.sql.SparkSession
   */
 class PlanFingerprintSpec extends SparkSpec {
 
-  private def fingerprint(s: SparkSession, name: String): String = {
-    val df = SparkEntry.queries(name)(s, sf001)
-    df.count() // finalize AQE so the post-execution shape is hashed
-    PlanFingerprint.of(df)
-  }
+  private def fingerprint(s: SparkSession, name: String): String =
+    PlanFingerprint.of(SparkEntry.queries(name)(s, sf001))
+
+  private def normalizedPlan(s: SparkSession, name: String): String =
+    PlanFingerprint.normalize(
+      SparkEntry.queries(name)(s, sf001).queryExecution.executedPlan.toString)
 
   test("fingerprints are stable across two independent sessions") {
     // joins+broadcast, window+TakeOrdered, and a native-expression scan —
     // the three plan families most at risk of silent shape drift
     for (q <- Seq("q_star_monthly_segment", "q_top_customers", "q_ann_lsh")) {
-      val a = fingerprint(spark.newSession(), q)
-      val b = fingerprint(spark.newSession(), q)
-      assert(a === b, s"$q fingerprint must not depend on session state")
+      val a = normalizedPlan(spark.newSession(), q)
+      val b = normalizedPlan(spark.newSession(), q)
+      if (a != b) {
+        val diff = a.linesIterator.zipAll(b.linesIterator, "<absent>", "<absent>")
+          .filter { case (x, y) => x != y }.take(8)
+          .map { case (x, y) => s"  A: $x\n  B: $y" }.mkString("\n")
+        fail(s"$q fingerprint must not depend on session state; first diffs:\n$diff")
+      }
     }
   }
 
