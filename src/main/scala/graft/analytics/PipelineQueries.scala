@@ -369,8 +369,57 @@ object PipelineQueries {
         FROM est e JOIN exact x ON e.tok = x.tok, thr
         WHERE e.est >= thr.thr ORDER BY e.tok"""))
 
+  /** Shared chunking oracle CTEs `t`/`c`: the sliding-window plan
+    * replayed with a range comprehension and 1-based inclusive list
+    * slicing (chunkSize 32, stride 24 — the catalog parameters).
+    */
+  private val chunkSqlCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             FROM documents WHERE length(trim(text)) > 0),
+       c AS (SELECT doc_id, toks, n,
+             unnest(range((greatest(n - 32, 0) + 23) // 24 + 1)) AS chunk_idx
+             FROM t),
+       chunks AS (SELECT doc_id, chunk_idx,
+             chunk_idx * 24 AS start_tok,
+             least(32, n - chunk_idx * 24) AS n_chunk_tokens,
+             md5(array_to_string(
+               toks[chunk_idx*24 + 1 : chunk_idx*24 + least(32, n - chunk_idx*24)],
+               ' ')) AS chunk_hash
+             FROM c)"""
+
+  /** RAG-style context chunking: 32-token windows, stride 24, md5 chunk
+    * hash per window — the chunk table a retrieval corpus builds before
+    * embedding, produced entirely map-side ([[graft.operators.
+    * TrainingData.chunkWindows]]).
+    */
+  val chunkWindows = Q("q_chunk_windows",
+    (s, d) => graft.operators.TrainingData.chunkWindows(documents(s, d))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH $chunkSqlCtes
+         SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_hash
+         FROM chunks ORDER BY doc_id, chunk_idx"""))
+
+  /** Chunk-level dedup accounting: total vs distinct chunk hashes — the
+    * cross-corpus granularity retrieval dedup actually works at (two
+    * documents sharing a boilerplate span collide here even when neither
+    * document is a duplicate). The downstream shuffle carries 16-byte
+    * hashes only.
+    */
+  val chunkDedup = Q("q_chunk_dedup",
+    (s, d) => graft.operators.TrainingData.chunkWindows(documents(s, d))
+      .agg(count(lit(1)).as("n_chunks"),
+        count_distinct(col("chunk_hash")).as("n_distinct_chunks"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        (col("n_chunks") - col("n_distinct_chunks")).as("n_dup_chunks")),
+    Some(s"""WITH $chunkSqlCtes
+         SELECT count(*) AS n_chunks,
+           count(DISTINCT chunk_hash) AS n_distinct_chunks,
+           count(*) - count(DISTINCT chunk_hash) AS n_dup_chunks
+         FROM chunks"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, packSequences, tfidf, lengthGate, udafTopTokens,
-    heavyHitters)
+    heavyHitters, chunkWindows, chunkDedup)
 }

@@ -381,6 +381,42 @@ object TrainingData {
     labeled.union(untouched).select(col("id").as(idCol), col("component"))
   }
 
+  // --- context chunking ----------------------------------------------------
+
+  /** RAG-style sliding-window chunking plan: fixed `chunkSize`-token
+    * windows every `stride` tokens (overlap = chunkSize - stride), the
+    * final chunk short, every token covered. Emits one row per chunk
+    * with its token span and an md5 content hash — the key for
+    * cross-corpus CHUNK-level dedup (retrieval corpora dedup at chunk,
+    * not document, granularity: two docs sharing a boilerplate span
+    * produce the same chunk hash).
+    *
+    * Chunk count per doc is closed-form (`ceil(max(n-size,0)/stride)+1`),
+    * so the explosion is a codegen `sequence`/`explode` with no shuffle
+    * — the chunk table is produced map-side at any corpus size, and
+    * downstream dedup shuffles 16-byte hashes, never chunk text.
+    */
+  def chunkWindows(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"(greatest(n_tokens - $chunkSize, 0) + ${stride - 1}) " +
+          s"div $stride"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkSize.toLong), col("n_tokens") - col("start_tok")))
+      .withColumn("chunk_hash", md5(concat_ws(" ",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_chunk_tokens").cast("int")))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_chunk_tokens"), col("chunk_hash"))
+  }
+
   // --- sequence packing ----------------------------------------------------
 
   /** Training-sequence packing plan: documents are concatenated in

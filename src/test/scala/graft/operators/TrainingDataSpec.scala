@@ -109,6 +109,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(none.forall(_.getAs[Long]("tokens_kept") === 0L))
   }
 
+  test("chunkWindows: coverage, overlap, short tail, and cross-doc hash equality") {
+    // 60 tokens at size 32 / stride 24 -> starts 0,24,48 with lens 32,32,12
+    val text60 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text60), (2L, text60), (3L, "a b"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val got = TrainingData.chunkWindows(docs, chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = got.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(d1.toSeq === Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 12L)))
+    // last chunk ends exactly at n_tokens: full coverage, nothing past the end
+    assert(d1.last._2 + d1.last._3 === 60L)
+    // identical docs produce identical chunk hashes (the dedup key)
+    val h1 = got.filter(_.getLong(0) == 1L).map(_.getString(4)).toSeq
+    val h2 = got.filter(_.getLong(0) == 2L).map(_.getString(4)).toSeq
+    assert(h1 === h2 && h1.distinct.length === 3)
+    // a doc shorter than one window yields exactly one short chunk
+    assert(got.filter(_.getLong(0) == 3L).map(r => (r.getLong(2), r.getLong(3)))
+      .toSeq === Seq((0L, 2L)))
+    // blank docs chunk to nothing; stride > chunkSize is rejected
+    assert(!got.exists(_.getLong(0) == 4L))
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkWindows(docs, chunkSize = 8, stride = 9)
+    }
+  }
+
   test("connectedComponents resolves a chain transitively to the min id") {
     // a~b and b~c but NOT a~c: pairwise drop logic misses (a,c);
     // component resolution must put all three in component 1.
