@@ -40,6 +40,27 @@ class CountMinSpec extends SparkSpec {
     assert(hh.forall { case (_, est, n) => est >= n })
   }
 
+  test("sketch builds incrementally on a real stream and equals the batch sketch") {
+    // the sketch is a plain (h, bucket) groupBy-count — the shape that
+    // runs unchanged as a streaming aggregation: cells accumulate across
+    // micro-batches and the final state equals the one-shot batch build
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sk = CountMin.sketch(stream.toDF().select(col("value").as("tok")),
+      depth = 4, width = 64)
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("t_cms").start()
+    val toks = CountMin.tokens(graft.Tables.documents(spark, sf001), "text")
+      .as[String].collect()
+    val (a, b) = toks.splitAt(toks.length / 2)
+    stream.addData(a.toIndexedSeq); q.processAllAvailable()
+    stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_cms")
+    val batch = CountMin.sketch(toks.toSeq.toDF("tok"), depth = 4, width = 64)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sketch size is bounded by depth*width regardless of input") {
     val toks = CountMin.tokens(graft.Tables.documents(spark, sf001), "text")
     assert(CountMin.sketch(toks, depth = 4, width = 16).count() <= 64L)
