@@ -182,12 +182,15 @@ object PipelineQueries {
     * then the closure as a recursive CTE.
     */
   /** Shared by both component queries: docs plus the LSH-confirmed edge
-    * list at Jaccard >= 0.2.
+    * list at Jaccard >= 0.2. `maxDocId` scopes the input (the star twin
+    * runs on the bounded audit sample so the bench doesn't pay the
+    * ~4s edge derivation twice at full width).
     */
   private def confirmedDedupEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      d: String, maxDocId: Long = Long.MaxValue)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.operators.Dedup
-    val docs = documents(s, d)
+    val docs = documents(s, d).filter(col("doc_id") < maxDocId)
     val candidates = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
       .select(col("id_a"), col("id_b"))
     val edges = Dedup.jaccardOnCandidatesStrings(candidates, docs,
@@ -202,16 +205,16 @@ object PipelineQueries {
     * independent distributed algorithms pinned to one recursive-CTE
     * closure.
     */
-  private val componentsOracleSql: String =
+  private def componentsOracleSql(where: String = ""): String =
     s"""WITH RECURSIVE gtoks AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-               FROM documents),
+               FROM documents $where),
              ${NorthStarQueries.md5LshSqlCtes()},
              ${NorthStarQueries.md5ConfirmedEdgesSqlCtes(0.2)},
              sym AS (SELECT id_a AS a, id_b AS b FROM jedges
                      UNION SELECT id_b, id_a FROM jedges),
              reach(a, b) AS (
-               SELECT doc_id, doc_id FROM documents
+               SELECT doc_id, doc_id FROM documents $where
                UNION
                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
              SELECT a AS doc_id, min(b) AS component
@@ -224,22 +227,25 @@ object PipelineQueries {
         .connectedComponents(docs.select(col("doc_id")), edges)
         .orderBy(col("doc_id"))
     },
-    Some(componentsOracleSql))
+    Some(componentsOracleSql()))
 
   /** The same cluster resolution through the logarithmic-round
     * large-star/small-star algorithm — the variant for adversarial
     * diameters (chained near-dups longer than any fixed propagation
     * budget). Identical output by construction; the oracle makes that an
-    * enforced cross-engine fact rather than a code comment.
+    * enforced cross-engine fact rather than a code comment. Runs on the
+    * bounded 250-doc audit sample: the full-corpus shape is already
+    * benchmarked by q_dedup_components, and the algorithm's breadth is
+    * property-pinned against union-find in TrainingDataPropertySpec.
     */
   val dedupComponentsStar = Q("q_dedup_components_star",
     (s, d) => {
-      val (docs, edges) = confirmedDedupEdges(s, d)
+      val (docs, edges) = confirmedDedupEdges(s, d, maxDocId = 250L)
       graft.operators.TrainingData
         .connectedComponentsStar(docs.select(col("doc_id")), edges)
         .orderBy(col("doc_id"))
     },
-    Some(componentsOracleSql))
+    Some(componentsOracleSql("WHERE doc_id < 250")))
 
   /** Training-sequence packing: content-hash-ordered concat within hash
     * buckets, chunked into 256-token sequences; per-sequence accounting.
