@@ -236,6 +236,13 @@ object TrainingData {
     * (a~b, b~c but not a~c), while a component representative is
     * transitive-closure-correct.
     *
+    * Count-adaptive: when the confirmed edge list is provably small
+    * (`smallEdgeThreshold`, default 100k pairs ≈ 1.6 MB), labels come
+    * from a driver-side union-find sprayed back as a broadcast join —
+    * one cheap count on the persisted edges instead of several
+    * shuffle-checkpoint rounds. Past the threshold the distributed loop
+    * runs:
+    *
     * Min-label propagation: each iteration joins labels across edges and
     * takes the neighborhood minimum, converging in graph-diameter
     * iterations — near-dup clusters are near-cliques, so 2-3 in practice.
@@ -250,10 +257,44 @@ object TrainingData {
     * TrainingDataPropertySpec.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+      idCol: String = "doc_id", maxIter: Int = 20,
+      smallEdgeThreshold: Long = 100000L): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Count-adaptive fast path: a confirmed near-dup edge list is usually
+    // MUCH smaller than the corpus (it's post-LSH, post-confirm). When it
+    // fits comfortably on the driver, three shuffle-join-checkpoint
+    // rounds for a few thousand pairs are pure stage-latency waste —
+    // union-find them in microseconds and spray the labels back as a
+    // broadcast join (the same count-adaptive pattern as the corpus-
+    // pipeline broadcasts). The persisted `sym` makes the count cheap,
+    // and 100k edges is ~1.6 MB collected. Past the threshold — the
+    // 100 TB shape — the distributed loop below takes over unchanged.
+    val nEdges = sym.count() / 2
+    if (nEdges <= smallEdgeThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        if (r != x) parent(x) = r // path compression
+        r
+      }
+      sym.filter(col("src") < col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      sym.unpersist()
+      val resolved = parent.keys.map(x => (x, find(x)))
+        .filter { case (x, r) => x != r }.toSeq
+      val labels = nodes.sparkSession
+        .createDataFrame(resolved).toDF("id", "component")
+      return nodes.select(col(idCol).as("id"))
+        .join(broadcast(labels), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("component"), col("id")).as("component"))
+    }
     // Only edge endpoints can ever change labels — iterate on that (much
     // smaller) subgraph and union the untouched nodes back at the end,
     // so each loop stage moves O(edges), not O(corpus).

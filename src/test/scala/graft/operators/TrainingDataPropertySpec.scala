@@ -46,6 +46,20 @@ class TrainingDataPropertySpec extends SparkSpec {
   }
 
   test("connectedComponents equals brute-force union-find on random graphs") {
+    // threshold 0 forces the distributed min-label loop — the default
+    // would route every generated graph through the driver-side fast
+    // path, which the next test covers
+    check(Prop.forAll(genGraph) { case (nodes, edges) =>
+      val expected = unionFind(nodes, edges)
+      val got = TrainingData.connectedComponents(
+          nodes.toDF("doc_id"), edges.toDF("id_a", "id_b"),
+          smallEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
+
+  test("count-adaptive fast path equals union-find on random graphs") {
     check(Prop.forAll(genGraph) { case (nodes, edges) =>
       val expected = unionFind(nodes, edges)
       val got = TrainingData.connectedComponents(

@@ -151,17 +151,24 @@ class TrainingDataSpec extends SparkSpec {
       .toDF("id_a", "id_b")).collect()
     assert(none.forall(r => r.getLong(0) === r.getLong(1)))
     // an 8-node path has diameter 7 — min-label propagation needs one
-    // iteration per hop, exercising several loop rounds
+    // iteration per hop; threshold 0 forces the distributed loop (the
+    // default would take the union-find fast path on 7 edges)
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = TrainingData.connectedComponents(nodes, chain).collect()
+    val got = TrainingData.connectedComponents(nodes, chain,
+      smallEdgeThreshold = 0L).collect()
     assert(got.forall(_.getLong(1) === 1L))
+    // and the fast path agrees with the loop on the same graph
+    val fast = TrainingData.connectedComponents(nodes, chain).collect()
+    assert(fast.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      got.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("connectedComponents fails loudly instead of returning non-converged labels") {
     val nodes = (1L to 6L).toDF("doc_id")
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      TrainingData.connectedComponents(nodes, chain, maxIter = 2).collect()
+      TrainingData.connectedComponents(nodes, chain, maxIter = 2,
+        smallEdgeThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -181,7 +188,8 @@ class TrainingDataSpec extends SparkSpec {
     // and min-label does fail on this diameter at its default budget,
     // which is exactly why the star variant exists
     intercept[IllegalStateException] {
-      TrainingData.connectedComponents(nodes, edges).collect()
+      TrainingData.connectedComponents(nodes, edges,
+        smallEdgeThreshold = 0L).collect()
     }
   }
 
