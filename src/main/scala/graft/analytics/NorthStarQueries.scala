@@ -833,11 +833,41 @@ object NorthStarQueries {
           $reportSql
           FROM surv GROUP BY 1 ORDER BY lang_pred"""))
 
+  /** SemDeDup-style semantic dedup: IVF-quantizer cluster assignment +
+    * within-cluster smaller-id-wins cosine drop decisions. Fully oracled
+    * — assignment is the same raw-cosine argmax DuckDB already replays
+    * for q_ann_ivf, and the confirm reuses the round-6 cosine.
+    */
+  val semanticDedup = Q("q_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(embeddings(s, d), threshold = 0.3)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+          ORDER BY vec_id LIMIT 16),
+        asgn AS (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
+                       c.cent_id DESC) AS rnk
+          FROM embeddings e, cents c),
+        a AS (SELECT vec_id, cent_id AS cluster_id FROM asgn WHERE rnk = 1),
+        drops AS (
+          SELECT DISTINCT y.vec_id
+          FROM a x JOIN a y ON x.cluster_id = y.cluster_id
+            AND x.vec_id < y.vec_id
+          JOIN embeddings xe ON x.vec_id = xe.vec_id
+          JOIN embeddings ye ON y.vec_id = ye.vec_id
+          WHERE ${cosineSql("xe.embedding", "ye.embedding")} >= 0.3)
+        SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS dropped
+        FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id"""))
+
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
+    semanticDedup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

@@ -424,8 +424,116 @@ object PipelineQueries {
            count(*) - count(DISTINCT chunk_hash) AS n_dup_chunks
          FROM chunks"""))
 
+  /** Cross-document repeated spans: 8-token windows occurring in >= 2
+    * distinct docs, merged per doc into maximal spans (the span-level
+    * exact-substring dedup of Lee et al. 2022, re-expressed as hash
+    * aggregation + semi join + gaps-and-islands — nothing quadratic).
+    */
+  val repeatedSpans = Q("q_repeated_spans",
+    (s, d) => TrainingData.repeatedSpans(documents(s, d), n = 8, minDocs = 2L)
+      .orderBy(col("doc_id"), col("span_start")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents WHERE length(trim(text)) > 0),
+             p AS (SELECT doc_id, unnest(range(greatest(len(toks) - 7, 0))) AS pos,
+                 toks FROM t),
+             sh AS (SELECT doc_id, pos,
+                 array_to_string(toks[pos+1:pos+8], ' ') AS shingle FROM p),
+             dup AS (SELECT shingle FROM sh GROUP BY 1
+               HAVING count(DISTINCT doc_id) >= 2),
+             hits AS (SELECT doc_id, pos FROM sh SEMI JOIN dup USING (shingle)),
+             isl AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                      THEN 0 ELSE 1 END AS brk FROM hits),
+             g AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM isl)
+             SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+               max(pos) + 7 - min(pos) + 1 AS span_tokens,
+               count(*) AS n_windows
+             FROM g GROUP BY doc_id, island
+             ORDER BY doc_id, span_start"""))
+
+  /** The per-source token budget used by the upsampling queries —
+    * multi-epoch for src0, one-plus-partial for src1, partial-only for
+    * the rest at sf0.01 (all integer arithmetic, so the plan replays
+    * exactly at any SF).
+    */
+  private val budgetOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    src => when(src === "src0", lit(5000L))
+      .when(src === "src1", lit(2000L)).otherwise(lit(600L))
+
+  private val budgetSqlCtes =
+    """agg AS (SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+           AS corpus_tokens
+         FROM documents GROUP BY source),
+       plan AS (SELECT source, n_docs, corpus_tokens,
+         CAST(CASE WHEN source = 'src0' THEN 5000
+                   WHEN source = 'src1' THEN 2000 ELSE 600 END AS BIGINT)
+           AS budget_tokens
+         FROM agg),
+       p2 AS (SELECT source, n_docs, corpus_tokens, budget_tokens,
+         budget_tokens // corpus_tokens AS full_epochs,
+         budget_tokens - (budget_tokens // corpus_tokens) * corpus_tokens
+           AS rem_tokens
+         FROM plan),
+       p3 AS (SELECT *, (rem_tokens * 100) // corpus_tokens AS last_epoch_pct
+         FROM p2)"""
+
+  /** Token-budget mixture plan: full epochs + partial-epoch rate per
+    * source (the upsampling half of mixture weighting; [[domainMix]] is
+    * the downsampling half).
+    */
+  val tokenBudget = Q("q_token_budget",
+    (s, d) => TrainingData.tokenBudgetPlan(documents(s, d), budgetOf)
+      .orderBy(col("source")),
+    Some(s"""WITH $budgetSqlCtes
+         SELECT source, n_docs, corpus_tokens, budget_tokens, full_epochs,
+           rem_tokens, last_epoch_pct
+         FROM p3 ORDER BY source"""))
+
+  /** Materialized epoch assignment: one row per (doc, epoch) pass, the
+    * final partial epoch kept by an epoch-salted content hash.
+    */
+  val epochExpand = Q("q_epoch_expand",
+    (s, d) => TrainingData.epochExpand(documents(s, d), budgetOf)
+      .orderBy(col("doc_id"), col("epoch")),
+    // epochs via a range table joined on epoch <= full_epochs: a lateral
+    // unnest(range(expr)) whose alias is then referenced in WHERE trips an
+    // InternalException in DuckDB 1.x (which poisons the connection for
+    // every later oracle), so keep the unnest argument a scalar subquery.
+    Some(s"""WITH $budgetSqlCtes,
+         r AS (SELECT unnest(range((SELECT max(full_epochs) + 1 FROM p3)))
+             AS epoch),
+         e AS (SELECT d.doc_id, d.source, d.text, p.full_epochs,
+             p.last_epoch_pct, r.epoch
+           FROM documents d JOIN p3 p USING (source)
+           JOIN r ON r.epoch <= p.full_epochs)
+         SELECT doc_id, source, epoch FROM e
+         WHERE epoch < full_epochs
+            OR ${md5BucketSql("source || ':' || CAST(epoch AS VARCHAR) || ':' || text")}
+               < last_epoch_pct
+         ORDER BY doc_id, epoch"""))
+
+  /** C4-style blocklist audit: per-doc distinct blocklist-word hits,
+    * computed map-side via `array_intersect` (no explode, no shuffle).
+    */
+  val blocklist = Q("q_blocklist",
+    (s, d) => TrainingData.blocklistAudit(documents(s, d),
+        Seq("crash", "slow", "leak")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           CAST(len(list_intersect(string_split_regex(trim(text), '\s+'),
+             ['crash', 'slow', 'leak'])) AS BIGINT) AS n_bad,
+           len(list_intersect(string_split_regex(trim(text), '\s+'),
+             ['crash', 'slow', 'leak'])) > 0 AS flagged
+         FROM documents WHERE length(trim(text)) > 0
+         ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, packSequences, tfidf, lengthGate, udafTopTokens,
-    heavyHitters, chunkWindows, chunkDedup)
+    heavyHitters, chunkWindows, chunkDedup, repeatedSpans, tokenBudget,
+    epochExpand, blocklist)
 }

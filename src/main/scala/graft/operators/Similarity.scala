@@ -205,6 +205,49 @@ object Similarity {
     bucketProbe(c, q, k, broadcastQueries, excludeSelf)
   }
 
+  /** SemDeDup-style semantic dedup decision: assign every vector to its
+    * nearest of the `nCentroids` smallest-id vectors (the same
+    * deterministic coarse quantizer as [[ivfTopK]], evaluated map-side
+    * over a one-row broadcast), then within each cluster drop every
+    * vector that has a smaller-id cluster-mate at cosine >= `threshold`.
+    * Output: `(vec_id, cluster_id, dropped)` for the whole corpus.
+    *
+    * This is the shape that makes embedding-level dedup tractable at
+    * corpus scale: the pairwise cosine confirm is bounded by the cluster
+    * populations (corpus/nCentroids on average), never the corpus — the
+    * same quadratic-avoidance the SemDeDup paper gets from k-means
+    * clusters, with a quantizer whose assignment is replayable in plain
+    * SQL (raw-cosine argmax, ties to the larger centroid id).
+    */
+  def semanticDedup(
+      vecs: DataFrame,
+      threshold: Double,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = vecs.orderBy(col(idCol)).limit(nCentroids)
+      .agg(collect_list(struct(col(idCol).as("cent_id"), col(vecCol).as("centv")))
+        .as("_cents"))
+    val nearest1 = element_at(slice(reverse(array_sort(
+      transform(col("_cents"), c => struct(
+        graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv"))
+          .as("sim"),
+        c.getField("cent_id").as("cent_id"))))), 1, 1), 1).getField("cent_id")
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        nearest1.as("cluster_id"))
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(graft.functions.CosineExpression.cosine(
+        col("a._v"), col("b._v")), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(drops.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("_d"), lit(false)).as("dropped"))
+  }
+
   /** Write `corpus` as parquet PARTITIONED BY its sign-LSH bucket — the
     * storage layout for an ANN corpus at scale: each of the 2^numPlanes
     * buckets is a partition directory, so a probe prunes to its matching

@@ -30,7 +30,16 @@ object TrainingData {
     * (hash-partitioning on doc_id already satisfies any (doc_id, …)
     * clustering requirement).
     */
-  def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    spanRows(docs, textCol, idCol, n).select(col("doc_id"), col("shingle"))
+
+  /** [[shingleRows]] keeping the window's starting token offset:
+    * `(doc_id, pos, shingle)` rows, `pos` 0-based over whitespace tokens.
+    * The position column is what span-level operators (repeated-span
+    * detection, chunk alignment) consume; plain shingle consumers project
+    * it away before the first aggregation so it never rides a shuffle.
+    */
+  def spanRows(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val toks = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
@@ -39,9 +48,53 @@ object TrainingData {
     val parts = (0 until n).map(k =>
       if (k == 0) col("tok") else lead(col("tok"), k).over(w))
     val full = if (n == 1) lit(true) else lead(col("tok"), n - 1).over(w).isNotNull
-    toks.select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
-        full.as("_full"))
+    toks.select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", parts: _*).as("shingle"), full.as("_full"))
       .filter(col("_full")).drop("_full")
+  }
+
+  /** Cross-document repeated-span detection with interval merge — the
+    * span-level form of exact-substring dedup (the reference's corpus
+    * tooling stops at whole-document and n-gram granularity; this is the
+    * operator a pretraining pipeline adds on top): every `n`-token window
+    * whose text occurs in >= `minDocs` distinct documents is flagged, and
+    * per document the flagged windows are merged into maximal spans
+    * (gaps-and-islands over window starts — two flagged windows fuse when
+    * their starts are within `n` tokens, i.e. they overlap or touch).
+    * Output: one row per maximal duplicated span with its token extent.
+    *
+    * Scale shape: window formation is the posexplode+lead shuffle
+    * [[spanRows]] already pays; the duplicated-window set aggregates on
+    * the 16-byte md5 of the window text (the text itself never rides the
+    * shuffle); the flagged positions semi-join back on the same hash; and
+    * the merge window partitions by doc_id, bounded by document length.
+    * Nothing is quadratic — the all-pairs substring compare becomes one
+    * hash aggregation plus one semi join.
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 8, minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val rows = spanRows(docs, textCol, idCol, n)
+      .select(col("doc_id"), col("pos"), md5(col("shingle")).as("h"))
+    val dup = rows.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = rows.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // lag is null on the first window of a doc: null <= n is null → new island
+    val brk = when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0L))
+      .otherwise(lit(1L))
+    hits.select(col("doc_id"), col("pos"), brk.as("brk"))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
   }
 
   /** Distinct word n-gram shingles per document: `(doc_id, shingle)` rows.
@@ -182,6 +235,72 @@ object TrainingData {
         round(col("n_kept").cast("double") / col("n_docs"), 6)
           .as("realized_rate"),
         col("tokens_kept"))
+  }
+
+  /** Token-budget mixture plan — the upsampling half of mixture weighting
+    * ([[domainMixReport]] is the downsampling half): given a per-source
+    * token budget, how many full passes (epochs) over the source fit, and
+    * what deterministic fraction of a final partial pass tops the budget
+    * up. All integer arithmetic (`div`, not floating division), so the
+    * plan replays bit-identically in any engine and across re-runs.
+    *
+    * One narrow projection + one small per-source aggregation; output
+    * cardinality is the source count.
+    */
+  def tokenBudgetPlan(docs: DataFrame, budgetOf: Column => Column,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        TF.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("corpus_tokens"))
+      .withColumn("budget_tokens", budgetOf(col("source")).cast("bigint"))
+      .withColumn("full_epochs", expr("budget_tokens div corpus_tokens"))
+      .withColumn("rem_tokens",
+        col("budget_tokens") - col("full_epochs") * col("corpus_tokens"))
+      .withColumn("last_epoch_pct", expr("(rem_tokens * 100) div corpus_tokens"))
+      .select(col("source"), col("n_docs"), col("corpus_tokens"),
+        col("budget_tokens"), col("full_epochs"), col("rem_tokens"),
+        col("last_epoch_pct"))
+
+  /** Materialized epoch assignment for [[tokenBudgetPlan]]: each document
+    * appears once per full epoch, plus once in the final partial epoch iff
+    * its content hash — salted with the source AND the epoch ordinal, so
+    * the partial-epoch sample is decorrelated from every other hash
+    * decision — falls under the plan's partial-epoch rate. The per-source
+    * plan rides a broadcast; the explode fans each doc out to its epoch
+    * count map-side, so the operator is shuffle-free after the plan's own
+    * small aggregation.
+    */
+  def epochExpand(docs: DataFrame, budgetOf: Column => Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    val plan = tokenBudgetPlan(docs, budgetOf, textCol, sourceCol)
+      .select(col("source"), col("full_epochs"), col("last_epoch_pct"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("_text"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("full_epochs"))))
+      .filter(col("epoch") < col("full_epochs") ||
+        TF.splitBucket(concat_ws(":", col("source"),
+          col("epoch").cast("string"), col("_text")), 100) <
+          col("last_epoch_pct"))
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
+  /** Blocklist audit (the C4-style badword gate): per document, how many
+    * distinct blocklist words occur in it. Entirely map-side — the token
+    * array never explodes and the blocklist rides as an array literal into
+    * codegen'd `array_intersect`, so the operator adds zero shuffles to
+    * whatever consumes it.
+    */
+  def blocklistAudit(docs: DataFrame, blocklist: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        size(array_intersect(split(trim(col(textCol)), "\\s+"),
+          lit(blocklist.toArray))).cast("bigint").as("n_bad"))
+      .withColumn("flagged", col("n_bad") > 0)
   }
 
   /** Deterministic stratified sample: the `perStratum` documents with the

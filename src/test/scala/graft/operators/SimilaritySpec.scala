@@ -142,6 +142,61 @@ class SimilaritySpec extends SparkSpec {
     assert(n === graft.Tables.embeddings(spark, sf001).count())
   }
 
+  test("semanticDedup drops the larger id of every in-cluster near-dup pair") {
+    // centroids = two smallest ids: v0=(1,0,0) and v1=(0,1,0)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.1f, 0.0f)),  // cluster 0, cos(v2,v0)~0.99875 -> dropped
+      (3L, Seq(0.0f, 3.0f, 0.2f)),  // cluster 1, cos(v3,v1)~0.99779 -> dropped
+      (4L, Seq(0.5f, 0.5f, 0.7f)),  // equidistant: tie -> larger cent_id 1; far from both -> kept
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, threshold = 0.95, nCentroids = 2)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, false), (1L, 1L, false),
+      (2L, 0L, true), (3L, 1L, true),
+      (4L, 1L, false)))
+  }
+
+  test("semanticDedup matches a naive in-memory recompute on the sf0.001 embeddings") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val got = Similarity.semanticDedup(e, threshold = 0.3, nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    // naive recompute with the same semantics: argmax cosine, ties to the
+    // larger centroid id; drop when a smaller-id cluster-mate has
+    // round(cos, 6) >= threshold
+    val all = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0) 0.0 else dot / den
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = all.take(8)
+    val cluster = all.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos(v, cv), cid) }.max._2
+    }.toMap
+    val expected = all.map { case (id, v) =>
+      val dropped = all.exists { case (oid, ov) =>
+        oid < id && cluster(oid) == cluster(id) && r6(cos(ov, v)) >= 0.3
+      }
+      (id, cluster(id), dropped)
+    }.toSeq
+    assert(got.toSeq === expected)
+  }
+
   test("native cosine returns null on mismatched dimensions, matching the HOF form") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     val native = df.select(

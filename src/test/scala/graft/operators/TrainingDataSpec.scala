@@ -287,4 +287,76 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(1) === "ab1") // shorter than keep: untouched
     assert(got(2) === "#2345")
   }
+
+  test("repeatedSpans merges overlapping duplicated windows into maximal spans") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // windows abc(0) bcd(1) cde(2) def(3)
+      (2L, "z a b c d y"),   // shares "a b c"(1) and "b c d"(2)
+    ).toDF("doc_id", "text")
+    val got = TrainingData.repeatedSpans(d, n = 3, minDocs = 2L)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc1 hits pos {0,1} -> one span [0,3]; doc2 hits pos {1,2} -> [1,4]
+    assert(got.toSeq === Seq((1L, 0L, 3L, 4L, 2L), (2L, 1L, 4L, 4L, 2L)))
+  }
+
+  test("repeatedSpans splits islands when flagged windows sit further than n apart") {
+    val d = Seq(
+      (1L, "a b c x1 x2 x3 x4 x5 x6 b c d"), // hits at pos 0 and 9, gap 9 > 3
+      (2L, "a b c q"),                        // shares "a b c"
+      (3L, "q b c d"),                        // shares "b c d"
+    ).toDF("doc_id", "text")
+    val got = TrainingData.repeatedSpans(d, n = 3, minDocs = 2L)
+      .filter($"doc_id" === 1L).orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L), (9L, 11L)))
+  }
+
+  test("tokenBudgetPlan computes integer epochs and partial-epoch rate") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4", "s0"), (2L, "u1 u2 u3 u4", "s0"), // 8 tokens
+      (3L, "v1 v2 v3 v4 v5", "s1"),                          // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    val budget: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      src => when(src === "s0", lit(20L)).otherwise(lit(3L))
+    val got = TrainingData.tokenBudgetPlan(d, budget).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // s0: 20 div 8 = 2 epochs, rem 4 -> 50%; s1: 3 div 5 = 0 epochs, rem 3 -> 60%
+    assert(got.toSeq === Seq(("s0", 8L, 2L, 4L, 50L), ("s1", 5L, 0L, 3L, 60L)))
+  }
+
+  test("epochExpand emits every full epoch and hash-gates only the partial one") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4", "s0"), (2L, "u1 u2 u3 u4", "s0"),
+      (3L, "v1 v2 v3 v4 v5", "s1"),
+    ).toDF("doc_id", "text", "source")
+    val budget: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      src => when(src === "s0", lit(20L)).otherwise(lit(3L))
+    val got = TrainingData.epochExpand(d, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // s0 docs always carry epochs 0 and 1; epoch 2 is the hash-gated partial
+    assert(byDoc(1L).startsWith(Seq(0L, 1L)) && byDoc(2L).startsWith(Seq(0L, 1L)))
+    assert(byDoc(1L).forall(_ <= 2L) && byDoc(2L).forall(_ <= 2L))
+    // s1 has zero full epochs: doc 3 appears at most once, only as epoch 0
+    assert(byDoc.getOrElse(3L, Seq.empty).forall(_ === 0L))
+    // determinism: a second run returns the identical assignment
+    val again = TrainingData.epochExpand(d, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("blocklistAudit counts distinct blocklist hits map-side") {
+    val d = Seq(
+      (1L, "good clean text"),
+      (2L, "bad bad ugly text"),   // "bad" twice counts once
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val got = TrainingData.blocklistAudit(d, Seq("bad", "ugly", "evil"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq((1L, 0L, false), (2L, 2L, true)))
+  }
 }
