@@ -382,9 +382,154 @@ object ExtendedQueries {
                round(sqrt((sxx - sx*sx/n)/n), 6) AS stddev_pop_price
              FROM s ORDER BY l_returnflag"""))
 
+  /** 7-day trailing revenue per day — a RANGE frame over the day offset,
+    * so days missing from the data still bound the window by VALUE (a
+    * ROWS frame would silently widen across gaps). The frame runs over
+    * the daily aggregate (bounded cardinality: one row per calendar day),
+    * never the fact table, and the per-day sums are decimal-exact before
+    * the single cast to double.
+    */
+  val rollingRevenue = Q("q_rolling_revenue",
+    (s, d) => {
+      val daily = orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("order_date"))
+        .agg(sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_dec"))
+        .withColumn("day", unix_date(col("order_date")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("revenue_7d", sum(col("rev_dec")).over(w).cast("double"))
+        .select(col("order_date"), col("rev_dec").cast("double").as("revenue"),
+          col("revenue_7d"))
+        .orderBy(col("order_date"))
+    },
+    Some(s"""WITH daily AS (
+             SELECT CAST(o_orderdate AS DATE) AS order_date,
+                    sum(CAST(o_totalprice AS DECIMAL(27,4))) AS rev_dec,
+                    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                      AS day
+             FROM orders GROUP BY 1)
+             SELECT order_date, CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(sum(rev_dec) OVER (ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS revenue_7d
+             FROM daily ORDER BY order_date"""))
+
+  /** CDC MERGE: a deterministic synthetic change feed — double-update
+    * (v2 wins), update-then-delete (key removed), insert on a key absent
+    * from the snapshot — applied with last-writer-wins semantics via ONE
+    * `max_by` aggregation + one full-outer join
+    * ([[graft.operators.Cdc.applyChanges]]).
+    */
+  val cdcApply = Q("q_cdc_apply",
+    (s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val k = pmod(col("o_orderkey"), lit(4))
+      val snapshot = o.filter(k =!= 3)
+      def ch(sel: Int, op: String, ver: Long,
+          status: org.apache.spark.sql.Column,
+          price: org.apache.spark.sql.Column) =
+        o.filter(k === sel).select(col("o_orderkey"), lit(op).as("op"),
+          lit(ver).as("version"), status.as("o_orderstatus"),
+          price.as("o_totalprice"))
+      val changes = ch(1, "U", 1L, lit("U1"), col("o_totalprice") + 1)
+        .unionByName(ch(1, "U", 2L, lit("U2"), col("o_totalprice") + 2))
+        .unionByName(ch(2, "U", 1L, lit("UD"), col("o_totalprice")))
+        .unionByName(ch(2, "D", 2L, col("o_orderstatus"), col("o_totalprice")))
+        .unionByName(ch(3, "I", 1L, lit("NEW"), col("o_totalprice")))
+      graft.operators.Cdc.applyChanges(snapshot, changes, "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         snap AS (SELECT * FROM o WHERE o_orderkey % 4 <> 3),
+         ch AS (
+           SELECT o_orderkey, 'U' AS op, 1 AS version, 'U1' AS o_orderstatus,
+                  o_totalprice + 1 AS o_totalprice FROM o WHERE o_orderkey % 4 = 1
+           UNION ALL SELECT o_orderkey, 'U', 2, 'U2', o_totalprice + 2
+             FROM o WHERE o_orderkey % 4 = 1
+           UNION ALL SELECT o_orderkey, 'U', 1, 'UD', o_totalprice
+             FROM o WHERE o_orderkey % 4 = 2
+           UNION ALL SELECT o_orderkey, 'D', 2, o_orderstatus, o_totalprice
+             FROM o WHERE o_orderkey % 4 = 2
+           UNION ALL SELECT o_orderkey, 'I', 1, 'NEW', o_totalprice
+             FROM o WHERE o_orderkey % 4 = 3),
+         latest AS (SELECT o_orderkey, arg_max(op, version) AS op,
+             arg_max(o_orderstatus, version) AS ns,
+             arg_max(o_totalprice, version) AS np
+           FROM ch GROUP BY 1)
+         SELECT coalesce(s.o_orderkey, l.o_orderkey) AS o_orderkey,
+           CASE WHEN l.op IS NOT NULL THEN l.ns ELSE s.o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN l.op IS NOT NULL THEN l.np ELSE s.o_totalprice END
+             AS o_totalprice
+         FROM snap s FULL JOIN latest l ON s.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY o_orderkey"""))
+
+  /** Incremental rollup maintenance: prior-history rollup + delta-batch
+    * rollup merged by summing additive state
+    * ([[graft.operators.IncrementalAgg.mergeRollup]]). The oracle is the
+    * FULL RECOMPUTE over all of orders — passing pins merge ≡ recompute,
+    * which is the whole contract of incremental maintenance.
+    */
+  val incrementalRollup = Q("q_incremental_rollup",
+    (s, d) => {
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(year(col("o_orderdate")).as("order_year"),
+            month(col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_dec"))
+      val prior = rollup(orders(s, d).filter(col("o_orderdate") < "1997-01-01"))
+      val delta = rollup(orders(s, d).filter(col("o_orderdate") >= "1997-01-01"))
+      graft.operators.IncrementalAgg.mergeRollup(prior, delta,
+          Seq("order_year", "order_month"), Seq("n_orders", "rev_dec"))
+        .select(col("order_year"), col("order_month"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("order_year"), col("order_month"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(month(o_orderdate) AS INT) AS order_month,
+             count(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS revenue
+             FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Z-order clustering key: native bit-interleave expression over
+    * (l_partkey, l_suppkey) — the multi-dimensional sort key a 100 TB
+    * warehouse writes by so row-group min/max stats prune box predicates
+    * on either dimension (ZOrderSpec quantifies the pruning win on real
+    * parquet footers). The oracle replays the five shift-mask spread
+    * steps in exact BIGINT arithmetic.
+    */
+  val zorder = Q("q_zorder",
+    (s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.functions.ZOrderExpression.zValue(col("l_partkey"),
+          col("l_suppkey")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some("""WITH s0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(l_partkey AS BIGINT) & 2147483647 AS a,
+             CAST(l_suppkey AS BIGINT) & 2147483647 AS b FROM lineitem),
+         s1 AS (SELECT * REPLACE ((a | (a << 16)) & 281470681808895 AS a,
+             (b | (b << 16)) & 281470681808895 AS b) FROM s0),
+         s2 AS (SELECT * REPLACE ((a | (a << 8)) & 71777214294589695 AS a,
+             (b | (b << 8)) & 71777214294589695 AS b) FROM s1),
+         s3 AS (SELECT * REPLACE ((a | (a << 4)) & 1085102592571150095 AS a,
+             (b | (b << 4)) & 1085102592571150095 AS b) FROM s2),
+         s4 AS (SELECT * REPLACE ((a | (a << 2)) & 3689348814741910323 AS a,
+             (b | (b << 2)) & 3689348814741910323 AS b) FROM s3),
+         s5 AS (SELECT * REPLACE ((a | (a << 1)) & 6148914691236517205 AS a,
+             (b | (b << 1)) & 6148914691236517205 AS b) FROM s4)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           a | (b << 1) AS z
+         FROM s5 ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""))
+
   val all: Seq[Q] = Seq(rollupSales, cubeSales, unpivotMetrics,
     pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
-    topPerGroup, correlation)
+    topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
+    zorder)
 }

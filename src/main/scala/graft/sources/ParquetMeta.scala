@@ -34,4 +34,44 @@ object ParquetMeta {
       try r.getRecordCount finally r.close()
     }.sum
   }
+
+  /** Per-row-group [min, max] ranges of integral columns, from footers
+    * only (again no Spark job). This is exactly the information a scan's
+    * row-group skipping consults — reading it back lets a layout decision
+    * (sort key, Z-order clustering) be VERIFIED against the statistics a
+    * predicate would actually prune on, instead of trusted.
+    */
+  def rowGroupRanges(spark: SparkSession, path: String, cols: Seq[String])
+      : Seq[Map[String, (Long, Long)]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val status = fs.getFileStatus(p)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(status)
+    files.flatMap { s =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { block =>
+          block.getColumns.asScala
+            .filter(c => cols.contains(c.getPath.toDotString))
+            .map { c =>
+              val st = c.getStatistics
+              def asLong(v: Any): Long = v match {
+                case i: java.lang.Integer => i.longValue()
+                case l: java.lang.Long => l.longValue()
+                case other => sys.error(
+                  s"rowGroupRanges: non-integral stats ${other.getClass}")
+              }
+              c.getPath.toDotString ->
+                (asLong(st.genericGetMin), asLong(st.genericGetMax))
+            }.toMap
+        }
+      } finally r.close()
+    }
+  }
 }
