@@ -30,6 +30,40 @@ class SkewJoinSpec extends SparkSpec {
     assert(got(2).isNullAt(2))
   }
 
+  test("AQE splits the skewed partition of a sort-merge join at runtime") {
+    // The automatic counterpart of saltedJoin: with skew-join splitting
+    // tuned below the hot partition's size, AQE must replan the skewed
+    // side into multiple reader splits (the `skew=true` marker). This pins
+    // the configuration actually engaging — a silently-ignored threshold
+    // would leave 100 TB hot keys on one reducer with no test noticing.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // half of all rows share key 0, so its partition is >2x the median
+      val hot = spark.range(40000L).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        concat(lit("x" * 100), col("id")).as("payload"))
+      val dim = spark.range(200L).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = hot.join(dim, "k")
+      val plan = executedPlan(joined) // collect() finalizes the AQE plan
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split marker in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("discriminator salt fans identical hot rows across reducers deterministically") {
     import spark.implicits._
     // 400 byte-identical rows except a unique id: whole-row salting would

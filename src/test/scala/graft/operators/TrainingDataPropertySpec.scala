@@ -152,4 +152,76 @@ class TrainingDataPropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  // --- repeated spans vs naive window-flag-and-merge -----------------------
+
+  test("repeatedSpans matches naive flag-and-merge on random corpora") {
+    check(Prop.forAll(genCorpus, Gen.choose(1, 3)) { (corpus, n) =>
+      val df = corpus.toDF("doc_id", "text")
+      // naive: every n-token window occurring in >= 2 distinct docs,
+      // merged per doc when starts are within n
+      val windows = corpus.flatMap { case (id, t) =>
+        tokens(t).sliding(n).filter(_.length == n).zipWithIndex
+          .map { case (w, p) => (id, p.toLong, w.mkString(" ")) }
+      }
+      val dup = windows.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expected = windows.filter(w => dup(w._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        .flatMap { case (id, ps) =>
+          val islands = ps.foldLeft(List.empty[List[Long]]) {
+            case (Nil, p) => List(List(p))
+            case (cur :: done, p) if p - cur.head <= n => (p :: cur) :: done
+            case (acc, p) => List(p) :: acc
+          }
+          islands.map(is => (id, is.last, is.head + n - 1,
+            is.head + n - 1 - is.last + 1, is.size.toLong))
+        }.toSet
+      val got = TrainingData.repeatedSpans(df, n = n, minDocs = 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      got == expected
+    })
+  }
+
+  // --- CDC apply vs naive per-key replay -----------------------------------
+
+  test("Cdc.applyChanges matches a naive per-key replay on random feeds") {
+    val genCase: Gen[(List[(Long, String, Double)], List[(Long, String, Long, String, Double)])] =
+      for {
+        nKeys <- Gen.choose(1, 10)
+        snapKeys <- Gen.someOf(1L to nKeys.toLong)
+        nCh <- Gen.choose(0, 20)
+        chKeys <- Gen.listOfN(nCh, Gen.choose(1L, nKeys.toLong))
+      } yield {
+        val snapshot = snapKeys.toList.sorted.map(k => (k, s"s$k", k * 1.5))
+        // one version sequence per key keeps (key, version) unique
+        val counters = scala.collection.mutable.Map.empty[Long, Long]
+        val changes = chKeys.zipWithIndex.map { case (k, i) =>
+          val v = counters.updateWith(k)(c => Some(c.getOrElse(0L) + 1L)).get
+          val op = (i % 3) match {
+            case 0 => "U"; case 1 => "D"; case 2 => "I"
+          }
+          (k, op, v, s"c$k-$v", k * 10.0 + v)
+        }
+        (snapshot, changes)
+      }
+    check(Prop.forAll(genCase) { case (snapshot, changes) =>
+      val snapDf = snapshot.toDF("k", "status", "amount")
+      val chDf = changes.toDF("k", "op", "version", "status", "amount")
+      val expected = {
+        val byKey = changes.groupBy(_._1)
+        val allKeys = (snapshot.map(_._1) ++ changes.map(_._1)).distinct
+        allKeys.flatMap { k =>
+          byKey.get(k).map(_.maxBy(_._3)) match {
+            case Some((_, "D", _, _, _)) => None
+            case Some((_, _, _, st, am)) => Some((k, st, am))
+            case None => snapshot.find(_._1 == k)
+          }
+        }.toSet
+      }
+      val got = Cdc.applyChanges(snapDf, chDf, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      got == expected
+    })
+  }
 }
