@@ -607,6 +607,75 @@ object CoreQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
+  /** Small-file compaction content roundtrip: fragment the nation table
+    * into per-row files (the layout a micro-batch ingest accretes), run
+    * [[graft.sources.Maintenance.compact]], and return the full content —
+    * the oracle pins that a layout rewrite is row-for-row lossless, and
+    * MaintenanceSpec pins the file-count collapse itself.
+    */
+  val compactRoundtrip = Q("q_compact",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      nation(s, d).repartition(8).write.mode("overwrite").parquet(out)
+      graft.sources.Maintenance.compact(s, out)
+      s.read.parquet(out).orderBy(col("n_nationkey"))
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  /** Dynamic partition overwrite: write orders partitioned by status,
+    * then overwrite ONLY status 'O' with re-derived rows. Partitions 'F'
+    * and 'P' must come back byte-identical (the oracle's non-O branch) —
+    * static overwrite mode would have dropped them, which is exactly the
+    * failure this query guards.
+    */
+  val partitionOverwrite = Q("q_partition_overwrite",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpo_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      val base = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      graft.sources.Maintenance.overwritePartitions(base, out,
+        Seq("o_orderstatus"))
+      val patch = base.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      graft.sources.Maintenance.overwritePartitions(patch, out,
+        Seq("o_orderstatus"))
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+         ${dsumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1 " +
+        "ELSE o_totalprice END")} AS total
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  /** Footer-exact metadata counts: per-table row counts read from parquet
+    * footers only ([[graft.sources.ParquetMeta.rowCount]] — no Spark job)
+    * vs the oracle's actual COUNT(*) — pins that metadata-only sizing
+    * decisions (ANN planes, compaction splits) agree with the data.
+    */
+  val metaCount = Q("q_meta_count",
+    (s, d) => {
+      import s.implicits._
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => (t, graft.sources.ParquetMeta.rowCount(s, s"$d/$t.parquet")))
+        .toDF("table_name", "n_rows").orderBy(col("table_name"))
+    },
+    Some("""SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+         UNION ALL SELECT 'documents', count(*) FROM documents
+         UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+         UNION ALL SELECT 'events', count(*) FROM events
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+         UNION ALL SELECT 'nation', count(*) FROM nation
+         UNION ALL SELECT 'orders', count(*) FROM orders
+         UNION ALL SELECT 'part', count(*) FROM part
+         UNION ALL SELECT 'region', count(*) FROM region
+         UNION ALL SELECT 'supplier', count(*) FROM supplier
+         ORDER BY table_name"""))
+
   /** The SQL entry point end-to-end: temp views + `spark.sql` — the
     * dashboard's query path (reference dashboard/app.py:51-58 runs SQL
     * strings against the warehouse).
@@ -657,6 +726,7 @@ object CoreQueries {
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
     rowHash, jsonExtract, dataQuality, profileLineitem, rangeJoin, skewJoin,
     csvRoundtrip,
-    parquetRoundtrip, orcRoundtrip, sqlInterface, sqlCosine,
+    parquetRoundtrip, orcRoundtrip, compactRoundtrip, partitionOverwrite,
+    metaCount, sqlInterface, sqlCosine,
     approxDistinctParts)
 }
