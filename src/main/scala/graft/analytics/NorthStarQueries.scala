@@ -862,12 +862,61 @@ object NorthStarQueries {
         FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
         ORDER BY a.vec_id"""))
 
+  private val quantizeSqlCtes =
+    """m AS (SELECT vec_id, embedding,
+         list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS max_abs
+       FROM embeddings),
+       qv AS (SELECT vec_id, embedding, max_abs,
+         [CAST(CASE WHEN max_abs = 0 THEN 0
+               ELSE round(CAST(x AS DOUBLE) / max_abs * 127) END AS TINYINT)
+          FOR x IN embedding] AS qvec
+       FROM m)"""
+
+  /** Int8 max-abs quantization of the embedding corpus — the 4× storage
+    * compression a float32 vector store takes first at 100 TB. The
+    * quantized BYTES are oracled (divide/multiply/HALF-UP round is
+    * IEEE-identical cross-engine), not just sampled.
+    */
+  val embedQuantize = Q("q_embed_quantize",
+    (s, d) => {
+      val e = embeddings(s, d)
+      e.select(col("vec_id"),
+        graft.functions.VectorFunctions.maxAbs(col("embedding")).as("max_abs"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("qvec"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $quantizeSqlCtes
+         SELECT vec_id, max_abs, qvec FROM qv ORDER BY vec_id"""))
+
+  /** Quantization error audit: cosine between each original vector and
+    * its int8 reconstruction — the recall-impact estimate that decides
+    * whether the compressed corpus can serve ANN directly or only as a
+    * first pass. Whole chain (quantize → dequantize → cosine) replayed in
+    * the oracle.
+    */
+  val quantizeError = Q("q_quantize_error",
+    (s, d) => {
+      import graft.functions.VectorFunctions._
+      val e = embeddings(s, d)
+      val recon = dequantizeInt8(quantizeInt8(col("embedding")),
+        maxAbs(col("embedding")))
+      e.select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), recon), 6).as("cosine_sim"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $quantizeSqlCtes,
+         r AS (SELECT vec_id, embedding,
+             [CAST(q AS DOUBLE) * max_abs / 127 FOR q IN qvec] AS recon
+           FROM qv)
+         SELECT vec_id, ${cosineSql("embedding", "recon")} AS cosine_sim
+         FROM r ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
-    semanticDedup,
+    semanticDedup, embedQuantize, quantizeError,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

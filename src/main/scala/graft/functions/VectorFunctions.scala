@@ -25,6 +25,27 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
+  /** Per-vector max-abs int8 quantization: `q_i = round(x_i / maxabs * 127)`
+    * with the scale carried alongside — the 4× storage compression a
+    * 100 TB float32 embedding corpus takes before anything else (and the
+    * precursor to PQ codebooks). All-zero vectors quantize to zeros with
+    * scale 0. The divide/multiply/HALF-UP-round chain is IEEE-identical
+    * across engines, so the quantized bytes themselves are oracled, not
+    * just spot-checked.
+    */
+  def maxAbs(a: Column): Column = array_max(transform(d(a), x => abs(x)))
+
+  def quantizeInt8(a: Column): Column = {
+    val m = maxAbs(a)
+    transform(d(a), x =>
+      when(m === 0, lit(0)).otherwise(round(x / m * 127))
+        .cast("tinyint"))
+  }
+
+  /** Reconstruction of [[quantizeInt8]]: `q_i * maxabs / 127`. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / 127)
+
   /** Sign-bit sketch for LSH bucketing: concatenated signs of `k` fixed
     * deterministic pseudo-random projections. The projection vectors are
     * derived from the element index via a hash-free recurrence so both the

@@ -197,6 +197,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("int8 quantization bounds reconstruction error and handles zero vectors") {
+    import graft.functions.VectorFunctions._
+    val vecs = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),     // all-zero: scale 0, qvec zeros
+      (2L, Seq(100.0f, -100.0f, 3.3f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        maxAbs(col("embedding")).as("s"),
+        quantizeInt8(col("embedding")).as("q"),
+        round(cosineSimilarity(col("embedding"),
+          dequantizeInt8(quantizeInt8(col("embedding")),
+            maxAbs(col("embedding")))), 6).as("cos"))
+      .orderBy("vec_id").collect()
+    assert(got(1).getDouble(1) === 0.0)
+    assert(got(1).getSeq[Byte](2).forall(_ === 0))
+    assert(got(1).getDouble(3) === 0.0) // zero vector: cosine guard -> 0
+    // max-abs element quantizes to exactly +/-127
+    assert(got(0).getSeq[Byte](2).head === 127.toByte)
+    assert(got(2).getSeq[Byte](2).take(2) === Seq(127.toByte, (-127).toByte))
+    // int8 reconstruction keeps cosine > 0.9999 for non-degenerate vectors
+    Seq(0, 2).foreach(i => assert(got(i).getDouble(3) > 0.9999, s"row $i"))
+    // sf0.001 corpus: every vector reconstructs above 0.999
+    val e = graft.Tables.embeddings(spark, sf001)
+    val minCos = e.select(round(cosineSimilarity(col("embedding"),
+        dequantizeInt8(quantizeInt8(col("embedding")), maxAbs(col("embedding")))),
+        6).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    assert(minCos > 0.999, s"min reconstruction cosine $minCos")
+  }
+
   test("native cosine returns null on mismatched dimensions, matching the HOF form") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     val native = df.select(

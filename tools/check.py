@@ -29,14 +29,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object and df[c].map(
                 lambda v: v is None or isinstance(v, datetime.date)).all():
             df[c] = pd.to_datetime(df[c])
-    if len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    def sortable(c):
+        import numpy as np
+        vals = df[c].dropna()
+        if not len(vals):
+            return True
+        return not isinstance(vals.iloc[0], (list, tuple, np.ndarray))
+    keys = [c for c in df.columns if sortable(c)]
+    if keys:
+        df = df.sort_values(by=keys, kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 
 
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    import numpy as np
+    if isinstance(a, (list, tuple, np.ndarray)) or \
+            isinstance(b, (list, tuple, np.ndarray)):
+        if a is None or b is None:
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(
+            values_equal(x, y) for x, y in zip(la, lb))
     try:
         if pd.isna(a) and pd.isna(b):
             return True
