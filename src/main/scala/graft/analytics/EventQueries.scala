@@ -168,7 +168,86 @@ object EventQueries {
     Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
             count(*) AS n_events FROM events GROUP BY 1 ORDER BY event_type"""))
 
+  /** Shared oracle CTEs: per-user time-ordered event-type transitions
+    * aggregated to a weighted edge table. (ts, event_id) ordering is
+    * total — event ids are unique — so the path sequence is deterministic
+    * in both engines.
+    */
+  private val transitionSqlCtes =
+    """s AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+         FROM events),
+       p AS (SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS to_type
+         FROM s),
+       pairs AS (SELECT from_type, to_type, count(*) AS n FROM p
+         WHERE to_type IS NOT NULL GROUP BY 1, 2)"""
+
+  private def transitions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d).select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Behavioral path mining: which event follows which, corpus-wide — the
+    * transition table funnels and next-action models start from. One
+    * user-keyed window (per-user sequences are bounded) + one small
+    * aggregation.
+    */
+  val eventPaths = Q("q_event_paths",
+    (s, d) => transitions(s, d)
+      .orderBy(col("n").desc, col("from_type"), col("to_type")),
+    Some(s"""WITH $transitionSqlCtes
+         SELECT from_type, to_type, n FROM pairs
+         ORDER BY n DESC, from_type, to_type"""))
+
+  /** PageRank over the event-type transition graph — oracled ITERATIVE
+    * floating-point computation ([[graft.operators.PageRank]]): per-edge
+    * contributions are double (bit-identical per term) and per-node sums
+    * are decimal-exact, so accumulation ORDER can never move the result;
+    * the output rounds to 6 decimals because the double→decimal cast
+    * itself differs by 1 ulp between engines (Spark goes through the
+    * shortest decimal repr, DuckDB through scaled multiply — observed at
+    * sf0.001), and three iterations keep that at the ~16th digit.
+    */
+  val eventPagerank = Q("q_event_pagerank",
+    (s, d) => {
+      val edges = transitions(s, d).select(col("from_type").as("from"),
+        col("to_type").as("to"), col("n").cast("double").as("weight"))
+      val nodes = events(s, d).select(col("event_type")).distinct()
+      graft.operators.PageRank.run(nodes, edges, iters = 3)
+        .select(col("node"), round(col("p"), 6).as("pagerank"))
+        .orderBy(col("node"))
+    },
+    Some {
+      def iter(k: Int): String =
+        s"""pr$k AS (
+           SELECT n.node,
+             CAST(0.15 AS DOUBLE) / ANY_VALUE(c) + CAST(0.85 AS DOUBLE) *
+               coalesce(CAST(sum(CAST(pp.p * e.n / e.out_w AS DECIMAL(38,20)))
+                 AS DOUBLE), CAST(0 AS DOUBLE)) AS p
+           FROM nodes n CROSS JOIN cnt
+           LEFT JOIN e ON e.to_type = n.node
+           LEFT JOIN pr${k - 1} pp ON pp.node = e.from_type
+           GROUP BY n.node)"""
+      s"""WITH $transitionSqlCtes,
+         nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         cnt AS (SELECT count(*) AS c FROM nodes),
+         outw AS (SELECT from_type, sum(n) AS out_w FROM pairs GROUP BY 1),
+         e AS (SELECT p.from_type, p.to_type, CAST(p.n AS DOUBLE) AS n,
+             CAST(o.out_w AS DOUBLE) AS out_w
+           FROM pairs p JOIN outw o USING (from_type)),
+         pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / c AS p FROM nodes, cnt),
+         ${iter(1)}, ${iter(2)}, ${iter(3)}
+         SELECT node, round(p, 6) AS pagerank FROM pr3 ORDER BY node"""
+    })
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
     eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
-    exactDistinctUsers)
+    exactDistinctUsers, eventPaths, eventPagerank)
 }
