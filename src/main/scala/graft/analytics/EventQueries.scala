@@ -247,7 +247,75 @@ object EventQueries {
          SELECT node, round(p, 6) AS pagerank FROM pr3 ORDER BY node"""
     })
 
+  /** Ordered funnel completion: per user, the first signup, the first
+    * view strictly after it, the first purchase strictly after that —
+    * three chained min-aggregations (each one key-partitioned shuffle over
+    * progressively fewer rows), no per-user sequence materialization. The
+    * report is one row per funnel stage with user counts.
+    */
+  val funnel = Q("q_funnel",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "view").join(t1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val n1 = t1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_signup"))
+      val n2 = t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_view"))
+      val n3 = t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase"))
+      n1.unionByName(n2).unionByName(n3)
+        .select(col("stage"), col("n").as("n_users")).orderBy(col("stage"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events),
+           t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'signup' GROUP BY 1),
+           t2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM ev e JOIN t1 ON e.user_id = t1.user_id
+             WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1),
+           t3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM ev e JOIN t2 ON e.user_id = t2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+           SELECT stage, n_users FROM (
+             SELECT '1_signup' AS stage, count(*) AS n_users FROM t1
+             UNION ALL SELECT '2_view', count(*) FROM t2
+             UNION ALL SELECT '3_purchase', count(*) FROM t3)
+           ORDER BY stage"""))
+
+  /** Weekly retention cohorts: users grouped by first-activity week,
+    * counted as retained in each later week they appear — the
+    * (cohort, offset) matrix every growth dashboard draws. Two shuffles:
+    * the per-user first-week aggregate and the cohort-cell count.
+    */
+  val retentionCohorts = Q("q_retention_cohorts",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
+      // absolute week index: ISO week within one year of synthetic data
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("yr") * 100 + col("wk")).as("cohort"))
+      ev.select(col("user_id"), (col("yr") * 100 + col("wk")).as("active_wk"))
+        .distinct()
+        .join(first, "user_id")
+        .groupBy(col("cohort"), col("active_wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("active_wk"))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+             CAST(year(CAST(ts AS TIMESTAMP)) AS INT) * 100 +
+               CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS wk
+             FROM events),
+           first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
+           active AS (SELECT DISTINCT user_id, wk AS active_wk FROM ev)
+           SELECT cohort, active_wk, count(*) AS n_users
+           FROM active JOIN first USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
     eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
-    exactDistinctUsers, eventPaths, eventPagerank)
+    exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts)
 }
