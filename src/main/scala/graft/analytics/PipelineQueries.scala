@@ -531,9 +531,49 @@ object PipelineQueries {
          FROM documents WHERE length(trim(text)) > 0
          ORDER BY doc_id"""))
 
+  private val vocabSqlCtes =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+         FROM documents WHERE length(trim(text)) > 0),
+       p AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks FROM t),
+       tok AS (SELECT doc_id, pos, toks[pos+1] AS tok FROM p),
+       counts AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1
+         HAVING count(*) >= 2),
+       vocab AS (SELECT token, n AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+             AS token_id
+         FROM counts)"""
+
+  /** Deterministic token dictionary (the vocabulary build before corpus
+    * encoding): dense ids by (count desc, token) over the >=2-occurrence
+    * vocabulary.
+    */
+  val vocabEncode = Q("q_vocab_encode",
+    (s, d) => TrainingData.buildVocab(documents(s, d), minCount = 2L)
+      .orderBy(col("token_id")),
+    Some(s"""WITH $vocabSqlCtes
+         SELECT token, n_occurrences, token_id FROM vocab
+         ORDER BY token_id"""))
+
+  /** Corpus encoding: text → token-id sequences against the dictionary
+    * (OOV → -1) — the input_ids step that feeds sequence packing. The
+    * whole chain (vocab build + join + ordered reassembly) is oracled,
+    * including the id arrays themselves.
+    */
+  val encodeCorpus = Q("q_encode_corpus",
+    (s, d) => TrainingData.encodeCorpus(documents(s, d),
+        TrainingData.buildVocab(documents(s, d), minCount = 2L))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $vocabSqlCtes,
+         enc AS (SELECT tok.doc_id, tok.pos,
+             coalesce(v.token_id, -1) AS tid
+           FROM tok LEFT JOIN vocab v ON tok.tok = v.token)
+         SELECT doc_id, list(tid ORDER BY pos) AS input_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, packSequences, tfidf, lengthGate, udafTopTokens,
     heavyHitters, chunkWindows, chunkDedup, repeatedSpans, tokenBudget,
-    epochExpand, blocklist)
+    epochExpand, blocklist, vocabEncode, encodeCorpus)
 }

@@ -346,6 +346,48 @@ object TrainingData {
       row_number().over(w).as("rank"))
   }
 
+  /** Deterministic token dictionary: every token occurring in >= `minCount`
+    * rows gets a dense id by (count desc, token) rank — the vocabulary
+    * build before corpus encoding. The rank window runs over the
+    * thresholded vocabulary only; `minCount` is what bounds it at corpus
+    * scale (a 100 TB crawl's >=k-occurrence vocabulary is tokenizer-sized,
+    * its full token inventory is not). Ids start at 0.
+    */
+  def buildVocab(docs: DataFrame, minCount: Long = 2L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
+    counts.select(col("token"), col("n_occurrences"),
+      (row_number().over(w) - 1).cast("long").as("token_id"))
+  }
+
+  /** Encode the corpus against [[buildVocab]]'s dictionary: one row per
+    * document with its token-id sequence (out-of-vocabulary tokens map to
+    * `oovId`). The join carries (doc, pos, token) rows against the
+    * broadcast-sized vocabulary, and the sequence reassembles under the
+    * doc-keyed shuffle the explode already paid — this is the
+    * text→input_ids step that feeds [[packSequences]].
+    */
+  def encodeCorpus(docs: DataFrame, vocab: DataFrame, oovId: Long = -1L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    toks.join(broadcast(vocab.select(col("token").as("tok"),
+        col("token_id"))), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token_id"), lit(oovId)).as("tid"))))
+        .getField("tid").as("input_ids"))
+      .select(col("doc_id"), col("input_ids"),
+        size(col("input_ids")).cast("long").as("n_tokens"))
+  }
+
   // --- dedup cluster resolution -------------------------------------------
 
   /** Connected components over an undirected edge list: every node gets

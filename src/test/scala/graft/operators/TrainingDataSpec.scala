@@ -348,6 +348,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("buildVocab + encodeCorpus: dense frequency ids, OOV -> -1, order preserved") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "unique"),
+    ).toDF("doc_id", "text")
+    val vocab = TrainingData.buildVocab(d, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the:3 -> id 0, sat:2 -> id 1; everything else below threshold
+    assert(vocab.toSeq.sortBy(_._3) === Seq(("the", 3L, 0L), ("sat", 2L, 1L)))
+    val enc = TrainingData.encodeCorpus(d, TrainingData.buildVocab(d, minCount = 2L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .sortBy(_._1)
+    assert(enc.toSeq === Seq(
+      (1L, List(0L, -1L, 1L, -1L, 0L, -1L), 6L),
+      (2L, List(0L, -1L, 1L), 3L),
+      (3L, List(-1L), 1L)))
+  }
+
   test("blocklistAudit counts distinct blocklist hits map-side") {
     val d = Seq(
       (1L, "good clean text"),
