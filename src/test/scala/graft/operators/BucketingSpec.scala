@@ -94,6 +94,30 @@ class BucketingSpec extends SparkSpec {
       s"expected the rank-limit pushdown in:\n$plan")
   }
 
+  test("filters and projections reach the parquet scan") {
+    val q = Tables.lineitem(spark, sf001)
+      .filter(col("l_quantity") < 10 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") &&
+      scan.contains("LessThan(l_quantity,10") &&
+      scan.contains("EqualTo(l_returnflag,R)"),
+      s"filters not pushed to the scan:\n$scan")
+    // column pruning: the scan reads only the filter + projection columns
+    // (ReadSchema rides at the end of the FileScan line)
+    val readSchema = scan.indexOf("ReadSchema:") match {
+      case -1 => ""
+      case i => scan.substring(i, math.min(scan.length, scan.indexOf('\n', i)
+        match { case -1 => scan.length; case j => j }))
+    }
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      readSchema.contains("l_returnflag") &&
+      !readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_comment"),
+      s"scan reads more than it needs: $readSchema")
+  }
+
   test("year-partitioned fact prunes partitions under a date filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sf001)
