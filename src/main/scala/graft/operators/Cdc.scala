@@ -27,6 +27,10 @@ object Cdc {
       versionCol: String = "version", opCol: String = "op"): DataFrame = {
     val dataCols = snapshot.columns.filter(_ != keyCol).toSeq
     require(dataCols.nonEmpty, "snapshot needs at least one non-key column")
+    val reserved = snapshot.columns
+      .filter(c => c == "_op" || c.startsWith("_new_"))
+    require(reserved.isEmpty,
+      s"snapshot column names ${reserved.mkString(", ")} are reserved by applyChanges")
     val latest = changes
       .groupBy(col(keyCol))
       .agg(max_by(struct((opCol +: dataCols).map(col): _*), col(versionCol))

@@ -279,7 +279,10 @@ object TrainingData {
     docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         col(textCol).as("_text"))
       .join(broadcast(plan), Seq("source"))
-      .withColumn("epoch", explode(sequence(lit(0L), col("full_epochs"))))
+      // clamp: a negative budget yields negative full_epochs, and
+      // sequence(0, -1) would DESCEND and emit phantom negative epochs
+      .withColumn("epoch",
+        explode(sequence(lit(0L), greatest(col("full_epochs"), lit(0L)))))
       .filter(col("epoch") < col("full_epochs") ||
         TF.splitBucket(concat_ws(":", col("source"),
           col("epoch").cast("string"), col("_text")), 100) <

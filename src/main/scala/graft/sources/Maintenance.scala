@@ -31,8 +31,8 @@ object Maintenance {
     * compaction). The new file count comes from the CURRENT on-disk
     * bytes — fs metadata, no Spark job — and the rewrite republishes
     * through the staged-write-then-swap, so concurrent readers see either
-    * the old layout or the new one, never a mix. Returns
-    * (filesBefore, filesAfter).
+    * the old layout or the new one, never a mix. Returns the file count
+    * before compaction (read the stats again for the after-count).
     *
     * Content is preserved row-for-row (q_compact pins it against the
     * DuckDB oracle); only the file layout changes. At scale this is the

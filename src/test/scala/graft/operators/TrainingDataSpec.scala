@@ -346,6 +346,12 @@ class TrainingDataSpec extends SparkSpec {
     val again = TrainingData.epochExpand(d, budget)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(got.sorted.toSeq === again.sorted.toSeq)
+    // a negative budget clamps to zero epochs instead of emitting
+    // phantom descending-sequence rows
+    val neg = TrainingData.epochExpand(d,
+      _ => org.apache.spark.sql.functions.lit(-5L))
+      .collect().map(r => r.getLong(2))
+    assert(neg.forall(_ === 0L))
   }
 
   test("buildVocab + encodeCorpus: dense frequency ids, OOV -> -1, order preserved") {
