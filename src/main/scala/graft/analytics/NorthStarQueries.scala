@@ -862,6 +862,66 @@ object NorthStarQueries {
         FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id
         ORDER BY a.vec_id"""))
 
+  /** Incremental NEAR-dedup admission gate: batch (doc_id % 5 = 0 of the
+    * audit sample) vs already-ingested corpus (the rest) — banded
+    * independently, candidates from the cross bucket-join, exact
+    * string-shingle Jaccard confirm. The whole chain (permutations,
+    * banding, cross join, confirm, admission decision) is replayed by
+    * DuckDB; [[graft.operators.Dedup.incrementalNearDupMd5]].
+    */
+  val incrementalNearDup = Q("q_incremental_neardup",
+    (s, d) => {
+      val subset = documents(s, d).filter(docSubset)
+      Dedup.incrementalNearDupMd5(
+        subset.filter(pmod(col("doc_id"), lit(5)) === 0),
+        subset.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "text", "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val P = Dedup.minhashModulus
+      val minCols = (0 until 16).map { i =>
+        val (a, b) = Dedup.permutation(i)
+        s"min((h * $a + $b) % $P) AS s_$i"
+      }.mkString(", ")
+      val bandExprs = (0 until 8).map { b =>
+        val sigs = (0 until 2).map(r => s"s_${b * 2 + r}::VARCHAR")
+        s"md5(concat_ws(',', ${sigs.mkString(", ")}, '$b'))"
+      }.mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM docs WHERE length(trim(text)) > 0),
+         shs AS (SELECT doc_id,
+             unnest(list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+               FOR i IN range(greatest(len(toks) - 2, 0))])) AS shingle
+           FROM gtoks),
+         h AS (SELECT doc_id, ${md5BucketSql("shingle", P)} AS h FROM shs),
+         sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+         banded AS (SELECT doc_id, unnest([$bandExprs]) AS bucket FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM banded a JOIN banded b ON a.bucket = b.bucket
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
+         inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           FROM cand c
+           JOIN shs sa ON sa.doc_id = c.id_a
+           JOIN shs sb ON sb.doc_id = c.id_b AND sa.shingle = sb.shingle
+           GROUP BY 1, 2),
+         matches AS (SELECT id_a, count(*) AS n_matches,
+             max(round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6))
+               AS max_j
+           FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+             >= CAST(0.5 AS DOUBLE)
+           GROUP BY 1)
+         SELECT d.doc_id, coalesce(m.n_matches, 0) AS n_corpus_matches,
+           coalesce(m.max_j, CAST(0.0 AS DOUBLE)) AS max_jaccard,
+           coalesce(m.n_matches, 0) > 0 AS dropped
+         FROM docs d LEFT JOIN matches m ON d.doc_id = m.id_a
+         WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id"""
+    })
+
   private val quantizeSqlCtes =
     """m AS (SELECT vec_id, embedding,
          list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS max_abs
@@ -916,7 +976,7 @@ object NorthStarQueries {
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
-    semanticDedup, embedQuantize, quantizeError,
+    semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

@@ -205,8 +205,8 @@ object PipelineQueries {
     * independent distributed algorithms pinned to one recursive-CTE
     * closure.
     */
-  private def componentsOracleSql(where: String = ""): String =
-    s"""WITH RECURSIVE gtoks AS (
+  private def componentsOracleCtes(where: String = ""): String =
+    s"""gtoks AS (
                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                FROM documents $where),
              ${NorthStarQueries.md5LshSqlCtes()},
@@ -216,9 +216,13 @@ object PipelineQueries {
              reach(a, b) AS (
                SELECT doc_id, doc_id FROM documents $where
                UNION
-               SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-             SELECT a AS doc_id, min(b) AS component
-             FROM reach GROUP BY 1 ORDER BY doc_id"""
+               SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+             comp AS (SELECT a AS doc_id, min(b) AS component
+               FROM reach GROUP BY 1)"""
+
+  private def componentsOracleSql(where: String = ""): String =
+    s"""WITH RECURSIVE ${componentsOracleCtes(where)}
+             SELECT doc_id, component FROM comp ORDER BY doc_id"""
 
   val dedupComponents = Q("q_dedup_components",
     (s, d) => {
@@ -246,6 +250,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
     Some(componentsOracleSql("WHERE doc_id < 250")))
+
+  /** Quality-aware survivor per near-dup cluster (longest doc, ties to
+    * the smaller id) on the audit sample — the step that turns resolved
+    * components into an actual keep/drop decision. Composition-oracled on
+    * top of the same recursive-CTE closure as the components queries.
+    */
+  val clusterReps = Q("q_cluster_reps",
+    (s, d) => {
+      val (docs, edges) = confirmedDedupEdges(s, d, maxDocId = 250L)
+      // count-adaptive CC (driver union-find on the audit-sized edge set)
+      // — the star variant's fixed checkpoint rounds would dominate this
+      // composition; its equivalence is already oracled by
+      // q_dedup_components_star.
+      val comps = graft.operators.TrainingData
+        .connectedComponents(docs.select(col("doc_id")), edges)
+      graft.operators.TrainingData.clusterRepresentatives(
+          comps, documents(s, d).filter(col("doc_id") < 250))
+        .orderBy(col("component"))
+    },
+    Some(s"""WITH RECURSIVE ${componentsOracleCtes("WHERE doc_id < 250")},
+         tc AS (SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+           FROM documents WHERE doc_id < 250),
+         j AS (SELECT c.component, c.doc_id, t.n_tokens
+           FROM comp c JOIN tc t USING (doc_id)),
+         r AS (SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+               ORDER BY n_tokens DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_docs
+           FROM j)
+         SELECT component, doc_id AS rep_doc_id, n_docs,
+           n_docs - 1 AS n_dropped
+         FROM r WHERE rn = 1 ORDER BY component"""))
 
   /** Training-sequence packing: content-hash-ordered concat within hash
     * buckets, chunked into 256-token sequences; per-sequence accounting.
@@ -575,5 +614,5 @@ object PipelineQueries {
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, packSequences, tfidf, lengthGate, udafTopTokens,
     heavyHitters, chunkWindows, chunkDedup, repeatedSpans, tokenBudget,
-    epochExpand, blocklist, vocabEncode, encodeCorpus)
+    epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps)
 }

@@ -139,26 +139,10 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
-    val seed = 42L
     // Windowed shingle formation (TrainingData.docShingles), NOT the
     // transform()-lambda form: the interpreted lambda re-splits the text
     // per element and measured ~4x slower on the full corpus at sf0.1.
-    val sh = TrainingData.docShingles(df, textCol, idCol, shingleSize)
-      .select(col("doc_id").as("doc"),
-        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
-          .as("h"))
-    val minCols = (0 until numHashes).map { i =>
-      val (a, b) = hashParams(i, seed)
-      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
-    }
-    val sig = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
-    val banded = sig.select(col("doc"), explode(array(
-      (0 until bands).map { b =>
-        md5(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
-            :+ lit(b.toString): _*))
-      }: _*)).as("bucket"))
+    val banded = md5BandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
     // Same hot-bucket star-pairing cap as the fast path (see
     // [[minhashLshCandidates]]) so the two variants stay semantically
     // aligned; the oracle replays the cap with a bucket-stats CTE.
@@ -172,6 +156,67 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** (doc, bucket) rows of the md5-variant banded signature — the
+    * [[minhashLshCandidatesMd5]] pairing keys without the pairing itself,
+    * so cross-corpus consumers (incremental near-dedup) can bucket two
+    * relations independently: a document's buckets depend only on its
+    * text, so bucketing batch and corpus separately equals bucketing
+    * their union.
+    */
+  private def md5BandBuckets(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val seed = 42L
+    val sh = TrainingData.docShingles(df, textCol, idCol, shingleSize)
+      .select(col("doc_id").as("doc"),
+        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
+          .as("h"))
+    val minCols = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i, seed)
+      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
+    }
+    sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"), explode(array(
+        (0 until bands).map { b =>
+          md5(concat_ws(",",
+            (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
+              :+ lit(b.toString): _*))
+        }: _*)).as("bucket"))
+  }
+
+  /** Incremental NEAR-dedup: which documents of an incoming `batch` are
+    * near-duplicates of the already-ingested `corpus` — the continuous-
+    * crawl admission gate ([[incrementalExactSurvivors]] is its
+    * exact-hash little sibling). Batch and corpus are banded
+    * independently ([[md5BandBuckets]]); candidates are the cross
+    * bucket-join (batch side only ever meets corpus rows sharing a full
+    * signature band, never the whole corpus); the exact string-shingle
+    * Jaccard confirm runs on candidate-pruned docs only. Returns one row
+    * per batch doc: match count, best Jaccard (rounded 6), and the
+    * admission decision.
+    */
+  def incrementalNearDupMd5(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val bb = md5BandBuckets(batch, textCol, idCol, shingleSize)
+    val cb = md5BandBuckets(corpus, textCol, idCol, shingleSize)
+      .select(col("doc").as("cdoc"), col("bucket"))
+    val cand = bb.join(cb, "bucket")
+      .select(col("doc").as("id_a"), col("cdoc").as("id_b")).distinct()
+    val scored = jaccardOnCandidatesStrings(cand,
+      batch.unionByName(corpus), textCol, idCol, shingleSize)
+    val matches = scored.filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(round(col("jaccard"), 6)).as("max_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(matches, col("doc_id") === col("id_a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("dropped"))
   }
 
   /** The permutation constants of hash function `i` (exposed so the md5

@@ -391,6 +391,28 @@ object TrainingData {
         size(col("input_ids")).cast("long").as("n_tokens"))
   }
 
+  /** Quality-aware cluster representative selection: given resolved
+    * near-dup components (`(doc_id, component)` from
+    * [[connectedComponents]]) pick ONE survivor per cluster — the doc
+    * with the most tokens, ties to the smaller id. Near-dup clusters
+    * contain non-identical texts, so "keep the longest" genuinely beats
+    * min-id survivorship (the usual heuristic keeps the most complete
+    * variant and drops truncations). One `max_by` aggregation over the
+    * components — no window sort, partial map-side.
+    */
+  def clusterRepresentatives(components: DataFrame, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tc = docs.select(col(idCol).as("doc_id"),
+      TF.tokenCount(col(textCol)).cast("bigint").as("_nt"))
+    components.join(tc, "doc_id")
+      .groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+          struct(col("_nt"), (-col("doc_id")).as("_ni"))).as("rep_doc_id"),
+        count(lit(1)).as("n_docs"))
+      .select(col("component"), col("rep_doc_id"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+  }
+
   // --- dedup cluster resolution -------------------------------------------
 
   /** Connected components over an undirected edge list: every node gets
