@@ -293,12 +293,15 @@ object EventQueries {
     */
   val retentionCohorts = Q("q_retention_cohorts",
     (s, d) => {
+      // epoch-week index (floor(days-since-epoch / 7)): year(ts)*100 +
+      // weekofyear(ts) would mislabel ISO week 1 spilling across a
+      // calendar-year boundary (Dec 30 landing "before" the same year's
+      // week 52) — the epoch week is boundary-free and totally ordered
       val ev = events(s, d).select(col("user_id"),
-        weekofyear(col("ts")).as("wk"), year(col("ts")).as("yr"))
-      // absolute week index: ISO week within one year of synthetic data
-      val first = ev.groupBy(col("user_id"))
-        .agg(min(col("yr") * 100 + col("wk")).as("cohort"))
-      ev.select(col("user_id"), (col("yr") * 100 + col("wk")).as("active_wk"))
+        floor(unix_date(col("ts").cast("date")).cast("double") / 7.0)
+          .cast("bigint").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.select(col("user_id"), col("wk").as("active_wk"))
         .distinct()
         .join(first, "user_id")
         .groupBy(col("cohort"), col("active_wk"))
@@ -306,8 +309,8 @@ object EventQueries {
         .orderBy(col("cohort"), col("active_wk"))
     },
     Some("""WITH ev AS (SELECT user_id,
-             CAST(year(CAST(ts AS TIMESTAMP)) AS INT) * 100 +
-               CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INT) AS wk
+             CAST(floor(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+               - DATE '1970-01-01' AS DOUBLE) / 7.0) AS BIGINT) AS wk
              FROM events),
            first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1),
            active AS (SELECT DISTINCT user_id, wk AS active_wk FROM ev)

@@ -595,14 +595,14 @@ object NorthStarQueries {
     * Exhaustive-probe == brute-force is additionally pinned in
     * SimilaritySpec.
     */
-  val annIvf = Q("q_ann_ivf",
-    (s, d) => {
-      val e = embeddings(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
-          broadcastQueries = true)
-        .orderBy(col("query_id"), col("rk"))
-    },
-    Some(s"""WITH cents AS (
+  /** Shared oracle CTEs `cents`/`asgn`: the 16-smallest-id coarse
+    * quantizer and the raw-cosine argmax with ties to the larger cent_id —
+    * the exact reverse of the engine's ascending (sim, cent_id) struct
+    * sort. ONE definition for q_ann_ivf and q_semantic_dedup so the tie
+    * rule can never drift between the two replays.
+    */
+  private def ivfAssignSqlCtes: String =
+    s"""cents AS (
           SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
           ORDER BY vec_id LIMIT 16),
         asgn AS (
@@ -610,7 +610,16 @@ object NorthStarQueries {
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
                        c.cent_id DESC) AS rnk
-          FROM embeddings e, cents c),
+          FROM embeddings e, cents c)"""
+
+  val annIvf = Q("q_ann_ivf",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""WITH $ivfAssignSqlCtes,
         cbuck AS (SELECT vec_id AS corpus_id, cent_id AS bucket FROM asgn
           WHERE rnk = 1),
         qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
@@ -841,15 +850,7 @@ object NorthStarQueries {
   val semanticDedup = Q("q_semantic_dedup",
     (s, d) => Similarity.semanticDedup(embeddings(s, d), threshold = 0.3)
       .orderBy(col("vec_id")),
-    Some(s"""WITH cents AS (
-          SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
-          ORDER BY vec_id LIMIT 16),
-        asgn AS (
-          SELECT e.vec_id, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
-                       c.cent_id DESC) AS rnk
-          FROM embeddings e, cents c),
+    Some(s"""WITH $ivfAssignSqlCtes,
         a AS (SELECT vec_id, cent_id AS cluster_id FROM asgn WHERE rnk = 1),
         drops AS (
           SELECT DISTINCT y.vec_id
@@ -898,9 +899,12 @@ object NorthStarQueries {
          h AS (SELECT doc_id, ${md5BucketSql("shingle", P)} AS h FROM shs),
          sig AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
          banded AS (SELECT doc_id, unnest([$bandExprs]) AS bucket FROM sig),
+         cbr AS (SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+           FROM banded WHERE doc_id % 5 <> 0),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM banded a JOIN banded b ON a.bucket = b.bucket
-           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+           FROM banded a JOIN cbr b ON a.bucket = b.bucket
+           WHERE a.doc_id % 5 = 0 AND b.rn <= 1000),
          sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
          inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
            FROM cand c

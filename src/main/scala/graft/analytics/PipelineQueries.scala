@@ -514,12 +514,16 @@ object PipelineQueries {
            AS budget_tokens
          FROM agg),
        p2 AS (SELECT source, n_docs, corpus_tokens, budget_tokens,
-         budget_tokens // corpus_tokens AS full_epochs,
-         budget_tokens - (budget_tokens // corpus_tokens) * corpus_tokens
-           AS rem_tokens
+         CASE WHEN corpus_tokens = 0 THEN 0
+              ELSE budget_tokens // corpus_tokens END AS full_epochs
          FROM plan),
-       p3 AS (SELECT *, (rem_tokens * 100) // corpus_tokens AS last_epoch_pct
-         FROM p2)"""
+       p2b AS (SELECT *,
+         budget_tokens - full_epochs * corpus_tokens AS rem_tokens
+         FROM p2),
+       p3 AS (SELECT *,
+         CASE WHEN corpus_tokens = 0 THEN 0
+              ELSE (rem_tokens * 100) // corpus_tokens END AS last_epoch_pct
+         FROM p2b)"""
 
   /** Token-budget mixture plan: full epochs + partial-epoch rate per
     * source (the upsampling half of mixture weighting; [[domainMix]] is

@@ -199,9 +199,19 @@ object Dedup {
     */
   def incrementalNearDupMd5(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val bb = md5BandBuckets(batch, textCol, idCol, shingleSize)
+    // Hot-bucket cap, mirroring minhashLshCandidatesMd5's star-pairing
+    // guard: a degenerate band bucket (boilerplate-heavy corpora) would
+    // otherwise emit |batch∩bucket| × |corpus∩bucket| candidates. Capping
+    // the CORPUS side to the maxBucketSize smallest ids bounds the join
+    // while keeping the admission semantics deterministic — a batch doc
+    // colliding with a >1000-doc bucket still meets 1000 representatives,
+    // so a real near-dup there is still overwhelmingly likely to confirm.
+    val cw = Window.partitionBy(col("bucket")).orderBy(col("doc"))
     val cb = md5BandBuckets(corpus, textCol, idCol, shingleSize)
+      .withColumn("_rn", row_number().over(cw))
+      .filter(col("_rn") <= maxBucketSize)
       .select(col("doc").as("cdoc"), col("bucket"))
     val cand = bb.join(cb, "bucket")
       .select(col("doc").as("id_a"), col("cdoc").as("id_b")).distinct()

@@ -60,9 +60,16 @@ object RangeJoin {
     val endB = floorDiv(col(endCol), bucketWidth)
     // assert_true yields NULL on success, so the `when` collapses to endB
     // on every valid row and the guard rides the same codegen stage — no
-    // extra pass over the interval side.
+    // extra pass over the interval side. The span check runs in DOUBLE:
+    // endB - startB in long arithmetic WRAPS for an extreme sentinel
+    // interval (start near Long.MinValue, end near Long.MaxValue at
+    // bucketWidth 1) and would silently pass the guard; the double
+    // difference is approximate but a magnitude check only needs ~2^53
+    // of headroom against a 2^16-scale cap.
+    val spanOk =
+      endB.cast("double") - startB.cast("double") < lit(maxBucketsPerInterval.toDouble)
     val guardedEnd = when(
-      assert_true(endB - startB < lit(maxBucketsPerInterval),
+      assert_true(spanOk,
         concat(lit("pointInInterval: interval ["), col(startCol), lit(", "),
           col(endCol), lit(s"] covers more than $maxBucketsPerInterval " +
             s"buckets at bucketWidth=$bucketWidth — open-ended sentinel " +

@@ -233,9 +233,14 @@ object Similarity {
         graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv"))
           .as("sim"),
         c.getField("cent_id").as("cent_id"))))), 1, 1), 1).getField("cent_id")
+    // persist: the assignment subplan (full corpus scan + per-row argmax
+    // over nCentroids cosines) feeds BOTH sides of the drops self-join
+    // plus the final output, and Spark has no common-subplan elimination
+    // across self-joins — unpersisted it would execute three times.
     val assigned = vecs.crossJoin(broadcast(cents))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
         nearest1.as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val drops = assigned.as("a").join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -254,10 +254,14 @@ object TrainingData {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("corpus_tokens"))
       .withColumn("budget_tokens", budgetOf(col("source")).cast("bigint"))
-      .withColumn("full_epochs", expr("budget_tokens div corpus_tokens"))
+      // all-blank sources have corpus_tokens = 0: report zero epochs
+      // instead of an ANSI divide-by-zero failing the whole plan
+      .withColumn("full_epochs",
+        expr("if(corpus_tokens = 0, 0L, budget_tokens div corpus_tokens)"))
       .withColumn("rem_tokens",
         col("budget_tokens") - col("full_epochs") * col("corpus_tokens"))
-      .withColumn("last_epoch_pct", expr("(rem_tokens * 100) div corpus_tokens"))
+      .withColumn("last_epoch_pct",
+        expr("if(corpus_tokens = 0, 0L, (rem_tokens * 100) div corpus_tokens)"))
       .select(col("source"), col("n_docs"), col("corpus_tokens"),
         col("budget_tokens"), col("full_epochs"), col("rem_tokens"),
         col("last_epoch_pct"))
@@ -457,8 +461,12 @@ object TrainingData {
     // pipeline broadcasts). The persisted `sym` makes the count cheap,
     // and 100k edges is ~1.6 MB collected. Past the threshold — the
     // 100 TB shape — the distributed loop below takes over unchanged.
+    // The collected path reads ids as Long; any other id type (the
+    // distributed loop is type-agnostic: joins + min only) skips it.
+    val longIds = nodes.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
     val nEdges = sym.count() / 2
-    if (nEdges <= smallEdgeThreshold) {
+    if (longIds && nEdges <= smallEdgeThreshold) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -24,11 +24,21 @@ object ParquetMeta {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
+    // recursive: a PARTITIONED table keeps its files under key=value
+    // subdirectories — a top-level-only listing would silently return 0
+    // and downstream sizing (ANN planes, compaction splits) would clamp
+    // to a minimum with no signal
     val files =
-      if (status.isDirectory)
-        fs.listStatus(p).filter(s => s.isFile &&
-          s.getPath.getName.endsWith(".parquet")).toSeq
-      else Seq(status)
+      if (status.isDirectory) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet")) buf += s
+        }
+        buf.toSeq
+      } else Seq(status)
     files.map { s =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
       try r.getRecordCount finally r.close()

@@ -95,12 +95,19 @@ final case class HttpSource(
     urls: Seq[String],
     schema: StructType,
     requestsPerSecond: Double = 2.0,
-    limiter: Option[RateLimiter] = None) extends Source {
+    limiter: Option[RateLimiter] = None,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 30000) extends Source {
   def read(spark: SparkSession): DataFrame = {
     val rl = limiter.getOrElse(new RateLimiter(requestsPerSecond))
     val bodies = urls.map { u =>
       rl.acquire()
-      val in = new java.net.URI(u).toURL.openStream()
+      // bounded timeouts: a stalled endpoint must fail the job loudly,
+      // not wedge the driver forever on an untimed openStream()
+      val conn = new java.net.URI(u).toURL.openConnection()
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      val in = conn.getInputStream
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }

@@ -81,6 +81,13 @@ class RangeJoinSpec extends SparkSpec {
     // a wide-but-bounded interval under the cap still works
     val ok = Seq((1L, 0L, 100000L)).toDF("iv_id", "s", "e")
     assert(RangeJoin.pointInInterval(points, ok, "p", "s", "e", 10L).count() === 4L)
+    // a full-Long-range sentinel whose long span WRAPS negative must still
+    // trip the guard (the check runs in double, which cannot wrap)
+    val wrap = Seq((1L, Long.MinValue + 10, Long.MaxValue - 10)).toDF("iv_id", "s", "e")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, wrap, "p", "s", "e", 1L).count()
+    }
+    assert(messages(e2).exists(_.contains("open-ended sentinel")), e2.getMessage)
   }
 
   test("overlapping intervals multiply matches; no dedup is imposed") {

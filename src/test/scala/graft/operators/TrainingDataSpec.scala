@@ -373,6 +373,26 @@ class TrainingDataSpec extends SparkSpec {
       (3L, List(-1L), 1L)))
   }
 
+  test("connectedComponents accepts non-long id types (distributed path)") {
+    // the count-adaptive collected fast path reads Long ids; any other id
+    // type must route to the type-agnostic distributed loop, not crash
+    val nodes = Seq("a", "b", "c", "d").toDF("doc_id")
+    val e = Seq(("a", "b"), ("c", "b")).toDF("id_a", "id_b")
+    val got = TrainingData.connectedComponents(nodes, e)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+  }
+
+  test("tokenBudgetPlan reports zero epochs for an all-blank source instead of failing") {
+    val d = Seq((1L, "", "s0"), (2L, "  ", "s0"), (3L, "a b", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = TrainingData.tokenBudgetPlan(d,
+        _ => org.apache.spark.sql.functions.lit(10L))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(6)))
+    assert(got.toSeq === Seq(("s0", 0L, 0L, 0L), ("s1", 2L, 5L, 0L)))
+  }
+
   test("blocklistAudit counts distinct blocklist hits map-side") {
     val d = Seq(
       (1L, "good clean text"),
