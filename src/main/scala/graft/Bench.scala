@@ -77,7 +77,12 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"errors":$errJson,"iters":$iters,"sf":"$sfDir"}""")
+    // Per-query timings go LAST in the line: the driver's tail capture
+    // truncates from the front, and r7's artifact kept only the trailing
+    // fingerprint map — rounds could not be timing-compared without a
+    // re-measure. Headline total first, bulky maps ordered so timings
+    // survive any truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"sf":"$sfDir","errors":$errJson,"plans":$planJson,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -939,18 +939,22 @@ object NorthStarQueries {
   /** Int8 max-abs quantization of the embedding corpus — the 4× storage
     * compression a float32 vector store takes first at 100 TB. The
     * quantized BYTES are oracled (divide/multiply/HALF-UP round is
-    * IEEE-identical cross-engine), not just sampled.
+    * IEEE-identical cross-engine), not just sampled. The byte array is
+    * emitted as a joined string: catalog outputs never carry ArrayType
+    * (the driver harness sorts rows in pandas, which cannot hash arrays).
     */
   val embedQuantize = Q("q_embed_quantize",
     (s, d) => {
       val e = embeddings(s, d)
       e.select(col("vec_id"),
         graft.functions.VectorFunctions.maxAbs(col("embedding")).as("max_abs"),
-        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("qvec"))
+        concat_ws(",", graft.functions.VectorFunctions
+          .quantizeInt8(col("embedding")).cast("array<string>")).as("qvec"))
         .orderBy(col("vec_id"))
     },
     Some(s"""WITH $quantizeSqlCtes
-         SELECT vec_id, max_abs, qvec FROM qv ORDER BY vec_id"""))
+         SELECT vec_id, max_abs, array_to_string(qvec, ',') AS qvec
+         FROM qv ORDER BY vec_id"""))
 
   /** Quantization error audit: cosine between each original vector and
     * its int8 reconstruction — the recall-impact estimate that decides

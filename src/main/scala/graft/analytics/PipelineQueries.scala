@@ -600,17 +600,22 @@ object PipelineQueries {
   /** Corpus encoding: text → token-id sequences against the dictionary
     * (OOV → -1) — the input_ids step that feeds sequence packing. The
     * whole chain (vocab build + join + ordered reassembly) is oracled,
-    * including the id arrays themselves.
+    * including the id arrays themselves — serialized to a joined string
+    * because catalog outputs never carry ArrayType (the driver harness
+    * sorts rows in pandas, which cannot hash arrays).
     */
   val encodeCorpus = Q("q_encode_corpus",
     (s, d) => TrainingData.encodeCorpus(documents(s, d),
         TrainingData.buildVocab(documents(s, d), minCount = 2L))
+      .withColumn("input_ids",
+        concat_ws(",", col("input_ids").cast("array<string>")))
       .orderBy(col("doc_id")),
     Some(s"""WITH $vocabSqlCtes,
          enc AS (SELECT tok.doc_id, tok.pos,
              coalesce(v.token_id, -1) AS tid
            FROM tok LEFT JOIN vocab v ON tok.tok = v.token)
-         SELECT doc_id, list(tid ORDER BY pos) AS input_ids,
+         SELECT doc_id,
+           array_to_string(list(tid ORDER BY pos), ',') AS input_ids,
            CAST(count(*) AS BIGINT) AS n_tokens
          FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 

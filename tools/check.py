@@ -29,15 +29,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object and df[c].map(
                 lambda v: v is None or isinstance(v, datetime.date)).all():
             df[c] = pd.to_datetime(df[c])
-    def sortable(c):
-        import numpy as np
-        vals = df[c].dropna()
-        if not len(vals):
-            return True
-        return not isinstance(vals.iloc[0], (list, tuple, np.ndarray))
-    keys = [c for c in df.columns if sortable(c)]
-    if keys:
-        df = df.sort_values(by=keys, kind="mergesort", na_position="last")
+    # Sort by ALL columns, exactly like the driver harness. Array-valued
+    # columns make pandas raise (unhashable numpy.ndarray) — deliberately
+    # NOT worked around here, so the pre-flight reproduces driver failures
+    # instead of masking them (r7: q_embed_quantize / q_encode_corpus
+    # passed locally but errored in the driver).
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="last")
     return df.reset_index(drop=True)
 
 
@@ -73,7 +71,10 @@ def values_equal(a, b) -> bool:
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
-    s, d = canon(spark_df), canon(duck_df)
+    try:
+        s, d = canon(spark_df), canon(duck_df)
+    except Exception as e:
+        return f"FAIL harness-sort (driver would error too): {e}"
     if list(s.columns) != list(d.columns):
         return f"FAIL cols spark={list(s.columns)} duck={list(d.columns)}"
     if len(s) != len(d):
