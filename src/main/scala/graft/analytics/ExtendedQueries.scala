@@ -526,10 +526,32 @@ object ExtendedQueries {
            a | (b << 1) AS z
          FROM s5 ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""))
 
+  /** Three-dimensional Z-order key: the variadic interleave
+    * ([[graft.functions.ZValueNExpr]], 20 bits per dimension) over
+    * (l_partkey, l_suppkey, l_linenumber) — the date × customer ×
+    * product-shaped clustering a real layout job writes. The oracle is
+    * generated from the SAME (n, bits) parameters via
+    * [[graft.functions.ZOrderExpression.zValueNSql]], so the curve has
+    * one definition; ZOrderSpec additionally quantifies 3-dim row-group
+    * pruning on real parquet footers.
+    */
+  val zorder3 = Q("q_zorder3",
+    (s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.functions.ZOrderExpression.zValueN(col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber")).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ${graft.functions.ZOrderExpression.zValueNSql(
+             Seq("l_partkey", "l_suppkey", "l_linenumber"))} AS z
+         FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""))
+
   val all: Seq[Q] = Seq(rollupSales, cubeSales, unpivotMetrics,
     pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    zorder)
+    zorder, zorder3)
 }

@@ -639,6 +639,87 @@ object NorthStarQueries {
         SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""))
 
+  /** One Lloyd's iteration as oracle CTEs: assign every vector to its
+    * argmax-raw-cosine centroid of `cents$i` (ties to the larger cent_id
+    * — the engine's reversed struct sort), then recenter each cluster on
+    * per-dimension means computed EXACTLY as the engine does:
+    * `round(x*1e6)` integer quantization, decimal(38,0) sum, then two
+    * IEEE divisions — never a double→decimal cast, which drifts 1 ulp
+    * between engines (the q_event_pagerank lesson) and would poison the
+    * downstream argmax. Empty clusters keep their previous centroid.
+    */
+  private def lloydIterSqlCtes(i: Int): String =
+    s"""asgn_t$i AS (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
+                       c.cent_id DESC) AS rnk
+          FROM embeddings e, cents$i c),
+        sums$i AS (
+          SELECT a.cent_id, p.pos,
+            sum(CAST(round(CAST(p.embedding[p.pos + 1] AS DOUBLE) * 1000000.0)
+                AS DECIMAL(38,0))) AS s,
+            count(*) AS n
+          FROM (SELECT vec_id, cent_id FROM asgn_t$i WHERE rnk = 1) a
+          JOIN (SELECT vec_id, unnest(range(64)) AS pos, embedding
+                FROM embeddings) p USING (vec_id)
+          GROUP BY 1, 2),
+        upd$i AS (
+          SELECT cent_id,
+            list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS centv
+          FROM sums$i GROUP BY 1),
+        cents${i + 1} AS (
+          SELECT c.cent_id, coalesce(u.centv, c.centv) AS centv
+          FROM cents$i c LEFT JOIN upd$i u USING (cent_id))"""
+
+  /** X3 completed: IVF with a TRAINED coarse quantizer — two oracled
+    * Lloyd's iterations refine the smallest-id seeds before the probe,
+    * the step a real 100 TB ANN index runs that q_ann_ivf's seeded
+    * quantizer skips. The whole chain — seed, 2× (assign + recenter),
+    * final assignment, nProbe fan-out, exact-cosine top-k — is replayed
+    * hash-exact in DuckDB; centroid math is integer-quantized so even
+    * the trained centroids are bit-stable cross-engine (see
+    * [[lloydIterSqlCtes]]). SimilaritySpec pins recall ≥ untrained on
+    * the fixture corpus.
+    */
+  val annIvfTrained = Q("q_ann_ivf_trained",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 20), k = 5,
+          iters = 2, broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""WITH cents0 AS (
+          SELECT vec_id AS cent_id,
+            [CAST(x AS DOUBLE) FOR x IN embedding] AS centv
+          FROM embeddings ORDER BY vec_id LIMIT 16),
+        ${lloydIterSqlCtes(0)},
+        ${lloydIterSqlCtes(1)},
+        asgn_f AS (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosineSql("e.embedding", "c.centv", round6 = false)} DESC,
+                       c.cent_id DESC) AS rnk
+          FROM embeddings e, cents2 c),
+        cbuck AS (SELECT vec_id AS corpus_id, cent_id AS bucket FROM asgn_f
+          WHERE rnk = 1),
+        qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn_f
+          WHERE rnk <= 4 AND vec_id < 20),
+        cand AS (
+          SELECT q.query_id, c.corpus_id,
+            ${cosineSql("qe.embedding", "ce.embedding")} AS cosine_sim
+          FROM qbuck q JOIN cbuck c ON q.bucket = c.bucket
+            AND q.query_id <> c.corpus_id
+          JOIN embeddings qe ON q.query_id = qe.vec_id
+          JOIN embeddings ce ON c.corpus_id = ce.vec_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, corpus_id) AS rk
+          FROM cand)
+        SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""))
+
   /** X2/X3 embedding-cosine near-dup, exact verifier form on a fixed 120-vector sample
     * (oracled — DuckDB replays the same dot/norm math).
     */
@@ -983,7 +1064,7 @@ object NorthStarQueries {
     trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
-    annLsh, annBucketed, annIvf, embedNearDup, embedNearDupLsh,
+    annLsh, annBucketed, annIvf, annIvfTrained, embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)

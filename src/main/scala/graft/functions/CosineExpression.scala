@@ -8,9 +8,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over two
-  * `array<float>` columns, with whole-stage codegen (`doGenCode` emits a
-  * single fused loop over the primitive float arrays — no per-element
-  * lambda dispatch, no boxing, no intermediate zipped array).
+  * `array<float>` (or `array<double>` — each side independently) columns,
+  * with whole-stage codegen (`doGenCode` emits a single fused loop over
+  * the primitive arrays — no per-element lambda dispatch, no boxing, no
+  * intermediate zipped array). Double sides exist for trained IVF
+  * centroids, whose per-dimension means are exact doubles that a float
+  * round-trip would corrupt.
   *
   * This is the perf path for brute-force similarity scans: the
   * higher-order-function formulation in [[VectorFunctions.cosineSimilarity]]
@@ -26,13 +29,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects two array<float> arguments, got " +
+      s"cosine_similarity expects array<float>/array<double> arguments, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   // Mismatched dimensions yield null (not a silently-truncated prefix
@@ -41,14 +49,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    def doubles(v: Any, dt: DataType): Array[Double] =
+      if (isDouble(dt)) v.asInstanceOf[ArrayData].toDoubleArray()
+      else v.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+    val x = doubles(a, left.dataType)
+    val y = doubles(b, right.dataType)
     if (x.length != y.length) return null
     val n = x.length
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x(i).toDouble; val yi = y(i).toDouble
+      val xi = x(i); val yi = y(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -66,6 +77,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val den = ctx.freshName("den")
+      def get(arr: String, side: Expression, idx: String): String =
+        if (isDouble(side.dataType)) s"$arr.getDouble($idx)"
+        else s"(double) $arr.getFloat($idx)"
       s"""
         if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
@@ -73,8 +87,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double $xi = (double) $a.getFloat($i);
-            double $yi = (double) $b.getFloat($i);
+            double $xi = ${get(a, left, i)};
+            double $yi = ${get(b, right, i)};
             $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
           }
           double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);

@@ -196,6 +196,17 @@ object Dedup {
     * Jaccard confirm runs on candidate-pruned docs only. Returns one row
     * per batch doc: match count, best Jaccard (rounded 6), and the
     * admission decision.
+    *
+    * PRECONDITION: batch and corpus ids must be DISJOINT — an id present
+    * on both sides would merge the two texts' shingle sets under one id
+    * inside the confirm union, inflating sizes and intersections and
+    * silently corrupting every Jaccard it touches. (Not checked at
+    * runtime: the check is a full id-set intersection — an extra job per
+    * admission batch — for a property the ingest protocol already owns:
+    * ids are allocated monotonically by the pipeline.) A continuous-ingest
+    * caller re-admitting a doc id must drop the stale corpus row first —
+    * that is the CDC-upsert shape ([[graft.operators.Cdc]]), not this
+    * admission gate's.
     */
   def incrementalNearDupMd5(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, shingleSize: Int = 3,

@@ -60,14 +60,17 @@ object RangeJoin {
     val endB = floorDiv(col(endCol), bucketWidth)
     // assert_true yields NULL on success, so the `when` collapses to endB
     // on every valid row and the guard rides the same codegen stage — no
-    // extra pass over the interval side. The span check runs in DOUBLE:
-    // endB - startB in long arithmetic WRAPS for an extreme sentinel
-    // interval (start near Long.MinValue, end near Long.MaxValue at
-    // bucketWidth 1) and would silently pass the guard; the double
-    // difference is approximate but a magnitude check only needs ~2^53
-    // of headroom against a 2^16-scale cap.
-    val spanOk =
-      endB.cast("double") - startB.cast("double") < lit(maxBucketsPerInterval.toDouble)
+    // extra pass over the interval side. The span check stays in EXACT
+    // long arithmetic with overflow detected explicitly: `try_subtract`
+    // returns NULL when endB - startB exceeds the long range (a sentinel
+    // interval spanning ~2^64 buckets — plain `-` would throw ANSI
+    // ARITHMETIC_OVERFLOW before the guard could produce its message),
+    // and NULL fails the guard just like an over-cap span. A double
+    // check would be overflow-safe but rounds near 2^53, passing spans
+    // just over the cap (and tripping some just under) — exactness
+    // matters because the cap is the caller's hard explode-size contract.
+    val span = try_subtract(endB, startB)
+    val spanOk = span.isNotNull && span < lit(maxBucketsPerInterval)
     val guardedEnd = when(
       assert_true(spanOk,
         concat(lit("pointInInterval: interval ["), col(startCol), lit(", "),

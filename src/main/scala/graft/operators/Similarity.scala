@@ -186,9 +186,32 @@ object Similarity {
       vecCol: String = "embedding",
       broadcastQueries: Boolean = false,
       excludeSelf: Boolean = true): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .agg(collect_list(struct(col(idCol).as("cent_id"), col(vecCol).as("centv")))
-        .as("_cents"))
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+    ivfProbe(centroids, corpus, queries, k, nProbe, idCol, vecCol,
+      broadcastQueries, excludeSelf)
+  }
+
+  /** The shared IVF probe against an explicit `(cent_id, centv)` centroid
+    * frame (seeded — [[ivfTopK]] — or Lloyd's-trained —
+    * [[ivfTopKTrained]]): centroids collapse to a one-row broadcast, the
+    * corpus assigns map-side to its argmax-cosine centroid (ties to the
+    * larger cent_id — the reverse of the ascending (sim, cent_id) struct
+    * sort), queries fan out to their nProbe nearest lists, and
+    * [[bucketProbe]] runs the exact-cosine top-k.
+    */
+  private def ivfProbe(
+      centroids: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String,
+      broadcastQueries: Boolean,
+      excludeSelf: Boolean): DataFrame = {
+    val cents = centroids
+      .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
     // nearest-n centroids of the current row's vector, best first —
     // (sim, cent_id) structs sorted by natural struct order, reversed
     def nearest(n: Int): org.apache.spark.sql.Column =
@@ -203,6 +226,95 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
         explode(nearest(nProbe).getField("cent_id")).as("bucket"))
     bucketProbe(c, q, k, broadcastQueries, excludeSelf)
+  }
+
+  /** Lloyd's-refined IVF centroids: start from the deterministic
+    * smallest-id seeds and run `iters` k-means iterations — assign every
+    * vector to its argmax-cosine centroid (ties to the larger cent_id,
+    * the [[ivfTopK]] rule), then recenter each cluster on its
+    * per-dimension mean. A real 100 TB ANN index trains its coarse
+    * quantizer; this is that step, under the engine's iterative-FP
+    * discipline (the PageRank pattern) tightened one notch so even the
+    * CENTROIDS are bit-stable cross-engine:
+    *
+    *   - each component is quantized to an exact integer
+    *     (`round(x * 1e6)` — IEEE multiply + HALF-UP round, bit-identical
+    *     across engines) before the cluster sum, so the mean is
+    *     `exact-integer-sum / n / 1e6` — two correctly-rounded IEEE
+    *     divisions, NOT a double→decimal cast (which drifts 1 ulp between
+    *     engines and would poison every downstream argmax);
+    *   - sums ride `decimal(38,0)` so accumulation order cannot matter at
+    *     any partitioning (ANSI long sums would also overflow first);
+    *   - empty clusters keep their previous centroid.
+    *
+    * Each iteration is one map-side assignment (broadcast centroid list)
+    * + one (cent_id, pos)-keyed aggregation — at 100 TB the corpus never
+    * shuffles by itself, only the nCentroids×dim summary does. Each
+    * round's tiny centroid frame is checkpointed so the unrolled loop
+    * doesn't compound nested broadcasts into one mega-plan.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      quantScale: Double = 1000000.0): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centsRow = cents
+        .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
+      val nearest1 = element_at(slice(reverse(array_sort(
+        transform(col("_cents"), c => struct(
+          graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv"))
+            .as("sim"),
+          c.getField("cent_id").as("cent_id"))))), 1, 1), 1)
+        .getField("cent_id")
+      val assigned = corpus.crossJoin(broadcast(centsRow))
+        .select(nearest1.as("cent_id"), col(vecCol).as("_v"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("_v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(round(col("x").cast("double") * quantScale)
+            .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cent_id"), col("pos"),
+          (col("s").cast("double") / col("n") / quantScale).as("m"))
+      val updated = means.groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("_new"))
+      cents = cents
+        .join(updated, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("_new"), col("centv")).as("centv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] with a Lloyd's-trained coarse quantizer
+    * ([[trainIvfCentroids]]): the honest IVF story — train, assign,
+    * probe. SimilaritySpec pins that training does not lose recall vs the
+    * untrained seeds on the fixture corpus and that `iters = 0`
+    * degenerates to (double-promoted) untrained IVF.
+    */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nCentroids, iters, idCol, vecCol)
+    ivfProbe(centroids, corpus, queries, k, nProbe, idCol, vecCol,
+      broadcastQueries, excludeSelf)
   }
 
   /** SemDeDup-style semantic dedup decision: assign every vector to its

@@ -14,6 +14,28 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetMeta {
 
+  /** All `.parquet` files under `path` (or `path` itself when it is a
+    * file), listed RECURSIVELY: a partitioned table keeps its files under
+    * key=value subdirectories — a top-level-only listing would silently
+    * return nothing and downstream consumers (row-count sizing, row-group
+    * pruning audits) would see an empty table with no signal. Shared by
+    * every footer reader here so none can regress to top-level-only.
+    */
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val status = fs.getFileStatus(p)
+    if (status.isDirectory) {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toSeq
+    } else Seq(status)
+  }
+
   /** Exact total row count of a parquet file or directory-of-files, from
     * footers only (sums per-row-group counts; parquet footers are exact,
     * not estimates). No Spark job is launched — asserted by
@@ -23,23 +45,7 @@ object ParquetMeta {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val status = fs.getFileStatus(p)
-    // recursive: a PARTITIONED table keeps its files under key=value
-    // subdirectories — a top-level-only listing would silently return 0
-    // and downstream sizing (ANN planes, compaction splits) would clamp
-    // to a minimum with no signal
-    val files =
-      if (status.isDirectory) {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.hadoop.fs.FileStatus]
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.getPath.getName.endsWith(".parquet")) buf += s
-        }
-        buf.toSeq
-      } else Seq(status)
-    files.map { s =>
+    parquetFiles(fs, p).map { s =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
       try r.getRecordCount finally r.close()
     }.sum
@@ -56,13 +62,7 @@ object ParquetMeta {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val status = fs.getFileStatus(p)
-    val files =
-      if (status.isDirectory)
-        fs.listStatus(p).filter(s => s.isFile &&
-          s.getPath.getName.endsWith(".parquet")).toSeq
-      else Seq(status)
-    files.flatMap { s =>
+    parquetFiles(fs, p).flatMap { s =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))
       try {
         import scala.jdk.CollectionConverters._
