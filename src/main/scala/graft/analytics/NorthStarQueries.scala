@@ -720,6 +720,189 @@ object NorthStarQueries {
         SELECT query_id, corpus_id, cosine_sim, rk FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""))
 
+  /** SQL fragment: the engine's left-to-right squared-L2 fold between two
+    * double-list expressions ([[graft.operators.Similarity]]'s `l2sq` —
+    * `aggregate` from 0.0, so `list_sum` over the zipped squares is the
+    * bit-exact replay).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum([(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         FOR p IN list_zip($a, $b)])"""
+
+  /** One PQ k-means iteration as oracle CTEs over `subs(vec_id, sub,
+    * subv)` and `cb$i(sub, code, centv)`: squared-L2 argmin with ties to
+    * the SMALLER code (the ascending (dist, code) struct sort — opposite
+    * tie direction from the coarse quantizer's reversed cosine sort),
+    * then the same integer-quantized decimal-exact recenter as
+    * [[lloydIterSqlCtes]], per (sub, code). Empty codes keep their
+    * previous centroid.
+    */
+  private def pqIterSqlCtes(i: Int, dsub: Int): String =
+    s"""pasgn$i AS (
+          SELECT sv.vec_id, sv.sub, sv.subv, c.code,
+            row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+              ORDER BY ${l2Sql("sv.subv", "c.centv")} ASC, c.code ASC) AS rnk
+          FROM subs sv JOIN cb$i c ON sv.sub = c.sub),
+        psrc$i AS (
+          SELECT sub, code, unnest(range($dsub)) AS pos, subv
+          FROM pasgn$i WHERE rnk = 1),
+        psums$i AS (
+          SELECT sub, code, pos,
+            sum(CAST(round(CAST(subv[pos + 1] AS DOUBLE) * 1000000.0)
+                AS DECIMAL(38,0))) AS s,
+            count(*) AS n
+          FROM psrc$i GROUP BY 1, 2, 3),
+        pupd$i AS (
+          SELECT sub, code,
+            list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS centv
+          FROM psums$i GROUP BY 1, 2),
+        cb${i + 1} AS (
+          SELECT c.sub, c.code, coalesce(u.centv, c.centv) AS centv
+          FROM cb$i c LEFT JOIN pupd$i u
+            ON c.sub = u.sub AND c.code = u.code)"""
+
+  /** Shared oracle CTE chain for the IVF-PQ queries: coarse assign
+    * ([[ivfAssignSqlCtes]]) → residuals → m subvectors → seeded codebook
+    * → `iters` training rounds → encode → reconstruct. Ends with
+    * `recon(vec_id, cent_id, recon)`.
+    */
+  private def ivfPqSqlCtes(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val trainCtes = (0 until iters).map(i => pqIterSqlCtes(i, dsub))
+    (Seq(s"""$ivfAssignSqlCtes,
+        resid AS (
+          SELECT a.vec_id, a.cent_id,
+            [CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)
+             FOR p IN list_zip(e.embedding, c.centv)] AS resid
+          FROM (SELECT vec_id, cent_id FROM asgn WHERE rnk = 1) a
+          JOIN embeddings e USING (vec_id)
+          JOIN cents c ON a.cent_id = c.cent_id),
+        subs AS (
+          SELECT vec_id, s.sub,
+            resid[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS subv
+          FROM resid, (SELECT unnest(range($m)) AS sub) s),
+        seedids AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+        cb0 AS (
+          SELECT sub, code, subv AS centv FROM subs JOIN seedids USING (vec_id))""")
+      ++ trainCtes
+      ++ Seq(s"""enc AS (
+          SELECT sv.vec_id, sv.sub, c.code,
+            row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+              ORDER BY ${l2Sql("sv.subv", "c.centv")} ASC, c.code ASC) AS rnk
+          FROM subs sv JOIN cb$iters c ON sv.sub = c.sub),
+        pqres AS (
+          SELECT e.vec_id, flatten(list(c.centv ORDER BY e.sub)) AS pqres
+          FROM (SELECT vec_id, sub, code FROM enc WHERE rnk = 1) e
+          JOIN cb$iters c ON e.sub = c.sub AND e.code = c.code
+          GROUP BY e.vec_id),
+        recon AS (
+          SELECT a.vec_id, a.cent_id,
+            [CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)
+             FOR p IN list_zip(c.centv, q.pqres)] AS recon
+          FROM (SELECT vec_id, cent_id FROM asgn WHERE rnk = 1) a
+          JOIN cents c ON a.cent_id = c.cent_id
+          JOIN pqres q USING (vec_id))""")).mkString(",\n        ")
+  }
+
+  /** X3 completed, memory story: IVF-PQ — the coarse quantizer prunes
+    * candidate lists and product quantization compresses what each
+    * candidate stores (m codes instead of dim floats). Scoring is
+    * reconstruction cosine, so the WHOLE chain — coarse assign,
+    * residual, per-subspace codebook k-means (decimal-exact, ties to the
+    * smaller code), encode, reconstruct, nProbe probe — replays
+    * hash-exact in DuckDB. q_ann_ivfpq_recall is its recall-vs-brute
+    * audit twin.
+    */
+  val annIvfPq = Q("q_ann_ivfpq",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 20), k = 5,
+          iters = 1, broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1)},
+        qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
+          WHERE rnk <= 4 AND vec_id < 20),
+        cand AS (
+          SELECT qb.query_id, r.vec_id AS corpus_id,
+            ${cosineSql("qe.embedding", "r.recon")} AS approx_sim
+          FROM qbuck qb JOIN recon r ON qb.bucket = r.cent_id
+            AND qb.query_id <> r.vec_id
+          JOIN embeddings qe ON qb.query_id = qe.vec_id),
+        ranked AS (
+          SELECT query_id, corpus_id, approx_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_sim DESC, corpus_id) AS rk
+          FROM cand)
+        SELECT query_id, corpus_id, approx_sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""))
+
+  /** Recall audit for [[annIvfPq]], the q_minhash_recall pattern: the
+    * approximate top-5 joined against the brute-force ground truth over
+    * the same 20-query probe set, reduced to one summary row. Bounded by
+    * the fixed probe set, so the audit cost does not grow with the
+    * corpus.
+    */
+  val annIvfPqRecall = Q("q_ann_ivfpq_recall",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+      val approx = Similarity.ivfPqTopK(e, q, k = 5, iters = 1,
+          broadcastQueries = true)
+        .select(col("query_id"), col("corpus_id"))
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("corpus_id"))
+      val brute = e.select(col("vec_id").as("corpus_id"), col("embedding").as("_cv"))
+        .join(broadcast(qv), col("query_id") =!= col("corpus_id"))
+        .withColumn("cosine_sim",
+          round(graft.functions.CosineExpression.cosine(col("_qv"), col("_cv")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("corpus_id"))
+      brute.join(approx.withColumn("_hit", lit(1)),
+          Seq("query_id", "corpus_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"),
+          sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .select(col("n_queries"), col("n_brute"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_brute"), 6).as("recall"))
+    },
+    Some(s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1)},
+        qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
+          WHERE rnk <= 4 AND vec_id < 20),
+        cand AS (
+          SELECT qb.query_id, r.vec_id AS corpus_id,
+            ${cosineSql("qe.embedding", "r.recon")} AS approx_sim
+          FROM qbuck qb JOIN recon r ON qb.bucket = r.cent_id
+            AND qb.query_id <> r.vec_id
+          JOIN embeddings qe ON qb.query_id = qe.vec_id),
+        approx AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_sim DESC, corpus_id) AS rk
+            FROM cand) WHERE rk <= 5),
+        brute AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+                  c.vec_id) AS rk
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 20) WHERE rk <= 5)
+        SELECT count(DISTINCT b.query_id) AS n_queries,
+          count(*) AS n_brute,
+          coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS n_hit,
+          round(coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0
+            END), 0) / count(*), 6) AS recall
+        FROM brute b LEFT JOIN approx a
+          ON b.query_id = a.query_id AND b.corpus_id = a.corpus_id"""))
+
   /** X2/X3 embedding-cosine near-dup, exact verifier form on a fixed 120-vector sample
     * (oracled — DuckDB replays the same dot/norm math).
     */
@@ -1064,7 +1247,8 @@ object NorthStarQueries {
     trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
-    annLsh, annBucketed, annIvf, annIvfTrained, embedNearDup, embedNearDupLsh,
+    annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,
+    embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,
     corpusPrep, corpusPrepFull, corpusPrepMd5)

@@ -317,6 +317,162 @@ object Similarity {
       broadcastQueries, excludeSelf)
   }
 
+  /** Left-to-right squared-L2 distance between two `array<double>`
+    * columns: `aggregate` folds sequentially from 0.0, so the result is
+    * bit-identical to any sequential replay (DuckDB `list_sum` over the
+    * zipped squares) — exactness matters because PQ argmin assignments
+    * ride on it and a 1-ulp flip would cascade into different codebooks.
+    */
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Product-quantization codebooks over residual subvectors — the PQ
+    * half of IVF-PQ ([[ivfPqTopK]]). Input: one row per (vec_id, sub)
+    * with the `array<double>` subvector; output: (sub, code, centv), ksub
+    * entries per subspace.
+    *
+    * Training is k-means per subspace under the same bit-stable
+    * discipline as [[trainIvfCentroids]]: seeds are the `ksub`
+    * smallest-vec_id subvectors (code = rank of the seed id); assignment
+    * is squared-L2 argmin with ties to the SMALLER code (ascending
+    * (dist, code) struct sort — note the opposite tie direction from the
+    * coarse quantizer's cosine argmax, where descending sim reverses the
+    * struct order); recentering quantizes each component to
+    * `round(x * 1e6)` and sums in decimal(38,0), so centroids are
+    * bit-identical across engines and partitionings. Empty codes keep
+    * their previous centroid.
+    *
+    * Scale: all m subspaces train in the SAME dataframe pass — one
+    * broadcast of the m×ksub codebook, one (sub, code, pos)-keyed
+    * partial-aggregated shuffle per iteration. The corpus itself never
+    * shuffles.
+    */
+  def trainPqCodebooks(
+      residualSubs: DataFrame,
+      ksub: Int = 16,
+      iters: Int = 1,
+      quantScale: Double = 1000000.0): DataFrame = {
+    val seedIds = residualSubs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    var cb = residualSubs.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("code"), col("subv").as("centv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignPqCodes(residualSubs, cb)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("subv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(round(col("x") * quantScale).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("s").cast("double") / col("n") / quantScale).as("m"))
+      val updated = means.groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("_new"))
+      cb = cb.join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("_new"), col("centv")).as("centv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode every (vec_id, sub, subv) row against a codebook: squared-L2
+    * argmin, ties to the smaller code. Map-side — the m×ksub codebook
+    * broadcasts, the corpus stays put.
+    */
+  private def assignPqCodes(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbRow = cb.groupBy(col("sub"))
+      .agg(collect_list(struct(col("code"), col("centv"))).as("_cb"))
+    val best = element_at(array_sort(transform(col("_cb"), c =>
+      struct(l2sq(col("subv"), c.getField("centv")).as("dist"),
+        c.getField("code").as("code")))), 1).getField("code")
+    subs.join(broadcast(cbRow), "sub")
+      .select(col("vec_id"), col("sub"), col("subv"), best.as("code"))
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes the candidate lists
+    * ([[ivfTopK]]'s seeded assignment) and product quantization
+    * compresses what is stored per candidate — `m` codes of
+    * log2(ksub) bits instead of `dim` floats, the memory story that
+    * makes a 100 TB ANN index fit its serving tier. Scoring is
+    * reconstruction-based: candidate ≈ coarse centroid + concatenated
+    * codebook entries for its codes, scored by exact cosine against the
+    * raw query vector — so the whole chain (coarse assign, residual,
+    * codebook training, encode, reconstruct, probe) is deterministic and
+    * replays hash-exact in DuckDB. Accuracy is bounded by quantization
+    * error; SimilaritySpec pins recall against brute force and that
+    * ksub = corpus size with 0 training recovers plain IVF ordering.
+    *
+    * Output: (query_id, corpus_id, approx_sim, rk) — `approx_sim` is the
+    * cosine against the RECONSTRUCTION, not the raw corpus vector.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
+    val dsub = dim / m
+    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centv"))
+      .localCheckpoint()
+    val cents = centroids
+      .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
+    def nearest(n: Int): org.apache.spark.sql.Column =
+      slice(reverse(array_sort(transform(col("_cents"), c =>
+        struct(
+          graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
+          c.getField("cent_id").as("cent_id"))))), 1, n)
+    // coarse assignment + residual, map-side
+    val asgn = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_emb"),
+        element_at(nearest(1), 1).getField("cent_id").as("cent_id"))
+      .join(broadcast(centroids), "cent_id")
+      .withColumn("resid",
+        zip_with(col("_emb"), col("centv"), (x, y) => x.cast("double") - y))
+    // m contiguous subvectors per vector
+    val subs = asgn.select(col("vec_id"),
+        explode(array((0 until m).map(si => struct(lit(si).as("sub"),
+          slice(col("resid"), si * dsub + 1, dsub).as("subv"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subv").as("subv"))
+      .localCheckpoint()
+    val cb = trainPqCodebooks(subs, ksub, iters)
+    // encode, then reconstruct: coarse centroid + concatenated codebook
+    // entries (the m×ksub codebook is broadcast-joined twice; the corpus
+    // is touched once per step, never shuffled by itself)
+    val recon = assignPqCodes(subs, cb)
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("centv")))),
+        s => s.getField("centv"))).as("_pqres"))
+      .join(asgn.select(col("vec_id"), col("cent_id"), col("centv")), "vec_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("centv"), col("_pqres"), (x, y) => x + y).as("_recon"))
+    val c = recon.select(col("vec_id").as("corpus_id"),
+      col("_recon").as("cvec"), col("cent_id").as("bucket"))
+    val q = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(nearest(nProbe).getField("cent_id")).as("bucket"))
+    bucketProbe(c, q, k, broadcastQueries, excludeSelf)
+      .withColumnRenamed("cosine_sim", "approx_sim")
+  }
+
   /** SemDeDup-style semantic dedup decision: assign every vector to its
     * nearest of the `nCentroids` smallest-id vectors (the same
     * deterministic coarse quantizer as [[ivfTopK]], evaluated map-side

@@ -328,6 +328,75 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c1(0)._2.head - (1.0 + 0.9 + 0.8) / 3) < 1e-6)
   }
 
+  /** Clustered fixture for the PQ tests: `nPer` vectors around each of
+    * four well-separated axis-aligned centers in 8 dims, perturbed by a
+    * small deterministic LCG wiggle — structure PQ must preserve (unlike
+    * the near-orthogonal random fixture corpus, where approximate scores
+    * legitimately shuffle the noise-level neighbor ranking).
+    */
+  private def clusteredVecs(nPer: Int): org.apache.spark.sql.DataFrame = {
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 10f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 10f, 0f, 0f, 0f, 0f))
+    // ids interleave clusters (cluster = id % 4) so the smallest-id
+    // coarse seeds land one per cluster
+    val rows = for (c <- 0 until 4; j <- 0 until nPer) yield {
+      val id = (j * 4 + c).toLong
+      val v = centers(c).zipWithIndex.map { case (x, pos) =>
+        // deterministic wiggle in [-0.5, 0.5)
+        val h = (id * 6364136223846793005L + pos * 1442695040888963407L) >>> 40
+        x + ((h % 1000L) / 1000.0f - 0.5f)
+      }
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ivfPqTopK keeps cluster neighbors on structured data") {
+    val vecs = clusteredVecs(10)
+    val q = vecs.filter(col("vec_id") < 4) // one query per cluster
+    val got = Similarity.ivfPqTopK(vecs, q, k = 5, nCentroids = 4,
+      nProbe = 1, m = 4, ksub = 8, iters = 1, dim = 8,
+      broadcastQueries = true).collect()
+    assert(got.length === 20) // 4 queries × top-5
+    // every retrieved neighbor belongs to the query's own cluster
+    got.foreach { r =>
+      assert(r.getLong(0) % 4 === r.getLong(1) % 4,
+        s"query ${r.getLong(0)} retrieved cross-cluster ${r.getLong(1)}")
+    }
+  }
+
+  test("PQ with ksub = corpus size and zero training recovers plain IVF ordering") {
+    // every residual subvector is its own codebook entry, so the
+    // reconstruction is (x - c) + c per component — not algebraically x,
+    // but within 1 ulp, and invisible after the round-6 ranking
+    val vecs = clusteredVecs(6)
+    val q = vecs.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val pq = Similarity.ivfPqTopK(vecs, q, k = 3, nCentroids = 4, nProbe = 2,
+      m = 4, ksub = 24, iters = 0, dim = 8)
+    val ivf = Similarity.ivfTopK(vecs, q, k = 3, nCentroids = 4, nProbe = 2)
+    assert(key(pq) === key(ivf))
+  }
+
+  test("trainPqCodebooks is deterministic across invocations") {
+    val vecs = clusteredVecs(8)
+    val subs = vecs.select(col("vec_id"),
+      explode(array(
+        struct(lit(0).as("sub"),
+          transform(slice(col("embedding"), 1, 4), x => x.cast("double")).as("subv")),
+        struct(lit(1).as("sub"),
+          transform(slice(col("embedding"), 5, 4), x => x.cast("double")).as("subv")))).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subv").as("subv"))
+    def snap() = Similarity.trainPqCodebooks(subs, ksub = 4, iters = 2)
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    assert(snap() === snap())
+  }
+
   test("hyperplanes are deterministic") {
     assert(VectorFunctions.hyperplanes(2, 4) === VectorFunctions.hyperplanes(2, 4))
   }
