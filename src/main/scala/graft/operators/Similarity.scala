@@ -263,7 +263,9 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"),
         transform(col(vecCol), x => x.cast("double")).as("centv"))
-      .localCheckpoint()
+      // nCentroids x dim is index METADATA — single partition, so the
+      // eager checkpoint and every later broadcast cost one task
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to iters) {
       val centsRow = cents
         .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
@@ -290,7 +292,7 @@ object Similarity {
         .join(updated, Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("_new"), col("centv")).as("centv"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     cents
   }
@@ -360,7 +362,9 @@ object Similarity {
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
     var cb = residualSubs.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("code"), col("subv").as("centv"))
-      .localCheckpoint()
+      // m x ksub codebook rows — same single-partition treatment as the
+      // coarse centroid frame
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assignPqCodes(residualSubs, cb)
       val means = assigned
@@ -376,7 +380,7 @@ object Similarity {
       cb = cb.join(updated, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
           coalesce(col("_new"), col("centv")).as("centv"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     cb
   }
@@ -430,7 +434,9 @@ object Similarity {
     val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"),
         transform(col(vecCol), x => x.cast("double")).as("centv"))
-      .localCheckpoint()
+      // nCentroids x dim is index METADATA — single partition, so the
+      // eager checkpoint and every later broadcast cost one task
+      .coalesce(1).localCheckpoint()
     val cents = centroids
       .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
     def nearest(n: Int): org.apache.spark.sql.Column =
