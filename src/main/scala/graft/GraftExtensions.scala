@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, SignBucketExpr}
+import graft.functions.{CosineSimilarityExpr, SignBucketExpr, ZValueExpr, ZValueNExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sign_bucket"),
       new ExpressionInfo(classOf[SignBucketExpr].getName, "sign_bucket"),
       signBucketBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValueNExpr].getName, "z_value"),
+      zValueBuilder))
     // Whole-operator extension: plans graft.plans.AsOfJoinNode to its
     // native physical merge (see AsOfJoin.backwardNative for runtime use).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -58,9 +62,20 @@ object GraftExtensions {
       functions.VectorFunctions.hyperplanes(k, dim, seed).map(_.toArray).toArray)
   }
 
-  /** Register both functions on an already-running session. */
+  /** `z_value(a, b, ...)`: 2 columns take the fixed-stride binary
+    * interleave, 3+ the variadic round-robin curve — the same dispatch
+    * the Scala API exposes as zValue/zValueN.
+    */
+  val zValueBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length >= 2, "z_value(col1, col2, ...)")
+    if (children.length == 2) ZValueExpr(children(0), children(1))
+    else ZValueNExpr(children)
+  }
+
+  /** Register the functions on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "cosine_similarity", cosineBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "sign_bucket", signBucketBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "z_value", zValueBuilder)
   }
 }

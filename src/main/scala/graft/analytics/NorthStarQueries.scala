@@ -806,6 +806,30 @@ object NorthStarQueries {
           JOIN pqres q USING (vec_id))""")).mkString(",\n        ")
   }
 
+  /** Full IVF-PQ top-5 oracle over the 20-query probe set — shared
+    * verbatim by [[annIvfPq]] (in-memory index) and [[annPqStored]]
+    * (parquet round-trip through [[Similarity.writePqIndex]]): the two
+    * engines' results must hash to the SAME DuckDB replay, which pins
+    * that storing codes + rebuilding the reconstruction loses nothing.
+    */
+  private def ivfPqTopKSql: String =
+    s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1)},
+        qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
+          WHERE rnk <= 4 AND vec_id < 20),
+        cand AS (
+          SELECT qb.query_id, r.vec_id AS corpus_id,
+            ${cosineSql("qe.embedding", "r.recon")} AS approx_sim
+          FROM qbuck qb JOIN recon r ON qb.bucket = r.cent_id
+            AND qb.query_id <> r.vec_id
+          JOIN embeddings qe ON qb.query_id = qe.vec_id),
+        ranked AS (
+          SELECT query_id, corpus_id, approx_sim,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY approx_sim DESC, corpus_id) AS rk
+          FROM cand)
+        SELECT query_id, corpus_id, approx_sim, rk FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""
+
   /** X3 completed, memory story: IVF-PQ — the coarse quantizer prunes
     * candidate lists and product quantization compresses what each
     * candidate stores (m codes instead of dim floats). Scoring is
@@ -822,6 +846,43 @@ object NorthStarQueries {
           iters = 1, broadcastQueries = true)
         .orderBy(col("query_id"), col("rk"))
     },
+    Some(ivfPqTopKSql))
+
+  /** The SERVING path of the IVF-PQ story: [[Similarity.writePqIndex]]
+    * persists centroids + codebooks + per-vector codes (m bytes-ish per
+    * vector, parquet-partitioned by coarse bucket) and
+    * [[Similarity.probePqIndex]] answers from that layout alone — the
+    * probed buckets prune partitions before any scan. Shares
+    * [[ivfPqTopKSql]] with q_ann_ivfpq: the stored round-trip must be
+    * bit-identical to the in-memory index.
+    */
+  val annPqStored = Q("q_ann_pq_stored",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      val e = embeddings(s, d)
+      Similarity.writePqIndex(e, out, iters = 1)
+      Similarity.probePqIndex(s, out, e.filter(col("vec_id") < 20), k = 5,
+          broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(ivfPqTopKSql))
+
+  /** Shortlist-then-rerank, the accuracy-recovery half of PQ serving:
+    * the compressed index retrieves a 20-deep candidate shortlist per
+    * query, then ONLY those rows' raw vectors are fetched and rescored
+    * by exact cosine ([[Similarity.ivfPqRerank]]). Output scores are
+    * exact, so the oracle reranks the same replayed shortlist with the
+    * plain cosine — approximation affects WHICH rows are considered,
+    * never the reported similarity.
+    */
+  val annPqRerank = Q("q_ann_pq_rerank",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfPqRerank(e, e.filter(col("vec_id") < 20), k = 5,
+          shortlist = 20, iters = 1, broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
     Some(s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1)},
         qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
           WHERE rnk <= 4 AND vec_id < 20),
@@ -831,12 +892,24 @@ object NorthStarQueries {
           FROM qbuck qb JOIN recon r ON qb.bucket = r.cent_id
             AND qb.query_id <> r.vec_id
           JOIN embeddings qe ON qb.query_id = qe.vec_id),
-        ranked AS (
-          SELECT query_id, corpus_id, approx_sim,
+        short AS (
+          SELECT query_id, corpus_id FROM (
+            SELECT query_id, corpus_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY approx_sim DESC, corpus_id) AS rk
+            FROM cand) WHERE rk <= 20),
+        rescored AS (
+          SELECT s.query_id, s.corpus_id,
+            ${cosineSql("q.embedding", "c.embedding")} AS cosine_sim
+          FROM short s
+          JOIN embeddings q ON s.query_id = q.vec_id
+          JOIN embeddings c ON s.corpus_id = c.vec_id),
+        reranked AS (
+          SELECT query_id, corpus_id, cosine_sim,
             row_number() OVER (PARTITION BY query_id
-              ORDER BY approx_sim DESC, corpus_id) AS rk
-          FROM cand)
-        SELECT query_id, corpus_id, approx_sim, rk FROM ranked WHERE rk <= 5
+              ORDER BY cosine_sim DESC, corpus_id) AS rk
+          FROM rescored)
+        SELECT query_id, corpus_id, cosine_sim, rk FROM reranked WHERE rk <= 5
         ORDER BY query_id, rk"""))
 
   /** Recall audit for [[annIvfPq]], the q_minhash_recall pattern: the
@@ -1248,6 +1321,7 @@ object NorthStarQueries {
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,
+    annPqStored, annPqRerank,
     embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,

@@ -429,6 +429,35 @@ object Similarity {
       vecCol: String = "embedding",
       broadcastQueries: Boolean = false,
       excludeSelf: Boolean = true): DataFrame = {
+    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol, vecCol)
+    // reconstruct: coarse centroid + concatenated codebook entries (the
+    // m×ksub codebook is broadcast-joined twice; the corpus is touched
+    // once per step, never shuffled by itself)
+    val recon = assignPqCodes(ix.subs, ix.codebooks)
+      .join(broadcast(ix.codebooks), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("centv")))),
+        s => s.getField("centv"))).as("_pqres"))
+      .join(ix.asgn.select(col("vec_id"), col("cent_id"), col("centv")), "vec_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("centv"), col("_pqres"), (x, y) => x + y).as("_recon"))
+    val c = recon.select(col("vec_id").as("corpus_id"),
+      col("_recon").as("cvec"), col("cent_id").as("bucket"))
+    val q = queryBuckets(ix.centroids, queries, nProbe, idCol, vecCol)
+    bucketProbe(c, q, k, broadcastQueries, excludeSelf)
+      .withColumnRenamed("cosine_sim", "approx_sim")
+  }
+
+  /** The shared IVF-PQ index build: seeded coarse quantizer, map-side
+    * assignment + residuals, m contiguous subvectors, trained codebooks.
+    */
+  private case class PqIndex(centroids: DataFrame, asgn: DataFrame,
+      subs: DataFrame, codebooks: DataFrame)
+
+  private def buildPqIndex(corpus: DataFrame, nCentroids: Int, m: Int,
+      ksub: Int, iters: Int, dim: Int, idCol: String, vecCol: String)
+      : PqIndex = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val dsub = dim / m
     val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
@@ -439,15 +468,14 @@ object Similarity {
       .coalesce(1).localCheckpoint()
     val cents = centroids
       .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
-    def nearest(n: Int): org.apache.spark.sql.Column =
-      slice(reverse(array_sort(transform(col("_cents"), c =>
-        struct(
-          graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
-          c.getField("cent_id").as("cent_id"))))), 1, n)
+    val nearest1 = element_at(slice(reverse(array_sort(
+      transform(col("_cents"), c => struct(
+        graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
+        c.getField("cent_id").as("cent_id"))))), 1, 1), 1).getField("cent_id")
     // coarse assignment + residual, map-side
     val asgn = corpus.crossJoin(broadcast(cents))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_emb"),
-        element_at(nearest(1), 1).getField("cent_id").as("cent_id"))
+        nearest1.as("cent_id"))
       .join(broadcast(centroids), "cent_id")
       .withColumn("resid",
         zip_with(col("_emb"), col("centv"), (x, y) => x.cast("double") - y))
@@ -457,26 +485,137 @@ object Similarity {
           slice(col("resid"), si * dsub + 1, dsub).as("subv"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subv").as("subv"))
       .localCheckpoint()
-    val cb = trainPqCodebooks(subs, ksub, iters)
-    // encode, then reconstruct: coarse centroid + concatenated codebook
-    // entries (the m×ksub codebook is broadcast-joined twice; the corpus
-    // is touched once per step, never shuffled by itself)
-    val recon = assignPqCodes(subs, cb)
-      .join(broadcast(cb), Seq("sub", "code"))
+    PqIndex(centroids, asgn, subs, trainPqCodebooks(subs, ksub, iters))
+  }
+
+  /** Query-side nProbe bucket fan-out against a centroid frame — shared
+    * by the in-memory and stored-index probes so the two cannot drift.
+    */
+  private def queryBuckets(centroids: DataFrame, queries: DataFrame,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids
+      .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
+    val nearestN = slice(reverse(array_sort(transform(col("_cents"), c =>
+      struct(
+        graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
+        c.getField("cent_id").as("cent_id"))))), 1, nProbe)
+    queries.crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(nearestN.getField("cent_id")).as("bucket"))
+  }
+
+  /** Persist an IVF-PQ index: `centroids` and `codebooks` (index
+    * metadata, single files) plus `codes` — m small integers per vector
+    * instead of dim floats, THE compression that makes a 100 TB ANN
+    * index fit its serving tier — parquet-partitioned by coarse bucket,
+    * so a probe's nProbe fan-out prunes partitions before any scan
+    * (same layout contract as [[writeBucketedCorpus]]; the "c" prefix
+    * keeps the partition value a string against read-back type
+    * inference).
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol, vecCol)
+    ix.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    ix.codebooks.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    assignPqCodes(ix.subs, ix.codebooks)
       .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(ix.asgn.select(col("vec_id"), col("cent_id")), "vec_id")
+      .withColumn("bucket", concat(lit("c"), col("cent_id")))
+      .drop("cent_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
+  /** Probe a stored IVF-PQ index ([[writePqIndex]]): queries fan out to
+    * their nProbe buckets, the codes table is scanned ONLY in those
+    * partitions (dynamic partition pruning — the probed buckets reach
+    * the scan as a runtime filter), candidates are reconstructed from
+    * codebook entries and scored by exact cosine. Same math as
+    * [[ivfPqTopK]], so the stored round-trip shares its oracle.
+    */
+  def probePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val q = queryBuckets(centroids, queries, nProbe, idCol, vecCol)
+      .withColumn("bucket", concat(lit("c"), col("bucket")))
+    val c = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("bucket"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("bucket"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("sub"), col("centv")))),
         s => s.getField("centv"))).as("_pqres"))
-      .join(asgn.select(col("vec_id"), col("cent_id"), col("centv")), "vec_id")
-      .select(col("vec_id"), col("cent_id"),
-        zip_with(col("centv"), col("_pqres"), (x, y) => x + y).as("_recon"))
-    val c = recon.select(col("vec_id").as("corpus_id"),
-      col("_recon").as("cvec"), col("cent_id").as("bucket"))
-    val q = queries.crossJoin(broadcast(cents))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-        explode(nearest(nProbe).getField("cent_id")).as("bucket"))
+      .join(broadcast(centroids
+          .withColumn("bucket", concat(lit("c"), col("cent_id")))
+          .select(col("bucket"), col("centv"))),
+        Seq("bucket"))
+      .select(col("vec_id").as("corpus_id"),
+        zip_with(col("centv"), col("_pqres"), (x, y) => x + y).as("cvec"),
+        col("bucket"))
     bucketProbe(c, q, k, broadcastQueries, excludeSelf)
       .withColumnRenamed("cosine_sim", "approx_sim")
+  }
+
+  /** PQ shortlist + exact rerank — the standard serving recipe that
+    * recovers accuracy lost to quantization: [[ivfPqTopK]] retrieves a
+    * `shortlist`-sized candidate set per query from compressed codes,
+    * then only those candidates' RAW vectors are fetched and rescored by
+    * exact cosine (per query: shortlist raw-vector reads instead of a
+    * corpus scan). Output matches the exact-scoring queries' shape
+    * (cosine_sim = exact).
+    */
+  def ivfPqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 20,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 1,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = false): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = ivfPqTopK(corpus, queries, shortlist, nCentroids, nProbe,
+        m, ksub, iters, dim, idCol, vecCol, broadcastQueries)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    short
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv")),
+        "corpus_id")
+      .withColumn("cosine_sim",
+        round(graft.functions.CosineExpression.cosine(col("_qv"), col("_cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine_sim"), col("rk"))
   }
 
   /** SemDeDup-style semantic dedup decision: assign every vector to its

@@ -29,6 +29,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 
+  test("z_value callable from SQL at 2 and 3 columns, matching the Scala API") {
+    // 2 args dispatch to the fixed-stride binary interleave, 3+ to the
+    // variadic curve — same values the Scala zValue/zValueN produce
+    val r2 = spark.sql("SELECT z_value(3, 5) AS z").collect()(0).getLong(0)
+    assert(r2 === graft.functions.ZOrderExpression.interleave(3L, 5L))
+    val r3 = spark.sql("SELECT z_value(1, 2, 4) AS z").collect()(0).getLong(0)
+    assert(r3 === graft.functions.ZOrderExpression.interleaveN(
+      Array(1L, 2L, 4L), 20))
+  }
+
   test("sign_bucket callable from SQL with literal plane parameters") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("emb")

@@ -382,6 +382,46 @@ class SimilaritySpec extends SparkSpec {
     assert(key(pq) === key(ivf))
   }
 
+  test("stored PQ index round-trips bit-identically and prunes by probed bucket") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val out = java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/idx"
+    Similarity.writePqIndex(e, out, iters = 1)
+    // partition directory per coarse bucket, string-typed values
+    val dirs = new java.io.File(s"$out/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=c")))
+    val q = e.filter(col("vec_id") < 20)
+    val probe = Similarity.probePqIndex(spark, out, q, k = 5,
+      broadcastQueries = true)
+    val mem = Similarity.ivfPqTopK(e, q, k = 5, iters = 1,
+      broadcastQueries = true)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // storing codes and rebuilding the reconstruction loses nothing
+    assert(key(probe) === key(mem))
+    // the codes scan is pruned at runtime by the broadcast query buckets
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
+  test("ivfPqRerank with a full shortlist recovers exact-cosine ranking") {
+    // nProbe = all 4 centroids and shortlist = corpus size: every
+    // candidate survives to the rerank, whose exact rescoring must then
+    // reproduce plain IVF (exact cosine over the same candidate set)
+    val vecs = clusteredVecs(6)
+    val q = vecs.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val rr = Similarity.ivfPqRerank(vecs, q, k = 3, shortlist = 24,
+      nCentroids = 4, nProbe = 4, m = 4, ksub = 8, iters = 1, dim = 8)
+    val exact = Similarity.ivfTopK(vecs, q, k = 3, nCentroids = 4, nProbe = 4)
+    assert(key(rr) === key(exact))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerank(vecs, q, k = 5, shortlist = 3)
+    }
+  }
+
   test("trainPqCodebooks is deterministic across invocations") {
     val vecs = clusteredVecs(8)
     val subs = vecs.select(col("vec_id"),
