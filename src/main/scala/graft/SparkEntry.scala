@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{CoreQueries, EventQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, Q, Scd2Queries}
+import graft.analytics.{CoreQueries, EventQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, Q, Scd2Queries, SnapshotQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,8 @@ object SparkEntry {
 
   val catalog: Seq[Q] =
     CoreQueries.all ++ Scd2Queries.all ++ EventQueries.all ++
-      NorthStarQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all
+      NorthStarQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
+      SnapshotQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.sources.Snapshots
+import QueryDsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-table (time travel / snapshot) catalog entries over
+  * [[graft.sources.Snapshots]]. Each query builds its own table under the
+  * JVM tmpdir from the driver's orders parquet — fresh per invocation
+  * (the dir is deleted first, so Bench's min-of-3 reruns are idempotent)
+  * — and the oracle replays the version contents as predicates over the
+  * SOURCE table, which is exactly the property a snapshot layer must
+  * keep: a version reads as the data that was committed into it, no
+  * matter what later commits, compactions, or layout changes happened.
+  */
+object SnapshotQueries {
+
+  private val cutoff = "1995-01-01"
+
+  private def freshTable(s: SparkSession, d: String, tag: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
+      s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
+
+  private def src(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate"))
+
+  /** v1 = pre-cutoff orders, v2 = append the rest. */
+  private def buildTwoVersions(s: SparkSession, d: String, tag: String)
+      : String = {
+    val tbl = freshTable(s, d, tag)
+    val o = src(s, d)
+    Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
+      statsCols = Seq("o_orderkey"))
+    tbl
+  }
+
+  private def agg(df: DataFrame, version: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .select(lit(version).as("version"), col("n_orders"), col("total"))
+
+  /** X48: time travel — after the v2 append, v1 must still read as
+    * exactly the pre-cutoff snapshot (old manifests + immutable files),
+    * while the latest version reads as the full table.
+    */
+  val timeTravel = Q("q_time_travel",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "tt")
+      agg(Snapshots.read(s, tbl, Some(1)), 1)
+        .unionByName(agg(Snapshots.read(s, tbl), 2))
+        .orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 2, count(*), ${dsumSql("o_totalprice")}
+         FROM orders
+         ORDER BY version"""))
+
+  /** X48: snapshot diff — the rows added v1→v2, read from ONLY the delta
+    * files (scan cost proportional to the change, not the table; the
+    * subset check in [[Snapshots.diffAdded]] guards the append-only
+    * precondition). Oracle = the appended predicate.
+    */
+  val snapshotDiff = Q("q_snapshot_diff",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "diff")
+      Snapshots.diffAdded(s, tbl, from = 1, to = 2)
+        .agg(count(lit(1)).as("n_added"),
+          dsum(col("o_totalprice")).as("total_added"))
+    },
+    Some(s"""SELECT count(*) AS n_added,
+         ${dsumSql("o_totalprice")} AS total_added
+         FROM orders WHERE o_orderdate >= DATE '$cutoff'"""))
+
+  /** X48: file skipping from manifest stats — the table is committed
+    * range-partitioned on o_orderkey so file envelopes are tight, then a
+    * key-range scan prunes whole files driver-side (SnapshotsSpec asserts
+    * the prune count); the residual filter makes the result EXACTLY the
+    * full scan's, which is what the oracle pins.
+    */
+  val fileSkip = Q("q_file_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "skip")
+      Snapshots.commit(src(s, d).repartitionByRange(8, col("o_orderkey")),
+        tbl, statsCols = Seq("o_orderkey"))
+      val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
+        .head().getLong(0)
+      val hi = maxKey / 10
+      Snapshots.scanPruned(s, tbl, "o_orderkey", 1L, hi).df
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders
+         WHERE o_orderkey BETWEEN 1
+           AND (SELECT max(o_orderkey) FROM orders) // 10"""))
+
+  /** X48: versioned compaction — [[Snapshots.compactVersion]] rewrites
+    * the fragmented latest version into few files as a NEW commit, so
+    * content is unchanged (row 3 ≡ full table) AND v1 stays readable
+    * after the rewrite (row 1 ≡ the pre-cutoff snapshot): layout
+    * maintenance that cannot lose time travel.
+    */
+  val versionedCompact = Q("q_versioned_compact",
+    (s, d) => {
+      val tbl = freshTable(s, d, "vc")
+      val o = src(s, d)
+      Snapshots.commit(
+        o.filter(col("o_orderdate") < lit(cutoff)).repartition(6), tbl)
+      Snapshots.commit(
+        o.filter(col("o_orderdate") >= lit(cutoff)).repartition(6), tbl)
+      val v3 = Snapshots.compactVersion(s, tbl)
+      agg(Snapshots.read(s, tbl, Some(1)), 1)
+        .unionByName(agg(Snapshots.read(s, tbl, Some(v3)), v3))
+        .orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")}
+         FROM orders
+         ORDER BY version"""))
+
+  val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact)
+}

@@ -84,4 +84,43 @@ object ParquetMeta {
       } finally r.close()
     }
   }
+
+  /** Row count + FILE-level [min, max] of integral columns for one
+    * parquet file, from its footer only (row-group ranges folded to a
+    * single per-file envelope). This is the granule a manifest-based
+    * table ([[Snapshots]]) records per data file so a reader can skip
+    * whole files driver-side — the Iceberg/Delta data-skipping shape.
+    * Columns with absent/empty statistics are omitted from the map, so
+    * a file with unknown ranges is never wrongly skipped.
+    */
+  def fileStats(conf: org.apache.hadoop.conf.Configuration,
+      status: org.apache.hadoop.fs.FileStatus, cols: Seq[String])
+      : (Long, Map[String, (Long, Long)]) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      def asLong(v: Any): Long = v match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case other => sys.error(s"fileStats: non-integral stats ${other.getClass}")
+      }
+      val perGroup = r.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+        block.getColumns.asScala
+          .filter(c => cols.contains(c.getPath.toDotString))
+          .flatMap { c =>
+            Option(c.getStatistics).filterNot(_.isEmpty).map { st =>
+              c.getPath.toDotString ->
+                (asLong(st.genericGetMin), asLong(st.genericGetMax))
+            }
+          }
+      }
+      // a column must have stats in EVERY row group to get a file envelope
+      val nGroups = r.getFooter.getBlocks.size()
+      val ranges = perGroup.groupBy(_._1).collect {
+        case (col, vs) if vs.size == nGroups =>
+          col -> (vs.map(_._2._1).min, vs.map(_._2._2).max)
+      }.toMap
+      (r.getRecordCount, ranges)
+    } finally r.close()
+  }
 }

@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based versioned parquet tables — the minimal lakehouse commit
+  * protocol (Iceberg/Delta shape) the rest of the maintenance tier
+  * ([[Maintenance]] compaction, [[graft.operators.IncrementalAgg]] rollup,
+  * [[graft.operators.Cdc]]) plugs into:
+  *
+  *  - data files are IMMUTABLE; every commit writes new files into
+  *    `table/data/<batch>/` and then publishes a manifest listing the
+  *    complete file set of the new version (append = parent's files +
+  *    new; overwrite = new only);
+  *  - the COMMIT POINT is creating `_manifests/v<N>.manifest` with
+  *    overwrite=false — atomic on HDFS-like stores; a losing concurrent
+  *    committer retries at N+1, so versions are a total order;
+  *  - a crash mid-write leaves a manifest without its terminator line;
+  *    readers treat it as absent (the version simply never happened);
+  *  - manifests carry per-file row counts and integral-column [min,max]
+  *    envelopes ([[ParquetMeta.fileStats]]), so readers prune whole files
+  *    DRIVER-side before any Spark job ([[Snapshots.scanPruned]]).
+  *
+  * Scale note: manifest size grows with FILE count, not data size —
+  * [[compactVersion]] keeps file count proportional to bytes, and because
+  * compaction is itself just an overwrite commit, old versions stay
+  * readable (time travel) until [[vacuum]] reclaims them. At 100 TB the
+  * manifest itself would graduate from one text file to parquet manifest
+  * lists, but the protocol (immutable files + atomic pointer swap +
+  * stats-carrying manifests) is the same.
+  */
+object Snapshots {
+
+  /** One data file of a version: path relative to the table root, exact
+    * footer row count, and per-column file envelopes for skip decisions.
+    */
+  final case class FileEntry(path: String, rows: Long,
+      stats: Map[String, (Long, Long)])
+
+  final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
+
+  private val Header = "graft-manifest-v1"
+  private val Footer = "end"
+
+  private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(table: Path, v: Int): Path =
+    new Path(new Path(table, "_manifests"), f"v$v%06d.manifest")
+
+  /** All committed (terminator-complete) versions, ascending. */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
+    val (fs, root) = fsOf(spark, table)
+    val dir = new Path(root, "_manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{6}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+      .filter(v => readManifestOpt(fs, root, v).isDefined)
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Int =
+    versions(spark, table).lastOption.getOrElse(0)
+
+  /** Manifest of `version` (complete commits only). */
+  def manifest(spark: SparkSession, table: String, version: Int)
+      : Seq[FileEntry] = {
+    val (fs, root) = fsOf(spark, table)
+    readManifestOpt(fs, root, version).getOrElse(
+      sys.error(s"Snapshots: no committed version $version at $table"))
+  }
+
+  /** Commit `df` as a new version. `overwrite=false` appends to the
+    * parent version's file set; `overwrite=true` replaces it (the file
+    * BYTES of prior versions are untouched either way — that is what
+    * keeps them readable). `statsCols` selects integral columns whose
+    * file envelopes the manifest records for [[scanPruned]]. Returns the
+    * committed version number.
+    */
+  def commit(df: DataFrame, table: String, overwrite: Boolean = false,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val batch = new Path(new Path(root, "data"),
+      "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+    df.write.mode("errorifexists").parquet(batch.toString)
+    val rootUri = fs.makeQualified(root).toUri
+    val newEntries = listParquet(fs, batch).map { st =>
+      val (rows, ranges) = ParquetMeta.fileStats(conf, st, statsCols)
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      FileEntry(rel, rows, ranges)
+    }.sortBy(_.path)
+    fs.mkdirs(new Path(root, "_manifests"))
+    var attempts = 0
+    while (true) {
+      val parent = latestVersion(spark, table)
+      // next slot must clear every EXISTING manifest file, complete or
+      // not: a crashed writer's terminator-less manifest occupies its
+      // number forever (we cannot tell it from a racer mid-write, so we
+      // never reuse the slot) — version numbering may gap, versions()
+      // only ever lists complete commits
+      val next = (occupiedSlots(fs, root) :+ parent).max + 1
+      val base =
+        if (overwrite || parent == 0) Seq.empty
+        else manifest(spark, table, parent)
+      val target = manifestPath(root, next)
+      // overwrite=false create IS the atomic commit point; a concurrent
+      // winner makes this throw and we retry against the new parent
+      val created =
+        try { Some(fs.create(target, false)) }
+        catch { case _: java.io.IOException => None }
+      created match {
+        case Some(out) =>
+          try {
+            val lines = Seq(Header) ++ (base ++ newEntries).map(fmt) :+ Footer
+            out.write(lines.mkString("\n").getBytes("UTF-8"))
+          } finally out.close()
+          return next
+        case None =>
+          attempts += 1
+          require(attempts < 50, s"Snapshots.commit: $attempts collisions at $table")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Read the table at `version` (default: latest). */
+  def read(spark: SparkSession, table: String, version: Option[Int] = None)
+      : DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val files = manifest(spark, table, v)
+    require(files.nonEmpty, s"Snapshots: version $v of $table is empty")
+    spark.read.parquet(files.map(e => s"$table/${e.path}"): _*)
+  }
+
+  /** Rows added between two versions of an APPEND-ONLY lineage, read from
+    * ONLY the delta files — the scan cost is proportional to the change,
+    * not the table (the 100 TB CDC-read shape). Throws if `from`'s file
+    * set is not a subset of `to`'s (an overwrite happened in between;
+    * file identity no longer tracks row identity, so a delta read would
+    * be wrong — diff such lineages with EXCEPT ALL on content instead).
+    */
+  def diffAdded(spark: SparkSession, table: String, from: Int, to: Int)
+      : DataFrame = {
+    val a = manifest(spark, table, from).map(_.path).toSet
+    val b = manifest(spark, table, to)
+    val missing = a -- b.map(_.path).toSet
+    require(missing.isEmpty,
+      s"Snapshots.diffAdded: versions $from→$to are not append-only " +
+        s"(${missing.size} file(s) dropped); use a content diff")
+    val added = b.filterNot(e => a.contains(e.path))
+    if (added.isEmpty) spark.read.parquet(s"$table/${b.head.path}").limit(0)
+    else spark.read.parquet(added.map(e => s"$table/${e.path}"): _*)
+  }
+
+  /** Scan `version` (default latest) keeping only files whose [min,max]
+    * envelope for `col` intersects [lo, hi] — files are skipped on the
+    * DRIVER from manifest stats, before any Spark task launches; the
+    * residual per-row filter is still applied, so the result is exactly
+    * the full scan's (files without recorded stats are always read).
+    */
+  def scanPruned(spark: SparkSession, table: String, col: String,
+      lo: Long, hi: Long, version: Option[Int] = None): PrunedScan = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val files = manifest(spark, table, v)
+    val (kept, skipped) = files.partition(e => e.stats.get(col) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    val df =
+      if (kept.isEmpty)
+        read(spark, table, Some(v)).limit(0)
+      else spark.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
+    import org.apache.spark.sql.functions.{col => c}
+    PrunedScan(df.filter(c(col).between(lo, hi)), kept.size, skipped.size)
+  }
+
+  /** Compact the latest version's layout into ~`targetBytes` files as a
+    * NEW overwrite commit — same row content (the q_versioned_compact
+    * oracle pins it), fewer files, and prior versions remain readable
+    * because their bytes were never touched. Returns the new version.
+    */
+  def compactVersion(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val (fs, root) = fsOf(spark, table)
+    val cur = latestVersion(spark, table)
+    val entries = manifest(spark, table, cur)
+    val bytes = entries.map(e =>
+      fs.getFileStatus(new Path(root, e.path)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    commit(read(spark, table, Some(cur)).repartition(nOut), table,
+      overwrite = true, statsCols = statsCols)
+  }
+
+  /** Drop all but the last `keepLast` versions and delete every data file
+    * no retained manifest references. Files shared between dropped and
+    * retained versions (append lineage) survive. Returns the deleted data
+    * file paths (relative).
+    */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 1)
+      : Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (fs, root) = fsOf(spark, table)
+    val all = versions(spark, table)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val referenced = keep.flatMap(v => manifest(spark, table, v))
+      .map(_.path).toSet
+    val rootUri = fs.makeQualified(root).toUri
+    val dead = listParquet(fs, new Path(root, "data"))
+      .map(st => rootUri.relativize(st.getPath.toUri).getPath)
+      .filterNot(referenced.contains)
+    dead.foreach(p => fs.delete(new Path(root, p), false))
+    drop.foreach(v => fs.delete(manifestPath(root, v), false))
+    dead
+  }
+
+  /** Every manifest file number present on disk, complete or not. */
+  private def occupiedSlots(fs: FileSystem, root: Path): Seq[Int] = {
+    val dir = new Path(root, "_manifests")
+    if (!fs.exists(dir)) Seq(0)
+    else {
+      val ns = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d{6}\\.manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      if (ns.isEmpty) Seq(0) else ns
+    }
+  }
+
+  // ---- manifest text format (one file per version, driver-side IO) ----
+
+  private def fmt(e: FileEntry): String = {
+    val stats = e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
+    s"${e.path}\t${e.rows}\t$stats"
+  }
+
+  private def parse(line: String): FileEntry = {
+    val parts = line.split("\t", -1)
+    require(parts.length == 3, s"bad manifest line: $line")
+    val stats = parts(2).split(";").filter(_.nonEmpty).map { kv =>
+      val Array(c, range) = kv.split("=", 2)
+      val Array(mn, mx) = range.split(":", 2)
+      c -> (mn.toLong, mx.toLong)
+    }.toMap
+    FileEntry(parts(0), parts(1).toLong, stats)
+  }
+
+  /** None when the manifest is absent OR lacks its terminator (a crashed
+    * half-written commit) — both read as "this version never happened".
+    */
+  private def readManifestOpt(fs: FileSystem, root: Path, v: Int)
+      : Option[Seq[FileEntry]] = {
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
+      Some(lines.slice(1, lines.length - 1).map(parse))
+    else None
+  }
+
+  private def listParquet(fs: FileSystem, p: Path): Seq[FileStatus] = {
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) buf += s
+    }
+    buf.toSeq.sortBy(_.getPath.toString)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_snap_$tag").toString + "/t"
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+    .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+
+  private def fs(table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("append commits version monotonically and each version time-travels") {
+    val tbl = freshTable("tt")
+    val v1 = Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    val v2 = Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl)
+    assert(v1 === 1 && v2 === 2)
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+    val n1 = orders.filter(col("o_orderkey") <= 1000).count()
+    assert(Snapshots.read(spark, tbl, Some(1)).count() === n1)
+    assert(Snapshots.read(spark, tbl).count() === orders.count())
+  }
+
+  test("diffAdded reads ONLY the delta files of an append lineage") {
+    val tbl = freshTable("diff")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl)
+    val delta = Snapshots.diffAdded(spark, tbl, 1, 2)
+    assert(delta.count() === orders.filter(col("o_orderkey") > 1000).count())
+    // scan cost ∝ change: the delta's input files are exactly v2 minus v1
+    val v1Files = Snapshots.manifest(spark, tbl, 1).map(_.path).toSet
+    val read = delta.inputFiles.toSet
+    assert(read.nonEmpty && !read.exists(f => v1Files.exists(f.endsWith)))
+    // overwrite breaks file-identity lineage → diff must refuse
+    Snapshots.commit(orders.limit(10), tbl, overwrite = true)
+    intercept[IllegalArgumentException] {
+      Snapshots.diffAdded(spark, tbl, 1, 3)
+    }
+  }
+
+  test("scanPruned skips files by manifest envelope and loses no rows") {
+    val tbl = freshTable("skip")
+    Snapshots.commit(orders.repartitionByRange(8, col("o_orderkey")), tbl,
+      statsCols = Seq("o_orderkey"))
+    val ps = Snapshots.scanPruned(spark, tbl, "o_orderkey", 1L, 500L)
+    assert(ps.filesSkipped > 0, "tight range over 8 range-files must skip some")
+    assert(ps.filesRead + ps.filesSkipped === 8)
+    val expect = orders.filter(col("o_orderkey").between(1, 500)).count()
+    assert(ps.df.count() === expect)
+    // a column without recorded stats never skips (correctness over speed)
+    val ps2 = Snapshots.scanPruned(spark, tbl, "o_totalprice", 0L, 1L)
+    assert(ps2.filesSkipped === 0 && ps2.filesRead === 8)
+  }
+
+  test("compactVersion shrinks file count, preserves content and history") {
+    val tbl = freshTable("vc")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000).repartition(6),
+      tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000).repartition(6),
+      tbl, statsCols = Seq("o_orderkey"))
+    val before = Snapshots.manifest(spark, tbl, 2).size
+    val v3 = Snapshots.compactVersion(spark, tbl)
+    assert(v3 === 3)
+    val after = Snapshots.manifest(spark, tbl, 3)
+    assert(after.size < before)
+    // stats columns carry over to the compacted manifest
+    assert(after.forall(_.stats.contains("o_orderkey")))
+    assert(Snapshots.read(spark, tbl, Some(3)).count() === orders.count())
+    // pre-compaction snapshots still read (immutable files)
+    assert(Snapshots.read(spark, tbl, Some(1)).count() ===
+      orders.filter(col("o_orderkey") <= 1000).count())
+  }
+
+  test("vacuum deletes only files unreferenced by retained versions") {
+    val tbl = freshTable("vac")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl)
+    Snapshots.compactVersion(spark, tbl) // v3 rewrites everything
+    val deleted = Snapshots.vacuum(spark, tbl, keepLast = 1)
+    assert(deleted.nonEmpty, "v1/v2 files are unreferenced after compaction")
+    assert(Snapshots.versions(spark, tbl) === Seq(3))
+    assert(Snapshots.read(spark, tbl).count() === orders.count())
+    // append lineage: a shared file survives vacuum of its first version
+    val tbl2 = freshTable("vac2")
+    Snapshots.commit(orders.limit(100), tbl2)
+    Snapshots.commit(orders.limit(100), tbl2) // v2 references v1's files too
+    val deleted2 = Snapshots.vacuum(spark, tbl2, keepLast = 1)
+    assert(deleted2.isEmpty)
+    assert(Snapshots.read(spark, tbl2).count() === 200)
+  }
+
+  test("half-written manifest (no terminator) reads as an absent version") {
+    val tbl = freshTable("crash")
+    Snapshots.commit(orders.limit(50), tbl)
+    val f = fs(tbl)
+    val bad = new Path(s"$tbl/_manifests/v000002.manifest")
+    val out = f.create(bad, false)
+    out.write("graft-manifest-v1\nsome/file.parquet\t5\t".getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.versions(spark, tbl) === Seq(1))
+    assert(Snapshots.latestVersion(spark, tbl) === 1)
+    // the next commit survives the collision with the dead manifest file
+    val v = Snapshots.commit(orders.limit(10), tbl)
+    assert(v === 3 && Snapshots.read(spark, tbl).count() === 60)
+  }
+
+  test("commit collision retries to the next version") {
+    val tbl = freshTable("coll")
+    Snapshots.commit(orders.limit(20), tbl)
+    // simulate a concurrent winner: pre-create a COMPLETE v2 manifest
+    // listing v1's files, as a real racing committer would publish
+    val m1 = Snapshots.manifest(spark, tbl, 1)
+    val f = fs(tbl)
+    val out = f.create(new Path(s"$tbl/_manifests/v000002.manifest"), false)
+    out.write(("graft-manifest-v1\n" +
+      m1.map(e => s"${e.path}\t${e.rows}\t").mkString("\n") +
+      "\nend").getBytes("UTF-8"))
+    out.close()
+    val v = Snapshots.commit(orders.limit(30), tbl)
+    assert(v === 3)
+    assert(Snapshots.read(spark, tbl, Some(3)).count() === 50)
+  }
+}
