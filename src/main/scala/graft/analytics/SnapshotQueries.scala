@@ -132,5 +132,34 @@ object SnapshotQueries {
          FROM orders
          ORDER BY version"""))
 
-  val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact)
+  /** X48 consumer: snapshot-CDC-driven rollup maintenance — v1's rollup
+    * is folded forward with a partial aggregate computed from ONLY the
+    * v1→v2 delta files ([[Snapshots.diffAdded]] →
+    * [[graft.operators.IncrementalAgg.mergeRollup]]); nothing re-reads
+    * v1's data. The oracle is the full recompute over all of orders, so
+    * passing pins delta-maintained ≡ recomputed — the maintenance loop a
+    * 100 TB warehouse actually runs, driven by the table format's own
+    * change tracking instead of an external CDC feed.
+    */
+  val snapshotRollup = Q("q_snapshot_rollup",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "roll")
+      def rollup(df: DataFrame) =
+        df.groupBy(year(col("o_orderdate")).as("order_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).as("rev_dec"))
+      val prior = rollup(Snapshots.read(s, tbl, Some(1)))
+      val delta = rollup(Snapshots.diffAdded(s, tbl, from = 1, to = 2))
+      graft.operators.IncrementalAgg.mergeRollup(prior, delta,
+          Seq("order_year"), Seq("n_orders", "rev_dec"))
+        .select(col("order_year"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("order_year"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
+    snapshotRollup)
 }

@@ -71,7 +71,19 @@ object Snapshots {
       : Seq[FileEntry] = {
     val (fs, root) = fsOf(spark, table)
     readManifestOpt(fs, root, version).getOrElse(
-      sys.error(s"Snapshots: no committed version $version at $table"))
+      sys.error(s"Snapshots: no committed version $version at $table")).files
+  }
+
+  /** Commit-time properties of `version` — the commit-protocol metadata
+    * channel (e.g. [[graft.streaming.SnapshotStream]] records the
+    * micro-batch id here, making replay detection atomic WITH the data
+    * because the manifest is the commit).
+    */
+  def properties(spark: SparkSession, table: String, version: Int)
+      : Map[String, String] = {
+    val (fs, root) = fsOf(spark, table)
+    readManifestOpt(fs, root, version).getOrElse(
+      sys.error(s"Snapshots: no committed version $version at $table")).props
   }
 
   /** Commit `df` as a new version. `overwrite=false` appends to the
@@ -82,7 +94,11 @@ object Snapshots {
     * committed version number.
     */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Int = {
+    require(properties.forall { case (k, v) =>
+      !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
+      "property keys/values must be single-line, tab-free; keys '='-free")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -106,7 +122,7 @@ object Snapshots {
       // only ever lists complete commits
       val next = (occupiedSlots(fs, root) :+ parent).max + 1
       val base =
-        if (overwrite || parent == 0) Seq.empty
+        if (overwrite || parent == 0) Seq.empty[FileEntry]
         else manifest(spark, table, parent)
       val target = manifestPath(root, next)
       // overwrite=false create IS the atomic commit point; a concurrent
@@ -117,7 +133,10 @@ object Snapshots {
       created match {
         case Some(out) =>
           try {
-            val lines = Seq(Header) ++ (base ++ newEntries).map(fmt) :+ Footer
+            val propLines = properties.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"#$k=$v" }
+            val lines = Seq(Header) ++ propLines ++
+              (base ++ newEntries).map(fmt) :+ Footer
             out.write(lines.mkString("\n").getBytes("UTF-8"))
           } finally out.close()
           return next
@@ -253,11 +272,14 @@ object Snapshots {
     FileEntry(parts(0), parts(1).toLong, stats)
   }
 
+  private final case class ManifestData(props: Map[String, String],
+      files: Seq[FileEntry])
+
   /** None when the manifest is absent OR lacks its terminator (a crashed
     * half-written commit) — both read as "this version never happened".
     */
   private def readManifestOpt(fs: FileSystem, root: Path, v: Int)
-      : Option[Seq[FileEntry]] = {
+      : Option[ManifestData] = {
     val p = manifestPath(root, v)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -265,9 +287,15 @@ object Snapshots {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.split("\n", -1).toSeq
-    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer))
-      Some(lines.slice(1, lines.length - 1).map(parse))
-    else None
+    if (lines.headOption.contains(Header) && lines.lastOption.contains(Footer)) {
+      val body = lines.slice(1, lines.length - 1)
+      val (propLines, fileLines) = body.partition(_.startsWith("#"))
+      val props = propLines.map { l =>
+        val Array(k, v2) = l.stripPrefix("#").split("=", 2)
+        k -> v2
+      }.toMap
+      Some(ManifestData(props, fileLines.map(parse)))
+    } else None
   }
 
   private def listParquet(fs: FileSystem, p: Path): Seq[FileStatus] = {

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming ingest into a [[graft.sources.Snapshots]] versioned table:
+  * each micro-batch becomes one append commit, so the stream's history IS
+  * the table's version history — downstream consumers time-travel to any
+  * batch boundary and read inter-batch deltas from only the delta files
+  * ([[Snapshots.diffAdded]]), with no separate CDC feed.
+  *
+  * Exactly-once rides the commit protocol itself: the micro-batch id is
+  * written as a manifest property (`appliedBatch`), and the manifest
+  * create IS the atomic commit point — so "data visible" and "batch
+  * recorded" are one event, not two that a crash could split. A replayed
+  * batch (at-least-once foreachBatch) sees its id already at-or-below the
+  * latest version's marker and skips. Batch ids are monotone only under a
+  * `checkpointLocation`; pass one in any deployment that can restart.
+  */
+object SnapshotStream {
+
+  val batchProp = "appliedBatch"
+
+  /** Start the ingest: every non-empty micro-batch append-commits into
+    * `table`, recording per-file stats for `statsCols`.
+    */
+  def ingest(
+      stream: DataFrame,
+      table: String,
+      statsCols: Seq[String] = Seq.empty,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        commitBatch(batch.toDF(), batchId, table, statsCols)
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** One commit step, factored out so replay/crash tests (and manual
+    * backfills) can drive it without a streaming query around it.
+    */
+  private[streaming] def commitBatch(batch: DataFrame, batchId: Long,
+      table: String, statsCols: Seq[String]): Unit = {
+    if (batch.isEmpty) return // no version for an empty batch
+    val spark = batch.sparkSession
+    val latest = Snapshots.latestVersion(spark, table)
+    val applied =
+      if (latest == 0) None
+      else Snapshots.properties(spark, table, latest).get(batchProp).map(_.toLong)
+    if (applied.exists(_ >= batchId)) return // at-least-once replay: committed
+    Snapshots.commit(batch, table, statsCols = statsCols,
+      properties = Map(batchProp -> batchId.toString))
+  }
+}
