@@ -604,9 +604,25 @@ object Similarity {
     val short = ivfPqTopK(corpus, queries, shortlist, nCentroids, nProbe,
         m, ksub, iters, dim, idCol, vecCol, broadcastQueries)
       .select(col("query_id"), col("corpus_id"))
+    rerankExact(short, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact-cosine rerank of ANY (query_id, corpus_id) shortlist — the
+    * second half of shortlist-then-rerank, factored out so the shortlist
+    * can come from the in-memory index ([[ivfPqRerank]]) or a stored one
+    * ([[probePqIndex]]) interchangeably. Per query only the shortlist
+    * rows' raw vectors are fetched; the corpus is never scanned.
+    */
+  def rerankExact(
+      shortlist: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    short
+    shortlist.select(col("query_id"), col("corpus_id"))
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
         "query_id")
       .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv")),
