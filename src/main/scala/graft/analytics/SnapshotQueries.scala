@@ -160,6 +160,61 @@ object SnapshotQueries {
          count(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
          FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** X50: equality file skipping via per-file manifest BLOOMS — when the
+    * table is clustered by customer, each customer's rows live in one
+    * file but every file's [min,max] custkey envelope spans most of the
+    * domain, so range stats prune nothing for `o_custkey = x`; the bloom
+    * proves absence per file driver-side (SnapshotsSpec asserts the skip
+    * count). The residual filter makes the result exactly the full
+    * scan's, which is what the oracle pins (a sound skip can never
+    * change the answer).
+    */
+  val bloomSkip = Q("q_bloom_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "bloom")
+      Snapshots.commit(
+        orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey")).repartition(8, col("o_custkey")),
+        tbl, bloomCols = Seq("o_custkey"))
+      val cust = orders(s, d).agg(min(col("o_custkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.scanPrunedEq(s, tbl, "o_custkey", cust).df
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders
+         WHERE o_custkey = (SELECT min(o_custkey) FROM orders)"""))
+
+  /** X50: Z-order layout × manifest box pruning — committed in z-value
+    * order, each file is a small box in (l_partkey, l_suppkey) space, so
+    * a box predicate on BOTH dims prunes most files from their manifest
+    * envelopes alone ([[Snapshots.scanPrunedBox]]; spec quantifies the
+    * win vs a linear layout). File-level twin of ZOrderSpec's row-group
+    * pruning; the oracle is the plain conjunctive filter.
+    */
+  val zorderSkip = Q("q_zorder_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "zskip")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Snapshots.commit(
+        li.orderBy(graft.functions.ZOrderExpression.zValue(
+          col("l_partkey"), col("l_suppkey"))),
+        tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.scanPrunedBox(s, tbl,
+          Seq(("l_partkey", 1L, maxPart / 8), ("l_suppkey", 1L, maxSupp / 8)))
+        .df
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("l_quantity")} AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
+           AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup)
+    snapshotRollup, bloomSkip, zorderSkip)
 }

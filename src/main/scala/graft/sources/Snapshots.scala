@@ -32,10 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshots {
 
   /** One data file of a version: path relative to the table root, exact
-    * footer row count, and per-column file envelopes for skip decisions.
+    * footer row count, per-column [min,max] file envelopes for range
+    * skip decisions, and per-column bloom filters (1024-bit, 2 probes)
+    * for EQUALITY skip decisions — range stats are useless for a
+    * hash-distributed column (every file spans the whole domain); the
+    * bloom catches exactly that case.
     */
   final case class FileEntry(path: String, rows: Long,
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)],
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
 
@@ -95,7 +100,8 @@ object Snapshots {
     */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Int = {
+      properties: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty): Int = {
     require(properties.forall { case (k, v) =>
       !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
       "property keys/values must be single-line, tab-free; keys '='-free")
@@ -105,11 +111,13 @@ object Snapshots {
     val batch = new Path(new Path(root, "data"),
       "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
     df.write.mode("errorifexists").parquet(batch.toString)
+    val blooms = fileBloomBits(spark, batch.toString, bloomCols)
     val rootUri = fs.makeQualified(root).toUri
     val newEntries = listParquet(fs, batch).map { st =>
       val (rows, ranges) = ParquetMeta.fileStats(conf, st, statsCols)
       val rel = rootUri.relativize(st.getPath.toUri).getPath
-      FileEntry(rel, rows, ranges)
+      FileEntry(rel, rows, ranges,
+        blooms.getOrElse(st.getPath.toUri.getPath, Map.empty))
     }.sortBy(_.path)
     fs.mkdirs(new Path(root, "_manifests"))
     var attempts = 0
@@ -184,19 +192,61 @@ object Snapshots {
     * the full scan's (files without recorded stats are always read).
     */
   def scanPruned(spark: SparkSession, table: String, col: String,
-      lo: Long, hi: Long, version: Option[Int] = None): PrunedScan = {
+      lo: Long, hi: Long, version: Option[Int] = None): PrunedScan =
+    scanPrunedBox(spark, table, Seq((col, lo, hi)), version)
+
+  /** Multi-dimensional box scan: a file survives only if EVERY queried
+    * dimension's envelope intersects its range — the consumer a Z-order
+    * layout ([[graft.functions.ZOrderExpression]]) exists for: committing
+    * in z-value order makes each file a small box in key space, so a box
+    * predicate on ANY dimension subset prunes most files from the
+    * manifest alone.
+    */
+  def scanPrunedBox(spark: SparkSession, table: String,
+      box: Seq[(String, Long, Long)], version: Option[Int] = None)
+      : PrunedScan = {
+    require(box.nonEmpty, "need at least one (col, lo, hi) dimension")
     val v = version.getOrElse(latestVersion(spark, table))
     val files = manifest(spark, table, v)
-    val (kept, skipped) = files.partition(e => e.stats.get(col) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
+    val (kept, skipped) = files.partition(e => box.forall {
+      case (col, lo, hi) => e.stats.get(col) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+    import org.apache.spark.sql.functions.{col => c}
+    val pred = box.map { case (col, lo, hi) => c(col).between(lo, hi) }
+      .reduce(_ && _)
+    val df =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
+      else spark.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
+        .filter(pred)
+    PrunedScan(df, kept.size, skipped.size)
+  }
+
+  /** Equality scan pruned by per-file BLOOM filters: if `value`'s two
+    * probe bits are not both set in a file's bloom, the file provably
+    * does not contain the value and is skipped driver-side. This is the
+    * skip a hash-distributed column needs — its per-file [min,max] spans
+    * the whole domain, so range stats prune nothing. `value`'s Scala
+    * type must match the column type (the hash is type-sensitive). Files
+    * without a recorded bloom are always read; the residual filter makes
+    * the result exactly the full scan's either way.
+    */
+  def scanPrunedEq(spark: SparkSession, table: String, col: String,
+      value: Any, version: Option[Int] = None): PrunedScan = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val files = manifest(spark, table, v)
+    val h = bloomHash(value)
+    val (kept, skipped) = files.partition(e => e.blooms.get(col) match {
+      case Some(bits) => mightContain(bits, h)
       case None => true
     })
+    import org.apache.spark.sql.functions.{col => c, lit}
     val df =
-      if (kept.isEmpty)
-        read(spark, table, Some(v)).limit(0)
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
       else spark.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
-    import org.apache.spark.sql.functions.{col => c}
-    PrunedScan(df.filter(c(col).between(lo, hi)), kept.size, skipped.size)
+    PrunedScan(df.filter(c(col) === lit(value)), kept.size, skipped.size)
   }
 
   /** Compact the latest version's layout into ~`targetBytes` files as a
@@ -215,8 +265,10 @@ object Snapshots {
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
+    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
     commit(read(spark, table, Some(cur)).repartition(nOut), table,
-      overwrite = true, statsCols = statsCols)
+      overwrite = true, statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** Drop all but the last `keepLast` versions and delete every data file
@@ -253,23 +305,87 @@ object Snapshots {
     }
   }
 
+  // ---- bloom filters (1024 bits, 2 probes from one xxhash64) ----------
+
+  private val BloomBits = 1024
+  private val BloomWords = BloomBits / 64
+
+  /** Per-file bloom bitsets for `cols`, computed in ONE pass over the
+    * just-written batch directory (files × cols × ≤2048 distinct probe
+    * positions — bounded driver collect regardless of row count).
+    */
+  private def fileBloomBits(spark: SparkSession, batchDir: String,
+      cols: Seq[String]): Map[String, Map[String, Array[Long]]] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val probes = cols.map { cn =>
+      val h = xxhash64(col(cn))
+      struct(lit(cn).as("c"),
+        pmod(h, lit(BloomBits)).cast("int").as("b1"),
+        pmod(shiftrightunsigned(h, 10), lit(BloomBits)).cast("int").as("b2"))
+    }
+    val rows = spark.read.parquet(batchDir)
+      .select(input_file_name().as("_f"), explode(array(probes: _*)).as("s"))
+      .select(col("_f"), col("s.c").as("_c"), col("s.b1"), col("s.b2"))
+      .distinct()
+      .collect()
+    rows.groupBy(r => new java.net.URI(r.getString(0)).getPath)
+      .map { case (file, rs) =>
+        file -> rs.groupBy(_.getString(1)).map { case (c, cr) =>
+          val bits = new Array[Long](BloomWords)
+          cr.foreach { r =>
+            Seq(r.getInt(2), r.getInt(3)).foreach { b =>
+              bits(b >> 6) |= (1L << (b & 63))
+            }
+          }
+          c -> bits
+        }
+      }
+  }
+
+  /** Driver-side twin of the write path's probe computation: same
+    * xxhash64 (Catalyst expression, same seed), same two positions.
+    */
+  private def bloomHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    XxHash64(Seq(Literal.create(value)), 42L).eval(null).asInstanceOf[Long]
+  }
+
+  private def mightContain(bits: Array[Long], h: Long): Boolean = {
+    val b1 = (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    val b2 = ((h >>> 10) % BloomBits).toInt
+    def set(b: Int) = (bits(b >> 6) & (1L << (b & 63))) != 0
+    set(b1) && set(b2)
+  }
+
   // ---- manifest text format (one file per version, driver-side IO) ----
 
   private def fmt(e: FileEntry): String = {
     val stats = e.stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
-    s"${e.path}\t${e.rows}\t$stats"
+    val base = s"${e.path}\t${e.rows}\t$stats"
+    if (e.blooms.isEmpty) base
+    else base + "\t" + e.blooms.toSeq.sortBy(_._1)
+      .map { case (c, bits) => s"$c=${bits.map(l => f"$l%016x").mkString}" }
+      .mkString(";")
   }
 
   private def parse(line: String): FileEntry = {
     val parts = line.split("\t", -1)
-    require(parts.length == 3, s"bad manifest line: $line")
+    require(parts.length == 3 || parts.length == 4,
+      s"bad manifest line: $line")
     val stats = parts(2).split(";").filter(_.nonEmpty).map { kv =>
       val Array(c, range) = kv.split("=", 2)
       val Array(mn, mx) = range.split(":", 2)
       c -> (mn.toLong, mx.toLong)
     }.toMap
-    FileEntry(parts(0), parts(1).toLong, stats)
+    val blooms =
+      if (parts.length < 4) Map.empty[String, Array[Long]]
+      else parts(3).split(";").filter(_.nonEmpty).map { kv =>
+        val Array(c, hex) = kv.split("=", 2)
+        c -> hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
+      }.toMap
+    FileEntry(parts(0), parts(1).toLong, stats, blooms)
   }
 
   private final case class ManifestData(props: Map[String, String],

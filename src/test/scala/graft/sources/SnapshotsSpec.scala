@@ -94,6 +94,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, tbl2).count() === 200)
   }
 
+  test("scanPrunedEq skips files via manifest blooms, soundly") {
+    val tbl = freshTable("bloom")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Snapshots.commit(o.repartition(8, col("o_custkey")), tbl,
+      bloomCols = Seq("o_custkey"))
+    val cust = o.agg(min(col("o_custkey"))).head().getLong(0)
+    val ps = Snapshots.scanPrunedEq(spark, tbl, "o_custkey", cust)
+    // the customer hashes into ONE of the 8 custkey-clustered files;
+    // blooms must prove absence for most of the rest (false positives ok)
+    assert(ps.filesSkipped >= 4, s"skipped only ${ps.filesSkipped}/8")
+    assert(ps.df.count() === o.filter(col("o_custkey") === cust).count())
+    // a column without a bloom never skips
+    val ps2 = Snapshots.scanPrunedEq(spark, tbl, "o_orderkey", 1L)
+    assert(ps2.filesSkipped === 0)
+    // blooms survive compaction (carried like statsCols)
+    Snapshots.compactVersion(spark, tbl, targetBytes = 1L << 14)
+    val after = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    assert(after.forall(_.blooms.contains("o_custkey")))
+  }
+
+  test("z-ordered layout + box pruning beats a linear layout") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val stats = Seq("l_partkey", "l_suppkey")
+    val zTbl = freshTable("zbox")
+    Snapshots.commit(
+      li.repartitionByRange(8, graft.functions.ZOrderExpression.zValue(
+        col("l_partkey"), col("l_suppkey")))
+        .sortWithinPartitions(graft.functions.ZOrderExpression.zValue(
+          col("l_partkey"), col("l_suppkey"))),
+      zTbl, statsCols = stats)
+    val linTbl = freshTable("linbox")
+    Snapshots.commit(li.repartitionByRange(8, col("l_orderkey")), linTbl,
+      statsCols = stats)
+    val box = Seq(("l_partkey", 1L, 25L), ("l_suppkey", 1L, 2L))
+    val z = Snapshots.scanPrunedBox(spark, zTbl, box)
+    val lin = Snapshots.scanPrunedBox(spark, linTbl, box)
+    assert(z.filesSkipped > lin.filesSkipped,
+      s"z skipped ${z.filesSkipped}, linear skipped ${lin.filesSkipped}")
+    // both layouts return the exact filter result
+    val expect = li.filter(col("l_partkey").between(1, 25) &&
+      col("l_suppkey").between(1, 2)).count()
+    assert(z.df.count() === expect && lin.df.count() === expect)
+  }
+
   test("half-written manifest (no terminator) reads as an absent version") {
     val tbl = freshTable("crash")
     Snapshots.commit(orders.limit(50), tbl)
