@@ -601,9 +601,16 @@ object NorthStarQueries {
     * sort. ONE definition for q_ann_ivf and q_semantic_dedup so the tie
     * rule can never drift between the two replays.
     */
-  private def ivfAssignSqlCtes: String =
+  private def ivfAssignSqlCtes: String = ivfAssignSqlCtesW("")
+
+  /** `trainWhere` restricts the CENTROID SOURCE (e.g. "WHERE vec_id <
+    * 100") while assignment still covers every vector — the SQL twin of
+    * the engine's train-on-subset index builds.
+    */
+  private def ivfAssignSqlCtesW(trainWhere: String): String =
     s"""cents AS (
-          SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+          SELECT vec_id AS cent_id, embedding AS centv
+          FROM embeddings $trainWhere
           ORDER BY vec_id LIMIT 16),
         asgn AS (
           SELECT e.vec_id, c.cent_id,
@@ -738,12 +745,12 @@ object NorthStarQueries {
     * [[lloydIterSqlCtes]], per (sub, code). Empty codes keep their
     * previous centroid.
     */
-  private def pqIterSqlCtes(i: Int, dsub: Int): String =
+  private def pqIterSqlCtes(i: Int, dsub: Int, src: String = "subs"): String =
     s"""pasgn$i AS (
           SELECT sv.vec_id, sv.sub, sv.subv, c.code,
             row_number() OVER (PARTITION BY sv.vec_id, sv.sub
               ORDER BY ${l2Sql("sv.subv", "c.centv")} ASC, c.code ASC) AS rnk
-          FROM subs sv JOIN cb$i c ON sv.sub = c.sub),
+          FROM $src sv JOIN cb$i c ON sv.sub = c.sub),
         psrc$i AS (
           SELECT sub, code, unnest(range($dsub)) AS pos, subv
           FROM pasgn$i WHERE rnk = 1),
@@ -767,9 +774,14 @@ object NorthStarQueries {
     * → `iters` training rounds → encode → reconstruct. Ends with
     * `recon(vec_id, cent_id, recon)`.
     */
-  private def ivfPqSqlCtes(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
-    val trainCtes = (0 until iters).map(i => pqIterSqlCtes(i, dsub))
-    (Seq(s"""$ivfAssignSqlCtes,
+  private def ivfPqSqlCtes(m: Int, dsub: Int, ksub: Int, iters: Int,
+      trainWhere: String = ""): String = {
+    val trainSrc = if (trainWhere.isEmpty) "subs" else "tsubs"
+    val trainCtes = (0 until iters).map(i => pqIterSqlCtes(i, dsub, trainSrc))
+    val tsubsCte =
+      if (trainWhere.isEmpty) Seq.empty
+      else Seq(s"tsubs AS (SELECT * FROM subs $trainWhere)")
+    (Seq(s"""${ivfAssignSqlCtesW(trainWhere)},
         resid AS (
           SELECT a.vec_id, a.cent_id,
             [CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)
@@ -783,9 +795,11 @@ object NorthStarQueries {
           FROM resid, (SELECT unnest(range($m)) AS sub) s),
         seedids AS (
           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+          FROM (SELECT vec_id FROM embeddings $trainWhere
+                ORDER BY vec_id LIMIT $ksub)),
         cb0 AS (
           SELECT sub, code, subv AS centv FROM subs JOIN seedids USING (vec_id))""")
+      ++ tsubsCte
       ++ trainCtes
       ++ Seq(s"""enc AS (
           SELECT sv.vec_id, sv.sub, c.code,
@@ -812,8 +826,10 @@ object NorthStarQueries {
     * engines' results must hash to the SAME DuckDB replay, which pins
     * that storing codes + rebuilding the reconstruction loses nothing.
     */
-  private def ivfPqTopKSql: String =
-    s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1)},
+  private def ivfPqTopKSql: String = ivfPqTopKSqlW("")
+
+  private def ivfPqTopKSqlW(trainWhere: String): String =
+    s"""WITH ${ivfPqSqlCtes(m = 8, dsub = 8, ksub = 16, iters = 1, trainWhere)},
         qbuck AS (SELECT vec_id AS query_id, cent_id AS bucket FROM asgn
           WHERE rnk <= 4 AND vec_id < 20),
         cand AS (
@@ -887,6 +903,32 @@ object NorthStarQueries {
         .orderBy(col("query_id"), col("rk"))
     },
     Some(ivfPqTopKSql))
+
+  /** Incremental index maintenance, the STREAMING half of PQ serving: an
+    * index is built (and its codebooks trained) on the first 100 vectors
+    * only, then the rest of the corpus is APPENDED — encoded against the
+    * stored centroids/codebooks with no retraining
+    * ([[Similarity.appendToPqIndex]]), the production shape between full
+    * rebuilds. The oracle trains its replayed codebooks on the same
+    * first-100 subset but encodes everything, so passing pins
+    * upsert ≡ train-restricted full build. Fresh table per invocation
+    * (appends mutate it; bench reruns must start clean).
+    */
+  val annPqUpsert = Q("q_ann_pq_upsert",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_pqupsert_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = embeddings(s, d)
+      Similarity.writePqIndex(e.filter(col("vec_id") < 100), out, iters = 1)
+      Similarity.appendToPqIndex(s, out, e.filter(col("vec_id") >= 100))
+      Similarity.probePqIndex(s, out, e.filter(col("vec_id") < 20), k = 5,
+          broadcastQueries = true)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(ivfPqTopKSqlW("WHERE vec_id < 100")))
 
   /** Shortlist-then-rerank, the accuracy-recovery half of PQ serving:
     * the compressed index retrieves a 20-deep candidate shortlist per
@@ -1345,7 +1387,7 @@ object NorthStarQueries {
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,
-    annPqStored, annPqRerank,
+    annPqStored, annPqRerank, annPqUpsert,
     embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims,

@@ -428,8 +428,10 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       broadcastQueries: Boolean = false,
-      excludeSelf: Boolean = true): DataFrame = {
-    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol, vecCol)
+      excludeSelf: Boolean = true,
+      train: Option[DataFrame] = None): DataFrame = {
+    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol,
+      vecCol, train)
     // reconstruct: coarse centroid + concatenated codebook entries (the
     // m×ksub codebook is broadcast-joined twice; the corpus is touched
     // once per step, never shuffled by itself)
@@ -456,16 +458,36 @@ object Similarity {
       subs: DataFrame, codebooks: DataFrame)
 
   private def buildPqIndex(corpus: DataFrame, nCentroids: Int, m: Int,
-      ksub: Int, iters: Int, dim: Int, idCol: String, vecCol: String)
-      : PqIndex = {
+      ksub: Int, iters: Int, dim: Int, idCol: String, vecCol: String,
+      train: Option[DataFrame] = None): PqIndex = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m subspaces")
     val dsub = dim / m
-    val centroids = corpus.orderBy(col(idCol)).limit(nCentroids)
+    // training set (coarse centroids + codebooks) may be a SUBSET of the
+    // corpus — nobody runs k-means over 100 TB; encoding still covers
+    // every corpus vector
+    val centroids = train.getOrElse(corpus).orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"),
         transform(col(vecCol), x => x.cast("double")).as("centv"))
       // nCentroids x dim is index METADATA — single partition, so the
       // eager checkpoint and every later broadcast cost one task
       .coalesce(1).localCheckpoint()
+    val (asgn, subs) = encodeAgainst(corpus, centroids, m, dsub, idCol, vecCol)
+    val trainSubs = train match {
+      case None => subs
+      case Some(t) =>
+        subs.join(t.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+    }
+    PqIndex(centroids, asgn, subs, trainPqCodebooks(trainSubs, ksub, iters))
+  }
+
+  /** Coarse-assign `corpus` to its nearest stored centroid and split the
+    * residual into m subvectors — the encode path shared by the initial
+    * index build and [[appendToPqIndex]] (which runs it against the
+    * centroids READ BACK from a stored index, so the two cannot drift).
+    */
+  private def encodeAgainst(corpus: DataFrame, centroids: DataFrame,
+      m: Int, dsub: Int, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val cents = centroids
       .agg(collect_list(struct(col("cent_id"), col("centv"))).as("_cents"))
     val nearest1 = element_at(slice(reverse(array_sort(
@@ -485,7 +507,7 @@ object Similarity {
           slice(col("resid"), si * dsub + 1, dsub).as("subv"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subv").as("subv"))
       .localCheckpoint()
-    PqIndex(centroids, asgn, subs, trainPqCodebooks(subs, ksub, iters))
+    (asgn, subs)
   }
 
   /** Query-side nProbe bucket fan-out against a centroid frame — shared
@@ -522,21 +544,60 @@ object Similarity {
       iters: Int = 1,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol, vecCol)
+      vecCol: String = "embedding",
+      train: Option[DataFrame] = None): Unit = {
+    val ix = buildPqIndex(corpus, nCentroids, m, ksub, iters, dim, idCol,
+      vecCol, train)
     ix.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
     ix.codebooks.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebooks")
-    assignPqCodes(ix.subs, ix.codebooks)
+    codesFrame(ix.subs, ix.codebooks, ix.asgn)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
+  /** The stored-codes rows: m sorted codes per vector + its coarse
+    * bucket, laid out for `partitionBy("bucket")` — shared by the
+    * initial write and the append path.
+    */
+  private def codesFrame(subs: DataFrame, cb: DataFrame, asgn: DataFrame)
+      : DataFrame =
+    assignPqCodes(subs, cb)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("codes"))
-      .join(ix.asgn.select(col("vec_id"), col("cent_id")), "vec_id")
+      .join(asgn.select(col("vec_id"), col("cent_id")), "vec_id")
       .withColumn("bucket", concat(lit("c"), col("cent_id")))
       .drop("cent_id")
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+
+  /** Incrementally add vectors to a STORED index ([[writePqIndex]])
+    * without retraining: the new batch is coarse-assigned and encoded
+    * against the index's existing centroids and codebooks (read back
+    * from parquet — m and subvector width are inferred from the stored
+    * codebook, so the call cannot disagree with the layout), and its
+    * code rows are APPENDED into the bucket partitions. This is the
+    * streaming-ANN maintenance shape at 100 TB: per batch, the cost is
+    * encoding the batch (two broadcast joins, no shuffle of the stored
+    * corpus); codebooks stay fixed until a full rebuild, exactly like a
+    * production IVF-PQ index between retrains. The result is
+    * bit-identical to an index built over the union with training
+    * restricted to the original corpus (SimilaritySpec pins it).
+    */
+  def appendToPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("sub")).cast("int")).head().getInt(0) + 1
+    val dsub = cb.limit(1).select(size(col("centv"))).head().getInt(0)
+    val (asgn, subs) =
+      encodeAgainst(newVectors, centroids, m, dsub, idCol, vecCol)
+    codesFrame(subs, cb, asgn)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
   }
 
   /** Probe a stored IVF-PQ index ([[writePqIndex]]): queries fan out to

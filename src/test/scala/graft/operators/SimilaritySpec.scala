@@ -422,6 +422,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appendToPqIndex equals a train-restricted full build, batch-split invariant") {
+    val vecs = clusteredVecs(8) // ids 0..31, cluster = id % 4
+    val a = vecs.filter(col("vec_id") < 16)
+    val b = vecs.filter(col("vec_id") >= 16)
+    val q = vecs.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // build on A, append B in one batch
+    val one = java.nio.file.Files.createTempDirectory("graft_pqup1").toString + "/i"
+    Similarity.writePqIndex(a, one, nCentroids = 4, m = 4, ksub = 8,
+      iters = 1, dim = 8)
+    Similarity.appendToPqIndex(spark, one, b)
+    val probeOne = Similarity.probePqIndex(spark, one, q, k = 3,
+      broadcastQueries = true)
+    // reference: full in-memory build with training restricted to A
+    val ref = Similarity.ivfPqTopK(vecs, q, k = 3, nCentroids = 4,
+      nProbe = 4, m = 4, ksub = 8, iters = 1, dim = 8,
+      broadcastQueries = true, train = Some(a))
+    assert(key(probeOne) === key(ref))
+    // append B as two batches: same index
+    val two = java.nio.file.Files.createTempDirectory("graft_pqup2").toString + "/i"
+    Similarity.writePqIndex(a, two, nCentroids = 4, m = 4, ksub = 8,
+      iters = 1, dim = 8)
+    Similarity.appendToPqIndex(spark, two, b.filter(col("vec_id") < 24))
+    Similarity.appendToPqIndex(spark, two, b.filter(col("vec_id") >= 24))
+    val probeTwo = Similarity.probePqIndex(spark, two, q, k = 3,
+      broadcastQueries = true)
+    assert(key(probeTwo) === key(probeOne))
+    // coverage: every vector of A ∪ B holds exactly one code row
+    val codes = spark.read.parquet(s"$two/codes")
+    assert(codes.count() === 32 &&
+      codes.select(col("vec_id")).distinct().count() === 32)
+  }
+
   test("trainPqCodebooks is deterministic across invocations") {
     val vecs = clusteredVecs(8)
     val subs = vecs.select(col("vec_id"),
