@@ -494,6 +494,41 @@ object ExtendedQueries {
              ${dsumSql("o_totalprice")} AS revenue
              FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Transparent materialized-view rewrite
+    * ([[graft.plans.MvRewriteRule]]): a (status, priority) rollup with
+    * count + decimal partial sums is registered over orders, and the
+    * SAME groupBy-status aggregate the catalog would run against the
+    * fact is answered from the rollup — the optimizer swaps the fact
+    * scan for the MV and re-aggregates the additive state (sum of sums
+    * — exact, which the full-recompute oracle pins). localCheckpoint
+    * forces execution while the registration is active; the registry is
+    * cleared after, so no other catalog query's plan can be affected.
+    * MaterializedViewsSpec proves the fact scan actually disappears.
+    */
+  val mvRewrite = Q("q_mv_rewrite",
+    (s, d) => {
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      graft.plans.MaterializedViews.buildAndRegister(s,
+        s"$d/orders.parquet", mvPath,
+        keys = Seq("o_orderstatus", "o_orderpriority"), countCol = "n",
+        sums = Seq(graft.plans.MaterializedViews.MvSum("rev", "o_totalprice",
+          Some(org.apache.spark.sql.types.DecimalType(27, 4)))))
+      try {
+        val agg = orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).as("_rev"))
+          .localCheckpoint()
+        agg.select(col("o_orderstatus"), col("n_orders"),
+            col("_rev").cast("double").as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      } finally graft.plans.MaterializedViews.clear()
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** Z-order clustering key: native bit-interleave expression over
     * (l_partkey, l_suppkey) — the multi-dimensional sort key a 100 TB
     * warehouse writes by so row-group min/max stats prune box predicates
@@ -553,5 +588,5 @@ object ExtendedQueries {
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    zorder, zorder3)
+    mvRewrite, zorder, zorder3)
 }
