@@ -1035,8 +1035,8 @@ object NorthStarQueries {
             WHERE q.vec_id < 20) WHERE rk <= 5)
         SELECT count(DISTINCT b.query_id) AS n_queries,
           count(*) AS n_brute,
-          coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END), 0)
-            AS n_hit,
+          CAST(coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0
+            END), 0) AS BIGINT) AS n_hit,
           round(coalesce(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0
             END), 0) / count(*), 6) AS recall
         FROM brute b LEFT JOIN approx a

@@ -708,10 +708,40 @@ object PipelineQueries {
            CAST(count(*) AS BIGINT) AS n_tokens
          FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X53: bigram-LM fluency scoring ([[TrainingData.bigramScore]]) — the
+    * corpus trains its own bigram stats and each document is ranked by
+    * average integer-exact transition score; the oracle replays count,
+    * floor-divide, and the final double average (exact integers divided
+    * identically under IEEE in both engines).
+    */
+  val bigramLm = Q("q_bigram_lm",
+    (s, d) => TrainingData.bigramScore(documents(s, d), topK = 50),
+    Some("""WITH gtoks AS (
+             SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+           big AS (
+             SELECT doc_id, toks[g + 1] AS w1, toks[g + 2] AS w2
+             FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS g
+                   FROM gtoks WHERE len(toks) >= 2)),
+           bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+           uc AS (SELECT w1, count(*) AS d FROM big GROUP BY 1),
+           docsc AS (
+             SELECT b.doc_id, count(*) AS n_bigrams,
+               CAST(sum((1000000 * bc.c) // uc.d) AS BIGINT) AS score_sum
+             FROM big b
+             JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+             JOIN uc ON b.w1 = uc.w1
+             GROUP BY 1)
+           SELECT doc_id, n_bigrams, score_sum,
+             CAST(score_sum AS DOUBLE) / n_bigrams AS avg_score
+           FROM docsc
+           ORDER BY avg_score DESC, doc_id LIMIT 50"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
     lengthGate, udafTopTokens,
     heavyHitters, chunkWindows, chunkDedup, repeatedSpans, tokenBudget,
-    epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps)
+    epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
+    bigramLm)
 }

@@ -768,4 +768,41 @@ object TrainingData {
       translate(c.substr(lit(1), n - keep), "0123456789", "##########"),
       c.substr(n - (keep - 1), lit(keep))))
   }
+
+  // --- bigram language-model scoring ---------------------------------------
+
+  /** Corpus-trained bigram-LM document scoring — the fluency/quality
+    * signal a pretraining pipeline ranks documents by, kept EXACT instead
+    * of floating: each bigram instance scores
+    * `(scale * c(w1,w2)) div c(w1,·)` in integer arithmetic (the
+    * PageRank/TF-IDF decimal discipline — no log, no rounding-mode
+    * divergence), a document sums its instances, and the tie-broken
+    * top-`topK` by average score comes back. High average = the
+    * document's transitions are the corpus's dominant ones (formulaic
+    * text); low = rare transitions. Count tables are vocab-bounded, so
+    * the two stats joins shuffle token-sized keys, never documents —
+    * same scale shape as [[tfidf]].
+    */
+  def bigramScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", topK: Int = 50,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val big = docs.select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("d"))
+    big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .withColumn("s", expr(s"($scale * c) div d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("score_sum"))
+      .withColumn("avg_score",
+        col("score_sum").cast("double") / col("n_bigrams"))
+      .orderBy(col("avg_score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

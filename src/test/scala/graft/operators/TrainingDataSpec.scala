@@ -404,4 +404,16 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(got.toSeq === Seq((1L, 0L, false), (2L, 2L, true)))
   }
+
+  test("bigramScore is integer-exact against hand-computed transitions") {
+    val d = Seq(
+      (0L, "a b"),        // (a,b): c=2, c(a,.)=3 → 666666
+      (1L, "a b a c"),    // + (b,a): 1/1 → 1000000; (a,c): 1/3 → 333333
+      (2L, "solo"),       // <2 tokens: no bigrams, no output row
+    ).toDF("doc_id", "text")
+    val got = TrainingData.bigramScore(d, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // d1 avg = 1999999/3 ≈ 666666.33 > d0 avg = 666666
+    assert(got.toSeq === Seq((1L, 3L, 1999999L), (0L, 1L, 666666L)))
+  }
 }
