@@ -215,6 +215,81 @@ object SnapshotQueries {
          WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X53: copy-on-write MERGE — updates (price doubled on the low key
+    * range), deletes (the next range), and inserts (update keys shifted
+    * past the key domain) applied in one [[Snapshots.merge]] commit that
+    * rewrites ONLY files whose manifest key envelope may hold an affected
+    * key; untouched files are carried byte-identical (MergeSpec asserts
+    * the carried count and post-merge time travel). The oracle pins the
+    * CONTENT: merged table ≡ the same merge replayed as set algebra over
+    * the source orders.
+    */
+  val mergeInto = Q("q_merge_into",
+    (s, d) => {
+      val tbl = freshTable(s, d, "merge")
+      val o = src(s, d)
+      Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), tbl,
+        statsCols = Seq("o_orderkey"))
+      val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
+        .head().getLong(0)
+      val updHi = maxKey / 20
+      val delHi = maxKey / 10
+      val updates = o.filter(col("o_orderkey") <= updHi)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") <= updHi)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      val deletes = o.filter(col("o_orderkey") > updHi &&
+          col("o_orderkey") <= delHi)
+        .select(col("o_orderkey"))
+      Snapshots.merge(s, tbl, updates.unionByName(inserts), deletes,
+        "o_orderkey")
+      Snapshots.read(s, tbl)
+        .groupBy(when(col("o_orderkey") >= lit(1000000000L), lit("inserted"))
+          .when(col("o_orderkey") <= updHi, lit("updated"))
+          .otherwise(lit("kept")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+         merged AS (
+           SELECT 'kept' AS bucket, o_totalprice
+           FROM orders, mk WHERE o_orderkey > m // 10
+           UNION ALL
+           SELECT 'updated', o_totalprice * 2
+           FROM orders, mk WHERE o_orderkey <= m // 20
+           UNION ALL
+           SELECT 'inserted', o_totalprice
+           FROM orders, mk WHERE o_orderkey <= m // 20)
+         SELECT bucket, count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM merged GROUP BY bucket ORDER BY bucket"""))
+
+  /** X54: add-column schema evolution — v1 is committed WITHOUT the
+    * priority column, the v2 append carries it; every manifest records
+    * its commit's schema, so reading v2 null-fills the pre-evolution
+    * files while time travel to v1 still reads v1's own narrower shape
+    * (SnapshotsSpec asserts both). Oracle: priority is NULL exactly for
+    * the pre-cutoff rows.
+    */
+  val schemaEvolution = Q("q_schema_evolution",
+    (s, d) => {
+      val tbl = freshTable(s, d, "evo")
+      val o = orders(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"), col("o_totalprice")), tbl)
+      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")), tbl)
+      Snapshots.read(s, tbl)
+        .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("priority"))
+    },
+    Some(s"""SELECT CASE WHEN o_orderdate < DATE '$cutoff'
+         THEN '(pre-evolution)' ELSE o_orderpriority END AS priority,
+         count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip)
+    snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution)
 }

@@ -44,8 +44,21 @@ object Snapshots {
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
 
+  /** Outcome of a [[merge]] commit: the new version plus how many data
+    * files the copy-on-write actually rewrote vs carried untouched — the
+    * number a 100 TB merge lives or dies by.
+    */
+  final case class MergeResult(version: Int, filesRewritten: Int,
+      filesCarried: Int)
+
   private val Header = "graft-manifest-v1"
   private val Footer = "end"
+
+  /** Manifest property key holding the committing DataFrame's schema
+    * (StructType json). Written by every commit; absent only in manifests
+    * created before schema recording existed.
+    */
+  val SchemaProp = "graft.schema"
 
   private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -102,6 +115,23 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty): Int = {
+    val spark = df.sparkSession
+    commitWith(df, table, statsCols, properties, bloomCols,
+      baseFor = parent =>
+        if (overwrite || parent == 0) Seq.empty[FileEntry]
+        else manifest(spark, table, parent))
+  }
+
+  /** Core commit: write `df` as a new data batch, then publish a manifest
+    * whose file set is `baseFor(parent)` + the new files. `baseFor` is
+    * re-evaluated inside the retry loop against the CURRENT parent, so a
+    * caller with a read-set precondition (e.g. [[merge]]'s carried files)
+    * can reject a concurrent commit by throwing there — optimistic
+    * concurrency at the manifest-create commit point.
+    */
+  private def commitWith(df: DataFrame, table: String,
+      statsCols: Seq[String], properties: Map[String, String],
+      bloomCols: Seq[String], baseFor: Int => Seq[FileEntry]): Int = {
     require(properties.forall { case (k, v) =>
       !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
       "property keys/values must be single-line, tab-free; keys '='-free")
@@ -119,6 +149,13 @@ object Snapshots {
       FileEntry(rel, rows, ranges,
         blooms.getOrElse(st.getPath.toUri.getPath, Map.empty))
     }.sortBy(_.path)
+    // the committing schema rides the manifest: readers apply it to every
+    // file of the version, so files written before a column was added
+    // read as null-filled (per-version schema = time travel keeps each
+    // version's own shape)
+    val allProps = properties + (SchemaProp -> df.schema.json)
+    require(!df.schema.json.exists(c => c == '\n' || c == '\t'),
+      "schema json must be single-line")
     fs.mkdirs(new Path(root, "_manifests"))
     var attempts = 0
     while (true) {
@@ -129,9 +166,7 @@ object Snapshots {
       // never reuse the slot) — version numbering may gap, versions()
       // only ever lists complete commits
       val next = (occupiedSlots(fs, root) :+ parent).max + 1
-      val base =
-        if (overwrite || parent == 0) Seq.empty[FileEntry]
-        else manifest(spark, table, parent)
+      val base = baseFor(parent)
       val target = manifestPath(root, next)
       // overwrite=false create IS the atomic commit point; a concurrent
       // winner makes this throw and we retry against the new parent
@@ -141,7 +176,7 @@ object Snapshots {
       created match {
         case Some(out) =>
           try {
-            val propLines = properties.toSeq.sortBy(_._1)
+            val propLines = allProps.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
             val lines = Seq(Header) ++ propLines ++
               (base ++ newEntries).map(fmt) :+ Footer
@@ -156,13 +191,35 @@ object Snapshots {
     sys.error("unreachable")
   }
 
-  /** Read the table at `version` (default: latest). */
+  /** Read the table at `version` (default: latest), with the version's
+    * RECORDED schema applied to every file: after an add-column commit,
+    * files written before the column existed read null-filled, and time
+    * travel to a pre-evolution version reads that version's own narrower
+    * schema (per-version schema, the add-column half of schema
+    * evolution; the committing writer's schema wins for its version).
+    */
   def read(spark: SparkSession, table: String, version: Option[Int] = None)
       : DataFrame = {
     val v = version.getOrElse(latestVersion(spark, table))
     val files = manifest(spark, table, v)
     require(files.nonEmpty, s"Snapshots: version $v of $table is empty")
-    spark.read.parquet(files.map(e => s"$table/${e.path}"): _*)
+    readFiles(spark, table, v, files)
+  }
+
+  /** Scan `entries` applying `version`'s recorded schema (see [[read]]).
+    * Manifests from before schema recording fall back to parquet
+    * footer inference.
+    */
+  private def readFiles(spark: SparkSession, table: String, version: Int,
+      entries: Seq[FileEntry]): DataFrame = {
+    val paths = entries.map(e => s"$table/${e.path}")
+    properties(spark, table, version).get(SchemaProp) match {
+      case Some(json) =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Rows added between two versions of an APPEND-ONLY lineage, read from
@@ -181,8 +238,8 @@ object Snapshots {
       s"Snapshots.diffAdded: versions $from→$to are not append-only " +
         s"(${missing.size} file(s) dropped); use a content diff")
     val added = b.filterNot(e => a.contains(e.path))
-    if (added.isEmpty) spark.read.parquet(s"$table/${b.head.path}").limit(0)
-    else spark.read.parquet(added.map(e => s"$table/${e.path}"): _*)
+    if (added.isEmpty) readFiles(spark, table, to, Seq(b.head)).limit(0)
+    else readFiles(spark, table, to, added)
   }
 
   /** Scan `version` (default latest) keeping only files whose [min,max]
@@ -219,8 +276,7 @@ object Snapshots {
       .reduce(_ && _)
     val df =
       if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
-      else spark.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
-        .filter(pred)
+      else readFiles(spark, table, v, kept).filter(pred)
     PrunedScan(df, kept.size, skipped.size)
   }
 
@@ -245,8 +301,93 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col => c, lit}
     val df =
       if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
-      else spark.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
+      else readFiles(spark, table, v, kept)
     PrunedScan(df.filter(c(col) === lit(value)), kept.size, skipped.size)
+  }
+
+  /** Copy-on-write MERGE into the latest version: each `upserts` row
+    * replaces the stored row with the same `keyCol` (insert when the key
+    * is absent), and keys present in `deleteKeys` are removed; a key in
+    * both is delete-then-insert, i.e. the upsert row wins. Only data
+    * files whose manifest `keyCol` envelope may contain an affected key
+    * are rewritten; every other file is CARRIED into the new manifest
+    * byte-identical — stats and blooms included, so later skip decisions
+    * keep working. Rewrite cost is therefore proportional to the TOUCHED
+    * file set, not the table: with a key-clustered layout (range-
+    * partitioned or Z-ordered commits) a bounded CDC batch touches a
+    * bounded number of files at any table size — the shape that makes
+    * row-level merge viable at 100 TB.
+    *
+    * Keys must be integral and non-null (null-keyed upsert rows insert;
+    * null delete keys are ignored). Affected keys are collected
+    * driver-side when ≤ `maxCollectedKeys` (exact per-file envelope test
+    * by binary search, and the anti-join side is broadcast); above that
+    * the per-file test falls back to the batch's overall [min,max]
+    * envelope and the anti-join shuffles. Both are SOUND: a file is
+    * only carried when its envelope proves no affected key is inside;
+    * files without a recorded `keyCol` envelope are always rewritten.
+    *
+    * Concurrency: the merge plans against the current latest version; if
+    * another commit lands before the manifest create, the retry loop
+    * re-reads the parent and this merge ABORTS (optimistic concurrency)
+    * instead of silently dropping the racer's files.
+    */
+  def merge(spark: SparkSession, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCol: String,
+      maxCollectedKeys: Int = 100000): MergeResult = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.merge: $table has no committed version")
+    require(deleteKeys.columns.contains(keyCol),
+      s"Snapshots.merge: deleteKeys needs a '$keyCol' column")
+    val entries = manifest(spark, table, v)
+    val tableCols = read(spark, table, Some(v)).columns
+    require(upserts.columns.sorted.sameElements(tableCols.sorted),
+      s"Snapshots.merge: upserts columns [${upserts.columns.sorted.mkString(",")}] " +
+        s"must match table columns [${tableCols.sorted.mkString(",")}]")
+    val keysDf = upserts.select(c(keyCol).cast("long").as("_merge_key"))
+      .unionByName(deleteKeys.select(c(keyCol).cast("long").as("_merge_key")))
+      .filter(c("_merge_key").isNotNull)
+      .distinct()
+    val collected = keysDf.limit(maxCollectedKeys + 1).collect()
+      .map(_.getLong(0))
+    val keysSorted: Option[Array[Long]] =
+      if (collected.length > maxCollectedKeys) None else Some(collected.sorted)
+    lazy val (rangeLo, rangeHi) = {
+      val r = keysDf.agg(org.apache.spark.sql.functions.min("_merge_key"),
+        org.apache.spark.sql.functions.max("_merge_key")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def mayContain(mn: Long, mx: Long): Boolean = keysSorted match {
+      case Some(a) => // first collected key >= mn; inside iff also <= mx
+        val i = java.util.Arrays.binarySearch(a, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < a.length && a(from) <= mx
+      case None => mx >= rangeLo && mn <= rangeHi
+    }
+    val (touched, carried) = entries.partition(e =>
+      e.rows > 0 && (e.stats.get(keyCol) match {
+        case Some((mn, mx)) => mayContain(mn, mx)
+        case None => true // no envelope: cannot prove absence → rewrite
+      }))
+    val base =
+      if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
+      else readFiles(spark, table, v, touched)
+    val antiSide = if (keysSorted.isDefined) broadcast(keysDf) else keysDf
+    val survivors = base.join(antiSide, c(keyCol) === c("_merge_key"),
+      "left_anti")
+    val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
+    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    val next = commitWith(newData, table, statsCols, Map.empty, bloomCols,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.merge: concurrent commit on $table " +
+          s"(planned against v$v, parent is now v$parent) — retry the merge")
+        carried
+      })
+    MergeResult(next, touched.size, carried.size)
   }
 
   /** Compact the latest version's layout into ~`targetBytes` files as a

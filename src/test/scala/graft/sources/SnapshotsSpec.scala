@@ -156,6 +156,72 @@ class SnapshotsSpec extends SparkSpec {
     assert(v === 3 && Snapshots.read(spark, tbl).count() === 60)
   }
 
+  test("merge rewrites only envelope-touched files; carried files keep skipping") {
+    val tbl = freshTable("merge")
+    // three key-disjoint commits → tight per-file key envelopes
+    // (driver testdata orderkeys are DENSE from 0, ~1500 at sf0.001)
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 500), tbl,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey").between(501, 1000)),
+      tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl,
+      statsCols = Seq("o_orderkey"))
+    val total = Snapshots.manifest(spark, tbl, 3).size
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val upd = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val ins = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000000L)
+    // minKey is in BOTH upserts and deletes → the upsert row must win
+    val delKeys = orders.filter(col("o_orderkey").between(501, 550) ||
+      col("o_orderkey") === minKey).select(col("o_orderkey"))
+    val r = Snapshots.merge(spark, tbl, upd.unionByName(ins), delKeys,
+      "o_orderkey")
+    assert(r.filesCarried > 0, "high-key files hold no affected key → carried")
+    assert(r.filesRewritten < total)
+    val m = Snapshots.read(spark, tbl)
+    val nOrig = orders.count()
+    val nDel = orders.filter(col("o_orderkey").between(501, 550)).count()
+    val nIns = orders.filter(col("o_orderkey") <= 10).count()
+    assert(m.count() === nOrig - nDel + nIns)
+    // update replaced in place (and won over the simultaneous delete)
+    val orig = orders.filter(col("o_orderkey") === minKey)
+      .head().getAs[Double]("o_totalprice")
+    assert(m.filter(col("o_orderkey") === minKey)
+      .head().getAs[Double]("o_totalprice") === orig * 2)
+    // deletes gone, inserts present
+    assert(m.filter(col("o_orderkey").between(501, 550)).count() === 0)
+    assert(m.filter(col("o_orderkey") >= 9000000L).count() === nIns)
+    // the pre-merge version still reads as the original (time travel)
+    assert(Snapshots.read(spark, tbl, Some(3)).count() === nOrig)
+    // carried entries keep their envelopes → file skipping still works on
+    // a range no carried file covers
+    val ps = Snapshots.scanPruned(spark, tbl, "o_orderkey",
+      1000000L, 2000000L)
+    assert(ps.filesSkipped > 0)
+    assert(ps.df.count() === 0)
+  }
+
+  test("add-column evolution: per-version schema, old files null-filled") {
+    val tbl = freshTable("evo")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    Snapshots.commit(o.filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_totalprice")), tbl)
+    Snapshots.commit(o.filter(col("o_orderkey") > 1000)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")), tbl)
+    val latest = Snapshots.read(spark, tbl)
+    assert(latest.columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    val nOld = o.filter(col("o_orderkey") <= 1000).count()
+    assert(latest.filter(col("o_orderpriority").isNull).count() === nOld)
+    assert(latest.filter(col("o_orderkey") > 1000 &&
+      col("o_orderpriority").isNull).count() === 0)
+    // time travel keeps v1's own narrower shape
+    assert(Snapshots.read(spark, tbl, Some(1)).columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice"))
+  }
+
   test("commit collision retries to the next version") {
     val tbl = freshTable("coll")
     Snapshots.commit(orders.limit(20), tbl)
