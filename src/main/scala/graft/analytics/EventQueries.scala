@@ -318,7 +318,41 @@ object EventQueries {
            FROM active JOIN first USING (user_id)
            GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** X55: exact triangle counting on the co-supplier graph (suppliers
+    * linked when they ship the same part; parts bounded to the low fifth
+    * of the key range so the edge derivation is itself bounded) via
+    * degree orientation ([[graft.operators.Graphs.triangleCount]] — the
+    * skew-safe join formulation). The oracle derives the same edges and
+    * counts with the canonical u&lt;v&lt;w triple join; equal counts pin that
+    * the orientation neither loses nor double-counts a triangle.
+    */
+  val triangles = Q("q_triangles",
+    (s, d) => {
+      val cap = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0) / 5
+      val ps = lineitem(s, d).filter(col("l_partkey") <= cap)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = ps.as("x").join(ps.as("y"),
+          col("x.l_partkey") === col("y.l_partkey") &&
+            col("x.l_suppkey") < col("y.l_suppkey"))
+        .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+      graft.operators.Graphs.triangleCount(edges, "src", "dst")
+    },
+    Some("""WITH cap AS (SELECT max(p_partkey) // 5 AS c FROM part),
+         ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem, cap WHERE l_partkey <= c),
+         e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+           FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
+             AND x.l_suppkey < y.l_suppkey),
+         nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+         tri AS (SELECT count(*) AS n_triangles
+           FROM e e1 JOIN e e2 ON e2.u = e1.v
+           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri"""))
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
     eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
-    exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts)
+    exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts,
+    triangles)
 }
