@@ -552,6 +552,70 @@ object PipelineQueries {
            count(*) - count(DISTINCT chunk_hash) AS n_dup_chunks
          FROM chunks"""))
 
+  /** Shared oracle fragment replaying [[TrainingData.contentDefinedChunks]]
+    * (window=3, divisor=64): tokenization, the banded shingle-hash
+    * boundary rule, the running boundary count, and per-chunk content
+    * hashes. `where` narrows the document set (e.g. "AND doc_id < 100").
+    */
+  private def cdcChunkSqlCtes(where: String): String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0 $where),
+        tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks,
+            len(toks) AS n FROM t),
+        tok AS (SELECT doc_id, pos, toks[pos+1] AS tok,
+            CASE WHEN pos > 0 AND pos + 3 <= n THEN
+              (${md5BucketSql("array_to_string(toks[pos+1:pos+3], ' ')", 64)}) = 0
+            ELSE false END AS bnd
+          FROM tk),
+        g AS (SELECT doc_id, pos, tok,
+            CAST(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS chunk
+          FROM tok),
+        cdc AS (SELECT doc_id, chunk, min(pos) AS chunk_start,
+            max(pos) AS chunk_end, count(*) AS n_tokens,
+            md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+          FROM g GROUP BY doc_id, chunk)"""
+
+  /** X56: content-defined chunking — boundaries derived from local
+    * content (banded shingle hash), not offsets, so an edit invalidates
+    * only the chunk it touches and every suffix chunk re-aligns for
+    * dedup ([[TrainingData.contentDefinedChunks]]; q_chunk_windows is the
+    * fixed-stride contrast, CdcChunksSpec quantifies the re-alignment).
+    * Bounded to the low-id documents; the oracle replays boundaries and
+    * chunk hashes cell for cell.
+    */
+  val cdcChunks = Q("q_cdc_chunks",
+    (s, d) => TrainingData.contentDefinedChunks(
+        documents(s, d).filter(col("doc_id") < 100))
+      .orderBy(col("doc_id"), col("chunk")),
+    Some(s"""WITH ${cdcChunkSqlCtes("AND doc_id < 100")}
+         SELECT doc_id, chunk, chunk_start, chunk_end, n_tokens, chunk_hash
+         FROM cdc ORDER BY doc_id, chunk"""))
+
+  /** X56 accounting: corpus-wide CDC chunk dedup — chunk copies and
+    * duplicated tokens the content-defined boundaries expose (equal
+    * hashes are equal spans, so `(copies-1) × chunk_tokens` is exactly
+    * the storage/compute the dedup saves).
+    */
+  val cdcDedup = Q("q_cdc_dedup",
+    (s, d) => TrainingData.contentDefinedChunks(documents(s, d))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n"), max(col("n_tokens")).as("nt"))
+      .agg(sum(col("n")).cast("long").as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("n") * col("nt")).cast("long").as("total_tokens"),
+        sum((col("n") - 1) * col("nt")).cast("long").as("dup_tokens")),
+    Some(s"""WITH ${cdcChunkSqlCtes("")},
+         byh AS (SELECT chunk_hash, count(*) AS cnt, max(n_tokens) AS nt
+           FROM cdc GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           count(*) AS n_unique_chunks,
+           CAST(sum(cnt * nt) AS BIGINT) AS total_tokens,
+           CAST(sum((cnt - 1) * nt) AS BIGINT) AS dup_tokens
+         FROM byh"""))
+
   /** Cross-document repeated spans: 8-token windows occurring in >= 2
     * distinct docs, merged per doc into maximal spans (the span-level
     * exact-substring dedup of Lee et al. 2022, re-expressed as hash
@@ -741,7 +805,8 @@ object PipelineQueries {
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
     lengthGate, udafTopTokens,
-    heavyHitters, chunkWindows, chunkDedup, repeatedSpans, tokenBudget,
+    heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
+    repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
     bigramLm)
 }

@@ -652,6 +652,48 @@ object TrainingData {
         col("n_chunk_tokens"), col("chunk_hash"))
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries chosen by the
+    * CONTENT — a boundary opens wherever the md5 of the `window`-token
+    * shingle starting at a position lands in the 1/`divisor` band — not
+    * by fixed offsets. An insertion early in a document therefore only
+    * perturbs the chunk it lands in; every later boundary re-derives from
+    * the same local content and the suffix chunks re-align and dedup
+    * against the store (the rsync/LBFS trick at token granularity —
+    * [[chunkWindows]]' fixed-stride chunks all shift and miss instead;
+    * CdcChunksSpec quantifies the difference). Returns one row per
+    * (doc, chunk): span offsets, token count and content hash. Everything
+    * is one token explode + one per-doc window + one hash aggregation —
+    * per-doc bounded, nothing quadratic, shuffles carry hashes.
+    */
+  def contentDefinedChunks(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", window: Int = 3, divisor: Long = 64L)
+      : DataFrame = {
+    require(window >= 1 && divisor >= 2,
+      s"need window >= 1 and divisor >= 2, got window=$window divisor=$divisor")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until window).map(k =>
+      if (k == 0) col("tok") else lead(col("tok"), k).over(w))
+    val full = if (window == 1) lit(true)
+      else lead(col("tok"), window - 1).over(w).isNotNull
+    val h = pmod(conv(substring(md5(concat_ws(" ", parts: _*)), 1, 8), 16, 10)
+      .cast("long"), lit(divisor))
+    val marked = toks.withColumn("bnd",
+      when(col("pos") > 0 && full && h === 0, 1).otherwise(0))
+    val chunked = marked.withColumn("chunk",
+      sum(col("bnd")).over(w).cast("long"))
+    chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("pos")).cast("long").as("chunk_start"),
+        max(col("pos")).cast("long").as("chunk_end"),
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok"))).as("chunk_hash"))
+  }
+
   // --- sequence packing ----------------------------------------------------
 
   /** Training-sequence packing plan: documents are concatenated in
