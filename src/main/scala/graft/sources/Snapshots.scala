@@ -334,7 +334,8 @@ object Snapshots {
     */
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
       deleteKeys: DataFrame, keyCol: String,
-      maxCollectedKeys: Int = 100000): MergeResult = {
+      maxCollectedKeys: Int = 100000,
+      properties: Map[String, String] = Map.empty): MergeResult = {
     import org.apache.spark.sql.functions.{broadcast, col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.merge: $table has no committed version")
@@ -381,7 +382,7 @@ object Snapshots {
       .getOrElse(Seq.empty)
     val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
-    val next = commitWith(newData, table, statsCols, Map.empty, bloomCols,
+    val next = commitWith(newData, table, statsCols, properties, bloomCols,
       baseFor = parent => {
         require(parent == v, s"Snapshots.merge: concurrent commit on $table " +
           s"(planned against v$v, parent is now v$parent) — retry the merge")
