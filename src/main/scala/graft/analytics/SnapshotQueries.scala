@@ -290,6 +290,46 @@ object SnapshotQueries {
          count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
          FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** X57: instant rollback — a bad overwrite (the table truncated to a
+    * low-key slice) is undone by [[Snapshots.rollback]], a METADATA-ONLY
+    * commit republishing the good version's file list (no data file read,
+    * written or deleted — instant at any table size), after which the
+    * append lineage simply continues. Rows pin all three states: the bad
+    * version stays readable for forensics, the rollback reads as the good
+    * snapshot, and the post-rollback append completes the full table.
+    */
+  val rollbackQ = Q("q_rollback",
+    (s, d) => {
+      val tbl = freshTable(s, d, "rb")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl)
+      val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
+        .head().getLong(0)
+      // the mis-commit: an overwrite that truncates the table
+      val vBad = Snapshots.commit(o.filter(col("o_orderkey") <= maxKey / 50),
+        tbl, overwrite = true)
+      val vBack = Snapshots.rollback(s, tbl, toVersion = 1)
+      val vFinal = Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl)
+      def tag(v: Int, t: String) = Snapshots.read(s, tbl, Some(v))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(lit(t).as("state"), col("n_orders"), col("total"))
+      tag(vBad, "1_bad").unionByName(tag(vBack, "2_rolled_back"))
+        .unionByName(tag(vFinal, "3_final"))
+        .orderBy(col("state"))
+    },
+    Some(s"""WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
+         SELECT '1_bad' AS state, count(*) AS n_orders,
+           ${dsumSql("o_totalprice")} AS total
+         FROM orders, mk WHERE o_orderkey <= m // 50
+         UNION ALL
+         SELECT '2_rolled_back', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT '3_final', count(*), ${dsumSql("o_totalprice")}
+         FROM orders
+         ORDER BY state"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution)
+    snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution,
+    rollbackQ)
 }

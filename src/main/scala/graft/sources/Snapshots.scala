@@ -132,9 +132,6 @@ object Snapshots {
   private def commitWith(df: DataFrame, table: String,
       statsCols: Seq[String], properties: Map[String, String],
       bloomCols: Seq[String], baseFor: Int => Seq[FileEntry]): Int = {
-    require(properties.forall { case (k, v) =>
-      !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
-      "property keys/values must be single-line, tab-free; keys '='-free")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -153,9 +150,21 @@ object Snapshots {
     // file of the version, so files written before a column was added
     // read as null-filled (per-version schema = time travel keeps each
     // version's own shape)
-    val allProps = properties + (SchemaProp -> df.schema.json)
-    require(!df.schema.json.exists(c => c == '\n' || c == '\t'),
-      "schema json must be single-line")
+    publishManifest(spark, table,
+      properties + (SchemaProp -> df.schema.json), newEntries, baseFor)
+  }
+
+  /** The manifest-publish retry loop — the commit point itself, shared by
+    * data commits ([[commitWith]]) and metadata-only commits
+    * ([[rollback]]).
+    */
+  private def publishManifest(spark: SparkSession, table: String,
+      properties: Map[String, String], newEntries: Seq[FileEntry],
+      baseFor: Int => Seq[FileEntry]): Int = {
+    require(properties.forall { case (k, v) =>
+      !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
+      "property keys/values must be single-line, tab-free; keys '='-free")
+    val (fs, root) = fsOf(spark, table)
     fs.mkdirs(new Path(root, "_manifests"))
     var attempts = 0
     while (true) {
@@ -176,7 +185,7 @@ object Snapshots {
       created match {
         case Some(out) =>
           try {
-            val propLines = allProps.toSeq.sortBy(_._1)
+            val propLines = properties.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
             val lines = Seq(Header) ++ propLines ++
               (base ++ newEntries).map(fmt) :+ Footer
@@ -411,6 +420,71 @@ object Snapshots {
       .getOrElse(Seq.empty)
     commit(read(spark, table, Some(cur)).repartition(nOut), table,
       overwrite = true, statsCols = statsCols, bloomCols = bloomCols)
+  }
+
+  /** Roll the table back to `toVersion` as a NEW commit whose file set is
+    * that version's manifest, carried verbatim (stats, blooms and schema
+    * included) — a metadata-only operation: no data file is read,
+    * written, or deleted, so it is instant at any table size and the
+    * mis-commit being undone remains readable for forensics until
+    * [[vacuum]]. The standard recovery move after a bad merge/overwrite.
+    */
+  def rollback(spark: SparkSession, table: String, toVersion: Int): Int = {
+    val cur = latestVersion(spark, table)
+    require(cur > 0, s"Snapshots.rollback: $table has no committed version")
+    require(versions(spark, table).contains(toVersion),
+      s"Snapshots.rollback: version $toVersion of $table does not exist")
+    val target = manifest(spark, table, toVersion)
+    // republish the target's EXACT file list and properties (schema
+    // included) under a new version number — no batch write at all
+    val props = properties(spark, table, toVersion) +
+      ("rolledBackTo" -> toVersion.toString)
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == cur, s"Snapshots.rollback: concurrent commit on " +
+          s"$table (planned against v$cur, parent is now v$parent) — retry")
+        target
+      })
+  }
+
+  /** Delete data files that NO manifest (complete or half-written)
+    * references — debris from crashed or aborted writers: a commit writes
+    * its data batch BEFORE the manifest create, so a crash in between, a
+    * lost commit race that gave up, or an aborted [[merge]] all leave an
+    * unreferenced batch directory behind. Distinct from [[vacuum]], which
+    * retires files of SUPERSEDED versions; this removes files that never
+    * became part of any version. `olderThanMs` guards the race with an
+    * in-flight writer that has written its batch but not yet published
+    * (default 1 h — files younger than that are kept). Returns deleted
+    * relative paths.
+    */
+  def removeOrphans(spark: SparkSession, table: String,
+      olderThanMs: Long = 3600L * 1000): Seq[String] = {
+    val (fs, root) = fsOf(spark, table)
+    val dir = new Path(root, "_manifests")
+    // reference set from EVERY manifest file, including terminator-less
+    // ones: a half-written manifest's files may belong to a writer that
+    // is still alive and about to finish
+    val referenced: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        val in = fs.open(st.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split("\n", -1).toSeq
+          .filterNot(l => l.isEmpty || l == Header || l == Footer ||
+            l.startsWith("#"))
+          .flatMap(l => scala.util.Try(parse(l).path).toOption)
+      }.toSet
+    val rootUri = fs.makeQualified(root).toUri
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = listParquet(fs, new Path(root, "data"))
+      .filter(_.getModificationTime < cutoff)
+      .map(st => rootUri.relativize(st.getPath.toUri).getPath)
+      .filterNot(referenced.contains)
+    dead.foreach(p => fs.delete(new Path(root, p), false))
+    dead
   }
 
   /** Drop all but the last `keepLast` versions and delete every data file

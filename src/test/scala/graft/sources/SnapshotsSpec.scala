@@ -222,6 +222,61 @@ class SnapshotsSpec extends SparkSpec {
       Seq("o_orderkey", "o_totalprice"))
   }
 
+  test("rollback is metadata-only and the lineage continues past it") {
+    val tbl = freshTable("rb")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl)
+    val vBad = Snapshots.commit(orders.limit(5), tbl, overwrite = true)
+    val dataFilesBefore = fs(tbl).getContentSummary(
+      new Path(s"$tbl/data")).getFileCount
+    val vBack = Snapshots.rollback(spark, tbl, toVersion = 2)
+    // metadata-only: no data file appeared or vanished
+    assert(fs(tbl).getContentSummary(new Path(s"$tbl/data")).getFileCount ===
+      dataFilesBefore)
+    assert(Snapshots.manifest(spark, tbl, vBack).map(_.path) ===
+      Snapshots.manifest(spark, tbl, 2).map(_.path))
+    assert(Snapshots.read(spark, tbl).count() === orders.count())
+    // the mis-commit stays readable for forensics until vacuum
+    assert(Snapshots.read(spark, tbl, Some(vBad)).count() === 5)
+    assert(Snapshots.properties(spark, tbl, vBack)
+      .get("rolledBackTo") === Some("2"))
+    // appends continue from the rolled-back state
+    Snapshots.commit(orders.limit(7), tbl)
+    assert(Snapshots.read(spark, tbl).count() === orders.count() + 7)
+    // vacuum now retires the bad version's files, not the shared lineage
+    Snapshots.vacuum(spark, tbl, keepLast = 1)
+    assert(Snapshots.read(spark, tbl).count() === orders.count() + 7)
+    intercept[IllegalArgumentException] {
+      Snapshots.rollback(spark, tbl, toVersion = 99)
+    }
+  }
+
+  test("removeOrphans deletes only never-committed debris") {
+    val tbl = freshTable("orph")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    // debris: a batch dir written by a writer that died before its
+    // manifest create (exactly what commit leaves behind on a crash)
+    orders.limit(10).write.parquet(s"$tbl/data/bdeadbeef")
+    // a half-written manifest referencing a second batch: that writer may
+    // still be alive — its files must survive
+    orders.limit(3).coalesce(1).write.parquet(s"$tbl/data/binflight")
+    val inflight = fs(tbl).listStatus(new Path(s"$tbl/data/binflight"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val out = fs(tbl).create(new Path(s"$tbl/_manifests/v000002.manifest"), false)
+    out.write(s"graft-manifest-v1\ndata/binflight/$inflight\t3\t"
+      .getBytes("UTF-8"))
+    out.close()
+    val deleted = Snapshots.removeOrphans(spark, tbl, olderThanMs = -1000L)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("bdeadbeef")))
+    assert(fs(tbl).exists(new Path(s"$tbl/data/binflight/$inflight")))
+    // committed data untouched
+    assert(Snapshots.read(spark, tbl).count() ===
+      orders.filter(col("o_orderkey") <= 1000).count())
+    // age guard: fresh debris survives a conservative horizon
+    orders.limit(2).write.parquet(s"$tbl/data/byoung")
+    assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 3600000L).isEmpty)
+  }
+
   test("commit collision retries to the next version") {
     val tbl = freshTable("coll")
     Snapshots.commit(orders.limit(20), tbl)
