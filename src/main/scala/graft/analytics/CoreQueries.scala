@@ -515,6 +515,55 @@ object CoreQueries {
             UNION ALL SELECT 'revenue_positive', v_rev, n_rows FROM t
             ORDER BY check_name"""))
 
+  /** Interval-OVERLAP join via the same bucketed scale path
+    * ([[graft.operators.RangeJoin.intervalOverlap]]): lineitem shipping
+    * windows (3-7 days, width derived deterministically from the line
+    * number) matched against two-week order windows on a bounded key
+    * slice. Pairs are found by a bucket hash join and kept at exactly ONE
+    * bucket (the later start), so the dedup is a codegen filter, not a
+    * distinct shuffle; the oracle is the plain quadratic BETWEEN join
+    * over the same slice.
+    */
+  val intervalJoin = Q("q_interval_join",
+    (s, d) => {
+      val cap = ord(s, d).agg(max(col("o_orderkey")).cast("long"))
+        .head().getLong(0) / 100
+      val liIv = li(s, d).filter(col("l_orderkey") <= cap)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_date(to_date(col("l_shipdate"))).cast("long").as("l_start"))
+        .withColumn("l_end",
+          col("l_start") + pmod(col("l_linenumber").cast("long"), lit(5L)) +
+            lit(3L))
+      val odIv = ord(s, d).filter(col("o_orderkey") <= cap)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("o_start"))
+        .withColumn("o_end", col("o_start") + lit(14L))
+      graft.operators.RangeJoin
+        .intervalOverlap(liIv, odIv, "l_start", "l_end", "o_start", "o_end",
+          bucketWidth = 7L)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("l_orderkey"), col("l_linenumber"))
+            .as("n_lineitems"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_year"))
+    },
+    Some("""WITH mk AS (SELECT max(o_orderkey) // 100 AS cap FROM orders),
+         liv AS (SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ls
+           FROM lineitem, mk WHERE l_orderkey <= cap),
+         liv2 AS (SELECT l_orderkey, l_linenumber, ls,
+             ls + (l_linenumber % 5) + 3 AS le FROM liv),
+         oiv AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS os
+           FROM orders, mk WHERE o_orderkey <= cap),
+         oiv2 AS (SELECT o_orderkey, o_year, os, os + 14 AS oe FROM oiv),
+         pairs AS (SELECT * FROM liv2 JOIN oiv2 ON ls <= oe AND os <= le)
+         SELECT o_year, count(*) AS n_pairs,
+           count(DISTINCT (l_orderkey, l_linenumber)) AS n_lineitems,
+           count(DISTINCT o_orderkey) AS n_orders
+         FROM pairs GROUP BY 1 ORDER BY 1"""))
+
   /** Point-in-interval range join via the bucketed scale path
     * ([[graft.operators.RangeJoin.pointInInterval]]): orders assigned to
     * quarter windows by containment, NOT by a nested-loop BETWEEN join —
@@ -724,7 +773,8 @@ object CoreQueries {
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
-    rowHash, jsonExtract, dataQuality, profileLineitem, rangeJoin, skewJoin,
+    rowHash, jsonExtract, dataQuality, profileLineitem, rangeJoin,
+    intervalJoin, skewJoin,
     csvRoundtrip,
     parquetRoundtrip, orcRoundtrip, compactRoundtrip, partitionOverwrite,
     metaCount, sqlInterface, sqlCosine,

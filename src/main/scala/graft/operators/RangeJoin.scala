@@ -69,19 +69,79 @@ object RangeJoin {
     // check would be overflow-safe but rounds near 2^53, passing spans
     // just over the cap (and tripping some just under) — exactness
     // matters because the cap is the caller's hard explode-size contract.
+    val iv = explodeToBuckets(intervals, startCol, endCol, bucketWidth,
+      maxBucketsPerInterval)
+    p.join(iv, bucketCol)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(bucketCol)
+  }
+
+  /** Bucketed inner INTERVAL-OVERLAP join: rows of `left` paired with
+    * every row of `right` whose [rStartCol, rEndCol] intersects
+    * [lStartCol, lEndCol] (ends inclusive; [[pointInInterval]] is the
+    * degenerate left-width-zero case). Both sides explode into the
+    * fixed-width buckets they cover and hash-join on the bucket key; a
+    * pair sharing several buckets is kept ONLY at the bucket of the
+    * later start — a bucket both intervals provably cover — so
+    * deduplication is a codegen'd filter, never a distinct shuffle. Cost
+    * is the two explode fan-outs plus one hash join with full bucket-key
+    * parallelism: the scale shape for large×large temporal overlap joins
+    * that Spark would otherwise plan as a nested loop.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 16): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!left.columns.contains(bucketCol) &&
+        !right.columns.contains(bucketCol),
+      s"column name $bucketCol is reserved by intervalOverlap")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column names must be disjoint; both define " +
+        overlap.toSeq.sorted.mkString(", "))
+    val lb = explodeToBuckets(left, lStartCol, lEndCol, bucketWidth,
+      maxBucketsPerInterval)
+    val rb = explodeToBuckets(right, rStartCol, rEndCol, bucketWidth,
+      maxBucketsPerInterval)
+    lb.join(rb, bucketCol)
+      .filter(col(bucketCol) === greatest(
+        floorDiv(col(lStartCol), bucketWidth),
+        floorDiv(col(rStartCol), bucketWidth)))
+      .filter(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol))
+      .drop(bucketCol)
+  }
+
+  /** Explode each [startCol, endCol] row into one row per covered bucket,
+    * with the span guard of [[pointInInterval]]: exact long arithmetic,
+    * `try_subtract` so a sentinel interval produces the explanatory
+    * assert instead of an ANSI overflow, and the assert riding the same
+    * codegen stage (assert_true yields NULL on success, so the `when`
+    * collapses to the end bucket on every valid row).
+    */
+  private def explodeToBuckets(df: DataFrame, startCol: String,
+      endCol: String, bucketWidth: Long, maxBucketsPerInterval: Long)
+      : DataFrame = {
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val startB = floorDiv(col(startCol), bucketWidth)
+    val endB = floorDiv(col(endCol), bucketWidth)
     val span = try_subtract(endB, startB)
     val spanOk = span.isNotNull && span < lit(maxBucketsPerInterval)
     val guardedEnd = when(
       assert_true(spanOk,
-        concat(lit("pointInInterval: interval ["), col(startCol), lit(", "),
+        concat(lit("RangeJoin: interval ["), col(startCol), lit(", "),
           col(endCol), lit(s"] covers more than $maxBucketsPerInterval " +
             s"buckets at bucketWidth=$bucketWidth — open-ended sentinel " +
             "interval? raise bucketWidth or maxBucketsPerInterval"))).isNull,
       endB)
-    val iv = intervals.withColumn(bucketCol, explode(sequence(startB, guardedEnd)))
-    p.join(iv, bucketCol)
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop(bucketCol)
+    df.withColumn(bucketCol, explode(sequence(startB, guardedEnd)))
   }
 
   /** Floor division rounding toward negative infinity (so bucket
