@@ -319,18 +319,21 @@ object EventQueries {
            GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** X55: exact triangle counting on the co-supplier graph (suppliers
-    * linked when they ship the same part; parts bounded to the low fifth
-    * of the key range so the edge derivation is itself bounded) via
-    * degree orientation ([[graft.operators.Graphs.triangleCount]] — the
-    * skew-safe join formulation). The oracle derives the same edges and
-    * counts with the canonical u&lt;v&lt;w triple join; equal counts pin that
-    * the orientation neither loses nor double-counts a triangle.
+    * linked when they ship the same part) via degree orientation
+    * ([[graft.operators.Graphs.triangleCount]] — the skew-safe join
+    * formulation). The subgraph is ABSOLUTE-bounded on both key ranges —
+    * co-occurrence graphs densify as the corpus grows, so a proportional
+    * cap would make this audit row quadratic in SF (the round-6
+    * audit-tier lesson); a fixed window keeps its cost constant at any
+    * scale while GraphsSpec carries the correctness burden. The oracle
+    * derives the same edges and counts with the canonical u&lt;v&lt;w
+    * triple join; equal counts pin that the orientation neither loses
+    * nor double-counts a triangle.
     */
   val triangles = Q("q_triangles",
     (s, d) => {
-      val cap = part(s, d).agg(max(col("p_partkey")).cast("long"))
-        .head().getLong(0) / 5
-      val ps = lineitem(s, d).filter(col("l_partkey") <= cap)
+      val ps = lineitem(s, d)
+        .filter(col("l_partkey") < 12 && col("l_suppkey") < 120)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
       val edges = ps.as("x").join(ps.as("y"),
           col("x.l_partkey") === col("y.l_partkey") &&
@@ -338,9 +341,8 @@ object EventQueries {
         .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
       graft.operators.Graphs.triangleCount(edges, "src", "dst")
     },
-    Some("""WITH cap AS (SELECT max(p_partkey) // 5 AS c FROM part),
-         ps AS (SELECT DISTINCT l_partkey, l_suppkey
-           FROM lineitem, cap WHERE l_partkey <= c),
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_partkey < 12 AND l_suppkey < 120),
          e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
            FROM ps x JOIN ps y ON x.l_partkey = y.l_partkey
              AND x.l_suppkey < y.l_suppkey),
