@@ -246,6 +246,54 @@ object NorthStarQueries {
               CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM surv GROUP BY 1 ORDER BY lang"""))
 
+  /** X1 canonicalization tier: a re-delivered batch where every 4th doc
+    * comes back REFORMATTED (uppercased, punctuation appended) and every
+    * doc of the 4k+1 slice is genuinely new content. Raw-hash dedup
+    * ([[Dedup]]'s md5 anti-join) keeps all of them — the reformatted
+    * copies slip through; dedup on [[TF.canonicalText]] (lowercase,
+    * punctuation→space, whitespace collapse) keeps ONLY the genuinely
+    * new docs. The two counts pin both halves: canonicalization collapses
+    * exactly the formatting variants and nothing else.
+    */
+  val canonicalDedup = Q("q_canonical_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), concat(upper(col("text")), lit(" !!")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" novel "), col("doc_id")).as("text")))
+      val rawSeen = docs.select(md5(col("text")).as("_h")).distinct()
+      val canonSeen = docs.select(md5(TF.canonicalText(col("text"))).as("_ch"))
+        .distinct()
+      val rawKept = batch
+        .join(rawSeen, md5(col("text")) === col("_h"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(lit("1_raw_hash").as("method"), col("n_kept"))
+      val canonKept = batch
+        .join(canonSeen, md5(TF.canonicalText(col("text"))) === col("_ch"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+        .select(lit("2_canonical").as("method"), col("n_kept"))
+      rawKept.unionByName(canonKept).orderBy(col("method"))
+    },
+    Some(s"""WITH batch AS (
+           SELECT doc_id, upper(text) || ' !!' AS text
+           FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id, text || ' novel ' || doc_id
+           FROM documents WHERE doc_id % 4 = 1),
+         rawseen AS (SELECT DISTINCT md5(text) AS h FROM documents),
+         canonseen AS (SELECT DISTINCT
+             md5(${TF.canonicalTextSql("text")}) AS ch FROM documents)
+         SELECT '1_raw_hash' AS method, count(*) AS n_kept FROM batch
+         WHERE md5(text) NOT IN (SELECT h FROM rawseen)
+         UNION ALL
+         SELECT '2_canonical', count(*) FROM batch
+         WHERE md5(${TF.canonicalTextSql("text")})
+           NOT IN (SELECT ch FROM canonseen)
+         ORDER BY method"""))
+
   /** Oracle fragment: word-3-gram Jaccard CTEs (`docs`/`sh`/`sizes`/
     * `inter`) over a doc selection — shared by q_jaccard_pairs and
     * q_minhash_recall's exact-ground-truth side so the pair semantics
@@ -1383,7 +1431,8 @@ object NorthStarQueries {
          FROM r ORDER BY vec_id"""))
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
-    trainTestSplit, exactDedup, incrementalDedup, jaccardPairs,
+    trainTestSplit, exactDedup, incrementalDedup, canonicalDedup,
+    jaccardPairs,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,

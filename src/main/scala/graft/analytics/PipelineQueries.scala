@@ -557,26 +557,26 @@ object PipelineQueries {
     * boundary rule, the running boundary count, and per-chunk content
     * hashes. `where` narrows the document set (e.g. "AND doc_id < 100").
     */
-  private def cdcChunkSqlCtes(where: String): String =
-    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  private def cdcChunkSqlCtes(where: String, p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
           FROM documents WHERE length(trim(text)) > 0 $where),
-        tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks,
-            len(toks) AS n FROM t),
-        tok AS (SELECT doc_id, pos, toks[pos+1] AS tok,
+        ${p}tk AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks,
+            len(toks) AS n FROM ${p}t),
+        ${p}tok AS (SELECT doc_id, pos, toks[pos+1] AS tok,
             CASE WHEN pos > 0 AND pos + 3 <= n THEN
               (${md5BucketSql("array_to_string(toks[pos+1:pos+3], ' ')", 64)}) = 0
             ELSE false END AS bnd
-          FROM tk),
-        g AS (SELECT doc_id, pos, tok,
+          FROM ${p}tk),
+        ${p}g AS (SELECT doc_id, pos, tok,
             CAST(sum(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
               PARTITION BY doc_id ORDER BY pos
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               AS chunk
-          FROM tok),
-        cdc AS (SELECT doc_id, chunk, min(pos) AS chunk_start,
+          FROM ${p}tok),
+        ${p}cdc AS (SELECT doc_id, chunk, min(pos) AS chunk_start,
             max(pos) AS chunk_end, count(*) AS n_tokens,
             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-          FROM g GROUP BY doc_id, chunk)"""
+          FROM ${p}g GROUP BY doc_id, chunk)"""
 
   /** X56: content-defined chunking — boundaries derived from local
     * content (banded shingle hash), not offsets, so an edit invalidates
@@ -593,6 +593,53 @@ object PipelineQueries {
     Some(s"""WITH ${cdcChunkSqlCtes("AND doc_id < 100")}
          SELECT doc_id, chunk, chunk_start, chunk_end, n_tokens, chunk_hash
          FROM cdc ORDER BY doc_id, chunk"""))
+
+  /** X56 admission half: chunk-level novelty gating of a re-delivered
+    * batch (every 3rd doc) against the ingested corpus (every 2nd doc) —
+    * the incremental-dedup decision at CHUNK granularity: a doc is
+    * admitted only if ≥ half its tokens live in chunks the corpus has
+    * never seen, so exact re-deliveries (doc_id % 6 = 0: novelty 0) are
+    * dropped while partially-novel documents survive with their overlap
+    * quantified. Shuffles carry 16-byte chunk hashes; the per-doc gate is
+    * integer arithmetic.
+    */
+  val chunkNovelty = Q("q_chunk_novelty",
+    (s, d) => {
+      val docs = documents(s, d)
+      val batch = TrainingData.contentDefinedChunks(
+        docs.filter(col("doc_id") % 3 === 0))
+      val seen = TrainingData.contentDefinedChunks(
+          docs.filter(col("doc_id") % 2 === 0))
+        .select(col("chunk_hash").as("_seen")).distinct()
+      batch.join(seen, col("chunk_hash") === col("_seen"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("_seen").isNull, 1L).otherwise(0L)).cast("long")
+            .as("novel_chunks"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(when(col("_seen").isNull, col("n_tokens")).otherwise(0L))
+            .cast("long").as("novel_tokens"))
+        .withColumn("novel_pct",
+          expr("(novel_tokens * 100) div total_tokens"))
+        .withColumn("admitted", col("novel_pct") >= 50)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${cdcChunkSqlCtes("AND doc_id % 3 = 0", "b")},
+         ${cdcChunkSqlCtes("AND doc_id % 2 = 0", "c")},
+         seen AS (SELECT DISTINCT chunk_hash FROM ccdc),
+         nov AS (
+           SELECT b.doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN s.chunk_hash IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS novel_chunks,
+             CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN s.chunk_hash IS NULL THEN b.n_tokens
+               ELSE 0 END) AS BIGINT) AS novel_tokens
+           FROM bcdc b LEFT JOIN seen s ON b.chunk_hash = s.chunk_hash
+           GROUP BY 1)
+         SELECT doc_id, n_chunks, novel_chunks, total_tokens, novel_tokens,
+           (novel_tokens * 100) // total_tokens AS novel_pct,
+           (novel_tokens * 100) // total_tokens >= 50 AS admitted
+         FROM nov ORDER BY doc_id"""))
 
   /** X56 accounting: corpus-wide CDC chunk dedup — chunk copies and
     * duplicated tokens the content-defined boundaries expose (equal
@@ -806,7 +853,7 @@ object PipelineQueries {
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
     lengthGate, udafTopTokens,
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
-    repeatedSpans, tokenBudget,
+    chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
     bigramLm)
 }

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Canonical text form for fuzzy-exact dedup: lowercase, ASCII
+    * punctuation to spaces, whitespace collapsed, trimmed — so a
+    * re-delivered document that differs only in case, punctuation or
+    * spacing hashes onto its original (the cheap canonicalization layer
+    * every dedup pipeline runs BEFORE the expensive near-dup tiers).
+    * Java's `\p{Punct}` and RE2's `[[:punct:]]` are the same ASCII
+    * class, so the oracle replays it exactly.
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", " "),
+      "\\s+", " "))
+
+  /** SQL twin of [[canonicalText]] over a DuckDB expression. */
+  def canonicalTextSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), " +
+      "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
   /** Whitespace token count. `split` on empty string yields one empty
     * token in both Spark and ANSI SQL — callers on possibly-empty text
     * should guard with `when(length(c) === 0, 0)`.
