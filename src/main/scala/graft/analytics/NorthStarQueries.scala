@@ -1202,6 +1202,40 @@ object NorthStarQueries {
                      AS BIGINT) AS out_height
             FROM a ORDER BY asset_id"""))
 
+  /** Multimodal AUDIO decode: every document gets a REAL synthesized
+    * RIFF/WAVE payload (PCM16 mono, deterministic samples), the
+    * mapPartitions slot runs a REAL chunk-walking WAV parser
+    * ([[Multimodal.decodeWav]]), and every derived stat — duration,
+    * peak, mean |sample| in milli units, 16 kHz resample output length —
+    * is integer arithmetic. The oracle recomputes the stats from the
+    * generating formula, so a single mis-parsed byte anywhere in the
+    * encode→parse roundtrip breaks the hash (MultimodalSpec rejects
+    * truncated/corrupt payloads separately).
+    */
+  val audioDecode = Q("q_audio_decode",
+    (s, d) => Multimodal.extractAudioFeatures(
+        Multimodal.audioAssetsFromDocuments(documents(s, d)))
+      .orderBy(col("asset_id")),
+    Some("""WITH p AS (SELECT doc_id,
+             8000 + 8000 * (doc_id % 2) AS sample_rate,
+             ((doc_id % 50) + 1) * 20 AS n_samples
+             FROM documents),
+           sa AS (SELECT doc_id, sample_rate, n_samples,
+             [abs(((doc_id * 31 + k * 17) % 2003) - 1001)
+              FOR k IN range(n_samples)] AS a
+             FROM p)
+           SELECT doc_id AS asset_id, true AS decoded,
+             CAST(sample_rate AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(n_samples AS BIGINT) AS n_samples,
+             CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+             CAST(list_max(a) AS BIGINT) AS peak,
+             CAST(CAST(list_sum(a) AS BIGINT) * 1000 // n_samples AS BIGINT)
+               AS mean_abs_milli,
+             CAST(n_samples * 16000 // sample_rate AS BIGINT)
+               AS out_samples_16k
+           FROM sa ORDER BY asset_id"""))
+
   /** Shared oracle fragment: CTEs `t`/`ann`/`gated` reproducing the
     * corpus gate (annotate → quality/length filter → exact dedup) — used
     * by q_corpus_prep and q_corpus_prep_md5 so the gate logic cannot
@@ -1439,6 +1473,6 @@ object NorthStarQueries {
     annPqStored, annPqRerank, annPqUpsert,
     embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
-    multimodalMeta, multimodalFeatures, frameSample, resizeDims,
+    multimodalMeta, multimodalFeatures, frameSample, resizeDims, audioDecode,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

@@ -134,6 +134,150 @@ object Multimodal {
       octet_length(col("payload")).cast("bigint").as("payload_bytes"),
       (col("meta_width").cast("long") * col("meta_height")).as("pixels"))
 
+  // --- audio ----------------------------------------------------------------
+
+  /** Deterministic 16-bit mono PCM sample `k` of asset `id`: integer
+    * formula, so an oracle replays the decoded statistics without parsing
+    * bytes — what makes the synth→encode→parse roundtrip hash-checkable.
+    */
+  private[multimodal] def pcmSample(id: Long, k: Long): Int =
+    (((id * 31 + k * 17) % 2003) - 1001).toInt
+
+  private[multimodal] def audioRate(id: Long): Int =
+    8000 + 8000 * (id % 2).toInt
+
+  private[multimodal] def audioSamples(id: Long): Int =
+    ((id % 50).toInt + 1) * 20
+
+  /** Encode a REAL RIFF/WAVE file: canonical 44-byte header (PCM format
+    * chunk, mono, 16-bit) + little-endian samples. The inverse of
+    * [[decodeWav]]; both are dependency-free.
+    */
+  private[multimodal] def encodeWav(rate: Int, samples: Array[Short])
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Audio asset table from the documents table: payload = a REAL WAV
+    * file synthesized deterministically per id (rate 8/16 kHz by parity,
+    * 20–1000 samples) — opaque bytes downstream, exactly like an ingested
+    * recording, but with statistics an oracle can recompute from the
+    * generating formula.
+    */
+  def audioAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true))))
+    docs.select(col("doc_id").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = audioSamples(id)
+          val samples = Array.tabulate(n)(k => pcmSample(id, k.toLong).toShort)
+          Row(id, "audio", encodeWav(audioRate(id), samples))
+        }
+      }(enc)
+  }
+
+  /** REAL RIFF/WAVE parser: validates the RIFF/WAVE envelope, walks the
+    * chunk list (any order, unknown chunks skipped, word-aligned), and
+    * accepts only PCM 16-bit with a data chunk whose length matches the
+    * remaining bytes and the block alignment. Returns (sampleRate,
+    * channels, nFrames, peak |sample|, Σ|sample|). Truncated or
+    * malformed payloads are rejected, never mis-averaged.
+    */
+  private[multimodal] def decodeWav(p: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (p == null || p.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (b.getInt(4).toLong + 8 != p.length.toLong) return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, len)
+    var i = 12
+    while (i + 8 <= p.length) {
+      val id = tag(i)
+      val len = b.getInt(i + 4)
+      if (len < 0 || i + 8 + len > p.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (b.getShort(i + 8) != 1) return None // PCM only
+        fmt = Some((b.getShort(i + 10).toInt, b.getInt(i + 12),
+          b.getShort(i + 22).toInt))
+      } else if (id == "data") data = Some((i + 8, len))
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for {
+      (channels, rate, bits) <- fmt
+      (off, len) <- data
+      if bits == 16 && channels >= 1 && rate > 0
+      if len % (2 * channels) == 0
+    } yield {
+      val nFrames = len.toLong / (2L * channels)
+      var peak = 0L
+      var sumAbs = 0L
+      var j = off
+      while (j < off + len) {
+        val s = math.abs(b.getShort(j).toLong)
+        if (s > peak) peak = s
+        sumAbs += s
+        j += 2
+      }
+      (rate, channels, nFrames, peak, sumAbs)
+    }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("peak", LongType, nullable = true),
+    StructField("mean_abs_milli", LongType, nullable = true),
+    StructField("out_samples_16k", LongType, nullable = true),
+  ))
+
+  /** Per-partition batched audio decode ([[decodeWav]] in the
+    * mapPartitions slot, like [[extractFeatures]] for images): real RIFF
+    * parse → integer-exact loudness stats (peak, mean |sample| in milli
+    * units via integer division) + duration and a 16 kHz resample plan
+    * (output length under integer rational resampling) — every derived
+    * number is integer arithmetic, so the oracle replays the whole
+    * decode from the synthesis formula.
+    */
+  def extractAudioFeatures(assets: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioFeatureSchema)
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          decodeWav(r.getAs[Array[Byte]]("payload")) match {
+            case Some((rate, ch, n, peak, sumAbs)) =>
+              Row(id, true, rate, ch, n,
+                n * 1000L / rate,
+                peak,
+                if (n == 0) 0L else sumAbs * 1000L / n,
+                n * 16000L / rate)
+            case None =>
+              Row(id, false, null, null, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Video-shaped asset table from the documents table: deterministic
     * duration/fps metadata (1-120 s, 24 or 30 fps by id parity) standing
     * in for container-header fields a real demuxer would read.

@@ -97,4 +97,55 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === Seq((1L, 224L, 126L), (2L, 1L, 224L), (3L, 224L, 224L)))
   }
+
+  test("WAV roundtrip: encode → chunk-walking parse reproduces the samples") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val wav = Multimodal.encodeWav(16000, samples)
+    val Some((rate, ch, n, peak, sumAbs)) = Multimodal.decodeWav(wav)
+    assert(rate === 16000 && ch === 1 && n === 6L)
+    assert(peak === 32768L)
+    assert(sumAbs === samples.map(s => math.abs(s.toLong)).sum)
+    // an unknown chunk BEFORE fmt/data must be skipped, not fatal
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12) // RIFF header
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    extra.put(wav, 12, wav.length - 12)
+    val withChunk = extra.array()
+    // patch the RIFF size for the inserted 12 bytes
+    java.nio.ByteBuffer.wrap(withChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withChunk.length - 8)
+    assert(Multimodal.decodeWav(withChunk).exists(_._3 === 6L))
+  }
+
+  test("decodeWav rejects truncated or malformed payloads") {
+    val wav = Multimodal.encodeWav(8000, Array[Short](1, 2, 3, 4))
+    assert(Multimodal.decodeWav(wav.dropRight(1)).isEmpty) // truncated data
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty) // truncated header
+    val notRiff = wav.clone(); notRiff(0) = 'X'.toByte
+    assert(Multimodal.decodeWav(notRiff).isEmpty)
+    val float = wav.clone(); float(20) = 3 // format code != PCM
+    assert(Multimodal.decodeWav(float).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("audio pipeline: synthesized assets decode to the formula's stats") {
+    val a = Multimodal.audioAssetsFromDocuments(
+      Seq((3L, "x"), (10L, "y")).toDF("doc_id", "text"))
+    val f = Multimodal.extractAudioFeatures(a).orderBy("asset_id").collect()
+    assert(f.forall(_.getBoolean(1)), "all synthesized payloads must decode")
+    val r3 = f(0)
+    val n3 = Multimodal.audioSamples(3L)
+    val abs3 = (0 until n3).map(k => math.abs(Multimodal.pcmSample(3L, k.toLong).toLong))
+    assert(r3.getAs[Int]("sample_rate") === 16000) // odd id → 16 kHz
+    assert(r3.getAs[Long]("n_samples") === n3.toLong)
+    assert(r3.getAs[Long]("peak") === abs3.max)
+    assert(r3.getAs[Long]("mean_abs_milli") === abs3.sum * 1000L / n3)
+    assert(r3.getAs[Long]("out_samples_16k") === n3.toLong)
+    val r10 = f(1)
+    assert(r10.getAs[Int]("sample_rate") === 8000)
+    assert(r10.getAs[Long]("out_samples_16k") ===
+      r10.getAs[Long]("n_samples") * 2)
+  }
 }
