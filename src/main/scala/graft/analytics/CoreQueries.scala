@@ -515,6 +515,35 @@ object CoreQueries {
             UNION ALL SELECT 'revenue_positive', v_rev, n_rows FROM t
             ORDER BY check_name"""))
 
+  /** Privacy release gate: k-anonymity suppression over the
+    * (segment, nation) quasi-identifier — cells under k=10 customers
+    * collapse into one '(suppressed)' bucket before publication
+    * ([[graft.operators.DataQuality.kAnonymize]]), so the published
+    * rollup provably contains no group smaller than k. One
+    * quasi-key-partitioned window count, no global sort.
+    */
+  val kAnonymity = Q("q_k_anonymity",
+    (s, d) => {
+      val cust = customer(s, d).select(col("c_mktsegment"),
+        col("c_nationkey"), col("c_acctbal"))
+      graft.operators.DataQuality.kAnonymize(cust,
+          Seq("c_mktsegment", "c_nationkey"), k = 10L)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_balance"))
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    },
+    Some(s"""WITH g AS (SELECT c_acctbal,
+           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) >= 10
+                THEN c_mktsegment ELSE '(suppressed)' END AS c_mktsegment,
+           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) >= 10
+                THEN CAST(c_nationkey AS VARCHAR) ELSE '(suppressed)' END
+                AS c_nationkey
+           FROM customer)
+         SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
+           ${dsumSql("c_acctbal")} AS total_balance
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Interval-OVERLAP join via the same bucketed scale path
     * ([[graft.operators.RangeJoin.intervalOverlap]]): lineitem shipping
     * windows (3-7 days, width derived deterministically from the line
@@ -773,8 +802,8 @@ object CoreQueries {
     semiJoin, monthlyGrowth, revenueShare, topCustomers, quarterlyYoy,
     surrogateKeys, categoryBridge, unionPriorities, exceptCustomers,
     intersectCustomers, dateDim, weekendRevenue, fillNa, caseBuckets,
-    rowHash, jsonExtract, dataQuality, profileLineitem, rangeJoin,
-    intervalJoin, skewJoin,
+    rowHash, jsonExtract, dataQuality, profileLineitem, kAnonymity,
+    rangeJoin, intervalJoin, skewJoin,
     csvRoundtrip,
     parquetRoundtrip, orcRoundtrip, compactRoundtrip, partitionOverwrite,
     metaCount, sqlInterface, sqlCosine,

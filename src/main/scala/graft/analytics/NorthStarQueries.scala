@@ -328,6 +328,26 @@ object NorthStarQueries {
             WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
             ORDER BY id_a, id_b"""))
 
+  /** X61: prefix-filtered EXACT similarity join
+    * ([[graft.operators.SetSimJoin.jaccardShingleJoin]]) — the PPJoin
+    * alternative to MinHash banding: provably no false negatives, so the
+    * oracle is simply ALL qualifying pairs (same shingle CTEs as
+    * q_jaccard_pairs) and no recall audit is needed. Rational 1/5
+    * threshold, accepted by integer cross-multiplication in BOTH engines
+    * so no float boundary can split them.
+    */
+  val prefixJoin = Q("q_prefix_join",
+    (s, d) => graft.operators.SetSimJoin.jaccardShingleJoin(
+        documents(s, d).filter(docSubset), "text", "doc_id",
+        n = 3, num = 1L, den = 5L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH ${jaccardSqlCtes()}
+         SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS n_union
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                    JOIN sizes sb ON id_b = sb.doc_id
+         WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 1
+         ORDER BY id_a, id_b"""))
+
   /** X2 scale path: MinHash+LSH banded candidates (xxhash64-based —
     * DuckDB lacks the hash, so rows-only check; Jaccard above is the
     * semantic verifier).
@@ -1466,7 +1486,7 @@ object NorthStarQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, qualityScore, fingerprint,
     trainTestSplit, exactDedup, incrementalDedup, canonicalDedup,
-    jaccardPairs,
+    jaccardPairs, prefixJoin,
     minhashCandidates, minhashMd5,
     minhashRecall, simhash, simhashNearDup, embedTopK,
     annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,

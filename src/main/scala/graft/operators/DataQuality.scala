@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** K-anonymity suppression: rows whose quasi-identifier combination
+    * occurs fewer than `k` times get those columns replaced by `mask`
+    * (cast to string either way, so the output schema is uniform) — the
+    * aggregation-safety rule a training-data or analytics publication
+    * gate applies so no released group is smaller than k. One window
+    * count partitioned by the quasi columns (group-bounded, no global
+    * sort); all other columns pass through untouched.
+    */
+  def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      k: Long, mask: String = "(suppressed)")
+      : org.apache.spark.sql.DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(quasiCols.forall(df.columns.contains),
+      s"quasi columns ${quasiCols.filterNot(df.columns.contains).mkString(",")} absent")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val cnt = count(lit(1)).over(w)
+    df.select(df.columns.toSeq.map { c =>
+      if (quasiCols.contains(c))
+        when(cnt >= k, col(c).cast("string")).otherwise(lit(mask)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   final case class Check(name: String, constraint: Column)
 
   /** One row per check: (check_name, n_violations, n_rows). The single

@@ -62,4 +62,29 @@ class DataQualitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("v_positive=2"))
   }
+
+  test("kAnonymize masks only under-k quasi groups; other columns intact") {
+    import spark.implicits._
+    // (seg, nat): A/1 ×3, A/2 ×1, B/1 ×2
+    val df = Seq(
+      ("A", 1, 10.0), ("A", 1, 11.0), ("A", 1, 12.0),
+      ("A", 2, 20.0), ("B", 1, 30.0), ("B", 1, 31.0))
+      .toDF("seg", "nat", "bal")
+    val out = DataQuality.kAnonymize(df, Seq("seg", "nat"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // the singleton (A,2) is suppressed; groups of >= 2 keep their values
+    assert(out.count(t => t._1 == "(suppressed)" && t._2 == "(suppressed)") === 1)
+    assert(out.filter(_._3 == 20.0).head._1 === "(suppressed)")
+    assert(out.count(t => t._1 == "A" && t._2 == "1") === 3)
+    assert(out.count(t => t._1 == "B" && t._2 == "1") === 2)
+    // payload column untouched, row count preserved
+    assert(out.map(_._3).sorted.toSeq ===
+      Seq(10.0, 11.0, 12.0, 20.0, 30.0, 31.0))
+    // published rollup has no group under k (suppressed rows merge)
+    val rollup = DataQuality.kAnonymize(df, Seq("seg", "nat"), k = 2)
+      .groupBy("seg", "nat").count().collect()
+    assert(rollup.forall(_.getLong(2) >= 1))
+    assert(rollup.filter(r => r.getString(0) != "(suppressed)")
+      .forall(_.getLong(2) >= 2))
+  }
 }
