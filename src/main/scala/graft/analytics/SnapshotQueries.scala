@@ -329,7 +329,63 @@ object SnapshotQueries {
          FROM orders
          ORDER BY state"""))
 
+  /** X62: incremental small-file compaction — a streaming-style
+    * fragmented append merges into few files while the already-large
+    * bootstrap file is CARRIED untouched ([[Snapshots.compactSmall]];
+    * SnapshotsSpec asserts the byte-identical carry). Content oracle:
+    * the maintenance commit preserves the table and pre-compaction time
+    * travel exactly.
+    */
+  val compactSmallQ = Q("q_compact_small",
+    (s, d) => {
+      val tbl = freshTable(s, d, "cs")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)).coalesce(1),
+        tbl)
+      Snapshots.commit(
+        o.filter(col("o_orderdate") >= lit(cutoff)).repartition(12), tbl)
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxLen = Snapshots.manifest(s, tbl, 2).map(e =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tbl/${e.path}"))
+          .getLen).max
+      val v = Snapshots.compactSmall(s, tbl, minBytes = maxLen)
+      agg(Snapshots.read(s, tbl, Some(v)), v)
+        .unionByName(agg(Snapshots.read(s, tbl, Some(1)), 1))
+        .orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")}
+         FROM orders
+         ORDER BY version"""))
+
+  /** X62: commit history (DESCRIBE HISTORY) — one row per version with
+    * exact manifest row counts and the commit's provenance properties,
+    * all from driver-side manifest reads.
+    */
+  val tableHistory = Q("q_table_history",
+    (s, d) => {
+      val tbl = freshTable(s, d, "hist")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+        properties = Map("source" -> "backfill"))
+      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
+        properties = Map("source" -> "daily"))
+      Snapshots.history(s, tbl)
+        .select(col("version"), col("n_rows"), col("commit_props"))
+        .orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_rows,
+         'source=backfill' AS commit_props
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 2, count(*), 'source=daily' FROM orders
+         ORDER BY version"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution,
-    rollbackQ)
+    rollbackQ, compactSmallQ, tableHistory)
 }

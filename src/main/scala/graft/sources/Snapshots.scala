@@ -487,6 +487,60 @@ object Snapshots {
     dead
   }
 
+  /** Incremental compaction: rewrite ONLY the latest version's files
+    * smaller than `minBytes` into ~`targetBytes` outputs; files already
+    * big enough are CARRIED into the new manifest untouched (stats and
+    * blooms included). Rewrite cost is proportional to the small-file
+    * bytes — the OPTIMIZE loop a streaming-ingest table runs
+    * continuously, where [[compactVersion]]'s full rewrite would pay for
+    * the whole table every cycle. No-op (returns the current version)
+    * when fewer than two small files exist.
+    */
+  def compactSmall(spark: SparkSession, table: String, minBytes: Long,
+      targetBytes: Long = 128L << 20): Int = {
+    require(minBytes > 0 && targetBytes > 0,
+      s"minBytes/targetBytes must be positive, got $minBytes/$targetBytes")
+    val (fs, root) = fsOf(spark, table)
+    val cur = latestVersion(spark, table)
+    require(cur > 0, s"Snapshots.compactSmall: $table has no committed version")
+    val entries = manifest(spark, table, cur)
+    val (small, big) = entries.partition(e =>
+      fs.getFileStatus(new Path(root, e.path)).getLen < minBytes)
+    if (small.size <= 1) return cur
+    val bytes = small.map(e =>
+      fs.getFileStatus(new Path(root, e.path)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    commitWith(readFiles(spark, table, cur, small).repartition(nOut),
+      table, statsCols, Map.empty, bloomCols,
+      baseFor = parent => {
+        require(parent == cur, s"Snapshots.compactSmall: concurrent commit " +
+          s"on $table (planned against v$cur, parent is now v$parent) — retry")
+        big
+      })
+  }
+
+  /** Commit history as a DataFrame: one row per committed version with
+    * its file count, exact manifest row count, and commit properties
+    * (sorted `k=v` pairs, schema property elided — it is layout, not
+    * provenance). Driver-side manifest reads only; the DESCRIBE HISTORY
+    * surface of the table format.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val rows = versions(spark, table).map { v =>
+      val m = manifest(spark, table, v)
+      val props = properties(spark, table, v).toSeq
+        .filterNot(_._1 == SchemaProp).sortBy(_._1)
+        .map { case (k, x) => s"$k=$x" }.mkString(";")
+      (v, m.size, m.map(_.rows).sum, props)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_rows", "commit_props")
+  }
+
   /** Drop all but the last `keepLast` versions and delete every data file
     * no retained manifest references. Files shared between dropped and
     * retained versions (append lineage) survive. Returns the deleted data

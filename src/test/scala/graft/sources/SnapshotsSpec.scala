@@ -277,6 +277,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.removeOrphans(spark, tbl, olderThanMs = 3600000L).isEmpty)
   }
 
+  test("compactSmall rewrites only small files; the big file is carried") {
+    val tbl = freshTable("cs")
+    Snapshots.commit(orders.coalesce(1), tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.limit(200).repartition(8), tbl,
+      statsCols = Seq("o_orderkey"))
+    val before = Snapshots.manifest(spark, tbl, 2)
+    val sizes = before.map(e =>
+      fs(tbl).getFileStatus(new Path(s"$tbl/${e.path}")).getLen)
+    val v = Snapshots.compactSmall(spark, tbl, minBytes = sizes.max)
+    assert(v === 3)
+    val after = Snapshots.manifest(spark, tbl, 3)
+    assert(after.size < before.size)
+    // the biggest file survives byte-identical, stats intact
+    val bigPath = before(sizes.indexOf(sizes.max)).path
+    assert(after.exists(e => e.path === bigPath &&
+      e.stats.contains("o_orderkey")))
+    assert(Snapshots.read(spark, tbl).count() === orders.count() + 200)
+    assert(Snapshots.read(spark, tbl, Some(2)).count() === orders.count() + 200)
+    // no-op when no file is under the threshold
+    assert(Snapshots.compactSmall(spark, tbl, minBytes = 1L) === 3)
+  }
+
+  test("history lists committed versions with exact counts and props") {
+    val tbl = freshTable("hist")
+    Snapshots.commit(orders.limit(100), tbl, properties = Map("src" -> "a"))
+    Snapshots.commit(orders.limit(50), tbl, properties = Map("src" -> "b"))
+    val h = Snapshots.history(spark, tbl).orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(h.map(_.getLong(2)).toSeq === Seq(100L, 150L))
+    assert(h(1).getString(3) === "src=b")
+  }
+
   test("commit collision retries to the next version") {
     val tbl = freshTable("coll")
     Snapshots.commit(orders.limit(20), tbl)
