@@ -385,7 +385,31 @@ object SnapshotQueries {
          SELECT 2, count(*), 'source=daily' FROM orders
          ORDER BY version"""))
 
+  /** X63: STRING file skipping — the table is committed clustered by
+    * order priority with UTF-8 [min,max] envelopes in the manifest
+    * ([[Snapshots.scanPrunedStr]]; byte-wise UTF-8 order, the order
+    * Spark/DuckDB/parquet stats all compare with), then a priority-range
+    * scan prunes whole files driver-side (SnapshotsSpec asserts the
+    * count); the residual filter keeps the result exactly the full
+    * scan's, which the oracle pins.
+    */
+  val strSkip = Q("q_str_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "strskip")
+      Snapshots.commit(
+        orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .repartitionByRange(5, col("o_orderpriority")),
+        tbl, strStatsCols = Seq("o_orderpriority"))
+      Snapshots.scanPrunedStr(s, tbl, "o_orderpriority",
+          "1-URGENT", "2-HIGH").df
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders
+         WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution,
-    rollbackQ, compactSmallQ, tableHistory)
+    rollbackQ, compactSmallQ, tableHistory, strSkip)
 }

@@ -93,6 +93,64 @@ object ParquetMeta {
     * Columns with absent/empty statistics are omitted from the map, so
     * a file with unknown ranges is never wrongly skipped.
     */
+  /** Byte-wise unsigned UTF-8 comparison — the order Spark's UTF8String,
+    * DuckDB, and parquet's UTF8 statistics all use. Java's
+    * `String.compareTo` (UTF-16 code units) disagrees above the BMP, so
+    * envelope folding and pruning must NOT use it.
+    */
+  private[sources] def u8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** File-level [min, max] of STRING (UTF8 binary) columns from the
+    * footer — the text twin of [[fileStats]]. A column must carry stats
+    * in every row group to get an envelope (absent → omitted, never
+    * wrongly skipped); per-group envelopes fold under byte-wise UTF-8
+    * order ([[u8Less]]), matching the order engines compare strings
+    * with, and any writer-side stat truncation only widens envelopes, so
+    * pruning stays sound.
+    */
+  def fileStrStats(conf: org.apache.hadoop.conf.Configuration,
+      status: org.apache.hadoop.fs.FileStatus, cols: Seq[String])
+      : Map[String, (String, String)] = {
+    if (cols.isEmpty) return Map.empty
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      def asStr(v: Any): Option[String] = v match {
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new String(b.getBytes, "UTF-8"))
+        case _ => None
+      }
+      val perGroup = r.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+        block.getColumns.asScala
+          .filter(c => cols.contains(c.getPath.toDotString))
+          .flatMap { c =>
+            Option(c.getStatistics).filterNot(_.isEmpty).flatMap { st =>
+              for {
+                mn <- asStr(st.genericGetMin)
+                mx <- asStr(st.genericGetMax)
+              } yield c.getPath.toDotString -> (mn, mx)
+            }
+          }
+      }
+      val nGroups = r.getFooter.getBlocks.size()
+      perGroup.groupBy(_._1).collect {
+        case (col, vs) if vs.size == nGroups =>
+          col -> (vs.map(_._2._1).reduce((a, b) => if (u8Less(a, b)) a else b),
+            vs.map(_._2._2).reduce((a, b) => if (u8Less(a, b)) b else a))
+      }.toMap
+    } finally r.close()
+  }
+
   def fileStats(conf: org.apache.hadoop.conf.Configuration,
       status: org.apache.hadoop.fs.FileStatus, cols: Seq[String])
       : (Long, Map[String, (Long, Long)]) = {

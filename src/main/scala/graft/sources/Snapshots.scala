@@ -40,7 +40,8 @@ object Snapshots {
     */
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (Long, Long)],
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
 
@@ -114,12 +115,14 @@ object Snapshots {
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Seq.empty): Int = {
+      bloomCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty): Int = {
     val spark = df.sparkSession
     commitWith(df, table, statsCols, properties, bloomCols,
       baseFor = parent =>
         if (overwrite || parent == 0) Seq.empty[FileEntry]
-        else manifest(spark, table, parent))
+        else manifest(spark, table, parent),
+      strStatsCols = strStatsCols)
   }
 
   /** Core commit: write `df` as a new data batch, then publish a manifest
@@ -131,7 +134,8 @@ object Snapshots {
     */
   private def commitWith(df: DataFrame, table: String,
       statsCols: Seq[String], properties: Map[String, String],
-      bloomCols: Seq[String], baseFor: Int => Seq[FileEntry]): Int = {
+      bloomCols: Seq[String], baseFor: Int => Seq[FileEntry],
+      strStatsCols: Seq[String] = Seq.empty): Int = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -144,7 +148,8 @@ object Snapshots {
       val (rows, ranges) = ParquetMeta.fileStats(conf, st, statsCols)
       val rel = rootUri.relativize(st.getPath.toUri).getPath
       FileEntry(rel, rows, ranges,
-        blooms.getOrElse(st.getPath.toUri.getPath, Map.empty))
+        blooms.getOrElse(st.getPath.toUri.getPath, Map.empty),
+        ParquetMeta.fileStrStats(conf, st, strStatsCols))
     }.sortBy(_.path)
     // the committing schema rides the manifest: readers apply it to every
     // file of the version, so files written before a column was added
@@ -289,6 +294,31 @@ object Snapshots {
     PrunedScan(df, kept.size, skipped.size)
   }
 
+  /** String-range scan pruned by per-file UTF-8 [min,max] envelopes
+    * (recorded via `strStatsCols` at commit): a file is skipped only
+    * when its envelope provably misses [lo, hi] under byte-wise UTF-8
+    * order — the order Spark, DuckDB and parquet statistics all compare
+    * strings with. Files without a recorded envelope are always read;
+    * the residual filter keeps the result exactly the full scan's.
+    */
+  def scanPrunedStr(spark: SparkSession, table: String, col: String,
+      lo: String, hi: String, version: Option[Int] = None): PrunedScan = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val files = manifest(spark, table, v)
+    val (kept, skipped) = files.partition(e => e.strStats.get(col) match {
+      case Some((mn, mx)) =>
+        // intersects iff NOT (mx < lo) and NOT (hi < mn)
+        !ParquetMeta.u8Less(mx, lo) && !ParquetMeta.u8Less(hi, mn)
+      case None => true
+    })
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val pred = c(col) >= lit(lo) && c(col) <= lit(hi)
+    val df =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
+      else readFiles(spark, table, v, kept).filter(pred)
+    PrunedScan(df, kept.size, skipped.size)
+  }
+
   /** Equality scan pruned by per-file BLOOM filters: if `value`'s two
     * probe bits are not both set in a file's bloom, the file provably
     * does not contain the value and is skipped driver-side. This is the
@@ -391,12 +421,14 @@ object Snapshots {
       .getOrElse(Seq.empty)
     val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
+    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
     val next = commitWith(newData, table, statsCols, properties, bloomCols,
       baseFor = parent => {
         require(parent == v, s"Snapshots.merge: concurrent commit on $table " +
           s"(planned against v$v, parent is now v$parent) — retry the merge")
         carried
-      })
+      }, strStatsCols = strCols)
     MergeResult(next, touched.size, carried.size)
   }
 
@@ -418,8 +450,11 @@ object Snapshots {
       .getOrElse(Seq.empty)
     val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
+    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
     commit(read(spark, table, Some(cur)).repartition(nOut), table,
-      overwrite = true, statsCols = statsCols, bloomCols = bloomCols)
+      overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
+      strStatsCols = strCols)
   }
 
   /** Roll the table back to `toVersion` as a NEW commit whose file set is
@@ -514,13 +549,15 @@ object Snapshots {
       .getOrElse(Seq.empty)
     val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
+    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
     commitWith(readFiles(spark, table, cur, small).repartition(nOut),
       table, statsCols, Map.empty, bloomCols,
       baseFor = parent => {
         require(parent == cur, s"Snapshots.compactSmall: concurrent commit " +
           s"on $table (planned against v$cur, parent is now v$parent) — retry")
         big
-      })
+      }, strStatsCols = strCols)
   }
 
   /** Commit history as a DataFrame: one row per committed version with
@@ -630,19 +667,33 @@ object Snapshots {
 
   // ---- manifest text format (one file per version, driver-side IO) ----
 
+  private def hexStr(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
+  private def unhexStr(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
   private def fmt(e: FileEntry): String = {
     val stats = e.stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(";")
-    val base = s"${e.path}\t${e.rows}\t$stats"
-    if (e.blooms.isEmpty) base
-    else base + "\t" + e.blooms.toSeq.sortBy(_._1)
+    val bloomF = e.blooms.toSeq.sortBy(_._1)
       .map { case (c, bits) => s"$c=${bits.map(l => f"$l%016x").mkString}" }
       .mkString(";")
+    // string envelopes hex-encode their values: arbitrary text can hold
+    // the separators (and tabs/newlines) the manifest format reserves
+    val strF = e.strStats.toSeq.sortBy(_._1)
+      .map { case (c, (mn, mx)) => s"$c=${hexStr(mn)}:${hexStr(mx)}" }
+      .mkString(";")
+    val base = s"${e.path}\t${e.rows}\t$stats"
+    if (e.strStats.nonEmpty) s"$base\t$bloomF\t$strF"
+    else if (e.blooms.nonEmpty) s"$base\t$bloomF"
+    else base
   }
 
   private def parse(line: String): FileEntry = {
     val parts = line.split("\t", -1)
-    require(parts.length == 3 || parts.length == 4,
+    require(parts.length >= 3 && parts.length <= 5,
       s"bad manifest line: $line")
     val stats = parts(2).split(";").filter(_.nonEmpty).map { kv =>
       val Array(c, range) = kv.split("=", 2)
@@ -655,7 +706,14 @@ object Snapshots {
         val Array(c, hex) = kv.split("=", 2)
         c -> hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
       }.toMap
-    FileEntry(parts(0), parts(1).toLong, stats, blooms)
+    val strStats =
+      if (parts.length < 5) Map.empty[String, (String, String)]
+      else parts(4).split(";").filter(_.nonEmpty).map { kv =>
+        val Array(c, range) = kv.split("=", 2)
+        val Array(mn, mx) = range.split(":", 2)
+        c -> (unhexStr(mn), unhexStr(mx))
+      }.toMap
+    FileEntry(parts(0), parts(1).toLong, stats, blooms, strStats)
   }
 
   private final case class ManifestData(props: Map[String, String],

@@ -309,6 +309,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(h(1).getString(3) === "src=b")
   }
 
+  test("scanPrunedStr skips files by UTF-8 envelope and loses no rows") {
+    val tbl = freshTable("strskip")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Snapshots.commit(o.repartitionByRange(5, col("o_orderpriority")), tbl,
+      strStatsCols = Seq("o_orderpriority"))
+    val ps = Snapshots.scanPrunedStr(spark, tbl, "o_orderpriority",
+      "1-URGENT", "2-HIGH")
+    assert(ps.filesSkipped > 0, "priority-clustered files must skip")
+    val expect = o.filter(col("o_orderpriority")
+      .between("1-URGENT", "2-HIGH")).count()
+    assert(ps.df.count() === expect)
+    // a column without recorded string stats never skips
+    val ps2 = Snapshots.scanPrunedStr(spark, tbl, "o_orderkey", "a", "b")
+    assert(ps2.filesSkipped === 0)
+    // envelopes survive incremental compaction (carried like statsCols)
+    Snapshots.commit(o.limit(10), tbl)
+    val sizes = Snapshots.manifest(spark, tbl, 2).map(e =>
+      fs(tbl).getFileStatus(new Path(s"$tbl/${e.path}")).getLen)
+    Snapshots.compactSmall(spark, tbl, minBytes = sizes.max)
+    val after = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    assert(after.exists(_.strStats.contains("o_orderpriority")))
+  }
+
   test("commit collision retries to the next version") {
     val tbl = freshTable("coll")
     Snapshots.commit(orders.limit(20), tbl)
