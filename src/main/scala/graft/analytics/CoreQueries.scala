@@ -516,11 +516,14 @@ object CoreQueries {
             ORDER BY check_name"""))
 
   /** Privacy release gate: k-anonymity suppression over the
-    * (segment, nation) quasi-identifier — cells under k=10 customers
-    * collapse into one '(suppressed)' bucket before publication
-    * ([[graft.operators.DataQuality.kAnonymize]]), so the published
-    * rollup provably contains no group smaller than k. One
-    * quasi-key-partitioned window count, no global sort.
+    * (segment, nation) quasi-identifier
+    * ([[graft.operators.DataQuality.kAnonymize]]) — cells under k=10
+    * collapse into one '(suppressed)' bucket, and the suppression set
+    * EXTENDS over the next-smallest cells until that bucket itself holds
+    * ≥ k rows (a residual under k would leak exactly the small-group
+    * fact the gate hides). The oracle replays the whole rule: cell
+    * counts, the deterministic (count, values) order, the
+    * cumulative-before-prefix extension, and the masked rollup.
     */
   val kAnonymity = Q("q_k_anonymity",
     (s, d) => {
@@ -533,13 +536,25 @@ object CoreQueries {
           dsum(col("c_acctbal")).as("total_balance"))
         .orderBy(col("c_mktsegment"), col("c_nationkey"))
     },
-    Some(s"""WITH g AS (SELECT c_acctbal,
-           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) >= 10
-                THEN c_mktsegment ELSE '(suppressed)' END AS c_mktsegment,
-           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) >= 10
-                THEN CAST(c_nationkey AS VARCHAR) ELSE '(suppressed)' END
-                AS c_nationkey
-           FROM customer)
+    Some(s"""WITH cells AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+           count(*) AS cnt FROM customer GROUP BY 1, 2),
+         ord AS (SELECT seg, nat, cnt,
+           coalesce(sum(cnt) OVER (
+             ORDER BY cnt, seg, CAST(nat AS VARCHAR)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           FROM cells),
+         anyu AS (SELECT max(CASE WHEN cnt < 10 THEN 1 ELSE 0 END) AS a
+           FROM cells),
+         flag AS (SELECT seg, nat,
+           (SELECT a FROM anyu) = 1 AND (cnt < 10 OR cumb < 10) AS supp
+           FROM ord),
+         g AS (SELECT c.c_acctbal,
+           CASE WHEN f.supp THEN '(suppressed)' ELSE c.c_mktsegment END
+             AS c_mktsegment,
+           CASE WHEN f.supp THEN '(suppressed)'
+             ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey
+           FROM customer c JOIN flag f
+             ON c.c_mktsegment = f.seg AND c.c_nationkey = f.nat)
          SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
            ${dsumSql("c_acctbal")} AS total_balance
          FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))

@@ -16,16 +16,18 @@ object TextFunctions {
     * spacing hashes onto its original (the cheap canonicalization layer
     * every dedup pipeline runs BEFORE the expensive near-dup tiers).
     * Java's `\p{Punct}` and RE2's `[[:punct:]]` are the same ASCII
-    * class, so the oracle replays it exactly.
+    * class; whitespace uses an EXPLICIT class because Java's `\s`
+    * includes vertical tab while RE2's does not — the one place the two
+    * engines' regex dialects would silently diverge.
     */
   def canonicalText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", " "),
-      "\\s+", " "))
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** SQL twin of [[canonicalText]] over a DuckDB expression. */
   def canonicalTextSql(expr: String): String =
     s"trim(regexp_replace(regexp_replace(lower($expr), " +
-      "'[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      "'[[:punct:]]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
   /** Whitespace token count. `split` on empty string yields one empty
     * token in both Spark and ANSI SQL — callers on possibly-empty text

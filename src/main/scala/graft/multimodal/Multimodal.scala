@@ -210,7 +210,9 @@ object Multimodal {
     while (i + 8 <= p.length) {
       val id = tag(i)
       val len = b.getInt(i + 4)
-      if (len < 0 || i + 8 + len > p.length) return None
+      // bounds check in LONG: a fabricated len near Int.MaxValue would
+      // wrap `i + 8 + len` negative and sneak past an Int comparison
+      if (len < 0 || i.toLong + 8L + len > p.length.toLong) return None
       if (id == "fmt " && len >= 16) {
         if (b.getShort(i + 8) != 1) return None // PCM only
         fmt = Some((b.getShort(i + 10).toInt, b.getInt(i + 12),

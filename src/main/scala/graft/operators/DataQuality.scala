@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** K-anonymity suppression: rows whose quasi-identifier combination
-    * occurs fewer than `k` times get those columns replaced by `mask`
-    * (cast to string either way, so the output schema is uniform) — the
-    * aggregation-safety rule a training-data or analytics publication
-    * gate applies so no released group is smaller than k. One window
-    * count partitioned by the quasi columns (group-bounded, no global
-    * sort); all other columns pass through untouched.
+  /** K-anonymity suppression: rows whose quasi-identifier combination is
+    * suppressed get those columns replaced by `mask` (cast to string
+    * either way, so the output schema is uniform) — the release rule a
+    * training-data or analytics publication gate applies so no published
+    * group is smaller than k.
+    *
+    * Suppression set: every cell under k — PLUS, whenever any such cell
+    * exists, the further smallest cells (deterministic (count, values)
+    * order) until the merged "(suppressed)" bucket itself holds ≥ k rows.
+    * Without the extension the residual bucket can be smaller than k and
+    * leak exactly the small-group fact the gate exists to hide. When the
+    * WHOLE input is under k everything is suppressed into one bucket
+    * (nothing finer is publishable). The cell ordering is a
+    * cell-cardinality-sized sort (a dimension build, not a data one);
+    * the data-sized work is one group count + one mask join.
     */
   def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
       k: Long, mask: String = "(suppressed)")
@@ -29,14 +37,29 @@ object DataQuality {
     require(quasiCols.forall(df.columns.contains),
       s"quasi columns ${quasiCols.filterNot(df.columns.contains).mkString(",")} absent")
     require(k >= 1, s"k must be >= 1, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(quasiCols.map(col): _*)
-    val cnt = count(lit(1)).over(w)
-    df.select(df.columns.toSeq.map { c =>
-      if (quasiCols.contains(c))
-        when(cnt >= k, col(c).cast("string")).otherwise(lit(mask)).as(c)
-      else col(c)
-    }: _*)
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    // smallest-first, ties broken on the (string-cast) quasi values so
+    // the order — and therefore the suppression set — is deterministic
+    // and engine-replayable
+    val ord = Window.orderBy(
+      col("_cnt") +: quasiCols.map(c => col(c).cast("string")): _*)
+    val cumBefore = coalesce(sum(col("_cnt"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val hasUnder = cells
+      .agg(max(when(col("_cnt") < k, 1).otherwise(0)).as("_any"))
+    val flagged = cells
+      .crossJoin(org.apache.spark.sql.functions.broadcast(hasUnder))
+      .withColumn("_supp",
+        col("_any") === 1 && (col("_cnt") < k || cumBefore < k))
+      .select(quasiCols.map(col) :+ col("_supp"): _*)
+    df.join(flagged, quasiCols, "left")
+      .select(df.columns.toSeq.map { c =>
+        if (quasiCols.contains(c))
+          when(col("_supp"), lit(mask)).otherwise(col(c).cast("string")).as(c)
+        else col(c)
+      }: _*)
   }
 
   final case class Check(name: String, constraint: Column)

@@ -56,19 +56,6 @@ object RangeJoin {
       s"points and intervals column names must be disjoint; both define " +
         overlap.toSeq.sorted.mkString(", "))
     val p = points.withColumn(bucketCol, floorDiv(col(pointCol), bucketWidth))
-    val startB = floorDiv(col(startCol), bucketWidth)
-    val endB = floorDiv(col(endCol), bucketWidth)
-    // assert_true yields NULL on success, so the `when` collapses to endB
-    // on every valid row and the guard rides the same codegen stage — no
-    // extra pass over the interval side. The span check stays in EXACT
-    // long arithmetic with overflow detected explicitly: `try_subtract`
-    // returns NULL when endB - startB exceeds the long range (a sentinel
-    // interval spanning ~2^64 buckets — plain `-` would throw ANSI
-    // ARITHMETIC_OVERFLOW before the guard could produce its message),
-    // and NULL fails the guard just like an over-cap span. A double
-    // check would be overflow-safe but rounds near 2^53, passing spans
-    // just over the cap (and tripping some just under) — exactness
-    // matters because the cap is the caller's hard explode-size contract.
     val iv = explodeToBuckets(intervals, startCol, endCol, bucketWidth,
       maxBucketsPerInterval)
     p.join(iv, bucketCol)
@@ -119,11 +106,15 @@ object RangeJoin {
   }
 
   /** Explode each [startCol, endCol] row into one row per covered bucket,
-    * with the span guard of [[pointInInterval]]: exact long arithmetic,
-    * `try_subtract` so a sentinel interval produces the explanatory
-    * assert instead of an ANSI overflow, and the assert riding the same
-    * codegen stage (assert_true yields NULL on success, so the `when`
-    * collapses to the end bucket on every valid row).
+    * with the span guard: exact LONG arithmetic — `try_subtract` returns
+    * NULL when endB - startB exceeds the long range (a sentinel interval
+    * spanning ~2^64 buckets; plain `-` would throw ANSI overflow before
+    * the guard could explain), and NULL fails the guard like an over-cap
+    * span. assert_true yields NULL on success, so the `when` collapses to
+    * the end bucket on every valid row and the guard rides the same
+    * codegen stage — no extra pass. A double check would be overflow-safe
+    * but rounds near 2^53, passing spans just over the cap — exactness
+    * matters because the cap is the caller's hard explode-size contract.
     */
   private def explodeToBuckets(df: DataFrame, startCol: String,
       endCol: String, bucketWidth: Long, maxBucketsPerInterval: Long)

@@ -679,8 +679,9 @@ object TrainingData {
       if (k == 0) col("tok") else lead(col("tok"), k).over(w))
     val full = if (window == 1) lit(true)
       else lead(col("tok"), window - 1).over(w).isNotNull
-    val h = pmod(conv(substring(md5(concat_ws(" ", parts: _*)), 1, 8), 16, 10)
-      .cast("long"), lit(divisor))
+    // the shared md5-prefix bucket (TF.splitBucket ≡ md5BucketSql), so
+    // boundary hashing can never drift from the oracle replay
+    val h = TF.splitBucket(concat_ws(" ", parts: _*), divisor.toInt)
     val marked = toks.withColumn("bnd",
       when(col("pos") > 0 && full && h === 0, 1).otherwise(0))
     val chunked = marked.withColumn("chunk",

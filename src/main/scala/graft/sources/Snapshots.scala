@@ -136,6 +136,9 @@ object Snapshots {
       statsCols: Seq[String], properties: Map[String, String],
       bloomCols: Seq[String], baseFor: Int => Seq[FileEntry],
       strStatsCols: Seq[String] = Seq.empty): Int = {
+    // validate BEFORE the data write: a rejected property must not cost a
+    // full batch write and leave orphan debris
+    requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
@@ -163,12 +166,15 @@ object Snapshots {
     * data commits ([[commitWith]]) and metadata-only commits
     * ([[rollback]]).
     */
+  private def requireProps(props: Map[String, String]): Unit =
+    require(props.forall { case (k, v) =>
+      !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
+      "property keys/values must be single-line, tab-free; keys '='-free")
+
   private def publishManifest(spark: SparkSession, table: String,
       properties: Map[String, String], newEntries: Seq[FileEntry],
       baseFor: Int => Seq[FileEntry]): Int = {
-    require(properties.forall { case (k, v) =>
-      !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
-      "property keys/values must be single-line, tab-free; keys '='-free")
+    requireProps(properties)
     val (fs, root) = fsOf(spark, table)
     fs.mkdirs(new Path(root, "_manifests"))
     var attempts = 0
@@ -417,12 +423,11 @@ object Snapshots {
     val survivors = base.join(antiSide, c(keyCol) === c("_merge_key"),
       "left_anti")
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
-    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
+    // union across ALL entries: a stats-less head entry (e.g. a 0-row
+    // file) must not silently drop envelopes from the rewritten files
+    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
     val next = commitWith(newData, table, statsCols, properties, bloomCols,
       baseFor = parent => {
         require(parent == v, s"Snapshots.merge: concurrent commit on $table " +
@@ -446,12 +451,11 @@ object Snapshots {
     val bytes = entries.map(e =>
       fs.getFileStatus(new Path(root, e.path)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
+    // union across ALL entries: a stats-less head entry (e.g. a 0-row
+    // file) must not silently drop envelopes from the rewritten files
+    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
     commit(read(spark, table, Some(cur)).repartition(nOut), table,
       overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
       strStatsCols = strCols)
@@ -514,12 +518,32 @@ object Snapshots {
       }.toSet
     val rootUri = fs.makeQualified(root).toUri
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val dead = listParquet(fs, new Path(root, "data"))
-      .filter(_.getModificationTime < cutoff)
-      .map(st => rootUri.relativize(st.getPath.toUri).getPath)
-      .filterNot(referenced.contains)
-    dead.foreach(p => fs.delete(new Path(root, p), false))
-    dead
+    def rel(st: FileStatus): String =
+      rootUri.relativize(st.getPath.toUri).getPath
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Seq.empty
+    // whole-batch-dir granularity: a batch dir with NO referenced parquet
+    // file and nothing younger than the horizon is deleted recursively,
+    // so _SUCCESS markers and the directory itself are reclaimed too (a
+    // per-file delete would accumulate empty dirs forever); a dir holding
+    // any referenced or fresh file keeps ALL its bytes
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      val all = {
+        val it = fs.listFiles(d.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      }
+      val keep = all.exists(st =>
+        st.getModificationTime >= cutoff ||
+          (st.getPath.getName.endsWith(".parquet") && referenced.contains(rel(st))))
+      if (!keep && all.nonEmpty) {
+        deleted ++= all.filter(_.getPath.getName.endsWith(".parquet")).map(rel)
+        fs.delete(d.getPath, true)
+      }
+    }
+    deleted.toSeq
   }
 
   /** Incremental compaction: rewrite ONLY the latest version's files
@@ -545,12 +569,11 @@ object Snapshots {
     val bytes = small.map(e =>
       fs.getFileStatus(new Path(root, e.path)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val statsCols = entries.headOption.map(_.stats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val bloomCols = entries.headOption.map(_.blooms.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
-    val strCols = entries.headOption.map(_.strStats.keys.toSeq.sorted)
-      .getOrElse(Seq.empty)
+    // union across ALL entries: a stats-less head entry (e.g. a 0-row
+    // file) must not silently drop envelopes from the rewritten files
+    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
     commitWith(readFiles(spark, table, cur, small).repartition(nOut),
       table, statsCols, Map.empty, bloomCols,
       baseFor = parent => {

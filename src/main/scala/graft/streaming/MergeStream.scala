@@ -52,12 +52,15 @@ object MergeStream {
       : Unit = {
     if (batch.isEmpty) return // no version for an empty batch
     val spark = batch.sparkSession
-    val latestV = Snapshots.latestVersion(spark, table)
-    require(latestV > 0,
+    val vs = Snapshots.versions(spark, table)
+    require(vs.nonEmpty,
       s"MergeStream: $table needs a bootstrapped version before streaming")
-    val applied = Snapshots.properties(spark, table, latestV)
-      .get(batchProp).map(_.toLong)
-    if (applied.exists(_ >= batchId)) return // replayed batch: committed
+    // scan ALL retained versions for the marker, not just the latest: an
+    // interleaved maintenance commit (compactSmall, rollback, a manual
+    // append) would otherwise hide it and a replayed batch would re-apply
+    val applied = vs.flatMap(v =>
+      Snapshots.properties(spark, table, v).get(batchProp).map(_.toLong))
+    if (applied.nonEmpty && applied.max >= batchId) return // replay: done
     val dataCols = batch.columns
       .filterNot(c => c == opCol || c == versionCol || c == keyCol).toSeq
     val winners = batch.groupBy(col(keyCol))

@@ -44,11 +44,12 @@ object SnapshotStream {
       table: String, statsCols: Seq[String]): Unit = {
     if (batch.isEmpty) return // no version for an empty batch
     val spark = batch.sparkSession
-    val latest = Snapshots.latestVersion(spark, table)
-    val applied =
-      if (latest == 0) None
-      else Snapshots.properties(spark, table, latest).get(batchProp).map(_.toLong)
-    if (applied.exists(_ >= batchId)) return // at-least-once replay: committed
+    // scan ALL retained versions for the marker, not just the latest: an
+    // interleaved maintenance commit (compaction, rollback) would hide it
+    // and a replayed batch would re-ingest
+    val applied = Snapshots.versions(spark, table).flatMap(v =>
+      Snapshots.properties(spark, table, v).get(batchProp).map(_.toLong))
+    if (applied.nonEmpty && applied.max >= batchId) return // replay: done
     Snapshots.commit(batch, table, statsCols = statsCols,
       properties = Map(batchProp -> batchId.toString))
   }

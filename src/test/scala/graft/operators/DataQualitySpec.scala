@@ -63,7 +63,7 @@ class DataQualitySpec extends SparkSpec {
     assert(ex.getMessage.contains("v_positive=2"))
   }
 
-  test("kAnonymize masks only under-k quasi groups; other columns intact") {
+  test("kAnonymize suppresses under-k cells AND pads the residual to k") {
     import spark.implicits._
     // (seg, nat): A/1 ×3, A/2 ×1, B/1 ×2
     val df = Seq(
@@ -72,19 +72,28 @@ class DataQualitySpec extends SparkSpec {
       .toDF("seg", "nat", "bal")
     val out = DataQuality.kAnonymize(df, Seq("seg", "nat"), k = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    // the singleton (A,2) is suppressed; groups of >= 2 keep their values
-    assert(out.count(t => t._1 == "(suppressed)" && t._2 == "(suppressed)") === 1)
+    // the singleton (A,2) is under k; alone it would leak a 1-row bucket,
+    // so the next-smallest cell (B,1) joins the suppression set
     assert(out.filter(_._3 == 20.0).head._1 === "(suppressed)")
+    assert(out.filter(_._3 == 30.0).head._1 === "(suppressed)")
+    assert(out.count(t => t._1 == "(suppressed)") === 3)
     assert(out.count(t => t._1 == "A" && t._2 == "1") === 3)
-    assert(out.count(t => t._1 == "B" && t._2 == "1") === 2)
     // payload column untouched, row count preserved
     assert(out.map(_._3).sorted.toSeq ===
       Seq(10.0, 11.0, 12.0, 20.0, 30.0, 31.0))
-    // published rollup has no group under k (suppressed rows merge)
+    // the published rollup — INCLUDING the residual bucket — has no
+    // group under k
     val rollup = DataQuality.kAnonymize(df, Seq("seg", "nat"), k = 2)
       .groupBy("seg", "nat").count().collect()
-    assert(rollup.forall(_.getLong(2) >= 1))
-    assert(rollup.filter(r => r.getString(0) != "(suppressed)")
-      .forall(_.getLong(2) >= 2))
+    assert(rollup.forall(_.getLong(2) >= 2))
+    // no under-k cell → nothing suppressed at all
+    val clean = DataQuality.kAnonymize(df, Seq("seg"), k = 2)
+      .collect().map(_.getString(0))
+    assert(!clean.contains("(suppressed)"))
+    // whole input under k → one total-suppression bucket
+    val tiny = DataQuality.kAnonymize(
+      Seq(("A", 1, 1.0)).toDF("seg", "nat", "bal"), Seq("seg", "nat"), k = 5)
+      .collect().map(_.getString(0))
+    assert(tiny.toSeq === Seq("(suppressed)"))
   }
 }
