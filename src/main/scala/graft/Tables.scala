@@ -20,17 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 has
-    * no native type for — read it as a raw ns long (legacy conf) and
-    * truncate to a microsecond timestamp, the same floor DuckDB applies on
-    * `CAST(ts AS TIMESTAMP)`, so oracle comparisons see identical instants.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark 4 has no native nanos type — read as raw ns long
+    * via the legacy conf and truncate to micros, the same floor DuckDB
+    * applies on `CAST(ts AS TIMESTAMP)`) and as TIMESTAMP(MICROS) NTZ in
+    * others. Branch on the INFERRED type so either generation reads to
+    * the same session-TZ microsecond timestamp (session is pinned UTC,
+    * so NTZ→TZ re-tagging preserves the instant).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      // integer `div`, NOT `/`: ns-since-epoch exceeds 2^53, so a double
-      // division would lose sub-microsecond precision.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: ns-since-epoch exceeds 2^53, so a double
+        // division would lose sub-microsecond precision.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

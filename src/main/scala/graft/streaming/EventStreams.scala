@@ -78,18 +78,22 @@ object EventStreams {
 
   /** File-source stream over a directory of event parquet files (the
     * production ingestion shape: a landing directory new files drop
-    * into). Declares the events schema explicitly with `ts` as a raw ns
-    * long — file streams cannot infer — and converts exactly like
-    * [[graft.Tables.events]].
+    * into). File streams cannot infer a schema, so one batch footer read
+    * supplies it; `ts` then converts exactly like [[graft.Tables.events]]
+    * — raw-ns-long and micros-NTZ generations both land on a session-TZ
+    * microsecond timestamp.
     */
   def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
