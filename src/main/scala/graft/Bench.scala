@@ -83,6 +83,20 @@ object Bench {
     // re-measure. Headline total first, bulky maps ordered so timings
     // survive any truncation.
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"sf":"$sfDir","errors":$errJson,"plans":$planJson,"queries":$qs}""")
+    // Second, compact line (the r7 verdict's suggested form): the driver's
+    // tail capture keeps only the LAST ~2000 chars of output, and the full
+    // line above outgrew it (r8: 65 of 164 timings survived). Integer-ms
+    // timings, slowest LAST so front-truncation can only ever drop the
+    // cheapest queries, line capped well under the capture window.
+    val budget = 1700
+    val entries = results.filter(_._2 >= 0).sortBy(_._2)
+      .map { case (k, v) => jsonStr(k) + ":" + math.round(v * 1000) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.reverse.foreach { e => // take from the slow end first
+      if (used + e.length + 1 <= budget) { kept.prepend(e); used += e.length + 1 }
+    }
+    println(s"""{"timings_ms":{${kept.mkString(",")}},"n_shown":${kept.size},"n_total":${entries.size},"total_ms":${math.round(total * 1000)},"err":${errors.size}}""")
     spark.stop()
   }
 }
