@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{CoreQueries, EventQueries, ExtendedQueries, NorthStarQueries, PipelineQueries, Q, Scd2Queries, SnapshotQueries}
+import graft.analytics.{CoreQueries, EventQueries, ExtendedQueries, MiningQueries, NorthStarQueries, PipelineQueries, Q, Scd2Queries, SnapshotQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,7 @@ object SparkEntry {
   val catalog: Seq[Q] =
     CoreQueries.all ++ Scd2Queries.all ++ EventQueries.all ++
       NorthStarQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
-      SnapshotQueries.all
+      SnapshotQueries.all ++ MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,209 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.analytics.QueryDsl._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{DataQuality, EditDistanceJoin, Series, TrainingData}
+import org.apache.spark.sql.functions._
+
+/** Mining-tier queries: fuzzy string matching, time-series repair and
+  * anomaly flagging, privacy-diversity auditing, weighted sampling, and
+  * text-texture scoring. Every entry is DuckDB-oracled hash-exact — the
+  * floating-point ones through the engine's decimal-exact-sum /
+  * fixed-expression-order / round(6) parity discipline.
+  */
+object MiningQueries {
+
+  /** X61: edit-distance similarity self-join over the part-name
+    * vocabulary ([[graft.operators.EditDistanceJoin]] — PassJoin segment
+    * pruning, never a cross product). Deduplicating to the DISTINCT name
+    * dictionary first is the scale pattern the operator's scaladoc
+    * prescribes: the dictionary is orders of magnitude smaller than the
+    * fact table and its segments carry entropy, and the row counts fan
+    * back with one small join. The oracle is the brute-force levenshtein
+    * join (sound+complete filter ⇒ identical pairs).
+    */
+  val fuzzyNames = Q("q_fuzzy_names",
+    (s, d) => {
+      val names = part(s, d).groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_rows"))
+      val pairs = EditDistanceJoin.selfJoin(
+        names.select(col("name")), "name", "name", k = 2)
+      pairs
+        .join(names.select(col("name").as("id_a"), col("n_rows").as("n_a")),
+          "id_a")
+        .join(names.select(col("name").as("id_b"), col("n_rows").as("n_b")),
+          "id_b")
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist").cast("int").as("dist"), col("n_a"), col("n_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""WITH n AS (SELECT p_name AS name, count(*) AS n_rows
+             FROM part GROUP BY 1)
+           SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+             a.n_rows AS n_a, b.n_rows AS n_b
+           FROM n a JOIN n b ON a.name < b.name
+             AND abs(length(a.name) - length(b.name)) <= 2
+           WHERE levenshtein(a.name, b.name) <= 2
+           ORDER BY name_a, name_b"""))
+
+  /** X63: calendar gap-fill + linear interpolation
+    * ([[graft.operators.Series.interpolateDaily]]) of a sparse daily
+    * revenue series (one user cohort's purchases — deliberately gappy).
+    * The lerp is the same written expression in both engines over
+    * decimal-exact daily sums, rounded 6 for the cast ulp.
+    */
+  val interpolate = Q("q_interpolate",
+    (s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") % 50 === 3)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("v"))
+      Series.interpolateDaily(daily, "day", "v").orderBy(col("day"))
+    },
+    Some(s"""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ${dsumSql("value")} AS v
+             FROM events
+             WHERE event_type = 'purchase' AND user_id % 50 = 3 GROUP BY 1),
+           b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+           cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+               INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+           j AS (SELECT c.day, dd.v FROM cal c
+             LEFT JOIN daily dd USING (day)),
+           w AS (SELECT day, v,
+             last_value(v IGNORE NULLS) OVER pre AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER pre AS pd,
+             first_value(v IGNORE NULLS) OVER post AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER post AS nd
+             FROM j
+             WINDOW pre AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               post AS (ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           SELECT day, v IS NOT NULL AS observed,
+             round(CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
+                   CAST(nd - pd AS DOUBLE))
+               WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
+           FROM w ORDER BY day"""))
+
+  /** X64: rolling z-score anomaly detection
+    * ([[graft.operators.Series.rollingZScore]]) over per-type daily
+    * revenue: trailing-7-row mean/variance from DECIMAL-exact window
+    * sums of x and x², z rounded 6, flag compared on the rounded value —
+    * iterative-FP parity without a single data-ordered float sum.
+    */
+  val anomaly = Q("q_anomaly",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("daily_total"))
+      Series.rollingZScore(daily, "event_type", "day", "daily_total",
+          windowRows = 7, threshold = 2.0)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH daily AS (SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ${dsumSql("value")} AS x
+             FROM events GROUP BY 1, 2),
+           w AS (SELECT event_type, day, x,
+               CAST(count(x) OVER win AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) OVER win AS DOUBLE) AS s,
+               CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER win AS DOUBLE) AS ss
+             FROM daily
+             WINDOW win AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+           z AS (SELECT event_type, day, x, n,
+               CASE WHEN sqrt(greatest(0.0, ss / n - (s / n) * (s / n))) > 0
+                 THEN round((x - s / n) /
+                   sqrt(greatest(0.0, ss / n - (s / n) * (s / n))), 6)
+               END AS z
+             FROM w)
+           SELECT event_type, day, x AS value, CAST(n AS BIGINT) AS n_window,
+             z, coalesce(abs(z) > 2.0, false) AS is_anomaly
+           FROM z ORDER BY event_type, day"""))
+
+  /** X65: l-diversity release audit
+    * ([[graft.operators.DataQuality.lDiversity]]) — the companion to
+    * q_k_anonymity: per (segment, nation) cell, how many DISTINCT
+    * account-balance bands its customers span; a cell below l=3 would
+    * publish its members' balance band even though the cell is large.
+    */
+  val lDiversityAudit = Q("q_l_diversity",
+    (s, d) => DataQuality.lDiversity(customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("bigint"), l = 3L)
+      .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""WITH fine AS (SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+             count(*) AS n
+           FROM customer GROUP BY 1, 2, 3)
+           SELECT c_mktsegment, c_nationkey, CAST(sum(n) AS BIGINT) AS n_rows,
+             count(*) AS n_sensitive_values,
+             count(*) >= 3 AS is_diverse
+           FROM fine GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // md5 first-8-hex as a 32-bit integer — the raw (un-modded) value of
+  // the splitBucket / md5BucketSql family; `j` as the comprehension
+  // variable so it nests under an outer `i` comprehension.
+  private def hash32Sql(expr: String): String =
+    s"""CAST(list_sum([
+          (strpos('0123456789abcdef', substr(md5($expr), j + 1, 1)) - 1)
+            * power(16, 7 - j) FOR j IN range(8)]) AS BIGINT)"""
+
+  /** X66: deterministic weighted sampling
+    * ([[graft.operators.TrainingData.weightedSample]]): 50 docs drawn
+    * without replacement with odds ∝ a length-derived integer weight,
+    * via integer min-of-w content hashes — no floats anywhere, so the
+    * winner set is bit-stable and the oracle replays the exact
+    * priorities.
+    */
+  val weightedSample = Q("q_weighted_sample",
+    (s, d) => TrainingData.weightedSample(documents(s, d),
+        weight = expr("n_chars div 100") + 1, k = 50)
+      .orderBy(col("rank")),
+    Some(s"""WITH base AS (SELECT doc_id, text,
+             LEAST(GREATEST(n_chars // 100 + 1, 1), 64) AS weight
+           FROM documents),
+           pr AS (SELECT doc_id, weight,
+             list_min([${hash32Sql("text || ':' || CAST(i AS VARCHAR)")}
+               FOR i IN range(1, CAST(weight AS INT) + 1)]) AS priority
+           FROM base)
+           SELECT doc_id, CAST(weight AS BIGINT) AS weight, priority,
+             CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT)
+               AS rank
+           FROM pr ORDER BY priority, doc_id LIMIT 50"""))
+
+  /** X67: character-class entropy quality score
+    * ([[graft.functions.TextFunctions.classEntropy]]): Shannon entropy
+    * of each document's lower/upper/digit/space/other distribution —
+    * the cheap single-scan texture gate (all-caps, all-digit, filler
+    * pages score near zero). Counts are integer-exact; the entropy terms
+    * add in one fixed written order and round 6 for the libm-log2 ulp.
+    */
+  val charEntropy = Q("q_char_entropy",
+    (s, d) => documents(s, d).select(col("doc_id"),
+        TF.classCount(col("text"), "abcdefghijklmnopqrstuvwxyz").as("n_lower"),
+        TF.classCount(col("text"), "ABCDEFGHIJKLMNOPQRSTUVWXYZ").as("n_upper"),
+        TF.classCount(col("text"), "0123456789").as("n_digit"),
+        TF.classCount(col("text"), " ").as("n_space"),
+        round(TF.classEntropy(col("text")), 6).as("entropy"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+           (length(text) - length(translate(text,
+             'abcdefghijklmnopqrstuvwxyz', ''))) AS n_lower,
+           (length(text) - length(translate(text,
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) AS n_upper,
+           (length(text) - length(translate(text, '0123456789', '')))
+             AS n_digit,
+           (length(text) - length(translate(text, ' ', ''))) AS n_space,
+           round(${TF.classEntropySql("text")}, 6) AS entropy
+           FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(fuzzyNames, interpolate, anomaly, lDiversityAudit,
+    weightedSample, charEntropy)
+}

@@ -848,6 +848,44 @@ object PipelineQueries {
            FROM docsc
            ORDER BY avg_score DESC, doc_id LIMIT 50"""))
 
+  /** X62: bounded-hop contamination spread over the confirmed near-dup
+    * graph ([[graft.operators.Graphs.bfsDistances]]): every document
+    * within 4 near-dup hops of the seed set (doc_id < 10), with its
+    * exact hop distance — the transitive-reach audit run when a bad
+    * batch is found (a near-dup of a near-dup of a leaked document is
+    * still suspect). Reads the stored edge table like the other dedup
+    * consumers; the oracle replays the LSH+confirm edge derivation and
+    * the SAME four relaxation rounds as chained CTEs, so engine and
+    * oracle agree even where the graph's diameter exceeds the budget.
+    */
+  val contaminationBfs = Q("q_contamination_bfs",
+    (s, d) => {
+      val (docs, edges) = storedDedupEdges(s, d, maxDocId = 250L)
+      val seeds = docs.select(col("doc_id")).filter(col("doc_id") < 10)
+      graft.operators.Graphs.bfsDistances(seeds, edges, rounds = 4)
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def rnd(k: Int) =
+        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM d${k - 1}
+              UNION ALL
+              SELECT s2.b AS node, p.dist + 1 AS dist
+              FROM d${k - 1} p JOIN sym s2 ON s2.a = p.node) GROUP BY node)"""
+      s"""WITH gtoks AS (
+             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents WHERE doc_id < 250),
+           ${NorthStarQueries.md5LshSqlCtes()},
+           ${NorthStarQueries.md5ConfirmedEdgesSqlCtes(0.2)},
+           sym AS (SELECT id_a AS a, id_b AS b FROM jedges
+                   UNION SELECT id_b, id_a FROM jedges),
+           d0 AS (SELECT doc_id AS node, 0 AS dist FROM documents
+                  WHERE doc_id < 10),
+           ${rnd(1)}, ${rnd(2)}, ${rnd(3)}, ${rnd(4)}
+           SELECT node AS doc_id, dist FROM d4 ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -855,5 +893,5 @@ object PipelineQueries {
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
-    bigramLm)
+    bigramLm, contaminationBfs)
 }

@@ -29,6 +29,60 @@ object TextFunctions {
     s"trim(regexp_replace(regexp_replace(lower($expr), " +
       "'[[:punct:]]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
+  private val lowerChars = "abcdefghijklmnopqrstuvwxyz"
+  private val upperChars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val digitChars = "0123456789"
+
+  /** Character-CLASS counts of a text column — (lower, upper, digit,
+    * space, other) — via `length - length(translate(...))`, so the whole
+    * computation is three codegen'd string scans and never explodes a
+    * character array. The building block of [[classEntropy]].
+    */
+  def classCount(c: Column, chars: String): Column =
+    (length(c) - length(translate(c, chars, ""))).cast("bigint")
+
+  /** Shannon entropy (bits) of the character-CLASS distribution of a
+    * text column: lower/upper/digit/space/other. Low entropy flags
+    * degenerate documents (all digits, all caps, single-class filler) —
+    * a standard cheap quality gate next to length/stopword ratios.
+    *
+    * Float parity: each class term `-(p)·log2(p)` is a fixed expression
+    * over exact integer counts, and the five terms are added in ONE
+    * fixed written order (never a data-dependent aggregation), so the
+    * only cross-engine wobble is the final libm `log2` ulp — callers
+    * round to 6 decimals like the cosine family.
+    */
+  def classEntropy(c: Column): Column = {
+    val n = length(c).cast("double")
+    val counts = Seq(
+      classCount(c, lowerChars),
+      classCount(c, upperChars),
+      classCount(c, digitChars),
+      classCount(c, " "))
+    val other = length(c).cast("bigint") - counts.reduce(_ + _)
+    def term(cnt: Column): Column =
+      when(cnt > 0, (cnt.cast("double") / n) * log2(n / cnt.cast("double")))
+        .otherwise(lit(0.0))
+    when(length(c) === 0, lit(0.0))
+      .otherwise((counts :+ other).map(term).reduce(_ + _))
+  }
+
+  /** SQL twin of [[classEntropy]] over a DuckDB expression — same class
+    * alphabets, same term shape, same left-to-right addition order.
+    */
+  def classEntropySql(expr: String): String = {
+    def cnt(chars: String): String =
+      s"(length($expr) - length(translate($expr, '$chars', '')))"
+    val counts = Seq(cnt(lowerChars), cnt(upperChars), cnt(digitChars),
+      cnt(" "))
+    val other = s"(length($expr) - (${counts.mkString(" + ")}))"
+    def term(c: String): String =
+      s"(CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE) / length($expr)) * " +
+        s"log2(CAST(length($expr) AS DOUBLE) / $c) ELSE 0.0 END)"
+    s"(CASE WHEN length($expr) = 0 THEN 0.0 ELSE " +
+      s"${(counts :+ other).map(term).mkString(" + ")} END)"
+  }
+
   /** Whitespace token count. `split` on empty string yields one empty
     * token in both Spark and ANSI SQL — callers on possibly-empty text
     * should guard with `when(length(c) === 0, 0)`.

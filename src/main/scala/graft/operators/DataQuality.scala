@@ -62,6 +62,30 @@ object DataQuality {
       }: _*)
   }
 
+  /** L-diversity audit — k-anonymity's companion gate: a group that is
+    * large enough (k-anonymous) can still leak its members' SENSITIVE
+    * attribute if every member shares one value ("all customers in this
+    * cell have negative balance"). Per quasi-identifier cell this reports
+    * row count, the number of DISTINCT sensitive values, and whether the
+    * cell meets diversity `l` — the release check run after suppression.
+    *
+    * One group-by over (quasi, sensitive) then one over quasi: the
+    * distinct count is computed as an exact two-level aggregation
+    * (partial-agg friendly, no count_distinct expansion in the wide
+    * pass), which is the shape that scales.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val fine = df.groupBy(quasiCols.map(col) :+ sensitiveCol.as("_sens"): _*)
+      .agg(count(lit(1)).as("_n"))
+    fine.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_sensitive_values"))
+      .withColumn("is_diverse", col("n_sensitive_values") >= l)
+  }
+
   final case class Check(name: String, constraint: Column)
 
   /** One row per check: (check_name, n_violations, n_rows). The single

@@ -68,4 +68,51 @@ object Graphs {
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Multi-source BFS distances over an undirected edge table: for every
+    * node reachable from `sources` within `rounds` hops, the exact
+    * hop distance (min over sources). Fixed-round relaxation, not a
+    * convergence loop — the [[PageRank]] discipline: each round is
+    * `dist' = min(dist, min over neighbours dist+1)`, a union + one
+    * key-partitioned min-aggregation, so the whole computation is one
+    * declarative plan with no driver-side decisions and replays
+    * verbatim as K chained SQL CTEs in the oracle. After K rounds every
+    * node within K hops carries its true BFS distance (induction: round
+    * i finalizes layer i; relaxation is monotone so later rounds never
+    * disturb finished layers).
+    *
+    * Scale shape: per round one shuffle on the node key over a frontier-
+    * bounded relation — the standard iterative-BFS join plan (Pregel's
+    * message step as SQL). Bounded-hop reach is the pipeline-relevant
+    * form (contamination spread, n-degree audits); unbounded reach is
+    * [[TrainingData.connectedComponents]]' job.
+    *
+    * @param sources single-column node set (distance-0 seeds)
+    * @param edges   (id_a, id_b) undirected pairs; self-loops/dupes fine
+    */
+  def bfsDistances(sources: DataFrame, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val srcCol = sources.columns.head
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .distinct()
+    var d = sources
+      .select(col(srcCol).cast("long").as("node"), lit(0).as("dist"))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      // alias both sides: after round 1, d's lineage contains sym, and
+      // unqualified column refs would be ambiguous self-join references
+      val relaxed = d.as("d").join(sym.as("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").as("node"), (col("d.dist") + 1).as("dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    d
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series primitives over day-grained facts: calendar gap-fill with
+  * linear interpolation, and rolling z-score anomaly flagging. Both are
+  * pure window/aggregate plans — no driver loops, no state — and both
+  * follow the engine's float-parity discipline (decimal-exact sums,
+  * identical expression trees, 6-decimal rounded outputs) so they oracle
+  * hash-exact cross-engine despite being floating-point math.
+  */
+object Series {
+
+  /** Fill every missing day in [min(day), max(day)] and linearly
+    * interpolate the value column across gaps: an absent day takes
+    * `prev + (next - prev) * gapFraction`; days before the first
+    * observation backfill from it, days after the last hold it. Output:
+    * (day, observed, value) — one row per calendar day.
+    *
+    * Scale shape: the calendar is generated from ONE aggregated bounds
+    * row (`sequence(lo, hi)`), the join is day-keyed, and the prev/next
+    * scan is two ordered window passes. For a keyed corpus (one series
+    * per entity) the same plan partitions by the key — nothing here is
+    * global except the intentionally-global single series.
+    */
+  def interpolateDaily(df: DataFrame, dayCol: String, valueCol: String)
+      : DataFrame = {
+    val series = df.select(col(dayCol).as("day"), col(valueCol).as("v"))
+    val bounds = series.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val cal = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+        .as("day"))
+    val j = cal.join(series, Seq("day"), "left")
+    val before = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val prevV = last(col("v"), ignoreNulls = true).over(before)
+    val prevD = last(when(col("v").isNotNull, col("day")),
+      ignoreNulls = true).over(before)
+    val nextV = first(col("v"), ignoreNulls = true).over(after)
+    val nextD = first(when(col("v").isNotNull, col("day")),
+      ignoreNulls = true).over(after)
+    j.select(col("day"), col("v"), prevV.as("pv"), prevD.as("pd"),
+        nextV.as("nv"), nextD.as("nd"))
+      .select(col("day"), col("v").isNotNull.as("observed"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")))
+            .when(col("pv").isNotNull, col("pv"))
+            .otherwise(col("nv")), 6).as("value"))
+  }
+
+  /** Rolling z-score over the trailing `windowRows`-row window per key
+    * (ordered by day): flags points more than `threshold` standard
+    * deviations from the trailing mean. Mean/variance derive from
+    * DECIMAL-exact window sums of x and x² — the one aggregation a
+    * distributed engine cannot order — so the doubles that reach the
+    * (exactly-rounded IEEE) divide/sqrt chain are bit-identical on any
+    * partitioning and in any engine; the emitted z rounds to 6 decimals
+    * for the double→decimal cast ulp (the q_event_pagerank caveat), and
+    * the anomaly flag compares the ROUNDED z so the boundary is
+    * deterministic too.
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, windowRows: Int = 7, threshold: Double = 2.0)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    val x = col(valueCol)
+    val n = count(x).over(w).cast("double")
+    val s = sum(x.cast("decimal(38,6)")).over(w).cast("double")
+    val ss = sum((x * x).cast("decimal(38,6)")).over(w).cast("double")
+    val mean = s / n
+    val variance = greatest(lit(0.0), ss / n - mean * mean)
+    val z = when(sqrt(variance) > 0, round((x - mean) / sqrt(variance), 6))
+    df.select(col(keyCol), col(dayCol), x.as("value"),
+        n.cast("bigint").as("n_window"), z.as("z"))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
+}

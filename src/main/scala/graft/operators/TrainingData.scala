@@ -326,6 +326,40 @@ object TrainingData {
       .filter(col("rk") <= perStratum)
   }
 
+  /** Deterministic WEIGHTED sample of k rows without replacement —
+    * inclusion odds proportional-ish to an integer weight — via
+    * integer-exact min-hash priorities: row r with weight w gets
+    * `priority(r) = min over i in 1..w of hash32(text ':' i)`, and the
+    * k smallest (priority, id) win. This is the A-min scheme (min of w
+    * uniforms ≡ the u^(1/w) exponential-race key) discretized onto
+    * 32-bit content hashes, so there is NO floating point anywhere:
+    * the sample is bit-stable across runs, partitionings, and engines,
+    * and replays in ANSI SQL (md5 first-8-hex, the [[TF.splitBucket]]
+    * family).
+    *
+    * Plan shape: the replica "explosion" is a per-row `transform` over a
+    * ≤ maxWeight sequence inside codegen — zero extra rows, zero
+    * shuffle — and the global top-k is TakeOrderedAndProject. At 100 TB
+    * this is one narrow map over the corpus plus a k-row reduction.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWeight: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxWeight >= 1 && maxWeight <= 1024,
+      s"maxWeight must be in [1,1024], got $maxWeight")
+    val w = least(greatest(weight.cast("int"), lit(1)), lit(maxWeight))
+    val priority = array_min(transform(sequence(lit(1), w), i =>
+      conv(substring(md5(concat(col(textCol), lit(":"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long")))
+    docs.select(col(idCol), w.cast("bigint").as("weight"),
+        priority.as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("priority"), col(idCol))))
+  }
+
   // --- vocabulary statistics ----------------------------------------------
 
   /** Corpus token vocabulary: occurrence count, document frequency, and

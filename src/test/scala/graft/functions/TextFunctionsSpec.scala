@@ -49,4 +49,26 @@ class TextFunctionsSpec extends SparkSpec {
       assert(one[Long](rollingHash(col("t")), s) ===
         one[Long](TextFunctions.rollingHashFingerprint(col("t")), s), s"for '$s'")
   }
+
+  test("classEntropy: degenerate, uniform, and empty inputs") {
+    def ent(s: String): Double =
+      one[Double](TextFunctions.classEntropy(col("t")), s)
+    assert(ent("") === 0.0)
+    assert(ent("aaaa") === 0.0)          // single class
+    assert(ent("1234567890") === 0.0)    // all digits
+    // one char of each of the 5 classes: uniform -> log2(5)
+    assert(math.abs(ent("aA1 ?") - math.log(5) / math.log(2)) < 1e-12)
+    // "aa AA": 2 lower + 2 upper + 1 space over n=5
+    def log2(x: Double) = math.log(x) / math.log(2)
+    val expected = 2.0 / 5 * log2(5.0 / 2) + 2.0 / 5 * log2(5.0 / 2) +
+      1.0 / 5 * log2(5.0)
+    assert(math.abs(ent("aa AA") - expected) < 1e-12)
+  }
+
+  test("classCount counts alphabet occurrences") {
+    assert(one[Long](TextFunctions.classCount(col("t"), "0123456789"),
+      "a1b22c333") === 6L)
+    assert(one[Long](TextFunctions.classCount(col("t"), " "),
+      " x y ") === 3L)
+  }
 }

@@ -96,4 +96,18 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(tiny.toSeq === Seq("(suppressed)"))
   }
+
+  test("lDiversity counts distinct sensitive values per cell") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"),       // 3 rows, 1 value
+      ("B", "x"), ("B", "y"), ("B", "z"),       // 3 rows, 3 values
+      ("C", "x"), ("C", "y")                    // 2 rows, 2 values
+    ).toDF("seg", "sens")
+    val out = DataQuality.lDiversity(df, Seq("seg"), col("sens"), l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(out === Set(("A", 3L, 1L, false), ("B", 3L, 3L, true),
+      ("C", 2L, 2L, true)))
+  }
 }

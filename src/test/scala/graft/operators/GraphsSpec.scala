@@ -48,4 +48,47 @@ class GraphsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_triangles") === 0L)
     assert(out.getAs[Long]("n_edges") === 100L)
   }
+
+  private def bfsMap(sources: Seq[Long], edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Int] = {
+    import spark.implicits._
+    Graphs.bfsDistances(sources.toDF("node"), edges.toDF("id_a", "id_b"),
+        rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfsDistances: exact layers on a path graph") {
+    // 0-1-2-3-4-5 path, source 0
+    val path = (0L to 4L).map(i => (i, i + 1))
+    assert(bfsMap(Seq(0L), path, rounds = 5) ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5))
+  }
+
+  test("bfsDistances: a hop budget below the diameter truncates reach") {
+    val path = (0L to 4L).map(i => (i, i + 1))
+    // 2 rounds: only nodes within 2 hops, each at its true distance
+    assert(bfsMap(Seq(0L), path, rounds = 2) ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
+  test("bfsDistances: multi-source takes the minimum over seeds") {
+    val path = (0L until 6L).map(i => (i, i + 1))
+    // seeds at both ends: distances meet in the middle
+    assert(bfsMap(Seq(0L, 6L), path, rounds = 6) ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1, 6L -> 0))
+  }
+
+  test("bfsDistances: disconnected nodes never appear; edges are undirected") {
+    val edges = Seq((10L, 11L), (12L, 13L), (11L, 10L), (10L, 10L))
+    // directed duplicate + self-loop collapse; component of 12 unreached
+    assert(bfsMap(Seq(10L), edges, rounds = 3) === Map(10L -> 0, 11L -> 1))
+    // reverse direction also traversed (seed at the edge's dst side)
+    assert(bfsMap(Seq(11L), edges, rounds = 3) === Map(11L -> 0, 10L -> 1))
+  }
+
+  test("bfsDistances: cycle distances take the shorter way around") {
+    val cycle = (0L to 5L).map(i => (i, (i + 1) % 6))
+    assert(bfsMap(Seq(0L), cycle, rounds = 5) ===
+      Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1))
+  }
 }

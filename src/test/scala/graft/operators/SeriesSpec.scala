@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+
+  test("interpolateDaily: gaps lerp, boundaries hold/backfill") {
+    val df = Seq((day(2), 1.0), (day(5), 7.0), (day(7), 3.0))
+      .toDF("day", "v")
+    val out = Series.interpolateDaily(df, "day", "v")
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(0).toString, r.getBoolean(1),
+        r.getDouble(2)))
+    assert(out === Array(
+      ("2024-01-02", true, 1.0),
+      ("2024-01-03", false, 3.0), // 1 + (7-1)*(1/3)
+      ("2024-01-04", false, 5.0),
+      ("2024-01-05", true, 7.0),
+      ("2024-01-06", false, 5.0), // 7 + (3-7)*(1/2)
+      ("2024-01-07", true, 3.0)))
+  }
+
+  test("interpolateDaily: calendar spans min..max only; single point is itself") {
+    val df = Seq((day(10), 4.5)).toDF("day", "v")
+    val out = Series.interpolateDaily(df, "day", "v").collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(2) === 4.5)
+  }
+
+  test("rollingZScore: constant series never flags; spike flags") {
+    val rows = (1 to 10).map(i => ("k", day(i), 10.0)) :+
+      (("k", day(11), 1000.0))
+    val out = Series.rollingZScore(rows.toDF("k", "day", "x"),
+        "k", "day", "x", windowRows = 7, threshold = 2.0)
+      .orderBy(col("day")).collect()
+    // constant prefix: variance 0 -> z null -> not anomalous
+    assert(out.take(10).forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    // the spike day: large positive z, flagged
+    val spike = out.last
+    assert(spike.getDouble(4) > 2.0 && spike.getBoolean(5))
+    // trailing window counts saturate at 7
+    assert(out.map(_.getLong(3)).toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 7L, 7L, 7L, 7L))
+  }
+
+  test("rollingZScore: windows are per key") {
+    val rows = Seq(("a", day(1), 1.0), ("a", day(2), 5.0),
+      ("b", day(1), 100.0))
+    val out = Series.rollingZScore(rows.toDF("k", "day", "x"),
+        "k", "day", "x", windowRows = 7, threshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(out === Set(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
+  test("rollingZScore: z is partitioning-invariant (decimal-exact sums)") {
+    val rows = (1 to 30).map(i => ("k", day(i), i * 0.37 + (i % 5) * 2.11))
+    val df1 = rows.toDF("k", "day", "x").repartition(1)
+    val df8 = rows.toDF("k", "day", "x").repartition(8)
+    val z1 = Series.rollingZScore(df1, "k", "day", "x").orderBy(col("day"))
+      .collect().map(r => if (r.isNullAt(4)) null else r.getDouble(4))
+    val z8 = Series.rollingZScore(df8, "k", "day", "x").orderBy(col("day"))
+      .collect().map(r => if (r.isNullAt(4)) null else r.getDouble(4))
+    assert(z1.toSeq === z8.toSeq)
+  }
+}

@@ -416,4 +416,40 @@ class TrainingDataSpec extends SparkSpec {
     // d1 avg = 1999999/3 ≈ 666666.33 > d0 avg = 666666
     assert(got.toSeq === Seq((1L, 3L, 1999999L), (0L, 1L, 666666L)))
   }
+
+  test("weightedSample: priorities equal an explicit per-replica min") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 40L).map(i => (i, s"document number $i payload"))
+      .toDF("doc_id", "text")
+    val w = (col("doc_id") % 5 + 1).cast("int")
+    val got = TrainingData.weightedSample(docs, w, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // re-derive each row's priority with an explode (independent shape)
+    val expected = docs.select(col("doc_id"), col("text"), w.as("w"),
+        explode(sequence(lit(1), w)).as("i"))
+      .select(col("doc_id"), col("w"),
+        conv(substring(md5(concat(col("text"), lit(":"),
+          col("i").cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id", "w").agg(min("h").as("priority"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .toSet
+    assert(got.toSet === expected)
+    // ranked ascending by (priority, id), k rows max
+    assert(got.sortBy(t => (t._3, t._1)).toSeq === got.toSeq)
+  }
+
+  test("weightedSample: raising a weight never worsens its priority") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def priorities(w: org.apache.spark.sql.Column) =
+      TrainingData.weightedSample(docs, w, k = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p1 = priorities(lit(1))
+    val p4 = priorities(lit(4))
+    assert((0L until 30L).forall(i => p4(i) <= p1(i)))
+    // weight is clamped to maxWeight
+    val clamped = TrainingData.weightedSample(docs, lit(10_000), k = 5,
+      maxWeight = 8).collect().map(_.getLong(1)).toSet
+    assert(clamped === Set(8L))
+  }
 }
