@@ -583,10 +583,33 @@ object ExtendedQueries {
              Seq("l_partkey", "l_suppkey", "l_linenumber"))} AS z
          FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""))
 
+  /** X68: Hilbert-curve clustering key over (partkey, suppkey) — the
+    * no-jump alternative to the Morton key
+    * ([[graft.functions.HilbertExpression]]): consecutive curve indexes
+    * are always grid-neighbors, so a 2-D box packs into fewer row groups
+    * than Z-order at the same sort cost (HilbertSpec quantifies both
+    * properties on real parquet footers). The oracle replays the exact
+    * xy→d recurrence as generated chained CTEs — engine and oracle share
+    * one step emitter, like the z_value family.
+    */
+  val hilbert = Q("q_hilbert",
+    (s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.functions.HilbertExpression.hilbert(col("l_partkey"),
+          col("l_suppkey"), bits = 16).as("h"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some(s"""WITH ${graft.functions.HilbertExpression.hilbertSqlCtes(
+             "lineitem", "l_partkey", "l_suppkey", 16,
+             Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))}
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, hd AS h
+         FROM h16 ORDER BY h, l_orderkey, l_linenumber LIMIT 100"""))
+
   val all: Seq[Q] = Seq(rollupSales, cubeSales, unpivotMetrics,
     pivotSegmentYear, percentiles, histogram,
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    mvRewrite, zorder, zorder3)
+    mvRewrite, zorder, zorder3, hilbert)
 }
