@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarityExpr, SignBucketExpr, ZValueExpr, ZValueNExpr}
+import graft.functions.{CosineSimilarityExpr, HilbertDExpr, SignBucketExpr, ZValueExpr, ZValueNExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("z_value"),
       new ExpressionInfo(classOf[ZValueNExpr].getName, "z_value"),
       zValueBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d"),
+      new ExpressionInfo(classOf[HilbertDExpr].getName, "hilbert_d"),
+      hilbertBuilder))
     // Whole-operator extension: plans graft.plans.AsOfJoinNode to its
     // native physical merge (see AsOfJoin.backwardNative for runtime use).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -72,10 +76,22 @@ object GraftExtensions {
     else ZValueNExpr(children)
   }
 
+  /** `hilbert_d(x, y)` or `hilbert_d(x, y, bits)` — bits must be an
+    * integer literal (it sizes the generated loop), default 16.
+    */
+  val hilbertBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2 || children.length == 3,
+      "hilbert_d(x, y[, bits])")
+    val bits = if (children.length == 3)
+      lit2long(children(2), "bits").toInt else 16
+    HilbertDExpr(children(0), children(1), bits)
+  }
+
   /** Register the functions on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "cosine_similarity", cosineBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "sign_bucket", signBucketBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "z_value", zValueBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "hilbert_d", hilbertBuilder)
   }
 }

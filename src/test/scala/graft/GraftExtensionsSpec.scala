@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r === 1.0)
   }
 
+  test("hilbert_d callable from SQL, matching the Scala reference") {
+    val r = spark.sql("SELECT hilbert_d(3, 5) AS h").collect()(0).getLong(0)
+    assert(r === graft.functions.HilbertExpression.hilbertD(3L, 5L, 16))
+    val r8 = spark.sql("SELECT hilbert_d(3, 5, 8) AS h").collect()(0).getLong(0)
+    assert(r8 === graft.functions.HilbertExpression.hilbertD(3L, 5L, 8))
+  }
+
   test("z_value callable from SQL at 2 and 3 columns, matching the Scala API") {
     // 2 args dispatch to the fixed-stride binary interleave, 3+ to the
     // variadic curve — same values the Scala zValue/zValueN produce
