@@ -204,6 +204,58 @@ object MiningQueries {
            round(${TF.classEntropySql("text")}, 6) AS entropy
            FROM documents ORDER BY doc_id"""))
 
+  /** X70: dense-community mining on the co-ordered-parts graph (parts
+    * linked when the same order contains both) via fixed-round k-core
+    * peeling ([[graft.operators.Graphs.kCoreSurvivors]]): the 4-core
+    * keeps products in densely cross-sold communities and peels away
+    * incidental one-off co-occurrences — the association-mining
+    * pre-filter run before any pairwise lift/affinity scoring, and the
+    * same density gate a dedup pipeline runs on its candidate graph.
+    * The subgraph is ABSOLUTE-bounded on the order-key range (the
+    * audit-tier rule: co-occurrence graphs densify with scale, so a
+    * proportional cap would go quadratic); the oracle replays the
+    * identical peeling rounds as chained CTEs.
+    */
+  val basketCore = Q("q_basket_core",
+    (s, d) => {
+      val ps = lineitem(s, d).filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = ps.as("x").join(ps.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
+        .distinct()
+      graft.operators.Graphs.kCoreSurvivors(edges, k = 4, rounds = 4)
+        .select(col("node").as("p_partkey"), col("deg").as("core_degree"))
+        .orderBy(col("p_partkey"))
+    },
+    Some {
+      def peel(i: Int, src: String) =
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM $src UNION ALL SELECT v FROM $src) t$i
+              GROUP BY 1),
+            n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 4)"""
+      def induce(i: Int, src: String) =
+        s"""e$i AS MATERIALIZED (SELECT $src.u, $src.v FROM $src
+              JOIN n${i - 1} a ON $src.u = a.node
+              JOIN n${i - 1} b ON $src.v = b.node)"""
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem WHERE l_orderkey < 400),
+           e1 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+             FROM ps x JOIN ps y ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey),
+           ${peel(1, "e1")},
+           ${induce(2, "e1")}, ${peel(2, "e2")},
+           ${induce(3, "e2")}, ${peel(3, "e3")},
+           ${induce(4, "e3")}, ${peel(4, "e4")},
+           ${induce(5, "e4")},
+           df AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+             SELECT u AS node FROM e5 UNION ALL SELECT v FROM e5) tf
+             GROUP BY 1)
+           SELECT df.node AS p_partkey, df.deg AS core_degree
+           FROM df JOIN n4 USING (node) ORDER BY p_partkey"""
+    })
+
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, anomaly, lDiversityAudit,
-    weightedSample, charEntropy)
+    weightedSample, charEntropy, basketCore)
 }

@@ -868,7 +868,7 @@ object PipelineQueries {
     },
     Some {
       def rnd(k: Int) =
-        s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+        s"""d$k AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
               SELECT node, dist FROM d${k - 1}
               UNION ALL
               SELECT s2.b AS node, p.dist + 1 AS dist
@@ -878,7 +878,7 @@ object PipelineQueries {
              FROM documents WHERE doc_id < 250),
            ${NorthStarQueries.md5LshSqlCtes()},
            ${NorthStarQueries.md5ConfirmedEdgesSqlCtes(0.2)},
-           sym AS (SELECT id_a AS a, id_b AS b FROM jedges
+           sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jedges
                    UNION SELECT id_b, id_a FROM jedges),
            d0 AS (SELECT doc_id AS node, 0 AS dist FROM documents
                   WHERE doc_id < 10),

@@ -69,6 +69,58 @@ object Graphs {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Fixed-round k-core peeling over an undirected edge table: `rounds`
+    * iterations of "drop every node with degree < k in the surviving
+    * subgraph", then the surviving nodes with their induced degree.
+    * After enough rounds this is exactly the k-core (the maximal
+    * subgraph of minimum degree ≥ k) — the standard density filter for
+    * near-dup cluster mining (a chain of borderline matches dissolves;
+    * a genuinely re-posted document survives as a dense core). Peeling
+    * removes at least one node per non-converged round, so `rounds`
+    * bounds convergence on any graph with that many nodes of slack;
+    * like [[bfsDistances]] the round count is FIXED, not a driver-side
+    * convergence test, so engine and oracle replay the identical
+    * computation even when not yet converged.
+    *
+    * Each round is two semi-joins (edge endpoints against survivors) and
+    * one degree aggregation — all node-keyed shuffles, no driver state.
+    */
+  def kCoreSurvivors(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val e = edges
+      .select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("node"))
+      .unionAll(ed.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Each round references the previous survivor set TWICE (u- and
+    // v-side semi-joins), so an un-cut lineage doubles per round and
+    // Catalyst re-analysis goes exponential — the same reason the CC
+    // fixpoint checkpoints. localCheckpoint materializes the (node-set-
+    // sized) frame and restarts the plan; values are unchanged.
+    var surv = degrees(e).filter(col("deg") >= k).select(col("node"))
+      .localCheckpoint()
+    for (_ <- 2 to rounds) {
+      val kept = e
+        .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      surv = degrees(kept).filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint()
+    }
+    val fin = e
+      .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    degrees(fin)
+      .join(surv, "node") // isolated survivors (none unless k=0) dropped
+  }
+
   /** Multi-source BFS distances over an undirected edge table: for every
     * node reachable from `sources` within `rounds` hops, the exact
     * hop distance (min over sources). Fixed-round relaxation, not a
@@ -110,8 +162,12 @@ object Graphs {
       // unqualified column refs would be ambiguous self-join references
       val relaxed = d.as("d").join(sym.as("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"), (col("d.dist") + 1).as("dist"))
+      // d appears twice per round (carry + relax): cut the lineage so
+      // the plan tree stays linear in the round count (the CC-fixpoint
+      // lesson — without this, analysis cost doubles every round)
       d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     d
   }

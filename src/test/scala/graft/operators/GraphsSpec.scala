@@ -86,6 +86,38 @@ class GraphsSpec extends SparkSpec {
     assert(bfsMap(Seq(11L), edges, rounds = 3) === Map(11L -> 0, 10L -> 1))
   }
 
+  private def coreMap(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    Graphs.kCoreSurvivors(edges.toDF("id_a", "id_b"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCoreSurvivors: clique survives 2-core, tail chain peels away") {
+    val clique = for (u <- 0L to 3L; v <- u + 1 to 3L) yield (u, v)
+    val tail = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    assert(coreMap(clique ++ tail, k = 2, rounds = 4) ===
+      Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kCoreSurvivors: a pure chain has no 2-core") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    assert(coreMap(chain, k = 2, rounds = 8) === Map.empty)
+  }
+
+  test("kCoreSurvivors: fixed rounds stop mid-peel deterministically") {
+    // 10-node chain sheds its two endpoints per round; after 4 rounds
+    // two middle nodes remain (not yet converged) with induced degree 1
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    assert(coreMap(chain, k = 2, rounds = 4) === Map(4L -> 1L, 5L -> 1L))
+  }
+
+  test("kCoreSurvivors: cycle is its own 2-core at any round count") {
+    val cycle = (0L to 5L).map(i => (i, (i + 1) % 6))
+    assert(coreMap(cycle, k = 2, rounds = 6) ===
+      (0L to 5L).map(_ -> 2L).toMap)
+  }
+
   test("bfsDistances: cycle distances take the shorter way around") {
     val cycle = (0L to 5L).map(i => (i, (i + 1) % 6))
     assert(bfsMap(Seq(0L), cycle, rounds = 5) ===
