@@ -583,7 +583,7 @@ object ExtendedQueries {
              Seq("l_partkey", "l_suppkey", "l_linenumber"))} AS z
          FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""))
 
-  /** X68: Hilbert-curve clustering key over (partkey, suppkey) — the
+  /** X71: Hilbert-curve clustering key over (partkey, suppkey) — the
     * no-jump alternative to the Morton key
     * ([[graft.functions.HilbertExpression]]): consecutive curve indexes
     * are always grid-neighbors, so a 2-D box packs into fewer row groups

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object MiningQueries {
 
-  /** X61: edit-distance similarity self-join over the part-name
+  /** X64: edit-distance similarity self-join over the part-name
     * vocabulary ([[graft.operators.EditDistanceJoin]] — PassJoin segment
     * pruning, never a cross product). Deduplicating to the DISTINCT name
     * dictionary first is the scale pattern the operator's scaladoc
@@ -48,7 +48,7 @@ object MiningQueries {
            WHERE levenshtein(a.name, b.name) <= 2
            ORDER BY name_a, name_b"""))
 
-  /** X63: calendar gap-fill + linear interpolation
+  /** X66: calendar gap-fill + linear interpolation
     * ([[graft.operators.Series.interpolateDaily]]) of a sparse daily
     * revenue series (one user cohort's purchases — deliberately gappy).
     * The lerp is the same written expression in both engines over
@@ -91,7 +91,7 @@ object MiningQueries {
                WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
            FROM w ORDER BY day"""))
 
-  /** X64: rolling z-score anomaly detection
+  /** X67: rolling z-score anomaly detection
     * ([[graft.operators.Series.rollingZScore]]) over per-type daily
     * revenue: trailing-7-row mean/variance from DECIMAL-exact window
     * sums of x and x², z rounded 6, flag compared on the rounded value —
@@ -127,7 +127,7 @@ object MiningQueries {
              z, coalesce(abs(z) > 2.0, false) AS is_anomaly
            FROM z ORDER BY event_type, day"""))
 
-  /** X65: l-diversity release audit
+  /** X68: l-diversity release audit
     * ([[graft.operators.DataQuality.lDiversity]]) — the companion to
     * q_k_anonymity: per (segment, nation) cell, how many DISTINCT
     * account-balance bands its customers span; a cell below l=3 would
@@ -155,7 +155,7 @@ object MiningQueries {
           (strpos('0123456789abcdef', substr(md5($expr), j + 1, 1)) - 1)
             * power(16, 7 - j) FOR j IN range(8)]) AS BIGINT)"""
 
-  /** X66: deterministic weighted sampling
+  /** X69: deterministic weighted sampling
     * ([[graft.operators.TrainingData.weightedSample]]): 50 docs drawn
     * without replacement with odds ∝ a length-derived integer weight,
     * via integer min-of-w content hashes — no floats anywhere, so the
@@ -178,7 +178,7 @@ object MiningQueries {
                AS rank
            FROM pr ORDER BY priority, doc_id LIMIT 50"""))
 
-  /** X67: character-class entropy quality score
+  /** X70: character-class entropy quality score
     * ([[graft.functions.TextFunctions.classEntropy]]): Shannon entropy
     * of each document's lower/upper/digit/space/other distribution —
     * the cheap single-scan texture gate (all-caps, all-digit, filler
@@ -204,7 +204,7 @@ object MiningQueries {
            round(${TF.classEntropySql("text")}, 6) AS entropy
            FROM documents ORDER BY doc_id"""))
 
-  /** X70: dense-community mining on the co-ordered-parts graph (parts
+  /** X72: dense-community mining on the co-ordered-parts graph (parts
     * linked when the same order contains both) via fixed-round k-core
     * peeling ([[graft.operators.Graphs.kCoreSurvivors]]): the 4-core
     * keeps products in densely cross-sold communities and peels away
@@ -256,6 +256,50 @@ object MiningQueries {
            FROM df JOIN n4 USING (node) ORDER BY p_partkey"""
     })
 
+  /** X73: grid-bucketed 2-D spatial join
+    * ([[graft.operators.RangeJoin.pointInBox2D]]): customer points
+    * against supplier delivery boxes on a deterministic 1000×1000
+    * hash-coordinate plane — the geo-assignment shape (point-in-
+    * polygon's axis-aligned core) that Spark would otherwise plan as a
+    * nested loop over every (point, box) pair. Coordinates derive from
+    * the md5-bucket family so the oracle replays them exactly and
+    * verifies against the brute-force BETWEEN join.
+    */
+  val spatialJoin = Q("q_spatial_join",
+    (s, d) => {
+      def bucket(prefix: String, key: org.apache.spark.sql.Column, mod: Int) =
+        TF.splitBucket(concat(lit(prefix), key.cast("string")), mod)
+      val pts = customer(s, d).select(col("c_custkey"),
+        bucket("px:", col("c_custkey"), 1000).as("px"),
+        bucket("py:", col("c_custkey"), 1000).as("py"))
+      val boxes = supplier(s, d).select(col("s_suppkey"),
+          bucket("bx:", col("s_suppkey"), 950).as("x1"),
+          bucket("by:", col("s_suppkey"), 950).as("y1"))
+        .withColumn("x2", col("x1") + 10 + col("s_suppkey") % 40)
+        .withColumn("y2", col("y1") + 10 + col("s_suppkey") % 30)
+      graft.operators.RangeJoin.pointInBox2D(pts, boxes,
+          "px", "py", "x1", "y1", "x2", "y2",
+          cellWidth = 64, cellHeight = 64)
+        .select(col("c_custkey"), col("s_suppkey"), col("px"), col("py"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+    Some(s"""WITH pts AS (SELECT c_custkey,
+               ${NorthStarQueries.md5BucketSql("'px:' || CAST(c_custkey AS VARCHAR)", 1000)} AS px,
+               ${NorthStarQueries.md5BucketSql("'py:' || CAST(c_custkey AS VARCHAR)", 1000)} AS py
+             FROM customer),
+           boxes AS (SELECT s_suppkey,
+               ${NorthStarQueries.md5BucketSql("'bx:' || CAST(s_suppkey AS VARCHAR)", 950)} AS x1,
+               ${NorthStarQueries.md5BucketSql("'by:' || CAST(s_suppkey AS VARCHAR)", 950)} AS y1
+             FROM supplier),
+           bx AS (SELECT s_suppkey, x1, y1,
+               x1 + 10 + s_suppkey % 40 AS x2,
+               y1 + 10 + s_suppkey % 30 AS y2
+             FROM boxes)
+           SELECT c_custkey, s_suppkey, px, py
+           FROM pts JOIN bx
+             ON px BETWEEN x1 AND x2 AND py BETWEEN y1 AND y2
+           ORDER BY c_custkey, s_suppkey"""))
+
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, anomaly, lDiversityAudit,
-    weightedSample, charEntropy, basketCore)
+    weightedSample, charEntropy, basketCore, spatialJoin)
 }

@@ -848,7 +848,7 @@ object PipelineQueries {
            FROM docsc
            ORDER BY avg_score DESC, doc_id LIMIT 50"""))
 
-  /** X62: bounded-hop contamination spread over the confirmed near-dup
+  /** X65: bounded-hop contamination spread over the confirmed near-dup
     * graph ([[graft.operators.Graphs.bfsDistances]]): every document
     * within 4 near-dup hops of the seed set (doc_id < 10), with its
     * exact hop distance — the transitive-reach audit run when a bad

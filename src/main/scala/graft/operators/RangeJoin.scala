@@ -105,6 +105,72 @@ object RangeJoin {
       .drop(bucketCol)
   }
 
+  /** Bucketed 2-D point-in-box join (the grid spatial join): rows of
+    * `points` paired with every row of `boxes` whose axis-aligned
+    * rectangle [x1,x2]×[y1,y2] contains (px, py), ends inclusive. The
+    * 2-D generalization of [[pointInInterval]]: each box explodes into
+    * the grid cells it covers (two nested bucket sequences), each point
+    * buckets into its one cell, and a hash join on the (cellX, cellY)
+    * key replaces the nested-loop plan Spark would otherwise choose for
+    * a two-sided inequality join — the join cost becomes
+    * O(points + boxes × avgCellsPerBox) with full grid-key parallelism.
+    *
+    * Guards: each axis span is long-exact capped (the 1-D span guard per
+    * axis, at most 2^16 cells), and the cell PRODUCT per box is capped
+    * by `maxCellsPerBox` — both hard explode-size contracts, failed
+    * loudly, never rounded through doubles.
+    */
+  def pointInBox2D(
+      points: DataFrame,
+      boxes: DataFrame,
+      pxCol: String, pyCol: String,
+      x1Col: String, y1Col: String, x2Col: String, y2Col: String,
+      cellWidth: Long, cellHeight: Long,
+      maxCellsPerBox: Long = 4096L): DataFrame = {
+    require(cellWidth > 0 && cellHeight > 0,
+      s"cell dims must be positive, got $cellWidth x $cellHeight")
+    require(maxCellsPerBox > 0,
+      s"maxCellsPerBox must be positive, got $maxCellsPerBox")
+    val cellX = "_rj_cx"; val cellY = "_rj_cy"
+    val reserved = Seq(cellX, cellY)
+    require(reserved.forall(c => !points.columns.contains(c) &&
+      !boxes.columns.contains(c)),
+      s"column names ${reserved.mkString(", ")} are reserved by pointInBox2D")
+    val overlap = points.columns.toSet.intersect(boxes.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and boxes column names must be disjoint; both define " +
+        overlap.toSeq.sorted.mkString(", "))
+    // per-axis spans (long-exact, axis-capped at 2^16 so the product
+    // below cannot overflow), then the product cap
+    val x1b = floorDiv(col(x1Col), cellWidth)
+    val x2b = floorDiv(col(x2Col), cellWidth)
+    val y1b = floorDiv(col(y1Col), cellHeight)
+    val y2b = floorDiv(col(y2Col), cellHeight)
+    val sx = try_subtract(x2b, x1b)
+    val sy = try_subtract(y2b, y1b)
+    val axesOk = sx.isNotNull && sy.isNotNull &&
+      sx >= 0 && sy >= 0 && sx < lit(1L << 16) && sy < lit(1L << 16)
+    val cellsOk = axesOk && (sx + 1) * (sy + 1) <= lit(maxCellsPerBox)
+    val guardedX2 = when(
+      assert_true(cellsOk,
+        concat(lit("RangeJoin: box ["), col(x1Col), lit(","), col(x2Col),
+          lit("]x["), col(y1Col), lit(","), col(y2Col),
+          lit(s"] covers more than $maxCellsPerBox grid cells at " +
+            s"$cellWidth x $cellHeight — raise the cell size or the cap")))
+        .isNull,
+      x2b)
+    val b = boxes
+      .withColumn(cellX, explode(sequence(x1b, guardedX2)))
+      .withColumn(cellY, explode(sequence(y1b, y2b)))
+    val p = points
+      .withColumn(cellX, floorDiv(col(pxCol), cellWidth))
+      .withColumn(cellY, floorDiv(col(pyCol), cellHeight))
+    p.join(b, Seq(cellX, cellY))
+      .filter(col(pxCol) >= col(x1Col) && col(pxCol) <= col(x2Col) &&
+        col(pyCol) >= col(y1Col) && col(pyCol) <= col(y2Col))
+      .drop(cellX, cellY)
+  }
+
   /** Explode each [startCol, endCol] row into one row per covered bucket,
     * with the span guard: exact LONG arithmetic — `try_subtract` returns
     * NULL when endB - startB exceeds the long range (a sentinel interval

@@ -139,4 +139,53 @@ class RangeJoinSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("pointInBox2D matches the brute-force containment join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val boxes = (0 until 40).map { i =>
+      val x1 = rnd.nextInt(900).toLong; val y1 = rnd.nextInt(900).toLong
+      (i.toLong, x1, y1, x1 + rnd.nextInt(120), y1 + rnd.nextInt(120))
+    }
+    val pdf = pts.toDF("pid", "px", "py")
+    val bdf = boxes.toDF("bid", "x1", "y1", "x2", "y2")
+    val got = RangeJoin.pointInBox2D(pdf, bdf, "px", "py",
+        "x1", "y1", "x2", "y2", cellWidth = 64, cellHeight = 64)
+      .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expected = (for {
+      (pid, px, py) <- pts
+      (bid, x1, y1, x2, y2) <- boxes
+      if px >= x1 && px <= x2 && py >= y1 && py <= y2
+    } yield (pid, bid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("pointInBox2D handles negative coordinates (floor-aligned cells)") {
+    import spark.implicits._
+    val pdf = Seq((1L, -5L, -5L), (2L, -70L, 10L), (3L, 0L, 0L))
+      .toDF("pid", "px", "py")
+    val bdf = Seq((10L, -80L, -10L, 0L, 20L)).toDF("bid", "x1", "y1", "x2", "y2")
+    val got = RangeJoin.pointInBox2D(pdf, bdf, "px", "py",
+        "x1", "y1", "x2", "y2", 64, 64)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("pointInBox2D cell-product cap trips loudly on a degenerate box") {
+    import spark.implicits._
+    val pdf = Seq((1L, 0L, 0L)).toDF("pid", "px", "py")
+    val bdf = Seq((1L, 0L, 0L, 1000000L, 1000000L))
+      .toDF("bid", "x1", "y1", "x2", "y2")
+    val e = intercept[Exception] {
+      RangeJoin.pointInBox2D(pdf, bdf, "px", "py", "x1", "y1", "x2", "y2",
+        cellWidth = 4, cellHeight = 4, maxCellsPerBox = 256).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("grid cells")))
+  }
 }
