@@ -215,6 +215,41 @@ object SnapshotQueries {
          WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X71 serving path: HILBERT layout × manifest box pruning — the
+    * no-jump curve through the same file-skipping tier as
+    * [[zorderSkip]]: committed in hilbert_d order, every file is a
+    * small box in (l_partkey, l_suppkey) space with the curve's
+    * stronger locality (consecutive files are grid-neighbors, so a box
+    * predicate's survivors are contiguous, not scattered). The probe
+    * box sits mid-domain on the supplier axis — the case where a
+    * single-column sort prunes nothing at all.
+    */
+  val hilbertSkip = Q("q_hilbert_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "hskip")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Snapshots.commit(
+        li.orderBy(graft.functions.HilbertExpression.hilbert(
+          col("l_partkey"), col("l_suppkey"), bits = 16)),
+        tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.scanPrunedBox(s, tbl,
+          Seq(("l_partkey", 1L, maxPart / 8),
+            ("l_suppkey", maxSupp / 2, maxSupp / 2 + maxSupp / 8)))
+        .df
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("l_quantity")} AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
+           AND l_suppkey BETWEEN (SELECT max(s_suppkey) FROM supplier) // 2
+             AND (SELECT max(s_suppkey) FROM supplier) // 2
+               + (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
   /** X53: copy-on-write MERGE — updates (price doubled on the low key
     * range), deletes (the next range), and inserts (update keys shifted
     * past the key domain) applied in one [[Snapshots.merge]] commit that
@@ -410,6 +445,7 @@ object SnapshotQueries {
          WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip, mergeInto, schemaEvolution,
+    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, mergeInto,
+    schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip)
 }

@@ -128,6 +128,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    // the dimension-enrichment shape: a static (broadcastable) lookup
+    // joined onto every micro-batch — Spark re-plans the static side per
+    // batch, so the stream result must equal the one-shot batch join
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    def enrich(ev: org.apache.spark.sql.DataFrame) =
+      ev.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("weight")).cast("decimal(27,4)"))
+            .cast("double").as("weighted"))
+    val streamed = runStream("t_enrich", enrich)
+    val batch = enrich(batchEvents)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("dedupEvents: testdata event_ids are unique") {
     val d = EventStreams.dedupEvents(batchEvents)
     assert(d.filter(col("n_dupes") > 1).count() === 0)
