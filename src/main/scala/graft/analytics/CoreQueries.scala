@@ -700,6 +700,23 @@ object CoreQueries {
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
 
+  /** JSON-lines sink → scan roundtrip (the third interchange format next
+    * to CSV and ORC): supplier written as json-lines and read back with
+    * an EXPLICIT schema — inference would widen int32 to long and read
+    * order is nondeterministic, so production json reads always declare
+    * their schema. Doubles survive because Spark serializes the shortest
+    * round-trip decimal form.
+    */
+  val jsonRoundtrip = Q("q_json_roundtrip",
+    (s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      val src = supplier(s, d)
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out).orderBy(col("s_suppkey"))
+    },
+    Some("SELECT * FROM supplier ORDER BY s_suppkey"))
+
   /** Small-file compaction content roundtrip: fragment the nation table
     * into per-row files (the layout a micro-batch ingest accretes), run
     * [[graft.sources.Maintenance.compact]], and return the full content —
@@ -820,7 +837,8 @@ object CoreQueries {
     rowHash, jsonExtract, dataQuality, profileLineitem, kAnonymity,
     rangeJoin, intervalJoin, skewJoin,
     csvRoundtrip,
-    parquetRoundtrip, orcRoundtrip, compactRoundtrip, partitionOverwrite,
+    parquetRoundtrip, orcRoundtrip, jsonRoundtrip, compactRoundtrip,
+    partitionOverwrite,
     metaCount, sqlInterface, sqlCosine,
     approxDistinctParts)
 }

@@ -54,6 +54,18 @@ class EditDistanceJoinSpec extends SparkSpec {
       assert(fast(rows, k) === brute(rows, k), s"k=$k")
   }
 
+  test("the long-string path plans as hash joins, never a cross product") {
+    // every string >= k+1 chars: the segment join must be an equi-join
+    // (BroadcastHashJoin/SortMergeJoin/ShuffledHashJoin); the only
+    // nested-loop in the plan is the deliberately-broadcast short-string
+    // fallback joining an EMPTY side
+    val rows = (0 until 50).map(i => (f"id$i%02d", s"payload string $i"))
+    val df = EditDistanceJoin.selfJoin(rows.toDF("id", "s"), "s", "id", 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("no pair is emitted twice and ids are ordered") {
     val rows = Seq("a" -> "abc", "b" -> "abd", "c" -> "abe")
     val out = EditDistanceJoin.selfJoin(rows.toDF("id", "s"), "s", "id", 1)
