@@ -300,6 +300,65 @@ object MiningQueries {
              ON px BETWEEN x1 AND x2 AND py BETWEEN y1 AND y2
            ORDER BY c_custkey, s_suppkey"""))
 
+  /** X74: end-to-end entity resolution over the part-name vocabulary —
+    * the MDM composition: fuzzy MATCH ([[EditDistanceJoin]], ed ≤ 2),
+    * transitive CLUSTER ([[TrainingData.connectedComponents]] — count-
+    * adaptive union-find), and SURVIVORSHIP (the spelling with the most
+    * fact rows wins its cluster, ties to the oldest key). Every name
+    * maps to its canonical form; the oracle replays match edges brute-
+    * force, closes them with a recursive CTE, and applies the same
+    * survivorship rule — three operators pinned as one composed result.
+    */
+  val entityResolution = Q("q_entity_resolution",
+    (s, d) => {
+      val names = part(s, d).groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("name_id"),
+          count(lit(1)).as("n_rows"))
+      val pairs = EditDistanceJoin.selfJoin(
+        names.select(col("name")), "name", "name", k = 2)
+      val edges = pairs
+        .join(names.select(col("name").as("id_a"), col("name_id").as("ia")),
+          "id_a")
+        .join(names.select(col("name").as("id_b"), col("name_id").as("ib")),
+          "id_b")
+        .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      val comps = TrainingData.connectedComponents(
+        names.select(col("name_id").as("doc_id")), edges)
+      val labeled = names.join(comps,
+        names("name_id") === comps("doc_id"))
+      val canon = labeled.groupBy(col("component"))
+        .agg(max_by(col("name"),
+            struct(col("n_rows"), (-col("name_id")).as("_ni"))).as("canonical"),
+          count(lit(1)).as("n_variants"))
+      labeled.join(canon, "component")
+        .select(col("name"), col("canonical"), col("n_variants"))
+        .orderBy(col("name"))
+    },
+    Some("""WITH RECURSIVE n AS (SELECT p_name AS name,
+             min(p_partkey) AS nid, count(*) AS n_rows
+             FROM part GROUP BY 1),
+           e AS MATERIALIZED (SELECT a.nid AS ia, b.nid AS ib
+             FROM n a JOIN n b ON a.name < b.name
+               AND abs(length(a.name) - length(b.name)) <= 2
+               AND levenshtein(a.name, b.name) <= 2),
+           sym AS MATERIALIZED (SELECT ia AS a, ib AS b FROM e
+             UNION SELECT ib, ia FROM e),
+           reach(a, b) AS (SELECT nid, nid FROM n
+             UNION
+             SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           comp AS (SELECT a AS nid, min(b) AS component
+             FROM reach GROUP BY 1),
+           j AS (SELECT n.name, n.nid, n.n_rows, c.component
+             FROM n JOIN comp c USING (nid)),
+           k AS (SELECT component, name AS canonical,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_rows DESC, nid) AS rk,
+               count(*) OVER (PARTITION BY component) AS n_variants
+             FROM j)
+           SELECT j.name, k.canonical, k.n_variants
+           FROM j JOIN k ON j.component = k.component AND k.rk = 1
+           ORDER BY j.name"""))
+
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, anomaly, lDiversityAudit,
-    weightedSample, charEntropy, basketCore, spatialJoin)
+    weightedSample, charEntropy, basketCore, spatialJoin, entityResolution)
 }
