@@ -250,6 +250,36 @@ object SnapshotQueries {
              AND (SELECT max(s_suppkey) FROM supplier) // 2
                + (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
+    * governance gate: a clean batch stages, audits, and publishes; a
+    * poison batch (negative prices injected) is REJECTED BEFORE any
+    * manifest exists, so no reader at any version ever saw it. The
+    * final table content — exactly the two clean batches — is what the
+    * oracle pins; SnapshotsSpec pins the no-version-published and
+    * orphan-reclaim halves.
+    */
+  val wap = Q("q_wap",
+    (s, d) => {
+      val tbl = freshTable(s, d, "wap")
+      val o = src(s, d)
+      val audit: org.apache.spark.sql.DataFrame => Option[String] = b =>
+        if (b.filter(col("o_totalprice") <= 0).count() > 0)
+          Some("nonpositive totalprice") else None
+      val lo = o.filter(col("o_orderkey") % 3 === 0)
+      val poison = o.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val hi = o.filter(col("o_orderkey") % 3 === 2)
+      require(Snapshots.commitAudited(lo, tbl, audit).isRight)
+      require(Snapshots.commitAudited(poison, tbl, audit).isLeft)
+      require(Snapshots.commitAudited(hi, tbl, audit).isRight)
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total,
+         max(o_orderkey) AS max_key
+         FROM orders WHERE o_orderkey % 3 <> 1"""))
+
   /** X53: copy-on-write MERGE — updates (price doubled on the low key
     * range), deletes (the next range), and inserts (update keys shifted
     * past the key domain) applied in one [[Snapshots.merge]] commit that
@@ -445,7 +475,7 @@ object SnapshotQueries {
          WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, mergeInto,
+    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip)
 }

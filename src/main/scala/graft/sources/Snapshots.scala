@@ -140,6 +140,26 @@ object Snapshots {
     // full batch write and leave orphan debris
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
+    val (_, newEntries) = writeBatch(df, table, statsCols, bloomCols,
+      strStatsCols)
+    // the committing schema rides the manifest: readers apply it to every
+    // file of the version, so files written before a column was added
+    // read as null-filled (per-version schema = time travel keeps each
+    // version's own shape)
+    publishManifest(spark, table,
+      properties + (SchemaProp -> df.schema.json), newEntries, baseFor)
+  }
+
+  /** Stage `df` as an UNPUBLISHED data batch: files + manifest entries,
+    * no manifest — invisible to every reader until a later
+    * [[publishManifest]] references the entries. The data half of
+    * [[commitWith]], factored out so [[commitAudited]] can audit between
+    * write and publish.
+    */
+  private def writeBatch(df: DataFrame, table: String,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      strStatsCols: Seq[String]): (Path, Seq[FileEntry]) = {
+    val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
     val batch = new Path(new Path(root, "data"),
@@ -154,12 +174,44 @@ object Snapshots {
         blooms.getOrElse(st.getPath.toUri.getPath, Map.empty),
         ParquetMeta.fileStrStats(conf, st, strStatsCols))
     }.sortBy(_.path)
-    // the committing schema rides the manifest: readers apply it to every
-    // file of the version, so files written before a column was added
-    // read as null-filled (per-version schema = time travel keeps each
-    // version's own shape)
-    publishManifest(spark, table,
-      properties + (SchemaProp -> df.schema.json), newEntries, baseFor)
+    (batch, newEntries)
+  }
+
+  /** Write-audit-publish (the lakehouse governance gate): stage the
+    * batch's data files WITHOUT a manifest, run `audit` over exactly the
+    * rows those staged files hold, and publish the manifest only on
+    * pass — so unaudited data is never visible to ANY reader at any
+    * version, unlike audit-after-commit, which leaves a bad version
+    * readable for the length of the audit (and in every time travel
+    * thereafter). On failure nothing is published: the staged files are
+    * ordinary crash-shaped debris — invisible, and reclaimed by
+    * [[removeOrphans]] past its age horizon. Returns `Right(version)`
+    * on publish, `Left(reason)` on audit failure.
+    *
+    * `audit` receives the staged batch read back from disk (what
+    * consumers would actually read, bytes and all), and returns `None`
+    * to approve or `Some(reason)` to reject — compose it from
+    * [[graft.operators.DataQuality]] checks or anything else.
+    */
+  def commitAudited(df: DataFrame, table: String,
+      audit: DataFrame => Option[String],
+      overwrite: Boolean = false,
+      statsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty): Either[String, Int] = {
+    requireProps(properties + (SchemaProp -> df.schema.json))
+    val spark = df.sparkSession
+    val (batch, newEntries) = writeBatch(df, table, statsCols, bloomCols,
+      strStatsCols)
+    audit(spark.read.schema(df.schema).parquet(batch.toString)) match {
+      case Some(reason) => Left(reason)
+      case None => Right(publishManifest(spark, table,
+        properties + (SchemaProp -> df.schema.json), newEntries,
+        baseFor = parent =>
+          if (overwrite || parent == 0) Seq.empty[FileEntry]
+          else manifest(spark, table, parent)))
+    }
   }
 
   /** The manifest-publish retry loop — the commit point itself, shared by

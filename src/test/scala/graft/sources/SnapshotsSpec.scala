@@ -350,4 +350,39 @@ class SnapshotsSpec extends SparkSpec {
     assert(v === 3)
     assert(Snapshots.read(spark, tbl, Some(3)).count() === 50)
   }
+
+  test("write-audit-publish: a failing audit publishes NOTHING at any version") {
+    val tbl = freshTable("wap")
+    val good = orders.filter(col("o_orderkey") <= 1000)
+    assert(Snapshots.commitAudited(good, tbl,
+      b => if (b.filter(col("o_totalprice") <= 0).count() > 0)
+        Some("nonpositive totalprice") else None) === Right(1))
+    // poison batch: audit must reject and leave the table untouched
+    val bad = orders.filter(col("o_orderkey") > 1000)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val res = Snapshots.commitAudited(bad, tbl,
+      b => if (b.filter(col("o_totalprice") <= 0).count() > 0)
+        Some("nonpositive totalprice") else None)
+    assert(res === Left("nonpositive totalprice"))
+    assert(Snapshots.latestVersion(spark, tbl) === 1)
+    assert(Snapshots.read(spark, tbl).count() === good.count())
+    // the rejected batch is invisible crash-shaped debris; removeOrphans
+    // reclaims it once past the age horizon
+    val removed = Snapshots.removeOrphans(spark, tbl, olderThanMs = 0L)
+    assert(removed.nonEmpty)
+    assert(Snapshots.read(spark, tbl).count() === good.count())
+    // and a later good batch appends normally
+    assert(Snapshots.commitAudited(orders.filter(col("o_orderkey") > 1000),
+      tbl, _ => None) === Right(2))
+    assert(Snapshots.read(spark, tbl).count() === orders.count())
+  }
+
+  test("write-audit-publish audits the STAGED batch, not table history") {
+    val tbl = freshTable("wapdelta")
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 1000), tbl)
+    var audited = -1L
+    val batch = orders.filter(col("o_orderkey") > 1000)
+    Snapshots.commitAudited(batch, tbl, b => { audited = b.count(); None })
+    assert(audited === batch.count()) // delta-sized, not table-sized
+  }
 }
