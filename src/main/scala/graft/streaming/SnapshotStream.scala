@@ -23,16 +23,27 @@ object SnapshotStream {
   val batchProp = "appliedBatch"
 
   /** Start the ingest: every non-empty micro-batch append-commits into
-    * `table`, recording per-file stats for `statsCols`.
+    * `table`, recording per-file stats for `statsCols`. With `audit`
+    * set, each batch goes through write-audit-publish
+    * ([[Snapshots.commitAudited]]): a rejected batch publishes NO
+    * version — it is dropped from the table (and surfaced through
+    * `onRejected`, the dead-letter hook), while later batches land
+    * normally. The replay marker advances only on PUBLISHED batches, so
+    * an immediately-redelivered rejected id re-audits; once a later
+    * batch publishes, the rejected id counts as handled (its capture
+    * point is the dead-letter hook, not the table).
     */
   def ingest(
       stream: DataFrame,
       table: String,
       statsCols: Seq[String] = Seq.empty,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      audit: Option[DataFrame => Option[String]] = None,
+      onRejected: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
     val writer = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        commitBatch(batch.toDF(), batchId, table, statsCols)
+        commitBatch(batch.toDF(), batchId, table, statsCols, audit,
+          onRejected)
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
@@ -41,7 +52,9 @@ object SnapshotStream {
     * backfills) can drive it without a streaming query around it.
     */
   private[streaming] def commitBatch(batch: DataFrame, batchId: Long,
-      table: String, statsCols: Seq[String]): Unit = {
+      table: String, statsCols: Seq[String],
+      audit: Option[DataFrame => Option[String]] = None,
+      onRejected: (Long, String) => Unit = (_, _) => ()): Unit = {
     if (batch.isEmpty) return // no version for an empty batch
     val spark = batch.sparkSession
     // scan ALL retained versions for the marker, not just the latest: an
@@ -50,7 +63,17 @@ object SnapshotStream {
     val applied = Snapshots.versions(spark, table).flatMap(v =>
       Snapshots.properties(spark, table, v).get(batchProp).map(_.toLong))
     if (applied.nonEmpty && applied.max >= batchId) return // replay: done
-    Snapshots.commit(batch, table, statsCols = statsCols,
-      properties = Map(batchProp -> batchId.toString))
+    val props = Map(batchProp -> batchId.toString)
+    audit match {
+      case None =>
+        Snapshots.commit(batch, table, statsCols = statsCols,
+          properties = props)
+      case Some(a) =>
+        Snapshots.commitAudited(batch, table, a, statsCols = statsCols,
+          properties = props) match {
+          case Left(reason) => onRejected(batchId, reason)
+          case Right(_) => ()
+        }
+    }
   }
 }

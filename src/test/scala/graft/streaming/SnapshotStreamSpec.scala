@@ -59,4 +59,31 @@ class SnapshotStreamSpec extends SparkSpec {
     SnapshotStream.commitBatch(b0.limit(0), 2, tbl, Seq.empty)
     assert(Snapshots.latestVersion(spark, tbl) === 2)
   }
+
+  test("audited ingest drops a poison micro-batch and keeps flowing") {
+    val tbl = fresh("wapstream")
+    val audit: org.apache.spark.sql.DataFrame => Option[String] = b =>
+      if (b.filter(col("page") === "BAD").count() > 0)
+        Some("poison page") else None
+    var rejected = Vector.empty[(Long, String)]
+    val hook = (id: Long, why: String) => { rejected :+= (id, why); () }
+    SnapshotStream.commitBatch(Seq(Click(1, "a")).toDF(), 0, tbl,
+      Seq.empty, Some(audit), hook)
+    SnapshotStream.commitBatch(Seq(Click(2, "BAD")).toDF(), 1, tbl,
+      Seq.empty, Some(audit), hook)
+    SnapshotStream.commitBatch(Seq(Click(3, "c")).toDF(), 2, tbl,
+      Seq.empty, Some(audit), hook)
+    // poison never published: two versions, no BAD row at any of them
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+    val all = Snapshots.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all === Set((1L, "a"), (3L, "c")))
+    assert(rejected === Vector((1L, "poison page")))
+    // the marker is the last PUBLISHED id; replaying it is a no-op
+    assert(Snapshots.properties(spark, tbl, 2)(SnapshotStream.batchProp)
+      === "2")
+    SnapshotStream.commitBatch(Seq(Click(3, "c")).toDF(), 2, tbl,
+      Seq.empty, Some(audit), hook)
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+  }
 }
