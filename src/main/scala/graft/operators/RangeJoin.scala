@@ -140,6 +140,12 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"points and boxes column names must be disjoint; both define " +
         overlap.toSeq.sorted.mkString(", "))
+    // Inverted boxes (x2 < x1 or y2 < y1) contain no point: dropped
+    // before the explode, like explodeToBuckets' inverted intervals —
+    // a negative axis span would otherwise make sequence() count DOWN.
+    // Null corners drop with the same comparisons.
+    val validBoxes = boxes.filter(
+      col(x2Col) >= col(x1Col) && col(y2Col) >= col(y1Col))
     // per-axis spans (long-exact, axis-capped at 2^16 so the product
     // below cannot overflow), then the product cap
     val x1b = floorDiv(col(x1Col), cellWidth)
@@ -149,7 +155,7 @@ object RangeJoin {
     val sx = try_subtract(x2b, x1b)
     val sy = try_subtract(y2b, y1b)
     val axesOk = sx.isNotNull && sy.isNotNull &&
-      sx >= 0 && sy >= 0 && sx < lit(1L << 16) && sy < lit(1L << 16)
+      sx < lit(1L << 16) && sy < lit(1L << 16)
     val cellsOk = axesOk && (sx + 1) * (sy + 1) <= lit(maxCellsPerBox)
     val guardedX2 = when(
       assert_true(cellsOk,
@@ -159,7 +165,7 @@ object RangeJoin {
             s"$cellWidth x $cellHeight — raise the cell size or the cap")))
         .isNull,
       x2b)
-    val b = boxes
+    val b = validBoxes
       .withColumn(cellX, explode(sequence(x1b, guardedX2)))
       .withColumn(cellY, explode(sequence(y1b, y2b)))
     val p = points
@@ -187,6 +193,14 @@ object RangeJoin {
       : DataFrame = {
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    // Inverted intervals (end < start) contain no point, so they emit no
+    // buckets — dropped BEFORE the explode. This is not just semantics:
+    // a negative span passes the `< cap` guard, and Spark's
+    // sequence(hi, lo) counts DOWN, so one inverted sentinel row
+    // (end=0, start=10^9) would explode a billion descending buckets
+    // that the containment filter then discards one by one. Null
+    // endpoints drop with the same comparison.
+    val valid = df.filter(col(endCol) >= col(startCol))
     val startB = floorDiv(col(startCol), bucketWidth)
     val endB = floorDiv(col(endCol), bucketWidth)
     val span = try_subtract(endB, startB)
@@ -198,7 +212,7 @@ object RangeJoin {
             s"buckets at bucketWidth=$bucketWidth — open-ended sentinel " +
             "interval? raise bucketWidth or maxBucketsPerInterval"))).isNull,
       endB)
-    df.withColumn(bucketCol, explode(sequence(startB, guardedEnd)))
+    valid.withColumn(bucketCol, explode(sequence(startB, guardedEnd)))
   }
 
   /** Floor division rounding toward negative infinity (so bucket

@@ -175,6 +175,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 3L))
   }
 
+  test("inverted intervals and boxes match nothing and never explode") {
+    import spark.implicits._
+    // end << start: a descending sequence() would fan out ~10^9 rows
+    // before the containment filter saw any of them — the drop must
+    // happen BEFORE the explode, instantly
+    val pts = Seq((1L, 5L)).toDF("p_id", "p")
+    val iv = Seq((1L, 1000000000L, 0L), (2L, 3L, 9L)).toDF("iv_id", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, iv, "p", "s", "e",
+        bucketWidth = 1)
+      .select("iv_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+    val pdf = Seq((1L, 5L, 5L)).toDF("pid", "px", "py")
+    val bdf = Seq((1L, 1000000000L, 0L, 0L, 10L), (2L, 0L, 0L, 10L, 10L))
+      .toDF("bid", "x1", "y1", "x2", "y2")
+    val got2 = RangeJoin.pointInBox2D(pdf, bdf, "px", "py",
+        "x1", "y1", "x2", "y2", 1, 1)
+      .select("bid").collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq(2L))
+  }
+
   test("pointInBox2D cell-product cap trips loudly on a degenerate box") {
     import spark.implicits._
     val pdf = Seq((1L, 0L, 0L)).toDF("pid", "px", "py")
