@@ -147,13 +147,11 @@ object MiningQueries {
              count(*) >= 3 AS is_diverse
            FROM fine GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  // md5 first-8-hex as a 32-bit integer — the raw (un-modded) value of
-  // the splitBucket / md5BucketSql family; `j` as the comprehension
-  // variable so it nests under an outer `i` comprehension.
+  // md5 first-8-hex as a 32-bit integer — ONE definition with the
+  // splitBucket/md5BucketSql family; `j` as the comprehension variable
+  // so it nests under the weighted-sample oracle's outer `i`.
   private def hash32Sql(expr: String): String =
-    s"""CAST(list_sum([
-          (strpos('0123456789abcdef', substr(md5($expr), j + 1, 1)) - 1)
-            * power(16, 7 - j) FOR j IN range(8)]) AS BIGINT)"""
+    NorthStarQueries.md5Hex8Sql(expr, v = "j")
 
   /** X69: deterministic weighted sampling
     * ([[graft.operators.TrainingData.weightedSample]]): 50 docs drawn

@@ -124,9 +124,18 @@ object NorthStarQueries {
     * split, the mixture sampler, and the LSH hash can never drift apart.
     */
   private[analytics] def md5BucketSql(expr: String, mod: Long = 100L): String =
+    s"${md5Hex8Sql(expr)} % $mod"
+
+  /** The raw (un-modded) first-8-hex md5 value — the 32-bit integer the
+    * bucket above reduces; [[graft.operators.TrainingData.weightedSample]]
+    * uses it directly as a priority. `v` names the comprehension variable
+    * so the fragment can nest inside an outer comprehension that already
+    * binds `i`.
+    */
+  private[analytics] def md5Hex8Sql(expr: String, v: String = "i"): String =
     s"""CAST(list_sum([
-          (strpos('0123456789abcdef', substr(md5($expr), i + 1, 1)) - 1)
-            * power(16, 7 - i) FOR i IN range(8)]) AS BIGINT) % $mod"""
+          (strpos('0123456789abcdef', substr(md5($expr), $v + 1, 1)) - 1)
+            * power(16, 7 - $v) FOR $v IN range(8)]) AS BIGINT)"""
 
   // --- text analysis ------------------------------------------------------
 

@@ -89,6 +89,10 @@ object Graphs {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
+    // normalized once and persisted: every peeling round (and the final
+    // induce) re-joins against e — without the persist each round's job
+    // would redo the cast/canonicalize/distinct shuffle from source
+    // (the same reason connectedComponents persists its sym)
     val e = edges
       .select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
@@ -96,6 +100,7 @@ object Graphs {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def degrees(ed: DataFrame): DataFrame = ed
       .select(col("u").as("node"))
       .unionAll(ed.select(col("v").as("node")))
@@ -147,13 +152,17 @@ object Graphs {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
     val srcCol = sources.columns.head
+    // self-loops dropped AFTER symmetrizing (both directions), and the
+    // normalized relation persisted: every relaxation round re-joins
+    // against sym (the connectedComponents persist rationale)
     val sym = edges
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .unionAll(edges.select(col("id_b").cast("long").as("src"),
         col("id_a").cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var d = sources
       .select(col(srcCol).cast("long").as("node"), lit(0).as("dist"))
       .distinct()

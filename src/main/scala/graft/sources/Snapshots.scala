@@ -117,13 +117,18 @@ object Snapshots {
       properties: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
       strStatsCols: Seq[String] = Seq.empty): Int = {
-    val spark = df.sparkSession
     commitWith(df, table, statsCols, properties, bloomCols,
-      baseFor = parent =>
-        if (overwrite || parent == 0) Seq.empty[FileEntry]
-        else manifest(spark, table, parent),
+      baseFor = appendBase(df.sparkSession, table, overwrite),
       strStatsCols = strStatsCols)
   }
+
+  /** The append/overwrite base-file rule, shared by [[commit]] and
+    * [[commitAudited]] so the two paths can never drift.
+    */
+  private def appendBase(spark: SparkSession, table: String,
+      overwrite: Boolean): Int => Seq[FileEntry] = parent =>
+    if (overwrite || parent == 0) Seq.empty[FileEntry]
+    else manifest(spark, table, parent)
 
   /** Core commit: write `df` as a new data batch, then publish a manifest
     * whose file set is `baseFor(parent)` + the new files. `baseFor` is
@@ -208,9 +213,7 @@ object Snapshots {
       case Some(reason) => Left(reason)
       case None => Right(publishManifest(spark, table,
         properties + (SchemaProp -> df.schema.json), newEntries,
-        baseFor = parent =>
-          if (overwrite || parent == 0) Seq.empty[FileEntry]
-          else manifest(spark, table, parent)))
+        baseFor = appendBase(spark, table, overwrite)))
     }
   }
 

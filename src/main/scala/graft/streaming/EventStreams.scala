@@ -84,9 +84,21 @@ object EventStreams {
     * microsecond timestamp.
     */
   def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    // Infer from whatever already landed; an EMPTY (or not-yet-created)
+    // landing directory is the normal starting state of an ingest, so
+    // inference failure falls back to the declared events schema with
+    // the current generation's micros-NTZ timestamp — the stream must
+    // be startable before the first file arrives.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+      }
     val raw = spark.readStream.schema(schema).parquet(dir)
     schema("ts").dataType match {
       case LongType =>

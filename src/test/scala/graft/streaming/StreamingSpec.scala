@@ -145,6 +145,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("file-source stream starts on an EMPTY landing directory") {
+    // the normal starting state of an ingest: the stream must start
+    // before the first file lands, then pick up arrivals
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty")
+      .toString
+    val q = EventStreams.toMemorySink(
+      EventStreams.tumblingHourly(EventStreams.fromParquetDir(spark, dir)),
+      "t_empty_hourly", "complete")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_empty_hourly").count() === 0)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf001, "events.parquet"),
+        java.nio.file.Paths.get(dir, "batch0.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.table("t_empty_hourly")
+      val batch = EventStreams.tumblingHourly(batchEvents)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("dedupEvents: testdata event_ids are unique") {
     val d = EventStreams.dedupEvents(batchEvents)
     assert(d.filter(col("n_dupes") > 1).count() === 0)
