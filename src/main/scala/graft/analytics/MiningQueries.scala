@@ -166,7 +166,8 @@ object MiningQueries {
       .orderBy(col("rank")),
     Some(s"""WITH base AS (SELECT doc_id, text,
              LEAST(GREATEST(n_chars // 100 + 1, 1), 64) AS weight
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
            pr AS (SELECT doc_id, weight,
              list_min([${hash32Sql("text || ':' || CAST(i AS VARCHAR)")}
                FOR i IN range(1, CAST(weight AS INT) + 1)]) AS priority

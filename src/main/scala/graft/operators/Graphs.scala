@@ -122,8 +122,14 @@ object Graphs {
     val fin = e
       .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-    degrees(fin)
+    val result = degrees(fin)
       .join(surv, "node") // isolated survivors (none unless k=0) dropped
+      .localCheckpoint()
+    // result is materialized above, so the cached edge relation can be
+    // released now — otherwise repeated invocations (bench iterations)
+    // accumulate cached blocks for the session lifetime
+    e.unpersist()
+    result
   }
 
   /** Multi-source BFS distances over an undirected edge table: for every
@@ -178,6 +184,9 @@ object Graphs {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
     }
+    // every round checkpointed d, so nothing downstream re-reads sym —
+    // release the cache instead of holding it for the session lifetime
+    sym.unpersist()
     d
   }
 }

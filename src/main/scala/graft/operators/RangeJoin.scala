@@ -157,17 +157,21 @@ object RangeJoin {
     val axesOk = sx.isNotNull && sy.isNotNull &&
       sx < lit(1L << 16) && sy < lit(1L << 16)
     val cellsOk = axesOk && (sx + 1) * (sy + 1) <= lit(maxCellsPerBox)
-    val guardedX2 = when(
+    // BOTH axis sequences are assert-gated: correctness must not depend
+    // on Catalyst keeping the two Generate nodes in written order — if
+    // only the x explode carried the guard, a reordered plan could run
+    // the y explode ungated on an over-cap box.
+    def guarded(endB: Column): Column = when(
       assert_true(cellsOk,
         concat(lit("RangeJoin: box ["), col(x1Col), lit(","), col(x2Col),
           lit("]x["), col(y1Col), lit(","), col(y2Col),
           lit(s"] covers more than $maxCellsPerBox grid cells at " +
             s"$cellWidth x $cellHeight — raise the cell size or the cap")))
         .isNull,
-      x2b)
+      endB)
     val b = validBoxes
-      .withColumn(cellX, explode(sequence(x1b, guardedX2)))
-      .withColumn(cellY, explode(sequence(y1b, y2b)))
+      .withColumn(cellX, explode(sequence(x1b, guarded(x2b))))
+      .withColumn(cellY, explode(sequence(y1b, guarded(y2b))))
     val p = points
       .withColumn(cellX, floorDiv(col(pxCol), cellWidth))
       .withColumn(cellY, floorDiv(col(pyCol), cellHeight))

@@ -352,7 +352,13 @@ object TrainingData {
     val priority = array_min(transform(sequence(lit(1), w), i =>
       conv(substring(md5(concat(col(textCol), lit(":"),
         i.cast("string"))), 1, 8), 16, 10).cast("long")))
-    docs.select(col(idCol), w.cast("bigint").as("weight"),
+    // A NULL text (or id) would yield a NULL priority, and Spark's
+    // ascending sort puts NULLS FIRST while DuckDB defaults to NULLS
+    // LAST — a null row would silently crowd out the top-k here but not
+    // in the oracle, and a priority-less row is a nonsensical sample
+    // member anyway. Drop them before racing.
+    docs.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), w.cast("bigint").as("weight"),
         priority.as("priority"))
       .orderBy(col("priority"), col(idCol))
       .limit(k)

@@ -82,20 +82,33 @@ object EventStreams {
     * supplies it; `ts` then converts exactly like [[graft.Tables.events]]
     * — raw-ns-long and micros-NTZ generations both land on a session-TZ
     * microsecond timestamp.
+    *
+    * The ts generation is LOCKED at stream start. On an EMPTY landing
+    * directory there is nothing to infer from, so the stream bets on
+    * `tsHint` (default: the current generation's micros-NTZ); if the
+    * first files to arrive are actually the other generation the stream
+    * fails (schema mismatch) rather than misreading — RESTART it then
+    * (inference sees the files and picks the right branch), or pass the
+    * correct `tsHint` up front when the producer's generation is known.
+    *
+    * @param tsHint parquet type of `ts` to assume when the directory is
+    *               empty: `LongType` (raw-ns) or `TimestampNTZType`
     */
-  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tsHint: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.TimestampNTZType): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Infer from whatever already landed; an EMPTY (or not-yet-created)
     // landing directory is the normal starting state of an ingest, so
     // inference failure falls back to the declared events schema with
-    // the current generation's micros-NTZ timestamp — the stream must
-    // be startable before the first file arrives.
+    // the caller's tsHint generation — the stream must be startable
+    // before the first file arrives (restart semantics in the scaladoc).
     val schema =
       try spark.read.parquet(dir).schema
       catch {
         case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("event_id", LongType), StructField("ts", tsHint),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
       }
