@@ -474,8 +474,70 @@ object SnapshotQueries {
          FROM orders
          WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'"""))
 
+  /** The bucketed fact tables behind [[bucketJoin]], built ONCE per
+    * (dataset, application) and re-registered (metadata-only) per
+    * invocation — the storedDedupEdges discipline: the one-time layout
+    * cost is the build path, amortized across every later join on the
+    * key; the bench measures the serving-path JOIN. Registration happens
+    * under the lock so a parallel suite can never observe a
+    * dropped-but-not-yet-recreated catalog name.
+    */
+  private val bucketStateLock = new Object
+  private def bucketedFactTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bktstate_" +
+      s"${tag}_${s.sparkContext.applicationId}"
+    val oTbl = s"$root/orders"; val lTbl = s"$root/lineitem"
+    val oName = s"graft_bkt_orders_$tag"; val lName = s"graft_bkt_lineitem_$tag"
+    bucketStateLock.synchronized {
+      val p = new org.apache.hadoop.fs.Path(oTbl)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) {
+        Snapshots.commitBucketed(orders(s, d).select(col("o_orderkey"),
+            col("o_orderpriority")), oTbl, "o_orderkey", 16,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.commitBucketed(lineitem(s, d).select(col("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          lTbl, "l_orderkey", 16, statsCols = Seq("l_orderkey"))
+      }
+      Snapshots.registerBucketed(s, oTbl, oName)
+      Snapshots.registerBucketed(s, lTbl, lName)
+    }
+    (oName, lName)
+  }
+
+  /** X76: storage-co-partitioned fact-fact join — the missing 100 TB plan
+    * shape: orders and lineitem committed hash-bucketed 16 ways on their
+    * join key ([[Snapshots.commitBucketed]]), registered bucket-aware
+    * ([[Snapshots.registerBucketed]]), so the equi-join runs with ZERO
+    * Exchange on either side (BucketedJoinSpec pins the plan, and the
+    * shuffle fallback on mismatched bucket counts): each of the 16 join
+    * tasks reads bucket i of both tables. The only remaining shuffle is
+    * the post-join rollup on o_orderpriority — cardinality-bounded output,
+    * not fact-sized input. Bucketing is pure layout, so the oracle is the
+    * plain join.
+    */
+  val bucketJoin = Q("q_bucket_join",
+    (s, d) => {
+      val (o, l) = bucketedFactTables(s, d)
+      s.table(o).hint("merge")
+        .join(s.table(l), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+         ${dsumSql("l_quantity")} AS sum_qty,
+         ${dsumSql(revenueSql)} AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
-    rollbackQ, compactSmallQ, tableHistory, strSkip)
+    rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin)
 }

@@ -165,21 +165,35 @@ object Snapshots {
       statsCols: Seq[String], bloomCols: Seq[String],
       strStatsCols: Seq[String]): (Path, Seq[FileEntry]) = {
     val spark = df.sparkSession
+    val (_, root) = fsOf(spark, table)
+    val batch = freshBatchDir(root)
+    df.write.mode("errorifexists").parquet(batch.toString)
+    (batch, entriesFor(spark, table, batch, statsCols, bloomCols,
+      strStatsCols))
+  }
+
+  private def freshBatchDir(root: Path): Path =
+    new Path(new Path(root, "data"),
+      "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
+
+  /** Manifest entries (footer stats + blooms) for every parquet file of a
+    * just-written batch directory — shared by the plain and bucketed
+    * write paths so their manifests can never drift in shape.
+    */
+  private def entriesFor(spark: SparkSession, table: String, batch: Path,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      strStatsCols: Seq[String]): Seq[FileEntry] = {
     val (fs, root) = fsOf(spark, table)
     val conf = spark.sessionState.newHadoopConf()
-    val batch = new Path(new Path(root, "data"),
-      "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
-    df.write.mode("errorifexists").parquet(batch.toString)
     val blooms = fileBloomBits(spark, batch.toString, bloomCols)
     val rootUri = fs.makeQualified(root).toUri
-    val newEntries = listParquet(fs, batch).map { st =>
+    listParquet(fs, batch).map { st =>
       val (rows, ranges) = ParquetMeta.fileStats(conf, st, statsCols)
       val rel = rootUri.relativize(st.getPath.toUri).getPath
       FileEntry(rel, rows, ranges,
         blooms.getOrElse(st.getPath.toUri.getPath, Map.empty),
         ParquetMeta.fileStrStats(conf, st, strStatsCols))
     }.sortBy(_.path)
-    (batch, newEntries)
   }
 
   /** Write-audit-publish (the lakehouse governance gate): stage the
@@ -215,6 +229,140 @@ object Snapshots {
         properties + (SchemaProp -> df.schema.json), newEntries,
         baseFor = appendBase(spark, table, overwrite)))
     }
+  }
+
+  // ---- hash-bucketed layout (shuffle-free co-partitioned joins) -------
+
+  /** Manifest property keys of a bucketed version: bucket column, bucket
+    * count, and the hash function ("spark-murmur3" — Spark's
+    * `pmod(murmur3, n)`, the only value this writer produces; recorded so
+    * a reader can REFUSE a spec it does not understand instead of
+    * silently mis-aligning buckets).
+    */
+  val BucketColProp = "graft.bucket.col"
+  val BucketNProp = "graft.bucket.n"
+  val BucketHashProp = "graft.bucket.hash"
+  private val BucketHashId = "spark-murmur3"
+
+  /** The (column, nBuckets) bucket spec `version` was committed with, or
+    * None for an unbucketed version. Throws on a recorded hash function
+    * this reader does not implement — a wrong silent answer would
+    * mis-align every bucket join.
+    */
+  def bucketSpec(spark: SparkSession, table: String,
+      version: Option[Int] = None): Option[(String, Int)] = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    if (v == 0) return None
+    val props = properties(spark, table, v)
+    props.get(BucketColProp).map { c =>
+      val h = props.getOrElse(BucketHashProp, BucketHashId)
+      require(h == BucketHashId,
+        s"Snapshots.bucketSpec: $table v$v uses bucket hash '$h'; this " +
+          s"reader only understands '$BucketHashId'")
+      (c, props(BucketNProp).toInt)
+    }
+  }
+
+  /** Commit `df` as a new OVERWRITE version laid out in `nBuckets` hash
+    * buckets on `bucketCol` — the storage layout that lets two tables
+    * bucketed identically on their join key equi-join with NO Exchange on
+    * either side ([[registerBucketed]]): at 100 TB the dominant shuffle
+    * is fact-fact joins, and co-bucketed storage removes it entirely.
+    *
+    * The batch is written through Spark's native bucketed writer (each
+    * file name carries its bucket id — the contract the bucket-aware
+    * reader keys on), pre-repartitioned by the SAME `pmod(murmur3, n)`
+    * function bucketing uses so each bucket lands in exactly one file.
+    * The bucket spec rides the manifest as properties; the version is an
+    * overwrite because a bucketed-layout claim covers the whole file set
+    * (a later plain append would break it — [[registerBucketed]] rejects
+    * multi-batch versions loudly).
+    */
+  def commitBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, statsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty): Int = {
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets must be in [1,4096], got $nBuckets")
+    require(df.columns.contains(bucketCol),
+      s"Snapshots.commitBucketed: no column '$bucketCol' in " +
+        df.columns.mkString(", "))
+    val spark = df.sparkSession
+    val bucketProps = properties ++ Map(
+      BucketColProp -> bucketCol, BucketNProp -> nBuckets.toString,
+      BucketHashProp -> BucketHashId)
+    requireProps(bucketProps + (SchemaProp -> df.schema.json))
+    val (fs, root) = fsOf(spark, table)
+    val batch = freshBatchDir(root)
+    // DataFrameWriter.bucketBy only writes through saveAsTable, so stage
+    // through a throwaway EXTERNAL catalog entry at the batch dir: the
+    // drop removes only the catalog row, the bucket-named data files
+    // stay — they are ordinary immutable snapshot files from here on.
+    // repartition by the bucket expression first: Spark's HashPartitioning
+    // is the same pmod(murmur3, n) bucketing uses, so each writer task
+    // holds exactly one bucket → one file per bucket.
+    val tmpName = "graft_tmp_bucketed_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    import org.apache.spark.sql.functions.{col => c}
+    df.repartition(nBuckets, c(bucketCol))
+      .write.format("parquet")
+      .option("path", fs.makeQualified(batch).toString)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .mode("errorifexists")
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE `$tmpName`")
+    val newEntries = entriesFor(spark, table, batch, statsCols, bloomCols,
+      strStatsCols)
+    publishManifest(spark, table,
+      bucketProps + (SchemaProp -> df.schema.json), newEntries,
+      baseFor = _ => Seq.empty)
+  }
+
+  /** Expose a bucketed version (default: latest) as catalog table `name`
+    * so Catalyst plans bucket-aware scans over the snapshot's files: an
+    * equi-join of two tables registered this way with the SAME (column
+    * role, bucket count) runs with ZERO Exchange nodes — each of the N
+    * join tasks reads bucket i of both sides, the storage-co-partitioned
+    * plan shape. Mismatched bucket counts are still correct: Catalyst
+    * simply falls back to shuffling (that fallback is spec-pinned).
+    *
+    * The registration is metadata-only (an EXTERNAL table at the
+    * version's batch directory — no data is read or copied) and replaces
+    * any previous `name`. Requires a version written by
+    * [[commitBucketed]]: single batch dir, bucket properties present.
+    * Returns the registered version.
+    */
+  def registerBucketed(spark: SparkSession, table: String, name: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val (bcol, n) = bucketSpec(spark, table, Some(v)).getOrElse(
+      sys.error(s"Snapshots.registerBucketed: $table v$v has no bucket " +
+        "spec — commit it with commitBucketed"))
+    val entries = manifest(spark, table, v)
+    require(entries.nonEmpty,
+      s"Snapshots.registerBucketed: $table v$v is empty")
+    val dirs = entries.map { e =>
+      val i = e.path.lastIndexOf('/')
+      require(i > 0, s"unexpected manifest path shape: ${e.path}")
+      e.path.substring(0, i)
+    }.distinct
+    require(dirs.size == 1,
+      s"Snapshots.registerBucketed: $table v$v spans ${dirs.size} batch " +
+        "dirs — the bucketed layout only covers single-batch (overwrite) " +
+        "versions; recommit with commitBucketed")
+    val (fs, root) = fsOf(spark, table)
+    val loc = fs.makeQualified(new Path(root, dirs.head)).toString
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(properties(spark, table, v)(SchemaProp))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (${schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (`$bcol`) SORTED BY (`$bcol`) INTO $n BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    v
   }
 
   /** The manifest-publish retry loop — the commit point itself, shared by
