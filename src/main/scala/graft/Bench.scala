@@ -87,8 +87,12 @@ object Bench {
     // tail capture keeps only the LAST ~2000 chars of output, and the full
     // line above outgrew it (r8: 65 of 164 timings survived). Integer-ms
     // timings, slowest LAST so front-truncation can only ever drop the
-    // cheapest queries, line capped well under the capture window.
-    val budget = 1700
+    // cheapest queries. The ~1900-char capture window is now SHARED with
+    // the tables+fingerprints line below (which prints last, so it always
+    // survives whole); timings get what remains.
+    // sized so line2 + line3 + sbt's trailing success line fit the
+    // ~2000-char window together: 800 + ~80 overhead + ~990 (line3) + ~90
+    val budget = 800
     val entries = results.filter(_._2 >= 0).sortBy(_._2)
       .map { case (k, v) => jsonStr(k) + ":" + math.round(v * 1000) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -97,6 +101,36 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept.prepend(e); used += e.length + 1 }
     }
     println(s"""{"timings_ms":{${kept.mkString(",")}},"n_shown":${kept.size},"n_total":${entries.size},"total_ms":${math.round(total * 1000)},"err":${errors.size}}""")
+    // Third, LAST line — survives the tail capture whole by construction:
+    // (a) per-table footer row counts + schema fingerprints, because the
+    // driver regenerates testdata between rounds and r8→r9 changed both
+    // row distributions and the events.ts encoding with nothing in the
+    // artifact to show it — timing drift could not be adjudicated without
+    // a re-measure; (b) 8-hex static plan fingerprints of the slowest
+    // queries, so "same plan, different data/box" vs "plan regression"
+    // diffs loudly across round artifacts alone (full fingerprints stay
+    // in line 1, which may truncate).
+    def md5_8(s: String): String = PlanFingerprint.md5hex(s).take(8)
+    val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val tblJson = tableNames.flatMap { t =>
+      val p = s"$sfDir/$t.parquet"
+      try {
+        val rows = graft.sources.ParquetMeta.rowCount(spark, p)
+        val fp = md5_8(spark.read.parquet(p).schema.json)
+        Some(jsonStr(t) + ":[" + rows + "," + jsonStr(fp) + "]")
+      } catch { case _: Throwable => None }
+    }.mkString("{", ",", "}")
+    val fpBudget = 620
+    val fpKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fpUsed = 0
+    results.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, _) =>
+      plans.get(k).foreach { fp =>
+        val e = jsonStr(k) + ":" + jsonStr(fp.take(8))
+        if (fpUsed + e.length + 1 <= fpBudget) { fpKept += e; fpUsed += e.length + 1 }
+      }
+    }
+    println(s"""{"tables":$tblJson,"plan_fp":{${fpKept.mkString(",")}},"n_fp":${fpKept.size}}""")
     spark.stop()
   }
 }

@@ -39,7 +39,11 @@ object PlanFingerprint {
     // so match one-or-more hex chars, not a minimum width
     .replaceAll("@[0-9a-fA-F]+", "@x")
 
-  private def md5hex(s: String): String =
+  /** Shared by [[Bench]]'s table-schema fingerprints so the two
+    * fingerprint encodings in one artifact stay identical by
+    * construction, not coincidence.
+    */
+  private[graft] def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

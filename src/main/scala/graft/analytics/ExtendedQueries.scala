@@ -529,6 +529,40 @@ object ExtendedQueries {
          ${dsumSql("o_totalprice")} AS revenue
          FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** X52 widened: MV rewrite UNDER a key-column filter — a predicate on a
+    * rollup KEY is constant within each rollup row, so it commutes with
+    * the re-aggregation and the optimizer replays it over the rollup
+    * (fact scan still gone; MaterializedViewsSpec pins the plan and the
+    * four no-rewrite guards). The oracle is the filtered full recompute,
+    * so passing pins rewritten ≡ recomputed exactly.
+    */
+  val mvRewriteFiltered = Q("q_mv_rewrite_filtered",
+    (s, d) => {
+      val mvPath = s"${System.getProperty("java.io.tmpdir")}/graft_mvf_" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+      graft.plans.MaterializedViews.buildAndRegister(s,
+        s"$d/orders.parquet", mvPath,
+        keys = Seq("o_orderstatus", "o_orderpriority"), countCol = "n",
+        sums = Seq(graft.plans.MaterializedViews.MvSum("rev", "o_totalprice",
+          Some(org.apache.spark.sql.types.DecimalType(27, 4)))))
+      try {
+        val agg = orders(s, d)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).as("_rev"))
+          .localCheckpoint()
+        agg.select(col("o_orderstatus"), col("n_orders"),
+            col("_rev").cast("double").as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      } finally graft.plans.MaterializedViews.clear()
+    },
+    Some(s"""SELECT o_orderstatus, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS revenue
+         FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY 1 ORDER BY 1"""))
+
   /** Z-order clustering key: native bit-interleave expression over
     * (l_partkey, l_suppkey) — the multi-dimensional sort key a 100 TB
     * warehouse writes by so row-group min/max stats prune box predicates
@@ -611,5 +645,5 @@ object ExtendedQueries {
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    mvRewrite, zorder, zorder3, hilbert)
+    mvRewrite, mvRewriteFiltered, zorder, zorder3, hilbert)
 }

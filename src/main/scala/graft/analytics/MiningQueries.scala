@@ -165,7 +165,8 @@ object MiningQueries {
         weight = expr("n_chars div 100") + 1, k = 50)
       .orderBy(col("rank")),
     Some(s"""WITH base AS (SELECT doc_id, text,
-             LEAST(GREATEST(n_chars // 100 + 1, 1), 64) AS weight
+             LEAST(GREATEST(COALESCE(n_chars // 100 + 1, 1), 1), 64)
+               AS weight
            FROM documents
            WHERE text IS NOT NULL AND doc_id IS NOT NULL),
            pr AS (SELECT doc_id, weight,
@@ -358,6 +359,56 @@ object MiningQueries {
            FROM j JOIN k ON j.component = k.component AND k.rk = 1
            ORDER BY j.name"""))
 
-  val all: Seq[Q] = Seq(fuzzyNames, interpolate, anomaly, lDiversityAudit,
-    weightedSample, charEntropy, basketCore, spatialJoin, entityResolution)
+  /** X66 keyed twin: per-entity gap-fill
+    * ([[graft.operators.Series.interpolateDailyKeyed]]) — each event
+    * type's own daily-revenue series is calendar-filled and interpolated
+    * independently, every window PARTITIONED BY the key (no global sort
+    * anywhere, unlike the intentionally-single-series q_interpolate).
+    * SeriesSpec pins keyed-restricted-to-one-key ≡ single-series; the
+    * oracle replays the per-key calendars as a lateral generate_series.
+    */
+  val interpolateKeyed = Q("q_interpolate_keyed",
+    (s, d) => {
+      val daily = events(s, d)
+        .filter(col("user_id") % 50 === 3)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("v"))
+      Series.interpolateDailyKeyed(daily, "event_type", "day", "v")
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH daily AS (SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               ${dsumSql("value")} AS v
+             FROM events WHERE user_id % 50 = 3 GROUP BY 1, 2),
+           b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+             FROM daily GROUP BY 1),
+           cal AS (SELECT event_type,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                 AS day
+             FROM b),
+           j AS (SELECT c.event_type, c.day, dd.v FROM cal c
+             LEFT JOIN daily dd USING (event_type, day)),
+           w AS (SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER pre AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER pre AS pd,
+             first_value(v IGNORE NULLS) OVER post AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER post AS nd
+             FROM j
+             WINDOW pre AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               post AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           SELECT event_type, day, v IS NOT NULL AS observed,
+             round(CASE WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
+                   CAST(nd - pd AS DOUBLE))
+               WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
+           FROM w ORDER BY event_type, day"""))
+
+  val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
+    lDiversityAudit, weightedSample, charEntropy, basketCore, spatialJoin,
+    entityResolution)
 }

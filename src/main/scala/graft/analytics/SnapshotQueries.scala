@@ -482,25 +482,23 @@ object SnapshotQueries {
     * under the lock so a parallel suite can never observe a
     * dropped-but-not-yet-recreated catalog name.
     */
-  private val bucketStateLock = new Object
   private def bucketedFactTables(s: SparkSession, d: String)
       : (String, String) = {
+    // catalog names must stay dot-free (a backticked dotted name parses
+    // as db.table), hence the stricter sanitizer than AppState's
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_bktstate_" +
-      s"${tag}_${s.sparkContext.applicationId}"
-    val oTbl = s"$root/orders"; val lTbl = s"$root/lineitem"
     val oName = s"graft_bkt_orders_$tag"; val lName = s"graft_bkt_lineitem_$tag"
-    bucketStateLock.synchronized {
-      val p = new org.apache.hadoop.fs.Path(oTbl)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) {
-        Snapshots.commitBucketed(orders(s, d).select(col("o_orderkey"),
-            col("o_orderpriority")), oTbl, "o_orderkey", 16,
-          statsCols = Seq("o_orderkey"))
-        Snapshots.commitBucketed(lineitem(s, d).select(col("l_orderkey"),
-            col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-          lTbl, "l_orderkey", 16, statsCols = Seq("l_orderkey"))
-      }
+    AppState.ensure(s, s"graft_bktstate_$tag") { dir =>
+      val oTbl = s"$dir/orders"; val lTbl = s"$dir/lineitem"
+      Snapshots.commitBucketed(orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority")), oTbl, "o_orderkey", 16,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commitBucketed(lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        lTbl, "l_orderkey", 16, statsCols = Seq("l_orderkey"))
+      // the session catalog outlives this build, so registration (also
+      // metadata-only) rides the same once-per-app completion marker —
+      // no per-invocation DROP/CREATE for a parallel reader to race
       Snapshots.registerBucketed(s, oTbl, oName)
       Snapshots.registerBucketed(s, lTbl, lName)
     }

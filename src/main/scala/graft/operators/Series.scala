@@ -32,10 +32,42 @@ object Series {
     val cal = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
         .as("day"))
-    val j = cal.join(series, Seq("day"), "left")
-    val before = Window.orderBy(col("day"))
+    lerped(cal.join(series, Seq("day"), "left"), Seq.empty)
+  }
+
+  /** Per-entity [[interpolateDaily]]: each key's own [min(day), max(day)]
+    * calendar is filled and interpolated independently — the shape a real
+    * pipeline needs (one series per product / user / sensor). Same lerp
+    * expression tree as the single-series form (the restriction-to-one-key
+    * equivalence is spec-pinned); every window PARTITIONS BY the key, so
+    * unlike the intentionally-global single series there is no global
+    * sort anywhere: per-key calendars explode from one aggregated bounds
+    * row per key, the join is (key, day)-keyed, and the prev/next scans
+    * parallelize over keys. Output: (key, day, observed, value).
+    */
+  def interpolateDailyKeyed(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val series = df.select(col(keyCol).as("key"), col(dayCol).as("day"),
+      col(valueCol).as("v"))
+    val cal = series.groupBy(col("key"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+          .as("day"))
+    lerped(cal.join(series, Seq("key", "day"), "left"), Seq(col("key")))
+      .withColumnRenamed("key", keyCol)
+  }
+
+  /** The shared gap-fill lerp over a (calendar LEFT JOIN series) frame:
+    * forward/backward ignore-null window scans partitioned by `part`
+    * (empty = the single global series), then
+    * `prev + (next - prev) * gapFraction`, interior-gap linear, edge
+    * gaps held flat, rounded 6 for the cast ulp.
+    */
+  private def lerped(j: DataFrame, part: Seq[Column]): DataFrame = {
+    val before = Window.partitionBy(part: _*).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val after = Window.orderBy(col("day"))
+    val after = Window.partitionBy(part: _*).orderBy(col("day"))
       .rowsBetween(0, Window.unboundedFollowing)
     val prevV = last(col("v"), ignoreNulls = true).over(before)
     val prevD = last(when(col("v").isNotNull, col("day")),
@@ -43,9 +75,9 @@ object Series {
     val nextV = first(col("v"), ignoreNulls = true).over(after)
     val nextD = first(when(col("v").isNotNull, col("day")),
       ignoreNulls = true).over(after)
-    j.select(col("day"), col("v"), prevV.as("pv"), prevD.as("pd"),
-        nextV.as("nv"), nextD.as("nd"))
-      .select(col("day"), col("v").isNotNull.as("observed"),
+    j.select(part ++ Seq(col("day"), col("v"), prevV.as("pv"),
+        prevD.as("pd"), nextV.as("nv"), nextD.as("nd")): _*)
+      .select(part ++ Seq(col("day"), col("v").isNotNull.as("observed"),
         round(
           when(col("v").isNotNull, col("v"))
             .when(col("pv").isNotNull && col("nv").isNotNull,
@@ -53,7 +85,7 @@ object Series {
                 (datediff(col("day"), col("pd")).cast("double") /
                   datediff(col("nd"), col("pd")).cast("double")))
             .when(col("pv").isNotNull, col("pv"))
-            .otherwise(col("nv")), 6).as("value"))
+            .otherwise(col("nv")), 6).as("value")): _*)
   }
 
   /** Rolling z-score over the trailing `windowRows`-row window per key

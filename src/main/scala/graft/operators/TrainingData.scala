@@ -348,7 +348,11 @@ object TrainingData {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxWeight >= 1 && maxWeight <= 1024,
       s"maxWeight must be in [1,1024], got $maxWeight")
-    val w = least(greatest(weight.cast("int"), lit(1)), lit(maxWeight))
+    // null-safe: a NULL weight means "no signal", clamped to 1 like any
+    // sub-1 weight — otherwise it would cascade to a NULL priority and
+    // resurrect the NULLS FIRST/LAST cross-engine divergence below
+    val w = least(greatest(coalesce(weight.cast("int"), lit(1)), lit(1)),
+      lit(maxWeight))
     val priority = array_min(transform(sequence(lit(1), w), i =>
       conv(substring(md5(concat(col(textCol), lit(":"),
         i.cast("string"))), 1, 8), 16, 10).cast("long")))

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -21,9 +21,13 @@ import org.apache.spark.sql.types.DataType
   *
   * Matching is deliberately strict — rewrite only when exactness is
   * provable from the registration:
-  *  - the aggregate's child is the fact scan (optionally under a
-  *    column-pruning Project) with NO intervening Filter — a filtered
-  *    fact cannot use a full-table rollup;
+  *  - the aggregate's child is the fact scan, optionally under
+  *    column-pruning Projects and Filters whose predicates reference
+  *    ONLY MV key columns: the rollup partitions fact rows by the full
+  *    key tuple, so a key-only predicate is constant within each rollup
+  *    row and commutes with the re-aggregation (it is replayed over the
+  *    rollup). A filter touching any non-key column disables the
+  *    rewrite — a full-table rollup cannot answer it;
   *  - every grouping expression is a plain column ∈ `keys`;
   *  - every aggregate is `count(literal)` (→ sum of the MV count) or
   *    `sum(col)` / `sum(cast(col as T))` matching a registered measure
@@ -93,20 +97,28 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     else plan.transformDown {
       case agg @ Aggregate(groups, aggs, child, _) =>
         (for {
-          path <- factScanPath(child)
+          (path, filter) <- factScan(child)
           mv <- lookup(path)
-          rewritten <- tryRewrite(agg, groups, aggs, mv)
+          rewritten <- tryRewrite(agg, groups, aggs, filter, mv)
         } yield rewritten).getOrElse(agg)
     }
 
-  /** The fact path IF `child` is exactly a file scan, optionally under a
-    * column-pruning Project — any Filter/Join/etc. in between disables
-    * the rewrite (a full-table rollup cannot answer a filtered fact).
+  /** The fact path (plus the And of any intervening Filter predicates) IF
+    * `child` is a file scan under only column-pruning Projects and
+    * Filters — any Join/Window/etc. in between disables the rewrite.
+    * Whether the collected predicates are key-only (rewritable) is
+    * decided in [[tryRewrite]], where the MV definition is in hand.
     */
-  private def factScanPath(child: LogicalPlan): Option[String] = child match {
-    case lr: LogicalRelation => relationPath(lr)
-    case Project(pl, lr: LogicalRelation)
-        if pl.forall(_.isInstanceOf[AttributeReference]) => relationPath(lr)
+  private def factScan(child: LogicalPlan)
+      : Option[(String, Option[Expression])] = child match {
+    case lr: LogicalRelation => relationPath(lr).map((_, None))
+    case Project(pl, inner)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      factScan(inner)
+    case Filter(cond, inner) =>
+      factScan(inner).map { case (p, f) =>
+        (p, Some(f.fold(cond)(And(cond, _))))
+      }
     case _ => None
   }
 
@@ -118,11 +130,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate, groups: Seq[Expression],
-      aggs: Seq[NamedExpression], mv: MvDef): Option[LogicalPlan] = {
+      aggs: Seq[NamedExpression], filter: Option[Expression], mv: MvDef)
+      : Option[LogicalPlan] = {
     // plain key columns only
     val groupNames = groups.map {
       case a: AttributeReference if mv.keys.contains(a.name) => a.name
       case _ => return None
+    }
+    // an intervening filter is rewritable ONLY when deterministic and
+    // key-only: constant within each rollup row, so it commutes with the
+    // re-aggregation and replays over the rollup verbatim
+    filter.foreach { cond =>
+      if (!cond.deterministic ||
+        !cond.references.forall(a => mv.keys.contains(a.name))) return None
     }
     // at least one real aggregate: a bare DISTINCT is out of scope
     if (!aggs.exists(_.exists(_.isInstanceOf[AggregateExpression])))
@@ -155,7 +175,19 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val newGroups = groupNames.map(mvAttr(_))
-    Some(Aggregate(newGroups, newAggs, mvPlan))
+    // rebind the key-only predicate to the MV's attributes (by name,
+    // type-checked — a name collision with a different type must not
+    // silently change semantics)
+    val mvChild = filter.fold(mvPlan) { cond =>
+      val bound = cond.transform {
+        case ar: AttributeReference =>
+          val a = mvAttr.getOrElse(ar.name, return None)
+          if (a.dataType != ar.dataType) return None
+          a
+      }
+      Filter(bound, mvPlan)
+    }
+    Some(Aggregate(newGroups, newAggs, mvChild))
   }
 
   private def sumSourceMatches(e: Expression, m: MvSum): Boolean = e match {

@@ -577,13 +577,27 @@ object Snapshots {
     *
     * Concurrency: the merge plans against the current latest version; if
     * another commit lands before the manifest create, the retry loop
-    * re-reads the parent and this merge ABORTS (optimistic concurrency)
-    * instead of silently dropping the racer's files.
+    * re-reads the parent and AUTO-REBASES when that is provably safe —
+    * the racer left every file this merge rewrites untouched, and no file
+    * the racer added may contain any of this merge's keys (the same
+    * envelope / collected-key test the pruning uses, so the proof is
+    * sound, not heuristic). Then the merge re-commits carrying the NEW
+    * parent's other files — two writers on disjoint key ranges both land,
+    * the contention path a multi-pipeline warehouse hits daily. A racer
+    * that touched an overlapping file set or key range still ABORTS
+    * loudly: its effect on this merge's row set cannot be reconstructed
+    * from metadata alone, so the caller must re-plan.
+    *
+    * `planHook` is a deterministic-concurrency test seam: invoked once
+    * after the merge has planned its file set against the current latest
+    * version, before the commit — a spec races a conflicting commit
+    * inside it.
     */
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
       deleteKeys: DataFrame, keyCol: String,
       maxCollectedKeys: Int = 100000,
-      properties: Map[String, String] = Map.empty): MergeResult = {
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): MergeResult = {
     import org.apache.spark.sql.functions.{broadcast, col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.merge: $table has no committed version")
@@ -631,13 +645,58 @@ object Snapshots {
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
     val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
+    planHook()
+    val touchedPaths = touched.map(_.path).toSet
+    val priorPaths = entries.map(_.path).toSet
+    // how many files the final commit actually carried (rebase may carry
+    // the racer's files too) — recorded from inside the retry loop
+    val carriedCount = new java.util.concurrent.atomic.AtomicInteger(
+      carried.size)
     val next = commitWith(newData, table, statsCols, properties, bloomCols,
       baseFor = parent => {
-        require(parent == v, s"Snapshots.merge: concurrent commit on $table " +
-          s"(planned against v$v, parent is now v$parent) — retry the merge")
-        carried
+        val base =
+          if (parent == v) carried
+          else {
+            // AUTO-REBASE against the drifted parent. Sound iff (1) every
+            // file this merge rewrote is still in the new parent — its
+            // rows were fully re-derived into newData, so the racer must
+            // not have changed them under us; (2) no file the racer
+            // added may contain one of our keys — a carried racer file
+            // holding key k while newData also holds k would duplicate k;
+            // (3) the racer did not evolve the schema — the new commit
+            // republishes THIS merge's (stale) schema, and because
+            // readers apply the version's recorded schema to every file,
+            // carrying an evolved racer's files under the stale schema
+            // would silently hide its new columns at latest.
+            require(Snapshots.properties(spark, table, parent)
+              .get(SchemaProp) ==
+              Snapshots.properties(spark, table, v).get(SchemaProp),
+              s"Snapshots.merge: concurrent commit on $table changed the " +
+                s"schema (planned against v$v, parent is now v$parent) — " +
+                "retry the merge")
+            val cur = manifest(spark, table, parent)
+            val curPaths = cur.map(_.path).toSet
+            val lost = touchedPaths -- curPaths
+            require(lost.isEmpty, s"Snapshots.merge: concurrent commit on " +
+              s"$table rewrote ${lost.size} file(s) this merge also " +
+              s"touches (planned against v$v, parent is now v$parent) — " +
+              "retry the merge")
+            val added = cur.filterNot(e => priorPaths.contains(e.path))
+            val conflicting = added.filter(e =>
+              e.rows > 0 && (e.stats.get(keyCol) match {
+                case Some((mn, mx)) => mayContain(mn, mx)
+                case None => true // no envelope: cannot prove disjoint
+              }))
+            require(conflicting.isEmpty, s"Snapshots.merge: concurrent " +
+              s"commit on $table added ${conflicting.size} file(s) that " +
+              s"may hold this merge's keys (planned against v$v, parent " +
+              s"is now v$parent) — retry the merge")
+            cur.filterNot(e => touchedPaths.contains(e.path))
+          }
+        carriedCount.set(base.size)
+        base
       }, strStatsCols = strCols)
-    MergeResult(next, touched.size, carried.size)
+    MergeResult(next, touched.size, carriedCount.get)
   }
 
   /** Compact the latest version's layout into ~`targetBytes` files as a

@@ -31,6 +31,29 @@ class SeriesSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 4.5)
   }
 
+  test("interpolateDailyKeyed: per-key calendars; one key ≡ single-series") {
+    val multi = Seq(("a", day(2), 1.0), ("a", day(5), 7.0), ("a", day(7), 3.0),
+      ("b", day(10), 2.0), ("b", day(12), 8.0)).toDF("k", "day", "v")
+    val keyed = Series.interpolateDailyKeyed(multi, "k", "day", "v")
+    // each key fills ONLY its own [min, max] span
+    val spans = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2).toString, r.getDate(3).toString)).toSet
+    assert(spans === Set(("a", 6L, "2024-01-02", "2024-01-07"),
+      ("b", 3L, "2024-01-10", "2024-01-12")))
+    // restriction to one key reproduces the single-series result exactly
+    val single = Series.interpolateDaily(
+      multi.filter(col("k") === "a").drop("k"), "day", "v")
+      .orderBy(col("day")).collect()
+    val restricted = keyed.filter(col("k") === "a").drop("k")
+      .orderBy(col("day")).collect()
+    assert(restricted.toSeq === single.toSeq)
+    // and the interior gap lerps per key ("b" day 11 = midpoint)
+    assert(keyed.filter(col("k") === "b" && col("day") === day(11))
+      .head().getDouble(3) === 5.0)
+  }
+
   test("rollingZScore: constant series never flags; spike flags") {
     val rows = (1 to 10).map(i => ("k", day(i), 10.0)) :+
       (("k", day(11), 1000.0))

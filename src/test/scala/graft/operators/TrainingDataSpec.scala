@@ -452,4 +452,20 @@ class TrainingDataSpec extends SparkSpec {
       maxWeight = 8).collect().map(_.getLong(1)).toSet
     assert(clamped === Set(8L))
   }
+
+  test("weightedSample: null text/id rows drop; null weight acts as 1") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((Some(1L), Some("alpha"), Some(3)),
+      (Some(2L), None, Some(3)),         // null text: no priority — drop
+      (None, Some("beta"), Some(3)),     // null id: drop
+      (Some(3L), Some("gamma"), None))   // null weight: clamp to 1, keep
+      .toDF("doc_id", "text", "w")
+    val got = TrainingData.weightedSample(docs, col("w"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L) === 3L && got(3L) === 1L)
+    // and no NULL priority ever reaches the ranking
+    assert(TrainingData.weightedSample(docs, col("w"), k = 10)
+      .filter(col("priority").isNull).count() === 0)
+  }
 }

@@ -58,6 +58,51 @@ class MaterializedViewsSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("filter on a KEY column commutes: rewritten, exact, no fact scan") {
+    val direct = spark.read.parquet(factPath)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(27,4)")).as("rev"))
+    val expect = direct.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+    val mvPath = registerOrdersMv()
+    try {
+      val df = spark.read.parquet(factPath)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(27,4)")).as("rev"))
+      val plan = executedPlan(df)
+      assert(!plan.contains("orders.parquet"),
+        s"key-only filter should still rewrite away the fact scan:\n$plan")
+      assert(plan.contains(new java.io.File(mvPath).getName) ||
+        plan.contains(mvPath), s"expected MV scan in:\n$plan")
+      val got = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+      assert(got === expect)
+    } finally MaterializedViews.clear()
+  }
+
+  test("filter on a key NOT in the group-by commutes too") {
+    registerOrdersMv()
+    try {
+      // filter key o_orderpriority, group by o_orderstatus only — the
+      // rollup re-aggregates the surviving key tuples
+      val df = spark.read.parquet(factPath)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = executedPlan(df)
+      assert(!plan.contains("orders.parquet"), plan)
+      MaterializedViews.clear()
+      val direct = spark.read.parquet(factPath)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(df.collect().map(_.toSeq).toSet ===
+        direct.collect().map(_.toSeq).toSet)
+    } finally MaterializedViews.clear()
+  }
+
   test("no rewrite when a filter, foreign column, or avg intervenes") {
     registerOrdersMv()
     try {

@@ -62,6 +62,31 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() === expected)
   }
 
+  test("coalesceBucketsInJoin joins 8↔4 buckets shuffle-free when enabled") {
+    val to = freshTable("cb_o"); val tl = freshTable("cb_l")
+    Snapshots.commitBucketed(orders, to, "o_orderkey", 8)
+    Snapshots.commitBucketed(lines, tl, "l_orderkey", 4)
+    Snapshots.registerBucketed(spark, to, "bkt_cb_orders")
+    Snapshots.registerBucketed(spark, tl, "bkt_cb_lines")
+    val conf = "spark.sql.bucketing.coalesceBucketsInJoin.enabled"
+    val prev = spark.conf.get(conf, "false")
+    try {
+      spark.conf.set(conf, "true")
+      // divisible bucket counts: Spark reads the 8-bucket side as 4
+      // coalesced buckets instead of shuffling either side — the
+      // mismatched-layout escape hatch that still avoids the Exchange
+      val joined = spark.table("bkt_cb_orders").hint("merge")
+        .join(spark.table("bkt_cb_lines"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = executedPlan(joined)
+      assert(shuffles(plan) === 0,
+        s"divisible bucket counts should coalesce, not shuffle:\n$plan")
+      val expected = orders.join(lines,
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("bucket-aligned aggregation needs no Exchange either") {
     val to = freshTable("agg")
     Snapshots.commitBucketed(orders, to, "o_orderkey", 8)

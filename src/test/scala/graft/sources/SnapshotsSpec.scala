@@ -385,4 +385,111 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commitAudited(batch, tbl, b => { audited = b.count(); None })
     assert(audited === batch.count()) // delta-sized, not table-sized
   }
+
+  /** Key-range-partitioned fixture: three commits with tight per-file
+    * o_orderkey envelopes, so racing merges on disjoint ranges provably
+    * touch disjoint file sets.
+    */
+  private def threeRangeCommits(tag: String): String = {
+    val tbl = freshTable(tag)
+    Snapshots.commit(orders.filter(col("o_orderkey") <= 500), tbl,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey").between(501, 1000)),
+      tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey") > 1000), tbl,
+      statsCols = Seq("o_orderkey"))
+    tbl
+  }
+
+  private val noKeys = spark.range(0).selectExpr("id AS o_orderkey")
+
+  test("racing merges on disjoint key ranges BOTH land via auto-rebase") {
+    val tbl = threeRangeCommits("rebase")
+    val lowUpd = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val highUpd = orders.filter(col("o_orderkey").between(1100, 1200))
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    // the racer commits INSIDE the low merge's plan→commit window — the
+    // deterministic version of two pipelines merging concurrently
+    var racer: Snapshots.MergeResult = null
+    val r = Snapshots.merge(spark, tbl, lowUpd, noKeys, "o_orderkey",
+      planHook = () => {
+        racer = Snapshots.merge(spark, tbl, highUpd, noKeys, "o_orderkey")
+      })
+    assert(racer.version === 4 && r.version === 5)
+    // no data loss, no duplicates: both updates landed, count unchanged
+    val m = Snapshots.read(spark, tbl)
+    assert(m.count() === orders.count())
+    assert(m.select(col("o_orderkey")).distinct().count() === orders.count())
+    val origLow = orders.filter(col("o_orderkey") === 100)
+      .head().getAs[Double]("o_totalprice")
+    assert(m.filter(col("o_orderkey") === 100)
+      .head().getAs[Double]("o_totalprice") === origLow * 2)
+    val origHigh = orders.filter(col("o_orderkey") === 1100)
+      .head().getAs[Double]("o_totalprice")
+    assert(m.filter(col("o_orderkey") === 1100)
+      .head().getAs[Double]("o_totalprice") === origHigh * 3)
+    // the rebase carried the racer's rewritten files, not the stale plan
+    assert(r.filesCarried > 0)
+  }
+
+  test("racing merge that rewrote an overlapping FILE aborts loudly") {
+    val tbl = threeRangeCommits("conflict_file")
+    val mine = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val theirs = orders.filter(col("o_orderkey") === 50)
+      .withColumn("o_totalprice", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, tbl, mine, noKeys, "o_orderkey",
+        planHook = () => {
+          Snapshots.merge(spark, tbl, theirs, noKeys, "o_orderkey")
+        })
+    }
+    assert(e.getMessage.contains("retry the merge"), e.getMessage)
+    // the racer's merge itself landed and was not clobbered
+    assert(Snapshots.read(spark, tbl)
+      .filter(col("o_orderkey") === 50)
+      .head().getAs[Double]("o_totalprice") === 0.0)
+  }
+
+  test("racing commit that EVOLVED the schema aborts the rebase loudly") {
+    val tbl = threeRangeCommits("conflict_schema")
+    val mine = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    // racer appends disjoint HIGH keys but with an added column — the
+    // file/key tests alone would rebase and republish the stale schema,
+    // silently hiding o_flag from every read of the merged version
+    val evolved = orders.filter(col("o_orderkey") > 1400)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000L)
+      .withColumn("o_flag", lit("new"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, tbl, mine, noKeys, "o_orderkey",
+        planHook = () => { Snapshots.commit(evolved, tbl,
+          statsCols = Seq("o_orderkey")) })
+    }
+    assert(e.getMessage.contains("changed the schema"), e.getMessage)
+    // the racer's evolved column is intact at latest
+    assert(Snapshots.read(spark, tbl).columns.contains("o_flag"))
+  }
+
+  test("racing merge that ADDED an overlapping key aborts loudly") {
+    val tbl = threeRangeCommits("conflict_key")
+    // both merges INSERT the same brand-new key: neither touches an
+    // existing file, so the file test passes — the added-file key
+    // envelope test must catch it
+    val insA = orders.filter(col("o_orderkey") === 10)
+      .withColumn("o_orderkey", lit(9000050L))
+    val insB = orders.filter(col("o_orderkey") === 20)
+      .withColumn("o_orderkey", lit(9000050L))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, tbl, insA, noKeys, "o_orderkey",
+        planHook = () => {
+          Snapshots.merge(spark, tbl, insB, noKeys, "o_orderkey")
+        })
+    }
+    assert(e.getMessage.contains("may hold this merge's keys"), e.getMessage)
+    // exactly one row for the contested key (the racer's)
+    assert(Snapshots.read(spark, tbl)
+      .filter(col("o_orderkey") === 9000050L).count() === 1)
+  }
 }
