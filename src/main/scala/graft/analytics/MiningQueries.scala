@@ -3,7 +3,7 @@ package graft.analytics
 import graft.Tables._
 import graft.analytics.QueryDsl._
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{DataQuality, EditDistanceJoin, Series, TrainingData}
+import graft.operators.{Baskets, DataQuality, Dedup, EditDistanceJoin, Series, TrainingData}
 import org.apache.spark.sql.functions._
 
 /** Mining-tier queries: fuzzy string matching, time-series repair and
@@ -408,7 +408,79 @@ object MiningQueries {
                WHEN pv IS NOT NULL THEN pv ELSE nv END, 6) AS value
            FROM w ORDER BY event_type, day"""))
 
+  /** X77: market-basket association rules
+    * ([[graft.operators.Baskets.associationRules]]) — pairwise
+    * support/confidence/lift over order baskets with the a-priori
+    * frequent-item prune BEFORE any pairing (the support threshold is
+    * the scale bound; pair fan-out is per-basket, never inventory-wide).
+    * Counts are exact integers; confidence/lift are single
+    * correctly-rounded IEEE divisions of exact-integer doubles, so the
+    * oracle replays them bit-for-bit; the top-k cut orders by the
+    * integer count with a full tiebreak, so no float ranks the cut.
+    */
+  val assocRules = Q("q_assoc_rules",
+    (s, d) => Baskets.associationRules(lineitem(s, d), "l_orderkey",
+      "l_partkey", minItemCount = 2, minPairCount = 2, topK = 40),
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+               l_partkey AS item FROM lineitem),
+           n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+           ic AS (SELECT item, count(*) AS c_item FROM b
+             GROUP BY 1 HAVING count(*) >= 2),
+           q AS (SELECT b.basket, b.item FROM b JOIN ic USING (item)),
+           pairs AS (SELECT x.item AS ia, y.item AS ib, count(*) AS n_both
+             FROM q x JOIN q y ON x.basket = y.basket AND x.item < y.item
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+           directed AS (SELECT ia AS antecedent, ib AS consequent, n_both
+               FROM pairs
+             UNION ALL
+             SELECT ib, ia, n_both FROM pairs)
+           SELECT d.antecedent, d.consequent, d.n_both,
+             a.c_item AS n_ante, c.c_item AS n_cons,
+             round(CAST(d.n_both AS DOUBLE) / a.c_item, 6) AS confidence,
+             round((CAST(n.n_baskets AS DOUBLE) * d.n_both) /
+               (CAST(a.c_item AS DOUBLE) * c.c_item), 6) AS lift
+           FROM directed d
+           JOIN ic a ON d.antecedent = a.item
+           JOIN ic c ON d.consequent = c.item
+           CROSS JOIN n
+           ORDER BY n_both DESC, antecedent, consequent LIMIT 40"""))
+
+  /** X78: containment (subsumption) dedup
+    * ([[graft.operators.Dedup.containmentPairs]]): pairs where one doc's
+    * word-3-gram set is a SUBSET of another's — the quoted-in-full /
+    * boilerplate-wrapped duplicate Jaccard banding under-scores when the
+    * container is much longer. Candidates via the rarest-shingle probe
+    * (complete — a container holds every contained shingle, including
+    * the probe), exact intersection-count confirm. The candidate scheme
+    * has no false negatives, so the oracle is simply BRUTE containment
+    * over the whole corpus — passing pins completeness, not just
+    * precision.
+    */
+  val containmentDedup = Q("q_containment_dedup",
+    (s, d) => Dedup.containmentPairs(documents(s, d), "text", "doc_id")
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH docs AS (SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+               unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       FOR i IN range(greatest(len(toks) - 2, 0))])
+                 AS shingle
+             FROM docs),
+           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+           inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS inter
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+           SELECT i.id_a, i.id_b, sa.sz AS sz_a, sb.sz AS sz_b
+           FROM inter i
+           JOIN sizes sa ON i.id_a = sa.doc_id
+           JOIN sizes sb ON i.id_b = sb.doc_id
+           WHERE i.inter = sa.sz AND sa.sz > 0
+           ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
     lDiversityAudit, weightedSample, charEntropy, basketCore, spatialJoin,
-    entityResolution)
+    entityResolution, assocRules, containmentDedup)
 }

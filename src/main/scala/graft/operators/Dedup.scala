@@ -396,6 +396,45 @@ object Dedup {
       pruned => pruned.select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("h")))
 
+  /** Shingle-set CONTAINMENT pairs: (id_a, id_b) where id_a's distinct
+    * word-n-gram set is a subset of id_b's — the subsumption dedup a
+    * quote-in-full / boilerplate-wrapped re-post needs, which Jaccard
+    * banding under-scores when the container is much longer (|A∩B|/|A∪B|
+    * shrinks with |B| even at full containment).
+    *
+    * Candidate generation is the rarest-probe trick (the prefix-filter
+    * family, [[SetSimJoin]]): one global shingle document-frequency
+    * pass, each doc probes with its RAREST shingle (ties by shingle
+    * text), and a doc pairs only with docs sharing that probe. COMPLETE:
+    * if A ⊆ B then B holds every A-shingle including the probe — no
+    * false negatives; candidate cost is Σ df(rarest shingle), the same
+    * bound class as every prefix-filtered join here (real text keeps
+    * rarest-df small; a corpus of identical boilerplate degenerates for
+    * any containment definition). Confirm is the exact shared
+    * intersection-count tail ([[jaccardOnCandidatesStrings]]) with
+    * containment = (inter == |A|). Docs with fewer than n tokens have no
+    * shingles and are excluded (an empty set is vacuously contained
+    * everywhere — noise, not signal).
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+        .as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val probes = sh.join(dfreq, "h")
+      .groupBy(col("doc"))
+      .agg(min(struct(col("df"), col("h"))).as("m"))
+      .select(col("doc").as("id_a"), col("m.h").as("h"))
+    val candidates = probes
+      .join(sh.select(col("doc").as("id_b"), col("h")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    jaccardOnCandidatesStrings(candidates, df, textCol, idCol, n)
+      .filter(col("inter") === col("sz_a") && col("sz_a") > 0)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+  }
+
   /** Incremental exact dedup — the continual-ingest shape: keep the
     * batch rows whose text is new BOTH within the batch (smallest id
     * survives, as [[exactSurvivors]]) and against the already-ingested

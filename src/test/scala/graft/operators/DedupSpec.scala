@@ -163,4 +163,57 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
     assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
   }
+
+  test("containmentPairs: prefix ⊆ full, partial overlap excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // container
+      (2L, "alpha beta gamma delta"),               // prefix of 1 → ⊆ 1
+      (3L, "gamma delta epsilon"),                  // infix of 1 → ⊆ 1
+      (4L, "alpha beta gamma nu xi omicron pi"),    // overlaps 1, not ⊆
+      (5L, "totally different words here entirely"),
+      (6L, "ab cd")                                  // < n tokens: no shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (3L, 1L)))
+  }
+
+  test("containmentPairs: mutual for identical shingle sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"),
+      (3L, "five six seven eight")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("containmentPairs equals brute-force subset test (completeness)") {
+    import spark.implicits._
+    // pseudo-random corpus with planted containments: every doc whose id
+    // is divisible by 4 also appears truncated under id+100
+    val words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9".split(" ")
+    def text(i: Long): String =
+      (0 until 8).map(k => words(((i * 31 + k * 17) % 10).toInt))
+        .mkString(" ")
+    val base = (0L until 24L).map(i => (i, text(i)))
+    val planted = base.collect { case (i, t) if i % 4 == 0 =>
+      (i + 100L, t.split(" ").take(5).mkString(" ")) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the driver with the same 3-gram shingle definition
+    val sets = (base ++ planted).map { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty && sa.subsetOf(sb)
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "planted containments must exist")
+  }
 }
