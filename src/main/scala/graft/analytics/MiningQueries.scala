@@ -418,10 +418,7 @@ object MiningQueries {
     * oracle replays them bit-for-bit; the top-k cut orders by the
     * integer count with a full tiebreak, so no float ranks the cut.
     */
-  val assocRules = Q("q_assoc_rules",
-    (s, d) => Baskets.associationRules(lineitem(s, d), "l_orderkey",
-      "l_partkey", minItemCount = 2, minPairCount = 2, topK = 40),
-    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+  private val assocRulesOracle = """WITH b AS (SELECT DISTINCT l_orderkey AS basket,
                l_partkey AS item FROM lineitem),
            n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
            ic AS (SELECT item, count(*) AS c_item FROM b
@@ -443,7 +440,42 @@ object MiningQueries {
            JOIN ic a ON d.antecedent = a.item
            JOIN ic c ON d.consequent = c.item
            CROSS JOIN n
-           ORDER BY n_both DESC, antecedent, consequent LIMIT 40"""))
+           ORDER BY n_both DESC, antecedent, consequent LIMIT 40"""
+
+  val assocRules = Q("q_assoc_rules",
+    (s, d) => Baskets.associationRules(lineitem(s, d), "l_orderkey",
+      "l_partkey", minItemCount = 2, minPairCount = 2, topK = 40),
+    Some(assocRulesOracle))
+
+  /** X79: incrementally maintained association rules — the X33
+    * merge ≡ recompute contract applied to the basket tier: item, pair,
+    * and basket counts are ADDITIVE over disjoint whole-basket batches,
+    * so batch 2's state folds into batch 1's via
+    * [[graft.operators.IncrementalAgg.mergeRollup]] (rollup-sized state,
+    * the fact history never rescanned) and rules re-derive from the
+    * merged state. The oracle is VERBATIM q_assoc_rules' full-corpus
+    * recompute, so passing pins incremental ≡ recompute exactly — the
+    * deterministic parity split stands in for two crawl batches.
+    */
+  val incrementalAssoc = Q("q_incremental_assoc",
+    (s, d) => {
+      import graft.operators.IncrementalAgg
+      val li = lineitem(s, d)
+      // disjoint WHOLE baskets per batch (the soundness requirement):
+      // split on the basket key itself
+      val (i1, p1, n1) = Baskets.basketState(
+        li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey")
+      val (i2, p2, n2) = Baskets.basketState(
+        li.filter(col("l_orderkey") % 2 =!= 0), "l_orderkey", "l_partkey")
+      val ic = IncrementalAgg.mergeRollup(i1, i2, Seq("item"), Seq("c_item"))
+      val pc = IncrementalAgg.mergeRollup(p1, p2, Seq("ia", "ib"),
+        Seq("n_both"))
+      val nb = IncrementalAgg.mergeRollup(n1.withColumn("k", lit(1)),
+        n2.withColumn("k", lit(1)), Seq("k"), Seq("n_baskets")).drop("k")
+      Baskets.rulesFromState(ic, pc, nb, minItemCount = 2,
+        minPairCount = 2, topK = 40)
+    },
+    Some(assocRulesOracle))
 
   /** X78: containment (subsumption) dedup
     * ([[graft.operators.Dedup.containmentPairs]]): pairs where one doc's
@@ -482,5 +514,5 @@ object MiningQueries {
 
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
     lDiversityAudit, weightedSample, charEntropy, basketCore, spatialJoin,
-    entityResolution, assocRules, containmentDedup)
+    entityResolution, assocRules, incrementalAssoc, containmentDedup)
 }

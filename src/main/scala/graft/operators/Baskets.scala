@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * pair keys. No driver state, nothing all-pairs across the item
   * inventory — cost is O(Σ qualifiedBasketSize²) + pair-keyed shuffles.
   *
+  * The state/serving split ([[basketState]] / [[rulesFromState]]) makes
+  * the counts INCREMENTALLY MAINTAINABLE: item, pair, and basket counts
+  * are all additive, so a delta batch of WHOLE baskets folds into stored
+  * state via [[IncrementalAgg.mergeRollup]] and rules re-derive from
+  * rollup-sized state — the fact history is never rescanned. (Whole
+  * baskets per batch is the one soundness requirement: a basket split
+  * across two batches would under-count its pairs.)
+  *
   * Float parity: counts are exact integers; confidence and lift are one
   * correctly-rounded IEEE division each of exact-integer doubles
   * (products stay < 2^53) — bit-identical cross-engine — and round(6)
@@ -25,46 +33,60 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
-  /** Top-`topK` directed rules antecedent→consequent ranked by
-    * co-occurrence count (ties: antecedent, consequent — a total integer
-    * order, so the cut is deterministic). Items below `minItemCount`
-    * baskets are pruned before pairing; pairs below `minPairCount`
-    * co-occurrences are dropped.
-    *
-    * Output: (antecedent, consequent, n_both, n_ante, n_cons,
-    * confidence = n_both/n_ante, lift = N·n_both/(n_ante·n_cons)).
+  /** The additive count state behind the rules: per-item basket counts
+    * (UNPRUNED — serving thresholds must stay changeable after the
+    * fact), unordered-pair co-occurrence counts, and the basket count.
+    * `pruneItemCount` > 1 applies the a-priori prune to PAIR enumeration
+    * only (the one-shot batch optimization); state meant for incremental
+    * merging should keep it at 1 so a later-frequent item's pair history
+    * is not lost. All three frames are additive across disjoint
+    * whole-basket batches.
     */
-  def associationRules(items: DataFrame, basketCol: String, itemCol: String,
-      minItemCount: Int = 2, minPairCount: Int = 2, topK: Int = 50)
-      : DataFrame = {
-    require(minItemCount >= 1 && minPairCount >= 1 && topK >= 1,
-      s"thresholds must be >= 1, got $minItemCount/$minPairCount/$topK")
+  def basketState(items: DataFrame, basketCol: String, itemCol: String,
+      pruneItemCount: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    require(pruneItemCount >= 1, s"pruneItemCount >= 1, got $pruneItemCount")
     val b = items.select(col(basketCol).cast("long").as("basket"),
         col(itemCol).cast("long").as("item"))
       .filter(col("basket").isNotNull && col("item").isNotNull)
       .distinct()
-    val nBaskets = b.agg(count_distinct(col("basket")).as("n_baskets"))
-    val itemCounts = b.groupBy(col("item"))
-      .agg(count(lit(1)).as("c_item"))
-      .filter(col("c_item") >= minItemCount)
-    // frequent-item prune BEFORE pairing: the a-priori bound
-    val qualified = b.join(itemCounts.select(col("item")), "item")
-    val pairs = qualified.select(col("basket"), col("item").as("ia"))
+    val itemCounts = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+    val qualified =
+      if (pruneItemCount <= 1) b
+      else b.join(itemCounts.filter(col("c_item") >= pruneItemCount)
+        .select(col("item")), "item")
+    val pairCounts = qualified.select(col("basket"), col("item").as("ia"))
       .join(qualified.select(col("basket"), col("item").as("ib")), "basket")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minPairCount)
-    // both rule directions from each unordered pair
+    val basketCount = b.agg(count_distinct(col("basket")).as("n_baskets"))
+    (itemCounts, pairCounts, basketCount)
+  }
+
+  /** Top-`topK` directed rules derived from (stored or fresh) count
+    * state, ranked by co-occurrence count (ties: antecedent, consequent
+    * — a total integer order, so the cut is deterministic). Thresholds
+    * apply HERE, so the same unpruned state serves any (minItemCount,
+    * minPairCount) — and a-priori-pruned state gives identical output
+    * for thresholds at or above its prune (the joins below drop
+    * infrequent items either way).
+    */
+  def rulesFromState(itemCounts: DataFrame, pairCounts: DataFrame,
+      basketCount: DataFrame, minItemCount: Int = 2, minPairCount: Int = 2,
+      topK: Int = 50): DataFrame = {
+    require(minItemCount >= 1 && minPairCount >= 1 && topK >= 1,
+      s"thresholds must be >= 1, got $minItemCount/$minPairCount/$topK")
+    val ic = itemCounts.filter(col("c_item") >= minItemCount)
+    val pairs = pairCounts.filter(col("n_both") >= minPairCount)
     val directed = pairs.select(col("ia").as("antecedent"),
         col("ib").as("consequent"), col("n_both"))
       .unionByName(pairs.select(col("ib").as("antecedent"),
         col("ia").as("consequent"), col("n_both")))
     directed
-      .join(itemCounts.select(col("item").as("antecedent"),
+      .join(ic.select(col("item").as("antecedent"),
         col("c_item").as("n_ante")), "antecedent")
-      .join(itemCounts.select(col("item").as("consequent"),
+      .join(ic.select(col("item").as("consequent"),
         col("c_item").as("n_cons")), "consequent")
-      .crossJoin(broadcast(nBaskets))
+      .crossJoin(broadcast(basketCount))
       .select(col("antecedent"), col("consequent"), col("n_both"),
         col("n_ante"), col("n_cons"),
         round(col("n_both").cast("double") / col("n_ante"), 6)
@@ -73,5 +95,16 @@ object Baskets {
           (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
       .orderBy(col("n_both").desc, col("antecedent"), col("consequent"))
       .limit(topK)
+  }
+
+  /** One-shot batch path: state with the a-priori pair prune at
+    * `minItemCount`, rules served at the same thresholds.
+    */
+  def associationRules(items: DataFrame, basketCol: String, itemCol: String,
+      minItemCount: Int = 2, minPairCount: Int = 2, topK: Int = 50)
+      : DataFrame = {
+    val (ic, pc, nb) = basketState(items, basketCol, itemCol,
+      pruneItemCount = minItemCount)
+    rulesFromState(ic, pc, nb, minItemCount, minPairCount, topK)
   }
 }

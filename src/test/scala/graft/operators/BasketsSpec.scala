@@ -43,6 +43,37 @@ class BasketsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("incremental state merge ≡ one-shot recompute, any basket split") {
+    val big = (0L until 120L).flatMap(b =>
+      Seq((b, b % 7), (b, b % 5 + 10), (b, b % 3 + 20)))
+      .toDF("basket", "item")
+    val oneShot = Baskets.associationRules(big, "basket", "item", 2, 2, 25)
+      .collect().map(_.toSeq)
+    for (mod <- Seq(2L, 3L)) {
+      val (i1, p1, n1) = Baskets.basketState(
+        big.filter(col("basket") % mod === 0), "basket", "item")
+      val (i2, p2, n2) = Baskets.basketState(
+        big.filter(col("basket") % mod =!= 0), "basket", "item")
+      val ic = IncrementalAgg.mergeRollup(i1, i2, Seq("item"), Seq("c_item"))
+      val pc = IncrementalAgg.mergeRollup(p1, p2, Seq("ia", "ib"),
+        Seq("n_both"))
+      val nb = IncrementalAgg.mergeRollup(n1.withColumn("k", lit(1)),
+        n2.withColumn("k", lit(1)), Seq("k"), Seq("n_baskets")).drop("k")
+      val merged = Baskets.rulesFromState(ic, pc, nb, 2, 2, 25)
+        .collect().map(_.toSeq)
+      assert(merged.toSeq === oneShot.toSeq, s"split mod $mod diverged")
+    }
+  }
+
+  test("unpruned state serves ANY later threshold (a-priori-pruned agrees)") {
+    val (ic, pc, nb) = Baskets.basketState(items, "basket", "item")
+    val fromUnpruned = Baskets.rulesFromState(ic, pc, nb, 2, 2, 10)
+      .collect().map(_.toSeq)
+    val pruned = Baskets.associationRules(items, "basket", "item", 2, 2, 10)
+      .collect().map(_.toSeq)
+    assert(fromUnpruned.toSeq === pruned.toSeq)
+  }
+
   test("associationRules: partitioning-invariant (decimal-free exact math)") {
     val big = (0L until 200L).flatMap(b =>
       Seq((b, b % 7), (b, b % 5 + 10), (b, b % 3 + 20)))
