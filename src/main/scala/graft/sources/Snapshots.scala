@@ -319,6 +319,37 @@ object Snapshots {
       baseFor = _ => Seq.empty)
   }
 
+  /** Restore the bucketed layout after maintenance broke it: re-commit
+    * the LATEST version's content through [[commitBucketed]], inheriting
+    * the bucket spec from the most recent version that recorded one
+    * (override via `bucketCol`/`nBuckets`) and the stats/bloom columns
+    * from the latest manifest. This is the maintenance story for
+    * bucketed tables — [[merge]] and plain appends deliberately do NOT
+    * try to preserve bucket files in place (their rewrites span batch
+    * dirs, which the catalog registration cannot express), so the cycle
+    * is: merge/append freely, then `rebucket` before the next
+    * [[registerBucketed]]-served join. Cost = one full rewrite, same as
+    * [[compactVersion]]; prior versions stay readable as always.
+    */
+  def rebucket(spark: SparkSession, table: String,
+      bucketCol: Option[String] = None, nBuckets: Option[Int] = None)
+      : Int = {
+    val cur = latestVersion(spark, table)
+    require(cur > 0, s"Snapshots.rebucket: $table has no committed version")
+    val inherited = versions(spark, table).reverse.iterator
+      .map(v => bucketSpec(spark, table, Some(v)))
+      .collectFirst { case Some(s) => s }
+    val c = bucketCol.orElse(inherited.map(_._1)).getOrElse(sys.error(
+      s"Snapshots.rebucket: no version of $table records a bucket spec — " +
+        "pass bucketCol/nBuckets explicitly"))
+    val n = nBuckets.orElse(inherited.map(_._2)).getOrElse(16)
+    val entries = manifest(spark, table, cur)
+    commitBucketed(read(spark, table, Some(cur)), table, c, n,
+      statsCols = entries.flatMap(_.stats.keys).distinct.sorted,
+      bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted,
+      strStatsCols = entries.flatMap(_.strStats.keys).distinct.sorted)
+  }
+
   /** Expose a bucketed version (default: latest) as catalog table `name`
     * so Catalyst plans bucket-aware scans over the snapshot's files: an
     * equi-join of two tables registered this way with the SAME (column

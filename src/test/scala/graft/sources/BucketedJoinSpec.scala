@@ -111,6 +111,36 @@ class BucketedJoinSpec extends SparkSpec {
     assert(Snapshots.read(spark, to).count() === orders.count())
   }
 
+  test("merge breaks the layout claim; rebucket restores it, content intact") {
+    val tbl = freshTable("rebucket")
+    Snapshots.commitBucketed(orders, tbl, "o_orderkey", 8,
+      statsCols = Seq("o_orderkey"))
+    // a row-level merge rewrites files into a NEW batch dir → the
+    // single-dir bucketed claim no longer holds and registration refuses
+    val upd = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val del = spark.range(0).selectExpr("id AS o_orderkey")
+    Snapshots.merge(spark, tbl, upd, del, "o_orderkey")
+    intercept[RuntimeException] {
+      Snapshots.registerBucketed(spark, tbl, "bkt_broken")
+    }
+    // rebucket inherits the spec from history and restores the layout
+    val v = Snapshots.rebucket(spark, tbl)
+    assert(Snapshots.bucketSpec(spark, tbl, Some(v)) ===
+      Some(("o_orderkey", 8)))
+    Snapshots.registerBucketed(spark, tbl, "bkt_restored")
+    val t = spark.table("bkt_restored")
+    assert(t.count() === orders.count())
+    // merged content survived the rebucket
+    val orig = orders.filter(col("o_orderkey") === 10)
+      .head().getAs[Double]("o_totalprice")
+    assert(t.filter(col("o_orderkey") === 10)
+      .head().getAs[Double]("o_totalprice") === orig * 2)
+    // and the bucket-key join is shuffle-free again
+    val agg = t.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    assert(shuffles(executedPlan(agg)) === 0)
+  }
+
   test("registerBucketed rejects unbucketed and multi-batch versions") {
     val plain = freshTable("plain")
     Snapshots.commit(orders, plain)
