@@ -534,8 +534,72 @@ object SnapshotQueries {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** The post-merge bucketed state behind [[bucketMergeJoin]], built
+    * ONCE per (dataset, application): orders committed 16-way bucketed
+    * on the join key, then a bucket-aligned MERGE
+    * ([[Snapshots.mergeBucketed]]) re-prioritizes keys ≤ 50 and deletes
+    * 51–60 — rewriting ONLY the buckets those keys hash into; lineitem
+    * bucketed alongside. The serving-path join reads the merged version
+    * through [[Snapshots.readBucketed]] (manifest-exact file set), so
+    * maintenance never costs the layout: the join is STILL Exchange-free
+    * after the merge, which is the whole point of bucket-aligned
+    * copy-on-write at 100 TB.
+    */
+  private def mergedBucketTables(s: SparkSession, d: String)
+      : (String, String) = {
+    val dir = AppState.ensure(s, "graft_bktmerge_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")) { dir =>
+      val oTbl = s"$dir/orders"; val lTbl = s"$dir/lineitem"
+      Snapshots.commitBucketed(orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority")), oTbl, "o_orderkey", 16,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commitBucketed(lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        lTbl, "l_orderkey", 16, statsCols = Seq("l_orderkey"))
+      val upserts = orders(s, d)
+        .filter(col("o_orderkey") <= 50)
+        .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"))
+      val deletes = s.range(51, 61).selectExpr("id AS o_orderkey")
+      Snapshots.mergeBucketed(s, oTbl, upserts, deletes, "o_orderkey")
+    }
+    (s"$dir/orders", s"$dir/lineitem")
+  }
+
+  /** X80: bucket-aligned MERGE keeps the co-partitioned join shuffle-free
+    * — the maintenance half of X76's storage-bucketed join story. The
+    * oracle replays the merge as predicates over the source table
+    * (updated keys re-prioritized, deleted keys absent), so a hash match
+    * proves both the merge semantics and that the carried buckets still
+    * read exactly their committed rows.
+    */
+  val bucketMergeJoin = Q("q_bucket_merge_join",
+    (s, d) => {
+      val (oTbl, lTbl) = mergedBucketTables(s, d)
+      Snapshots.readBucketed(s, oTbl).hint("merge")
+        .join(Snapshots.readBucketed(s, lTbl),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""WITH merged AS (
+           SELECT o_orderkey, '0-MERGED' AS o_orderpriority
+           FROM orders WHERE o_orderkey <= 50
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority
+           FROM orders WHERE o_orderkey > 60)
+         SELECT o_orderpriority, count(*) AS n_items,
+           ${dsumSql("l_quantity")} AS sum_qty,
+           ${dsumSql(revenueSql)} AS revenue
+         FROM merged JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
-    rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin)
+    rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
+    bucketMergeJoin)
 }

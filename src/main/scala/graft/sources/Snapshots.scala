@@ -293,15 +293,32 @@ object Snapshots {
       BucketColProp -> bucketCol, BucketNProp -> nBuckets.toString,
       BucketHashProp -> BucketHashId)
     requireProps(bucketProps + (SchemaProp -> df.schema.json))
+    val newEntries = writeBucketedBatch(df, table, bucketCol, nBuckets,
+      statsCols, bloomCols, strStatsCols)
+    publishManifest(spark, table,
+      bucketProps + (SchemaProp -> df.schema.json), newEntries,
+      baseFor = _ => Seq.empty)
+  }
+
+  /** Stage `df` as an UNPUBLISHED bucket-named batch (the bucketed twin
+    * of [[writeBatch]]): files land in a fresh batch dir carrying
+    * Spark's `_NNNNN` bucket-id file tag, no manifest is published.
+    *
+    * DataFrameWriter.bucketBy only writes through saveAsTable, so stage
+    * through a throwaway EXTERNAL catalog entry at the batch dir: the
+    * drop removes only the catalog row, the bucket-named data files
+    * stay — they are ordinary immutable snapshot files from here on.
+    * repartition by the bucket expression first: Spark's HashPartitioning
+    * is the same pmod(murmur3, n) bucketing uses, so each writer task
+    * holds exactly one bucket → one file per (non-empty) bucket.
+    */
+  private def writeBucketedBatch(df: DataFrame, table: String,
+      bucketCol: String, nBuckets: Int, statsCols: Seq[String],
+      bloomCols: Seq[String], strStatsCols: Seq[String])
+      : Seq[FileEntry] = {
+    val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     val batch = freshBatchDir(root)
-    // DataFrameWriter.bucketBy only writes through saveAsTable, so stage
-    // through a throwaway EXTERNAL catalog entry at the batch dir: the
-    // drop removes only the catalog row, the bucket-named data files
-    // stay — they are ordinary immutable snapshot files from here on.
-    // repartition by the bucket expression first: Spark's HashPartitioning
-    // is the same pmod(murmur3, n) bucketing uses, so each writer task
-    // holds exactly one bucket → one file per bucket.
     val tmpName = "graft_tmp_bucketed_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     import org.apache.spark.sql.functions.{col => c}
@@ -312,11 +329,16 @@ object Snapshots {
       .mode("errorifexists")
       .saveAsTable(tmpName)
     spark.sql(s"DROP TABLE `$tmpName`")
-    val newEntries = entriesFor(spark, table, batch, statsCols, bloomCols,
-      strStatsCols)
-    publishManifest(spark, table,
-      bucketProps + (SchemaProp -> df.schema.json), newEntries,
-      baseFor = _ => Seq.empty)
+    entriesFor(spark, table, batch, statsCols, bloomCols, strStatsCols)
+  }
+
+  /** The bucket id a file of a bucketed batch belongs to, parsed from
+    * Spark's `part-NNNNN-<uuid>_BBBBB[.c000].<codec>.parquet` bucket
+    * file tag — the same contract the bucket-aware reader keys on.
+    */
+  private[sources] def bucketIdOf(path: String): Option[Int] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    "_([0-9]{5})\\.".r.findFirstMatchIn(name).map(_.group(1).toInt)
   }
 
   /** Restore the bucketed layout after maintenance broke it: re-commit
@@ -350,6 +372,102 @@ object Snapshots {
       strStatsCols = entries.flatMap(_.strStats.keys).distinct.sorted)
   }
 
+  /** MERGE into a bucketed table while PRESERVING the bucketed layout —
+    * the maintenance path that keeps joins shuffle-free across upserts
+    * without [[rebucket]]'s full rewrite. The merge key must BE the
+    * bucket column: every affected key then lives in a known bucket, so
+    * copy-on-write granularity is the BUCKET, not the file-envelope —
+    * only buckets holding an upserted/deleted/inserted key are
+    * rewritten (through the bucketed writer, so the new files carry
+    * correct bucket tags); every other bucket's file is carried
+    * byte-untouched. Cost = touched_buckets/N of the table per merge,
+    * the bound a 100 TB hot-key upsert stream needs.
+    *
+    * The resulting version SPANS batch dirs (carried buckets in old
+    * dirs, rewritten buckets in the new one) — read it with
+    * [[readBucketed]] (file-granular, manifest-exact) and the join
+    * stays Exchange-free: the scan still reports the bucket hash
+    * partitioning, grouping each bucket's files into one join task.
+    * Sort-elision is the only casualty (a merged bucket spans files),
+    * restored by the next [[rebucket]].
+    *
+    * Keys must be integral and NON-NULL on both sides (unlike [[merge]],
+    * a null-keyed insert has no well-defined bucket). Concurrency: any
+    * commit racing this merge aborts it loudly — rebase would have to
+    * re-prove the racer respected bucket boundaries; callers retry.
+    */
+  def mergeBucketed(spark: SparkSession, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCol: String,
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): MergeResult = {
+    import org.apache.spark.sql.functions.{col => c, hash, pmod, lit}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.mergeBucketed: $table has no committed version")
+    val (bcol, n) = bucketSpec(spark, table, Some(v)).getOrElse(sys.error(
+      s"Snapshots.mergeBucketed: $table v$v has no bucket spec — use " +
+        "merge, or commit with commitBucketed first"))
+    require(bcol == keyCol,
+      s"Snapshots.mergeBucketed: $table is bucketed on '$bcol' but the " +
+        s"merge key is '$keyCol' — bucket-aligned copy-on-write needs " +
+        "them equal (use merge for other keys)")
+    val entries = manifest(spark, table, v)
+    val tableCols = read(spark, table, Some(v)).columns
+    require(upserts.columns.sorted.sameElements(tableCols.sorted),
+      s"Snapshots.mergeBucketed: upserts columns " +
+        s"[${upserts.columns.sorted.mkString(",")}] must match table " +
+        s"columns [${tableCols.sorted.mkString(",")}]")
+    val keysDf = upserts.select(c(keyCol).cast("long").as("_merge_key"))
+      .unionByName(deleteKeys.select(c(keyCol).cast("long").as("_merge_key")))
+    // hash(key) is the SAME murmur3(seed 42) HashPartitioning and the
+    // bucketed writer use, so this computes each key's bucket id exactly;
+    // ≤ n distinct ids, so the collect is bounded by the bucket count
+    val touchedBuckets = keysDf
+      .select(pmod(hash(c("_merge_key")), lit(n)).as("_b"),
+        c("_merge_key"))
+      .groupBy(c("_b"))
+      .agg(org.apache.spark.sql.functions.sum(
+        c("_merge_key").isNull.cast("int")).as("_nulls"))
+      .collect()
+      .map { r =>
+        require(r.getLong(1) == 0L,
+          s"Snapshots.mergeBucketed: null merge keys are not allowed " +
+            "(a null-keyed row has no well-defined bucket)")
+        r.getInt(0) }
+      .toSet
+    val withIds = entries.map(e => e -> bucketIdOf(e.path).getOrElse(
+      sys.error(s"Snapshots.mergeBucketed: ${e.path} carries no bucket " +
+        s"file tag — $table v$v was not fully written by the bucketed " +
+        "writer; rebucket first")))
+    val (touchedE, carriedE) = withIds.partition {
+      case (_, b) => touchedBuckets.contains(b) }
+    val touched = touchedE.map(_._1); val carried = carriedE.map(_._1)
+    val base =
+      if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
+      else readFiles(spark, table, v, touched)
+    val survivors = base.join(keysDf.distinct(),
+      c(keyCol) === c("_merge_key"), "left_anti")
+    val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
+    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
+    planHook()
+    val newEntries = writeBucketedBatch(newData, table, bcol, n, statsCols,
+      bloomCols, strCols)
+    val props = properties ++ Map(
+      BucketColProp -> bcol, BucketNProp -> n.toString,
+      BucketHashProp -> BucketHashId,
+      SchemaProp -> Snapshots.properties(spark, table, v)
+        .getOrElse(SchemaProp, base.schema.json))
+    val next = publishManifest(spark, table, props, newEntries,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.mergeBucketed: concurrent " +
+          s"commit on $table (planned against v$v, parent is now " +
+          s"v$parent) — retry the merge")
+        carried
+      })
+    MergeResult(next, touched.size, carried.size)
+  }
+
   /** Expose a bucketed version (default: latest) as catalog table `name`
     * so Catalyst plans bucket-aware scans over the snapshot's files: an
     * equi-join of two tables registered this way with the SAME (column
@@ -361,7 +479,10 @@ object Snapshots {
     * The registration is metadata-only (an EXTERNAL table at the
     * version's batch directory — no data is read or copied) and replaces
     * any previous `name`. Requires a version written by
-    * [[commitBucketed]]: single batch dir, bucket properties present.
+    * [[commitBucketed]]: single batch dir, bucket properties present —
+    * directory-granular catalog registration cannot express a
+    * [[mergeBucketed]] version (its old dirs hold superseded bucket
+    * files that must NOT be read); use [[readBucketed]] for those.
     * Returns the registered version.
     */
   def registerBucketed(spark: SparkSession, table: String, name: String,
@@ -380,8 +501,9 @@ object Snapshots {
     }.distinct
     require(dirs.size == 1,
       s"Snapshots.registerBucketed: $table v$v spans ${dirs.size} batch " +
-        "dirs — the bucketed layout only covers single-batch (overwrite) " +
-        "versions; recommit with commitBucketed")
+        "dirs — catalog registration is directory-granular and a merged " +
+        "bucketed version's old dirs hold superseded files; read it " +
+        "with readBucketed, or rebucket to restore a single-batch layout")
     val (fs, root) = fsOf(spark, table)
     val loc = fs.makeQualified(new Path(root, dirs.head)).toString
     val schema = org.apache.spark.sql.types.DataType
@@ -394,6 +516,53 @@ object Snapshots {
          |CLUSTERED BY (`$bcol`) SORTED BY (`$bcol`) INTO $n BUCKETS
          |LOCATION '$loc'""".stripMargin)
     v
+  }
+
+  /** Read a bucketed version (default: latest) BUCKET-AWARE without the
+    * catalog: a relation over EXACTLY the manifest's file list carrying
+    * the version's bucket spec, so Catalyst plans the same
+    * Exchange-free co-bucketed joins as [[registerBucketed]] — but
+    * file-granular, which is what a [[mergeBucketed]] version needs
+    * (carried dirs hold superseded bucket files a directory-rooted
+    * catalog table would wrongly read; the manifest is the only sound
+    * file-set authority). Sort-elision is claimed only when every
+    * bucket has at most one file (always true for commitBucketed
+    * versions, lost after a merge until [[rebucket]]); Spark
+    * additionally gates acting on the claim behind
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — sound
+    * here because the claim is only ever made for one-file buckets
+    * written through sortBy (BucketedMergeSpec pins the Sort-free
+    * plan under that conf).
+    */
+  def readBucketed(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.catalyst.catalog.BucketSpec
+    val v = version.getOrElse(latestVersion(spark, table))
+    val (bcol, n) = bucketSpec(spark, table, Some(v)).getOrElse(sys.error(
+      s"Snapshots.readBucketed: $table v$v has no bucket spec — commit " +
+        "it with commitBucketed"))
+    val entries = manifest(spark, table, v)
+    require(entries.nonEmpty, s"Snapshots.readBucketed: $table v$v is empty")
+    val ids = entries.map(e => bucketIdOf(e.path).getOrElse(sys.error(
+      s"Snapshots.readBucketed: ${e.path} carries no bucket file tag — " +
+        s"$table v$v was not written by the bucketed writer")))
+    val oneFilePerBucket = ids.distinct.size == ids.size
+    val (fs, root) = fsOf(spark, table)
+    val files = entries.map(e => fs.makeQualified(new Path(root, e.path)))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(properties(spark, table, v)(SchemaProp))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val index = new InMemoryFileIndex(spark, files, Map.empty, Some(schema))
+    val rel = HadoopFsRelation(index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = Some(BucketSpec(n, Seq(bcol),
+        if (oneFilePerBucket) Seq(bcol) else Nil)),
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
   }
 
   /** The manifest-publish retry loop — the commit point itself, shared by
