@@ -887,6 +887,46 @@ object PipelineQueries {
            SELECT node AS doc_id, dist FROM d4 ORDER BY doc_id"""
     })
 
+  /** X81: incrementally maintained EXACT token-count percentiles
+    * ([[graft.operators.Quantiles]]) — the length-distribution monitor a
+    * curation pipeline gates on, maintained from additive histogram
+    * state instead of rescanning the corpus: two disjoint batches build
+    * histograms independently, the merge is rollup-sized, and the
+    * percentiles re-derive from merged state. The oracle recomputes the
+    * same integer-arithmetic quantile definition (smallest value with
+    * cum*100 >= p*N) over the FULL corpus, so a hash match proves
+    * merge ≡ recompute end to end.
+    */
+  val incrementalQuantiles = Q("q_incremental_quantiles",
+    (s, d) => {
+      import graft.operators.Quantiles
+      val counted = documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint").as("n_tokens"))
+      val prior = Quantiles.histogramState(
+        counted.filter(pmod(col("doc_id"), lit(2)) === 0), "n_tokens")
+      val delta = Quantiles.histogramState(
+        counted.filter(pmod(col("doc_id"), lit(2)) === 1), "n_tokens")
+      Quantiles.quantilesFromState(
+          Quantiles.mergeHistogram(prior, delta),
+          Seq(5, 25, 50, 75, 90, 95, 99))
+        .orderBy(col("pct"))
+    },
+    Some("""WITH c AS (SELECT
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END
+                AS BIGINT) AS n_tokens
+            FROM documents),
+          f AS (SELECT n_tokens, count(*) AS cnt FROM c GROUP BY 1),
+          cu AS (SELECT n_tokens,
+              sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM f),
+          t AS (SELECT count(*) AS n FROM c),
+          p(pct) AS (VALUES (5),(25),(50),(75),(90),(95),(99))
+          SELECT pct, min(CASE WHEN cum*100 >= pct*t.n
+              THEN n_tokens END) AS value
+          FROM cu CROSS JOIN t CROSS JOIN p
+          GROUP BY pct ORDER BY pct"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -894,5 +934,5 @@ object PipelineQueries {
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
-    bigramLm, contaminationBfs)
+    bigramLm, contaminationBfs, incrementalQuantiles)
 }
