@@ -927,6 +927,41 @@ object PipelineQueries {
           FROM cu CROSS JOIN t CROSS JOIN p
           GROUP BY pct ORDER BY pct"""))
 
+  /** X82: inverted-index keyword search with integer BM25-shaped ranking
+    * ([[graft.operators.InvertedIndex]]) — conjunctive retrieval of
+    * documents containing ALL of {vector, hash, stream}, ranked by
+    * saturating-tf × df-damped-rarity computed with integer division
+    * only, so the oracle replays the exact arithmetic. Query cost is the
+    * three terms' posting lists, never the corpus.
+    */
+  val keywordSearch = Q("q_keyword_search",
+    (s, d) => {
+      import graft.operators.InvertedIndex
+      val docs = documents(s, d)
+      val post = InvertedIndex.postings(docs)
+      val totals = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+      InvertedIndex.rankedSearch(post, totals,
+        Seq("vector", "hash", "stream"), k = 2, topK = 10)
+    },
+    Some("""WITH post AS (SELECT token, doc_id, count(*) AS tf FROM (
+              SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0)
+            GROUP BY 1, 2),
+          f AS (SELECT * FROM post
+            WHERE token IN ('vector', 'hash', 'stream')),
+          d AS (SELECT token, count(DISTINCT doc_id) AS df
+            FROM f GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id,
+              CAST(sum(((1000000 * (n_docs - df + 1)) // (n_docs + 1)) *
+                  ((1000 * tf) // (tf + 2))) AS BIGINT) AS score,
+              count(*) AS n_terms
+            FROM f JOIN d USING (token) CROSS JOIN n
+            GROUP BY doc_id)
+          SELECT doc_id, score FROM sc WHERE n_terms = 3
+          ORDER BY score DESC, doc_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -934,5 +969,5 @@ object PipelineQueries {
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
-    bigramLm, contaminationBfs, incrementalQuantiles)
+    bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch)
 }
