@@ -353,8 +353,72 @@ object EventQueries {
          SELECT (SELECT count(*) FROM nodes) AS n_nodes,
            (SELECT count(*) FROM e) AS n_edges, n_triangles FROM tri"""))
 
+  /** X83: feature-store point-in-time join
+    * ([[graft.operators.FeatureStore]]) — the training-set assembly: for
+    * each purchase (the label spine), the user's latest signup, view
+    * (with its value), and click AT OR BEFORE the purchase timestamp.
+    * Three feature tables, three bounded as-of shuffles, zero future
+    * leakage; each feature table deduped per (user, ts) by max event_id
+    * so "latest" is total in both engines. Oracle = chained DuckDB ASOF
+    * LEFT JOINs.
+    */
+  val pitFeatures = Q("q_pit_features",
+    (s, d) => {
+      import graft.operators.FeatureStore
+      import graft.operators.FeatureStore.FeatureTable
+      val ev = events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      def latest(t: String) = ev.filter(col("event_type") === t)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val signups = latest("signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      val views = latest("view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      val clicks = latest("click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      FeatureStore.pointInTime(spine, "purchase_ts", Seq(
+          FeatureTable(signups, Seq("user_id"), "signup_ts",
+            Seq("signup_ts")),
+          FeatureTable(views, Seq("user_id"), "view_ts",
+            Seq("view_ts", "view_value")),
+          FeatureTable(clicks, Seq("user_id"), "click_ts",
+            Seq("click_ts"))))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id,
+                   CAST(ts AS TIMESTAMP) AS purchase_ts, value
+                 FROM events WHERE event_type = 'purchase'),
+               s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+                 FROM events WHERE event_type = 'signup'
+                 QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) = 1),
+               v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                   value AS view_value
+                 FROM events WHERE event_type = 'view'
+                 QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) = 1),
+               c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+                 FROM events WHERE event_type = 'click'
+                 QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                            ORDER BY event_id DESC) = 1)
+          SELECT p.event_id, p.user_id, p.purchase_ts, p.value,
+                 s.signup_ts, v.view_ts, v.view_value, c.click_ts
+          FROM p
+          ASOF LEFT JOIN s ON p.user_id = s.user_id
+            AND s.signup_ts <= p.purchase_ts
+          ASOF LEFT JOIN v ON p.user_id = v.user_id
+            AND v.view_ts <= p.purchase_ts
+          ASOF LEFT JOIN c ON p.user_id = c.user_id
+            AND c.click_ts <= p.purchase_ts
+          ORDER BY p.event_id"""))
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
     eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
     exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts,
-    triangles)
+    triangles, pitFeatures)
 }
