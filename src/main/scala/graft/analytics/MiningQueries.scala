@@ -512,7 +512,33 @@ object MiningQueries {
            WHERE i.inter = sa.sz AND sa.sz > 0
            ORDER BY id_a, id_b"""))
 
+  /** X84: 2-D skyline (Pareto front) of user engagement — users no other
+    * user beats on BOTH event count and distinct active days
+    * ([[graft.operators.Skyline.skyline2D]]: grid-bucketed exact
+    * dominance, no all-pairs join, no global sort — every fact-sized
+    * window is partitioned by bucket). The oracle is the brute
+    * NOT-EXISTS dominance definition, so passing pins the grid
+    * decomposition exactly.
+    */
+  val skyline = Q("q_skyline",
+    (s, d) => {
+      val users = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(to_date(col("ts"))).as("n_days"))
+      graft.operators.Skyline.skyline2D(users, "n_events", "n_days")
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH u AS (SELECT user_id, count(*) AS n_events,
+              count(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM events GROUP BY 1)
+          SELECT user_id, n_events, n_days FROM u p
+          WHERE NOT EXISTS (SELECT 1 FROM u q
+            WHERE q.n_events >= p.n_events AND q.n_days >= p.n_days
+              AND (q.n_events > p.n_events OR q.n_days > p.n_days))
+          ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
     lDiversityAudit, weightedSample, charEntropy, basketCore, spatialJoin,
-    entityResolution, assocRules, incrementalAssoc, containmentDedup)
+    entityResolution, assocRules, incrementalAssoc, containmentDedup,
+    skyline)
 }
