@@ -962,6 +962,55 @@ object PipelineQueries {
           SELECT doc_id, score FROM sc WHERE n_terms = 3
           ORDER BY score DESC, doc_id LIMIT 10"""))
 
+  /** The PERSISTED inverted index behind [[keywordSearchStored]], built
+    * once per (dataset, application): postings committed token-range-
+    * clustered (repartitionByRange + sortWithinPartitions, so each file
+    * covers a tight token range) with token string-envelopes AND blooms
+    * in the manifest — then MAINTAINED by appending a second doc batch's
+    * postings, the real index-maintenance path (postings are append-only
+    * over disjoint doc batches). The serving scan keeps only files whose
+    * envelope/bloom admits a queried term.
+    */
+  private def storedPostingsTable(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.operators.InvertedIndex
+    import graft.sources.Snapshots
+    val dir = AppState.ensure(s,
+      "graft_invidx_" + d.replaceAll("[^A-Za-z0-9]", "_")) { dir =>
+      val tbl = s"$dir/postings"
+      val docs = documents(s, d)
+      Seq(0, 1).foreach { half =>
+        val batch = InvertedIndex.postings(
+          docs.filter(pmod(col("doc_id"), lit(2)) === half))
+        Snapshots.commit(
+          batch.repartitionByRange(8, col("token"))
+            .sortWithinPartitions("token"),
+          tbl, strStatsCols = Seq("token"), bloomCols = Seq("token"))
+      }
+    }
+    s"$dir/postings"
+  }
+
+  /** X82 serving path: the SAME keyword search answered from the stored,
+    * incrementally maintained index — `scanPrunedIn` keeps only files
+    * whose token envelope/bloom admits one of the three terms (the
+    * posting lists live token-clustered, so that is a handful of files
+    * out of the table). Shares [[keywordSearch]]'s oracle VERBATIM: the
+    * stored index must answer exactly what the from-scratch build
+    * answers.
+    */
+  val keywordSearchStored = Q("q_keyword_search_stored",
+    (s, d) => {
+      import graft.operators.InvertedIndex
+      val terms = Seq("vector", "hash", "stream")
+      val post = graft.sources.Snapshots
+        .scanPrunedIn(s, storedPostingsTable(s, d), "token", terms).df
+      val totals = documents(s, d)
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      InvertedIndex.rankedSearch(post, totals, terms, k = 2, topK = 10)
+    },
+    keywordSearch.oracle)
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -969,5 +1018,6 @@ object PipelineQueries {
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
-    bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch)
+    bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch,
+    keywordSearchStored)
 }

@@ -728,6 +728,43 @@ object Snapshots {
     PrunedScan(df, kept.size, skipped.size)
   }
 
+  /** IN-list scan pruned by whatever per-file evidence the manifest
+    * holds: a file is kept iff SOME value of `values` might be in it —
+    * bloom says maybe (when a bloom for `col` is recorded) AND the
+    * UTF-8 string envelope contains the value (when recorded; string
+    * values only). Files with neither kind of evidence are always read,
+    * and the residual `isin` filter makes the result exactly the full
+    * scan's either way. This is the posting-list/index serving scan: an
+    * equality set over a clustered column keeps only the files whose
+    * range or bloom admits at least one queried value.
+    */
+  def scanPrunedIn(spark: SparkSession, table: String, col: String,
+      values: Seq[Any], version: Option[Int] = None): PrunedScan = {
+    require(values.nonEmpty, "scanPrunedIn needs at least one value")
+    val v = version.getOrElse(latestVersion(spark, table))
+    val files = manifest(spark, table, v)
+    val hashes = values.map(bloomHash)
+    def strOk(e: FileEntry, value: Any): Boolean =
+      (value, e.strStats.get(col)) match {
+        case (s: String, Some((mn, mx))) =>
+          !ParquetMeta.u8Less(s, mn) && !ParquetMeta.u8Less(mx, s)
+        case _ => true
+      }
+    def bloomOk(e: FileEntry, h: Long): Boolean = e.blooms.get(col) match {
+      case Some(bits) => mightContain(bits, h)
+      case None => true
+    }
+    val (kept, skipped) = files.partition(e =>
+      values.iterator.zip(hashes.iterator).exists { case (value, h) =>
+        strOk(e, value) && bloomOk(e, h) })
+    import org.apache.spark.sql.functions.{col => c}
+    val pred = c(col).isin(values: _*)
+    val df =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
+      else readFiles(spark, table, v, kept).filter(pred)
+    PrunedScan(df, kept.size, skipped.size)
+  }
+
   /** Equality scan pruned by per-file BLOOM filters: if `value`'s two
     * probe bits are not both set in a file's bloom, the file provably
     * does not contain the value and is skipped driver-side. This is the

@@ -75,6 +75,49 @@ class InvertedIndexSpec extends SparkSpec {
     assert(base === re && base.nonEmpty)
   }
 
+  test("stored index: IN-pruned scan skips files, append ≡ full rebuild") {
+    import graft.sources.Snapshots
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_invidx")
+      .toString + "/postings"
+    // two append commits of disjoint doc halves = index maintenance
+    Seq(0, 1).foreach { half =>
+      val batch = InvertedIndex.postings(
+        docs.filter(pmod(col("doc_id"), lit(2)) === half))
+      Snapshots.commit(
+        batch.repartitionByRange(8, col("token"))
+          .sortWithinPartitions("token"),
+        tbl, strStatsCols = Seq("token"), bloomCols = Seq("token"))
+    }
+    val terms = Seq("vector", "hash", "stream")
+    val pruned = Snapshots.scanPrunedIn(spark, tbl, "token", terms)
+    assert(pruned.filesSkipped > 0,
+      s"token-clustered files should skip: kept=${pruned.filesRead}")
+    // pruned scan ≡ unpruned residual scan
+    val unpruned = Snapshots.read(spark, tbl)
+      .filter(col("token").isin(terms: _*))
+    assert(pruned.df.count() === unpruned.count())
+    // append-maintained index answers exactly the from-scratch search
+    val totals = docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+    val stored = InvertedIndex.rankedSearch(pruned.df, totals, terms)
+      .collect().toSeq
+    val scratch = InvertedIndex.rankedSearch(
+      InvertedIndex.postings(docs), totals, terms).collect().toSeq
+    assert(stored === scratch && stored.nonEmpty)
+  }
+
+  test("scanPrunedIn without evidence reads everything, stays exact") {
+    import graft.sources.Snapshots
+    val tbl = java.nio.file.Files.createTempDirectory("graft_invidx_ne")
+      .toString + "/t"
+    val post = InvertedIndex.postings(tiny)
+    Snapshots.commit(post.repartition(3), tbl) // no stats, no blooms
+    val p = Snapshots.scanPrunedIn(spark, tbl, "token", Seq("join"))
+    assert(p.filesSkipped === 0)
+    assert(p.df.count() ===
+      post.filter(col("token") === "join").count())
+  }
+
   test("a term absent from the corpus empties the AND result") {
     val post = InvertedIndex.postings(tiny)
     val totals = tiny.agg(count(lit(1)).cast("bigint").as("n_docs"))
