@@ -417,8 +417,46 @@ object EventQueries {
             AND c.click_ts <= p.purchase_ts
           ORDER BY p.event_id"""))
 
+  /** X85: KMV distinct-user sketch per event type
+    * ([[graft.operators.KmvSketch]]) — the HASH-ORACLED approximate
+    * distinct (HLL's float estimator keeps q_approx_distinct_parts
+    * rows-only; KMV's single integer division replays exactly). Built
+    * INCREMENTALLY: each event-id half sketches independently, the
+    * k-row states merge, and the estimate derives from merged state —
+    * the oracle recomputes over the full table, so the hash match
+    * proves merge ≡ recompute on top of the estimator itself.
+    */
+  val kmvDistinct = Q("q_kmv_distinct",
+    (s, d) => {
+      import graft.operators.KmvSketch
+      val ev = events(s, d)
+      val k = 64
+      val halves = Seq(0, 1).map(h => KmvSketch.state(
+        ev.filter(pmod(col("event_id"), lit(2)) === h),
+        Seq("event_type"), "user_id", k))
+      KmvSketch.estimate(
+          KmvSketch.mergeState(halves(0), halves(1), Seq("event_type"), k),
+          Seq("event_type"), k)
+        .withColumnRenamed("est", "est_users")
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT event_type,
+               ${NorthStarQueries.md5Hex8Sql("CAST(user_id AS VARCHAR)")} + 1
+                 AS hv
+             FROM events WHERE user_id IS NOT NULL),
+           r AS (SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                 AS rnk
+             FROM h),
+           s AS (SELECT event_type, count(*) AS n, max(hv) AS hk
+             FROM r WHERE rnk <= 64 GROUP BY 1)
+          SELECT event_type,
+            CAST(CASE WHEN n < 64 THEN n
+                 ELSE (63 * 4294967296) // hk END AS BIGINT) AS est_users
+          FROM s ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
     eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
     exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts,
-    triangles, pitFeatures)
+    triangles, pitFeatures, kmvDistinct)
 }
