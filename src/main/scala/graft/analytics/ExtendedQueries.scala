@@ -563,6 +563,42 @@ object ExtendedQueries {
          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
          GROUP BY 1 ORDER BY 1"""))
 
+  /** Self-join-to-window rewrite ([[graft.plans.SelfJoinWindowRule]]):
+    * the "share of group" query every BI tool emits as `fact JOIN (SELECT
+    * k, agg FROM fact GROUP BY k)` is rewritten by the optimizer into ONE
+    * scan + a window aggregate — at 100 TB that removes the second fact
+    * scan and one of the two fact-sized shuffles. The oracle runs the
+    * JOIN form in DuckDB, so passing pins join ≡ window semantics
+    * (including inner-join null-key drop, which the rule reproduces with
+    * an IsNotNull filter). localCheckpoint forces execution while the
+    * registration is active; WindowRewriteSpec proves the join actually
+    * disappears from the plan.
+    */
+  val windowRewrite = Q("q_window_rewrite",
+    (s, d) => {
+      graft.plans.WindowRewrite.enable(s, s"$d/lineitem.parquet")
+      try {
+        val probe = lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity")).as("l")
+        val totals = lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(27,4)")).as("_oq"),
+            count(lit(1)).as("n_items"))
+        probe.join(totals.as("t"),
+            col("l.l_orderkey") === col("t.l_orderkey"))
+          .select(col("l.l_orderkey").as("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("_oq").cast("double").as("order_qty"),
+            col("n_items"))
+          .localCheckpoint()
+      } finally graft.plans.WindowRewrite.clear()
+    },
+    Some(s"""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           t.order_qty, t.n_items
+         FROM lineitem l JOIN (
+           SELECT l_orderkey, ${dsumSql("l_quantity")} AS order_qty,
+             count(*) AS n_items
+           FROM lineitem GROUP BY 1) t
+         ON l.l_orderkey = t.l_orderkey"""))
+
   /** Z-order clustering key: native bit-interleave expression over
     * (l_partkey, l_suppkey) — the multi-dimensional sort key a 100 TB
     * warehouse writes by so row-group min/max stats prune box predicates
@@ -645,5 +681,5 @@ object ExtendedQueries {
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    mvRewrite, mvRewriteFiltered, zorder, zorder3, hilbert)
+    mvRewrite, mvRewriteFiltered, windowRewrite, zorder, zorder3, hilbert)
 }
