@@ -599,6 +599,34 @@ object ExtendedQueries {
            FROM lineitem GROUP BY 1) t
          ON l.l_orderkey = t.l_orderkey"""))
 
+  /** Column-level lineage ([[graft.plans.Lineage]]): the analyzed plan
+    * of a 3-table star aggregate is walked driver-side into (output
+    * column → source table.column) rows — zero execution, correct for
+    * any plan the engine can run. Deterministic by construction, so the
+    * oracle is the literal expected mapping: revenue ← orders
+    * .o_totalprice, nation ← nation.n_name, and count(*) ← nothing
+    * (direct data-flow lineage; predicate columns are intentionally
+    * indirect). LineageSpec covers window/explode/rollup/union shapes.
+    */
+  val lineageQ = Q("q_lineage",
+    (s, d) => {
+      val qdf = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(col("n_name").as("nation"), col("revenue"), col("n_orders"))
+      graft.plans.Lineage.lineageDf(s, qdf)
+        .orderBy(col("out_col"), col("src_table"), col("src_col"))
+    },
+    Some("""SELECT * FROM (VALUES
+           ('n_orders', '', ''),
+           ('nation', 'nation', 'n_name'),
+           ('revenue', 'orders', 'o_totalprice'))
+         AS t(out_col, src_table, src_col)
+         ORDER BY out_col, src_table, src_col"""))
+
   /** Z-order clustering key: native bit-interleave expression over
     * (l_partkey, l_suppkey) — the multi-dimensional sort key a 100 TB
     * warehouse writes by so row-group min/max stats prune box predicates
@@ -681,5 +709,6 @@ object ExtendedQueries {
     conditionalAgg, groupingSets, runningTotal, windowStats,
     exceptAllPriorities, intersectAllPriorities, gapFill, arrayAgg,
     topPerGroup, correlation, rollingRevenue, cdcApply, incrementalRollup,
-    mvRewrite, mvRewriteFiltered, windowRewrite, zorder, zorder3, hilbert)
+    mvRewrite, mvRewriteFiltered, windowRewrite, lineageQ,
+    zorder, zorder3, hilbert)
 }

@@ -83,6 +83,42 @@ object SnapshotQueries {
          ${dsumSql("o_totalprice")} AS total_added
          FROM orders WHERE o_orderdate >= DATE '$cutoff'"""))
 
+  /** X86: zero-copy clone ([[Snapshots.cloneTable]]) — the clone's v1 is
+    * one manifest write pointing at the source's files (no data copied;
+    * CloneSpec pins the no-data-dir property), then a MERGE on the clone
+    * (price override below key 100, delete keys 100–119) rewrites only
+    * borrowed files into the clone's own root. Reading BOTH tables after
+    * proves the fork: the clone shows the merge, the source is
+    * bit-identical to the original — which is exactly what the oracle
+    * replays as predicates over the one shared orders table.
+    */
+  val cloneQ = Q("q_clone",
+    (s, d) => {
+      val srcTbl = freshTable(s, d, "clsrc")
+      val o = src(s, d)
+      Snapshots.commit(o, srcTbl, statsCols = Seq("o_orderkey"))
+      val dstTbl = freshTable(s, d, "cldst")
+      Snapshots.cloneTable(s, srcTbl, dstTbl)
+      val upd = o.filter(col("o_orderkey") < 100)
+        .withColumn("o_totalprice", lit(0.0))
+      val del = s.range(100, 120).select(col("id").as("o_orderkey"))
+      Snapshots.merge(s, dstTbl, upd, del, "o_orderkey")
+      def side(tbl: String, name: String): DataFrame =
+        Snapshots.read(s, tbl)
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total"))
+          .select(lit(name).as("side"), col("n_orders"), col("total"))
+      side(dstTbl, "clone").unionByName(side(srcTbl, "source"))
+        .orderBy(col("side"))
+    },
+    Some(s"""SELECT 'clone' AS side, count(*) AS n_orders,
+         ${dsumSql("CASE WHEN o_orderkey < 100 THEN 0.0 ELSE o_totalprice END")} AS total
+         FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 119
+         UNION ALL
+         SELECT 'source', count(*), ${dsumSql("o_totalprice")}
+         FROM orders
+         ORDER BY side"""))
+
   /** X48: file skipping from manifest stats — the table is committed
     * range-partitioned on o_orderkey so file envelopes are tight, then a
     * key-range scan prunes whole files driver-side (SnapshotsSpec asserts
@@ -601,5 +637,5 @@ object SnapshotQueries {
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
-    bucketMergeJoin)
+    bucketMergeJoin, cloneQ)
 }

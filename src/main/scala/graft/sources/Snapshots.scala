@@ -635,7 +635,10 @@ object Snapshots {
     */
   private def readFiles(spark: SparkSession, table: String, version: Int,
       entries: Seq[FileEntry]): DataFrame = {
-    val paths = entries.map(e => s"$table/${e.path}")
+    // absolute entry paths come from zero-copy clones ([[cloneTable]]):
+    // they point into the SOURCE table's data dir and resolve as-is
+    val paths = entries.map(e =>
+      if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
     properties(spark, table, version).get(SchemaProp) match {
       case Some(json) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(json)
@@ -983,6 +986,47 @@ object Snapshots {
           s"$table (planned against v$cur, parent is now v$parent) — retry")
         target
       })
+  }
+
+  /** Zero-copy clone: publish `target`'s version 1 as a manifest whose
+    * entries POINT INTO `source`'s data files (absolute paths; stats,
+    * blooms and schema carried verbatim) — no data byte is read or
+    * copied, so cloning a 100 TB table costs one manifest write. The
+    * clone then evolves independently: appends, merges and compactions
+    * write NEW files under the clone's own root and progressively
+    * replace the shared entries (copy-on-write at file granularity),
+    * while the source never sees any of it — the dev/test-against-prod
+    * and table-fork primitive.
+    *
+    * Ownership caveat (the Delta/Iceberg shallow-clone contract): the
+    * clone BORROWS the source's files. [[vacuum]] / [[removeOrphans]] on
+    * the SOURCE judge liveness from the source's own manifests only and
+    * can delete files a clone still references — run them on a cloned
+    * source only after the clones are dropped or fully rewritten.
+    * Maintenance on the CLONE is safe in both directions: its vacuum
+    * only ever deletes files under its own root.
+    *
+    * The target must not exist yet (no versions); clone-into-existing
+    * would silently orphan the target's history.
+    */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(latestVersion(spark, source))
+    val entries = manifest(spark, source, v)
+    val (sfs, sroot) = fsOf(spark, source)
+    val srcAbs = sfs.makeQualified(sroot).toUri.getPath
+    val abs = entries.map(e =>
+      if (new Path(e.path).isAbsolute) e
+      else e.copy(path = s"$srcAbs/${e.path}"))
+    val props = properties(spark, source, v) ++ Map(
+      "graft.clone.source" -> srcAbs,
+      "graft.clone.sourceVersion" -> v.toString)
+    publishManifest(spark, target, props, abs, baseFor = parent => {
+      require(parent == 0 && versions(spark, target).isEmpty,
+        s"Snapshots.cloneTable: target $target already has versions — " +
+          "clone only into a fresh table")
+      Seq.empty
+    })
   }
 
   /** Delete data files that NO manifest (complete or half-written)
