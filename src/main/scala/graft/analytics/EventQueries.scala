@@ -84,6 +84,27 @@ object EventQueries {
                AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
             ORDER BY user_id, signup_ts, purchase_ts"""))
 
+  /** LEFT OUTER interval join (batch equivalent of
+    * [[graft.streaming.StatefulStreams.purchaseAttributionLeftOuter]]):
+    * every purchase exactly-once — attributed when a same-user signup
+    * precedes it within an hour, with NULL attribution otherwise. The
+    * streaming twin emits the null rows watermark-late;
+    * StatefulStreamsSpec pins stream ≡ batch including the null side.
+    */
+  val eventsAttributionOuter = Q("q_attribution_outer",
+    (s, d) => graft.streaming.StatefulStreams
+      .purchaseAttributionLeftOuter(events(s, d))
+      .orderBy(col("user_id"), col("purchase_ts"), col("signup_ts")),
+    Some("""SELECT p.user_id AS user_id, s.ts AS signup_ts,
+            p.ts AS purchase_ts, p.value AS value
+            FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                  FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'signup') s
+            ON p.user_id = s.user_id
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+            ORDER BY user_id, purchase_ts, signup_ts"""))
+
   /** Backward as-of join: each purchase attributed to the LATEST same-user
     * signup at or before it (vs the interval join above, which keeps ALL
     * signups in range). Runs through the engine's native Catalyst operator
@@ -456,7 +477,8 @@ object EventQueries {
           FROM s ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(eventsHourly, eventsSliding, eventsRecent,
-    eventsSessions, eventsDedup, eventsAttribution, asofJoin, asofForward,
+    eventsSessions, eventsDedup, eventsAttribution, eventsAttributionOuter,
+    asofJoin, asofForward,
     exactDistinctUsers, eventPaths, eventPagerank, funnel, retentionCohorts,
     triangles, pitFeatures, kmvDistinct)
 }

@@ -77,7 +77,26 @@ object StatefulStreams {
     * signups of the same user within the preceding hour (attribution
     * join). State on both sides is bounded by the watermark + interval.
     */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** LEFT OUTER interval join: every purchase emits exactly once —
+    * matched purchases with their in-window signup(s) as they arrive,
+    * UNMATCHED purchases with null attribution once the watermark
+    * proves no in-window signup can still arrive (Spark holds the row
+    * in state until `watermark > p_ts + interval`, then emits the null
+    * side — so in a live stream the null rows trail by watermark delay
+    * + window, and at stream END rows past the final watermark stay
+    * unemitted until later input advances it; StatefulStreamsSpec
+    * drives the watermark with far-future sentinels to pin
+    * stream ≡ batch). State on both sides stays watermark-bounded —
+    * the funnel-completeness join ("which purchases had NO preceding
+    * signup") at any scale.
+    */
+  def purchaseAttributionLeftOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
       .withWatermark("s_ts", "10 minutes")
@@ -87,7 +106,8 @@ object StatefulStreams {
     purchases.join(signups,
       col("p_user") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
-        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("p_user").as("user_id"), col("s_ts").as("signup_ts"),
         col("p_ts").as("purchase_ts"), col("value"))
   }

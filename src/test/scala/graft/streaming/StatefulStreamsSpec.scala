@@ -69,4 +69,34 @@ class StatefulStreamsSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("LEFT OUTER stream-stream join equals the batch left outer join") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val rows = batchEvents.as[Ev].collect()
+    val q = StatefulStreams.purchaseAttributionLeftOuter(stream.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_attr_lo").start()
+    stream.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    // outer (null-signup) results emit only once the watermark proves
+    // the join window closed: push it past every real event with
+    // far-future sentinels on BOTH watermarked inputs (global watermark
+    // = min over inputs). The sentinel purchase itself stays unemitted
+    // (nothing ever advances the watermark past IT) and the sentinel
+    // signup matches no purchase, so neither pollutes the result.
+    val horizon = new java.sql.Timestamp(
+      rows.map(_.ts.getTime).max + 24L * 3600 * 1000)
+    stream.addData(Ev(-1L, horizon, -1L, "signup", 0.0),
+      Ev(-2L, horizon, -2L, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_attr_lo")
+    val batch = StatefulStreams.purchaseAttributionLeftOuter(batchEvents)
+    // sanity: the outer join is strictly bigger than the inner one and
+    // actually contains null-attribution rows
+    assert(batch.filter(col("signup_ts").isNull).count() > 0)
+    assert(streamed.filter(col("signup_ts").isNull).count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
