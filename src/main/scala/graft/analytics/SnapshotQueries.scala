@@ -119,6 +119,34 @@ object SnapshotQueries {
          FROM orders
          ORDER BY side"""))
 
+  /** X90: merge-on-read deletes ([[Snapshots.deleteWhere]]) — a GDPR-
+    * style delete commits a kilobyte equality tombstone instead of
+    * copy-on-write rewriting every file that may hold the keys (at
+    * 100 TB: the difference between an instant commit and a terabyte
+    * rewrite). Reads subtract tombstoned keys per data-sequence-number
+    * group, so the append AFTER the delete re-inserts keys 1–10
+    * correctly (newer rows are not masked — the Iceberg v2 ordering).
+    * The oracle replays delete-then-reinsert as predicates over orders.
+    */
+  val morDelete = Q("q_mor_delete",
+    (s, d) => {
+      val tbl = freshTable(s, d, "mor")
+      val o = src(s, d)
+      Snapshots.commit(o, tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.deleteWhere(s, tbl,
+        s.range(1, 51).select(col("id").as("o_orderkey")), "o_orderkey")
+      Snapshots.commit(o.filter(col("o_orderkey").between(1, 10))
+        .withColumn("o_totalprice", lit(0.0)), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.readMor(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM (
+           SELECT o_totalprice AS p FROM orders
+           WHERE o_orderkey NOT BETWEEN 1 AND 50
+           UNION ALL
+           SELECT 0.0 FROM orders WHERE o_orderkey BETWEEN 1 AND 10)"""))
+
   /** X48: file skipping from manifest stats — the table is committed
     * range-partitioned on o_orderkey so file envelopes are tight, then a
     * key-range scan prunes whole files driver-side (SnapshotsSpec asserts
@@ -637,5 +665,5 @@ object SnapshotQueries {
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
-    bucketMergeJoin, cloneQ)
+    bucketMergeJoin, cloneQ, morDelete)
 }

@@ -41,7 +41,8 @@ object Snapshots {
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (Long, Long)],
       blooms: Map[String, Array[Long]] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      seq: Int = 0)
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
 
@@ -601,8 +602,11 @@ object Snapshots {
           try {
             val propLines = properties.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
+            // stamp NEW entries with the version that introduces them —
+            // the data sequence number merge-on-read deletes order by;
+            // carried base entries keep the seq of their own commit
             val lines = Seq(Header) ++ propLines ++
-              (base ++ newEntries).map(fmt) :+ Footer
+              (base ++ newEntries.map(_.copy(seq = next))).map(fmt) :+ Footer
             out.write(lines.mkString("\n").getBytes("UTF-8"))
           } finally out.close()
           return next
@@ -635,6 +639,11 @@ object Snapshots {
     */
   private def readFiles(spark: SparkSession, table: String, version: Int,
       entries: Seq[FileEntry]): DataFrame = {
+    // a tombstone read as data would null-fill the table schema —
+    // refuse loudly instead of silently polluting the result
+    require(entries.forall(e => !isTombstone(e.path)),
+      s"Snapshots: version $version of $table carries merge-on-read " +
+        "deletes — read it via readMor (or materialize with compactMor)")
     // absolute entry paths come from zero-copy clones ([[cloneTable]]):
     // they point into the SOURCE table's data dir and resolve as-is
     val paths = entries.map(e =>
@@ -988,6 +997,115 @@ object Snapshots {
       })
   }
 
+  // ---- merge-on-read deletes (equality tombstones) -------------------
+
+  /** Tombstone files are marked by NAME so the classification rides the
+    * file itself through append carries, with no property flow needed.
+    */
+  private val DelPrefix = "del-"
+  private[sources] def isTombstone(p: String): Boolean =
+    new Path(p).getName.startsWith(DelPrefix)
+
+  /** MERGE-ON-READ delete: commit an equality TOMBSTONE (the distinct
+    * delete keys as one small parquet file) instead of rewriting any
+    * data file — the fast-delete write path. Where [[merge]] pays
+    * copy-on-write (rewrite every file that may hold an affected key —
+    * at 100 TB, possibly terabytes for a thousand keys), deleteWhere
+    * writes kilobytes and commits; readers ([[readMor]]) subtract the
+    * keys at scan time, and [[compactMor]] later materializes the
+    * deletes back into a pure-data representation.
+    *
+    * Ordering is by DATA SEQUENCE NUMBER (every manifest entry records
+    * the version that introduced it): a tombstone masks only entries
+    * with a LOWER seq, so a plain append AFTER the delete re-inserts
+    * its keys correctly — same-key rows in newer files are not masked.
+    * Null keys cannot be deleted (they never equal; same rule as
+    * [[merge]]). Deleting a key not present is a no-op.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      deleteKeys: DataFrame, keyCol: String): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.deleteWhere: $table has no committed version")
+    require(deleteKeys.columns.contains(keyCol),
+      s"Snapshots.deleteWhere: deleteKeys needs a '$keyCol' column")
+    val keys = deleteKeys.select(c(keyCol).cast("long").as(keyCol))
+      .filter(c(keyCol).isNotNull).distinct()
+    val (fs, root) = fsOf(spark, table)
+    val batch = freshBatchDir(root)
+    keys.coalesce(1).write.mode("errorifexists").parquet(batch.toString)
+    listParquet(fs, batch).foreach { st =>
+      require(fs.rename(st.getPath,
+        new Path(st.getPath.getParent, DelPrefix + st.getPath.getName)),
+        s"Snapshots.deleteWhere: rename failed for ${st.getPath}")
+    }
+    // the tombstone entry records the key envelope, so a future reader
+    // can prove whole data files untouched by any delete
+    val delEntries = entriesFor(spark, table, batch, Seq(keyCol),
+      Seq.empty, Seq.empty)
+    // the version must keep describing the DATA schema (readers apply
+    // it to the data files), not the tombstone's single column
+    val props = properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap
+    publishManifest(spark, table, props, delEntries,
+      baseFor = parent => manifest(spark, table, parent))
+  }
+
+  /** Read a version that may carry merge-on-read tombstones: data files
+    * grouped by their data sequence number, each group anti-joined
+    * against exactly the tombstones committed AFTER it (group count ≤
+    * versions since the last compaction, so the plan stays narrow).
+    * Tombstone key sets are tiny by construction — AQE broadcasts the
+    * anti-join side — and a version with no tombstones reads with zero
+    * overhead. Deletes-of-deletes union before the join, so
+    * re-deleting is idempotent.
+    */
+  def readMor(spark: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = version.getOrElse(latestVersion(spark, table))
+    val all = manifest(spark, table, v)
+    val (del, data) = all.partition(e => isTombstone(e.path))
+    require(data.nonEmpty, s"Snapshots: version $v of $table is empty")
+    if (del.isEmpty) return readFiles(spark, table, v, data)
+    def delPaths(es: Seq[FileEntry]): Seq[String] = es.map(e =>
+      if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
+    val keyCol = spark.read.parquet(delPaths(del): _*).schema.head.name
+    data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (gseq, es) =>
+      val applicable = del.filter(_.seq > gseq)
+      val dataDf = readFiles(spark, table, v, es)
+      if (applicable.isEmpty) dataDf
+      else {
+        val keys = spark.read.parquet(delPaths(applicable): _*).distinct()
+        dataDf.join(keys, dataDf(keyCol).cast("long") === keys(keyCol),
+          "left_anti")
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Materialize merge-on-read deletes: overwrite-commit the subtracted
+    * content, returning the table to a pure-data representation every
+    * reader (pruned scans, copy-on-write merge, bucketing) understands.
+    * Stats/bloom/string-envelope columns are carried from the DATA
+    * entries. The delete-heavy table's OPTIMIZE step.
+    */
+  def compactMor(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val (fs, root) = fsOf(spark, table)
+    val cur = latestVersion(spark, table)
+    val data = manifest(spark, table, cur).filterNot(e => isTombstone(e.path))
+    val bytes = data.map(e =>
+      fs.getFileStatus(new Path(root, e.path)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val statsCols = data.flatMap(_.stats.keys).distinct.sorted
+    val bloomCols = data.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = data.flatMap(_.strStats.keys).distinct.sorted
+    commit(readMor(spark, table, Some(cur)).repartition(nOut), table,
+      overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
+      strStatsCols = strCols)
+  }
+
   /** Zero-copy clone: publish `target`'s version 1 as a manifest whose
     * entries POINT INTO `source`'s data files (absolute paths; stats,
     * blooms and schema carried verbatim) — no data byte is read or
@@ -1252,14 +1370,15 @@ object Snapshots {
       .map { case (c, (mn, mx)) => s"$c=${hexStr(mn)}:${hexStr(mx)}" }
       .mkString(";")
     val base = s"${e.path}\t${e.rows}\t$stats"
-    if (e.strStats.nonEmpty) s"$base\t$bloomF\t$strF"
+    if (e.seq > 0) s"$base\t$bloomF\t$strF\t${e.seq}"
+    else if (e.strStats.nonEmpty) s"$base\t$bloomF\t$strF"
     else if (e.blooms.nonEmpty) s"$base\t$bloomF"
     else base
   }
 
   private def parse(line: String): FileEntry = {
     val parts = line.split("\t", -1)
-    require(parts.length >= 3 && parts.length <= 5,
+    require(parts.length >= 3 && parts.length <= 6,
       s"bad manifest line: $line")
     val stats = parts(2).split(";").filter(_.nonEmpty).map { kv =>
       val Array(c, range) = kv.split("=", 2)
@@ -1279,7 +1398,8 @@ object Snapshots {
         val Array(mn, mx) = range.split(":", 2)
         c -> (unhexStr(mn), unhexStr(mx))
       }.toMap
-    FileEntry(parts(0), parts(1).toLong, stats, blooms, strStats)
+    FileEntry(parts(0), parts(1).toLong, stats, blooms, strStats,
+      seq = if (parts.length >= 6 && parts(5).nonEmpty) parts(5).toInt else 0)
   }
 
   private final case class ManifestData(props: Map[String, String],
