@@ -119,6 +119,45 @@ object SnapshotQueries {
          FROM orders
          ORDER BY side"""))
 
+  /** X91: incrementally refreshed MV over a versioned fact
+    * ([[graft.plans.SnapshotMv]]): refresh #1 builds the rollup from v1,
+    * the append commits v2, and refresh #2 folds ONLY the delta files
+    * into the stored state (SnapshotMvSpec proves v1's files can be cold
+    * during it) — then the user aggregate over the LATEST version is
+    * answered from the rollup by the transparent rewrite, exact because
+    * registration pins v2's exact file set. Oracle = the full recompute,
+    * so the hash pins delta-fold ≡ recompute.
+    */
+  val mvIncremental = Q("q_mv_incremental",
+    (s, d) => {
+      val o = src(s, d)
+      val tbl = freshTable(s, d, "smv")
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+        statsCols = Seq("o_orderkey"))
+      val mv = graft.plans.SnapshotMv.SnapshotMvDef(tbl,
+        freshTable(s, d, "smvroot"),
+        keys = Seq("o_orderkey"), countCol = "n",
+        sums = Seq(graft.plans.MaterializedViews.MvSum("rev", "o_totalprice",
+          Some(org.apache.spark.sql.types.DecimalType(27, 4)))))
+      graft.plans.SnapshotMv.refresh(s, mv) // full build at v1
+      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
+        statsCols = Seq("o_orderkey"))
+      graft.plans.SnapshotMv.refresh(s, mv) // delta fold to v2
+      try {
+        Snapshots.read(s, tbl)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(27,4)")).as("_rev"))
+          .localCheckpoint()
+          .select(col("o_orderkey"), col("n_rows"),
+            col("_rev").cast("double").as("revenue"))
+          .orderBy(col("o_orderkey"))
+      } finally graft.plans.MaterializedViews.clear()
+    },
+    Some(s"""SELECT o_orderkey, count(*) AS n_rows,
+         ${dsumSql("o_totalprice")} AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** X90: merge-on-read deletes ([[Snapshots.deleteWhere]]) — a GDPR-
     * style delete commits a kilobyte equality tombstone instead of
     * copy-on-write rewriting every file that may hold the keys (at
@@ -665,5 +704,5 @@ object SnapshotQueries {
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
-    bucketMergeJoin, cloneQ, morDelete)
+    bucketMergeJoin, cloneQ, morDelete, mvIncremental)
 }

@@ -42,17 +42,24 @@ object MaterializedViews {
     */
   final case class MvSum(mvCol: String, src: String, castTo: Option[DataType])
 
+  /** `factFiles`: when the MV represents one VERSION of a versioned fact
+    * table ([[SnapshotMv]]), the exact (normalized) file set of that
+    * version — the rewrite fires only for a scan of exactly those files,
+    * so reads of other versions (time travel, post-append latest before
+    * a refresh) are never answered stale. None = plain directory fact.
+    */
   final case class MvDef(
       factPath: String,
       mvPath: String,
       keys: Seq[String],
       countCol: Option[String],
-      sums: Seq[MvSum])
+      sums: Seq[MvSum],
+      factFiles: Option[Set[String]] = None)
 
   private val registry =
     new scala.collection.concurrent.TrieMap[String, MvDef]
 
-  private def norm(p: String): String =
+  private[plans] def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Register `mv` and make sure the rewrite rule is installed on the
@@ -86,6 +93,21 @@ object MaterializedViews {
   private[plans] def lookup(path: String): Option[MvDef] =
     registry.get(norm(path))
 
+  /** Find the MvDef covering a scan's root paths: the single-directory
+    * fact (exact key) or a versioned fact registered at its TABLE ROOT
+    * whose data files all live under it.
+    */
+  private[plans] def lookupCovering(paths: Seq[String]): Option[MvDef] =
+    paths match {
+      case Seq(single) if registry.contains(norm(single)) =>
+        registry.get(norm(single))
+      case _ =>
+        val normed = paths.map(norm)
+        registry.collectFirst {
+          case (root, d) if normed.forall(_.startsWith(root + "/")) => d
+        }
+    }
+
   private[plans] def isEmpty: Boolean = registry.isEmpty
 }
 
@@ -97,21 +119,25 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     else plan.transformDown {
       case agg @ Aggregate(groups, aggs, child, _) =>
         (for {
-          (path, filter) <- factScan(child)
-          mv <- lookup(path)
+          (paths, filter) <- factScan(child)
+          mv <- lookupCovering(paths)
+          // a versioned-fact MV answers ONLY the exact file set of the
+          // version it was refreshed to — never another version
+          if mv.factFiles.forall(_ ==
+            paths.map(p => norm(p)).toSet)
           rewritten <- tryRewrite(agg, groups, aggs, filter, mv)
         } yield rewritten).getOrElse(agg)
     }
 
-  /** The fact path (plus the And of any intervening Filter predicates) IF
-    * `child` is a file scan under only column-pruning Projects and
-    * Filters — any Join/Window/etc. in between disables the rewrite.
-    * Whether the collected predicates are key-only (rewritable) is
-    * decided in [[tryRewrite]], where the MV definition is in hand.
+  /** The fact scan's root paths (plus the And of any intervening Filter
+    * predicates) IF `child` is a file scan under only column-pruning
+    * Projects and Filters — any Join/Window/etc. in between disables the
+    * rewrite. Whether the collected predicates are key-only (rewritable)
+    * is decided in [[tryRewrite]], where the MV definition is in hand.
     */
   private def factScan(child: LogicalPlan)
-      : Option[(String, Option[Expression])] = child match {
-    case lr: LogicalRelation => relationPath(lr).map((_, None))
+      : Option[(Seq[String], Option[Expression])] = child match {
+    case lr: LogicalRelation => relationPaths(lr).map((_, None))
     case Project(pl, inner)
         if pl.forall(_.isInstanceOf[AttributeReference]) =>
       factScan(inner)
@@ -122,10 +148,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def relationPath(lr: LogicalRelation): Option[String] =
+  private def relationPaths(lr: LogicalRelation): Option[Seq[String]] =
     lr.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(_.toUri.getPath)
+        Some(h.location.rootPaths.map(_.toUri.getPath))
       case _ => None
     }
 
