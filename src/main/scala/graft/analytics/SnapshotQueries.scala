@@ -119,6 +119,47 @@ object SnapshotQueries {
          FROM orders
          ORDER BY side"""))
 
+  /** X93: timestamp time travel ([[Snapshots.readAsOf]]) — every commit
+    * stamps its wall-clock time into the manifest, and a query "as of
+    * instant T" resolves to the newest version committed at or before T
+    * from metadata alone. Reading as-of v1's OWN stamp (inclusive
+    * boundary) must see exactly the v1 snapshot no matter what was
+    * committed after — which the pre-cutoff oracle replays.
+    */
+  val timeTravelTs = Q("q_time_travel_ts",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "ttts")
+      val ts1 = Snapshots.properties(s, tbl, 1)(Snapshots.CommitTsProp).toLong
+      agg(Snapshots.readAsOf(s, tbl, ts1), 1)
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderdate < DATE '$cutoff'"""))
+
+  /** X92: query result cache ([[graft.sources.ResultCache]]) — the
+    * dashboard aggregate is computed once, published under a key of
+    * (canonicalized plan, scan paths, schema, table version), and the
+    * SECOND run is served from the stored parquet: the returned frame IS
+    * the cache read, so the oracle hash validates the cached bytes, not
+    * just the computation. Any new commit to the table changes the key
+    * (ResultCacheSpec pins hit/invalidation/collision/prune).
+    */
+  val resultCacheQ = Q("q_result_cache",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "rc")
+      val cache = freshTable(s, d, "rcc")
+      def q = Snapshots.read(s, tbl)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+      graft.sources.ResultCache.cached(q, cache, Seq(tbl)) // miss: publish
+      graft.sources.ResultCache.cached(q, cache, Seq(tbl)) // hit: serve
+        .orderBy(col("order_year"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** X91: incrementally refreshed MV over a versioned fact
     * ([[graft.plans.SnapshotMv]]): refresh #1 builds the rollup from v1,
     * the append commits v2, and refresh #2 folds ONLY the delta files
@@ -704,5 +745,6 @@ object SnapshotQueries {
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
-    bucketMergeJoin, cloneQ, morDelete, mvIncremental)
+    bucketMergeJoin, cloneQ, morDelete, mvIncremental, resultCacheQ,
+    timeTravelTs)
 }

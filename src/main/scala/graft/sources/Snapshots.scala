@@ -62,6 +62,12 @@ object Snapshots {
     */
   val SchemaProp = "graft.schema"
 
+  /** Manifest property key holding the commit wall-clock time (epoch
+    * millis), stamped by every commit — what [[readAsOf]] resolves a
+    * timestamp to a version with. Absent only in pre-stamping manifests.
+    */
+  val CommitTsProp = "graft.commit.ts"
+
   private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -600,7 +606,9 @@ object Snapshots {
       created match {
         case Some(out) =>
           try {
-            val propLines = properties.toSeq.sortBy(_._1)
+            val stamped = properties +
+              (CommitTsProp -> System.currentTimeMillis().toString)
+            val propLines = stamped.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
             // stamp NEW entries with the version that introduces them —
             // the data sequence number merge-on-read deletes order by;
@@ -655,6 +663,27 @@ object Snapshots {
         spark.read.schema(st).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** Read the table AS OF a wall-clock instant: the newest version whose
+    * recorded commit time ([[CommitTsProp]]) is at or before `tsMillis`
+    * — the "what did the dashboard show yesterday 09:00" form of time
+    * travel, resolved entirely from manifest metadata. Versions from
+    * before commit-time stamping existed are treated as older than any
+    * instant. Throws if no version is old enough.
+    */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long)
+      : DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"Snapshots.readAsOf: $table has no committed version")
+    val eligible = vs.filter { v =>
+      properties(spark, table, v).get(CommitTsProp)
+        .forall(_.toLong <= tsMillis)
+    }
+    require(eligible.nonEmpty,
+      s"Snapshots.readAsOf: no version of $table at or before $tsMillis " +
+        s"(earliest commit: ${properties(spark, table, vs.head).get(CommitTsProp).getOrElse("unstamped")})")
+    read(spark, table, Some(eligible.max))
   }
 
   /** Rows added between two versions of an APPEND-ONLY lineage, read from
@@ -1254,7 +1283,8 @@ object Snapshots {
     val rows = versions(spark, table).map { v =>
       val m = manifest(spark, table, v)
       val props = properties(spark, table, v).toSeq
-        .filterNot(_._1 == SchemaProp).sortBy(_._1)
+        .filterNot(p => p._1 == SchemaProp || p._1 == CommitTsProp)
+        .sortBy(_._1)
         .map { case (k, x) => s"$k=$x" }.mkString(";")
       (v, m.size, m.map(_.rows).sum, props)
     }

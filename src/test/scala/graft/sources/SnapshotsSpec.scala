@@ -492,4 +492,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, tbl)
       .filter(col("o_orderkey") === 9000050L).count() === 1)
   }
+
+  test("readAsOf resolves a wall-clock instant to the right version") {
+    val tbl = freshTable("asof")
+    val v1Rows = orders.filter(col("o_orderkey") <= 700)
+    Snapshots.commit(v1Rows, tbl)
+    Snapshots.commit(orders.filter(col("o_orderkey") > 700), tbl)
+    val ts1 = Snapshots.properties(spark, tbl, 1)(Snapshots.CommitTsProp).toLong
+    val ts2 = Snapshots.properties(spark, tbl, 2)(Snapshots.CommitTsProp).toLong
+    assert(ts1 < ts2, "two spark-write commits cannot share a millisecond")
+    // boundary is inclusive: exactly-at-commit-time reads that version
+    assert(Snapshots.readAsOf(spark, tbl, ts1).count() === v1Rows.count())
+    assert(Snapshots.readAsOf(spark, tbl, ts2).count() === orders.count())
+    assert(Snapshots.readAsOf(spark, tbl,
+      System.currentTimeMillis() + 60000).count() === orders.count())
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, tbl, ts1 - 1000000)
+    }
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // history elides the volatile stamp so its output stays replayable
+    assert(!Snapshots.history(spark, tbl).collect()
+      .map(_.getString(3)).exists(_.contains("graft.commit.ts")))
+  }
 }
