@@ -160,6 +160,28 @@ object SnapshotQueries {
          count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
          FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** X90b: atomic merge-on-read upsert ([[Snapshots.upsertMor]]) — the
+    * batch's tombstone and data share one manifest AND one sequence
+    * number, so older copies of keys 1–10 vanish, the batch's own rows
+    * survive, and no reader can ever observe a deleted-but-not-
+    * reinserted state. O(batch) cost: zero data files rewritten. The
+    * oracle replays replace-keys-1-to-10 as a CASE over orders.
+    */
+  val morUpsert = Q("q_mor_upsert",
+    (s, d) => {
+      val tbl = freshTable(s, d, "morup")
+      val o = src(s, d)
+      Snapshots.commit(o, tbl, statsCols = Seq("o_orderkey"))
+      val batch = o.filter(col("o_orderkey").between(1, 10))
+        .withColumn("o_totalprice", lit(0.0))
+      Snapshots.upsertMor(s, tbl, batch, "o_orderkey")
+      Snapshots.readMor(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+         ${dsumSql("CASE WHEN o_orderkey BETWEEN 1 AND 10 THEN 0.0 ELSE o_totalprice END")} AS total
+         FROM orders"""))
+
   /** X91: incrementally refreshed MV over a versioned fact
     * ([[graft.plans.SnapshotMv]]): refresh #1 builds the rollup from v1,
     * the append commits v2, and refresh #2 folds ONLY the delta files
@@ -745,6 +767,6 @@ object SnapshotQueries {
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
-    bucketMergeJoin, cloneQ, morDelete, mvIncremental, resultCacheQ,
-    timeTravelTs)
+    bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
+    resultCacheQ, timeTravelTs)
 }

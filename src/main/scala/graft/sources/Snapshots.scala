@@ -1080,6 +1080,56 @@ object Snapshots {
       baseFor = parent => manifest(spark, table, parent))
   }
 
+  /** Atomic MERGE-ON-READ upsert: ONE commit whose batch holds both the
+    * new rows and a tombstone of their keys — because both carry the
+    * SAME data sequence number and a tombstone masks only LOWER
+    * sequences, older copies of the keys disappear while the batch's own
+    * rows survive, in a single atomic manifest create (no intermediate
+    * "deleted but not yet re-inserted" state can ever be observed).
+    * Cost is O(batch): no data file is rewritten — the constant-time
+    * upsert path where [[merge]] pays copy-on-write and
+    * [[mergeBucketed]] pays a bucket rewrite. Read with [[readMor]];
+    * [[compactMor]] materializes. Upserting a key twice in one batch
+    * keeps both rows (same contract as [[merge]] upserts).
+    */
+  def upsertMor(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.upsertMor: $table has no committed version")
+    require(batch.columns.contains(keyCol),
+      s"Snapshots.upsertMor: batch needs a '$keyCol' column")
+    val tableCols = this.properties(spark, table, v).get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+      .getOrElse(readMor(spark, table, Some(v)).columns.toSeq)
+    require(batch.columns.sorted.sameElements(tableCols.sorted),
+      s"Snapshots.upsertMor: batch columns [${batch.columns.sorted.mkString(",")}] " +
+        s"must match table columns [${tableCols.sorted.mkString(",")}]")
+    val keys = batch.select(c(keyCol).cast("long").as(keyCol))
+      .filter(c(keyCol).isNotNull).distinct()
+    val (fs, root) = fsOf(spark, table)
+    val batchDir = freshBatchDir(root)
+    batch.select(tableCols.map(c): _*)
+      .write.mode("errorifexists").parquet(batchDir.toString)
+    val tmpDel = new Path(batchDir, "_del_tmp")
+    keys.coalesce(1).write.parquet(tmpDel.toString)
+    listParquet(fs, tmpDel).foreach { st =>
+      require(fs.rename(st.getPath,
+        new Path(batchDir, DelPrefix + st.getPath.getName)),
+        s"Snapshots.upsertMor: rename failed for ${st.getPath}")
+    }
+    fs.delete(tmpDel, true)
+    val entries = entriesFor(spark, table, batchDir,
+      (statsCols :+ keyCol).distinct, bloomCols, strStatsCols)
+    publishManifest(spark, table,
+      properties + (SchemaProp -> batch.select(tableCols.map(c): _*).schema.json),
+      entries, baseFor = parent => manifest(spark, table, parent))
+  }
+
   /** Read a version that may carry merge-on-read tombstones: data files
     * grouped by their data sequence number, each group anti-joined
     * against exactly the tombstones committed AFTER it (group count ≤

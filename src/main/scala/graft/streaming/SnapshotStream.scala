@@ -48,6 +48,41 @@ object SnapshotStream {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming UPSERT ingest (CDC tail → serving table): every
+    * micro-batch lands as ONE atomic merge-on-read upsert
+    * ([[Snapshots.upsertMor]]) — older copies of the batch's keys are
+    * tombstoned and the new rows appended in the same commit, so a
+    * reader ([[Snapshots.readMor]]) always sees exactly the last write
+    * per key at some batch boundary, never a between-states mix. Cost
+    * per batch is O(batch) — no data file rewrite, the constant-time
+    * streaming-upsert shape; run [[Snapshots.compactMor]] periodically.
+    * Replay protection is the same manifest-marker discipline as
+    * [[ingest]].
+    */
+  def ingestUpsert(
+      stream: DataFrame,
+      table: String,
+      keyCol: String,
+      statsCols: Seq[String] = Seq.empty,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        upsertBatch(batch.toDF(), batchId, table, keyCol, statsCols)
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  private[streaming] def upsertBatch(batch: DataFrame, batchId: Long,
+      table: String, keyCol: String, statsCols: Seq[String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val applied = Snapshots.versions(spark, table).flatMap(v =>
+      Snapshots.properties(spark, table, v).get(batchProp).map(_.toLong))
+    if (applied.nonEmpty && applied.max >= batchId) return // replay: done
+    Snapshots.upsertMor(spark, table, batch, keyCol, statsCols = statsCols,
+      properties = Map(batchProp -> batchId.toString))
+  }
+
   /** One commit step, factored out so replay/crash tests (and manual
     * backfills) can drive it without a streaming query around it.
     */

@@ -106,6 +106,47 @@ class MergeOnReadSpec extends SparkSpec {
     assert(n === orders.filter(!col("o_orderkey").between(1, 10)).count())
   }
 
+  test("upsertMor replaces old copies and inserts new keys in ONE version") {
+    val tbl = freshTable("ups")
+    Snapshots.commit(orders, tbl, statsCols = Seq("o_orderkey"))
+    val n0 = orders.count()
+    // update keys 1-10 (price -> -1), insert brand-new key 9000001
+    val batch = orders.filter(col("o_orderkey").between(1, 10))
+      .withColumn("o_totalprice", lit(-1.0))
+      .unionByName(orders.limit(1)
+        .withColumn("o_orderkey", lit(9000001L))
+        .withColumn("o_totalprice", lit(7.0)))
+    val v = Snapshots.upsertMor(spark, tbl, batch, "o_orderkey")
+    assert(v === 2, "one atomic version per upsert")
+    val r = Snapshots.readMor(spark, tbl)
+    val nOld = orders.filter(col("o_orderkey").between(1, 10)).count()
+    assert(r.count() === n0 - nOld + batch.count())
+    assert(r.filter(col("o_orderkey").between(1, 10) &&
+      col("o_totalprice") =!= -1.0).count() === 0)
+    assert(r.filter(col("o_orderkey") === 9000001L).count() === 1)
+    // a second upsert over the same keys wins again
+    val batch2 = batch.withColumn("o_totalprice", lit(-2.0))
+    Snapshots.upsertMor(spark, tbl, batch2, "o_orderkey")
+    val r2 = Snapshots.readMor(spark, tbl)
+    assert(r2.filter(col("o_orderkey").between(1, 10) &&
+      col("o_totalprice") =!= -2.0).count() === 0)
+    assert(r2.count() === r.count())
+    // compact, then every normal reader agrees
+    Snapshots.compactMor(spark, tbl)
+    assert(Snapshots.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+      === r2.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("upsertMor rejects a mismatched batch schema") {
+    val tbl = freshTable("upsbad")
+    Snapshots.commit(orders, tbl)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.upsertMor(spark, tbl,
+        orders.limit(1).drop("o_orderdate"), "o_orderkey")
+    }
+    assert(e.getMessage.contains("must match table columns"))
+  }
+
   test("deleteWhere composes with clone divergence") {
     val src = freshTable("clsrc")
     Snapshots.commit(orders, src, statsCols = Seq("o_orderkey"))

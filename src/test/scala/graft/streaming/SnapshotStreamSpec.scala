@@ -86,4 +86,38 @@ class SnapshotStreamSpec extends SparkSpec {
       Seq.empty, Some(audit), hook)
     assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
   }
+
+  test("streaming upsert converges to last-write-per-key, atomically") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = fresh("ups")
+    // seed the table (upsertMor needs a v1), then stream upserts at it
+    Snapshots.commit(Seq(Click(1, "seed1"), Click(2, "seed2")).toDF(), tbl)
+    val stream = MemoryStream[Click]
+    val q = SnapshotStream.ingestUpsert(stream.toDF(), tbl, "user")
+    try {
+      stream.addData(Click(1, "a"), Click(3, "c"))
+      q.processAllAvailable()
+      stream.addData(Click(1, "a2"), Click(2, "b2"))
+      q.processAllAvailable()
+      val got = Snapshots.readMor(spark, tbl)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // user 1: overwritten twice; user 2: seed overwritten; user 3: new
+      assert(got === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+      // each micro-batch was ONE version (atomic tombstone+data)
+      assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+      // time travel to the first upsert boundary
+      assert(Snapshots.readMor(spark, tbl, Some(2))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+        Set((1L, "a"), (2L, "seed2"), (3L, "c")))
+    } finally q.stop()
+    // replayed batch id is a no-op (manifest marker discipline)
+    SnapshotStream.upsertBatch(Seq(Click(9, "x")).toDF(), 0, tbl, "user",
+      Seq.empty)
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+    // compaction materializes; plain readers serve the same content
+    Snapshots.compactMor(spark, tbl)
+    assert(Snapshots.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
 }
