@@ -524,7 +524,13 @@ object TrainingData {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       sym.unpersist()
-      val resolved = parent.keys.map(x => (x, find(x)))
+      // SNAPSHOT the keys before resolving: find()'s path compression
+      // writes parent(x) mid-iteration, and scala 2.13's HashMap.put
+      // grows/rehashes the table when contentSize+1 >= threshold EVEN
+      // for an existing key's value update — a live keys iterator then
+      // skips entries (observed: an 11-entry map, threshold 12, dropped
+      // one node's label entirely)
+      val resolved = parent.keys.toArray.map(x => (x, find(x)))
         .filter { case (x, r) => x != r }.toSeq
       val labels = nodes.sparkSession
         .createDataFrame(resolved).toDF("id", "component")

@@ -59,6 +59,21 @@ class TrainingDataPropertySpec extends SparkSpec {
     })
   }
 
+  test("fast path: pinned 11-parent-entry case (HashMap grow-on-update)") {
+    // regression: scala 2.13 HashMap.put grows the table when
+    // contentSize+1 >= threshold even when only UPDATING an existing
+    // key, so path compression during a live keys iteration rehashed an
+    // 11-entry parent map (threshold 12) and silently dropped node 18's
+    // label — the fast path must snapshot keys before resolving
+    val nodes = List(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 13L, 14L, 17L, 18L)
+    val edges = List((4L, 3L), (3L, 7L), (5L, 14L), (3L, 6L), (5L, 8L),
+      (3L, 10L), (5L, 3L), (4L, 18L), (4L, 13L), (4L, 9L), (3L, 17L))
+    val got = TrainingData.connectedComponents(
+        nodes.toDF("doc_id"), edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === nodes.map(_ -> 3L).toMap)
+  }
+
   test("count-adaptive fast path equals union-find on random graphs") {
     check(Prop.forAll(genGraph) { case (nodes, edges) =>
       val expected = unionFind(nodes, edges)
