@@ -418,9 +418,13 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
+    // cached: feeds the df-count pass, the probe argmin, and the
+    // candidate join (no common-subplan elimination across self-joins;
+    // LRU eviction reclaims the blocks, same policy as jaccardConfirm)
     val sh = df.select(col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val probes = sh.join(dfreq, "h")
       .groupBy(col("doc"))
