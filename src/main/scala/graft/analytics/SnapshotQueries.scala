@@ -763,10 +763,92 @@ object SnapshotQueries {
          FROM merged JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** X94: change data feed ([[Snapshots.changes]]) — the row-level
+    * insert/delete deltas of a version range, derived from manifest
+    * deltas only (inserts read added files; delete pre-images read the
+    * parent's envelope-pruned visible rows — never a full-table diff).
+    * v1/v2 appends, v3 a merge-on-read delete (keys ≡ 0 mod 31), v4 a
+    * MOR upsert (keys ≡ 0 mod 97, price doubled) that surfaces as
+    * delete-of-old + insert-of-new at one version. Key 0 is in BOTH key
+    * sets, pinning the already-invisible rule: its v3 delete means v4
+    * emits no second pre-image for it. Oracle replays each version's
+    * change set as predicates over the source table.
+    */
+  val changeFeed = Q("q_change_feed",
+    (s, d) => {
+      val tbl = freshTable(s, d, "cdf")
+      val o = src(s, d)
+      // split v1/v2 by key parity, not date: the sf0.001 generation has
+      // no pre-cutoff orders, and an empty version would drop a feed
+      // group the oracle's UNION branch still emits
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.deleteWhere(s, tbl,
+        o.filter(col("o_orderkey") % 31 === 0).select("o_orderkey"),
+        "o_orderkey")
+      Snapshots.upsertMor(s, tbl,
+        o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      Snapshots.changes(s, tbl, from = 0, to = 4)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("commit_version"), col("change_type"))
+    },
+    Some(s"""SELECT 1 AS commit_version, 'insert' AS change_type,
+         count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT 2, 'insert', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 2 = 1
+         UNION ALL
+         SELECT 3, 'delete', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 31 = 0
+         UNION ALL
+         SELECT 4, 'delete', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 31 <> 0
+         UNION ALL
+         SELECT 4, 'insert', count(*), ${dsumSql("o_totalprice * 2")}
+         FROM orders WHERE o_orderkey % 97 = 0
+         ORDER BY commit_version, change_type"""))
+
+  /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
+    * fact table and its rollup committed in lockstep (pending manifests +
+    * one shared status-file commit point), twice. The result joins the
+    * fact-side recompute against the rollup table per priority; the
+    * oracle pins both to the source truth — only possible if every
+    * transaction landed on both tables exactly once.
+    */
+  val txnConsistent = Q("q_txn_consistent",
+    (s, d) => {
+      val a = freshTable(s, d, "txna"); val b = freshTable(s, d, "txnb")
+      val txns = freshTable(s, d, "txnlog")
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      def roll(df: DataFrame) =
+        df.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val lo = o.filter(col("o_orderkey") % 2 === 0)
+      val hi = o.filter(col("o_orderkey") % 2 === 1)
+      Snapshots.commitTxn(s, Seq(
+        Snapshots.TxnWrite(lo, a), Snapshots.TxnWrite(roll(lo), b)), txns)
+      Snapshots.commitTxn(s, Seq(
+        Snapshots.TxnWrite(hi, a), Snapshots.TxnWrite(roll(hi), b)), txns)
+      val facts = Snapshots.read(s, a)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_facts"))
+      val rollup = Snapshots.read(s, b)
+        .groupBy(col("o_orderpriority")).agg(sum(col("n")).as("n_rollup"))
+      facts.join(rollup, "o_orderpriority").orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_facts,
+         count(*) AS n_rollup
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
-    resultCacheQ, timeTravelTs)
+    resultCacheQ, timeTravelTs, changeFeed, txnConsistent)
 }

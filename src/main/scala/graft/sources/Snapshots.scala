@@ -68,6 +68,22 @@ object Snapshots {
     */
   val CommitTsProp = "graft.commit.ts"
 
+  /** Manifest property marking a commit that rewrites LAYOUT but not
+    * logical content ("false" = no data change): compaction and rebucket
+    * stamp it so [[changes]] can skip them, exactly like Delta's
+    * `dataChange=false` actions. Absent or any other value = the commit
+    * may change data.
+    */
+  val DataChangeProp = "graft.data.change"
+
+  /** Manifest property of a MULTI-TABLE TRANSACTION's pending commit:
+    * the absolute path of the transaction's status file. A manifest
+    * carrying it is committed iff that file exists with content
+    * "commit"; content "abort" or no file yet = the version reads as
+    * absent. See [[commitTxn]].
+    */
+  val TxnStatusProp = "graft.txn.status"
+
   private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -76,7 +92,11 @@ object Snapshots {
   private def manifestPath(table: Path, v: Int): Path =
     new Path(new Path(table, "_manifests"), f"v$v%06d.manifest")
 
-  /** All committed (terminator-complete) versions, ascending. */
+  /** All committed (terminator-complete, transaction-resolved) versions,
+    * ascending. A pending multi-table transaction's manifest
+    * ([[TxnStatusProp]]) counts as committed only once its status file
+    * says "commit" — in-doubt and aborted transactions read as absent.
+    */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val (fs, root) = fsOf(spark, table)
     val dir = new Path(root, "_manifests")
@@ -86,7 +106,7 @@ object Snapshots {
       .collect { case n if n.matches("v\\d{6}\\.manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }
       .sorted
-      .filter(v => readManifestOpt(fs, root, v).isDefined)
+      .filter(v => committedManifestOpt(fs, root, v).isDefined)
   }
 
   def latestVersion(spark: SparkSession, table: String): Int =
@@ -96,7 +116,7 @@ object Snapshots {
   def manifest(spark: SparkSession, table: String, version: Int)
       : Seq[FileEntry] = {
     val (fs, root) = fsOf(spark, table)
-    readManifestOpt(fs, root, version).getOrElse(
+    committedManifestOpt(fs, root, version).getOrElse(
       sys.error(s"Snapshots: no committed version $version at $table")).files
   }
 
@@ -108,7 +128,7 @@ object Snapshots {
   def properties(spark: SparkSession, table: String, version: Int)
       : Map[String, String] = {
     val (fs, root) = fsOf(spark, table)
-    readManifestOpt(fs, root, version).getOrElse(
+    committedManifestOpt(fs, root, version).getOrElse(
       sys.error(s"Snapshots: no committed version $version at $table")).props
   }
 
@@ -375,6 +395,7 @@ object Snapshots {
     val entries = manifest(spark, table, cur)
     commitBucketed(read(spark, table, Some(cur)), table, c, n,
       statsCols = entries.flatMap(_.stats.keys).distinct.sorted,
+      properties = Map(DataChangeProp -> "false"),
       bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted,
       strStatsCols = entries.flatMap(_.strStats.keys).distinct.sorted)
   }
@@ -589,6 +610,14 @@ object Snapshots {
     fs.mkdirs(new Path(root, "_manifests"))
     var attempts = 0
     while (true) {
+      // settle any IN-DOUBT transaction pending above the committed head
+      // before choosing a parent: committing at N+1 with parent N-1 while
+      // a pending N could still commit would silently drop N's rows from
+      // every later version (the lost-update race). resolveInDoubt either
+      // force-aborts the pending (presumed abort — the standard 2PC
+      // resolution for a blocked coordinator) or observes it committed;
+      // either way the next latestVersion() sees the settled truth.
+      resolveInDoubtTxns(fs, root)
       val parent = latestVersion(spark, table)
       // next slot must clear every EXISTING manifest file, complete or
       // not: a crashed writer's terminator-less manifest occupies its
@@ -998,7 +1027,8 @@ object Snapshots {
     val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
     commit(read(spark, table, Some(cur)).repartition(nOut), table,
       overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
-      strStatsCols = strCols)
+      strStatsCols = strCols,
+      properties = Map(DataChangeProp -> "false"))
   }
 
   /** Roll the table back to `toVersion` as a NEW commit whose file set is
@@ -1141,25 +1171,139 @@ object Snapshots {
     */
   def readMor(spark: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c}
     val v = version.getOrElse(latestVersion(spark, table))
     val all = manifest(spark, table, v)
     val (del, data) = all.partition(e => isTombstone(e.path))
     require(data.nonEmpty, s"Snapshots: version $v of $table is empty")
+    readMorEntries(spark, table, v, data, del)
+  }
+
+  /** The MOR-subtraction core of [[readMor]] over an explicit entry
+    * subset — shared with [[changes]], whose delete pre-images are the
+    * parent version's visible rows restricted to files that may hold an
+    * affected key.
+    */
+  private def readMorEntries(spark: SparkSession, table: String, v: Int,
+      data: Seq[FileEntry], del: Seq[FileEntry]): DataFrame = {
     if (del.isEmpty) return readFiles(spark, table, v, data)
-    def delPaths(es: Seq[FileEntry]): Seq[String] = es.map(e =>
-      if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
-    val keyCol = spark.read.parquet(delPaths(del): _*).schema.head.name
+    val keyCol = spark.read.parquet(tombPaths(table, del): _*).schema.head.name
     data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (gseq, es) =>
       val applicable = del.filter(_.seq > gseq)
       val dataDf = readFiles(spark, table, v, es)
       if (applicable.isEmpty) dataDf
       else {
-        val keys = spark.read.parquet(delPaths(applicable): _*).distinct()
+        val keys = spark.read.parquet(tombPaths(table, applicable): _*)
+          .distinct()
         dataDf.join(keys, dataDf(keyCol).cast("long") === keys(keyCol),
           "left_anti")
       }
     }.reduce(_.unionByName(_))
+  }
+
+  private def tombPaths(table: String, es: Seq[FileEntry]): Seq[String] =
+    es.map(e =>
+      if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
+
+  /** CHANGE DATA FEED: the row-level changes committed in versions
+    * `(from, to]`, as the table's columns plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version`. `from = 0` means
+    * "since before the first commit" (the full history). An upsert
+    * ([[upsertMor]]) surfaces as the delete of the prior row plus the
+    * insert of the new one at the same version.
+    *
+    * Derivation is manifest-delta-scaled, never a full-table diff:
+    *  - files ADDED at a version are its inserts, read directly;
+    *  - tombstones added at a version delete the PARENT version's
+    *    visible rows matching their keys — computed over only the parent
+    *    files whose key envelope intersects the tombstone's (manifest
+    *    stats prune the rest driver-side), so a 10-key delete against a
+    *    100 TB table reads the few files that could hold those keys;
+    *  - commits stamped [[DataChangeProp]]=false (compaction, rebucket)
+    *    rewrite layout, not content, and are skipped;
+    *  - any OTHER commit that drops files from its parent (merge
+    *    copy-on-write, overwrite, rollback) is refused loudly: rewritten
+    *    files do not say which of their rows changed, so a manifest-level
+    *    feed would be wrong — diff those lineages by content instead.
+    */
+  def changes(spark: SparkSession, table: String, from: Int, to: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val vs = versions(spark, table)
+    require(from >= 0 && to >= from,
+      s"Snapshots.changes: need 0 <= from <= to, got [$from, $to]")
+    require(from == 0 || vs.contains(from),
+      s"Snapshots.changes: version $from of $table does not exist")
+    require(vs.contains(to),
+      s"Snapshots.changes: version $to of $table does not exist")
+    val frames = vs.filter(v => v > from && v <= to).flatMap { v =>
+      if (properties(spark, table, v).get(DataChangeProp).contains("false"))
+        Seq.empty
+      else {
+        val parentV = vs.filter(_ < v).lastOption.getOrElse(0)
+        val parent =
+          if (parentV == 0) Seq.empty else manifest(spark, table, parentV)
+        val cur = manifest(spark, table, v)
+        val curPaths = cur.map(_.path).toSet
+        val removed = parent.filterNot(e => curPaths(e.path))
+        require(removed.isEmpty,
+          s"Snapshots.changes: version $v of $table drops ${removed.size} " +
+            "file(s) from its parent (merge/overwrite/rollback) — row-level " +
+            "changes are not derivable from such a commit; layout-only " +
+            s"rewrites must carry $DataChangeProp=false")
+        val parentPaths = parent.map(_.path).toSet
+        val added = cur.filterNot(e => parentPaths(e.path))
+        val (tomb, data) = added.partition(e => isTombstone(e.path))
+        val ins =
+          if (data.isEmpty) None
+          else Some(readFiles(spark, table, v, data)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        val del =
+          if (tomb.isEmpty) None
+          else {
+            val keyCol =
+              spark.read.parquet(tombPaths(table, tomb): _*).schema.head.name
+            // combined tombstone key envelope → prove parent files
+            // untouched driver-side (rows==0 entries have no stats and
+            // can contribute no pre-image either way)
+            val envs = tomb.flatMap(_.stats.get(keyCol))
+            val env = if (envs.size == tomb.count(_.rows > 0) && envs.nonEmpty)
+              Some((envs.map(_._1).min, envs.map(_._2).max)) else None
+            val (pd, pdel) = parent.partition(e => !isTombstone(e.path))
+            val candidates = pd.filter { e =>
+              e.rows > 0 && (env match {
+                case Some((lo, hi)) => e.stats.get(keyCol) match {
+                  case Some((mn, mx)) => mx >= lo && mn <= hi
+                  case None => true // no stats → cannot prove untouched
+                }
+                case None => true
+              })
+            }
+            if (candidates.isEmpty) None
+            else {
+              val visible =
+                readMorEntries(spark, table, parentV, candidates, pdel)
+              val keys = spark.read.parquet(tombPaths(table, tomb): _*)
+                .distinct()
+              Some(visible.join(keys,
+                  visible(keyCol).cast("long") === keys(keyCol), "left_semi")
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_commit_version", lit(v)))
+            }
+          }
+        ins.toSeq ++ del.toSeq
+      }
+    }
+    if (frames.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(
+        readMor(spark, table, Some(to)).schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Materialize merge-on-read deletes: overwrite-commit the subtracted
@@ -1182,7 +1326,8 @@ object Snapshots {
     val strCols = data.flatMap(_.strStats.keys).distinct.sorted
     commit(readMor(spark, table, Some(cur)).repartition(nOut), table,
       overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
-      strStatsCols = strCols)
+      strStatsCols = strCols,
+      properties = Map(DataChangeProp -> "false"))
   }
 
   /** Zero-copy clone: publish `target`'s version 1 as a manifest whose
@@ -1251,7 +1396,20 @@ object Snapshots {
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        text.split("\n", -1).toSeq
+        val lines = text.split("\n", -1).toSeq
+        // a transaction manifest whose status resolved to "abort" can
+        // never be read again — its references do not pin files (shared
+        // files stay pinned by the live manifests that also list them).
+        // In-doubt pendings DO pin: they may still commit.
+        val aborted = lines
+          .find(_.startsWith(s"#$TxnStatusProp="))
+          .map(_.split("=", 2)(1))
+          .exists { p =>
+            val sp = new Path(p)
+            readStatusOpt(sp.getFileSystem(fs.getConf), sp).contains("abort")
+          }
+        if (aborted) Seq.empty
+        else lines
           .filterNot(l => l.isEmpty || l == Header || l == Footer ||
             l.startsWith("#"))
           .flatMap(l => scala.util.Try(parse(l).path).toOption)
@@ -1315,7 +1473,7 @@ object Snapshots {
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
     val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
     commitWith(readFiles(spark, table, cur, small).repartition(nOut),
-      table, statsCols, Map.empty, bloomCols,
+      table, statsCols, Map(DataChangeProp -> "false"), bloomCols,
       baseFor = parent => {
         require(parent == cur, s"Snapshots.compactSmall: concurrent commit " +
           s"on $table (planned against v$cur, parent is now v$parent) — retry")
@@ -1351,6 +1509,11 @@ object Snapshots {
       : Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val (fs, root) = fsOf(spark, table)
+    // settle in-doubt transactions first: vacuum judges liveness from
+    // committed versions, so a pending that could still flip to
+    // "commit" AFTER its files were reclaimed must be aborted NOW (the
+    // same single-file arbiter the commit path uses)
+    resolveInDoubtTxns(fs, root)
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val referenced = keep.flatMap(v => manifest(spark, table, v))
@@ -1362,6 +1525,132 @@ object Snapshots {
     dead.foreach(p => fs.delete(new Path(root, p), false))
     drop.foreach(v => fs.delete(manifestPath(root, v), false))
     dead
+  }
+
+  // ---- multi-table atomic transactions --------------------------------
+
+  /** One table's write inside a [[commitTxn]] transaction. */
+  final case class TxnWrite(df: DataFrame, table: String,
+      overwrite: Boolean = false, statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      strStatsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty)
+
+  /** Commit several tables ATOMICALLY: either every write becomes
+    * visible or none does — the cross-table consistency a fact table and
+    * its rollup (or a data table and its index) need, which single-table
+    * commit protocols (Delta, Iceberg v2) cannot give.
+    *
+    * Protocol (two-phase with a single-file decision point):
+    *  1. each table's batch is staged and its manifest published
+    *     PENDING — complete (terminator and all) but carrying
+    *     [[TxnStatusProp]] = the path of one shared status file; every
+    *     reader treats such a manifest as absent until that file says
+    *     "commit";
+    *  2. the COMMIT POINT is one create-no-overwrite of the status file
+    *     with content "commit". All pending manifests point at the same
+    *     file, so all tables flip committed in one atomic event.
+    *
+    * Concurrency: a plain commit that finds an in-doubt pending manifest
+    * above its table's committed head must settle it before parenting
+    * (else the lost-update race) — it attempts to create the SAME status
+    * file with content "abort". Create-no-overwrite on one path is the
+    * arbiter: exactly one of {coordinator-commit, resolver-abort} wins.
+    * A lost coordinator throws; its pending manifests are dead (occupied
+    * slots, invisible), its staged files crash-shaped debris for
+    * [[removeOrphans]].
+    *
+    * Crash anatomy: before any manifest — plain debris; between
+    * manifests — every published pending is in-doubt, first later
+    * committer on ANY of the tables aborts them all through the shared
+    * status file; after "commit" — durable everywhere.
+    *
+    * `statusHook` is a deterministic-concurrency test seam: runs after
+    * all pendings are published, before the status create. Returns
+    * (table → committed version), in input order.
+    */
+  def commitTxn(spark: SparkSession, writes: Seq[TxnWrite], txnDir: String,
+      statusHook: () => Unit = () => ()): Seq[(String, Int)] = {
+    require(writes.nonEmpty, "Snapshots.commitTxn: no writes")
+    require(writes.map(w => new Path(w.table).toUri.getPath).distinct.size ==
+      writes.size, "Snapshots.commitTxn: one write per table")
+    val txnId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sp = new Path(new Path(txnDir), s"txn-$txnId.status")
+    val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sfs.mkdirs(sp.getParent)
+    val statusStr = sfs.makeQualified(sp).toString
+    val pending = writes.map { w =>
+      val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
+        w.bloomCols, w.strStatsCols)
+      val v = publishManifest(spark, w.table,
+        w.properties + (SchemaProp -> w.df.schema.json) +
+          (TxnStatusProp -> statusStr),
+        entries, baseFor = appendBase(spark, w.table, w.overwrite))
+      w.table -> v
+    }
+    statusHook()
+    val created =
+      try { Some(sfs.create(sp, false)) }
+      catch { case _: java.io.IOException => None }
+    created match {
+      case Some(out) =>
+        try out.write("commit".getBytes("UTF-8")) finally out.close()
+      case None =>
+        val verdict = readStatusOpt(sfs, sp).getOrElse("<unreadable>")
+        sys.error(s"Snapshots.commitTxn: transaction $txnId was resolved " +
+          s"'$verdict' by a concurrent committer — its pending versions " +
+          "are dead on every table; retry the whole transaction")
+    }
+    pending
+  }
+
+  private def readStatusOpt(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+
+  /** Is this manifest's version visible? Non-transactional manifests
+    * always are; a pending-transaction manifest is visible only once its
+    * status file resolved to "commit".
+    */
+  private def txnCommitted(fs: FileSystem, m: ManifestData): Boolean =
+    m.props.get(TxnStatusProp) match {
+      case None => true
+      case Some(p) =>
+        val sp = new Path(p)
+        readStatusOpt(sp.getFileSystem(fs.getConf), sp).contains("commit")
+    }
+
+  private def committedManifestOpt(fs: FileSystem, root: Path, v: Int)
+      : Option[ManifestData] =
+    readManifestOpt(fs, root, v).filter(m => txnCommitted(fs, m))
+
+  /** Settle every IN-DOUBT transactional manifest of this table by
+    * racing an "abort" into its status file (create-no-overwrite — the
+    * coordinator's "commit" and this abort cannot both win). After this
+    * returns, no manifest of the table is in limbo: each is committed,
+    * aborted, or a plain non-transactional commit.
+    */
+  private def resolveInDoubtTxns(fs: FileSystem, root: Path): Unit = {
+    occupiedSlots(fs, root).filter(_ > 0).foreach { s =>
+      readManifestOpt(fs, root, s).foreach { m =>
+        m.props.get(TxnStatusProp).foreach { p =>
+          val sp = new Path(p)
+          val sfs = sp.getFileSystem(fs.getConf)
+          if (readStatusOpt(sfs, sp).isEmpty) {
+            val created =
+              try { Some(sfs.create(sp, false)) }
+              catch { case _: java.io.IOException => None }
+            created.foreach { out =>
+              try out.write("abort".getBytes("UTF-8")) finally out.close()
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Every manifest file number present on disk, complete or not. */
