@@ -815,6 +815,53 @@ object SnapshotQueries {
          FROM orders WHERE o_orderkey % 97 = 0
          ORDER BY commit_version, change_type"""))
 
+  /** X96: change-feed MV maintenance ([[graft.plans.SnapshotMv]] over
+    * [[Snapshots.changes]]) — the rollup is refreshed at v1, then a
+    * merge-on-read delete (keys ≡ 0 mod 7) and an upsert (keys ≡ 0 mod
+    * 11, price doubled) land, and the second refresh folds the CHANGE
+    * FEED into the stored state: delete pre-images subtract, upsert
+    * pairs net to the value change — no fact rescan, no full rebuild.
+    * Keys ≡ 0 mod 77 exercise delete-then-upsert re-insertion through
+    * the fold. Output is the stored rollup itself; the oracle recomputes
+    * it from source truth, so the hash pins fold ≡ recompute.
+    */
+  val mvChanges = Q("q_mv_changes",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      val tbl = freshTable(s, d, "mvch")
+      val root = freshTable(s, d, "mvchroot")
+      Snapshots.commit(o, tbl, statsCols = Seq("o_orderkey"))
+      val mv = graft.plans.SnapshotMv.SnapshotMvDef(tbl, root,
+        keys = Seq("o_orderpriority"), countCol = "n",
+        sums = Seq(graft.plans.MaterializedViews.MvSum("rev", "o_totalprice",
+          Some(org.apache.spark.sql.types.DecimalType(27, 4)))))
+      try {
+        graft.plans.SnapshotMv.refresh(s, mv) // full build at v1
+        Snapshots.deleteWhere(s, tbl,
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Snapshots.upsertMor(s, tbl,
+          o.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          "o_orderkey")
+        val v = graft.plans.SnapshotMv.refresh(s, mv) // change-feed fold
+        s.read.parquet(s"$root/r$v")
+          .select(col("o_orderpriority"), col("n"),
+            col("rev").cast("double").as("rev"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint()
+      } finally graft.plans.MaterializedViews.clear()
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(CASE WHEN o_orderkey % 11 = 0
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END
+                       AS DECIMAL(27,4))) AS DOUBLE) AS rev
+         FROM orders
+         WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 <> 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -850,5 +897,5 @@ object SnapshotQueries {
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
-    resultCacheQ, timeTravelTs, changeFeed, txnConsistent)
+    resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges)
 }

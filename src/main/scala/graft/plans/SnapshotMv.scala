@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   * but before the next refresh — simply doesn't rewrite and computes
   * from the fact. A stale MV can never answer a fresh query.
   *
-  * Non-append commits (overwrite, compaction, copy-on-write merge,
-  * merge-on-read tombstones) break delta-additivity; refresh detects
-  * them via [[Snapshots.diffAdded]]'s lineage check and falls back to a
-  * full rebuild from the current content — correct for every commit
-  * shape, incremental for the common append-only one.
+  * The delta is the CHANGE FEED ([[Snapshots.changes]]), not just added
+  * files: merge-on-read deletes subtract their pre-images from the
+  * rollup and upserts net to the value change, both still
+  * delta-scaled; compaction/rebucket commits are skipped as
+  * data-change-free. Only a feed-underivable commit (copy-on-write
+  * merge, overwrite, rollback) falls back to a full rebuild from the
+  * current content — correct for every commit shape, incremental for
+  * everything the MOR write path produces.
   *
   * Layout: `mvRoot/r<factVersion>/` holds the rollup refreshed to that
   * fact version; `mvRoot/_meta` ("<factVersion>\t<dirName>") points at
@@ -94,12 +97,30 @@ object SnapshotMv {
         val rollup = prior match {
           case Some((last, dir)) =>
             try {
-              val delta = Snapshots.diffAdded(spark, mv.factTable, last, latest)
+              // fold the CHANGE FEED, not just appended files: inserts
+              // add to the rollup, delete pre-images subtract — so
+              // merge-on-read deletes and upserts stay incremental too
+              // (an upsert's delete+insert pair nets to the value
+              // change). A fully-deleted group nets to count 0 and is
+              // dropped: additive state must not resurrect it as a
+              // zero row the recompute would not have.
+              val feed = Snapshots.changes(spark, mv.factTable, last, latest)
+              val sgn = col("_change_type") === lit("insert")
+              val aggs = sum(when(sgn, lit(1L)).otherwise(lit(-1L)))
+                .as(mv.countCol) +: mv.sums.map { s =>
+                  val src = s.castTo.fold(col(s.src))(t => col(s.src).cast(t))
+                  sum(when(sgn, src).otherwise(-src)).as(s.mvCol)
+                }
+              val delta = feed.groupBy(mv.keys.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
               IncrementalAgg.mergeRollup(
                 spark.read.parquet(s"${mv.mvRoot}/$dir"),
-                aggregate(delta, mv), mv.keys, measures)
+                delta, mv.keys, measures)
+                .filter(col(mv.countCol) > 0)
             } catch {
-              case _: IllegalArgumentException => // non-append lineage
+              // a file-dropping commit (merge copy-on-write, rollback)
+              // is not feed-derivable → full rebuild
+              case _: IllegalArgumentException =>
                 aggregate(Snapshots.readMor(spark, mv.factTable), mv)
             }
           case None =>

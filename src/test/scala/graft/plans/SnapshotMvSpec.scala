@@ -125,6 +125,57 @@ class SnapshotMvSpec extends SparkSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("MOR delete + upsert fold through the change feed, exact") {
+    val tbl = freshDir("mor") + "/t"
+    Snapshots.commit(orders, tbl, statsCols = Seq("o_orderkey"))
+    val root = freshDir("mormv")
+    try {
+      SnapshotMv.refresh(spark, mvDef(tbl, root))
+      Snapshots.deleteWhere(spark, tbl,
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val up = orders.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      Snapshots.upsertMor(spark, tbl, up, "o_orderkey")
+      val v = SnapshotMv.refresh(spark, mvDef(tbl, root))
+      assert(v === 3)
+      // stored state ≡ recompute from the MOR view, every group
+      val state = spark.read.parquet(s"$root/r$v")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n").as("n_orders"),
+          col("rev").cast("decimal(38,4)").as("rev"))
+      val expect = Snapshots.readMor(spark, tbl)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(27,4)"))
+            .cast("decimal(38,4)").as("rev"))
+      assert(state.exceptAll(expect).count() === 0)
+      assert(expect.exceptAll(state).count() === 0)
+    } finally MaterializedViews.clear()
+  }
+
+  test("a group whose rows are all deleted vanishes from the rollup") {
+    val tbl = freshDir("gone") + "/t"
+    // two groups, disjoint key ranges so the delete empties exactly one
+    val lo = orders.filter(col("o_orderkey") < 200)
+      .withColumn("o_orderstatus", lit("G1"))
+    val hi = orders.filter(col("o_orderkey") >= 200 &&
+      col("o_orderkey") < 400).withColumn("o_orderstatus", lit("G2"))
+    Snapshots.commit(lo.unionByName(hi), tbl, statsCols = Seq("o_orderkey"))
+    val root = freshDir("gonemv")
+    try {
+      SnapshotMv.refresh(spark, mvDef(tbl, root))
+      Snapshots.deleteWhere(spark, tbl,
+        lo.select("o_orderkey"), "o_orderkey")
+      val v = SnapshotMv.refresh(spark, mvDef(tbl, root))
+      val state = spark.read.parquet(s"$root/r$v")
+      assert(state.filter(col("o_orderstatus") === "G1").count() === 0,
+        "emptied groups must not linger as zero rows")
+      assert(state.filter(col("o_orderstatus") === "G2").count() > 0)
+      assert(state.agg(sum(col("n"))).collect()(0).getLong(0) === hi.count())
+    } finally MaterializedViews.clear()
+  }
+
   test("refresh at an unchanged version is a no-op that re-registers") {
     val tbl = freshDir("noop") + "/t"
     Snapshots.commit(orders.limit(500), tbl)
