@@ -862,6 +862,45 @@ object SnapshotQueries {
          WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** X97: change-feed replication ([[graft.sources.Replication.sync]]) —
+    * a target versioned table follows the source's append / MOR-delete /
+    * upsert history by applying only row-level deltas (each source
+    * version replayed with the write shape that produced it, the sync
+    * marker riding the same atomic commit). The output aggregates the
+    * REPLICA, so the oracle pins the mirror's content to source truth.
+    */
+  val replicate = Q("q_replicate",
+    (s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      val src = freshTable(s, d, "replsrc")
+      val dst = freshTable(s, d, "repldst")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), src,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), src,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.deleteWhere(s, src,
+        o.filter(col("o_orderkey") % 31 === 0).select("o_orderkey"),
+        "o_orderkey")
+      Snapshots.upsertMor(s, src,
+        o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      graft.sources.Replication.sync(s, src, dst, "o_orderkey")
+      Snapshots.readMor(s, dst)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+         CAST(sum(CAST(CASE WHEN o_orderkey % 97 = 0
+                            THEN o_totalprice * 2
+                            ELSE o_totalprice END
+                       AS DECIMAL(27,4))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderkey % 97 = 0 OR o_orderkey % 31 <> 0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -897,5 +936,6 @@ object SnapshotQueries {
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
-    resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges)
+    resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
+    replicate)
 }

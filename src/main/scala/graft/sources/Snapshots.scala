@@ -1082,7 +1082,8 @@ object Snapshots {
     * [[merge]]). Deleting a key not present is a no-op.
     */
   def deleteWhere(spark: SparkSession, table: String,
-      deleteKeys: DataFrame, keyCol: String): Int = {
+      deleteKeys: DataFrame, keyCol: String,
+      properties: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.deleteWhere: $table has no committed version")
@@ -1104,7 +1105,7 @@ object Snapshots {
       Seq.empty, Seq.empty)
     // the version must keep describing the DATA schema (readers apply
     // it to the data files), not the tombstone's single column
-    val props = properties(spark, table, v).get(SchemaProp)
+    val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
       .map(SchemaProp -> _).toMap
     publishManifest(spark, table, props, delEntries,
       baseFor = parent => manifest(spark, table, parent))

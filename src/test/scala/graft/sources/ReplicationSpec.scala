@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-feed replication ([[Replication.sync]]): a target versioned
+  * table follows a source through appends, MOR deletes, upserts and
+  * compactions — exactly once, resuming across crashes.
+  */
+class ReplicationSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_repl_$tag").toString
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+    .select(col("o_orderkey"), col("o_totalprice"))
+
+  private def assertMirror(src: String, dst: String): Unit = {
+    val a = Snapshots.readMor(spark, src)
+    val b = Snapshots.readMor(spark, dst)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "mirror must equal source content exactly")
+  }
+
+  private def buildHistory(src: String): Unit = {
+    Snapshots.commit(orders.filter(col("o_orderkey") < 700), src,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.commit(orders.filter(col("o_orderkey") >= 700), src,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.deleteWhere(spark, src,
+      orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+      "o_orderkey")
+    Snapshots.upsertMor(spark, src,
+      orders.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("o_totalprice", lit(-5.0)),
+      "o_orderkey")
+  }
+
+  test("sync mirrors append / delete / upsert history exactly once") {
+    val d = freshDir("mirror"); val src = s"$d/src"; val dst = s"$d/dst"
+    buildHistory(src)
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq(1, 2, 3, 4))
+    assertMirror(src, dst)
+    // a replayed sync applies nothing
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq.empty)
+    // new source activity flows through incrementally
+    Snapshots.deleteWhere(spark, src,
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey"),
+      "o_orderkey")
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq(5))
+    assertMirror(src, dst)
+  }
+
+  test("a crash mid-sync resumes at the first unapplied version") {
+    val d = freshDir("crash"); val src = s"$d/src"; val dst = s"$d/dst"
+    buildHistory(src)
+    val boom = intercept[RuntimeException] {
+      Replication.sync(spark, src, dst, "o_orderkey",
+        hook = v => if (v == 2) sys.error("crash after v2"))
+    }
+    assert(boom.getMessage.contains("crash after v2"))
+    assert(Replication.syncedVersion(spark, dst) === 2)
+    // resume applies exactly the rest; content converges
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq(3, 4))
+    assertMirror(src, dst)
+  }
+
+  test("source compaction is skipped; the mirror stays exact") {
+    val d = freshDir("compact"); val src = s"$d/src"; val dst = s"$d/dst"
+    Snapshots.commit(orders.filter(col("o_orderkey") < 500), src,
+      statsCols = Seq("o_orderkey"))
+    Replication.sync(spark, src, dst, "o_orderkey")
+    Snapshots.compactVersion(spark, src, targetBytes = 1L << 20)
+    Snapshots.commit(orders.filter(col("o_orderkey") >= 500), src,
+      statsCols = Seq("o_orderkey"))
+    val applied = Replication.sync(spark, src, dst, "o_orderkey")
+    assert(applied === Seq(2, 3), "compaction version applies nothing but advances")
+    assertMirror(src, dst)
+    // target history shows no commit for the compaction version
+    val marks = Snapshots.versions(spark, dst)
+      .flatMap(v => Snapshots.properties(spark, dst, v).get(Replication.SyncProp))
+    assert(marks === Seq("1", "3"))
+  }
+}
