@@ -901,6 +901,33 @@ object SnapshotQueries {
          WHERE o_orderkey % 97 = 0 OR o_orderkey % 31 <> 0
          GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** X98: CHECK constraints ([[Snapshots.addCheck]]) — a table-level
+    * invariant recorded once, inherited by every commit, enforced on
+    * every write path BEFORE anything becomes visible. The query commits
+    * half the orders, adds `o_totalprice > 0`, then attempts a poisoned
+    * batch (negated prices — rejected atomically, swallowed here) and a
+    * clean one; the final read equals the full table, which the oracle
+    * pins — if enforcement ever let the poisoned batch through, the hash
+    * would break.
+    */
+  val checkConstraintsQ = Q("q_check_constraints",
+    (s, d) => {
+      val tbl = freshTable(s, d, "chk")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.addCheck(s, tbl, "price_pos", "o_totalprice > 0")
+      try Snapshots.commit(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", -col("o_totalprice")), tbl)
+      catch { case _: IllegalArgumentException => () }
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -937,5 +964,5 @@ object SnapshotQueries {
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate)
+    replicate, checkConstraintsQ)
 }

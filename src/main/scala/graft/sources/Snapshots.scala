@@ -172,6 +172,10 @@ object Snapshots {
     // full batch write and leave orphan debris
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
+    // layout-only rewrites (compaction) re-commit rows that already
+    // passed; everything else validates its batch first
+    if (!properties.get(DataChangeProp).contains("false"))
+      enforceChecks(spark, table, df)
     val (_, newEntries) = writeBatch(df, table, statsCols, bloomCols,
       strStatsCols)
     // the committing schema rides the manifest: readers apply it to every
@@ -248,6 +252,7 @@ object Snapshots {
       strStatsCols: Seq[String] = Seq.empty): Either[String, Int] = {
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
+    enforceChecks(spark, table, df)
     val (batch, newEntries) = writeBatch(df, table, statsCols, bloomCols,
       strStatsCols)
     audit(spark.read.schema(df.schema).parquet(batch.toString)) match {
@@ -256,6 +261,102 @@ object Snapshots {
         properties + (SchemaProp -> df.schema.json), newEntries,
         baseFor = appendBase(spark, table, overwrite)))
     }
+  }
+
+  // ---- CHECK constraints ----------------------------------------------
+
+  /** Manifest property prefix of a CHECK constraint: key =
+    * `graft.check.<name>`, value = the SQL predicate. Constraints are
+    * INHERITED by every child commit (publishManifest carries them
+    * forward), so they are table-level invariants, not per-version
+    * notes; [[dropCheck]] removes one via an empty-value sentinel.
+    */
+  val CheckPrefix = "graft.check."
+
+  /** The table's current CHECK constraints (name → SQL predicate). */
+  def checkConstraints(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    val v = latestVersion(spark, table)
+    if (v == 0) Map.empty
+    else properties(spark, table, v).collect {
+      case (k, pred) if k.startsWith(CheckPrefix) && pred.nonEmpty =>
+        k.stripPrefix(CheckPrefix) -> pred
+    }
+  }
+
+  /** Add a CHECK constraint: standard SQL semantics — a row violates
+    * only when the predicate evaluates FALSE (NULL passes). Existing
+    * content is validated FIRST (one scan): a constraint today's rows
+    * already break must be rejected loudly, not recorded as a lie.
+    * Recording is a metadata-only commit (parent files carried); every
+    * later data commit on any write path validates its batch against
+    * the inherited constraints before publishing — a violating batch
+    * leaves only crash-shaped debris, never a visible version.
+    */
+  def addCheck(spark: SparkSession, table: String, name: String,
+      predicate: String): Int = {
+    require(name.nonEmpty && !name.exists(c => c == '\n' || c == '\t' ||
+      c == '='), s"bad constraint name '$name'")
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.addCheck: $table has no committed version")
+    violationsOf(readMor(spark, table, Some(v)), Map(name -> predicate))
+      .foreach { case (n, p, cnt) =>
+        sys.error(s"Snapshots.addCheck: existing rows violate '$n' ($p): " +
+          s"$cnt row(s) — clean the data first")
+      }
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap + (CheckPrefix + name -> predicate)
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.addCheck: concurrent commit on " +
+          s"$table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). */
+  def dropCheck(spark: SparkSession, table: String, name: String): Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.dropCheck: $table has no committed version")
+    require(checkConstraints(spark, table).contains(name),
+      s"Snapshots.dropCheck: no constraint '$name' on $table")
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap + (CheckPrefix + name -> "")
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.dropCheck: concurrent commit on " +
+          s"$table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** (name, predicate, violations) for each failed constraint — ONE
+    * combined pass when everything passes (the hot path), per-constraint
+    * attribution only on failure.
+    */
+  private def violationsOf(df: DataFrame,
+      checks: Map[String, String]): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    if (checks.isEmpty) return Seq.empty
+    def bad(pred: String) = not(coalesce(expr(pred), lit(true)))
+    val anyBad = checks.values.map(bad).reduce(_ || _)
+    if (df.filter(anyBad).isEmpty) Seq.empty
+    else checks.toSeq.sortBy(_._1).flatMap { case (n, p) =>
+      val cnt = df.filter(bad(p)).count()
+      if (cnt > 0) Seq((n, p, cnt)) else Seq.empty
+    }
+  }
+
+  /** Enforce the table's inherited CHECK constraints on a batch about
+    * to be committed; zero cost when the table has none.
+    */
+  private def enforceChecks(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    val checks = checkConstraints(spark, table)
+    val viols = violationsOf(df, checks)
+    require(viols.isEmpty, "Snapshots: CHECK constraint(s) violated — " +
+      viols.map { case (n, p, c) => s"'$n' ($p): $c row(s)" }
+        .mkString("; "))
   }
 
   // ---- hash-bucketed layout (shuffle-free co-partitioned joins) -------
@@ -320,6 +421,8 @@ object Snapshots {
       BucketColProp -> bucketCol, BucketNProp -> nBuckets.toString,
       BucketHashProp -> BucketHashId)
     requireProps(bucketProps + (SchemaProp -> df.schema.json))
+    if (!properties.get(DataChangeProp).contains("false"))
+      enforceChecks(spark, table, df)
     val newEntries = writeBucketedBatch(df, table, bucketCol, nBuckets,
       statsCols, bloomCols, strStatsCols)
     publishManifest(spark, table,
@@ -474,6 +577,7 @@ object Snapshots {
       else readFiles(spark, table, v, touched)
     val survivors = base.join(keysDf.distinct(),
       c(keyCol) === c("_merge_key"), "left_anti")
+    enforceChecks(spark, table, upserts)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
@@ -635,8 +739,17 @@ object Snapshots {
       created match {
         case Some(out) =>
           try {
-            val stamped = properties +
-              (CommitTsProp -> System.currentTimeMillis().toString)
+            // CHECK constraints are table-level invariants: inherit the
+            // parent's unless this commit explicitly overrides (add) or
+            // blanks (drop) a key; empty values are elided after merge
+            val inherited =
+              if (parent == 0) Map.empty[String, String]
+              else committedManifestOpt(fs, root, parent)
+                .map(_.props.filter(_._1.startsWith(CheckPrefix)))
+                .getOrElse(Map.empty)
+            val stamped = ((inherited ++ properties).filterNot {
+              case (k, v2) => k.startsWith(CheckPrefix) && v2.isEmpty
+            }) + (CommitTsProp -> System.currentTimeMillis().toString)
             val propLines = stamped.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
             // stamp NEW entries with the version that introduces them —
@@ -1140,6 +1253,7 @@ object Snapshots {
     require(batch.columns.sorted.sameElements(tableCols.sorted),
       s"Snapshots.upsertMor: batch columns [${batch.columns.sorted.mkString(",")}] " +
         s"must match table columns [${tableCols.sorted.mkString(",")}]")
+    enforceChecks(spark, table, batch)
     val keys = batch.select(c(keyCol).cast("long").as(keyCol))
       .filter(c(keyCol).isNotNull).distinct()
     val (fs, root) = fsOf(spark, table)
@@ -1581,6 +1695,7 @@ object Snapshots {
     sfs.mkdirs(sp.getParent)
     val statusStr = sfs.makeQualified(sp).toString
     val pending = writes.map { w =>
+      enforceChecks(spark, w.table, w.df)
       val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
         w.bloomCols, w.strStatsCols)
       val v = publishManifest(spark, w.table,
