@@ -1011,6 +1011,48 @@ object PipelineQueries {
     },
     keywordSearch.oracle)
 
+  /** X99: BPE merge training ([[graft.operators.Bpe.bpeMerges]]) — the
+    * first 8 tokenizer merges learned from the documents corpus with
+    * frequency-weighted pair counts over the distinct-word vocabulary
+    * (the corpus is scanned ONCE; every merge round is vocab-sized, the
+    * scale-invariant trainer shape). The paren-wrapped sequence
+    * encoding makes one literal replace per round EXACTLY the greedy
+    * BPE fold; the oracle is the generated CTE replay of the same
+    * constants, so the hash pins pair counting, (n DESC, pair ASC)
+    * selection, and merge application across engines.
+    */
+  val bpeTrain = Q("q_bpe_train",
+    (s, d) => graft.operators.Bpe.bpeMerges(documents(s, d), "text",
+      nMerges = 8),
+    Some(graft.operators.Bpe.oracleSql(nMerges = 8)))
+
+  /** X99: train-then-encode — the corpus tokenized with the merges
+    * [[bpeTrain]] just learned ([[graft.operators.Bpe.applyMerges]]: a
+    * codegen'd replace chain, no shuffle, no driver work per row);
+    * per-source word and BPE-token counts, oracled by the generated
+    * train+encode replay — compression only shows where merges fire,
+    * which the hash pins.
+    */
+  val bpeEncode = Q("q_bpe_encode",
+    (s, d) => {
+      val docs = documents(s, d)
+      val merges = graft.operators.Bpe.bpeMerges(docs, "text", nMerges = 8)
+        .orderBy(col("round")).collect().map(_.getString(1)).toSeq
+      val words = docs.select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(col("word") =!= "" && length(col("word")) <= 30)
+      graft.operators.Bpe.applyMerges(
+          words.withColumn("seq",
+            graft.operators.Bpe.parenEncode(col("word"))),
+          "seq", merges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(graft.operators.Bpe.tokenCount(col("seq")).cast("long"))
+            .as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(graft.operators.Bpe.encodeOracleSql(nMerges = 8)))
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -1019,5 +1061,5 @@ object PipelineQueries {
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
     bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch,
-    keywordSearchStored)
+    keywordSearchStored, bpeTrain, bpeEncode)
 }
