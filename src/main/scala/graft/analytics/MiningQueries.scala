@@ -127,6 +127,39 @@ object MiningQueries {
              z, coalesce(abs(z) > 2.0, false) AS is_anomaly
            FROM z ORDER BY event_type, day"""))
 
+  /** X100: exact EWMA ([[graft.operators.Series.ewmaHalf]]) — half-life
+    * smoothing of per-type daily revenue as PURE INTEGER window math
+    * (10^-4-unit scaling, power-of-two lag weights, one final
+    * correctly-rounded division), so an inherently floating-point
+    * recurrence hash-oracles exactly; the oracle is the same 8-term lag
+    * chain, emitted from the shared constants.
+    */
+  val ewma = Q("q_ewma",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(dsum(col("value")).as("daily_total"))
+      Series.ewmaHalf(daily, "event_type", "day", "daily_total",
+          windowRows = 8)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some {
+      val terms = (0 until 8).map(i =>
+        s"coalesce(lag(xq, $i) OVER win, 0) * ${1L << (7 - i)}")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT event_type,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           ${dsumSql("value")} AS x
+         FROM events GROUP BY 1, 2),
+       q AS (SELECT event_type, day, x,
+           CAST(round(x * 10000) AS BIGINT) AS xq FROM daily)
+       SELECT event_type, day, x AS value,
+         CAST($terms AS DOUBLE) / ${(1L << 8) * 10000L}.0 AS ewma
+       FROM q
+       WINDOW win AS (PARTITION BY event_type ORDER BY day)
+       ORDER BY event_type, day"""
+    })
+
   /** X68: l-diversity release audit
     * ([[graft.operators.DataQuality.lDiversity]]) — the companion to
     * q_k_anonymity: per (segment, nation) cell, how many DISTINCT
@@ -538,7 +571,7 @@ object MiningQueries {
           ORDER BY user_id"""))
 
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
-    lDiversityAudit, weightedSample, charEntropy, basketCore, spatialJoin,
-    entityResolution, assocRules, incrementalAssoc, containmentDedup,
-    skyline)
+    ewma, lDiversityAudit, weightedSample, charEntropy, basketCore,
+    spatialJoin, entityResolution, assocRules, incrementalAssoc,
+    containmentDedup, skyline)
 }

@@ -99,6 +99,35 @@ object Series {
     * the anomaly flag compares the ROUNDED z so the boundary is
     * deterministic too.
     */
+  /** Truncated exponentially-weighted moving average (half-life
+    * weights, α = 1/2) over the trailing `windowRows` rows per key:
+    * `y_t = Σ_{i=0..W-1} 2^-(i+1) · x_{t-i}`, computed ENTIRELY in
+    * integer arithmetic — x scaled to 10^-4 units (exact for the
+    * engine's money-like ≤4-decimal values), each lag weighted by the
+    * INTEGER 2^(W-1-i), summed as longs, then ONE correctly-rounded
+    * double division by 2^W·10^4. Every intermediate is exact, so the
+    * result is bit-identical on any partitioning and in any engine —
+    * the float-parity discipline applied to the one smoothing
+    * recurrence every monitoring pipeline wants. Weights at a series
+    * head (fewer than W priors) simply truncate, same as the replay.
+    * Bounds: |x| ≤ ~9·10^11 keeps Σ x_q·2^(W-1) within a long for
+    * W ≤ 16 (checked at runtime via ANSI overflow).
+    */
+  def ewmaHalf(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, windowRows: Int = 8): DataFrame = {
+    require(windowRows >= 1 && windowRows <= 16,
+      s"windowRows in [1,16], got $windowRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val xq = round(col(valueCol) * 10000, 0).cast("bigint")
+    val total = (0 until windowRows).map { i =>
+      coalesce(lag(xq, i).over(w), lit(0L)) *
+        lit(1L << (windowRows - 1 - i))
+    }.reduce(_ + _)
+    df.select(col(keyCol), col(dayCol), col(valueCol).as("value"),
+      (total.cast("double") /
+        lit(((1L << windowRows) * 10000L).toDouble)).as("ewma"))
+  }
+
   def rollingZScore(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String, windowRows: Int = 7, threshold: Double = 2.0)
       : DataFrame = {

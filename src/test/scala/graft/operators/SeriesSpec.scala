@@ -89,4 +89,33 @@ class SeriesSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(4)) null else r.getDouble(4))
     assert(z1.toSeq === z8.toSeq)
   }
+
+  test("ewmaHalf: matches the integer reference recurrence, per key") {
+    val vals = Seq(390.72, 113.51, 430.65, 206.98, 99.99, 1234.5678, 0.0, 7.25,
+      3.0, 42.42)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", day(i + 1), v) }
+      .toDF("k", "day", "x")
+      .unionByName(Seq(("b", day(1), 100.0), ("b", day(2), 50.0))
+        .toDF("k", "day", "x"))
+    val got = Series.ewmaHalf(df, "k", "day", "x", windowRows = 8)
+      .orderBy(col("k"), col("day")).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    def ref(xs: Seq[Double]): Seq[Double] =
+      xs.indices.map { t =>
+        val total = (0 until 8).map { i =>
+          val x = if (t - i >= 0) Math.round(xs(t - i) * 10000) else 0L
+          x * (1L << (7 - i))
+        }.sum
+        total.toDouble / 2560000.0
+      }
+    val expect = ref(vals).map(("a", _)) ++ ref(Seq(100.0, 50.0)).map(("b", _))
+    assert(got.toSeq === expect)
+  }
+
+  test("ewmaHalf: bit-identical across partitionings") {
+    val df = (1 to 30).map(i => ("k", day(i), i * 1.2345)).toDF("k", "day", "x")
+    def run(p: Int) = Series.ewmaHalf(df.repartition(p), "k", "day", "x")
+      .orderBy(col("day")).collect().map(_.getDouble(3)).toSeq
+    assert(run(1) === run(7))
+  }
 }
