@@ -928,6 +928,40 @@ object SnapshotQueries {
     Some(s"""SELECT count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
          FROM orders"""))
 
+  /** X101: UNIQUE key constraint ([[Snapshots.addUnique]]) — primary-key
+    * enforcement on a versioned table: a colliding append is rejected
+    * (envelope-pruned check against the MOR-visible rows, swallowed
+    * here), a MOR delete frees its keys, and the legal re-insert with
+    * doubled prices lands. The oracle replays exactly the accepted
+    * history — if enforcement ever admitted the colliding batch, the
+    * count and sum would break.
+    */
+  val uniqueKey = Q("q_unique_key",
+    (s, d) => {
+      val tbl = freshTable(s, d, "uq")
+      val dedup = src(s, d).groupBy(col("o_orderkey"))
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+      Snapshots.commit(dedup, tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.addUnique(s, tbl, "o_orderkey")
+      try Snapshots.commit(dedup.filter(col("o_orderkey") % 10 === 0), tbl)
+      catch { case _: IllegalArgumentException => () }
+      Snapshots.deleteWhere(s, tbl,
+        dedup.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      Snapshots.commit(
+        dedup.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.readMor(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some("""WITH dd AS (SELECT o_orderkey, max(o_totalprice) AS p
+           FROM orders GROUP BY 1)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CAST(CASE WHEN o_orderkey % 5 = 0 THEN p * 2 ELSE p END
+                         AS DECIMAL(27,4))) AS DOUBLE) AS total
+         FROM dd"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -964,5 +998,5 @@ object SnapshotQueries {
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate, checkConstraintsQ)
+    replicate, checkConstraintsQ, uniqueKey)
 }

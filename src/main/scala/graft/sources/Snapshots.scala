@@ -144,6 +144,8 @@ object Snapshots {
       properties: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
       strStatsCols: Seq[String] = Seq.empty): Int = {
+    if (!properties.get(DataChangeProp).contains("false"))
+      enforceUnique(df.sparkSession, table, df, vsParent = !overwrite)
     commitWith(df, table, statsCols, properties, bloomCols,
       baseFor = appendBase(df.sparkSession, table, overwrite),
       strStatsCols = strStatsCols)
@@ -253,6 +255,7 @@ object Snapshots {
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
     enforceChecks(spark, table, df)
+    enforceUnique(spark, table, df, vsParent = !overwrite)
     val (batch, newEntries) = writeBatch(df, table, statsCols, bloomCols,
       strStatsCols)
     audit(spark.read.schema(df.schema).parquet(batch.toString)) match {
@@ -359,6 +362,120 @@ object Snapshots {
         .mkString("; "))
   }
 
+  /** Manifest property prefix of a UNIQUE (primary-key) constraint:
+    * `graft.unique.<col>` = "true", inherited like [[CheckPrefix]].
+    * Integral key columns only (the key-machinery contract shared with
+    * merge/MOR); multiple NULLs are allowed (SQL UNIQUE semantics).
+    */
+  val UniquePrefix = "graft.unique."
+
+  /** The table's UNIQUE-constrained key columns. */
+  def uniqueKeys(spark: SparkSession, table: String): Seq[String] = {
+    val v = latestVersion(spark, table)
+    if (v == 0) Seq.empty
+    else properties(spark, table, v).collect {
+      case (k, flag) if k.startsWith(UniquePrefix) && flag.nonEmpty =>
+        k.stripPrefix(UniquePrefix)
+    }.toSeq.sorted
+  }
+
+  /** Declare `keyCol` UNIQUE — the primary-key enforcement no
+    * mainstream table format gives you. Existing content is validated
+    * first; thereafter every append's batch is checked for (a) in-batch
+    * duplicates and (b) collisions with the CURRENT visible rows, where
+    * (b) reads only the parent files whose key envelope overlaps the
+    * batch's [min,max] (manifest stats prune the rest driver-side) — at
+    * 100 TB with clustered keys an append touches a handful of files,
+    * and the worst case is one bounded scan, never a cross join.
+    * Upserts/merges check only (a): replacing a key is their contract.
+    */
+  def addUnique(spark: SparkSession, table: String, keyCol: String): Int = {
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit => l}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.addUnique: $table has no committed version")
+    val dup = readMor(spark, table, Some(v))
+      .filter(c(keyCol).isNotNull)
+      .groupBy(c(keyCol).cast("long")).agg(cnt(l(1)).as("n"))
+      .filter(c("n") > 1).limit(1).count()
+    require(dup == 0, s"Snapshots.addUnique: existing rows duplicate " +
+      s"'$keyCol' — deduplicate first")
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap + (UniquePrefix + keyCol -> "true")
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.addUnique: concurrent commit on " +
+          s"$table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** Remove a UNIQUE constraint (metadata-only commit). */
+  def dropUnique(spark: SparkSession, table: String, keyCol: String): Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.dropUnique: $table has no committed version")
+    require(uniqueKeys(spark, table).contains(keyCol),
+      s"Snapshots.dropUnique: no UNIQUE constraint on '$keyCol'")
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap + (UniquePrefix + keyCol -> "")
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.dropUnique: concurrent commit on " +
+          s"$table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** Enforce UNIQUE constraints on a batch: in-batch duplicates always;
+    * collisions against the parent's visible rows only for plain
+    * appends (`vsParent`) — upsert/merge/overwrite paths replace keys
+    * by contract. Zero cost when the table declares no unique keys.
+    */
+  private def enforceUnique(spark: SparkSession, table: String,
+      df: DataFrame, vsParent: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col => c, count => cnt, lit => l,
+      max => mx, min => mn}
+    val keys = uniqueKeys(spark, table)
+    if (keys.isEmpty) return
+    keys.foreach { k =>
+      require(df.columns.contains(k),
+        s"Snapshots: batch lacks UNIQUE key column '$k'")
+      val kc = c(k).cast("long")
+      val dup = df.filter(c(k).isNotNull)
+        .groupBy(kc).agg(cnt(l(1)).as("n"))
+        .filter(c("n") > 1).limit(1).count()
+      require(dup == 0,
+        s"Snapshots: UNIQUE '$k' violated — duplicate keys in the batch")
+      if (vsParent) {
+        val v = latestVersion(spark, table)
+        if (v > 0) {
+          val bounds = df.agg(mn(kc).as("lo"), mx(kc).as("hi")).head()
+          if (!bounds.isNullAt(0)) {
+            val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+            val all = manifest(spark, table, v)
+            val (del, data) = all.partition(e => isTombstone(e.path))
+            val candidates = data.filter { e =>
+              e.rows > 0 && (e.stats.get(k) match {
+                case Some((fMin, fMax)) => fMax >= lo && fMin <= hi
+                case None => true // no stats → cannot prove disjoint
+              })
+            }
+            if (candidates.nonEmpty) {
+              val visible = readMorEntries(spark, table, v, candidates, del)
+              val batchKeys = df.select(kc.as(k))
+                .filter(c(k).isNotNull).distinct()
+              val clash = visible.join(batchKeys,
+                visible(k).cast("long") === batchKeys(k), "left_semi")
+                .limit(1).count()
+              require(clash == 0, s"Snapshots: UNIQUE '$k' violated — " +
+                "batch keys already present; use upsertMor/merge to " +
+                "replace rows")
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ---- hash-bucketed layout (shuffle-free co-partitioned joins) -------
 
   /** Manifest property keys of a bucketed version: bucket column, bucket
@@ -421,8 +538,10 @@ object Snapshots {
       BucketColProp -> bucketCol, BucketNProp -> nBuckets.toString,
       BucketHashProp -> BucketHashId)
     requireProps(bucketProps + (SchemaProp -> df.schema.json))
-    if (!properties.get(DataChangeProp).contains("false"))
+    if (!properties.get(DataChangeProp).contains("false")) {
       enforceChecks(spark, table, df)
+      enforceUnique(spark, table, df, vsParent = false)
+    }
     val newEntries = writeBucketedBatch(df, table, bucketCol, nBuckets,
       statsCols, bloomCols, strStatsCols)
     publishManifest(spark, table,
@@ -578,6 +697,7 @@ object Snapshots {
     val survivors = base.join(keysDf.distinct(),
       c(keyCol) === c("_merge_key"), "left_anti")
     enforceChecks(spark, table, upserts)
+    enforceUnique(spark, table, upserts, vsParent = false)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
@@ -742,13 +862,15 @@ object Snapshots {
             // CHECK constraints are table-level invariants: inherit the
             // parent's unless this commit explicitly overrides (add) or
             // blanks (drop) a key; empty values are elided after merge
+            def isConstraint(k: String) =
+              k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix)
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
-                .map(_.props.filter(_._1.startsWith(CheckPrefix)))
+                .map(_.props.filter(p => isConstraint(p._1)))
                 .getOrElse(Map.empty)
             val stamped = ((inherited ++ properties).filterNot {
-              case (k, v2) => k.startsWith(CheckPrefix) && v2.isEmpty
+              case (k, v2) => isConstraint(k) && v2.isEmpty
             }) + (CommitTsProp -> System.currentTimeMillis().toString)
             val propLines = stamped.toSeq.sortBy(_._1)
               .map { case (k, v) => s"#$k=$v" }
@@ -1059,6 +1181,7 @@ object Snapshots {
     val antiSide = if (keysSorted.isDefined) broadcast(keysDf) else keysDf
     val survivors = base.join(antiSide, c(keyCol) === c("_merge_key"),
       "left_anti")
+    enforceUnique(spark, table, upserts, vsParent = false)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
     // union across ALL entries: a stats-less head entry (e.g. a 0-row
     // file) must not silently drop envelopes from the rewritten files
@@ -1254,6 +1377,7 @@ object Snapshots {
       s"Snapshots.upsertMor: batch columns [${batch.columns.sorted.mkString(",")}] " +
         s"must match table columns [${tableCols.sorted.mkString(",")}]")
     enforceChecks(spark, table, batch)
+    enforceUnique(spark, table, batch, vsParent = false)
     val keys = batch.select(c(keyCol).cast("long").as(keyCol))
       .filter(c(keyCol).isNotNull).distinct()
     val (fs, root) = fsOf(spark, table)
@@ -1696,6 +1820,7 @@ object Snapshots {
     val statusStr = sfs.makeQualified(sp).toString
     val pending = writes.map { w =>
       enforceChecks(spark, w.table, w.df)
+      enforceUnique(spark, w.table, w.df, vsParent = !w.overwrite)
       val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
         w.bloomCols, w.strStatsCols)
       val v = publishManifest(spark, w.table,
