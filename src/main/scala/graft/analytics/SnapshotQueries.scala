@@ -962,6 +962,39 @@ object SnapshotQueries {
                          AS DECIMAL(27,4))) AS DOUBLE) AS total
          FROM dd"""))
 
+  /** X102: metadata-only column rename ([[Snapshots.renameColumn]]) —
+    * v1 commits under `o_totalprice`, the rename lands without touching
+    * a data byte, v3 appends under `price`, and the latest read unions
+    * BOTH file eras under the new name via the data-sequence era
+    * mapping (a name-based reader would null-fill half the table);
+    * time travel to v1 still shows the old name. The oracle pins both
+    * the pre-rename snapshot and the cross-era union to source truth.
+    */
+  val renameColumnQ = Q("q_rename_column",
+    (s, d) => {
+      val tbl = freshTable(s, d, "ren")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.renameColumn(s, tbl, "o_totalprice", "price")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"),
+        tbl, statsCols = Seq("o_orderkey"))
+      val v1 = Snapshots.read(s, tbl, Some(1))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(lit(1).as("version"), col("n_rows"), col("total"))
+      val v3 = Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("total"))
+        .select(lit(3).as("version"), col("n_rows"), col("total"))
+      v1.unionByName(v3).orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_rows,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")} FROM orders
+         ORDER BY version"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -998,5 +1031,5 @@ object SnapshotQueries {
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate, checkConstraintsQ, uniqueKey)
+    replicate, checkConstraintsQ, uniqueKey, renameColumnQ)
 }

@@ -76,6 +76,15 @@ object Snapshots {
     */
   val DataChangeProp = "graft.data.change"
 
+  /** Manifest property holding the table's cumulative COLUMN RENAME
+    * history: comma-joined events `P:old>new`, where P is the version
+    * whose files still carry `old` (the rename commit's parent) —
+    * inherited by every child commit like constraints. [[readFiles]]
+    * maps each data file's era names (by its data sequence number) to
+    * the current ones, so a rename never rewrites a byte.
+    */
+  val RenamesProp = "graft.renames"
+
   /** Manifest property of a MULTI-TABLE TRANSACTION's pending commit:
     * the absolute path of the transaction's status file. A manifest
     * carrying it is committed iff that file exists with content
@@ -476,6 +485,72 @@ object Snapshots {
     }
   }
 
+  // ---- column rename (metadata-only, era-mapped reads) ----------------
+
+  private final case class RenameEvent(boundary: Int, from: String,
+      to: String)
+
+  private def renameEvents(props: Map[String, String]): Seq[RenameEvent] =
+    props.get(RenamesProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
+      val Array(p, names) = e.split(":", 2)
+      val Array(o, n) = names.split(">", 2)
+      RenameEvent(p.toInt, o, n)
+    }
+
+  /** Rename a column WITHOUT rewriting any data file — the schema
+    * evolution move a 100 TB table cannot afford to do by rewrite
+    * (name-based parquet readers would silently null-fill every
+    * pre-rename file instead). The commit is metadata-only: it carries
+    * the parent's files, records the renamed schema, and appends a
+    * rename EVENT (`parentVersion:old>new`) to the inherited
+    * [[RenamesProp]]; [[readFiles]] reads each file with its ERA's
+    * names (decided by the file's data sequence number vs the event
+    * boundary) and aliases to the current ones, so old and new files
+    * union correctly at any version, and time travel to a pre-rename
+    * version still shows the old name. Chains (a→b→c) replay in order.
+    *
+    * Caveats, enforced loudly: the latest version must carry no
+    * merge-on-read tombstones (their key column is matched by name —
+    * `compactMor` first), and [[changes]] refuses ranges that cross a
+    * rename (an insert frame under the new name would silently
+    * null-fill against a pre-rename delete frame). Manifest stats and
+    * blooms of pre-rename files stay keyed by the old name, so pruned
+    * scans on the new name simply read those files (sound, unpruned)
+    * until the next compaction re-stats them.
+    */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String): Int = {
+    require(Seq(oldName, newName).forall(n => n.nonEmpty &&
+      !n.exists(c => c == ',' || c == ':' || c == '>' || c == '\n' ||
+        c == '\t' || c == '=')),
+      s"Snapshots.renameColumn: bad column name '$oldName'/'$newName'")
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.renameColumn: $table has no committed version")
+    val props = this.properties(spark, table, v)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(props.getOrElse(SchemaProp, sys.error(
+        s"Snapshots.renameColumn: $table v$v records no schema")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"Snapshots.renameColumn: no column '$oldName' in $table")
+    require(!schema.fieldNames.contains(newName),
+      s"Snapshots.renameColumn: column '$newName' already exists in $table")
+    require(!manifest(spark, table, v).exists(e => isTombstone(e.path)),
+      s"Snapshots.renameColumn: $table carries merge-on-read tombstones " +
+        "(name-matched at read time) — compactMor first")
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val event = s"$v:$oldName>$newName"
+    val cumulative = props.get(RenamesProp).fold(event)(_ + "," + event)
+    publishManifest(spark, table,
+      Map(SchemaProp -> renamed.json, RenamesProp -> cumulative), Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.renameColumn: concurrent commit " +
+          s"on $table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
   // ---- hash-bucketed layout (shuffle-free co-partitioned joins) -------
 
   /** Manifest property keys of a bucketed version: bucket column, bucket
@@ -863,7 +938,8 @@ object Snapshots {
             // parent's unless this commit explicitly overrides (add) or
             // blanks (drop) a key; empty values are elided after merge
             def isConstraint(k: String) =
-              k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix)
+              k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
+                k == RenamesProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -911,6 +987,7 @@ object Snapshots {
     */
   private def readFiles(spark: SparkSession, table: String, version: Int,
       entries: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
     // a tombstone read as data would null-fill the table schema —
     // refuse loudly instead of silently polluting the result
     require(entries.forall(e => !isTombstone(e.path)),
@@ -918,14 +995,39 @@ object Snapshots {
         "deletes — read it via readMor (or materialize with compactMor)")
     // absolute entry paths come from zero-copy clones ([[cloneTable]]):
     // they point into the SOURCE table's data dir and resolve as-is
-    val paths = entries.map(e =>
+    def pathsOf(es: Seq[FileEntry]): Seq[String] = es.map(e =>
       if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
-    properties(spark, table, version).get(SchemaProp) match {
+    val props = properties(spark, table, version)
+    props.get(SchemaProp) match {
       case Some(json) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.read.schema(st).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+        val events = renameEvents(props)
+        if (events.isEmpty)
+          spark.read.schema(st).parquet(pathsOf(entries): _*)
+        else {
+          // a file written at data sequence s carries the names of its
+          // ERA: every rename whose boundary (the rename's parent
+          // version) is >= s happened after the file and must be
+          // reverse-applied to the current schema before reading it
+          entries.groupBy(e => events.filter(_.boundary >= e.seq))
+            .toSeq.sortBy(_._2.map(_.seq).min)
+            .map { case (applicable, es) =>
+              val eraName = scala.collection.mutable.LinkedHashMap(
+                st.fieldNames.map(n => n -> n): _*)
+              applicable.sortBy(-_.boundary).foreach { ev =>
+                eraName.find(_._2 == ev.to)
+                  .foreach { case (cur, _) => eraName(cur) = ev.from }
+              }
+              val eraSchema = org.apache.spark.sql.types.StructType(
+                st.fields.map(f => f.copy(name = eraName(f.name))))
+              spark.read.schema(eraSchema).parquet(pathsOf(es): _*)
+                .select(st.fields.toSeq
+                  .map(f => c(eraName(f.name)).as(f.name)): _*)
+            }
+            .reduce(_.unionByName(_))
+        }
+      case None => spark.read.parquet(pathsOf(entries): _*)
     }
   }
 
@@ -1474,6 +1576,16 @@ object Snapshots {
       s"Snapshots.changes: version $from of $table does not exist")
     require(vs.contains(to),
       s"Snapshots.changes: version $to of $table does not exist")
+    // a rename inside the range would make pre-rename delete frames and
+    // post-rename insert frames union under DIFFERENT names — the
+    // allowMissingColumns union would null-fill both silently; refuse
+    // and let the caller split the range at the rename commit
+    val crossing = renameEvents(properties(spark, table, to))
+      .filter(_.boundary >= from)
+    require(crossing.isEmpty,
+      s"Snapshots.changes: range ($from, $to] of $table crosses column " +
+        s"rename(s) ${crossing.map(e => s"${e.from}>${e.to}").mkString(", ")}" +
+        " — split the range at the rename commit")
     val frames = vs.filter(v => v > from && v <= to).flatMap { v =>
       if (properties(spark, table, v).get(DataChangeProp).contains("false"))
         Seq.empty

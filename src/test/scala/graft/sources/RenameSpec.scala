@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Metadata-only column rename ([[Snapshots.renameColumn]]): era-mapped
+  * reads across rename boundaries, zero data rewrite.
+  */
+class RenameSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ren_$tag").toString + "/t"
+
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+    .select(col("o_orderkey"), col("o_totalprice"))
+
+  private def dataFiles(tbl: String): Set[String] = {
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(tbl, "data"), true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) { val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) b += s.getPath.toString }
+    b.result()
+  }
+
+  test("rename is metadata-only; old files read under the new name") {
+    val tbl = freshTable("basic")
+    val lo = orders.filter(col("o_orderkey") < 500)
+    Snapshots.commit(lo, tbl, statsCols = Seq("o_orderkey"))
+    val before = dataFiles(tbl)
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    assert(dataFiles(tbl) === before, "no data file written")
+    val r = Snapshots.read(spark, tbl)
+    assert(r.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(r.agg(sum(col("price").cast("decimal(27,4)"))).head ===
+      lo.agg(sum(col("o_totalprice").cast("decimal(27,4)"))).head,
+      "values survive the mapping — not null-filled")
+    // appends under the new schema union with pre-rename files
+    val hi = orders.filter(col("o_orderkey") >= 500)
+      .withColumnRenamed("o_totalprice", "price")
+    Snapshots.commit(hi, tbl, statsCols = Seq("o_orderkey"))
+    assert(Snapshots.read(spark, tbl).filter(col("price").isNull).count() === 0)
+    assert(Snapshots.read(spark, tbl).count() === orders.count())
+  }
+
+  test("chained renames map three eras of files correctly") {
+    val tbl = freshTable("chain")
+    Snapshots.commit(orders.filter(col("o_orderkey") < 100), tbl)
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "amount")
+    Snapshots.commit(orders.filter(col("o_orderkey").between(100, 199))
+      .withColumnRenamed("o_totalprice", "amount"), tbl)
+    Snapshots.renameColumn(spark, tbl, "amount", "price")
+    Snapshots.commit(orders.filter(col("o_orderkey").between(200, 299))
+      .withColumnRenamed("o_totalprice", "price"), tbl)
+    val r = Snapshots.read(spark, tbl)
+    assert(r.columns.toSeq === Seq("o_orderkey", "price"))
+    assert(r.filter(col("price").isNull).count() === 0)
+    assert(r.count() ===
+      orders.filter(col("o_orderkey") < 300).count())
+  }
+
+  test("time travel to a pre-rename version shows the era's own name") {
+    val tbl = freshTable("tt")
+    Snapshots.commit(orders.limit(50), tbl)
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    assert(Snapshots.read(spark, tbl, Some(1)).columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice"))
+    assert(Snapshots.read(spark, tbl, Some(2)).columns.toSeq ===
+      Seq("o_orderkey", "price"))
+  }
+
+  test("guards: duplicate/missing names, tombstones, feed crossing") {
+    val tbl = freshTable("guards")
+    Snapshots.commit(orders.limit(100), tbl, statsCols = Seq("o_orderkey"))
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_totalprice", "o_orderkey")
+    }
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(0, 5).select(col("id").as("o_orderkey")), "o_orderkey")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    }
+    assert(e.getMessage.contains("compactMor"))
+    Snapshots.compactMor(spark, tbl)
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    Snapshots.commit(orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 5000)
+      .withColumnRenamed("o_totalprice", "price"), tbl)
+    // the change feed refuses a range crossing the rename, allows after
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, tbl, 1, Snapshots.latestVersion(spark, tbl))
+    }
+    assert(e2.getMessage.contains("rename"))
+    val last = Snapshots.latestVersion(spark, tbl)
+    assert(Snapshots.changes(spark, tbl, last - 1, last).count() === 5)
+  }
+
+  test("rename composes with add-column null-fill") {
+    val tbl = freshTable("addcol")
+    Snapshots.commit(orders.limit(20), tbl)
+    // add a column, then rename it: pre-add files null-fill under the
+    // FINAL name through the era mapping
+    Snapshots.commit(orders.limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + 9000)
+      .withColumn("note", lit("n1")), tbl)
+    Snapshots.renameColumn(spark, tbl, "note", "comment")
+    val r = Snapshots.read(spark, tbl)
+    assert(r.columns.contains("comment") && !r.columns.contains("note"))
+    assert(r.filter(col("comment").isNull).count() === 20)
+    assert(r.filter(col("comment") === "n1").count() === 10)
+  }
+}
