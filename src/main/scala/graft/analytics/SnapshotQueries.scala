@@ -995,6 +995,37 @@ object SnapshotQueries {
          SELECT 3, count(*), ${dsumSql("o_totalprice")} FROM orders
          ORDER BY version"""))
 
+  /** X102: metadata-only column drop ([[Snapshots.dropColumn]]) — the
+    * narrowing twin of the rename: v1 commits three columns, the drop
+    * retires `o_orderdate` without touching a byte, v3 appends the
+    * narrow shape, and the latest read projects old files down while
+    * time travel keeps v1's width. The oracle pins counts, the
+    * surviving column's sum, and both schema widths.
+    */
+  val dropColumnQ = Q("q_drop_column",
+    (s, d) => {
+      val tbl = freshTable(s, d, "dropc")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.dropColumn(s, tbl, "o_orderdate")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1)
+          .drop("o_orderdate"), tbl, statsCols = Seq("o_orderkey"))
+      def row(v: Option[Int], tag: Int) = {
+        val r = Snapshots.read(s, tbl, v)
+        r.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(tag).as("version"), col("n_rows"), col("total"),
+            lit(r.columns.length).as("n_cols"))
+      }
+      row(Some(1), 1).unionByName(row(None, 3)).orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_rows,
+         ${dsumSql("o_totalprice")} AS total, 3 AS n_cols
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")}, 2 FROM orders
+         ORDER BY version"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -1031,5 +1062,5 @@ object SnapshotQueries {
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate, checkConstraintsQ, uniqueKey, renameColumnQ)
+    replicate, checkConstraintsQ, uniqueKey, renameColumnQ, dropColumnQ)
 }

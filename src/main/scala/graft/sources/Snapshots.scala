@@ -364,7 +364,14 @@ object Snapshots {
     */
   private def enforceChecks(spark: SparkSession, table: String,
       df: DataFrame): Unit = {
-    val checks = checkConstraints(spark, table)
+    val v = latestVersion(spark, table)
+    if (v == 0) return
+    val props = this.properties(spark, table, v)
+    requireNotDropped(props, df.columns.toSeq, table)
+    val checks = props.collect {
+      case (k, pred) if k.startsWith(CheckPrefix) && pred.nonEmpty =>
+        k.stripPrefix(CheckPrefix) -> pred
+    }
     val viols = violationsOf(df, checks)
     require(viols.isEmpty, "Snapshots: CHECK constraint(s) violated — " +
       viols.map { case (n, p, c) => s"'$n' ($p): $c row(s)" }
@@ -535,6 +542,7 @@ object Snapshots {
       s"Snapshots.renameColumn: no column '$oldName' in $table")
     require(!schema.fieldNames.contains(newName),
       s"Snapshots.renameColumn: column '$newName' already exists in $table")
+    requireNotDropped(props, Seq(newName), table)
     require(!manifest(spark, table, v).exists(e => isTombstone(e.path)),
       s"Snapshots.renameColumn: $table carries merge-on-read tombstones " +
         "(name-matched at read time) — compactMor first")
@@ -549,6 +557,54 @@ object Snapshots {
           s"on $table (planned against v$v, parent is now v$parent) — retry")
         manifest(spark, table, parent)
       })
+  }
+
+  /** Manifest property listing every column name ever DROPPED
+    * (comma-joined, inherited): re-adding a dropped name would
+    * RESURRECT the old files' values through name-based null-fill (the
+    * classic parquet name-mapping bug Iceberg needs field-ids for), so
+    * commits and renames refuse those names forever.
+    */
+  val DroppedProp = "graft.dropped"
+
+  /** Drop a column WITHOUT rewriting any data file: a metadata-only
+    * commit whose schema simply omits the field — name-based parquet
+    * projection ignores the extra column in old files, so reads,
+    * stats and time travel (which keeps each version's own shape) all
+    * compose. The dropped name is retired permanently ([[DroppedProp]]).
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.dropColumn: $table has no committed version")
+    val props = this.properties(spark, table, v)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(props.getOrElse(SchemaProp, sys.error(
+        s"Snapshots.dropColumn: $table v$v records no schema")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(name),
+      s"Snapshots.dropColumn: no column '$name' in $table")
+    require(schema.fields.length > 1,
+      s"Snapshots.dropColumn: cannot drop the only column of $table")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val dropped = props.get(DroppedProp).fold(name)(_ + "," + name)
+    publishManifest(spark, table,
+      Map(SchemaProp -> narrowed.json, DroppedProp -> dropped), Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.dropColumn: concurrent commit " +
+          s"on $table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  private def requireNotDropped(props: Map[String, String],
+      names: Seq[String], table: String): Unit = {
+    val retired = props.get(DroppedProp).toSeq
+      .flatMap(_.split(",").toSeq).toSet
+    val clash = names.filter(retired)
+    require(clash.isEmpty, s"Snapshots: column(s) ${clash.mkString(", ")} " +
+      s"of $table were DROPPED — reusing the name would resurrect old " +
+      "files' values through name-based null-fill; pick a fresh name")
   }
 
   // ---- hash-bucketed layout (shuffle-free co-partitioned joins) -------
@@ -939,7 +995,7 @@ object Snapshots {
             // blanks (drop) a key; empty values are elided after merge
             def isConstraint(k: String) =
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
-                k == RenamesProp
+                k == RenamesProp || k == DroppedProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)

@@ -99,6 +99,30 @@ class RenameSpec extends SparkSpec {
     assert(Snapshots.changes(spark, tbl, last - 1, last).count() === 5)
   }
 
+  test("dropColumn is metadata-only; the name is retired forever") {
+    val tbl = freshTable("drop")
+    val lo = orders.filter(col("o_orderkey") < 200)
+    Snapshots.commit(lo, tbl)
+    val before = dataFiles(tbl)
+    Snapshots.dropColumn(spark, tbl, "o_totalprice")
+    assert(dataFiles(tbl) === before, "no data file written")
+    assert(Snapshots.read(spark, tbl).columns.toSeq === Seq("o_orderkey"))
+    // time travel keeps the wide shape
+    assert(Snapshots.read(spark, tbl, Some(1)).columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice"))
+    // re-adding the dropped name would resurrect old values — refused
+    // on both the commit and rename paths
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(lo
+        .withColumn("o_orderkey", col("o_orderkey") + 7000), tbl)
+    }
+    assert(e.getMessage.contains("resurrect"))
+    Snapshots.commit(lo.select(col("o_orderkey") + 7000 as "o_orderkey"), tbl)
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_orderkey", "o_totalprice")
+    }
+  }
+
   test("rename composes with add-column null-fill") {
     val tbl = freshTable("addcol")
     Snapshots.commit(orders.limit(20), tbl)
