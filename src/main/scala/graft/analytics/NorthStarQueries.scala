@@ -616,6 +616,36 @@ object NorthStarQueries {
     },
     Some(cosineTopKOracle))
 
+  /** X103: hard-negative mining ([[Similarity.hardNegatives]]) — for
+    * each probe vector, the 5 most-similar vectors with a DIFFERENT
+    * label (the contrastive-training pairs a loss learns most from);
+    * broadcast probes, label filter before the per-query top-k window.
+    * The oracle replays cosine, the label inequality, and the
+    * (sim DESC, vec_id) tie-break.
+    */
+  val hardNegatives = Q("q_hard_negatives",
+    (s, d) => {
+      val e = embeddings(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+              label AS ql FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT q.query_id, e.vec_id, round(
+              list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                        FOR p IN list_zip(e.embedding, q.qv)])
+              / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                                FOR x IN e.embedding]))
+                 * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+                                  FOR x IN q.qv]))), 6) AS cosine_sim
+              FROM embeddings e, q
+              WHERE e.label <> q.ql AND e.vec_id <> q.query_id),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rk
+              FROM c)
+            SELECT query_id, vec_id, cosine_sim, rk FROM r WHERE rk <= 5
+            ORDER BY query_id, rk"""))
+
   /** X3 scale path: sign-LSH bucketed ANN (probe = bucket join, then
     * exact cosine within bucket). Fully oracled: the hyperplanes are a
     * deterministic integer LCG, so DuckDB replays plane generation, the
@@ -1497,7 +1527,7 @@ object NorthStarQueries {
     trainTestSplit, exactDedup, incrementalDedup, canonicalDedup,
     jaccardPairs, prefixJoin,
     minhashCandidates, minhashMd5,
-    minhashRecall, simhash, simhashNearDup, embedTopK,
+    minhashRecall, simhash, simhashNearDup, embedTopK, hardNegatives,
     annLsh, annBucketed, annIvf, annIvfTrained, annIvfPq, annIvfPqRecall,
     annPqStored, annPqRerank, annPqUpsert,
     embedNearDup, embedNearDupLsh,

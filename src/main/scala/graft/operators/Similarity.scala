@@ -58,6 +58,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: for every query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the negatives closest to the decision boundary, the pairs
+    * a contrastive loss learns most from. Exact brute scan with the
+    * query frame broadcast: the corpus (the 100 TB side) never
+    * shuffles — candidates and the per-query top-k window form
+    * map-side-first (one shuffle on query_id, bounded by |queries|·|k|
+    * semantics). The label inequality makes this a broadcast
+    * nested-loop join by construction — correct for probe-sized query
+    * frames; at full-corpus query scale, generate candidates with
+    * [[lshTopK]]/IVF instead and keep the same label filter + window.
+    * NULL-labeled rows never match (SQL inequality), on both sides.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_graft_qvec"), col(labelCol).as("_graft_qlabel")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+    corpus.join(q, col(labelCol) =!= col("_graft_qlabel") &&
+        col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(graft.functions.CosineExpression.cosine(col(vecCol),
+          col("_graft_qvec")), 6).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Top-k for every query row of `queries` against `corpus` — window
     * row_number per query over the bucketed candidate join. With
     * `broadcastQueries` the query frame is broadcast and the corpus (the

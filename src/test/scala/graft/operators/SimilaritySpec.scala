@@ -487,4 +487,25 @@ class SimilaritySpec extends SparkSpec {
     assert(native.toSeq === hof.toSeq)
     assert(native.forall(_.length == 8))
   }
+
+  test("hardNegatives: different label, exact per-query top-k, broadcast") {
+    val e = graft.Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 4)
+    val got = Similarity.hardNegatives(e, queries, k = 3)
+    // never the query itself, never its own label
+    val labels = e.select(col("vec_id").as("query_id"),
+      col("label").as("qlbl"))
+    assert(got.filter(col("query_id") === col("vec_id")).count() === 0)
+    assert(got.join(labels, "query_id")
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === col("qlbl")).count() === 0)
+    // per query exactly k, ranked 1..k by (sim desc, id)
+    val byQ = got.groupBy(col("query_id")).count().collect()
+    assert(byQ.forall(_.getLong(1) === 3L) && byQ.length === 4)
+    // the probe frame broadcast: the corpus side never exchanges
+    val plan = executedPlan(
+      Similarity.hardNegatives(e, queries, k = 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast:\n$plan")
+  }
 }
