@@ -1026,6 +1026,32 @@ object SnapshotQueries {
          SELECT 3, count(*), ${dsumSql("o_totalprice")}, 2 FROM orders
          ORDER BY version"""))
 
+  /** X104: metadata-only aggregates ([[Snapshots.statsAgg]]) — exact
+    * COUNT/MIN/MAX answered from manifest row counts and footer-exact
+    * key envelopes: zero data IO, constant time at any table size (the
+    * dashboard "how big is this table" query a 100 TB warehouse must
+    * never scan for). The table is committed in two stats-carrying
+    * versions; the oracle recomputes from source truth, pinning the
+    * envelope fold exact.
+    */
+  val statsAggQ = Q("q_stats_agg",
+    (s, d) => {
+      import s.implicits._
+      val tbl = freshTable(s, d, "stats")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+        statsCols = Seq("o_orderkey"))
+      val (n, env) = Snapshots.statsAgg(s, tbl, "o_orderkey")
+      val (lo, hi) = env.getOrElse(sys.error("empty table"))
+      Seq((n, lo, hi)).toDF("n_rows", "min_key", "max_key")
+    },
+    Some("""SELECT count(*) AS n_rows,
+         CAST(min(o_orderkey) AS BIGINT) AS min_key,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders"""))
+
   /** X95: multi-table atomic transaction ([[Snapshots.commitTxn]]) — a
     * fact table and its rollup committed in lockstep (pending manifests +
     * one shared status-file commit point), twice. The result joins the
@@ -1062,5 +1088,6 @@ object SnapshotQueries {
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate, checkConstraintsQ, uniqueKey, renameColumnQ, dropColumnQ)
+    replicate, checkConstraintsQ, uniqueKey, renameColumnQ, dropColumnQ,
+    statsAggQ)
 }

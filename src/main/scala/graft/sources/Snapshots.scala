@@ -559,6 +559,35 @@ object Snapshots {
       })
   }
 
+  /** Exact (count, min, max) of an integral column answered ENTIRELY
+    * from manifest metadata — zero data IO, zero Spark jobs, constant
+    * time at any table size: counts are exact footer row counts and the
+    * per-file [min,max] envelopes are exact parquet footer statistics,
+    * so their fold is the true aggregate (the SELECT COUNT/MIN/MAX
+    * query pattern a 100 TB table answers from metadata in every
+    * serious engine). Requires every non-empty file to carry stats for
+    * `col` (committed with `statsCols`) and refuses tombstoned versions
+    * (subtracted rows would make the fold an overcount) — both loudly.
+    */
+  def statsAgg(spark: SparkSession, table: String, col: String,
+      version: Option[Int] = None): (Long, Option[(Long, Long)]) = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val entries = manifest(spark, table, v)
+    require(!entries.exists(e => isTombstone(e.path)),
+      s"Snapshots.statsAgg: version $v of $table carries merge-on-read " +
+        "deletes — compactMor first (metadata counts cannot subtract)")
+    val withRows = entries.filter(_.rows > 0)
+    require(withRows.forall(_.stats.contains(col)),
+      s"Snapshots.statsAgg: version $v of $table has files without " +
+        s"'$col' stats — commit with statsCols (or compact) first")
+    val n = entries.map(_.rows).sum
+    val env =
+      if (withRows.isEmpty) None
+      else Some((withRows.map(_.stats(col)._1).min,
+        withRows.map(_.stats(col)._2).max))
+    (n, env)
+  }
+
   /** Manifest property listing every column name ever DROPPED
     * (comma-joined, inherited): re-adding a dropped name would
     * RESURRECT the old files' values through name-based null-fill (the

@@ -514,4 +514,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(!Snapshots.history(spark, tbl).collect()
       .map(_.getString(3)).exists(_.contains("graft.commit.ts")))
   }
+
+  test("statsAgg answers count/min/max from metadata, zero Spark jobs") {
+    val tbl = freshTable("stats")
+    val o = orders.select(col("o_orderkey"), col("o_totalprice"))
+    Snapshots.commit(o.filter(col("o_orderkey") < 700), tbl,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.commit(o.filter(col("o_orderkey") >= 700), tbl,
+      statsCols = Seq("o_orderkey"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (n, env) = try {
+      val r = Snapshots.statsAgg(spark, tbl, "o_orderkey")
+      Thread.sleep(1000)
+      assert(jobs === 0, "statsAgg must not launch a job")
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val truth = o.agg(count(lit(1)), min(col("o_orderkey").cast("long")),
+      max(col("o_orderkey").cast("long"))).head()
+    assert(n === truth.getLong(0))
+    assert(env === Some((truth.getLong(1), truth.getLong(2))))
+    // refuses a version with tombstones, and a stats-less commit
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(0, 5).select(col("id").as("o_orderkey")), "o_orderkey")
+    intercept[IllegalArgumentException] {
+      Snapshots.statsAgg(spark, tbl, "o_orderkey")
+    }
+    Snapshots.compactMor(spark, tbl)
+    assert(Snapshots.statsAgg(spark, tbl, "o_orderkey")._1 ===
+      truth.getLong(0) - o.filter(col("o_orderkey") < 5).count())
+    Snapshots.commit(o.limit(7), tbl) // no statsCols
+    intercept[IllegalArgumentException] {
+      Snapshots.statsAgg(spark, tbl, "o_orderkey")
+    }
+  }
 }
