@@ -289,6 +289,59 @@ object MiningQueries {
            FROM df JOIN n4 USING (node) ORDER BY p_partkey"""
     })
 
+  /** X105: label-propagation communities
+    * ([[graft.operators.Graphs.labelPropagation]]) on the
+    * co-ordered-parts graph — synchronous, fixed 3 rounds,
+    * most-frequent-neighbor label with smallest-label ties (the
+    * deterministic variant of LPA; classic async is visit-order-
+    * dependent and can't be oracled). Where connected components give
+    * reachability, LPA separates dense clusters joined by thin
+    * bridges. The oracle chains the identical rounds as materialized
+    * CTEs: vote counts, (count DESC, label ASC) argmax, carry for
+    * voteless nodes.
+    */
+  val communities = Q("q_communities",
+    (s, d) => {
+      val ps = lineitem(s, d).filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = ps.as("x").join(ps.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
+        .distinct()
+      val nodes = edges.select(col("id_a").as("node"))
+        .unionByName(edges.select(col("id_b").as("node"))).distinct()
+      graft.operators.Graphs.labelPropagation(nodes, edges, rounds = 3)
+        .select(col("node").as("p_partkey"), col("label").as("community"))
+        .orderBy(col("p_partkey"))
+    },
+    Some {
+      def round(i: Int) =
+        s"""c$i AS MATERIALIZED (
+              SELECT es.v AS node, l.label AS nl, count(*) AS c
+              FROM es JOIN l${i - 1} l ON es.u = l.node GROUP BY 1, 2),
+            b$i AS MATERIALIZED (
+              SELECT node, nl FROM (
+                SELECT node, nl, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, nl ASC) AS rk FROM c$i) t WHERE rk = 1),
+            l$i AS MATERIALIZED (
+              SELECT l.node, coalesce(b.nl, l.label) AS label
+              FROM l${i - 1} l LEFT JOIN b$i b ON l.node = b.node)"""
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem WHERE l_orderkey < 400),
+           e1 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS u,
+               y.l_partkey AS v
+             FROM ps x JOIN ps y ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey),
+           es AS MATERIALIZED (SELECT u, v FROM e1
+             UNION SELECT v, u FROM e1),
+           l0 AS MATERIALIZED (SELECT node, node AS label FROM (
+             SELECT u AS node FROM es UNION SELECT v FROM es) n),
+           ${round(1)}, ${round(2)}, ${round(3)}
+           SELECT node AS p_partkey, CAST(label AS BIGINT) AS community
+           FROM l3 ORDER BY p_partkey"""
+    })
+
   /** X73: grid-bucketed 2-D spatial join
     * ([[graft.operators.RangeJoin.pointInBox2D]]): customer points
     * against supplier delivery boxes on a deterministic 1000×1000
@@ -572,6 +625,6 @@ object MiningQueries {
 
   val all: Seq[Q] = Seq(fuzzyNames, interpolate, interpolateKeyed, anomaly,
     ewma, lDiversityAudit, weightedSample, charEntropy, basketCore,
-    spatialJoin, entityResolution, assocRules, incrementalAssoc,
-    containmentDedup, skyline)
+    communities, spatialJoin, entityResolution, assocRules,
+    incrementalAssoc, containmentDedup, skyline)
 }

@@ -189,4 +189,52 @@ object Graphs {
     sym.unpersist()
     d
   }
+
+  /** Fixed-round SYNCHRONOUS label-propagation community detection:
+    * every node starts as its own label; each round every node adopts
+    * its neighbors' most frequent previous-round label, ties broken by
+    * the SMALLEST label — fully deterministic, unlike classic
+    * asynchronous LPA whose result depends on visit order (the property
+    * that makes this version oracle-able and partitioning-invariant).
+    * Where [[connectedComponents]] answers reachability, LPA separates
+    * dense subgraphs joined by thin bridges inside one component.
+    *
+    * Each round is one join + a two-level aggregate + a per-node argmax
+    * window, lineage cut per round (the CC-fixpoint lesson); `rounds`
+    * is fixed so the plan is bounded and a SQL replay can chain the
+    * same rounds. Nodes without neighbors keep their own label.
+    * Output: (node, label).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val nodeCol = nodes.columns.head
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionAll(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col(nodeCol).cast("long").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val best = lab.as("l").join(sym.as("e"), col("l.node") === col("e.src"))
+        .groupBy(col("e.dst").as("node"), col("l.label").as("nl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("c").desc, col("nl").asc)))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("nl"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    lab
+  }
 }

@@ -123,4 +123,57 @@ class GraphsSpec extends SparkSpec {
     assert(bfsMap(Seq(0L), cycle, rounds = 5) ===
       Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 2, 5L -> 1))
   }
+
+  // sequential synchronous LPA reference: most-frequent neighbor label,
+  // ties to the smallest, carry when voteless
+  private def refLpa(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { n =>
+        val votes = adj.getOrElse(n, Seq.empty).map(lab)
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        n -> (if (votes.isEmpty) lab(n)
+              else votes.minBy { case (l, c) => (-c, l) }._1)
+      }.toMap
+    }
+    lab
+  }
+
+  private def lpaMap(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("id_a", "id_b")
+    val nodes = e.select(e("id_a").as("n"))
+      .unionByName(e.select(e("id_b").as("n"))).distinct()
+    Graphs.labelPropagation(nodes, e, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two triangles over a bridge split; ref-exact") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = lpaMap(g, 4)
+    assert(got === refLpa(g, 4))
+    // the dense triangles agree internally and differ across the bridge
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L))
+  }
+
+  test("labelPropagation matches the reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 20
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      (1 to 4).foreach { r =>
+        assert(lpaMap(edges, r) === refLpa(edges, r), s"rounds=$r")
+      }
+    }
+  }
 }
