@@ -88,17 +88,6 @@ object Series {
             .otherwise(col("nv")), 6).as("value")): _*)
   }
 
-  /** Rolling z-score over the trailing `windowRows`-row window per key
-    * (ordered by day): flags points more than `threshold` standard
-    * deviations from the trailing mean. Mean/variance derive from
-    * DECIMAL-exact window sums of x and x² — the one aggregation a
-    * distributed engine cannot order — so the doubles that reach the
-    * (exactly-rounded IEEE) divide/sqrt chain are bit-identical on any
-    * partitioning and in any engine; the emitted z rounds to 6 decimals
-    * for the double→decimal cast ulp (the q_event_pagerank caveat), and
-    * the anomaly flag compares the ROUNDED z so the boundary is
-    * deterministic too.
-    */
   /** Truncated exponentially-weighted moving average (half-life
     * weights, α = 1/2) over the trailing `windowRows` rows per key:
     * `y_t = Σ_{i=0..W-1} 2^-(i+1) · x_{t-i}`, computed ENTIRELY in
@@ -128,6 +117,17 @@ object Series {
         lit(((1L << windowRows) * 10000L).toDouble)).as("ewma"))
   }
 
+  /** Rolling z-score over the trailing `windowRows`-row window per key
+    * (ordered by day): flags points more than `threshold` standard
+    * deviations from the trailing mean. Mean/variance derive from
+    * DECIMAL-exact window sums of x and x² — the one aggregation a
+    * distributed engine cannot order — so the doubles that reach the
+    * (exactly-rounded IEEE) divide/sqrt chain are bit-identical on any
+    * partitioning and in any engine; the emitted z rounds to 6 decimals
+    * for the double→decimal cast ulp (the q_event_pagerank caveat), and
+    * the anomaly flag compares the ROUNDED z so the boundary is
+    * deterministic too.
+    */
   def rollingZScore(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String, windowRows: Int = 7, threshold: Double = 2.0)
       : DataFrame = {

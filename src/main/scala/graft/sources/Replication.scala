@@ -41,48 +41,92 @@ object Replication {
       .getOrElse(0)
 
   /** Apply every source version newer than the target's sync marker.
-    * Returns the source versions applied (possibly empty).
+    * Schema evolution replays structurally: a source rename/drop commit
+    * is applied to the target as the SAME metadata-only operation (with
+    * the sync marker riding it), and the tracked key column follows a
+    * rename — so the mirror's files stay era-mapped exactly like the
+    * source's. Returns the source versions applied (possibly empty).
     */
   def sync(spark: SparkSession, src: String, dst: String, keyCol: String,
       hook: Int => Unit = _ => ()): Seq[Int] = {
     val from = syncedVersion(spark, dst)
-    val vs = Snapshots.versions(spark, src).filter(_ > from)
+    // one listing for the whole sync — per-version re-listing would
+    // make catching up n versions O(n^2) in manifest reads
+    val allVs = Snapshots.versions(spark, src)
+    val vs = allVs.filter(_ > from)
+    // the key column's CURRENT name at the resume point: replay any
+    // renames recorded at or before `from`
+    var key = renameEventsOf(
+      if (from == 0) Map.empty
+      else Snapshots.properties(spark, src, from))
+      .foldLeft(keyCol) { case (k, (_, o, n)) => if (o == k) n else k }
     vs.foreach { v =>
-      val feed = Snapshots.changes(spark, src, prevOf(spark, src, v), v)
-      val ins = feed.filter(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_version")
-      val delKeys = feed.filter(col("_change_type") === "delete")
-        .select(col(keyCol)).distinct()
+      val prev = allVs.filter(_ < v).lastOption.getOrElse(0)
+      val prevProps =
+        if (prev == 0) Map.empty[String, String]
+        else Snapshots.properties(spark, src, prev)
+      val props = Snapshots.properties(spark, src, v)
       val mark = Map(SyncProp -> v.toString)
-      val hasIns = !ins.isEmpty
-      val hasDel = !delKeys.isEmpty
-      if (hasIns && hasDel) {
-        // a mixed version replays as ONE atomic upsert, which masks
-        // exactly the inserted keys — sound only if the version's
-        // deletes are covered by its inserts (what upsertMor produces);
-        // a hand-built manifest violating that must fail loudly, not
-        // half-apply
-        val extra = delKeys.join(ins.select(col(keyCol)).distinct(),
-          Seq(keyCol), "left_anti")
-        require(extra.isEmpty, s"Replication.sync: source version $v " +
-          s"deletes keys it does not re-insert — not replayable as one " +
-          "atomic upsert")
-        Snapshots.upsertMor(spark, dst, ins, keyCol, properties = mark)
+      val newRen = renameEventsOf(props).drop(renameEventsOf(prevProps).size)
+      val newDrop = dropEventsOf(props).drop(dropEventsOf(prevProps).size)
+      if (newRen.nonEmpty || newDrop.nonEmpty) {
+        newRen.foreach { case (_, o, n) =>
+          Snapshots.renameColumn(spark, dst, o, n, properties = mark)
+          if (o == key) key = n
+        }
+        newDrop.foreach { case (_, n) =>
+          Snapshots.dropColumn(spark, dst, n, properties = mark)
+        }
+      } else {
+        val feed = Snapshots.changes(spark, src, prev, v)
+        val ins = feed.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        val delKeys = feed.filter(col("_change_type") === "delete")
+          .select(col(key)).distinct()
+        val hasIns = !ins.isEmpty
+        val hasDel = !delKeys.isEmpty
+        if (hasIns && hasDel) {
+          // a mixed version replays as ONE atomic upsert, which masks
+          // exactly the inserted keys — sound only if the version's
+          // deletes are covered by its inserts (what upsertMor
+          // produces); a hand-built manifest violating that must fail
+          // loudly, not half-apply
+          val extra = delKeys.join(ins.select(col(key)).distinct(),
+            Seq(key), "left_anti")
+          require(extra.isEmpty, s"Replication.sync: source version $v " +
+            s"deletes keys it does not re-insert — not replayable as " +
+            "one atomic upsert")
+          Snapshots.upsertMor(spark, dst, ins, key, properties = mark)
+        }
+        else if (hasIns)
+          Snapshots.commit(ins, dst, statsCols = Seq(key),
+            properties = mark)
+        else if (hasDel)
+          Snapshots.deleteWhere(spark, dst, delKeys, key,
+            properties = mark)
+        // feed-empty version (e.g. compaction): nothing to commit; the
+        // marker stays behind, and re-deriving this version's empty
+        // feed on the next sync costs manifest reads only
       }
-      else if (hasIns)
-        Snapshots.commit(ins, dst, statsCols = Seq(keyCol),
-          properties = mark)
-      else if (hasDel)
-        Snapshots.deleteWhere(spark, dst, delKeys, keyCol,
-          properties = mark)
-      // feed-empty version (e.g. compaction): nothing to commit; the
-      // marker stays behind, and re-deriving this version's empty feed
-      // on the next sync costs manifest reads only
       hook(v)
     }
     vs
   }
 
-  private def prevOf(spark: SparkSession, src: String, v: Int): Int =
-    Snapshots.versions(spark, src).filter(_ < v).lastOption.getOrElse(0)
+  private def renameEventsOf(props: Map[String, String])
+      : Seq[(Int, String, String)] =
+    props.get(Snapshots.RenamesProp).toSeq.flatMap(_.split(",").toSeq)
+      .map { e =>
+        val Array(p, names) = e.split(":", 2)
+        val Array(o, n) = names.split(">", 2)
+        (p.toInt, o, n)
+      }
+
+  private def dropEventsOf(props: Map[String, String])
+      : Seq[(Int, String)] =
+    props.get(Snapshots.DropsProp).toSeq.flatMap(_.split(",").toSeq)
+      .map { e =>
+        val Array(p, n) = e.split(":", 2)
+        (p.toInt, n)
+      }
 }

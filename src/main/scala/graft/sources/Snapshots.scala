@@ -153,11 +153,38 @@ object Snapshots {
       properties: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
       strStatsCols: Seq[String] = Seq.empty): Int = {
-    if (!properties.get(DataChangeProp).contains("false"))
-      enforceUnique(df.sparkSession, table, df, vsParent = !overwrite)
+    val spark = df.sparkSession
+    val enforce = !properties.get(DataChangeProp).contains("false")
+    // capture the pin BEFORE the check: a commit landing between check
+    // and pin capture would otherwise slip under the pin
+    val base = uniquePinnedBase(spark, table, overwrite, enforce)
+    if (enforce) enforceUnique(spark, table, df, vsParent = !overwrite)
     commitWith(df, table, statsCols, properties, bloomCols,
-      baseFor = appendBase(df.sparkSession, table, overwrite),
-      strStatsCols = strStatsCols)
+      baseFor = base, strStatsCols = strStatsCols)
+  }
+
+  /** The append base rule, PINNED to the parent the UNIQUE collision
+    * check ran against when the table declares unique keys: without the
+    * pin, two racing appends of the same key each check against the old
+    * parent, both pass, and publishManifest's retry quietly rebases the
+    * loser on top of the winner — committing the duplicate the
+    * constraint exists to prevent. A concurrent commit now aborts
+    * loudly instead (the optimistic-concurrency house rule); tables
+    * without unique keys keep the lock-free auto-rebase.
+    */
+  private def uniquePinnedBase(spark: SparkSession, table: String,
+      overwrite: Boolean, enforce: Boolean): Int => Seq[FileEntry] = {
+    val pin =
+      if (enforce && !overwrite && uniqueKeys(spark, table).nonEmpty)
+        Some(latestVersion(spark, table))
+      else None
+    parent => {
+      pin.foreach(v0 => require(parent == v0,
+        s"Snapshots.commit: concurrent commit on $table during the " +
+          s"UNIQUE check (planned against v$v0, parent is now v$parent) " +
+          "— retry"))
+      appendBase(spark, table, overwrite)(parent)
+    }
   }
 
   /** The append/overwrite base-file rule, shared by [[commit]] and
@@ -264,6 +291,8 @@ object Snapshots {
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
     enforceChecks(spark, table, df)
+    val pinnedBase = uniquePinnedBase(spark, table, overwrite,
+      enforce = true)
     enforceUnique(spark, table, df, vsParent = !overwrite)
     val (batch, newEntries) = writeBatch(df, table, statsCols, bloomCols,
       strStatsCols)
@@ -271,7 +300,7 @@ object Snapshots {
       case Some(reason) => Left(reason)
       case None => Right(publishManifest(spark, table,
         properties + (SchemaProp -> df.schema.json), newEntries,
-        baseFor = appendBase(spark, table, overwrite)))
+        baseFor = pinnedBase))
     }
   }
 
@@ -526,7 +555,7 @@ object Snapshots {
     * until the next compaction re-stats them.
     */
   def renameColumn(spark: SparkSession, table: String, oldName: String,
-      newName: String): Int = {
+      newName: String, properties: Map[String, String] = Map.empty): Int = {
     require(Seq(oldName, newName).forall(n => n.nonEmpty &&
       !n.exists(c => c == ',' || c == ':' || c == '>' || c == '\n' ||
         c == '\t' || c == '=')),
@@ -534,6 +563,7 @@ object Snapshots {
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.renameColumn: $table has no committed version")
     val props = this.properties(spark, table, v)
+    requireNoConstraintOn(props, oldName, table, "renameColumn")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(props.getOrElse(SchemaProp, sys.error(
         s"Snapshots.renameColumn: $table v$v records no schema")))
@@ -551,7 +581,8 @@ object Snapshots {
     val event = s"$v:$oldName>$newName"
     val cumulative = props.get(RenamesProp).fold(event)(_ + "," + event)
     publishManifest(spark, table,
-      Map(SchemaProp -> renamed.json, RenamesProp -> cumulative), Seq.empty,
+      properties ++
+        Map(SchemaProp -> renamed.json, RenamesProp -> cumulative), Seq.empty,
       baseFor = parent => {
         require(parent == v, s"Snapshots.renameColumn: concurrent commit " +
           s"on $table (planned against v$v, parent is now v$parent) — retry")
@@ -596,13 +627,32 @@ object Snapshots {
     */
   val DroppedProp = "graft.dropped"
 
+  /** Comma-joined `P:name` DROP EVENTS (P = the drop's parent version),
+    * inherited like [[RenamesProp]] — what [[changes]] needs to refuse
+    * feed ranges whose frames straddle the drop (post-drop inserts
+    * would silently null-fill the dropped column in the union).
+    */
+  val DropsProp = "graft.drops"
+
+  private def dropEvents(props: Map[String, String]): Seq[RenameEvent] =
+    props.get(DropsProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
+      val Array(p, n) = e.split(":", 2)
+      RenameEvent(p.toInt, n, n)
+    }
+
   /** Drop a column WITHOUT rewriting any data file: a metadata-only
     * commit whose schema simply omits the field — name-based parquet
     * projection ignores the extra column in old files, so reads,
     * stats and time travel (which keeps each version's own shape) all
     * compose. The dropped name is retired permanently ([[DroppedProp]]).
+    * Refused while merge-on-read tombstones exist (the tombstone key
+    * column is resolved by name at read time — dropping it would break
+    * every later readMor; same rule as [[renameColumn]]) and while a
+    * CHECK or UNIQUE constraint references the column (the inherited
+    * constraint would poison every future write).
     */
-  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+  def dropColumn(spark: SparkSession, table: String, name: String,
+      properties: Map[String, String] = Map.empty): Int = {
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.dropColumn: $table has no committed version")
     val props = this.properties(spark, table, v)
@@ -614,16 +664,44 @@ object Snapshots {
       s"Snapshots.dropColumn: no column '$name' in $table")
     require(schema.fields.length > 1,
       s"Snapshots.dropColumn: cannot drop the only column of $table")
+    require(!manifest(spark, table, v).exists(e => isTombstone(e.path)),
+      s"Snapshots.dropColumn: $table carries merge-on-read tombstones " +
+        "(key column name-matched at read time) — compactMor first")
+    requireNoConstraintOn(props, name, table, "dropColumn")
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
     val dropped = props.get(DroppedProp).fold(name)(_ + "," + name)
+    val event = s"$v:$name"
+    val drops = props.get(DropsProp).fold(event)(_ + "," + event)
     publishManifest(spark, table,
-      Map(SchemaProp -> narrowed.json, DroppedProp -> dropped), Seq.empty,
+      properties ++ Map(SchemaProp -> narrowed.json, DroppedProp -> dropped,
+        DropsProp -> drops), Seq.empty,
       baseFor = parent => {
         require(parent == v, s"Snapshots.dropColumn: concurrent commit " +
           s"on $table (planned against v$v, parent is now v$parent) — retry")
         manifest(spark, table, parent)
       })
+  }
+
+  /** Refuse schema changes to a column an inherited constraint
+    * references: a CHECK predicate naming it (word-boundary match on
+    * the SQL text — conservative but loud) or a UNIQUE key on it would
+    * otherwise poison every future write with unresolvable-column
+    * failures.
+    */
+  private def requireNoConstraintOn(props: Map[String, String], col: String,
+      table: String, op: String): Unit = {
+    val word = ("\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+    val checks = props.collect {
+      case (k, pred) if k.startsWith(CheckPrefix) && pred.nonEmpty &&
+        word.findFirstIn(pred).isDefined => k.stripPrefix(CheckPrefix)
+    }
+    require(checks.isEmpty, s"Snapshots.$op: CHECK constraint(s) " +
+      s"${checks.mkString(", ")} reference '$col' on $table — drop the " +
+      "constraint(s) first")
+    require(!props.get(UniquePrefix + col).exists(_.nonEmpty),
+      s"Snapshots.$op: UNIQUE constraint on '$col' of $table — drop it " +
+        "first, evolve, then re-declare on the new shape")
   }
 
   private def requireNotDropped(props: Map[String, String],
@@ -1001,7 +1079,10 @@ object Snapshots {
       // force-aborts the pending (presumed abort — the standard 2PC
       // resolution for a blocked coordinator) or observes it committed;
       // either way the next latestVersion() sees the settled truth.
-      resolveInDoubtTxns(fs, root)
+      // Bounded to slots ABOVE the committed head: an in-doubt pending
+      // below it cannot exist (every committer above settled it first),
+      // so the scan cost is the in-flight tail, not the table history.
+      resolveInDoubtTxns(fs, root, latestVersion(spark, table))
       val parent = latestVersion(spark, table)
       // next slot must clear every EXISTING manifest file, complete or
       // not: a crashed writer's terminator-less manifest occupies its
@@ -1661,16 +1742,22 @@ object Snapshots {
       s"Snapshots.changes: version $from of $table does not exist")
     require(vs.contains(to),
       s"Snapshots.changes: version $to of $table does not exist")
-    // a rename inside the range would make pre-rename delete frames and
-    // post-rename insert frames union under DIFFERENT names — the
-    // allowMissingColumns union would null-fill both silently; refuse
-    // and let the caller split the range at the rename commit
-    val crossing = renameEvents(properties(spark, table, to))
-      .filter(_.boundary >= from)
+    // a rename (or drop) inside the range would union pre-event frames
+    // and post-event frames under DIFFERENT shapes — allowMissingColumns
+    // would null-fill both silently; refuse and let the caller split
+    // the range. An event's boundary P is the latest committed version
+    // BEFORE it, so pre-event frames exist in the range only when
+    // from < P (strict: from == P means the range starts exactly at the
+    // boundary — the single-step range over the event commit itself is
+    // empty and safe, which is what keeps Replication.sync advancing
+    // across schema evolution one version at a time)
+    val toProps = properties(spark, table, to)
+    val crossing = (renameEvents(toProps) ++ dropEvents(toProps))
+      .filter(_.boundary > from)
     require(crossing.isEmpty,
-      s"Snapshots.changes: range ($from, $to] of $table crosses column " +
-        s"rename(s) ${crossing.map(e => s"${e.from}>${e.to}").mkString(", ")}" +
-        " — split the range at the rename commit")
+      s"Snapshots.changes: range ($from, $to] of $table crosses schema " +
+        s"evolution ${crossing.map(e => s"${e.from}>${e.to}").mkString(", ")}" +
+        " — split the range at the evolution commit")
     val frames = vs.filter(v => v > from && v <= to).flatMap { v =>
       if (properties(spark, table, v).get(DataChangeProp).contains("false"))
         Seq.empty
@@ -1949,7 +2036,7 @@ object Snapshots {
     // committed versions, so a pending that could still flip to
     // "commit" AFTER its files were reclaimed must be aborted NOW (the
     // same single-file arbiter the commit path uses)
-    resolveInDoubtTxns(fs, root)
+    resolveInDoubtTxns(fs, root, latestVersion(spark, table))
     val all = versions(spark, table)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     val referenced = keep.flatMap(v => manifest(spark, table, v))
@@ -2017,13 +2104,15 @@ object Snapshots {
     val statusStr = sfs.makeQualified(sp).toString
     val pending = writes.map { w =>
       enforceChecks(spark, w.table, w.df)
+      val pinnedBase = uniquePinnedBase(spark, w.table, w.overwrite,
+        enforce = true)
       enforceUnique(spark, w.table, w.df, vsParent = !w.overwrite)
       val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
         w.bloomCols, w.strStatsCols)
       val v = publishManifest(spark, w.table,
         w.properties + (SchemaProp -> w.df.schema.json) +
           (TxnStatusProp -> statusStr),
-        entries, baseFor = appendBase(spark, w.table, w.overwrite))
+        entries, baseFor = pinnedBase)
       w.table -> v
     }
     statusHook()
@@ -2072,8 +2161,9 @@ object Snapshots {
     * returns, no manifest of the table is in limbo: each is committed,
     * aborted, or a plain non-transactional commit.
     */
-  private def resolveInDoubtTxns(fs: FileSystem, root: Path): Unit = {
-    occupiedSlots(fs, root).filter(_ > 0).foreach { s =>
+  private def resolveInDoubtTxns(fs: FileSystem, root: Path,
+      above: Int): Unit = {
+    occupiedSlots(fs, root).filter(_ > above).foreach { s =>
       readManifestOpt(fs, root, s).foreach { m =>
         m.props.get(TxnStatusProp).foreach { p =>
           val sp = new Path(p)

@@ -94,7 +94,7 @@ class RenameSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       Snapshots.changes(spark, tbl, 1, Snapshots.latestVersion(spark, tbl))
     }
-    assert(e2.getMessage.contains("rename"))
+    assert(e2.getMessage.contains("schema evolution"))
     val last = Snapshots.latestVersion(spark, tbl)
     assert(Snapshots.changes(spark, tbl, last - 1, last).count() === 5)
   }
@@ -121,6 +121,56 @@ class RenameSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.renameColumn(spark, tbl, "o_orderkey", "o_totalprice")
     }
+  }
+
+  test("rename/drop refuse columns a constraint references; drop refuses tombstones") {
+    val tbl = freshTable("constr")
+    Snapshots.commit(orders.limit(100), tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.addCheck(spark, tbl, "pos", "o_totalprice > 0")
+    Snapshots.addUnique(spark, tbl, "o_orderkey")
+    // CHECK references o_totalprice → neither rename nor drop may touch it
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    }
+    assert(e1.getMessage.contains("CHECK"))
+    intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, tbl, "o_totalprice")
+    }
+    // UNIQUE on o_orderkey → same refusal
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_orderkey", "id")
+    }
+    assert(e2.getMessage.contains("UNIQUE"))
+    // after dropping the constraints, evolution proceeds
+    Snapshots.dropCheck(spark, tbl, "pos")
+    Snapshots.dropUnique(spark, tbl, "o_orderkey")
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")
+    // drop refuses while tombstones exist (key column is name-matched)
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(0, 3).select(col("id").as("o_orderkey")), "o_orderkey")
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, tbl, "o_orderkey")
+    }
+    assert(e3.getMessage.contains("compactMor"))
+    Snapshots.compactMor(spark, tbl)
+    Snapshots.dropColumn(spark, tbl, "price")
+    assert(Snapshots.read(spark, tbl).columns.toSeq === Seq("o_orderkey"))
+  }
+
+  test("changes() allows the single-step range over an evolution commit") {
+    val tbl = freshTable("step")
+    Snapshots.commit(orders.limit(50), tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price") // v2
+    // the minimal range over the rename itself is empty and safe
+    assert(Snapshots.changes(spark, tbl, 1, 2).count() === 0)
+    // but a range unioning pre- and post-rename data frames refuses
+    Snapshots.commit(orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 8000)
+      .withColumnRenamed("o_totalprice", "price"), tbl) // v3
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, tbl, 0, 3).count()
+    }
+    assert(Snapshots.changes(spark, tbl, 2, 3).count() === 5)
   }
 
   test("rename composes with add-column null-fill") {

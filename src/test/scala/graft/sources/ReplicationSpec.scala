@@ -66,6 +66,36 @@ class ReplicationSpec extends SparkSpec {
     assertMirror(src, dst)
   }
 
+  test("sync replays schema evolution: rename and drop flow structurally") {
+    val d = freshDir("evolve"); val src = s"$d/src"; val dst = s"$d/dst"
+    Snapshots.commit(orders.filter(col("o_orderkey") < 300), src,
+      statsCols = Seq("o_orderkey"))
+    Snapshots.renameColumn(spark, src, "o_totalprice", "price")
+    Snapshots.commit(orders.filter(col("o_orderkey") >= 300 &&
+        col("o_orderkey") < 400)
+      .withColumnRenamed("o_totalprice", "price"), src,
+      statsCols = Seq("o_orderkey"))
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq(1, 2, 3))
+    assertMirror(src, dst)
+    assert(Snapshots.read(spark, dst).columns.toSeq ===
+      Seq("o_orderkey", "price"))
+    // a later drop flows too, and resume-across-evolution works
+    Snapshots.commit(orders.filter(col("o_orderkey") >= 400 &&
+        col("o_orderkey") < 450)
+      .withColumnRenamed("o_totalprice", "price")
+      .withColumn("extra", lit(1L)), src, statsCols = Seq("o_orderkey"))
+    Snapshots.dropColumn(spark, src, "extra")
+    Snapshots.commit(orders.filter(col("o_orderkey") >= 450 &&
+        col("o_orderkey") < 500)
+      .withColumnRenamed("o_totalprice", "price"), src,
+      statsCols = Seq("o_orderkey"))
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq(4, 5, 6))
+    assert(Snapshots.read(spark, dst).columns.toSeq ===
+      Seq("o_orderkey", "price"))
+    assert(Snapshots.read(spark, dst).count() ===
+      orders.filter(col("o_orderkey") < 500).count())
+  }
+
   test("source compaction is skipped; the mirror stays exact") {
     val d = freshDir("compact"); val src = s"$d/src"; val dst = s"$d/dst"
     Snapshots.commit(orders.filter(col("o_orderkey") < 500), src,
