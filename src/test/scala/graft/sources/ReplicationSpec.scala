@@ -96,6 +96,44 @@ class ReplicationSpec extends SparkSpec {
       orders.filter(col("o_orderkey") < 500).count())
   }
 
+  test("per-micro-batch sync mirrors a streaming-ingested table; a missed sync catches up") {
+    // the streaming composition: SnapshotStream commits each micro-batch
+    // as one upsert version, and sync runs after each — exactly-once on
+    // BOTH sides (batch marker + sync marker), so a skipped/crashed
+    // sync simply catches up on the next tick
+    val d = freshDir("stream"); val src = s"$d/src"; val dst = s"$d/dst"
+    def batch(lo: Int, hi: Int, price: Double) =
+      orders.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", lit(price))
+    // the SnapshotStream micro-batch discipline: one upsert commit per
+    // batch, the batch id riding the same manifest (replay = no-op)
+    val bp = graft.streaming.SnapshotStream.batchProp
+    def upsertBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val applied = Snapshots.versions(spark, src).flatMap(v =>
+        Snapshots.properties(spark, src, v).get(bp).map(_.toLong))
+      if (applied.nonEmpty && applied.max >= id) return
+      Snapshots.upsertMor(spark, src, df, "o_orderkey",
+        statsCols = Seq("o_orderkey"), properties = Map(bp -> id.toString))
+    }
+    Snapshots.commit(batch(0, 99, 1.0), src, statsCols = Seq("o_orderkey"))
+    Replication.sync(spark, src, dst, "o_orderkey")
+    // micro-batch 1 upserts keys 50-120; sync after it
+    upsertBatch(batch(50, 120, 2.0), 1L)
+    Replication.sync(spark, src, dst, "o_orderkey")
+    assertMirror(src, dst)
+    // micro-batches 2 and 3 land with NO sync in between (a crashed
+    // tick); one later sync applies both versions exactly once
+    upsertBatch(batch(100, 150, 3.0), 2L)
+    upsertBatch(batch(10, 20, 4.0), 3L)
+    assert(Replication.sync(spark, src, dst, "o_orderkey").size === 2)
+    assertMirror(src, dst)
+    // a replayed micro-batch (same id) is a no-op on src, so the next
+    // sync applies nothing — exactly-once end to end
+    upsertBatch(batch(10, 20, 9.0), 3L)
+    assert(Replication.sync(spark, src, dst, "o_orderkey") === Seq.empty)
+    assertMirror(src, dst)
+  }
+
   test("source compaction is skipped; the mirror stays exact") {
     val d = freshDir("compact"); val src = s"$d/src"; val dst = s"$d/dst"
     Snapshots.commit(orders.filter(col("o_orderkey") < 500), src,
