@@ -1215,7 +1215,10 @@ object Snapshots {
     require(eligible.nonEmpty,
       s"Snapshots.readAsOf: no version of $table at or before $tsMillis " +
         s"(earliest commit: ${properties(spark, table, vs.head).get(CommitTsProp).getOrElse("unstamped")})")
-    read(spark, table, Some(eligible.max))
+    // through the MOR reader: a resolved version carrying tombstones
+    // must time-travel like any other (readMor is readFiles-identical
+    // when no tombstones exist, so plain tables pay nothing)
+    readMor(spark, table, Some(eligible.max))
   }
 
   /** Rows added between two versions of an APPEND-ONLY lineage, read from

@@ -513,6 +513,16 @@ class SnapshotsSpec extends SparkSpec {
     // history elides the volatile stamp so its output stays replayable
     assert(!Snapshots.history(spark, tbl).collect()
       .map(_.getString(3)).exists(_.contains("graft.commit.ts")))
+    // tombstoned versions time-travel too (readAsOf goes through the
+    // MOR reader; the strict read() would refuse here)
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(1, 101).select(col("id").as("o_orderkey")), "o_orderkey")
+    val ts3 = Snapshots.properties(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))(Snapshots.CommitTsProp).toLong
+    assert(Snapshots.readAsOf(spark, tbl, ts3).count() ===
+      orders.filter(!col("o_orderkey").between(1, 100)).count())
+    assert(Snapshots.readAsOf(spark, tbl, ts2).count() === orders.count(),
+      "pre-delete instants still read whole")
   }
 
   test("statsAgg answers count/min/max from metadata, zero Spark jobs") {
