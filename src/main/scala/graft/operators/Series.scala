@@ -99,15 +99,24 @@ object Series {
     * the float-parity discipline applied to the one smoothing
     * recurrence every monitoring pipeline wants. Weights at a series
     * head (fewer than W priors) simply truncate, same as the replay.
-    * Bounds: |x| ≤ ~9·10^11 keeps Σ x_q·2^(W-1) within a long for
-    * W ≤ 16 (checked at runtime via ANSI overflow).
+    * Bounds: the weights sum to 2^W−1, so |x_q| ≤ Long.MaxValue/(2^W−1)
+    * keeps every partial sum within a long — checked EXPLICITLY per
+    * value (Spark's default non-ANSI long arithmetic wraps silently, so
+    * the guard raises before any wrapped sum can produce a quietly
+    * wrong EWMA); for W=16 that admits |x| up to ~1.4·10^10.
     */
   def ewmaHalf(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String, windowRows: Int = 8): DataFrame = {
     require(windowRows >= 1 && windowRows <= 16,
       s"windowRows in [1,16], got $windowRows")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
-    val xq = round(col(valueCol) * 10000, 0).cast("bigint")
+    val maxQ = Long.MaxValue / ((1L << windowRows) - 1)
+    val xqRaw = round(col(valueCol) * 10000, 0).cast("bigint")
+    val xq = when(abs(xqRaw) <= maxQ, xqRaw).otherwise(raise_error(concat(
+      lit(s"Series.ewmaHalf: '$valueCol' value "),
+      col(valueCol).cast("string"),
+      lit(s" exceeds the exact-integer bound (|x·10^4| must be ≤ $maxQ " +
+        s"for windowRows=$windowRows)"))).cast("bigint"))
     val total = (0 until windowRows).map { i =>
       coalesce(lag(xq, i).over(w), lit(0L)) *
         lit(1L << (windowRows - 1 - i))

@@ -152,15 +152,27 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
-      strStatsCols: Seq[String] = Seq.empty): Int = {
+      strStatsCols: Seq[String] = Seq.empty,
+      planHook: () => Unit = () => ()): Int = {
     val spark = df.sparkSession
     val enforce = !properties.get(DataChangeProp).contains("false")
     // capture the pin BEFORE the check: a commit landing between check
     // and pin capture would otherwise slip under the pin
     val base = uniquePinnedBase(spark, table, overwrite, enforce)
     if (enforce) enforceUnique(spark, table, df, vsParent = !overwrite)
-    commitWith(df, table, statsCols, properties, bloomCols,
-      baseFor = base, strStatsCols = strStatsCols)
+    // UNIQUE key columns always get file envelopes (integral stats or
+    // string stats by type), whatever the caller asked for: the NEXT
+    // append's collision check prunes on them, and a key-less envelope
+    // would force it to scan every file of this batch forever
+    val keyCols = uniqueKeySets(spark, table).flatten.distinct
+      .filter(df.columns.contains)
+    val (strK, intK) = keyCols.partition(k =>
+      df.schema(k).dataType == org.apache.spark.sql.types.StringType)
+    planHook()
+    commitWith(df, table, (statsCols ++ intK.filter(k =>
+        isIntegralType(df.schema(k).dataType))).distinct,
+      properties, bloomCols, baseFor = base,
+      strStatsCols = (strStatsCols ++ strK).distinct)
   }
 
   /** The append base rule, PINNED to the parent the UNIQUE collision
@@ -170,12 +182,18 @@ object Snapshots {
     * loser on top of the winner — committing the duplicate the
     * constraint exists to prevent. A concurrent commit now aborts
     * loudly instead (the optimistic-concurrency house rule); tables
-    * without unique keys keep the lock-free auto-rebase.
+    * without unique keys keep the lock-free auto-rebase — EXCEPT when a
+    * racing [[addUnique]] lands between the planning read and the
+    * manifest create: the closure re-reads the constraint set per retry
+    * and aborts if one appeared, because this commit's batch was never
+    * collision-checked against it (the DDL-vs-append race that would
+    * otherwise let a duplicate key land on a table that now declares
+    * UNIQUE).
     */
   private def uniquePinnedBase(spark: SparkSession, table: String,
       overwrite: Boolean, enforce: Boolean): Int => Seq[FileEntry] = {
     val pin =
-      if (enforce && !overwrite && uniqueKeys(spark, table).nonEmpty)
+      if (enforce && !overwrite && uniqueKeySets(spark, table).nonEmpty)
         Some(latestVersion(spark, table))
       else None
     parent => {
@@ -183,6 +201,11 @@ object Snapshots {
         s"Snapshots.commit: concurrent commit on $table during the " +
           s"UNIQUE check (planned against v$v0, parent is now v$parent) " +
           "— retry"))
+      if (enforce && !overwrite && pin.isEmpty)
+        require(uniqueKeySets(spark, table).isEmpty,
+          s"Snapshots.commit: a UNIQUE constraint was added on $table " +
+            "after this append planned — retry so the collision check " +
+            "runs against the new constraint")
       appendBase(spark, table, overwrite)(parent)
     }
   }
@@ -408,44 +431,95 @@ object Snapshots {
   }
 
   /** Manifest property prefix of a UNIQUE (primary-key) constraint:
-    * `graft.unique.<col>` = "true", inherited like [[CheckPrefix]].
-    * Integral key columns only (the key-machinery contract shared with
-    * merge/MOR); multiple NULLs are allowed (SQL UNIQUE semantics).
+    * `graft.unique.<col>` (single-column) or
+    * `graft.unique.<col1,col2,…>` (composite) = "true", inherited like
+    * [[CheckPrefix]]. Key columns must be integral or string — the two
+    * types the manifest records file envelopes for, so the append-time
+    * collision check can prune driver-side. Rows with ANY null key
+    * column do not participate (SQL UNIQUE semantics — multiple NULLs
+    * are allowed).
     */
   val UniquePrefix = "graft.unique."
 
-  /** The table's UNIQUE-constrained key columns. */
-  def uniqueKeys(spark: SparkSession, table: String): Seq[String] = {
+  /** The table's declared UNIQUE key SETS, each in declaration order
+    * (the leading column drives envelope pruning).
+    */
+  def uniqueKeySets(spark: SparkSession, table: String): Seq[Seq[String]] = {
     val v = latestVersion(spark, table)
     if (v == 0) Seq.empty
     else properties(spark, table, v).collect {
       case (k, flag) if k.startsWith(UniquePrefix) && flag.nonEmpty =>
-        k.stripPrefix(UniquePrefix)
-    }.toSeq.sorted
+        k.stripPrefix(UniquePrefix).split(",").toSeq
+    }.toSeq.sortBy(_.mkString(","))
   }
 
-  /** Declare `keyCol` UNIQUE — the primary-key enforcement no
-    * mainstream table format gives you. Existing content is validated
+  /** Every column participating in some UNIQUE key, sorted. */
+  def uniqueKeys(spark: SparkSession, table: String): Seq[String] =
+    uniqueKeySets(spark, table).flatten.distinct.sorted
+
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType |
+         _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Declare `keyCol` UNIQUE (single-column form of [[addUnique]]). */
+  def addUnique(spark: SparkSession, table: String, keyCol: String): Int =
+    addUnique(spark, table, Seq(keyCol))
+
+  /** Declare the column tuple `keyCols` UNIQUE — the primary-key
+    * enforcement no mainstream table format gives you, including the
+    * composite (order_id, line_number)-shaped keys retail upserts
+    * actually use. Key columns must be integral or string (validated
+    * against the recorded schema — other types are refused loudly
+    * rather than silently miscompared). Existing content is validated
     * first; thereafter every append's batch is checked for (a) in-batch
     * duplicates and (b) collisions with the CURRENT visible rows, where
-    * (b) reads only the parent files whose key envelope overlaps the
-    * batch's [min,max] (manifest stats prune the rest driver-side) — at
-    * 100 TB with clustered keys an append touches a handful of files,
-    * and the worst case is one bounded scan, never a cross join.
-    * Upserts/merges check only (a): replacing a key is their contract.
+    * (b) reads only the parent files whose LEADING-column envelope
+    * (integral [min,max] or UTF-8 string envelope) overlaps the
+    * batch's — manifest stats prune the rest driver-side, so at 100 TB
+    * with clustered keys an append touches a handful of files, and the
+    * worst case is one bounded scan, never a cross join. The comparison
+    * itself is UNCAST equality on every key column: string keys compare
+    * as strings (a numeric-string table with occasional non-numeric
+    * keys can never miss a collision). Upserts/merges check only (a):
+    * replacing a key is their contract.
     */
-  def addUnique(spark: SparkSession, table: String, keyCol: String): Int = {
+  def addUnique(spark: SparkSession, table: String, keyCols: Seq[String])
+      : Int = {
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit => l}
+    require(keyCols.nonEmpty, "Snapshots.addUnique: empty key column list")
+    require(keyCols.distinct == keyCols,
+      s"Snapshots.addUnique: duplicate key columns in ${keyCols.mkString(",")}")
+    keyCols.foreach(n => require(n.nonEmpty && !n.exists(ch =>
+      ch == ',' || ch == '\n' || ch == '\t' || ch == '='),
+      s"Snapshots.addUnique: bad key column name '$n'"))
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.addUnique: $table has no committed version")
-    val dup = readMor(spark, table, Some(v))
-      .filter(c(keyCol).isNotNull)
-      .groupBy(c(keyCol).cast("long")).agg(cnt(l(1)).as("n"))
+    val tag = keyCols.mkString(",")
+    val schema = this.properties(spark, table, v).get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(readMor(spark, table, Some(v)).schema)
+    keyCols.foreach { k =>
+      val f = schema.fields.find(_.name == k).getOrElse(sys.error(
+        s"Snapshots.addUnique: no column '$k' in $table"))
+      require(isIntegralType(f.dataType) ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+        s"Snapshots.addUnique: UNIQUE keys must be integral or string; " +
+          s"'$k' is ${f.dataType.simpleString}")
+    }
+    val cur = readMor(spark, table, Some(v))
+      .filter(keyCols.map(c(_).isNotNull).reduce(_ && _))
+    val dup = cur.groupBy(keyCols.map(c): _*).agg(cnt(l(1)).as("n"))
       .filter(c("n") > 1).limit(1).count()
     require(dup == 0, s"Snapshots.addUnique: existing rows duplicate " +
-      s"'$keyCol' — deduplicate first")
+      s"'$tag' — deduplicate first")
     val props = this.properties(spark, table, v).get(SchemaProp)
-      .map(SchemaProp -> _).toMap + (UniquePrefix + keyCol -> "true")
+      .map(SchemaProp -> _).toMap + (UniquePrefix + tag -> "true")
     publishManifest(spark, table, props, Seq.empty,
       baseFor = parent => {
         require(parent == v, s"Snapshots.addUnique: concurrent commit on " +
@@ -454,14 +528,20 @@ object Snapshots {
       })
   }
 
+  /** Remove a single-column UNIQUE constraint (metadata-only commit). */
+  def dropUnique(spark: SparkSession, table: String, keyCol: String): Int =
+    dropUnique(spark, table, Seq(keyCol))
+
   /** Remove a UNIQUE constraint (metadata-only commit). */
-  def dropUnique(spark: SparkSession, table: String, keyCol: String): Int = {
+  def dropUnique(spark: SparkSession, table: String, keyCols: Seq[String])
+      : Int = {
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.dropUnique: $table has no committed version")
-    require(uniqueKeys(spark, table).contains(keyCol),
-      s"Snapshots.dropUnique: no UNIQUE constraint on '$keyCol'")
+    val tag = keyCols.mkString(",")
+    require(uniqueKeySets(spark, table).contains(keyCols),
+      s"Snapshots.dropUnique: no UNIQUE constraint on '$tag'")
     val props = this.properties(spark, table, v).get(SchemaProp)
-      .map(SchemaProp -> _).toMap + (UniquePrefix + keyCol -> "")
+      .map(SchemaProp -> _).toMap + (UniquePrefix + tag -> "")
     publishManifest(spark, table, props, Seq.empty,
       baseFor = parent => {
         require(parent == v, s"Snapshots.dropUnique: concurrent commit on " +
@@ -473,45 +553,61 @@ object Snapshots {
   /** Enforce UNIQUE constraints on a batch: in-batch duplicates always;
     * collisions against the parent's visible rows only for plain
     * appends (`vsParent`) — upsert/merge/overwrite paths replace keys
-    * by contract. Zero cost when the table declares no unique keys.
+    * by contract. Collision candidates are pruned by the leading key
+    * column's manifest envelope (integral stats or UTF-8 string stats,
+    * by the batch column's type); files without a usable envelope are
+    * always read (cannot prove disjoint). All key comparisons are
+    * UNCAST — Spark's join coercion handles int-vs-long width, and
+    * string keys never pass through a numeric cast that could null
+    * them out. Zero cost when the table declares no unique keys.
     */
   private def enforceUnique(spark: SparkSession, table: String,
       df: DataFrame, vsParent: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit => l,
       max => mx, min => mn}
-    val keys = uniqueKeys(spark, table)
-    if (keys.isEmpty) return
-    keys.foreach { k =>
-      require(df.columns.contains(k),
-        s"Snapshots: batch lacks UNIQUE key column '$k'")
-      val kc = c(k).cast("long")
-      val dup = df.filter(c(k).isNotNull)
-        .groupBy(kc).agg(cnt(l(1)).as("n"))
+    val keySets = uniqueKeySets(spark, table)
+    if (keySets.isEmpty) return
+    keySets.foreach { ks =>
+      val tag = ks.mkString(",")
+      ks.foreach(k => require(df.columns.contains(k),
+        s"Snapshots: batch lacks UNIQUE key column '$k'"))
+      val nonNull = df.filter(ks.map(c(_).isNotNull).reduce(_ && _))
+      val dup = nonNull.groupBy(ks.map(c): _*).agg(cnt(l(1)).as("n"))
         .filter(c("n") > 1).limit(1).count()
       require(dup == 0,
-        s"Snapshots: UNIQUE '$k' violated — duplicate keys in the batch")
+        s"Snapshots: UNIQUE '$tag' violated — duplicate keys in the batch")
       if (vsParent) {
         val v = latestVersion(spark, table)
         if (v > 0) {
-          val bounds = df.agg(mn(kc).as("lo"), mx(kc).as("hi")).head()
+          val lead = ks.head
+          val leadIntegral = isIntegralType(df.schema(lead).dataType)
+          val bounds = nonNull.agg(
+            mn(if (leadIntegral) c(lead).cast("long") else c(lead)).as("lo"),
+            mx(if (leadIntegral) c(lead).cast("long") else c(lead)).as("hi"))
+            .head()
           if (!bounds.isNullAt(0)) {
-            val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
             val all = manifest(spark, table, v)
             val (del, data) = all.partition(e => isTombstone(e.path))
             val candidates = data.filter { e =>
-              e.rows > 0 && (e.stats.get(k) match {
-                case Some((fMin, fMax)) => fMax >= lo && fMin <= hi
-                case None => true // no stats → cannot prove disjoint
-              })
+              e.rows > 0 && {
+                if (leadIntegral) e.stats.get(lead) match {
+                  case Some((fMin, fMax)) =>
+                    fMax >= bounds.getLong(0) && fMin <= bounds.getLong(1)
+                  case None => true // no stats → cannot prove disjoint
+                } else e.strStats.get(lead) match {
+                  case Some((fMin, fMax)) =>
+                    !ParquetMeta.u8Less(fMax, bounds.getString(0)) &&
+                      !ParquetMeta.u8Less(bounds.getString(1), fMin)
+                  case None => true
+                }
+              }
             }
             if (candidates.nonEmpty) {
               val visible = readMorEntries(spark, table, v, candidates, del)
-              val batchKeys = df.select(kc.as(k))
-                .filter(c(k).isNotNull).distinct()
-              val clash = visible.join(batchKeys,
-                visible(k).cast("long") === batchKeys(k), "left_semi")
+              val batchKeys = nonNull.select(ks.map(c): _*).distinct()
+              val clash = visible.join(batchKeys, ks, "left_semi")
                 .limit(1).count()
-              require(clash == 0, s"Snapshots: UNIQUE '$k' violated — " +
+              require(clash == 0, s"Snapshots: UNIQUE '$tag' violated — " +
                 "batch keys already present; use upsertMor/merge to " +
                 "replace rows")
             }
@@ -619,6 +715,40 @@ object Snapshots {
     (n, env)
   }
 
+  /** [[statsAgg]] for STRING columns: exact (count, min, max) folded
+    * from the per-file UTF-8 string envelopes (`strStatsCols` at
+    * commit) under byte-wise UTF-8 order — the order Spark, DuckDB and
+    * parquet statistics all compare strings with, so the fold equals
+    * the full-scan aggregate exactly (footer stats are exact values or
+    * absent under Spark's writer defaults — a file whose stats were
+    * dropped for size is refused below, never approximated; a
+    * non-default truncating writer would have to be refused at ingest).
+    * Same refusal discipline as the
+    * integral path: tombstoned versions and stat-less non-empty files
+    * are refused loudly rather than answered approximately.
+    */
+  def statsAggStr(spark: SparkSession, table: String, col: String,
+      version: Option[Int] = None): (Long, Option[(String, String)]) = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val entries = manifest(spark, table, v)
+    require(!entries.exists(e => isTombstone(e.path)),
+      s"Snapshots.statsAggStr: version $v of $table carries merge-on-read " +
+        "deletes — compactMor first (metadata counts cannot subtract)")
+    val withRows = entries.filter(_.rows > 0)
+    require(withRows.forall(_.strStats.contains(col)),
+      s"Snapshots.statsAggStr: version $v of $table has files without " +
+        s"'$col' string stats — commit with strStatsCols first")
+    val n = entries.map(_.rows).sum
+    val env =
+      if (withRows.isEmpty) None
+      else Some((
+        withRows.map(_.strStats(col)._1).reduce((a, b) =>
+          if (ParquetMeta.u8Less(a, b)) a else b),
+        withRows.map(_.strStats(col)._2).reduce((a, b) =>
+          if (ParquetMeta.u8Less(a, b)) b else a)))
+    (n, env)
+  }
+
   /** Manifest property listing every column name ever DROPPED
     * (comma-joined, inherited): re-adding a dropped name would
     * RESURRECT the old files' values through name-based null-fill (the
@@ -670,7 +800,18 @@ object Snapshots {
     requireNoConstraintOn(props, name, table, "dropColumn")
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
-    val dropped = props.get(DroppedProp).fold(name)(_ + "," + name)
+    // retire EVERY era name the column ever carried, not just the current
+    // one: after rename(a->b) + drop(b), re-adding a column named 'a'
+    // would otherwise pass the retired-name check while readFiles' era
+    // mapping resurrects pre-rename files' physical 'a' values into it —
+    // exactly the value-resurrection DroppedProp exists to prevent.
+    // Walk the rename history newest-first, chasing the name backwards.
+    val eraNames = renameEvents(props).reverse
+      .foldLeft(List(name)) { (acc, ev) =>
+        if (ev.to == acc.head) ev.from :: acc else acc
+      }
+    val retired = eraNames.mkString(",")
+    val dropped = props.get(DroppedProp).fold(retired)(_ + "," + retired)
     val event = s"$v:$name"
     val drops = props.get(DropsProp).fold(event)(_ + "," + event)
     publishManifest(spark, table,
@@ -699,7 +840,11 @@ object Snapshots {
     require(checks.isEmpty, s"Snapshots.$op: CHECK constraint(s) " +
       s"${checks.mkString(", ")} reference '$col' on $table — drop the " +
       "constraint(s) first")
-    require(!props.get(UniquePrefix + col).exists(_.nonEmpty),
+    val uniqueHit = props.exists { case (k, flag) =>
+      k.startsWith(UniquePrefix) && flag.nonEmpty &&
+        k.stripPrefix(UniquePrefix).split(",").contains(col)
+    }
+    require(!uniqueHit,
       s"Snapshots.$op: UNIQUE constraint on '$col' of $table — drop it " +
         "first, evolve, then re-declare on the new shape")
   }
@@ -1105,7 +1250,7 @@ object Snapshots {
             // blanks (drop) a key; empty values are elided after merge
             def isConstraint(k: String) =
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
-                k == RenamesProp || k == DroppedProp
+                k == RenamesProp || k == DroppedProp || k == DropsProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -2105,19 +2250,38 @@ object Snapshots {
     val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sfs.mkdirs(sp.getParent)
     val statusStr = sfs.makeQualified(sp).toString
-    val pending = writes.map { w =>
-      enforceChecks(spark, w.table, w.df)
-      val pinnedBase = uniquePinnedBase(spark, w.table, w.overwrite,
-        enforce = true)
-      enforceUnique(spark, w.table, w.df, vsParent = !w.overwrite)
-      val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
-        w.bloomCols, w.strStatsCols)
-      val v = publishManifest(spark, w.table,
-        w.properties + (SchemaProp -> w.df.schema.json) +
-          (TxnStatusProp -> statusStr),
-        entries, baseFor = pinnedBase)
-      w.table -> v
-    }
+    // a failure while staging a LATER table (constraint violation, bad
+    // batch) must not leave the earlier tables' already-published
+    // pending manifests in doubt — they would occupy version slots and
+    // pin staged files until some unrelated committer happens to race
+    // an abort in (possibly never, on low-write tables). The
+    // coordinator settles its own wreckage: write 'abort' into the
+    // status file (create-no-overwrite, same single-file arbiter as
+    // everywhere) before rethrowing, so every pending reads as dead
+    // immediately and removeOrphans can reclaim the staged bytes.
+    val pending =
+      try writes.map { w =>
+        enforceChecks(spark, w.table, w.df)
+        val pinnedBase = uniquePinnedBase(spark, w.table, w.overwrite,
+          enforce = true)
+        enforceUnique(spark, w.table, w.df, vsParent = !w.overwrite)
+        val (_, entries) = writeBatch(w.df, w.table, w.statsCols,
+          w.bloomCols, w.strStatsCols)
+        val v = publishManifest(spark, w.table,
+          w.properties + (SchemaProp -> w.df.schema.json) +
+            (TxnStatusProp -> statusStr),
+          entries, baseFor = pinnedBase)
+        w.table -> v
+      } catch {
+        case e: Throwable =>
+          val created =
+            try { Some(sfs.create(sp, false)) }
+            catch { case _: java.io.IOException => None }
+          created.foreach { out =>
+            try out.write("abort".getBytes("UTF-8")) finally out.close()
+          }
+          throw e
+      }
     statusHook()
     val created =
       try { Some(sfs.create(sp, false)) }

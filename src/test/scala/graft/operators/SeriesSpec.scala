@@ -118,4 +118,22 @@ class SeriesSpec extends SparkSpec {
       .orderBy(col("day")).collect().map(_.getDouble(3)).toSeq
     assert(run(1) === run(7))
   }
+
+  test("ewmaHalf: out-of-bound values raise instead of silently wrapping") {
+    // default non-ANSI long arithmetic wraps; the explicit guard must
+    // raise loudly for values past the exact-integer bound
+    val big = Long.MaxValue / 255L / 10000L * 2.0 // past the W=8 bound
+    val df = Seq(("k", day(1), 1.0), ("k", day(2), big)).toDF("k", "day", "x")
+    val e = intercept[Exception] {
+      Series.ewmaHalf(df, "k", "day", "x", windowRows = 8).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("exceeds the exact-integer bound"))
+    // in-bound values are untouched by the guard
+    val ok = Series.ewmaHalf(
+      Seq(("k", day(1), 4.0)).toDF("k", "day", "x"), "k", "day", "x",
+      windowRows = 1).collect()
+    assert(ok.head.getDouble(3) === 2.0)
+  }
 }

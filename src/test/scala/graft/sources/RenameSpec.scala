@@ -173,6 +173,62 @@ class RenameSpec extends SparkSpec {
     assert(Snapshots.changes(spark, tbl, 2, 3).count() === 5)
   }
 
+  test("drop retires every ERA name the column ever had") {
+    val tbl = freshTable("eras")
+    Snapshots.commit(orders.limit(50), tbl, statsCols = Seq("o_orderkey"))
+    Snapshots.renameColumn(spark, tbl, "o_totalprice", "price")   // v2
+    Snapshots.renameColumn(spark, tbl, "price", "amount")         // v3
+    Snapshots.dropColumn(spark, tbl, "amount")                    // v4
+    // EVERY era name is retired: committing (or renaming to) any of
+    // them would resurrect pre-rename files' physical values through
+    // name-based null-fill
+    Seq("amount", "price", "o_totalprice").foreach { n =>
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commit(orders.limit(5)
+          .select(col("o_orderkey") + 9000 as "o_orderkey",
+            col("o_totalprice").as(n)), tbl)
+      }
+      assert(e.getMessage.contains("resurrect"), s"era name '$n' not retired")
+      intercept[IllegalArgumentException] {
+        Snapshots.renameColumn(spark, tbl, "o_orderkey", n)
+      }
+    }
+    // a fresh name still lands fine
+    Snapshots.commit(orders.limit(5)
+      .select(col("o_orderkey") + 9000 as "o_orderkey",
+        col("o_totalprice").as("gross")), tbl)
+  }
+
+  test("changes() refuses a drop-straddling range even after later commits") {
+    val tbl = freshTable("dropfeed")
+    val wide = orders.withColumn("note", lit("x"))
+    Snapshots.commit(wide.limit(20), tbl)                          // v1
+    Snapshots.dropColumn(spark, tbl, "note")                       // v2
+    // a DATA commit after the drop: the drop event must be inherited
+    // into this commit's props, or the feed would silently null-fill
+    // pre-drop frames against post-drop ones
+    Snapshots.commit(orders.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 8000), tbl)    // v3
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, tbl, 0, 3).count()
+    }
+    assert(e.getMessage.contains("schema evolution"))
+    // ranges on either side of the drop stay serveable
+    assert(Snapshots.changes(spark, tbl, 2, 3).count() === 5)
+    // a SECOND drop keeps the first drop's event in the cumulative list
+    Snapshots.commit(orders.limit(3).select(
+      col("o_orderkey") + 9000 as "o_orderkey",
+      col("o_totalprice"), lit(1L).as("extra")), tbl)              // v4
+    Snapshots.dropColumn(spark, tbl, "extra")                      // v5
+    val props = Snapshots.properties(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    assert(props(Snapshots.DropsProp).split(",").length === 2,
+      "both drop events must survive")
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, tbl, 0, 5).count()
+    }
+  }
+
   test("rename composes with add-column null-fill") {
     val tbl = freshTable("addcol")
     Snapshots.commit(orders.limit(20), tbl)

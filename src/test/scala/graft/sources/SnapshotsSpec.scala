@@ -563,4 +563,44 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.statsAgg(spark, tbl, "o_orderkey")
     }
   }
+
+  test("statsAggStr answers string count/min/max from metadata, zero jobs") {
+    val tbl = freshTable("strstats")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Snapshots.commit(o.filter(col("o_orderkey") < 700), tbl,
+      strStatsCols = Seq("o_orderpriority"))
+    Snapshots.commit(o.filter(col("o_orderkey") >= 700), tbl,
+      strStatsCols = Seq("o_orderpriority"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (n, env) = try {
+      val r = Snapshots.statsAggStr(spark, tbl, "o_orderpriority")
+      Thread.sleep(1000)
+      assert(jobs === 0, "statsAggStr must not launch a job")
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val truth = o.agg(count(lit(1)), min(col("o_orderpriority")),
+      max(col("o_orderpriority"))).head()
+    assert(n === truth.getLong(0))
+    assert(env === Some((truth.getString(1), truth.getString(2))))
+    // same refusal discipline as the integral path
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(0, 5).select(col("id").as("o_orderkey")), "o_orderkey")
+    intercept[IllegalArgumentException] {
+      Snapshots.statsAggStr(spark, tbl, "o_orderpriority")
+    }
+    Snapshots.compactMor(spark, tbl)
+    assert(Snapshots.statsAggStr(spark, tbl, "o_orderpriority")._2 ===
+      Some((truth.getString(1), truth.getString(2))))
+    Snapshots.commit(o.limit(7), tbl) // no strStatsCols
+    intercept[IllegalArgumentException] {
+      Snapshots.statsAggStr(spark, tbl, "o_orderpriority")
+    }
+  }
 }

@@ -118,6 +118,39 @@ class TxnSpec extends SparkSpec {
     assert(Snapshots.read(spark, a).count() === 10)
   }
 
+  test("a failure staging a LATER table settles earlier pendings as aborted") {
+    val d = freshDir("midfail"); val a = s"$d/a"; val b = s"$d/b"
+    Snapshots.commit(orders.limit(10), a)
+    Snapshots.commit(orders.limit(10), b)
+    Snapshots.addCheck(spark, b, "pos", "o_totalprice > 0")
+    // table a stages and publishes pending FIRST; then b's CHECK
+    // violation throws mid-loop. The coordinator must settle its own
+    // wreckage — write 'abort' — so a's pending is dead immediately,
+    // not in-doubt until some unrelated committer happens along.
+    val boom = intercept[IllegalArgumentException] {
+      Snapshots.commitTxn(spark, Seq(
+        Snapshots.TxnWrite(orders.limit(5), a),
+        Snapshots.TxnWrite(orders.limit(5)
+          .withColumn("o_totalprice", lit(-1.0)), b)), s"$d/_txns")
+    }
+    assert(boom.getMessage.contains("CHECK"))
+    val statuses = fs(d).listStatus(new Path(s"$d/_txns")).toSeq
+    assert(statuses.size === 1)
+    val in = fs(d).open(statuses.head.getPath)
+    val verdict =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(verdict === "abort", "coordinator settles its own pendings")
+    assert(Snapshots.latestVersion(spark, a) === 1)
+    assert(Snapshots.read(spark, a).count() === 10)
+    // the settled pending does not pin its staged files
+    val removed = Snapshots.removeOrphans(spark, a, olderThanMs = -1)
+    assert(removed.nonEmpty, "staged files of the aborted txn reclaimed")
+    // and ordinary commits proceed with no settlement work left
+    Snapshots.commit(orders.limit(3), a)
+    assert(Snapshots.read(spark, a).count() === 13)
+  }
+
   test("removeOrphans reclaims an aborted txn's batch dirs, keeps live ones") {
     val d = freshDir("orphan"); val a = s"$d/a"
     Snapshots.commit(orders.limit(10), a)
