@@ -1082,12 +1082,105 @@ object SnapshotQueries {
          count(*) AS n_rollup
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** X101: UNIQUE on a STRING key ([[Snapshots.addUnique]]) — the type
+    * path the reference's own natural keys (customer/product ids) use.
+    * Keys like `C<custkey>` are non-numeric, so a cast-based check
+    * would null them all out and silently admit the colliding
+    * re-append; enforcement compares UNCAST and prunes parent files by
+    * the UTF-8 string envelopes. The oracle replays the accepted
+    * history — base rows plus the disjoint `X…`-keyed append — so an
+    * admitted duplicate would break both count and sum.
+    */
+  val uniqueKeyStr = Q("q_unique_key_str",
+    (s, d) => {
+      val tbl = freshTable(s, d, "uqs")
+      val byCust = orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+      def keyed(prefix: String, df: DataFrame) =
+        df.select(concat(lit(prefix), col("o_custkey")).as("cust_id"),
+          col("o_totalprice"))
+      Snapshots.commit(keyed("C", byCust), tbl,
+        strStatsCols = Seq("cust_id"))
+      Snapshots.addUnique(s, tbl, "cust_id")
+      // colliding re-append of every 10th key — must be rejected
+      try Snapshots.commit(
+        keyed("C", byCust.filter(col("o_custkey") % 10 === 0)), tbl)
+      catch { case _: IllegalArgumentException => () }
+      // disjoint keys land, constraint inherited
+      Snapshots.commit(
+        keyed("X", byCust.filter(col("o_custkey") % 10 === 0))
+          .withColumn("o_totalprice", col("o_totalprice") * 2), tbl)
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some("""WITH dd AS (SELECT o_custkey, max(o_totalprice) AS p
+           FROM orders GROUP BY 1),
+         u AS (SELECT p FROM dd
+               UNION ALL
+               SELECT p * 2 FROM dd WHERE o_custkey % 10 = 0)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CAST(p AS DECIMAL(27,4))) AS DOUBLE) AS total FROM u"""))
+
+  /** X101: composite UNIQUE key — (order, line)-pair enforcement, the
+    * key shape retail upserts actually use. A colliding pair re-append
+    * is rejected; the SAME orders under fresh line numbers land,
+    * because the TUPLE is the key, not the leading column. Oracle
+    * replays the accepted history.
+    */
+  val uniqueKeyPair = Q("q_unique_pair",
+    (s, d) => {
+      val tbl = freshTable(s, d, "uqp")
+      val pairs = lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("qty"))
+      Snapshots.commit(pairs, tbl, statsCols = Seq("l_orderkey"))
+      Snapshots.addUnique(s, tbl, Seq("l_orderkey", "l_linenumber"))
+      // colliding pairs — rejected
+      try Snapshots.commit(pairs.filter(col("l_orderkey") % 7 === 0), tbl)
+      catch { case _: IllegalArgumentException => () }
+      // same orders, new line numbers — the tuple admits them
+      Snapshots.commit(pairs.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("l_linenumber", col("l_linenumber") + 100), tbl)
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("qty")).as("total_qty"))
+    },
+    Some("""WITH dd AS (SELECT l_orderkey, l_linenumber,
+             max(l_quantity) AS q FROM lineitem GROUP BY 1, 2),
+         u AS (SELECT q FROM dd
+               UNION ALL
+               SELECT q FROM dd WHERE l_orderkey % 7 = 0)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CAST(q AS DECIMAL(27,4))) AS DOUBLE) AS total_qty
+         FROM u"""))
+
+  /** X104: metadata-only STRING aggregates ([[Snapshots.statsAggStr]])
+    * — exact COUNT/MIN/MAX of a string column folded from the per-file
+    * UTF-8 envelopes, zero data IO; the string twin of q_stats_agg.
+    */
+  val statsAggStrQ = Q("q_stats_agg_str",
+    (s, d) => {
+      import s.implicits._
+      val tbl = freshTable(s, d, "statss")
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        strStatsCols = Seq("o_orderpriority"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+        strStatsCols = Seq("o_orderpriority"))
+      val (n, env) = Snapshots.statsAggStr(s, tbl, "o_orderpriority")
+      val (lo, hi) = env.getOrElse(sys.error("empty table"))
+      Seq((n, lo, hi)).toDF("n_rows", "min_pri", "max_pri")
+    },
+    Some("""SELECT count(*) AS n_rows,
+         min(o_orderpriority) AS min_pri,
+         max(o_orderpriority) AS max_pri
+         FROM orders"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
     resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
-    replicate, checkConstraintsQ, uniqueKey, renameColumnQ, dropColumnQ,
-    statsAggQ)
+    replicate, checkConstraintsQ, uniqueKey, uniqueKeyStr, uniqueKeyPair,
+    renameColumnQ, dropColumnQ, statsAggQ, statsAggStrQ)
 }
