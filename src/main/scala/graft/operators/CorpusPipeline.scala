@@ -49,33 +49,42 @@ object CorpusPipeline {
     Dedup.exactSurvivors(docs, "text", "doc_id")
 
   /** Stage 4: near-dup removal — LSH candidates, exact-Jaccard confirm,
-    * drop the larger id of each confirmed pair.
+    * drop the larger id of each confirmed pair. FUSED: the corpus is
+    * shingled ONCE into a persisted `(doc, h)` frame that feeds both the
+    * banding and the candidate-pruned confirm — the standalone operators
+    * ([[Dedup.minhashLshCandidates]] + [[Dedup.jaccardOnCandidates]])
+    * each shingle from text, which costs the composed pipeline a second
+    * posexplode + per-doc window over the corpus.
     */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
-    nearDedupWith(docs, cfg,
-      c => Dedup.minhashLshCandidates(c, "text", "doc_id",
-        shingleSize = cfg.nearDupShingle),
-      (cand, c) => Dedup.jaccardOnCandidates(cand, c, "text", "doc_id",
-        cfg.nearDupShingle))
+    nearDedupFused(docs, cfg,
+      c => Dedup.shingleHashRows(c, "text", "doc_id", cfg.nearDupShingle),
+      sh => Dedup.minhashLshCandidatesFromHashes(sh),
+      // dup-keeping hash rows -> sets AFTER the candidate prune
+      pruned => pruned.distinct())
 
-  /** The shared near-dedup tail: persist the corpus once (it feeds LSH
-    * candidate generation, the confirm stage's semi-join prune, and the
-    * final anti-join — at 100 TB this stage boundary is a parquet
-    * checkpoint instead), confirm candidates with exact Jaccard, and
-    * anti-join the confirmed drop set — broadcast when it fits, so the
-    * corpus is never shuffled end-to-end in this stage. Lifetime note:
-    * the returned plan keeps reading the persists, so there is no safe
-    * place to unpersist inside the operator; LRU eviction reclaims the
-    * blocks (Bench clears the cache per iteration).
+  /** The fused near-dedup tail: persist the corpus once (it feeds the
+    * shingle pass and the final anti-join), persist the shingle rows once
+    * (they feed LSH banding AND the exact-Jaccard confirm — at 100 TB
+    * both stage boundaries are parquet checkpoints instead), confirm
+    * candidates with exact Jaccard over the candidate-pruned shingle
+    * frame, and anti-join the confirmed drop set — broadcast when it
+    * fits, so the corpus is never shuffled end-to-end in this stage.
+    * Lifetime note: the returned plan keeps reading the persists, so
+    * there is no safe place to unpersist inside the operator; LRU
+    * eviction reclaims the blocks (Bench clears the cache per iteration).
     */
-  private def nearDedupWith(
+  private def nearDedupFused(
       docs: DataFrame,
       cfg: Config,
+      shinglesOf: DataFrame => DataFrame,
       candidatesOf: DataFrame => DataFrame,
-      confirmOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      toSets: DataFrame => DataFrame): DataFrame = {
     val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = candidatesOf(corpus).select(col("id_a"), col("id_b"))
-    val confirmed = confirmOf(candidates, corpus)
+    val sh = shinglesOf(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = candidatesOf(sh).select(col("id_a"), col("id_b"))
+    val confirmed = Dedup.jaccardOnPrecomputedShingles(candidates, sh, toSets)
       .filter(col("jaccard") >= cfg.nearDupThreshold)
       .select(col("id_b").as("drop_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -88,19 +97,23 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(gate(docs, cfg)), cfg)
 
-  /** The cross-engine-VERIFIABLE pipeline: the same stages via
-    * [[nearDedupWith]], with the md5-variant LSH and the string-shingle
-    * confirm, so an ANSI oracle replays gate → exact dedup → LSH →
-    * confirm → survivors end-to-end hash-exactly (q_corpus_prep_md5).
-    * [[prepare]] (xxhash64 + hashed-shingle confirm) stays the fast path
-    * — narrower shuffle keys, same shapes.
+  /** The cross-engine-VERIFIABLE pipeline: the same fused stages, with
+    * the md5-variant LSH and the string-shingle confirm, so an ANSI
+    * oracle replays gate → exact dedup → LSH → confirm → survivors
+    * end-to-end hash-exactly (q_corpus_prep_md5) — the oracle itself
+    * derives banding and confirm from ONE `shs` CTE, which is exactly the
+    * shared-shingle-frame shape this runs. [[prepare]] (xxhash64 +
+    * hashed-shingle confirm) stays the fast path — narrower shuffle keys,
+    * same shapes.
     */
   def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    nearDedupWith(exactDedup(gate(docs, cfg)), cfg,
-      c => Dedup.minhashLshCandidatesMd5(c, "text", "doc_id",
-        shingleSize = cfg.nearDupShingle),
-      (cand, c) => Dedup.jaccardOnCandidatesStrings(cand, c, "text", "doc_id",
-        cfg.nearDupShingle))
+    nearDedupFused(exactDedup(gate(docs, cfg)), cfg,
+      // distinct string shingles, in the confirm's (doc, h) shape
+      c => graft.operators.TrainingData
+        .docShingles(c, "text", "doc_id", cfg.nearDupShingle)
+        .select(col("doc_id").as("doc"), col("shingle").as("h")),
+      sh => Dedup.minhashLshCandidatesMd5FromShingles(sh),
+      identity)
 
   /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
   def tokenReport(corpus: DataFrame): DataFrame =

@@ -104,18 +104,41 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes); a remainder would drop trailing hashes")
-    val banded = bandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
+    pairBandBuckets(
+      bandBuckets(df, textCol, idCol, shingleSize, numHashes, bands),
+      maxBucketSize)
+  }
+
+  /** [[minhashLshCandidates]] over PRECOMPUTED `(doc, h)` shingle-hash
+    * rows ([[shingleHashRows]] shape, duplicates tolerated — they cannot
+    * change a min). The fused corpus pipeline computes the shingle rows
+    * once and feeds both this banding and the Jaccard confirm from the
+    * same persisted frame, instead of re-shingling the corpus per stage.
+    */
+  def minhashLshCandidatesFromHashes(
+      sh: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    pairBandBuckets(bandBucketsFromHashes(sh, numHashes, bands), maxBucketSize)
+  }
+
+  /** The shared candidate-pairing tail of every LSH variant: per-bucket
+    * size/representative via one window, then the capped self-join. In an
+    * oversized bucket only the representative may sit on the left of a
+    * pair — a predicate on side `a` alone, pushed below the join (the
+    * hot-bucket star-pairing cap).
+    */
+  private def pairBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val bucketW = Window.partitionBy(col("bucket"))
     val counted = banded
       .withColumn("_bsz", count(lit(1)).over(bucketW))
       .withColumn("_rep", min(col("doc")).over(bucketW))
-
-    val a = counted.as("a")
-    val b = counted.as("b")
-    // In an oversized bucket only the representative may sit on the left
-    // of a pair — a predicate on side `a` alone, pushed below the join.
     val leftEligible = col("a._bsz") <= maxBucketSize || col("a.doc") === col("a._rep")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
+    counted.as("a").join(counted.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -142,20 +165,32 @@ object Dedup {
     // Windowed shingle formation (TrainingData.docShingles), NOT the
     // transform()-lambda form: the interpreted lambda re-splits the text
     // per element and measured ~4x slower on the full corpus at sf0.1.
-    val banded = md5BandBuckets(df, textCol, idCol, shingleSize, numHashes, bands)
     // Same hot-bucket star-pairing cap as the fast path (see
     // [[minhashLshCandidates]]) so the two variants stay semantically
     // aligned; the oracle replays the cap with a bucket-stats CTE.
-    val bucketW = Window.partitionBy(col("bucket"))
-    val counted = banded
-      .withColumn("_bsz", count(lit(1)).over(bucketW))
-      .withColumn("_rep", min(col("doc")).over(bucketW))
-    val leftEligible =
-      col("a._bsz") <= maxBucketSize || col("a.doc") === col("a._rep")
-    counted.as("a").join(counted.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+    pairBandBuckets(
+      md5BandBuckets(df, textCol, idCol, shingleSize, numHashes, bands),
+      maxBucketSize)
+  }
+
+  /** [[minhashLshCandidatesMd5]] over PRECOMPUTED distinct
+    * `(doc, shingle)` string rows ([[TrainingData.docShingles]] shape,
+    * with the shingle string in column `h`) — the md5-variant twin of
+    * [[minhashLshCandidatesFromHashes]] for the fused corpus pipeline,
+    * which shares one persisted shingle frame between banding and the
+    * exact-Jaccard confirm.
+    */
+  def minhashLshCandidatesMd5FromShingles(
+      sh: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val hashed = sh.select(col("doc"),
+      pmod(conv(substring(md5(col("h")), 1, 8), 16, 10).cast("long"), lit(P))
+        .as("h"))
+    pairBandBuckets(bandBucketsFromHashes(hashed, numHashes, bands), maxBucketSize)
   }
 
   /** (doc, bucket) rows of the md5-variant banded signature — the
@@ -166,25 +201,13 @@ object Dedup {
     * their union.
     */
   private def md5BandBuckets(df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int, numHashes: Int = 16, bands: Int = 8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val seed = 42L
-    val sh = TrainingData.docShingles(df, textCol, idCol, shingleSize)
-      .select(col("doc_id").as("doc"),
-        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
-          .as("h"))
-    val minCols = (0 until numHashes).map { i =>
-      val (a, b) = hashParams(i, seed)
-      min(pmod(col("h") * a + b, lit(P))).as(s"s_$i")
-    }
-    sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
-      .select(col("doc"), explode(array(
-        (0 until bands).map { b =>
-          md5(concat_ws(",",
-            (0 until rowsPerBand).map(r => col(s"s_${b * rowsPerBand + r}").cast("string"))
-              :+ lit(b.toString): _*))
-        }: _*)).as("bucket"))
-  }
+      shingleSize: Int, numHashes: Int = 16, bands: Int = 8): DataFrame =
+    bandBucketsFromHashes(
+      TrainingData.docShingles(df, textCol, idCol, shingleSize)
+        .select(col("doc_id").as("doc"),
+          pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"), lit(P))
+            .as("h")),
+      numHashes, bands)
 
   /** Incremental NEAR-dedup: which documents of an incoming `batch` are
     * near-duplicates of the already-ingested `corpus` — the continuous-
@@ -252,15 +275,25 @@ object Dedup {
     */
   private def bandBuckets(
       df: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    bandBucketsFromHashes(
+      shingleHashRows(df, textCol, idCol, shingleSize), numHashes, bands)
+
+  /** Banded MinHash signature from `(doc, h)` shingle-hash rows — the
+    * shared core of every banding variant. `h` may exceed the modulus
+    * (the raw [[shingleHashRows]] combination); it is reduced before the
+    * permutation arithmetic, which is the identity for already-reduced
+    * hashes (the md5 path), so both variants share one expression shape.
+    */
+  private def bandBucketsFromHashes(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val seed = 42L
-    val shingled = shingleHashRows(df, textCol, idCol, shingleSize)
     val minCols = (0 until numHashes).map { i =>
       val (a, b) = hashParams(i, seed)
       min(pmod(pmod(col("h"), lit(P)) * a + b, lit(P))).as(s"s_$i")
     }
-    val sig = shingled.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+    val sig = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
     sig.select(col("doc"), explode(array(
       (0 until bands).map { b =>
         md5(concat_ws(",",
@@ -342,7 +375,30 @@ object Dedup {
       candidates: DataFrame,
       df: DataFrame,
       idCol: String,
-      shingleRows: DataFrame => DataFrame): DataFrame = {
+      shingleRows: DataFrame => DataFrame): DataFrame =
+    jaccardConfirmCore(candidates,
+      (candidateIds: DataFrame) => shingleRows(
+        df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")))
+
+  /** Exact Jaccard confirm over PRECOMPUTED set-semantic `(doc, h)`
+    * shingle rows covering the whole corpus — the fused-pipeline variant:
+    * the caller computed (and typically persisted) the shingle rows once
+    * for LSH banding, so the confirm prunes THAT frame to candidate docs
+    * instead of re-shingling the corpus. `toSets` runs AFTER the
+    * candidate prune (e.g. `.distinct()` for dup-keeping hash rows), so
+    * set-forming shuffles only ever touch candidate-bounded rows.
+    */
+  def jaccardOnPrecomputedShingles(
+      candidates: DataFrame,
+      sh: DataFrame,
+      toSets: DataFrame => DataFrame = identity): DataFrame =
+    jaccardConfirmCore(candidates,
+      (candidateIds: DataFrame) => toSets(
+        sh.join(candidateIds, col("doc") === col("_cand_doc"), "left_semi")))
+
+  private def jaccardConfirmCore(
+      candidates: DataFrame,
+      prunedShingleRows: DataFrame => DataFrame): DataFrame = {
     val pairs = candidates.select(col("id_a"), col("id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallCandidates = pairs.count() <= Dedup.broadcastPairLimit
@@ -352,11 +408,10 @@ object Dedup {
       pairs.select(col("id_a").as("_cand_doc"))
         .unionByName(pairs.select(col("id_b").as("_cand_doc")))
         .distinct())
-    val pruned = df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")
     // Cache the shingle rows: they feed sizes + both join sides, and Spark
     // has no common-subplan elimination across self-joins. (LRU eviction
     // reclaims the blocks; no explicit unpersist is owed.)
-    val sh = shingleRows(pruned)
+    val sh = prunedShingleRows(candidateIds)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val shA = sh.select(col("doc").as("id_a"), col("h"))

@@ -891,6 +891,22 @@ object Snapshots {
     }
   }
 
+  /** The newest version [[registerBucketed]] can serve — bucket spec
+    * present and every file in ONE batch dir (plain appends and
+    * [[mergeBucketed]] span dirs and break the claim) — or None. The
+    * streaming rebucket-cadence policy ([[graft.streaming.SnapshotStream]])
+    * keys on how many commits landed after it; cost is O(versions)
+    * manifest reads, the same driver-side bound as the stream's replay
+    *-marker scan.
+    */
+  def bucketedLayoutVersion(spark: SparkSession, table: String): Option[Int] =
+    versions(spark, table).reverse.find { v =>
+      bucketSpec(spark, table, Some(v)).isDefined &&
+        manifest(spark, table, v)
+          .map(e => e.path.substring(0, math.max(e.path.lastIndexOf('/'), 0)))
+          .distinct.size == 1
+    }
+
   /** Commit `df` as a new OVERWRITE version laid out in `nBuckets` hash
     * buckets on `bucketCol` — the storage layout that lets two tables
     * bucketed identically on their join key equi-join with NO Exchange on

@@ -32,6 +32,20 @@ object SnapshotStream {
     * an immediately-redelivered rejected id re-audits; once a later
     * batch publishes, the rejected id counts as handled (its capture
     * point is the dead-letter hook, not the table).
+    *
+    * `rebucketEvery = Some(n)`: the rebucket-cadence policy for bucketed
+    * tables. Plain streaming appends break [[Snapshots.commitBucketed]]'s
+    * one-file-per-bucket single-dir layout, so continuous ingest degrades
+    * shuffle-free joins until a rebucket; with the policy set, once `n`
+    * commits have landed since the last [[Snapshots.registerBucketed]]-
+    * servable layout, the batch is folded INTO a
+    * [[Snapshots.commitBucketed]] of the whole table content — ONE atomic
+    * commit carries the replay marker AND restores the layout, so a crash
+    * can never split "batch ingested" from "layout restored" on the fold
+    * path. (On the audit path the batch still lands via write-audit-
+    * publish and the policy follows up with [[Snapshots.rebucket]] — a
+    * crash between the two leaves the backlog ≥ n, so the next batch
+    * re-fires it.) Tables with no bucketed version ever are unaffected.
     */
   def ingest(
       stream: DataFrame,
@@ -39,11 +53,14 @@ object SnapshotStream {
       statsCols: Seq[String] = Seq.empty,
       checkpoint: Option[String] = None,
       audit: Option[DataFrame => Option[String]] = None,
-      onRejected: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
+      onRejected: (Long, String) => Unit = (_, _) => (),
+      rebucketEvery: Option[Int] = None): StreamingQuery = {
+    require(rebucketEvery.forall(_ >= 1),
+      s"rebucketEvery must be >= 1, got $rebucketEvery")
     val writer = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         commitBatch(batch.toDF(), batchId, table, statsCols, audit,
-          onRejected)
+          onRejected, rebucketEvery)
       }
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
@@ -89,7 +106,8 @@ object SnapshotStream {
   private[streaming] def commitBatch(batch: DataFrame, batchId: Long,
       table: String, statsCols: Seq[String],
       audit: Option[DataFrame => Option[String]] = None,
-      onRejected: (Long, String) => Unit = (_, _) => ()): Unit = {
+      onRejected: (Long, String) => Unit = (_, _) => (),
+      rebucketEvery: Option[Int] = None): Unit = {
     if (batch.isEmpty) return // no version for an empty batch
     val spark = batch.sparkSession
     // scan ALL retained versions for the marker, not just the latest: an
@@ -101,14 +119,50 @@ object SnapshotStream {
     val props = Map(batchProp -> batchId.toString)
     audit match {
       case None =>
-        Snapshots.commit(batch, table, statsCols = statsCols,
-          properties = props)
+        bucketBacklog(spark, table, rebucketEvery) match {
+          case Some((bcol, n)) =>
+            // fold the batch INTO the layout restore: one atomic
+            // commitBucketed of (current content + batch) carries the
+            // replay marker, so marker and layout can't split on a crash
+            Snapshots.commitBucketed(
+              Snapshots.read(spark, table).unionByName(batch),
+              table, bcol, n, statsCols = statsCols, properties = props)
+          case None =>
+            Snapshots.commit(batch, table, statsCols = statsCols,
+              properties = props)
+        }
       case Some(a) =>
         Snapshots.commitAudited(batch, table, a, statsCols = statsCols,
           properties = props) match {
           case Left(reason) => onRejected(batchId, reason)
-          case Right(_) => ()
+          case Right(_) =>
+            // audit semantics (audit exactly the staged batch) keep the
+            // append commit; the layout restore follows as its own
+            // data.change=false commit. Crash in between: backlog stays
+            // >= the cadence, the next published batch re-fires.
+            if (bucketBacklog(spark, table, rebucketEvery.map(_ + 1)).isDefined)
+              Snapshots.rebucket(spark, table)
         }
     }
   }
+
+  /** Some((bucketCol, nBuckets)) when the cadence policy is due: the
+    * table has EVER recorded a bucket spec (newest recording wins) and at
+    * least `every - 1` commits landed after the newest
+    * registerBucketed-servable layout — so counting the batch about to
+    * commit, the backlog reaches the cadence. None = commit plain.
+    */
+  private def bucketBacklog(spark: org.apache.spark.sql.SparkSession,
+      table: String, every: Option[Int]): Option[(String, Int)] =
+    every.flatMap { n =>
+      val vs = Snapshots.versions(spark, table)
+      if (vs.isEmpty) None
+      else {
+        val spec = vs.reverse.iterator
+          .map(v => Snapshots.bucketSpec(spark, table, Some(v)))
+          .collectFirst { case Some(s) => s }
+        val base = Snapshots.bucketedLayoutVersion(spark, table).getOrElse(0)
+        spec.filter(_ => vs.count(_ > base) + 1 >= n)
+      }
+    }
 }

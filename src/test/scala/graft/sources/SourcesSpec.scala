@@ -114,6 +114,94 @@ class SourcesSpec extends SparkSpec {
       df.agg(sum(col("n_nationkey"))).head().getLong(0) * 2)
   }
 
+  // ---- S7 over a REAL socket: an in-process localhost HTTP server ----
+  // (JDK built-in, zero egress). file:// exercises parsing; these pin the
+  // actual network path — connection handling, per-request rate limiting,
+  // HTTP error propagation, and the read timeout against a stalled
+  // endpoint.
+
+  private def withHttpServer(
+      handlers: (String, com.sun.net.httpserver.HttpExchange => Unit)*)(
+      body: Int => Unit): Unit = {
+    import com.sun.net.httpserver.HttpServer
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      handlers.foreach { case (path, h) =>
+        server.createContext(path, exchange => try h(exchange)
+          finally exchange.close())
+      }
+      server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+      server.start()
+      body(server.getAddress.getPort)
+    } finally server.stop(0)
+  }
+
+  private def replyJson(ex: com.sun.net.httpserver.HttpExchange,
+      status: Int, bodyStr: String): Unit = {
+    val bytes = bodyStr.getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  test("HttpSource over a real localhost socket: one rate-limited " +
+      "request per URL, array flattened to rows") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType)))
+    withHttpServer(
+      "/products" -> { ex =>
+        hits.incrementAndGet()
+        replyJson(ex, 200,
+          """[{"id": 1, "title": "Backpack"}, {"id": 2, "title": "Shirt"}]""")
+      },
+      "/more" -> { ex =>
+        hits.incrementAndGet()
+        replyJson(ex, 200, """[{"id": 3, "title": "Socks"}]""")
+      }) { port =>
+      var acquires = 0
+      val limiter = new RateLimiter(1000.0,
+        clock = () => { acquires += 1; 0L }, sleep = _ => ())
+      val rows = HttpSource(
+          Seq(s"http://127.0.0.1:$port/products",
+            s"http://127.0.0.1:$port/more"),
+          schema, limiter = Some(limiter)).read(spark)
+        .orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "Backpack"), (2L, "Shirt"), (3L, "Socks")))
+      assert(hits.get() === 2, "exactly one HTTP request per URL")
+      assert(acquires === 2, "one limiter acquire per request")
+    }
+  }
+
+  test("HttpSource fails loudly on an HTTP error status and on a " +
+      "stalled endpoint (read timeout)") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    withHttpServer(
+      "/boom" -> { ex => replyJson(ex, 500, """{"error": "down"}""") },
+      "/stall" -> { ex =>
+        Thread.sleep(3000)
+        replyJson(ex, 200, """[{"id": 1}]""")
+      }) { port =>
+      val noWait = Some(new RateLimiter(1000.0, clock = () => 0L,
+        sleep = _ => ()))
+      // a 5xx must throw, not yield an empty/garbage DataFrame
+      intercept[java.io.IOException] {
+        HttpSource(Seq(s"http://127.0.0.1:$port/boom"), schema,
+          limiter = noWait).read(spark)
+      }
+      // a stalled endpoint must trip the bounded read timeout, not wedge
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException] {
+        HttpSource(Seq(s"http://127.0.0.1:$port/stall"), schema,
+          limiter = noWait, readTimeoutMs = 250).read(spark)
+      }
+      assert((System.nanoTime() - t0) / 1e9 < 2.5,
+        "timeout fired well before the stalled response completed")
+    }
+  }
+
   test("ParquetSink/ParquetSource roundtrip with partitioning") {
     val dir = Files.createTempDirectory("graft_sink").toString + "/t"
     val df = graft.Tables.orders(spark, sf001)

@@ -120,4 +120,86 @@ class SnapshotStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
       Set((1L, "a2"), (2L, "b2"), (3L, "c")))
   }
+
+  private def exchanges(plan: String): Int =
+    "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("rebucket cadence: streamed appends fold back into a bucketed " +
+      "layout every N batches, join stays zero-Exchange") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = fresh("rebucket")
+    // seed: a bucketed table (the layout the policy maintains)
+    Snapshots.commitBucketed(
+      Seq(Click(1, "s1"), Click(2, "s2")).toDF(), tbl, "user", 4)
+    val stream = MemoryStream[Click]
+    val q = SnapshotStream.ingest(stream.toDF(), tbl,
+      statsCols = Seq("user"), rebucketEvery = Some(2))
+    try {
+      stream.addData(Click(3, "a")) // backlog 1 -> plain append
+      q.processAllAvailable()
+      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(1))
+      assert(Snapshots.bucketSpec(spark, tbl).isEmpty) // v2 is plain
+      stream.addData(Click(4, "b")) // backlog reaches 2 -> folds
+      q.processAllAvailable()
+      // ONE commit: the fold carries the batch marker AND the layout
+      assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(3))
+      assert(Snapshots.properties(spark, tbl, 3)(SnapshotStream.batchProp)
+        === "1")
+      // content = seed + every batch, nothing lost or doubled
+      assert(Snapshots.read(spark, tbl)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+        Set((1L, "s1"), (2L, "s2"), (3L, "a"), (4L, "b")))
+      // the restored layout serves a shuffle-free self-join
+      Snapshots.registerBucketed(spark, tbl, "bkt_stream_t")
+      val joined = spark.table("bkt_stream_t").hint("merge")
+        .join(spark.table("bkt_stream_t").select(col("user"),
+          col("page").as("p2")).hint("merge"), "user")
+      assert(exchanges(executedPlan(joined)) === 0)
+      // cycle repeats: two more batches -> next fold at v5
+      stream.addData(Click(5, "c"))
+      q.processAllAvailable()
+      stream.addData(Click(6, "d"))
+      q.processAllAvailable()
+      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(5))
+      assert(Snapshots.read(spark, tbl).count() === 6)
+    } finally q.stop()
+  }
+
+  test("rebucket cadence: never-bucketed tables and replays are " +
+      "unaffected; audit path restores the layout as a follow-on commit") {
+    val plain = fresh("rebucket_plain")
+    // a table with NO bucketed version ever: policy must not invent one
+    SnapshotStream.commitBatch(Seq(Click(1, "a")).toDF(), 0, plain,
+      Seq.empty, rebucketEvery = Some(1))
+    SnapshotStream.commitBatch(Seq(Click(2, "b")).toDF(), 1, plain,
+      Seq.empty, rebucketEvery = Some(1))
+    assert(Snapshots.versions(spark, plain) === Seq(1, 2))
+    assert(Snapshots.bucketSpec(spark, plain).isEmpty)
+
+    val tbl = fresh("rebucket_audit")
+    Snapshots.commitBucketed(Seq(Click(1, "s")).toDF(), tbl, "user", 4)
+    val audit: org.apache.spark.sql.DataFrame => Option[String] = b =>
+      if (b.filter(col("page") === "BAD").count() > 0)
+        Some("poison") else None
+    // audited path: batch publishes by WAP, then the policy follow-up
+    // rebucket (data.change=false) restores the layout
+    SnapshotStream.commitBatch(Seq(Click(2, "x")).toDF(), 0, tbl,
+      Seq.empty, Some(audit), rebucketEvery = Some(1))
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+    assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(3))
+    assert(Snapshots.properties(spark, tbl, 2)(SnapshotStream.batchProp)
+      === "0")
+    // a rejected batch publishes nothing and triggers no rebucket
+    SnapshotStream.commitBatch(Seq(Click(3, "BAD")).toDF(), 1, tbl,
+      Seq.empty, Some(audit), rebucketEvery = Some(1))
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+    // replayed id: no-op even with the policy armed
+    SnapshotStream.commitBatch(Seq(Click(2, "x")).toDF(), 0, tbl,
+      Seq.empty, Some(audit), rebucketEvery = Some(1))
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
+    assert(Snapshots.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "s"), (2L, "x")))
+  }
 }
