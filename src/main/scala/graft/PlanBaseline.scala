@@ -19,11 +19,26 @@ package graft
   */
 object PlanBaseline {
 
-  /** Serialize a name→fp8 map as one sorted JSON object line. */
-  def render(plans: Map[String, String]): String =
+  /** Serialize a name→fp8 map as one sorted JSON object line. Keys and
+    * values must be quote/backslash/control-free — [[parse]] is a flat
+    * regex codec that cannot round-trip escapes, so rather than write
+    * JSON the codec would misread back, refuse loudly. Catalog query
+    * names are plain identifiers and fingerprints are hex, so this
+    * never fires in practice; it keeps the codec's round-trip honest.
+    */
+  def render(plans: Map[String, String]): String = {
+    plans.foreach { case (k, v) =>
+      require(!k.exists(c => c == '"' || c == '\\' || c < ' '),
+        s"PlanBaseline.render: key ${k.take(40)} contains a quote, " +
+          "backslash, or control char — the flat codec cannot escape it")
+      require(!v.exists(c => c == '"' || c == '\\' || c < ' '),
+        s"PlanBaseline.render: value for $k contains a quote, " +
+          "backslash, or control char — the flat codec cannot escape it")
+    }
     plans.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+  }
 
   /** Parse the flat string→string JSON object [[render]] writes. Only
     * that shape is supported — this is a baseline-file codec, not a JSON

@@ -38,14 +38,17 @@ object SnapshotStream {
     * one-file-per-bucket single-dir layout, so continuous ingest degrades
     * shuffle-free joins until a rebucket; with the policy set, once `n`
     * commits have landed since the last [[Snapshots.registerBucketed]]-
-    * servable layout, the batch is folded INTO a
-    * [[Snapshots.commitBucketed]] of the whole table content — ONE atomic
-    * commit carries the replay marker AND restores the layout, so a crash
-    * can never split "batch ingested" from "layout restored" on the fold
-    * path. (On the audit path the batch still lands via write-audit-
-    * publish and the policy follows up with [[Snapshots.rebucket]] — a
-    * crash between the two leaves the backlog ≥ n, so the next batch
-    * re-fires it.) Tables with no bucketed version ever are unaffected.
+    * servable layout, the batch lands as a plain append (carrying the
+    * replay marker) and the layout is restored by an immediate follow-up
+    * [[Snapshots.rebucket]] — a separate `graft.data.change=false`
+    * commit, so [[Snapshots.changes]]/[[Snapshots.diffAdded]] stay valid
+    * across the whole lineage (an OVERWRITE fold carrying batch data
+    * could not be stamped data.change=false and would break the
+    * inter-batch CDC contract this module promises). A crash between the
+    * two commits leaves the backlog ≥ n, so the next published batch
+    * re-fires the rebucket; the replayed-batch marker already advanced,
+    * so no data is double-ingested. Tables with no bucketed version ever
+    * are unaffected.
     */
   def ingest(
       stream: DataFrame,
@@ -117,33 +120,30 @@ object SnapshotStream {
       Snapshots.properties(spark, table, v).get(batchProp).map(_.toLong))
     if (applied.nonEmpty && applied.max >= batchId) return // replay: done
     val props = Map(batchProp -> batchId.toString)
-    audit match {
+    val published = audit match {
       case None =>
-        bucketBacklog(spark, table, rebucketEvery) match {
-          case Some((bcol, n)) =>
-            // fold the batch INTO the layout restore: one atomic
-            // commitBucketed of (current content + batch) carries the
-            // replay marker, so marker and layout can't split on a crash
-            Snapshots.commitBucketed(
-              Snapshots.read(spark, table).unionByName(batch),
-              table, bcol, n, statsCols = statsCols, properties = props)
-          case None =>
-            Snapshots.commit(batch, table, statsCols = statsCols,
-              properties = props)
-        }
+        Snapshots.commit(batch, table, statsCols = statsCols,
+          properties = props)
+        true
       case Some(a) =>
         Snapshots.commitAudited(batch, table, a, statsCols = statsCols,
           properties = props) match {
-          case Left(reason) => onRejected(batchId, reason)
-          case Right(_) =>
-            // audit semantics (audit exactly the staged batch) keep the
-            // append commit; the layout restore follows as its own
-            // data.change=false commit. Crash in between: backlog stays
-            // >= the cadence, the next published batch re-fires.
-            if (bucketBacklog(spark, table, rebucketEvery.map(_ + 1)).isDefined)
-              Snapshots.rebucket(spark, table)
+          case Left(reason) => onRejected(batchId, reason); false
+          case Right(_) => true
         }
     }
+    // the batch lands as an append (so changes()/diffAdded stay valid —
+    // an overwrite fold could not be stamped data.change=false); the
+    // layout restore follows as its own data.change=false commit, which
+    // inherits bloom/strStats specs from the latest manifest. Crash in
+    // between: backlog stays >= the cadence, the next batch re-fires.
+    // The +1 compensates bucketBacklog's "counting the batch about to
+    // commit" convention now that the batch has already committed; the
+    // arithmetic is Long so rebucketEvery = Int.MaxValue means "never",
+    // not "always".
+    if (published &&
+        bucketBacklog(spark, table, rebucketEvery.map(_.toLong + 1)).isDefined)
+      Snapshots.rebucket(spark, table)
   }
 
   /** Some((bucketCol, nBuckets)) when the cadence policy is due: the
@@ -153,7 +153,7 @@ object SnapshotStream {
     * commit, the backlog reaches the cadence. None = commit plain.
     */
   private def bucketBacklog(spark: org.apache.spark.sql.SparkSession,
-      table: String, every: Option[Int]): Option[(String, Int)] =
+      table: String, every: Option[Long]): Option[(String, Int)] =
     every.flatMap { n =>
       val vs = Snapshots.versions(spark, table)
       if (vs.isEmpty) None
@@ -162,7 +162,7 @@ object SnapshotStream {
           .map(v => Snapshots.bucketSpec(spark, table, Some(v)))
           .collectFirst { case Some(s) => s }
         val base = Snapshots.bucketedLayoutVersion(spark, table).getOrElse(0)
-        spec.filter(_ => vs.count(_ > base) + 1 >= n)
+        spec.filter(_ => vs.count(_ > base).toLong + 1L >= n)
       }
     }
 }

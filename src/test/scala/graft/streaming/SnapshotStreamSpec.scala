@@ -124,8 +124,8 @@ class SnapshotStreamSpec extends SparkSpec {
   private def exchanges(plan: String): Int =
     "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).length
 
-  test("rebucket cadence: streamed appends fold back into a bucketed " +
-      "layout every N batches, join stays zero-Exchange") {
+  test("rebucket cadence: streamed appends restore a bucketed layout " +
+      "every N batches, join stays zero-Exchange, CDC lineage intact") {
     implicit val sqlCtx = spark.sqlContext
     val tbl = fresh("rebucket")
     // seed: a bucketed table (the layout the policy maintains)
@@ -139,29 +139,38 @@ class SnapshotStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(1))
       assert(Snapshots.bucketSpec(spark, tbl).isEmpty) // v2 is plain
-      stream.addData(Click(4, "b")) // backlog reaches 2 -> folds
+      stream.addData(Click(4, "b")) // backlog reaches 2 -> policy fires
       q.processAllAvailable()
-      // ONE commit: the fold carries the batch marker AND the layout
-      assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3))
-      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(3))
+      // TWO commits: the batch lands as an append carrying the marker
+      // (v3), then the layout restore is its own data.change=false
+      // rebucket (v4) — so the change feed stays valid over the lineage
+      assert(Snapshots.versions(spark, tbl) === Seq(1, 2, 3, 4))
+      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(4))
       assert(Snapshots.properties(spark, tbl, 3)(SnapshotStream.batchProp)
         === "1")
+      assert(Snapshots.properties(spark, tbl, 4)
+        .get(Snapshots.DataChangeProp) === Some("false"))
       // content = seed + every batch, nothing lost or doubled
       assert(Snapshots.read(spark, tbl)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
         Set((1L, "s1"), (2L, "s2"), (3L, "a"), (4L, "b")))
+      // the CDC contract the append+rebucket shape preserves: row-level
+      // changes stream across the restore (an overwrite fold would throw)
+      val ch = Snapshots.changes(spark, tbl, 1, 4)
+      assert(ch.filter(col("_change_type") === "insert")
+        .collect().map(r => r.getAs[Long]("user")).toSet === Set(3L, 4L))
       // the restored layout serves a shuffle-free self-join
       Snapshots.registerBucketed(spark, tbl, "bkt_stream_t")
       val joined = spark.table("bkt_stream_t").hint("merge")
         .join(spark.table("bkt_stream_t").select(col("user"),
           col("page").as("p2")).hint("merge"), "user")
       assert(exchanges(executedPlan(joined)) === 0)
-      // cycle repeats: two more batches -> next fold at v5
+      // cycle repeats: two more batches -> next restore after the 2nd
       stream.addData(Click(5, "c"))
       q.processAllAvailable()
       stream.addData(Click(6, "d"))
       q.processAllAvailable()
-      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(5))
+      assert(Snapshots.bucketedLayoutVersion(spark, tbl) === Some(7))
       assert(Snapshots.read(spark, tbl).count() === 6)
     } finally q.stop()
   }
