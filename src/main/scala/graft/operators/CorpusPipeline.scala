@@ -59,17 +59,21 @@ object CorpusPipeline {
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
     nearDedupFused(docs, cfg,
       c => Dedup.shingleHashRows(c, "text", "doc_id", cfg.nearDupShingle),
-      sh => Dedup.minhashLshCandidatesFromHashes(sh),
-      // dup-keeping hash rows -> sets AFTER the candidate prune
-      pruned => pruned.distinct())
+      sh => Dedup.minhashLshCandidatesFromHashes(sh))
 
   /** The fused near-dedup tail: persist the corpus once (it feeds the
     * shingle pass and the final anti-join), persist the shingle rows once
     * (they feed LSH banding AND the exact-Jaccard confirm — at 100 TB
-    * both stage boundaries are parquet checkpoints instead), confirm
-    * candidates with exact Jaccard over the candidate-pruned shingle
-    * frame, and anti-join the confirmed drop set — broadcast when it
-    * fits, so the corpus is never shuffled end-to-end in this stage.
+    * both stage boundaries are parquet checkpoints instead), then confirm
+    * with the SET-ARRAY Jaccard ([[Dedup.jaccardOnShingleSets]]): LSH
+    * banding already emits distinct pairs (its final group-by), so the
+    * pairs frame persists without a re-distinct, the drop set rides the
+    * anti-join without one (left_anti ignores right-side duplicates),
+    * and NO driver-side count actions remain — AQE re-plans every join
+    * from the exact materialized shuffle sizes, broadcasting the
+    * candidate-bounded frames at runtime. A ~30-job composition becomes
+    * ~15; at small scale wall clock is scheduler round-trips, not data.
+    * The corpus is never shuffled end-to-end in this stage.
     * Lifetime note: the returned plan keeps reading the persists, so
     * there is no safe place to unpersist inside the operator; LRU
     * eviction reclaims the blocks (Bench clears the cache per iteration).
@@ -78,18 +82,15 @@ object CorpusPipeline {
       docs: DataFrame,
       cfg: Config,
       shinglesOf: DataFrame => DataFrame,
-      candidatesOf: DataFrame => DataFrame,
-      toSets: DataFrame => DataFrame): DataFrame = {
+      candidatesOf: DataFrame => DataFrame): DataFrame = {
     val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = shinglesOf(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = candidatesOf(sh).select(col("id_a"), col("id_b"))
-    val confirmed = Dedup.jaccardOnPrecomputedShingles(candidates, sh, toSets)
-      .filter(col("jaccard") >= cfg.nearDupThreshold)
-      .select(col("id_b").as("drop_id")).distinct()
+    val pairs = candidatesOf(sh).select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops =
-      if (confirmed.count() <= Dedup.broadcastPairLimit) broadcast(confirmed) else confirmed
+    val drops = Dedup.jaccardOnShingleSets(pairs, sh)
+      .filter(col("jaccard") >= cfg.nearDupThreshold)
+      .select(col("id_b").as("drop_id"))
     corpus.join(drops, corpus("doc_id") === col("drop_id"), "left_anti")
   }
 
@@ -112,8 +113,7 @@ object CorpusPipeline {
       c => graft.operators.TrainingData
         .docShingles(c, "text", "doc_id", cfg.nearDupShingle)
         .select(col("doc_id").as("doc"), col("shingle").as("h")),
-      sh => Dedup.minhashLshCandidatesMd5FromShingles(sh),
-      identity)
+      sh => Dedup.minhashLshCandidatesMd5FromShingles(sh))
 
   /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
   def tokenReport(corpus: DataFrame): DataFrame =

@@ -126,19 +126,29 @@ object Dedup {
   }
 
   /** The shared candidate-pairing tail of every LSH variant: per-bucket
-    * size/representative via one window, then the capped self-join. In an
+    * size/representative stats, then the capped self-join. In an
     * oversized bucket only the representative may sit on the left of a
-    * pair — a predicate on side `a` alone, pushed below the join (the
-    * hot-bucket star-pairing cap).
+    * pair — a predicate on side `a` alone, applied below the pairing
+    * join (the hot-bucket star-pairing cap).
+    *
+    * The stats ride a separate `groupBy(bucket)` aggregate joined back,
+    * NOT a window over the pairing frame: a window would weld `_bsz`/
+    * `_rep` onto side `a` only, column pruning would then strip it from
+    * side `b`, and the two sides of the self-join stop being identical
+    * subtrees — Spark's exchange reuse misses, and the whole banding
+    * aggregate (the 16-permutation MinHash) runs TWICE. With the stats
+    * split out, both pairing sides are the same `banded` plan over the
+    * same hash-partitioning(bucket) exchange (reused), and the stats
+    * aggregate itself rides that partitioning with no extra shuffle.
     */
   private def pairBandBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val bucketW = Window.partitionBy(col("bucket"))
-    val counted = banded
-      .withColumn("_bsz", count(lit(1)).over(bucketW))
-      .withColumn("_rep", min(col("doc")).over(bucketW))
-    val leftEligible = col("a._bsz") <= maxBucketSize || col("a.doc") === col("a._rep")
-    counted.as("a").join(counted.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc") && leftEligible)
+    val stats = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_bsz"), min(col("doc")).as("_rep"))
+    val left = banded.join(stats, "bucket")
+      .filter(col("_bsz") <= maxBucketSize || col("doc") === col("_rep"))
+      .as("a")
+    left.join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -380,21 +390,65 @@ object Dedup {
       (candidateIds: DataFrame) => shingleRows(
         df.join(candidateIds, col(idCol) === col("_cand_doc"), "left_semi")))
 
-  /** Exact Jaccard confirm over PRECOMPUTED set-semantic `(doc, h)`
-    * shingle rows covering the whole corpus — the fused-pipeline variant:
-    * the caller computed (and typically persisted) the shingle rows once
-    * for LSH banding, so the confirm prunes THAT frame to candidate docs
-    * instead of re-shingling the corpus. `toSets` runs AFTER the
-    * candidate prune (e.g. `.distinct()` for dup-keeping hash rows), so
-    * set-forming shuffles only ever touch candidate-bounded rows.
+  /** Exact Jaccard confirm in SET-ARRAY form, for the candidate-bounded
+    * regime: prune the precomputed `(doc, h)` shingle frame to candidate
+    * docs, collapse each doc's shingles into ONE array row
+    * (`collect_set` — distinct by construction, so dup-keeping hash rows
+    * need no separate `.distinct()` shuffle), then score every pair with
+    * `array_intersect` sizes in a single codegen'd projection.
+    *
+    * Versus the row-form [[jaccardOnPrecomputedShingles]] this trades
+    * per-row memory (a doc's whole shingle set lives in one array cell)
+    * for a drastically shorter stage chain: one aggregation plus two
+    * broadcast joins replaces the sizes/intersections/assembly cascade —
+    * about eight fewer scheduler round-trips, which is what dominates a
+    * many-stage composition's wall clock (each AQE shuffle stage is its
+    * own job). Use it where candidates are LSH-bounded and docs are
+    * bounded (shingle sets of a capped-length document); keep the
+    * row-form for unbounded inputs — it never materializes a set wider
+    * than one shuffle row.
+    *
+    * `pairs` must already be distinct (LSH banding output is, by its
+    * final group-by); left joins keep pairs whose doc lost every shingle
+    * visible at jaccard 0, matching the row-form's na.fill semantics.
+    *
+    * No join is hinted and nothing is counted driver-side: every frame
+    * here is the output of a shuffle AQE has ALREADY materialized, so the
+    * runtime re-plan sees exact byte sizes and picks broadcast precisely
+    * when the candidate set is small — the pre-AQE pattern of a
+    * `count()` action feeding an explicit `broadcast()` hint costs an
+    * extra plan traversal to learn less than AQE already knows. Pass
+    * `broadcastHint = true` only where AQE is off and the candidate set
+    * is known-bounded.
     */
-  def jaccardOnPrecomputedShingles(
-      candidates: DataFrame,
+  def jaccardOnShingleSets(
+      pairs: DataFrame,
       sh: DataFrame,
-      toSets: DataFrame => DataFrame = identity): DataFrame =
-    jaccardConfirmCore(candidates,
-      (candidateIds: DataFrame) => toSets(
-        sh.join(candidateIds, col("doc") === col("_cand_doc"), "left_semi")))
+      broadcastHint: Boolean = false): DataFrame = {
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (broadcastHint) broadcast(d) else d
+    // dup-tolerated on the right of the semi join — no distinct shuffle
+    val candidateIds = maybeBroadcast(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("_cand_doc")))
+    val sets = maybeBroadcast(
+      sh.join(candidateIds, col("doc") === col("_cand_doc"), "left_semi")
+        .groupBy(col("doc")).agg(collect_set(col("h")).as("_hs")))
+    val empty = array().cast(
+      org.apache.spark.sql.types.ArrayType(sh.schema("h").dataType))
+    val sza = size(col("_hs_a")); val szb = size(col("_hs_b"))
+    val inter = size(array_intersect(col("_hs_a"), col("_hs_b")))
+    pairs
+      .join(sets.select(col("doc").as("id_a"), col("_hs").as("_hs_a")),
+        Seq("id_a"), "left")
+      .join(sets.select(col("doc").as("id_b"), col("_hs").as("_hs_b")),
+        Seq("id_b"), "left")
+      .withColumn("_hs_a", coalesce(col("_hs_a"), empty))
+      .withColumn("_hs_b", coalesce(col("_hs_b"), empty))
+      .withColumn("jaccard",
+        when(sza + szb - inter === 0, lit(0.0))
+          .otherwise(inter.cast("double") / (sza + szb - inter)))
+      .drop("_hs_a", "_hs_b")
+  }
 
   private def jaccardConfirmCore(
       candidates: DataFrame,

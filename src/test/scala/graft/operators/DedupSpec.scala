@@ -156,6 +156,31 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 3L)) === 0.0)  // disjoint pair surfaces with 0, not dropped
   }
 
+  test("jaccardOnShingleSets equals the row-form confirm, keeps " +
+      "zero-overlap and shingle-less pairs at 0") {
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 9L)).toDF("id_a", "id_b")
+    // precomputed dup-keeping hash rows, as the fused pipeline feeds them
+    val sh = Dedup.shingleHashRows(docs, "text", "doc_id", 3)
+    val got = Dedup.jaccardOnShingleSets(cands, sh)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    val rowForm = Dedup.jaccardOnCandidates(cands, docs, "text", "doc_id", 3)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(got((1L, 2L)) === 0.75)
+    assert(got((1L, 3L)) === 0.0)  // disjoint pair surfaces with 0
+    assert(got((1L, 9L)) === 0.0)  // doc with no shingle rows at all
+    assert(got === rowForm)
+    // duplicate shingle rows cannot inflate a set intersection
+    val withDups = Dedup.jaccardOnShingleSets(cands, sh.unionAll(sh))
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(withDups === got)
+  }
+
   test("simhash16: identical texts agree, disjoint texts differ") {
     val sh = docs.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
