@@ -1295,6 +1295,50 @@ object NorthStarQueries {
                AS out_samples_16k
            FROM sa ORDER BY asset_id"""))
 
+  /** Multimodal IMAGE near-dup: every document gets a REAL 9×8 P6
+    * thumbnail ([[Multimodal.grayPixel]] raster — group pattern mod 239,
+    * every 11th id perturbing one pixel), the mapPartitions slot runs a
+    * REAL pixel-level P6 parser + 64-bit dHash, and near-dup pairs come
+    * from the 4×16-bit band join with an exact `bit_count(xor)` confirm
+    * (pigeonhole-complete at hamming ≤ 3). The oracle recomputes the
+    * raster, hash, bands, and distance from the generating formula, so a
+    * mis-parsed byte or a sign-extension slip anywhere in the
+    * encode→parse→hash→band chain breaks the hash. Composition of the
+    * multimodal codec tier with the SimHash banding discipline — the
+    * image half of near-dup dedup at corpus scale.
+    */
+  val imageNearDup = Q("q_image_neardup",
+    (s, d) => Multimodal.imageNearDupPairs(
+        Multimodal.imageHashes(Multimodal.imageAssetsFromDocuments(
+          documents(s, d).filter(col("doc_id") < 1000))))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+           px AS (SELECT doc_id,
+             [CASE WHEN doc_id % 11 = 0 AND i = doc_id % 72
+                   THEN ((doc_id % 239 + 1) * (i + 1) * (i + 2) % 251 + 97) % 251
+                   ELSE (doc_id % 239 + 1) * (i + 1) * (i + 2) % 251 END
+              FOR i IN range(72)] AS g FROM d),
+           hs AS (SELECT doc_id,
+             CAST((SELECT coalesce(sum(CASE
+                 WHEN g[(k // 8) * 9 + (k % 8) + 2] > g[(k // 8) * 9 + (k % 8) + 1]
+                 THEN CAST(1 AS HUGEINT) << k ELSE 0 END), 0)
+               FROM range(64) t(k)) AS HUGEINT) AS hraw
+             FROM px),
+           h2 AS (SELECT doc_id,
+             CAST(CASE WHEN hraw >= 9223372036854775808
+                  THEN hraw - 18446744073709551616 ELSE hraw END AS BIGINT) AS h
+             FROM hs),
+           bb AS (SELECT doc_id, h, b, (h >> (16 * b)) & 65535 AS v
+                  FROM h2, range(4) r(b)),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                    a.h AS ha, c.h AS hb
+                    FROM bb a JOIN bb c ON a.b = c.b AND a.v = c.v
+                      AND a.doc_id < c.doc_id)
+           SELECT id_a, id_b,
+             CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+           ORDER BY id_a, id_b"""))
+
   /** Shared oracle fragment: CTEs `t`/`ann`/`gated` reproducing the
     * corpus gate (annotate → quality/length filter → exact dedup) — used
     * by q_corpus_prep and q_corpus_prep_md5 so the gate logic cannot
@@ -1533,5 +1577,6 @@ object NorthStarQueries {
     embedNearDup, embedNearDupLsh,
     semanticDedup, embedQuantize, quantizeError, incrementalNearDup,
     multimodalMeta, multimodalFeatures, frameSample, resizeDims, audioDecode,
+    imageNearDup,
     corpusPrep, corpusPrepFull, corpusPrepMd5)
 }

@@ -325,4 +325,184 @@ object Multimodal {
         expr(s"(meta_width * $box) div greatest(meta_width, meta_height)")).as("out_width"),
       greatest(lit(1L),
         expr(s"(meta_height * $box) div greatest(meta_width, meta_height)")).as("out_height"))
+
+  // --- image perceptual hash (dHash) near-dup -------------------------------
+
+  /** dHash thumbnail geometry: 9×8 gray pixels → 8 horizontal-gradient
+    * comparisons per row × 8 rows = a 64-bit hash. The synth below emits
+    * thumbnails at exactly this size; a production pipeline reaches it
+    * via the decoder's aspect-ignoring 9×8 downsample ([[resizeDims]] is
+    * the aspect-PRESERVING planner for model inputs — dHash wants the
+    * fixed grid).
+    */
+  private[multimodal] val DhashW = 9
+  private[multimodal] val DhashH = 8
+
+  /** Deterministic gray value of pixel `idx` (row-major, 0..71) for asset
+    * `id`: a group pattern shared by all ids congruent mod 239 (so
+    * re-encodes of the same image land in every scale factor), with every
+    * 11th id perturbing ONE pixel by +97 — a near-duplicate of its group
+    * siblings at dHash hamming distance ≤ 2. Integer formula throughout,
+    * so an oracle replays the hash without parsing bytes.
+    *
+    * The group term MULTIPLIES a quadratic in the pixel index — an
+    * affine-in-idx formula (base offset + constant step) makes every
+    * group's gradient-sign pattern near-identical (the dHash bit is just
+    * "did the constant step wrap"), and the whole corpus collapses into
+    * one near-dup cluster; measured over ids 0..999 this form yields
+    * exactly the 1 610 same-group pairs and ZERO cross-group pairs at
+    * hamming ≤ 3.
+    */
+  private[multimodal] def grayPixel(id: Long, idx: Int): Int = {
+    val base = ((id % 239L + 1L) * (idx + 1L) * (idx + 2L) % 251L).toInt
+    if (id % 11L == 0L && idx == (id % 72L).toInt) (base + 97) % 251 else base
+  }
+
+  /** Encode a gray raster as a REAL binary PPM (P6): r = g = b = gray. */
+  private[multimodal] def encodeP6(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    require(gray.length == w * h)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < gray.length) {
+      val v = gray(i).toByte
+      val o = header.length + i * 3
+      out(o) = v; out(o + 1) = v; out(o + 2) = v
+      i += 1
+    }
+    out
+  }
+
+  /** Image-thumbnail asset table from the documents table: payload = a
+    * REAL 9×8 P6 file per id ([[grayPixel]] raster) — opaque bytes
+    * downstream, exactly like a decoded-and-downsampled ingest product.
+    */
+  def imageAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true))))
+    docs.select(col("doc_id").as("asset_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val gray = Array.tabulate(DhashW * DhashH)(grayPixel(id, _))
+          Row(id, "image", encodeP6(DhashW, DhashH, gray))
+        }
+      }(enc)
+  }
+
+  /** Pixel-level P6 decoder: [[decodePpm]]'s validation (exact raster
+    * length, maxval ≤ 255, comment-tolerant header) but returning the
+    * gray raster — (r+g+b)/3 integer mean per pixel.
+    */
+  private[multimodal] def decodeP6Gray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p == null || p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte)
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < p.length) {
+        if (p(i) == '#'.toByte) { while (i < p.length && p(i) != '\n'.toByte) i += 1 }
+        else if (p(i).toChar.isWhitespace) i += 1
+        else done = true
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(p, start, i - start, "US-ASCII").toInt)
+    }
+    for {
+      w <- readInt(); h <- readInt(); maxv <- readInt()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256
+      if i < p.length && p(i).toChar.isWhitespace
+      dataStart = i + 1
+      if dataStart.toLong + w.toLong * h * 3L == p.length.toLong
+    } yield {
+      val gray = new Array[Int](w * h)
+      var j = 0
+      while (j < gray.length) {
+        val o = dataStart + j * 3
+        gray(j) = ((p(o) & 0xff) + (p(o + 1) & 0xff) + (p(o + 2) & 0xff)) / 3
+        j += 1
+      }
+      (w, h, gray)
+    }
+  }
+
+  /** 64-bit difference hash of a decoded gray raster: bit `r·8+c` set
+    * iff pixel (r, c+1) is brighter than (r, c). Defined only for the
+    * [[DhashW]]×[[DhashH]] thumbnail grid — anything else is declined
+    * (the decline, not a garbage hash, is what downstream sees).
+    */
+  private[multimodal] def dhash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w != DhashW || h != DhashH) return None
+    var hash = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        if (gray(r * w + c + 1) > gray(r * w + c)) hash |= 1L << (r * (w - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(hash)
+  }
+
+  /** Decode + dHash per asset in the mapPartitions batch slot (the codec
+    * boundary). Output: (asset_id, decoded, dhash) — undecodable or
+    * non-thumbnail payloads keep `decoded = false` with a null hash.
+    */
+  def imageHashes(assets: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("dhash", LongType, nullable = true))))
+    assets.select(col("asset_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val hash = decodeP6Gray(r.getAs[Array[Byte]]("payload"))
+            .flatMap { case (w, h, g) => dhash64(w, h, g) }
+          hash match {
+            case Some(v) => Row(r.getLong(0), true, v)
+            case None => Row(r.getLong(0), false, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance: band the
+    * 64-bit hash into four 16-bit slices, hash-join assets sharing any
+    * slice, then confirm with the exact `bit_count(xor)` distance —
+    * COMPLETE for `maxHamming ≤ 3` by pigeonhole (3 flipped bits cannot
+    * touch all 4 bands), and never all-pairs: the quadratic step is
+    * per-band-bucket, exactly the SimHash discipline. Bands stay
+    * codegen'd shifts/masks; sign-extension is masked off, so the slice
+    * values agree with any two's-complement replayer.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming: pigeonhole completeness over 4 bands needs <= 3")
+    val h = hashes.filter(col("decoded")).select(col("asset_id"), col("dhash"))
+    val banded = h.select(col("asset_id"), col("dhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("slice", expr("shiftright(dhash, 16 * band) & 65535"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.dhash").as("_ha"), col("b.dhash").as("_hb"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

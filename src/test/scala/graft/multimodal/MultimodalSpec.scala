@@ -148,4 +148,50 @@ class MultimodalSpec extends SparkSpec {
     assert(r10.getAs[Long]("out_samples_16k") ===
       r10.getAs[Long]("n_samples") * 2)
   }
+
+  test("P6 gray roundtrip: encode → pixel decode reproduces the raster") {
+    val gray = Array.tabulate(72)(i => (i * 37) % 251)
+    val p = Multimodal.encodeP6(9, 8, gray)
+    val Some((w, h, got)) = Multimodal.decodeP6Gray(p)
+    assert((w, h) === (9, 8))
+    assert(got.toSeq === gray.toSeq)
+    // truncated raster declined, not mis-read
+    assert(Multimodal.decodeP6Gray(p.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeP6Gray("P5\n9 8\n255\n".getBytes).isEmpty)
+  }
+
+  test("dhash64: gradient rows set bits exactly where brightness rises") {
+    // row-major 9x8: even rows strictly increasing (8 bits set), odd rows
+    // strictly decreasing (0 bits)
+    val gray = Array.tabulate(72) { i =>
+      val r = i / 9; val c = i % 9
+      if (r % 2 == 0) c * 10 else 100 - c * 10
+    }
+    val Some(hash) = Multimodal.dhash64(9, 8, gray)
+    val expected = (0 until 8).filter(_ % 2 == 0)
+      .foldLeft(0L)((acc, r) => acc | (0xffL << (r * 8)))
+    assert(hash === expected)
+    assert(Multimodal.dhash64(3, 3, Array.fill(9)(0)).isEmpty) // wrong grid
+  }
+
+  test("image near-dup: perturbed group sibling found, foreign image not") {
+    // ids 239 apart share a group raster; 66 = 11k perturbs one pixel
+    val docs = Seq(66L, 66L + 239L, 5L).map((_, "x")).toDF("doc_id", "text")
+    val hashes = Multimodal.imageHashes(Multimodal.imageAssetsFromDocuments(docs))
+    assert(hashes.filter(col("decoded")).count() === 3)
+    val pairs = Multimodal.imageNearDupPairs(hashes).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((66L, 66L + 239L)))
+    val ham = pairs.head._3
+    assert(ham >= 1 && ham <= 2, s"one perturbed pixel flips 1-2 dHash bits, got $ham")
+  }
+
+  test("image near-dup confirm is exact: identical rasters at hamming 0") {
+    val docs = Seq(7L, 7L + 239L, 7L + 478L).map((_, "x")).toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.imageHashes(Multimodal.imageAssetsFromDocuments(docs)))
+      .collect()
+    assert(pairs.length === 3) // all three pairs of the triple
+    assert(pairs.forall(_.getAs[Int]("hamming") === 0))
+  }
 }
