@@ -191,10 +191,18 @@ object PipelineQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.operators.Dedup
     val docs = documents(s, d).filter(col("doc_id") < maxDocId)
-    val candidates = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
+    // fused shape (see CorpusPipeline.nearDedupFused): the corpus is
+    // shingled ONCE into a persisted (doc, h) frame feeding both the
+    // md5-LSH banding and the set-array Jaccard confirm — same candidate
+    // set and identical jaccard values as the unfused operators, minus a
+    // second full-corpus shingle pass and the row-form confirm cascade.
+    val sh = TrainingData.docShingles(docs, "text", "doc_id", 3)
+      .select(col("doc_id").as("doc"), col("shingle").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashLshCandidatesMd5FromShingles(sh)
       .select(col("id_a"), col("id_b"))
-    val edges = Dedup.jaccardOnCandidatesStrings(candidates, docs,
-        "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Dedup.jaccardOnShingleSets(pairs, sh)
       .filter(col("jaccard") >= 0.2).select(col("id_a"), col("id_b"))
     (docs, edges)
   }
