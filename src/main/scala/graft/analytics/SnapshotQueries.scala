@@ -416,6 +416,45 @@ object SnapshotQueries {
              AND (SELECT max(s_suppkey) FROM supplier) // 2
                + (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X107: TWO-LEVEL manifest pruning ([[Snapshots.buildSegmentIndex]] +
+    * [[Snapshots.scanPrunedBoxSegmented]]) — the manifest-list tier: the
+    * z-ordered file list is segmented with rolled-up envelopes, a box
+    * probe prunes whole SEGMENTS from the small index before any
+    * per-file entry is parsed, and the version's properties ride the
+    * index header so planning never opens the flat manifest — at a
+    * million files, per-query planning cost follows the surviving
+    * fraction, not the table. Exactness is the oracle's (same plain
+    * conjunctive filter as [[zorderSkip]] over a different mid-domain
+    * probe); SegmentIndexSpec pins segment-level skip counts, flat-scan
+    * equality, idempotent builds, and the crash discipline.
+    */
+  val manifestList = Q("q_manifest_list",
+    (s, d) => {
+      val tbl = freshTable(s, d, "mlist")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Snapshots.commit(
+        li.orderBy(graft.functions.ZOrderExpression.zValue(
+          col("l_partkey"), col("l_suppkey"))),
+        tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      Snapshots.buildSegmentIndex(s, tbl, segSize = 4)
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.scanPrunedBoxSegmented(s, tbl,
+          Seq(("l_partkey", maxPart / 2, maxPart / 2 + maxPart / 8),
+            ("l_suppkey", 1L, maxSupp / 8)))
+        .df
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("l_quantity")} AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN (SELECT max(p_partkey) FROM part) // 2
+             AND (SELECT max(p_partkey) FROM part) // 2
+               + (SELECT max(p_partkey) FROM part) // 8
+           AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
     * poison batch (negative prices injected) is REJECTED BEFORE any
@@ -1176,7 +1215,7 @@ object SnapshotQueries {
          FROM orders"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, wap, mergeInto,
+    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

@@ -1313,7 +1313,18 @@ object Snapshots {
     * footer inference.
     */
   private def readFiles(spark: SparkSession, table: String, version: Int,
-      entries: Seq[FileEntry]): DataFrame = {
+      entries: Seq[FileEntry]): DataFrame =
+    readFilesWithProps(spark, table, version, entries,
+      properties(spark, table, version))
+
+  /** [[readFiles]] with the version's properties supplied by the caller —
+    * the segment-index scan path ([[scanPrunedBoxSegmented]]) carries the
+    * props in its index header so planning never re-reads the full
+    * manifest; everything else goes through [[readFiles]].
+    */
+  private def readFilesWithProps(spark: SparkSession, table: String,
+      version: Int, entries: Seq[FileEntry],
+      props: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     // a tombstone read as data would null-fill the table schema —
     // refuse loudly instead of silently polluting the result
@@ -1324,7 +1335,6 @@ object Snapshots {
     // they point into the SOURCE table's data dir and resolve as-is
     def pathsOf(es: Seq[FileEntry]): Seq[String] = es.map(e =>
       if (new Path(e.path).isAbsolute) e.path else s"$table/${e.path}")
-    val props = properties(spark, table, version)
     props.get(SchemaProp) match {
       case Some(json) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(json)
@@ -1525,6 +1535,166 @@ object Snapshots {
       if (kept.isEmpty) read(spark, table, Some(v)).limit(0)
       else readFiles(spark, table, v, kept)
     PrunedScan(df.filter(c(col) === lit(value)), kept.size, skipped.size)
+  }
+
+  // --- two-level manifests: the segment-index (manifest-list) tier --------
+
+  /** Outcome of a segment-pruned scan: files skipped counts BOTH whole
+    * skipped segments' files and per-file skips inside read segments.
+    */
+  final case class SegPrunedScan(df: DataFrame, segmentsRead: Int,
+      segmentsSkipped: Int, filesRead: Int, filesSkipped: Int)
+
+  private def segDir(root: Path, v: Int): Path =
+    new Path(new Path(root, "_manifests"), f"v$v%06d.segments")
+
+  /** Number of files a segment entry covers (rides the codec's `seq`
+    * field — always > 0, so segment lines always serialize in full).
+    */
+  private def segFileCount(e: FileEntry): Int = e.seq
+
+  /** Build the SEGMENT INDEX of a version — the manifest-list tier this
+    * format's own scaladoc promises at 100 TB: planning over a
+    * million-file table must not parse a million per-file entries per
+    * query. The version's file list is split into `segSize`-file segment
+    * files (same line codec as the manifest), and a small `index` file
+    * records, per segment, the file count, total rows, and ROLLED-UP
+    * pruning evidence: [min,max] envelopes (a column participates only
+    * when EVERY file in the segment recorded it — a stat-less file must
+    * keep its segment readable), UTF-8 string envelopes under the same
+    * completeness rule, and the bitwise OR of per-file blooms (sound for
+    * skipping: a value absent from the union is absent from every file).
+    * Segments keep manifest file ORDER, so a z-/hilbert-clustered
+    * commit's key locality carries up: each segment is itself a small
+    * box in key space and box probes skip whole segments.
+    *
+    * The index header carries the version's manifest properties, so the
+    * segmented scan path never opens the full manifest. Derivation of an
+    * immutable manifest: building is idempotent (an existing complete
+    * index is returned as-is), segment files are deterministic and may
+    * be rewritten by a crashed builder's retry, and the `index` file is
+    * created create-no-overwrite LAST with the manifest's own
+    * header/terminator discipline — a half-written index reads as
+    * absent. Returns the segment count.
+    */
+  def buildSegmentIndex(spark: SparkSession, table: String,
+      version: Option[Int] = None, segSize: Int = 128): Int = {
+    require(segSize > 0, s"segSize must be positive, got $segSize")
+    val (fs, root) = fsOf(spark, table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    val dir = segDir(root, v)
+    val indexPath = new Path(dir, "index")
+    readEntriesFileOpt(fs, indexPath) match {
+      case Some(existing) => return existing.files.size
+      case None =>
+    }
+    val files = manifest(spark, table, v)
+    require(files.nonEmpty, s"Snapshots: version $v of $table is empty")
+    val props = properties(spark, table, v)
+    fs.mkdirs(dir)
+    def writeEntries(p: Path, overwrite: Boolean,
+        header: Seq[String], entries: Seq[FileEntry]): Boolean = {
+      val created =
+        try Some(fs.create(p, overwrite))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case Some(out) =>
+          try out.write(((Seq(Header) ++ header ++ entries.map(fmt)) :+ Footer)
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          true
+        case None => false
+      }
+    }
+    val segEntries = files.grouped(segSize).toSeq.zipWithIndex.map {
+      case (g, i) =>
+        val name = f"seg-$i%05d"
+        require(writeEntries(new Path(dir, name), overwrite = true, Nil, g),
+          s"Snapshots.buildSegmentIndex: cannot write $name for $table v$v")
+        val statCols = g.map(_.stats.keySet).reduce(_ intersect _)
+        val stats = statCols.map { c =>
+          val es = g.map(_.stats(c))
+          c -> (es.map(_._1).min, es.map(_._2).max)
+        }.toMap
+        val strCols = g.map(_.strStats.keySet).reduce(_ intersect _)
+        val strStats = strCols.map { c =>
+          val es = g.map(_.strStats(c))
+          c -> (es.map(_._1).reduceLeft((a, b) =>
+                  if (ParquetMeta.u8Less(a, b)) a else b),
+                es.map(_._2).reduceLeft((a, b) =>
+                  if (ParquetMeta.u8Less(a, b)) b else a))
+        }.toMap
+        val bloomCols = g.map(_.blooms.keySet).reduce(_ intersect _)
+        val blooms = bloomCols.iterator.flatMap { c =>
+          val bs = g.map(_.blooms(c))
+          if (bs.map(_.length).distinct.size != 1) None
+          else Some(c -> bs.reduceLeft((a, b) =>
+            a.zip(b).map { case (x, y) => x | y }))
+        }.toMap
+        FileEntry(name, g.map(_.rows).sum, stats, blooms, strStats,
+          seq = g.size)
+    }
+    val propLines = props.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+    if (!writeEntries(indexPath, overwrite = false, propLines, segEntries)) {
+      // create-no-overwrite lost: either a racing builder finished (its
+      // index derives from the same immutable manifest — adopt it) or a
+      // crashed builder left terminator-less debris. Debris is safe to
+      // overwrite: every builder of this version writes byte-identical
+      // content, so even a still-running racer converges on the same
+      // complete file, and the header/terminator discipline hides any
+      // in-flight state from readers.
+      readEntriesFileOpt(fs, indexPath) match {
+        case Some(existing) => return existing.files.size
+        case None =>
+          require(writeEntries(indexPath, overwrite = true, propLines, segEntries),
+            s"Snapshots.buildSegmentIndex: cannot repair half-written " +
+              s"index of $table v$v")
+      }
+    }
+    segEntries.size
+  }
+
+  /** Multi-dimensional box scan through the SEGMENT INDEX
+    * ([[buildSegmentIndex]] must have run for the version): segment
+    * envelopes prune whole segments first, only surviving segments'
+    * entry files are opened for per-file pruning, and the version's
+    * properties ride the index header — planning cost is proportional
+    * to the surviving fraction, never the table's file count, and the
+    * full manifest is never opened. The residual predicate keeps the
+    * result exactly [[scanPrunedBox]]'s (SegmentIndexSpec pins the
+    * equality and the skip counts).
+    */
+  def scanPrunedBoxSegmented(spark: SparkSession, table: String,
+      box: Seq[(String, Long, Long)], version: Option[Int] = None)
+      : SegPrunedScan = {
+    require(box.nonEmpty, "need at least one (col, lo, hi) dimension")
+    val (fs, root) = fsOf(spark, table)
+    val v = version.getOrElse(latestVersion(spark, table))
+    val index = readEntriesFileOpt(fs, new Path(segDir(root, v), "index"))
+      .getOrElse(throw new IllegalStateException(
+        s"Snapshots.scanPrunedBoxSegmented: no segment index for $table " +
+          s"v$v — run buildSegmentIndex first"))
+    def boxKeep(stats: Map[String, (Long, Long)]): Boolean = box.forall {
+      case (c, lo, hi) => stats.get(c).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi }
+    }
+    val (keptSegs, skippedSegs) = index.files.partition(e => boxKeep(e.stats))
+    val entries = keptSegs.flatMap { se =>
+      readEntriesFileOpt(fs, new Path(segDir(root, v), se.path))
+        .getOrElse(throw new IllegalStateException(
+          s"Snapshots.scanPrunedBoxSegmented: segment ${se.path} of " +
+            s"$table v$v missing or corrupt"))
+        .files
+    }
+    val (kept, skipped) = entries.partition(e => boxKeep(e.stats))
+    import org.apache.spark.sql.functions.{col => c}
+    val pred = box.map { case (col2, lo, hi) => c(col2).between(lo, hi) }
+      .reduce(_ && _)
+    val df =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
+      else readFilesWithProps(spark, table, v, kept, index.props).filter(pred)
+    SegPrunedScan(df, keptSegs.size, skippedSegs.size, kept.size,
+      skipped.size + skippedSegs.map(segFileCount).sum)
   }
 
   /** Copy-on-write MERGE into the latest version: each `upserts` row
@@ -2489,8 +2659,14 @@ object Snapshots {
     * half-written commit) — both read as "this version never happened".
     */
   private def readManifestOpt(fs: FileSystem, root: Path, v: Int)
+      : Option[ManifestData] = readEntriesFileOpt(fs, manifestPath(root, v))
+
+  /** Parse any Header/Footer-disciplined entry file (a manifest or a
+    * segment-index artifact): None when absent OR terminator-less (a
+    * crashed half-written file reads as never written).
+    */
+  private def readEntriesFileOpt(fs: FileSystem, p: Path)
       : Option[ManifestData] = {
-    val p = manifestPath(root, v)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text =

