@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
-import graft.sources.Snapshots
+import graft.sources.{Branches, Snapshots}
 import QueryDsl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -454,6 +454,52 @@ object SnapshotQueries {
              AND (SELECT max(p_partkey) FROM part) // 2
                + (SELECT max(p_partkey) FROM part) // 8
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
+  /** X108: branches and tags ([[graft.sources.Branches]]) — the named-ref
+    * tier: v1 (keys with bucket >= 2) is TAGGED, a zero-copy branch forks
+    * it, the branch deletes bucket 2 and appends bucket 0 while main
+    * independently appends bucket 1, and the merge replays the branch's
+    * change feed onto main after proving the two sides' touched keys are
+    * disjoint — write-audit-publish at PIPELINE granularity. The output
+    * is the merged table per bucket plus the tag row (bucket -1), which
+    * must still read as exactly the fork-time snapshot after the merge;
+    * the oracle recomputes both from the bucket predicates. BranchSpec
+    * pins isolation, conflict refusal, vacuum pinning, and ref
+    * immutability.
+    */
+  val branchMerge = Q("q_branch_merge",
+    (s, d) => {
+      val tbl = freshTable(s, d, "branch")
+      val o = src(s, d)
+      val bucket = col("o_orderkey") % 10
+      Snapshots.commit(o.filter(bucket >= 2), tbl,
+        statsCols = Seq("o_orderkey"))
+      Branches.tag(s, tbl, "base")
+      val br = Branches.create(s, tbl, "dev")
+      Snapshots.deleteWhere(s, br,
+        o.filter(bucket === 2).select(col("o_orderkey")).distinct(),
+        "o_orderkey")
+      Snapshots.commit(o.filter(bucket === 0), br,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(bucket === 1), tbl,
+        statsCols = Seq("o_orderkey"))
+      Branches.merge(s, tbl, "dev", "o_orderkey")
+      Snapshots.readMor(s, tbl)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .unionByName(Branches.readTag(s, tbl, "base")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(-1L).as("bucket"), col("n_orders"), col("total")))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+           ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderkey % 10 <> 2
+         GROUP BY 1
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 10 >= 2
+         ORDER BY bucket"""))
 
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
@@ -1215,7 +1261,8 @@ object SnapshotQueries {
          FROM orders"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList, wap, mergeInto,
+    snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
+    branchMerge, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

@@ -2359,8 +2359,10 @@ object Snapshots {
 
   /** Drop all but the last `keepLast` versions and delete every data file
     * no retained manifest references. Files shared between dropped and
-    * retained versions (append lineage) survive. Returns the deleted data
-    * file paths (relative).
+    * retained versions (append lineage) survive, as do versions a ref
+    * pins ([[Branches.pinnedVersions]] — tags and live branches' fork
+    * points), so a named snapshot can never dangle. Returns the deleted
+    * data file paths (relative).
     */
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 1)
       : Seq[String] = {
@@ -2372,7 +2374,11 @@ object Snapshots {
     // same single-file arbiter the commit path uses)
     resolveInDoubtTxns(fs, root, latestVersion(spark, table))
     val all = versions(spark, table)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val pinned = Branches.pinnedVersions(spark, table)
+    val (drop, keep) = {
+      val (d, k) = all.splitAt(math.max(0, all.size - keepLast))
+      (d.filterNot(pinned), d.filter(pinned) ++ k)
+    }
     val referenced = keep.flatMap(v => manifest(spark, table, v))
       .map(_.path).toSet
     val rootUri = fs.makeQualified(root).toUri
