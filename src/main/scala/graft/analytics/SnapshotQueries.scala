@@ -381,6 +381,43 @@ object SnapshotQueries {
          WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X109: Catalyst-native data skipping ([[Snapshots.readIndexed]] +
+    * [[graft.sources.SnapshotFileIndex]]) — the same z-ordered layout as
+    * [[zorderSkip]], but NO explicit pruning call: a plain `.filter` on
+    * the indexed frame is pushed by FileSourceStrategy into the
+    * FileIndex, which drops files from manifest envelopes before the
+    * scan plans — data skipping as a property of the relation, not an
+    * API the query author must remember (and it composes with every
+    * Catalyst predicate shape the evidence can serve: ranges, IN, OR,
+    * prefixes, bloom equality). SnapshotFileIndexSpec pins the pruned
+    * file counts, the numFiles metric, result-equality with the
+    * unpruned read, and the conservative keep for unprovable shapes.
+    */
+  val autoSkip = Q("q_auto_skip",
+    (s, d) => {
+      val tbl = freshTable(s, d, "autoskip")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      Snapshots.commit(
+        li.orderBy(graft.functions.ZOrderExpression.zValue(
+          col("l_partkey"), col("l_suppkey"))),
+        tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.readIndexed(s, tbl)._1
+        .filter(col("l_partkey").between(lit(1L), lit(maxPart / 8)) &&
+          col("l_suppkey").between(lit(maxSupp / 2), lit(maxSupp / 2 + maxSupp / 8)))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("l_quantity")} AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
+           AND l_suppkey BETWEEN (SELECT max(s_suppkey) FROM supplier) // 2
+             AND (SELECT max(s_suppkey) FROM supplier) // 2
+               + (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
   /** X71 serving path: HILBERT layout × manifest box pruning — the
     * no-jump curve through the same file-skipping tier as
     * [[zorderSkip]]: committed in hilbert_d order, every file is a
@@ -1262,7 +1299,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, wap, mergeInto,
+    branchMerge, autoSkip, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

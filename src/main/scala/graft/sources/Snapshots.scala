@@ -619,10 +619,10 @@ object Snapshots {
 
   // ---- column rename (metadata-only, era-mapped reads) ----------------
 
-  private final case class RenameEvent(boundary: Int, from: String,
+  private[sources] final case class RenameEvent(boundary: Int, from: String,
       to: String)
 
-  private def renameEvents(props: Map[String, String]): Seq[RenameEvent] =
+  private[sources] def renameEvents(props: Map[String, String]): Seq[RenameEvent] =
     props.get(RenamesProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
       val Array(p, names) = e.split(":", 2)
       val Array(o, n) = names.split(">", 2)
@@ -764,7 +764,7 @@ object Snapshots {
     */
   val DropsProp = "graft.drops"
 
-  private def dropEvents(props: Map[String, String]): Seq[RenameEvent] =
+  private[sources] def dropEvents(props: Map[String, String]): Seq[RenameEvent] =
     props.get(DropsProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
       val Array(p, n) = e.split(":", 2)
       RenameEvent(p.toInt, n, n)
@@ -1306,6 +1306,26 @@ object Snapshots {
     val files = manifest(spark, table, v)
     require(files.nonEmpty, s"Snapshots: version $v of $table is empty")
     readFiles(spark, table, v, files)
+  }
+
+  /** Read through a [[SnapshotFileIndex]]: a relation whose file listing
+    * is the manifest and whose per-file skip decisions are made by
+    * CATALYST'S OWN pushdown — any `.filter`/`WHERE` downstream prunes
+    * files from manifest envelopes/blooms automatically, with the cut
+    * visible in the scan's `numFiles` metric. Returns the index alongside
+    * the frame so callers can observe `lastPrune`. See the class doc for
+    * what the indexed path refuses (tombstones, renamed/dropped eras).
+    */
+  def readIndexed(spark: SparkSession, table: String,
+      version: Option[Int] = None): (DataFrame, SnapshotFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val v = version.getOrElse(latestVersion(spark, table))
+    val index = new SnapshotFileIndex(spark, table, v)
+    val rel = HadoopFsRelation(index, new org.apache.spark.sql.types.StructType(),
+      index.dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+    (org.apache.spark.sql.GraftBridge.dataFrame(spark,
+      LogicalRelation(rel, isStreaming = false)), index)
   }
 
   /** Scan `entries` applying `version`'s recorded schema (see [[read]]).
@@ -2597,6 +2617,13 @@ object Snapshots {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     XxHash64(Seq(Literal.create(value)), 42L).eval(null).asInstanceOf[Long]
   }
+
+  /** Evidence probe for [[SnapshotFileIndex]]: may `value` be present in
+    * a file whose bloom bits are `bits`? Same hash discipline as the
+    * write path.
+    */
+  private[sources] def bloomMightContain(bits: Array[Long], value: Any)
+      : Boolean = mightContain(bits, bloomHash(value))
 
   private def mightContain(bits: Array[Long], h: Long): Boolean = {
     val b1 = (((h % BloomBits) + BloomBits) % BloomBits).toInt
