@@ -1568,6 +1568,11 @@ object Snapshots {
   private def segDir(root: Path, v: Int): Path =
     new Path(new Path(root, "_manifests"), f"v$v%06d.segments")
 
+  /** Index-header property recording the segment size an index was built
+    * with — incremental builds reuse a prior index only at the same size.
+    */
+  val SegSizeProp = "graft.segix.segSize"
+
   /** Number of files a segment entry covers (rides the codec's `seq`
     * field — always > 0, so segment lines always serialize in full).
     */
@@ -1612,6 +1617,32 @@ object Snapshots {
     require(files.nonEmpty, s"Snapshots: version $v of $table is empty")
     val props = properties(spark, table, v)
     fs.mkdirs(dir)
+    // INCREMENTAL MAINTENANCE: an append commit keeps its parent's file
+    // list as a byte-identical prefix, so every FULL segment of the
+    // newest prior index (same segSize) is reused by reference — its
+    // stored path already resolves under _manifests — and only the tail
+    // (the prior partial segment's files plus the new commit's) is
+    // re-segmented. Per-commit index cost follows the DELTA, not the
+    // table: a million-file table ingesting a 100-file batch rolls two
+    // segment files, not eight thousand. Non-append lineage (compaction,
+    // rebucket, rollback, CoW merge) fails the prefix compare and
+    // rebuilds in full — reuse is proven, never assumed.
+    val reused: Seq[FileEntry] = versions(spark, table).filter(_ < v)
+      .reverse.iterator
+      .map(w => (w, readEntriesFileOpt(fs, new Path(segDir(root, w), "index"))))
+      .collectFirst { case (w, Some(ix)) => (w, ix) }
+      .filter { case (_, ix) =>
+        ix.props.get(SegSizeProp).contains(segSize.toString) }
+      .map { case (w, ix) =>
+        val pFiles = manifest(spark, table, w)
+        val isPrefix = pFiles.size <= files.size &&
+          pFiles.iterator.zip(files.iterator).forall {
+            case (a, b) => fmt(a) == fmt(b) }
+        if (!isPrefix) Seq.empty[FileEntry]
+        else ix.files.takeWhile(_.seq == segSize)
+      }
+      .getOrElse(Seq.empty)
+    val offset = reused.size * segSize
     def writeEntries(p: Path, overwrite: Boolean,
         header: Seq[String], entries: Seq[FileEntry]): Boolean = {
       val created =
@@ -1626,8 +1657,9 @@ object Snapshots {
         case None => false
       }
     }
-    val segEntries = files.grouped(segSize).toSeq.zipWithIndex.map {
-      case (g, i) =>
+    val tailEntries = files.drop(offset).grouped(segSize).toSeq.zipWithIndex
+      .map { case (g, i0) =>
+        val i = reused.size + i0
         val name = f"seg-$i%05d"
         require(writeEntries(new Path(dir, name), overwrite = true, Nil, g),
           s"Snapshots.buildSegmentIndex: cannot write $name for $table v$v")
@@ -1651,18 +1683,21 @@ object Snapshots {
           else Some(c -> bs.reduceLeft((a, b) =>
             a.zip(b).map { case (x, y) => x | y }))
         }.toMap
-        FileEntry(name, g.map(_.rows).sum, stats, blooms, strStats,
-          seq = g.size)
+        FileEntry(s"${dir.getName}/$name", g.map(_.rows).sum, stats, blooms,
+          strStats, seq = g.size)
     }
-    val propLines = props.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+    val segEntries = reused ++ tailEntries
+    val propLines = (props + (SegSizeProp -> segSize.toString)).toSeq
+      .sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
     if (!writeEntries(indexPath, overwrite = false, propLines, segEntries)) {
       // create-no-overwrite lost: either a racing builder finished (its
       // index derives from the same immutable manifest — adopt it) or a
       // crashed builder left terminator-less debris. Debris is safe to
-      // overwrite: every builder of this version writes byte-identical
-      // content, so even a still-running racer converges on the same
-      // complete file, and the header/terminator discipline hides any
-      // in-flight state from readers.
+      // overwrite: every builder of this version writes a complete,
+      // sound index (racers may differ only in which prior index they
+      // reused — both describe the same manifest), and the
+      // header/terminator discipline hides any in-flight state from
+      // readers.
       readEntriesFileOpt(fs, indexPath) match {
         case Some(existing) => return existing.files.size
         case None =>
@@ -1699,8 +1734,15 @@ object Snapshots {
         mx >= lo && mn <= hi }
     }
     val (keptSegs, skippedSegs) = index.files.partition(e => boxKeep(e.stats))
+    // segment paths are relative to _manifests (they may point into an
+    // ANCESTOR version's segment dir — incremental builds reuse full
+    // segments by reference); bare legacy names resolve into this
+    // version's own dir
+    val mfDir = new Path(root, "_manifests")
     val entries = keptSegs.flatMap { se =>
-      readEntriesFileOpt(fs, new Path(segDir(root, v), se.path))
+      val p = if (se.path.contains("/")) new Path(mfDir, se.path)
+        else new Path(segDir(root, v), se.path)
+      readEntriesFileOpt(fs, p)
         .getOrElse(throw new IllegalStateException(
           s"Snapshots.scanPrunedBoxSegmented: segment ${se.path} of " +
             s"$table v$v missing or corrupt"))

@@ -63,6 +63,42 @@ class SegmentIndexSpec extends SparkSpec {
     assert(seg.df.count() === 8) // 4 keys x 2 rows
   }
 
+  test("incremental build: an append reuses the parent's full segments " +
+      "by reference and rolls only the tail; non-append lineage " +
+      "rebuilds in full") {
+    import spark.implicits._
+    val tbl = freshTable("incr")
+    buildKeyed(tbl)
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 4) === 8)
+    // append 2 files -> the new index must be 8 reused + 1 tail segment
+    Snapshots.commit(
+      Seq((32L, 3200L), (33L, 3300L)).toDF("k", "v")
+        .repartitionByRange(2, col("k")),
+      tbl, statsCols = Seq("k", "v"))
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 4) === 9)
+    val v2dir = new Path(s"$tbl/_manifests/v000002.segments")
+    val written = fs(tbl).listStatus(v2dir).map(_.getPath.getName).sorted
+    assert(written === Array("index", "seg-00008"),
+      s"append must write only the tail segment, wrote ${written.toSeq}")
+    // the reused segments serve scans exactly like a full rebuild would
+    val seg = Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 9L, 14L)))
+    assert(seg.segmentsRead === 2 && seg.segmentsSkipped === 7)
+    assert(seg.filesRead + seg.filesSkipped === 34)
+    assert(seg.df.count() === 12)
+    val tail = Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", 32L, 40L)))
+    assert(tail.segmentsRead === 1 && tail.df.count() === 2)
+    // compaction rewrites the layout: the prefix proof fails and the
+    // index rebuilds in full under the new version's own dir
+    val v3 = Snapshots.compactVersion(spark, tbl)
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 4) >= 1)
+    val v3dir = new Path(f"$tbl/_manifests/v$v3%06d.segments")
+    val v3Files = fs(tbl).listStatus(v3dir).map(_.getPath.getName)
+    assert(v3Files.count(_.startsWith("seg-")) ===
+      Snapshots.scanPrunedBoxSegmented(spark, tbl, Seq(("k", Long.MinValue,
+        Long.MaxValue))).segmentsRead,
+      "full rebuild must own every segment it serves")
+  }
+
   test("a stat-less file keeps its whole segment readable") {
     val tbl = freshTable("nostats")
     import spark.implicits._
