@@ -538,6 +538,43 @@ object SnapshotQueries {
          FROM orders WHERE o_orderkey % 10 >= 2
          ORDER BY bucket"""))
 
+  /** X110: `format("graft")` ([[graft.sources.GraftSource]]) — the
+    * snapshot format behind Spark's OWN reader/writer API, no graft
+    * import needed on the consumer side: two `df.write.format("graft")`
+    * commits build the table, `spark.read.format("graft")` reads the
+    * head, `versionAsOf` time-travels to the first commit, and a bucket
+    * filter on the head read data-skips through [[graft.sources.
+    * SnapshotFileIndex]] with no explicit pruning call. The oracle
+    * replays all three frames from the source predicates;
+    * GraftSourceSpec pins the save-mode semantics, every time-travel
+    * option, the numFiles cut, and exactly-once streaming ingest.
+    */
+  val formatIo = Q("q_format_io",
+    (s, d) => {
+      val tbl = freshTable(s, d, "fmt")
+      val o = src(s, d)
+      o.filter(col("o_orderdate") < lit(cutoff)).write.format("graft")
+        .option("statsCols", "o_orderkey").save(tbl)
+      o.filter(col("o_orderdate") >= lit(cutoff)).write.format("graft")
+        .option("statsCols", "o_orderkey")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(tbl)
+      val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      agg(s.read.format("graft").option("versionAsOf", "1").load(tbl), 1)
+        .unionByName(agg(s.read.format("graft").load(tbl), 2))
+        .unionByName(agg(s.read.format("graft").load(tbl)
+          .filter(col("o_orderkey") <= lit(maxKey / 4)), 3))
+        .orderBy(col("version"))
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 2, count(*), ${dsumSql("o_totalprice")} FROM orders
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")} FROM orders
+         WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 4
+         ORDER BY version"""))
+
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
     * poison batch (negative prices injected) is REJECTED BEFORE any
@@ -1299,7 +1336,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, wap, mergeInto,
+    branchMerge, autoSkip, formatIo, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

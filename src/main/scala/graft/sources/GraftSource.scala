@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the [[Snapshots]] table format surfaced through
+  * Spark's OWN reader/writer/stream APIs, so a user needs no graft
+  * import to consume versioned tables:
+  *
+  *  - `spark.read.format("graft").load(path)` reads the latest version
+  *    through [[SnapshotFileIndex]], so every downstream `.filter`
+  *    data-skips from manifest evidence automatically. Time travel via
+  *    options: `versionAsOf` (version number), `timestampAsOf` (epoch
+  *    millis, resolved like [[Snapshots.readAsOf]]), `tag` (a
+  *    [[Branches]] tag name), `branch` (reads a live branch's head);
+  *    at most one may be set.
+  *  - `df.write.format("graft").mode(...).save(path)` commits through
+  *    the snapshot protocol: Append/Overwrite map to the two commit
+  *    shapes, ErrorIfExists refuses a non-empty table, Ignore is a
+  *    no-op on one. `statsCols`/`bloomCols`/`strStatsCols`
+  *    (comma-separated) record file-skipping evidence.
+  *  - `df.writeStream.format("graft")` appends each micro-batch as one
+  *    atomic commit with [[graft.streaming.SnapshotStream]]'s replay
+  *    marker — exactly-once ingest where the stream's history IS the
+  *    version history. Append output mode only.
+  *
+  * Registered as `graft` via META-INF/services, so the short name works
+  * anywhere Spark accepts a format string.
+  */
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source: a table path is required — .load(path) / .save(path)"))
+
+  private def cols(parameters: Map[String, String], key: String): Seq[String] =
+    parameters.get(key).toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val branch = parameters.get("branch")
+    val table = branch match {
+      case Some(b) => Branches.branchPath(spark, pathOf(parameters), b)
+      case None => pathOf(parameters)
+    }
+    val travel = Seq("versionAsOf", "timestampAsOf", "tag", "branch")
+      .filter(parameters.contains)
+    require(travel.size <= 1,
+      s"graft source: set at most one of versionAsOf/timestampAsOf/tag/" +
+        s"branch, got ${travel.mkString(", ")}")
+    val version = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("tag").map(t =>
+        Branches.tagVersion(spark, table, t)))
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val t = ts.toLong
+        val vs = Snapshots.versions(spark, table)
+        val eligible = vs.filter(v =>
+          Snapshots.properties(spark, table, v)
+            .get(Snapshots.CommitTsProp).forall(_.toLong <= t))
+        require(eligible.nonEmpty,
+          s"graft source: no version of $table at or before $t")
+        eligible.max
+      })
+      .getOrElse(Snapshots.latestVersion(spark, table))
+    val index = new SnapshotFileIndex(spark, table, version)
+    HadoopFsRelation(index, new StructType(), index.dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val exists = Snapshots.versions(spark, table).nonEmpty
+    def commit(overwrite: Boolean): Unit =
+      Snapshots.commit(data, table, overwrite = overwrite,
+        statsCols = cols(parameters, "statsCols"),
+        bloomCols = cols(parameters, "bloomCols"),
+        strStatsCols = cols(parameters, "strStatsCols"))
+    mode match {
+      case SaveMode.Append => commit(overwrite = false)
+      case SaveMode.Overwrite => commit(overwrite = true)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft source: $table already has versions (SaveMode." +
+            "ErrorIfExists)")
+        commit(overwrite = false)
+      case SaveMode.Ignore => if (!exists) commit(overwrite = false)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink: append output mode only, got $outputMode (use " +
+        "SnapshotStream.ingestUpsert for update-mode upserts)")
+    require(partitionColumns.isEmpty,
+      "graft sink: partitioning rides the table layout (commitBucketed/" +
+        "rebucket), not partitionBy")
+    val table = pathOf(parameters)
+    val statsCols = cols(parameters, "statsCols")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is bound to the streaming (incremental)
+        // plan — re-wrap its materialized rows as a standalone batch
+        // frame before handing it to the commit path
+        val batch = org.apache.spark.sql.GraftBridge.internalDataFrame(
+          data.sparkSession, data.queryExecution.toRdd, data.schema)
+        graft.streaming.SnapshotStream.commitBatch(batch, batchId, table,
+          statsCols)
+      }
+      override def toString: String = s"GraftSink[$table]"
+    }
+  }
+}

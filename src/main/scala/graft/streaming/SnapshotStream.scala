@@ -106,7 +106,7 @@ object SnapshotStream {
   /** One commit step, factored out so replay/crash tests (and manual
     * backfills) can drive it without a streaming query around it.
     */
-  private[streaming] def commitBatch(batch: DataFrame, batchId: Long,
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
       table: String, statsCols: Seq[String],
       audit: Option[DataFrame => Option[String]] = None,
       onRejected: (Long, String) => Unit = (_, _) => (),

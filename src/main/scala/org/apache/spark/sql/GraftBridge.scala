@@ -31,6 +31,17 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-wrap already-materialized internal rows as a standalone batch
+    * DataFrame — the streaming-sink pattern: the frame handed to
+    * `Sink.addBatch` is bound to the incremental plan and must not be
+    * re-planned by the commit path.
+    */
+  def internalDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** The analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** format("graft"): Spark's own reader/writer/stream APIs over the
+  * snapshot format — save-mode semantics, time travel options, automatic
+  * data skipping through the reader, and exactly-once streaming ingest.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fmt_$tag").toString + "/t"
+
+  test("write/read roundtrip through format(\"graft\"): append, " +
+      "overwrite, error-if-exists, ignore") {
+    import spark.implicits._
+    val tbl = freshTable("modes")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.format("graft")
+      .option("statsCols", "k").save(tbl)
+    Seq((3L, "c")).toDF("k", "s").write.format("graft")
+      .option("statsCols", "k").mode(SaveMode.Append).save(tbl)
+    assert(spark.read.format("graft").load(tbl).count() === 3)
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+    intercept[IllegalStateException] {
+      Seq((9L, "x")).toDF("k", "s").write.format("graft")
+        .mode(SaveMode.ErrorIfExists).save(tbl)
+    }
+    Seq((9L, "x")).toDF("k", "s").write.format("graft")
+      .mode(SaveMode.Ignore).save(tbl) // no-op on a non-empty table
+    assert(spark.read.format("graft").load(tbl).count() === 3)
+    Seq((7L, "z")).toDF("k", "s").write.format("graft")
+      .mode(SaveMode.Overwrite).save(tbl)
+    assert(spark.read.format("graft").load(tbl)
+      .as[(Long, String)].collect().toSeq === Seq((7L, "z")))
+  }
+
+  test("time travel options: versionAsOf, timestampAsOf, tag, branch — " +
+      "and at most one at a time") {
+    import spark.implicits._
+    val tbl = freshTable("travel")
+    Seq((1L, 10L)).toDF("k", "v").write.format("graft").save(tbl)
+    Branches.tag(spark, tbl, "first")
+    Thread.sleep(50)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(50)
+    Seq((2L, 20L)).toDF("k", "v").write.format("graft")
+      .mode(SaveMode.Append).save(tbl)
+    Branches.create(spark, tbl, "dev")
+    val br = Branches.branchPath(spark, tbl, "dev")
+    Snapshots.commit(Seq((3L, 30L)).toDF("k", "v"), br)
+    def ks(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ks(spark.read.format("graft").load(tbl)) === Seq(1L, 2L))
+    assert(ks(spark.read.format("graft").option("versionAsOf", "1")
+      .load(tbl)) === Seq(1L))
+    assert(ks(spark.read.format("graft").option("tag", "first")
+      .load(tbl)) === Seq(1L))
+    assert(ks(spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(tbl)) === Seq(1L))
+    assert(ks(spark.read.format("graft").option("branch", "dev")
+      .load(tbl)) === Seq(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("tag", "first").load(tbl)
+    }
+    assert(e.getMessage.contains("at most one"))
+  }
+
+  test("the format reader data-skips: a filter on a stats column cuts " +
+      "numFiles") {
+    import spark.implicits._
+    val tbl = freshTable("skip")
+    (0L until 8L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+      .write.format("graft").option("statsCols", "k").save(tbl)
+    val q = spark.read.format("graft").load(tbl).filter(col("k") === 3L)
+    assert(q.collect().map(_.getLong(1)).toSeq === Seq(30L))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    assert(scans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value) === Seq(1L))
+  }
+
+  test("writeStream.format(\"graft\") commits each micro-batch " +
+      "atomically with the replay marker") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val tbl = freshTable("stream")
+    val cp = java.nio.file.Files.createTempDirectory("graft_fmt_cp").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "s").writeStream.format("graft")
+      .option("path", tbl).option("checkpointLocation", cp)
+      .option("statsCols", "k").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.format("graft").load(tbl)
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted ===
+      Seq(1L, 2L, 3L))
+    // each non-empty batch is one version carrying its marker
+    val markers = Snapshots.versions(spark, tbl).flatMap(v =>
+      Snapshots.properties(spark, tbl, v)
+        .get(graft.streaming.SnapshotStream.batchProp))
+    assert(markers === Seq("0", "1"))
+  }
+}
