@@ -319,6 +319,38 @@ object PipelineQueries {
            n_docs - 1 AS n_dropped
          FROM r WHERE rn = 1 ORDER BY component"""))
 
+  /** X111: leakage-free (cluster-aware) train/valid/test split — the
+    * step naive random splits get wrong at pretraining scale: two
+    * near-duplicate documents landing in train and test leak the answer
+    * into evaluation. The WHOLE near-dup cluster is assigned as a unit:
+    * the component label (min doc id) is Fibonacci-hashed
+    * (`(c * 2654435761) mod 2^32`, exactly replayable in integer SQL —
+    * an engine-native hash would be un-oracleable) into an 80/10/10
+    * bucket, so split membership is a pure function of cluster identity
+    * and NO component can span splits by construction. Composed on the
+    * maintained edge state like the other cluster consumers; oracle =
+    * the same recursive-CTE closure + the identical bucket arithmetic.
+    */
+  val clusterSplit = Q("q_cluster_split",
+    (s, d) => {
+      val (docs, edges) = storedDedupEdges(s, d, maxDocId = 250L)
+      val comps = TrainingData.connectedComponents(
+        docs.select(col("doc_id")), edges)
+      TrainingData.clusterSplitAssign(comps)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_clusters"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH RECURSIVE ${componentsOracleCtes("WHERE doc_id < 250")},
+         a AS (SELECT doc_id, component,
+             ((component * 2654435761) % 4294967296) % 100 AS bucket
+           FROM comp)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs, count(DISTINCT component) AS n_clusters
+         FROM a GROUP BY 1 ORDER BY split"""))
+
   /** The persistence half of incremental near-dedup (X40 is the
     * admission half): batch 1's confirmed edges and component labels are
     * WRITTEN to a parquet state store; batch 2's edges are then merged
@@ -1068,6 +1100,7 @@ object PipelineQueries {
     heavyHitters, chunkWindows, chunkDedup, cdcChunks, cdcDedup,
     chunkNovelty, repeatedSpans, tokenBudget,
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
+    clusterSplit,
     bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch,
     keywordSearchStored, bpeTrain, bpeEncode)
 }

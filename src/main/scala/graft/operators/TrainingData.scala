@@ -461,6 +461,29 @@ object TrainingData {
         (col("n_docs") - 1).as("n_dropped"))
   }
 
+  /** Leakage-free split assignment: every doc of a near-dup cluster gets
+    * the SAME train/valid/test label, decided by Fibonacci-hashing the
+    * component label (`(c * 2654435761) mod 2^32` — Knuth's
+    * multiplicative hash, exactly replayable in any integer SQL engine,
+    * where an engine-native hash function would be un-oracleable) into
+    * `trainPct`/`validPct`/rest percent buckets. Split membership is a
+    * pure function of cluster identity, so no component can span splits
+    * — the invariant a naive per-doc random split breaks, leaking
+    * near-duplicate test answers into train.
+    */
+  def clusterSplitAssign(components: DataFrame, trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"need 0 < trainPct, 0 <= validPct, trainPct+validPct < 100; " +
+        s"got $trainPct/$validPct")
+    val bucket = pmod((col("component") * lit(2654435761L)) %
+      lit(4294967296L), lit(100L))
+    components.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")))
+  }
+
   // --- dedup cluster resolution -------------------------------------------
 
   /** Connected components over an undirected edge list: every node gets

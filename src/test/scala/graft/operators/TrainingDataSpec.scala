@@ -468,4 +468,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.weightedSample(docs, col("w"), k = 10)
       .filter(col("priority").isNull).count() === 0)
   }
+
+  test("clusterSplitAssign: leakage-free by construction, exact " +
+      "Fibonacci-bucket arithmetic, sane proportions") {
+    import org.apache.spark.sql.functions._
+    // 1000 docs in 300 components (multi-doc clusters for ids < 200)
+    val comps = (0L until 1000L)
+      .map(id => (id, if (id < 600) id % 200 else id - 400))
+      .toDF("doc_id", "component")
+    val assigned = TrainingData.clusterSplitAssign(comps)
+    // no component spans splits
+    assert(assigned.groupBy("component")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() === 0)
+    // assignment matches the documented formula exactly
+    val bad = assigned.filter(col("split") =!=
+      when((col("component") * 2654435761L % 4294967296L) % 100 < 80, "train")
+        .when((col("component") * 2654435761L % 4294967296L) % 100 < 90, "valid")
+        .otherwise("test")).count()
+    assert(bad === 0)
+    // 600 distinct components, hash-uniform: each split non-empty and
+    // train the clear majority
+    val byn = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byn.keySet === Set("train", "valid", "test"))
+    assert(byn("train") > byn("valid") && byn("train") > byn("test"))
+    // custom percentages validated
+    intercept[IllegalArgumentException](
+      TrainingData.clusterSplitAssign(comps, trainPct = 90, validPct = 10))
+  }
 }
