@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -34,7 +35,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -99,6 +100,106 @@ final class GraftSource extends RelationProvider
       case SaveMode.Ignore => if (!exists) commit(overwrite = false)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val v = Snapshots.latestVersion(spark, table)
+    require(v > 0, s"graft source: $table has no committed version to " +
+      "stream from — commit a snapshot first")
+    val recorded = Snapshots.properties(spark, table, v)
+      .get(Snapshots.SchemaProp)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"graft source: version $v of $table records no schema"))
+    (shortName(), schema.getOrElse(recorded))
+  }
+
+  /** `spark.readStream.format("graft")`: the table's VERSION HISTORY as
+    * a stream — batch 1 is the snapshot as of stream start (or
+    * `startingVersion`), every later trigger delivers exactly the rows
+    * appended since the last processed version, read from only the
+    * delta files ([[Snapshots.changes]] — cost follows the change, not
+    * the table). Offsets are version numbers, so checkpointed restarts
+    * resume exactly. Layout-only commits (`graft.data.change=false`
+    * compaction/rebucket) advance the offset with no rows; commits that
+    * DELETE rows (tombstones) refuse loudly — this is the append-only
+    * tail, row-level deletes are [[Snapshots.changes]]' CDC surface.
+    */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val table = pathOf(parameters)
+    val startingVersion = parameters.get("startingVersion").map(_.toInt)
+      .getOrElse(0)
+    val srcSchema = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    new Source {
+      private def versionOf(
+          o: org.apache.spark.sql.execution.streaming.Offset): Int =
+        o match {
+          case l: LongOffset => l.offset.toInt
+          case other => other.json.trim.toInt // SerializedOffset replay
+        }
+
+      override def schema: StructType = srcSchema
+
+      override def getOffset
+          : Option[org.apache.spark.sql.execution.streaming.Offset] =
+        Snapshots.versions(spark, table).lastOption.map(v =>
+          LongOffset(v.toLong))
+
+      override def getBatch(
+          start: Option[org.apache.spark.sql.execution.streaming.Offset],
+          end: org.apache.spark.sql.execution.streaming.Offset)
+          : org.apache.spark.sql.DataFrame = {
+        val from = start.map(versionOf).getOrElse(startingVersion)
+        val to = versionOf(end)
+        def wrap(df: org.apache.spark.sql.DataFrame) =
+          org.apache.spark.sql.GraftBridge.internalDataFrame(spark,
+            df.queryExecution.toRdd, df.schema, isStreaming = true)
+        if (to <= from)
+          return org.apache.spark.sql.GraftBridge.internalDataFrame(
+            spark, spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+            srcSchema, isStreaming = true)
+        // append-only contract: a version that ADDS tombstones deletes
+        // rows — not expressible as an insert stream; refuse loudly
+        // (data.change=false layout commits are fine, changes() skips
+        // them)
+        val vs = Snapshots.versions(spark, table)
+          .filter(v => v > from && v <= to)
+        vs.foreach { v =>
+          if (!Snapshots.properties(spark, table, v)
+              .get(Snapshots.DataChangeProp).contains("false")) {
+            val parent = Snapshots.versions(spark, table).filter(_ < v)
+              .lastOption
+            val parentPaths = parent
+              .map(p => Snapshots.manifest(spark, table, p)
+                .map(_.path).toSet)
+              .getOrElse(Set.empty[String])
+            val tomb = Snapshots.manifest(spark, table, v)
+              .filterNot(e => parentPaths(e.path))
+              .filter(e => Snapshots.isTombstone(e.path))
+            require(tomb.isEmpty, s"graft source: version $v of $table " +
+              "deletes rows (tombstones) — the streaming tail is " +
+              "append-only; consume row-level deletes via " +
+              "Snapshots.changes")
+          }
+        }
+        val feed = Snapshots.changes(spark, table, from, to)
+          .drop("_change_type", "_commit_version")
+        wrap(feed)
+      }
+
+      override def stop(): Unit = ()
+      override def toString: String = s"GraftStreamSource[$table]"
+    }
   }
 
   override def createSink(sqlContext: SQLContext,
