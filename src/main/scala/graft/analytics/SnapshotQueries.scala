@@ -512,7 +512,11 @@ object SnapshotQueries {
       Snapshots.commit(o.filter(bucket >= 2), tbl,
         statsCols = Seq("o_orderkey"))
       Branches.tag(s, tbl, "base")
-      val br = Branches.create(s, tbl, "dev")
+      // the branch dir lives OUTSIDE the table root; route it through
+      // freshTable too so min-of-3 bench reruns and repeated smoke runs
+      // start from a clean fork every time
+      val br = Branches.create(s, tbl, "dev",
+        dir = Some(freshTable(s, d, "branchdev")))
       Snapshots.deleteWhere(s, br,
         o.filter(bucket === 2).select(col("o_orderkey")).distinct(),
         "o_orderkey")
@@ -574,6 +578,38 @@ object SnapshotQueries {
          SELECT 3, count(*), ${dsumSql("o_totalprice")} FROM orders
          WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 4
          ORDER BY version"""))
+
+  /** X112: metadata aggregates through the OPTIMIZER
+    * ([[graft.plans.MetaAgg]]) — [[Snapshots.statsAgg]]'s zero-IO
+    * answers without the bespoke API: once the table path is enabled, a
+    * plain `df.agg(count/min/max)` over the indexed read collapses to a
+    * LocalRelation computed from manifest row counts and footer-exact
+    * envelopes (integral AND string) — zero Spark jobs, any API the
+    * user writes the aggregate in. MetaAggSpec pins the LocalRelation
+    * plan, the zero-job listener, exact equality with recompute, and
+    * every refusal shape (count(col) with nulls, filters, grouping,
+    * DISTINCT, stat-less columns, cleared registry).
+    */
+  val metaAgg = Q("q_meta_agg",
+    (s, d) => {
+      val tbl = freshTable(s, d, "metaagg")
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"), strStatsCols = Seq("o_orderpriority"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+        statsCols = Seq("o_orderkey"), strStatsCols = Seq("o_orderpriority"))
+      graft.plans.MetaAgg.enable(s, tbl)
+      Snapshots.readIndexed(s, tbl)._1
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderpriority")).as("min_prio"),
+          max(col("o_orderpriority")).as("max_prio"))
+    },
+    Some("""SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+         max(o_orderkey) AS max_key, min(o_orderpriority) AS min_prio,
+         max(o_orderpriority) AS max_prio
+         FROM orders"""))
 
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
@@ -1336,7 +1372,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, formatIo, wap, mergeInto,
+    branchMerge, autoSkip, formatIo, metaAgg, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

@@ -98,7 +98,7 @@ object ParquetMeta {
     * `String.compareTo` (UTF-16 code units) disagrees above the BMP, so
     * envelope folding and pruning must NOT use it.
     */
-  private[sources] def u8Less(a: String, b: String): Boolean = {
+  private[graft] def u8Less(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     var i = 0
     val n = math.min(x.length, y.length)

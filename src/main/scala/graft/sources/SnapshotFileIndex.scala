@@ -36,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SnapshotFileIndex(spark: SparkSession, table: String,
     val version: Int) extends FileIndex {
 
-  private val entries: Seq[Snapshots.FileEntry] = {
+  /** The version's manifest entries — the evidence surface optimizer
+    * rules ([[graft.plans.MetaAggRule]]) compute from.
+    */
+  private[graft] val entries: Seq[Snapshots.FileEntry] = {
     val es = Snapshots.manifest(spark, table, version)
     require(!es.exists(e => Snapshots.isTombstone(e.path)),
       s"SnapshotFileIndex: version $version of $table carries merge-on-" +
