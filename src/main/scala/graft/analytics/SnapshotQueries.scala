@@ -611,6 +611,46 @@ object SnapshotQueries {
          max(o_orderpriority) AS max_prio
          FROM orders"""))
 
+  /** X113: FOREIGN KEY constraints ([[Snapshots.addForeignKey]]) —
+    * write-time referential integrity across TABLES, extending the
+    * CHECK (X98) and UNIQUE (X101) tier: the child's customer keys are
+    * constrained into the customer dimension; a conforming append
+    * lands, an append whose keys point past the dimension is REJECTED
+    * BEFORE any version publishes (parent probe envelope-pruned
+    * driver-side), and the final child content proves the rejected
+    * batch left no trace. ForeignKeySpec covers every write path, NULL
+    * exemption, the parent-delete audit, and the evolve guards.
+    */
+  val foreignKey = Q("q_foreign_key",
+    (s, d) => {
+      val parent = freshTable(s, d, "fkparent")
+      val child = freshTable(s, d, "fkchild")
+      Snapshots.commit(customer(s, d).select(col("c_custkey")), parent,
+        statsCols = Seq("c_custkey"))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 4 === 0), child,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.addForeignKey(s, child, "o_custkey", parent, "c_custkey")
+      Snapshots.commit(o.filter(col("o_orderkey") % 4 === 1), child,
+        statsCols = Seq("o_orderkey"))
+      val maxCust = customer(s, d).agg(max(col("c_custkey")).cast("long"))
+        .head().getLong(0)
+      val poison = o.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_custkey", col("o_custkey") + lit(maxCust + 1L))
+      val rejected =
+        try { Snapshots.commit(poison, child); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      Snapshots.readMor(s, child)
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .select(lit(rejected).as("n_rejected"), col("n_orders"),
+          col("total"))
+    },
+    Some(s"""SELECT CAST(1 AS BIGINT) AS n_rejected, count(*) AS n_orders,
+         ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderkey % 4 IN (0, 1)"""))
+
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
     * poison batch (negative prices injected) is REJECTED BEFORE any
@@ -1372,7 +1412,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, formatIo, metaAgg, wap, mergeInto,
+    branchMerge, autoSkip, formatIo, metaAgg, foreignKey, wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

@@ -235,8 +235,10 @@ object Snapshots {
     val spark = df.sparkSession
     // layout-only rewrites (compaction) re-commit rows that already
     // passed; everything else validates its batch first
-    if (!properties.get(DataChangeProp).contains("false"))
+    if (!properties.get(DataChangeProp).contains("false")) {
       enforceChecks(spark, table, df)
+      enforceForeignKeys(spark, table, df)
+    }
     val (_, newEntries) = writeBatch(df, table, statsCols, bloomCols,
       strStatsCols)
     // the committing schema rides the manifest: readers apply it to every
@@ -314,6 +316,7 @@ object Snapshots {
     requireProps(properties + (SchemaProp -> df.schema.json))
     val spark = df.sparkSession
     enforceChecks(spark, table, df)
+    enforceForeignKeys(spark, table, df)
     val pinnedBase = uniquePinnedBase(spark, table, overwrite,
       enforce = true)
     enforceUnique(spark, table, df, vsParent = !overwrite)
@@ -548,6 +551,184 @@ object Snapshots {
           s"$table (planned against v$v, parent is now v$parent) — retry")
         manifest(spark, table, parent)
       })
+  }
+
+  // ---- FOREIGN KEY constraints (cross-table referential integrity) ----
+
+  val FkPrefix = "graft.fk."
+
+  /** Declared foreign keys of `table`: (childCol, parentTable,
+    * parentCol), childCol-sorted. Stored as the inherited property
+    * `graft.fk.<childCol> = <parentCol>:<parentTablePath>` (first ':'
+    * splits — column names cannot contain ':', paths can).
+    */
+  def foreignKeys(spark: SparkSession, table: String)
+      : Seq[(String, String, String)] = {
+    val v = latestVersion(spark, table)
+    if (v == 0) Seq.empty
+    else properties(spark, table, v).collect {
+      case (k, spec) if k.startsWith(FkPrefix) && spec.nonEmpty =>
+        val i = spec.indexOf(':')
+        (k.stripPrefix(FkPrefix), spec.substring(i + 1),
+          spec.substring(0, i))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Declare `col` a FOREIGN KEY into `parentTable.parentCol` —
+    * referential integrity ENFORCED AT WRITE TIME, which no mainstream
+    * table format gives: existing child values are validated now
+    * (NULLs exempt, SQL FK semantics), and every later child insert
+    * (append, audited commit, bucketed commit, CoW merge, MOR upsert)
+    * is checked against the parent's MERGE-ON-READ-visible values,
+    * reading only the parent files whose `parentCol` envelope
+    * intersects the batch's value range — driver-side manifest pruning,
+    * so a bounded batch against a 100 TB parent reads a handful of
+    * files. Both columns must be integral or both string (validated
+    * against recorded schemas; other pairings refused loudly).
+    *
+    * Scope, stated loudly: the CHILD side is enforced. Deleting
+    * referenced rows from the PARENT is not intercepted (the parent
+    * carries no reverse registry); run [[referentialOrphans]] as the
+    * audit after parent deletes, or stage parent maintenance through
+    * write-audit-publish with that audit.
+    */
+  def addForeignKey(spark: SparkSession, table: String, col: String,
+      parentTable: String, parentCol: String): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(col.nonEmpty && !col.exists(ch =>
+      ch == ',' || ch == ':' || ch == '\n' || ch == '\t' || ch == '='),
+      s"Snapshots.addForeignKey: bad column name '$col'")
+    require(parentCol.nonEmpty && !parentCol.exists(ch =>
+      ch == ',' || ch == ':' || ch == '\n' || ch == '\t' || ch == '='),
+      s"Snapshots.addForeignKey: bad column name '$parentCol'")
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.addForeignKey: $table has no committed version")
+    val pv = latestVersion(spark, parentTable)
+    require(pv > 0,
+      s"Snapshots.addForeignKey: parent $parentTable has no committed version")
+    def typeOf(t: String, ver: Int, name: String)
+        : org.apache.spark.sql.types.DataType = {
+      val schema = this.properties(spark, t, ver).get(SchemaProp)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(readMor(spark, t, Some(ver)).schema)
+      schema.fields.find(_.name == name).getOrElse(sys.error(
+        s"Snapshots.addForeignKey: no column '$name' in $t")).dataType
+    }
+    val cdt = typeOf(table, v, col)
+    val pdt = typeOf(parentTable, pv, parentCol)
+    require((isIntegralType(cdt) && isIntegralType(pdt)) ||
+      (cdt == org.apache.spark.sql.types.StringType &&
+        pdt == org.apache.spark.sql.types.StringType),
+      s"Snapshots.addForeignKey: '$col' (${cdt.simpleString}) and " +
+        s"'$parentCol' (${pdt.simpleString}) must both be integral or " +
+        "both string")
+    val existing = readMor(spark, table, Some(v))
+      .select(c(col)).filter(c(col).isNotNull).distinct()
+    val orphans = missingRefs(spark, existing, col, parentTable, parentCol)
+    require(orphans.isEmpty, s"Snapshots.addForeignKey: existing rows " +
+      s"reference missing $parentTable.$parentCol value(s) " +
+      s"${orphans.mkString(", ")} — repair first")
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap +
+      (FkPrefix + col -> s"$parentCol:$parentTable")
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.addForeignKey: concurrent commit " +
+          s"on $table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** Remove a FOREIGN KEY constraint (metadata-only commit). */
+  def dropForeignKey(spark: SparkSession, table: String, col: String): Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.dropForeignKey: $table has no committed version")
+    require(foreignKeys(spark, table).exists(_._1 == col),
+      s"Snapshots.dropForeignKey: no FOREIGN KEY on '$col'")
+    val props = this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap + (FkPrefix + col -> "")
+    publishManifest(spark, table, props, Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.dropForeignKey: concurrent commit " +
+          s"on $table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
+  /** The referential AUDIT: per declared FK, the child's current
+    * non-null values with no parent match — the check to run after
+    * deleting from a referenced parent (see [[addForeignKey]]'s scope
+    * note). Returns (childCol, sample of orphaned values, up to 5);
+    * empty = invariant holds.
+    */
+  def referentialOrphans(spark: SparkSession, table: String)
+      : Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.functions.{col => c}
+    foreignKeys(spark, table).flatMap { case (col, pTable, pCol) =>
+      val vals = readMor(spark, table)
+        .select(c(col)).filter(c(col).isNotNull).distinct()
+      val missing = missingRefs(spark, vals, col, pTable, pCol)
+      if (missing.isEmpty) None else Some((col, missing))
+    }
+  }
+
+  /** Enforce declared FKs on an insert batch: the batch's non-null
+    * distinct values must all exist in the parent's MOR-visible rows,
+    * checked over only the parent files whose envelope intersects the
+    * batch's value bounds. Zero cost when no FK is declared.
+    */
+  private def enforceForeignKeys(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col => c}
+    foreignKeys(spark, table).foreach { case (col, pTable, pCol) =>
+      if (df.columns.contains(col)) {
+        val vals = df.select(c(col)).filter(c(col).isNotNull).distinct()
+        val missing = missingRefs(spark, vals, col, pTable, pCol)
+        require(missing.isEmpty, s"Snapshots: FOREIGN KEY '$col' → " +
+          s"$pTable.$pCol violated — value(s) ${missing.mkString(", ")} " +
+          "have no parent row")
+      }
+    }
+  }
+
+  /** Up to 5 values of `vals` (single column named after the child col)
+    * absent from the parent's visible `pCol` — parent files envelope-
+    * pruned by the probe's value bounds before any task launches.
+    */
+  private def missingRefs(spark: SparkSession, vals: DataFrame,
+      col: String, pTable: String, pCol: String): Seq[Any] = {
+    import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+    if (vals.isEmpty) return Seq.empty
+    val pv = latestVersion(spark, pTable)
+    require(pv > 0,
+      s"Snapshots: FK parent $pTable has no committed version")
+    val integral = isIntegralType(vals.schema.head.dataType)
+    val probe =
+      if (integral) vals.select(c(col).cast("long").as(col)) else vals
+    val bounds = probe.agg(mn(c(col)).as("lo"), mx(c(col)).as("hi")).head()
+    val all = manifest(spark, pTable, pv)
+    val (del, data) = all.partition(e => isTombstone(e.path))
+    val candidates = data.filter { e =>
+      e.rows > 0 && {
+        if (integral) e.stats.get(pCol) match {
+          case Some((fMin, fMax)) =>
+            fMax >= bounds.getLong(0) && fMin <= bounds.getLong(1)
+          case None => true // no stats → cannot prove disjoint
+        } else e.strStats.get(pCol) match {
+          case Some((fMin, fMax)) =>
+            !ParquetMeta.u8Less(fMax, bounds.getString(0)) &&
+              !ParquetMeta.u8Less(bounds.getString(1), fMin)
+          case None => true
+        }
+      }
+    }
+    if (candidates.isEmpty) // provably no parent row in the probe's range
+      return vals.limit(5).collect().map(_.get(0)).toSeq
+    val visible = readMorEntries(spark, pTable, pv, candidates, del)
+      .select((if (integral) c(pCol).cast("long") else c(pCol)).as(col))
+    probe.join(visible, Seq(col), "left_anti")
+      .limit(5).collect().map(_.get(0)).toSeq
   }
 
   /** Enforce UNIQUE constraints on a batch: in-batch duplicates always;
@@ -847,6 +1028,13 @@ object Snapshots {
     require(!uniqueHit,
       s"Snapshots.$op: UNIQUE constraint on '$col' of $table — drop it " +
         "first, evolve, then re-declare on the new shape")
+    val fkHit = props.exists { case (k, spec) =>
+      k.startsWith(FkPrefix) && spec.nonEmpty &&
+        k.stripPrefix(FkPrefix) == col
+    }
+    require(!fkHit,
+      s"Snapshots.$op: FOREIGN KEY on '$col' of $table — drop it first, " +
+        "evolve, then re-declare on the new shape")
   }
 
   private def requireNotDropped(props: Map[String, String],
@@ -940,6 +1128,7 @@ object Snapshots {
     if (!properties.get(DataChangeProp).contains("false")) {
       enforceChecks(spark, table, df)
       enforceUnique(spark, table, df, vsParent = false)
+      enforceForeignKeys(spark, table, df)
     }
     val newEntries = writeBucketedBatch(df, table, bucketCol, nBuckets,
       statsCols, bloomCols, strStatsCols)
@@ -1097,6 +1286,7 @@ object Snapshots {
       c(keyCol) === c("_merge_key"), "left_anti")
     enforceChecks(spark, table, upserts)
     enforceUnique(spark, table, upserts, vsParent = false)
+    enforceForeignKeys(spark, table, upserts)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
@@ -1266,6 +1456,7 @@ object Snapshots {
             // blanks (drop) a key; empty values are elided after merge
             def isConstraint(k: String) =
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
+                k.startsWith(FkPrefix) ||
                 k == RenamesProp || k == DroppedProp || k == DropsProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
@@ -2042,6 +2233,7 @@ object Snapshots {
         s"must match table columns [${tableCols.sorted.mkString(",")}]")
     enforceChecks(spark, table, batch)
     enforceUnique(spark, table, batch, vsParent = false)
+    enforceForeignKeys(spark, table, batch)
     val keys = batch.select(c(keyCol).cast("long").as(keyCol))
       .filter(c(keyCol).isNotNull).distinct()
     val (fs, root) = fsOf(spark, table)
