@@ -83,7 +83,15 @@ final class SnapshotFileIndex(spark: SparkSession, table: String,
     */
   @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
 
-  override def rootPaths: Seq[Path] = Seq(rootPath)
+  /** Table root FIRST (rules key on it), then the data dir. The
+    * two-path shape is deliberate: Spark's `INSERT INTO` planning for
+    * file relations (`InsertIntoHadoopFsRelationCommand`) requires
+    * exactly one root path, so a catalog/SQL insert against this
+    * relation fails loudly instead of silently writing parquet files
+    * no manifest references — commits must go through the snapshot
+    * protocol. Reads are unaffected (scans list through [[listFiles]]).
+    */
+  override def rootPaths: Seq[Path] = Seq(rootPath, new Path(rootPath, "data"))
 
   override def partitionSchema: StructType = new StructType()
 

@@ -89,6 +89,31 @@ class GraftSourceSpec extends SparkSpec {
       .map(_.metrics("numFiles").value) === Seq(1L))
   }
 
+  test("SQL DDL: CREATE TABLE ... USING graft serves SELECT with " +
+      "data skipping; INSERT INTO refuses (commits go through the " +
+      "protocol, not the catalog)") {
+    import spark.implicits._
+    val tbl = freshTable("ddl")
+    (0L until 8L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).sortWithinPartitions(col("k"))
+      .write.format("graft").option("statsCols", "k").save(tbl)
+    spark.sql("DROP TABLE IF EXISTS graft_ddl")
+    spark.sql(
+      s"CREATE TABLE graft_ddl USING graft OPTIONS (path '$tbl')")
+    try {
+      val got = spark.sql("SELECT v FROM graft_ddl WHERE k = 6")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(60L))
+      // a catalog INSERT would bypass the manifest commit protocol —
+      // the relation does not implement insertion, so it fails loudly
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_ddl VALUES (99, 990)")
+      }
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").head().getLong(0)
+        === 8L)
+    } finally spark.sql("DROP TABLE graft_ddl")
+  }
+
   test("readStream.format(\"graft\") streams the version history: " +
       "snapshot first, then per-version deltas, layout commits " +
       "silent, deletes refused") {
