@@ -651,6 +651,42 @@ object SnapshotQueries {
          ${dsumSql("o_totalprice")} AS total
          FROM orders WHERE o_orderkey % 4 IN (0, 1)"""))
 
+  /** X114: add-column with an initial DEFAULT ([[Snapshots.addColumn]])
+    * — the backfill a 100 TB table cannot afford, done metadata-only:
+    * pre-cutoff orders are committed, a `channel` column is added with
+    * default 'store' (zero bytes rewritten — the DDL carries the
+    * parent's files), and post-cutoff orders land with real channels
+    * including NULLs. Old files read the default, new NULLs stay NULL
+    * (per-file data sequence numbers decide, Iceberg's initial-default
+    * contract), and the per-channel rollup proves it against an oracle
+    * that recomputes the eras from the predicates. DefaultsSpec pins
+    * time travel, compaction materialization, the feed guard,
+    * structural replication, and the evolve guards.
+    */
+  val defaultColumn = Q("q_default_column",
+    (s, d) => {
+      val tbl = freshTable(s, d, "defcol")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.addColumn(s, tbl, "channel",
+        org.apache.spark.sql.types.StringType, default = Some("store"))
+      Snapshots.commit(
+        o.filter(col("o_orderdate") >= lit(cutoff))
+          .withColumn("channel",
+            when(col("o_orderkey") % 2 === 0, lit("web"))),
+        tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.read(s, tbl)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("channel"))
+    },
+    Some(s"""SELECT CASE WHEN o_orderdate < DATE '$cutoff' THEN 'store'
+                WHEN o_orderkey % 2 = 0 THEN 'web' END AS channel,
+           count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders
+         GROUP BY 1 ORDER BY channel"""))
+
   /** X75: write-audit-publish ([[Snapshots.commitAudited]]) — the
     * governance gate: a clean batch stages, audits, and publishes; a
     * poison batch (negative prices injected) is REJECTED BEFORE any
@@ -1412,7 +1448,8 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, formatIo, metaAgg, foreignKey, wap, mergeInto,
+    branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
+    wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,

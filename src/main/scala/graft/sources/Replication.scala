@@ -69,13 +69,26 @@ object Replication {
       val mark = Map(SyncProp -> v.toString)
       val newRen = renameEventsOf(props).drop(renameEventsOf(prevProps).size)
       val newDrop = dropEventsOf(props).drop(dropEventsOf(prevProps).size)
-      if (newRen.nonEmpty || newDrop.nonEmpty) {
+      val newDef = Snapshots.defaultEvents(props)
+        .drop(Snapshots.defaultEvents(prevProps).size)
+      if (newRen.nonEmpty || newDrop.nonEmpty || newDef.nonEmpty) {
         newRen.foreach { case (_, o, n) =>
           Snapshots.renameColumn(spark, dst, o, n, properties = mark)
           if (o == key) key = n
         }
         newDrop.foreach { case (_, n) =>
           Snapshots.dropColumn(spark, dst, n, properties = mark)
+        }
+        // an add-column-with-default replays STRUCTURALLY: the mirror's
+        // own pre-event files must read the default exactly like the
+        // source's (evolution-by-write would null-fill them instead);
+        // the stored string round-trips through the same literal decoder
+        newDef.foreach { d =>
+          val srcSchema = org.apache.spark.sql.types.DataType.fromJson(
+            props(Snapshots.SchemaProp))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          Snapshots.addColumn(spark, dst, d.name,
+            srcSchema(d.name).dataType, Some(d.value), properties = mark)
         }
       } else {
         val feed = Snapshots.changes(spark, src, prev, v)

@@ -52,6 +52,10 @@ final class SnapshotFileIndex(spark: SparkSession, table: String,
     Snapshots.dropEvents(props).isEmpty,
     s"SnapshotFileIndex: $table has rename/drop schema evolution — " +
       "era-mapped reads need Snapshots.read")
+  require(Snapshots.defaultEvents(props).isEmpty,
+    s"SnapshotFileIndex: $table carries add-column defaults — a flat " +
+      "relation would read pre-evolution files as NULL; use " +
+      "Snapshots.read (or compact to materialize)")
 
   /** The version's recorded schema — the committing writer's truth;
     * footer inference would silently widen types.

@@ -798,6 +798,100 @@ object Snapshots {
     }
   }
 
+  // ---- add-column with an initial DEFAULT (metadata-only) --------------
+
+  /** Inherited property holding add-column default events, comma-joined
+    * `boundary:name:typeName:hex(value)` — a file whose data sequence
+    * number is <= boundary was written before the column existed, so its
+    * null-fill reads as the DEFAULT; files written after carry real
+    * values (their NULLs stay NULL). Iceberg's "initial default"
+    * semantics, without rewriting a byte.
+    */
+  val DefaultsProp = "graft.defaults"
+
+  private[sources] final case class DefaultEvent(boundary: Int,
+      name: String, typeName: String, value: String)
+
+  private[sources] def defaultEvents(props: Map[String, String])
+      : Seq[DefaultEvent] =
+    props.get(DefaultsProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
+      val Array(b, n, t, h) = e.split(":", 4)
+      DefaultEvent(b.toInt, n, t, unhexStr(h))
+    }
+
+  private def defaultLit(ev: DefaultEvent)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    ev.typeName match {
+      case "long" => lit(ev.value.toLong)
+      case "integer" => lit(ev.value.toInt)
+      case "short" => lit(ev.value.toShort)
+      case "byte" => lit(ev.value.toByte)
+      case "double" => lit(ev.value.toDouble)
+      case "float" => lit(ev.value.toFloat)
+      case "boolean" => lit(ev.value.toBoolean)
+      case "string" => lit(ev.value)
+      case other => sys.error(
+        s"Snapshots: unsupported default type '$other' in manifest")
+    }
+  }
+
+  /** Add a column WITHOUT rewriting a byte — the explicit DDL form of
+    * schema evolution (evolution-by-write already widens on commit).
+    * With `default` set, files from BEFORE this commit read the default
+    * where a plain add-column would read NULL (the backfill a 100 TB
+    * table cannot afford to materialize), while files written after
+    * carry their real values — NULLs written post-evolution stay NULL,
+    * exactly Iceberg's initial-default contract. Defaults are decided
+    * per FILE by data sequence number, so append/evolve interleavings
+    * and time travel all resolve correctly; compaction materializes
+    * them physically. Supported default types: integral, string,
+    * double/float, boolean. Renaming a defaulted column refuses (the
+    * event is name-keyed); dropping it retires both column and event.
+    */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[Any] = None,
+      properties: Map[String, String] = Map.empty): Int = {
+    require(name.nonEmpty && !name.exists(ch =>
+      ch == ',' || ch == ':' || ch == '>' || ch == '\n' || ch == '\t' ||
+        ch == '='),
+      s"Snapshots.addColumn: bad column name '$name'")
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.addColumn: $table has no committed version")
+    val props = this.properties(spark, table, v)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(props.getOrElse(SchemaProp, sys.error(
+        s"Snapshots.addColumn: $table v$v records no schema")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(!schema.fieldNames.contains(name),
+      s"Snapshots.addColumn: column '$name' already exists in $table")
+    requireNotDropped(props, Seq(name), table)
+    val widened = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    val defaultProp = default.map { d =>
+      val typeName = dataType.typeName
+      require(Set("long", "integer", "short", "byte", "double", "float",
+        "boolean", "string").contains(typeName),
+        s"Snapshots.addColumn: default unsupported for type $typeName")
+      // round-trip through the literal decoder now: a default that
+      // cannot decode must refuse at DDL time, not at first read
+      val ev = DefaultEvent(v, name, typeName, d.toString)
+      defaultLit(ev)
+      val event = s"$v:$name:$typeName:${hexStr(d.toString)}"
+      DefaultsProp -> props.get(DefaultsProp).fold(event)(_ + "," + event)
+    }
+    publishManifest(spark, table,
+      properties ++ Map(SchemaProp -> widened.json) ++ defaultProp,
+      Seq.empty,
+      baseFor = parent => {
+        require(parent == v, s"Snapshots.addColumn: concurrent commit on " +
+          s"$table (planned against v$v, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
+      })
+  }
+
   // ---- column rename (metadata-only, era-mapped reads) ----------------
 
   private[sources] final case class RenameEvent(boundary: Int, from: String,
@@ -841,6 +935,9 @@ object Snapshots {
     require(v > 0, s"Snapshots.renameColumn: $table has no committed version")
     val props = this.properties(spark, table, v)
     requireNoConstraintOn(props, oldName, table, "renameColumn")
+    require(!defaultEvents(props).exists(_.name == oldName),
+      s"Snapshots.renameColumn: '$oldName' carries an add-column default " +
+        s"(name-keyed event) — compact to materialize it first")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(props.getOrElse(SchemaProp, sys.error(
         s"Snapshots.renameColumn: $table v$v records no schema")))
@@ -1457,7 +1554,8 @@ object Snapshots {
             def isConstraint(k: String) =
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
                 k.startsWith(FkPrefix) ||
-                k == RenamesProp || k == DroppedProp || k == DropsProp
+                k == RenamesProp || k == DroppedProp || k == DropsProp ||
+                k == DefaultsProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -1551,16 +1649,21 @@ object Snapshots {
         val st = org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val events = renameEvents(props)
-        if (events.isEmpty)
+        val defaults = defaultEvents(props)
+          .filter(d => st.fieldNames.contains(d.name)) // dropped: dead event
+        if (events.isEmpty && defaults.isEmpty)
           spark.read.schema(st).parquet(pathsOf(entries): _*)
         else {
           // a file written at data sequence s carries the names of its
           // ERA: every rename whose boundary (the rename's parent
           // version) is >= s happened after the file and must be
-          // reverse-applied to the current schema before reading it
-          entries.groupBy(e => events.filter(_.boundary >= e.seq))
+          // reverse-applied to the current schema before reading it;
+          // every DEFAULT whose boundary is >= s was declared after the
+          // file, whose null-fill therefore reads as the default
+          entries.groupBy(e => (events.filter(_.boundary >= e.seq),
+              defaults.filter(_.boundary >= e.seq)))
             .toSeq.sortBy(_._2.map(_.seq).min)
-            .map { case (applicable, es) =>
+            .map { case ((applicable, applicableDefs), es) =>
               val eraName = scala.collection.mutable.LinkedHashMap(
                 st.fieldNames.map(n => n -> n): _*)
               applicable.sortBy(-_.boundary).foreach { ev =>
@@ -1569,9 +1672,14 @@ object Snapshots {
               }
               val eraSchema = org.apache.spark.sql.types.StructType(
                 st.fields.map(f => f.copy(name = eraName(f.name))))
-              spark.read.schema(eraSchema).parquet(pathsOf(es): _*)
+              val base = spark.read.schema(eraSchema).parquet(pathsOf(es): _*)
                 .select(st.fields.toSeq
                   .map(f => c(eraName(f.name)).as(f.name)): _*)
+              applicableDefs.foldLeft(base) { (df, d) =>
+                df.withColumn(d.name,
+                  org.apache.spark.sql.functions.coalesce(c(d.name),
+                    defaultLit(d).cast(st(d.name).dataType)))
+              }
             }
             .reduce(_.unionByName(_))
         }
@@ -2345,6 +2453,13 @@ object Snapshots {
     require(crossing.isEmpty,
       s"Snapshots.changes: range ($from, $to] of $table crosses schema " +
         s"evolution ${crossing.map(e => s"${e.from}>${e.to}").mkString(", ")}" +
+        " — split the range at the evolution commit")
+    // same refusal for add-column DEFAULTS: allowMissingColumns would
+    // null-fill pre-event insert frames where the table reads the default
+    val defCrossing = defaultEvents(toProps).filter(_.boundary > from)
+    require(defCrossing.isEmpty,
+      s"Snapshots.changes: range ($from, $to] of $table crosses " +
+        s"add-column default(s) ${defCrossing.map(_.name).mkString(", ")}" +
         " — split the range at the evolution commit")
     val frames = vs.filter(v => v > from && v <= to).flatMap { v =>
       if (properties(spark, table, v).get(DataChangeProp).contains("false"))
