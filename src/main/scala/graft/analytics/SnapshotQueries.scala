@@ -1446,7 +1446,64 @@ object SnapshotQueries {
          max(o_orderpriority) AS max_pri
          FROM orders"""))
 
+  /** X115: position delete vectors — [[Snapshots.deleteVector]] deletes
+    * by ARBITRARY PREDICATE (no key column) committing kilobytes of
+    * (file, row-index) pairs instead of rewriting data files. Timeline:
+    * v1 = pre-cutoff orders; v2 = DV masking high-price rows; v3 =
+    * append post-cutoff rows (appends after the vector are never
+    * masked — same data-sequence ordering as equality tombstones);
+    * v4 = a second DV over everything visible. The oracle replays the
+    * masks as era-scoped predicates over orders.
+    */
+  val deletionVector = Q("q_deletion_vector",
+    (s, d) => {
+      val tbl = freshTable(s, d, "dv")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.deleteVector(s, tbl, col("o_totalprice") > 200000.0)
+      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.deleteVector(s, tbl,
+        col("o_totalprice") < 50000.0)
+      Snapshots.readMor(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM (
+           SELECT o_totalprice FROM orders
+           WHERE o_orderdate < DATE '$cutoff'
+             AND NOT o_totalprice > 200000.0
+             AND NOT o_totalprice < 50000.0
+           UNION ALL
+           SELECT o_totalprice FROM orders
+           WHERE o_orderdate >= DATE '$cutoff'
+             AND NOT o_totalprice < 50000.0)"""))
+
+  /** X115: merge-on-read UPDATE — [[Snapshots.updateWhere]] commits ONE
+    * atomic version holding a position vector of the matched rows plus
+    * their re-written copies (cost O(matched), no file rewritten); a
+    * later DV then deletes across original and updated rows alike. The
+    * oracle replays update-then-delete as plain SQL over orders.
+    */
+  val updateWhere = Q("q_update_where",
+    (s, d) => {
+      val tbl = freshTable(s, d, "uw")
+      Snapshots.commit(src(s, d), tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.updateWhere(s, tbl, col("o_orderdate") < lit(cutoff),
+        Seq("o_totalprice" -> col("o_totalprice") * 0.5))
+      Snapshots.deleteVector(s, tbl, col("o_totalprice") > 150000.0)
+      Snapshots.readMor(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM (
+           SELECT CASE WHEN o_orderdate < DATE '$cutoff'
+                       THEN o_totalprice * 0.5
+                       ELSE o_totalprice END AS p
+           FROM orders) WHERE NOT p > 150000.0"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
+    deletionVector, updateWhere,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

@@ -237,6 +237,10 @@ object Branches {
         val vs = Snapshots.versions(spark, bdir).filter(_ > 1)
         vs.flatMap { v =>
           val prev = Snapshots.versions(spark, bdir).filter(_ < v).last
+          require(!Snapshots.addsPositionDeletes(spark, bdir, v),
+            s"Branches.merge: branch version $v commits a position " +
+              "delete vector — not key-replayable; compactMor the " +
+              "branch first")
           val feed = Snapshots.changes(spark, bdir, prev, v)
           val mark = Map(MergeSrcProp -> s"$name:$v")
           val ins = feed.filter(col("_change_type") === "insert")

@@ -185,11 +185,11 @@ final class GraftSource extends RelationProvider
               .getOrElse(Set.empty[String])
             val tomb = Snapshots.manifest(spark, table, v)
               .filterNot(e => parentPaths(e.path))
-              .filter(e => Snapshots.isTombstone(e.path))
+              .filter(e => Snapshots.isMask(e.path))
             require(tomb.isEmpty, s"graft source: version $v of $table " +
-              "deletes rows (tombstones) — the streaming tail is " +
-              "append-only; consume row-level deletes via " +
-              "Snapshots.changes")
+              "deletes rows (tombstones or position vectors) — the " +
+              "streaming tail is append-only; consume row-level " +
+              "deletes via Snapshots.changes")
           }
         }
         val feed = Snapshots.changes(spark, table, from, to)

@@ -91,6 +91,14 @@ object Replication {
             srcSchema(d.name).dataType, Some(d.value), properties = mark)
         }
       } else {
+        // a position-DV delete names rows of the SOURCE's physical
+        // files; its feed pre-images replay as KEY deletes, which is
+        // wrong when a DV removed one of several same-key rows —
+        // refuse toward compactMor on the source
+        require(!Snapshots.addsPositionDeletes(spark, src, v),
+          s"Replication.sync: source version $v commits a position " +
+            "delete vector — not key-replayable; compactMor the source " +
+            "lineage first")
         val feed = Snapshots.changes(spark, src, prev, v)
         val ins = feed.filter(col("_change_type") === "insert")
           .drop("_change_type", "_commit_version")

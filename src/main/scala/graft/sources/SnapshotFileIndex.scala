@@ -41,9 +41,9 @@ final class SnapshotFileIndex(spark: SparkSession, table: String,
     */
   private[graft] val entries: Seq[Snapshots.FileEntry] = {
     val es = Snapshots.manifest(spark, table, version)
-    require(!es.exists(e => Snapshots.isTombstone(e.path)),
+    require(!es.exists(e => Snapshots.isMask(e.path)),
       s"SnapshotFileIndex: version $version of $table carries merge-on-" +
-        "read tombstones — use Snapshots.readMor (or compactMor first)")
+        "read deletes — use Snapshots.readMor (or compactMor first)")
     es
   }
 

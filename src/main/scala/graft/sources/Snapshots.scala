@@ -708,7 +708,7 @@ object Snapshots {
       if (integral) vals.select(c(col).cast("long").as(col)) else vals
     val bounds = probe.agg(mn(c(col)).as("lo"), mx(c(col)).as("hi")).head()
     val all = manifest(spark, pTable, pv)
-    val (del, data) = all.partition(e => isTombstone(e.path))
+    val (del, data) = all.partition(e => isMask(e.path))
     val candidates = data.filter { e =>
       e.rows > 0 && {
         if (integral) e.stats.get(pCol) match {
@@ -768,7 +768,7 @@ object Snapshots {
             .head()
           if (!bounds.isNullAt(0)) {
             val all = manifest(spark, table, v)
-            val (del, data) = all.partition(e => isTombstone(e.path))
+            val (del, data) = all.partition(e => isMask(e.path))
             val candidates = data.filter { e =>
               e.rows > 0 && {
                 if (leadIntegral) e.stats.get(lead) match {
@@ -947,8 +947,8 @@ object Snapshots {
     require(!schema.fieldNames.contains(newName),
       s"Snapshots.renameColumn: column '$newName' already exists in $table")
     requireNotDropped(props, Seq(newName), table)
-    require(!manifest(spark, table, v).exists(e => isTombstone(e.path)),
-      s"Snapshots.renameColumn: $table carries merge-on-read tombstones " +
+    require(!manifest(spark, table, v).exists(e => isMask(e.path)),
+      s"Snapshots.renameColumn: $table carries merge-on-read deletes " +
         "(name-matched at read time) — compactMor first")
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
@@ -978,7 +978,7 @@ object Snapshots {
       version: Option[Int] = None): (Long, Option[(Long, Long)]) = {
     val v = version.getOrElse(latestVersion(spark, table))
     val entries = manifest(spark, table, v)
-    require(!entries.exists(e => isTombstone(e.path)),
+    require(!entries.exists(e => isMask(e.path)),
       s"Snapshots.statsAgg: version $v of $table carries merge-on-read " +
         "deletes — compactMor first (metadata counts cannot subtract)")
     val withRows = entries.filter(_.rows > 0)
@@ -1009,7 +1009,7 @@ object Snapshots {
       version: Option[Int] = None): (Long, Option[(String, String)]) = {
     val v = version.getOrElse(latestVersion(spark, table))
     val entries = manifest(spark, table, v)
-    require(!entries.exists(e => isTombstone(e.path)),
+    require(!entries.exists(e => isMask(e.path)),
       s"Snapshots.statsAggStr: version $v of $table carries merge-on-read " +
         "deletes — compactMor first (metadata counts cannot subtract)")
     val withRows = entries.filter(_.rows > 0)
@@ -1072,8 +1072,8 @@ object Snapshots {
       s"Snapshots.dropColumn: no column '$name' in $table")
     require(schema.fields.length > 1,
       s"Snapshots.dropColumn: cannot drop the only column of $table")
-    require(!manifest(spark, table, v).exists(e => isTombstone(e.path)),
-      s"Snapshots.dropColumn: $table carries merge-on-read tombstones " +
+    require(!manifest(spark, table, v).exists(e => isMask(e.path)),
+      s"Snapshots.dropColumn: $table carries merge-on-read deletes " +
         "(key column name-matched at read time) — compactMor first")
     requireNoConstraintOn(props, name, table, "dropColumn")
     val narrowed = org.apache.spark.sql.types.StructType(
@@ -1633,13 +1633,21 @@ object Snapshots {
     */
   private def readFilesWithProps(spark: SparkSession, table: String,
       version: Int, entries: Seq[FileEntry],
-      props: Map[String, String]): DataFrame = {
+      props: Map[String, String], withPosMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
-    // a tombstone read as data would null-fill the table schema —
-    // refuse loudly instead of silently polluting the result
-    require(entries.forall(e => !isTombstone(e.path)),
+    // a tombstone (equality keys or a position-delete vector) read as
+    // data would null-fill the table schema — refuse loudly instead of
+    // silently polluting the result
+    require(entries.forall(e => !isMask(e.path)),
       s"Snapshots: version $version of $table carries merge-on-read " +
         "deletes — read it via readMor (or materialize with compactMor)")
+    // position masking joins on the scan's own metadata columns — they
+    // ride every frame this method returns when requested
+    def withMeta(df: DataFrame): DataFrame =
+      if (!withPosMeta) df
+      else df.select(df.columns.map(c).toSeq ++ Seq(
+        c("_metadata.file_name").as(MetaFile),
+        c("_metadata.row_index").as(MetaPos)): _*)
     // absolute entry paths come from zero-copy clones ([[cloneTable]]):
     // they point into the SOURCE table's data dir and resolve as-is
     def pathsOf(es: Seq[FileEntry]): Seq[String] = es.map(e =>
@@ -1648,11 +1656,15 @@ object Snapshots {
       case Some(json) =>
         val st = org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
+        require(!withPosMeta || !st.fieldNames.exists(n =>
+          n == MetaFile || n == MetaPos),
+          s"Snapshots: table $table has a column shadowing the reserved " +
+            s"position-metadata names $MetaFile/$MetaPos")
         val events = renameEvents(props)
         val defaults = defaultEvents(props)
           .filter(d => st.fieldNames.contains(d.name)) // dropped: dead event
         if (events.isEmpty && defaults.isEmpty)
-          spark.read.schema(st).parquet(pathsOf(entries): _*)
+          withMeta(spark.read.schema(st).parquet(pathsOf(entries): _*))
         else {
           // a file written at data sequence s carries the names of its
           // ERA: every rename whose boundary (the rename's parent
@@ -1672,9 +1684,15 @@ object Snapshots {
               }
               val eraSchema = org.apache.spark.sql.types.StructType(
                 st.fields.map(f => f.copy(name = eraName(f.name))))
-              val base = spark.read.schema(eraSchema).parquet(pathsOf(es): _*)
-                .select(st.fields.toSeq
-                  .map(f => c(eraName(f.name)).as(f.name)): _*)
+              // the meta projection hangs directly off the scan, before
+              // the era-alias select — unions do not propagate metadata
+              // columns, so it cannot be deferred to the caller
+              val scan = withMeta(
+                spark.read.schema(eraSchema).parquet(pathsOf(es): _*))
+              val metaCols =
+                if (withPosMeta) Seq(c(MetaFile), c(MetaPos)) else Seq.empty
+              val base = scan.select(st.fields.toSeq
+                .map(f => c(eraName(f.name)).as(f.name)) ++ metaCols: _*)
               applicableDefs.foldLeft(base) { (df, d) =>
                 df.withColumn(d.name,
                   org.apache.spark.sql.functions.coalesce(c(d.name),
@@ -1683,7 +1701,7 @@ object Snapshots {
             }
             .reduce(_.unionByName(_))
         }
-      case None => spark.read.parquet(pathsOf(entries): _*)
+      case None => withMeta(spark.read.parquet(pathsOf(entries): _*))
     }
   }
 
@@ -1727,6 +1745,9 @@ object Snapshots {
       s"Snapshots.diffAdded: versions $from→$to are not append-only " +
         s"(${missing.size} file(s) dropped); use a content diff")
     val added = b.filterNot(e => a.contains(e.path))
+    require(!added.exists(e => isMask(e.path)),
+      s"Snapshots.diffAdded: versions $from→$to of $table add merge-on-" +
+        "read deletes — file-level diff cannot express them; use changes")
     if (added.isEmpty) readFiles(spark, table, to, Seq(b.head)).limit(0)
     else readFiles(spark, table, to, added)
   }
@@ -2264,6 +2285,54 @@ object Snapshots {
   private[sources] def isTombstone(p: String): Boolean =
     new Path(p).getName.startsWith(DelPrefix)
 
+  /** Position-delete vectors (the Delta deletion-vector / Iceberg
+    * positional-delete shape): a `dv-` file holds (file name, row index)
+    * pairs naming EXACT ROWS of earlier data files. Where equality
+    * tombstones need a key column, a DV deletes by arbitrary predicate —
+    * including one of two bit-identical rows.
+    */
+  private val DvPrefix = "dv-"
+  private[sources] def isDv(p: String): Boolean =
+    new Path(p).getName.startsWith(DvPrefix)
+
+  /** Any merge-on-read mask file: equality tombstone or position DV. */
+  private[sources] def isMask(p: String): Boolean =
+    isTombstone(p) || isDv(p)
+
+  /** DV parquet schema: the target data file's NAME and the row's
+    * position within it (`_metadata.row_index`). Names, not paths:
+    * Spark part-file names carry the write job's UUID so they are
+    * unique per table in practice, and unlike `_metadata.file_path`
+    * they survive table relocation and need no URI-encoding care —
+    * [[requireUniqueNames]] still proves uniqueness before every use
+    * rather than assuming it.
+    */
+  private[sources] val DvFileCol = "file"
+  private[sources] val DvPosCol = "pos"
+  private val MetaFile = "_graft_file"
+  private val MetaPos = "_graft_pos"
+
+  private def requireUniqueNames(data: Seq[FileEntry], table: String,
+      v: Int): Unit = {
+    val names = data.map(e => new Path(e.path).getName)
+    require(names.distinct.size == names.size,
+      s"Snapshots: version $v of $table has data files sharing a name — " +
+        "position deletes key on file names; compact before deleteVector")
+  }
+
+  /** Whether version `v` ADDS a position-delete vector over its parent —
+    * the commits change-feed REPLAY must refuse: positions name rows of
+    * the SOURCE table's physical files and mean nothing in a mirror.
+    */
+  private[sources] def addsPositionDeletes(spark: SparkSession,
+      table: String, v: Int): Boolean = {
+    val parent = versions(spark, table).filter(_ < v).lastOption
+    val parentPaths = parent.map(p => manifest(spark, table, p)
+      .map(_.path).toSet).getOrElse(Set.empty[String])
+    manifest(spark, table, v)
+      .exists(e => !parentPaths(e.path) && isDv(e.path))
+  }
+
   /** MERGE-ON-READ delete: commit an equality TOMBSTONE (the distinct
     * delete keys as one small parquet file) instead of rewriting any
     * data file — the fast-delete write path. Where [[merge]] pays
@@ -2363,6 +2432,144 @@ object Snapshots {
       entries, baseFor = parent => manifest(spark, table, parent))
   }
 
+  /** MERGE-ON-READ delete by ARBITRARY PREDICATE: commit a position
+    * DELETE VECTOR — one small parquet of (file name, row index) pairs
+    * naming exactly the visible rows matching `condition` — instead of
+    * rewriting any data file. This is the delete shape equality
+    * tombstones cannot express: no key column needed, non-key
+    * predicates, and deleting ONE of two bit-identical rows all work,
+    * at the same kilobytes-per-commit cost (Delta's deletion vectors /
+    * Iceberg's positional deletes). Ordering is by data sequence number
+    * exactly like [[deleteWhere]]: the DV masks only files that existed
+    * when it was computed, so later appends are never affected.
+    *
+    * The position scan reads only what the predicate needs (Catalyst
+    * prunes columns; at scale, pair with [[scanPruned]]-recorded stats
+    * so file pruning bounds it further). A concurrent commit that
+    * REWRITES a referenced file (compaction/merge) would silently
+    * strand the positions — the publish re-validates that every
+    * referenced file name is still live in the final parent manifest
+    * and refuses otherwise, closing that race.
+    */
+  def deleteVector(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      properties: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.deleteVector: $table has no committed version")
+    val all = manifest(spark, table, v)
+    val (masks, data) = all.partition(e => isMask(e.path))
+    require(data.nonEmpty, s"Snapshots: version $v of $table is empty")
+    requireUniqueNames(data, table, v)
+    val visible = readMorEntries(spark, table, v, data, masks,
+      withPosMeta = true)
+    val matched = visible.filter(condition)
+      .select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol))
+    val (fs, root) = fsOf(spark, table)
+    val batch = freshBatchDir(root)
+    matched.repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
+      .write.mode("errorifexists").parquet(batch.toString)
+    listParquet(fs, batch).foreach { st =>
+      require(fs.rename(st.getPath,
+        new Path(st.getPath.getParent, DvPrefix + st.getPath.getName)),
+        s"Snapshots.deleteVector: rename failed for ${st.getPath}")
+    }
+    val dvEntries = entriesFor(spark, table, batch, Seq(DvPosCol),
+      Seq.empty, Seq(DvFileCol))
+    // tiny by construction (≤ one row per deleted row, one file total) —
+    // the referenced-name set is what the publish-time race check needs
+    val referenced = spark.read.parquet(
+        dvEntries.map(e => s"$table/${e.path}"): _*)
+      .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap
+    publishManifest(spark, table, props, dvEntries, baseFor = parent => {
+      val m = manifest(spark, table, parent)
+      val live = m.filterNot(e => isMask(e.path))
+        .map(e => new Path(e.path).getName).toSet
+      val gone = referenced -- live
+      require(gone.isEmpty, s"Snapshots.deleteVector: concurrent commit " +
+        s"rewrote ${gone.size} file(s) the vector references — retry")
+      m
+    })
+  }
+
+  /** MERGE-ON-READ UPDATE: ONE atomic commit holding a position DV of
+    * the rows matching `condition` plus data files carrying those rows
+    * re-written with `set` applied — because both ride the same data
+    * sequence number and a mask applies only to LOWER sequences, the
+    * old copies disappear while the updated rows survive, with no
+    * intermediate state ever observable (the [[upsertMor]] discipline,
+    * keyed by position instead of key). Cost is O(matched rows); no
+    * data file is rewritten. CHECK and FK constraints run on the
+    * updated rows; updating a UNIQUE key column is refused (the
+    * replaced rows' keys are the only ones provably safe — key-changing
+    * updates are [[merge]]'s job).
+    */
+  def updateWhere(spark: SparkSession, table: String,
+      condition: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.updateWhere: $table has no committed version")
+    require(set.nonEmpty, "Snapshots.updateWhere: empty SET")
+    val tableCols = this.properties(spark, table, v).get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq)
+      .getOrElse(readMor(spark, table, Some(v)).columns.toSeq)
+    set.foreach { case (k, _) => require(tableCols.contains(k),
+      s"Snapshots.updateWhere: no column '$k' in $table") }
+    uniqueKeySets(spark, table).foreach { ks =>
+      val hit = ks.filter(k => set.exists(_._1 == k))
+      require(hit.isEmpty, s"Snapshots.updateWhere: SET touches UNIQUE " +
+        s"key column(s) ${hit.mkString(",")} — key-changing updates must " +
+        "go through merge, which proves the new keys free")
+    }
+    val all = manifest(spark, table, v)
+    val (masks, data) = all.partition(e => isMask(e.path))
+    require(data.nonEmpty, s"Snapshots: version $v of $table is empty")
+    requireUniqueNames(data, table, v)
+    val matched = readMorEntries(spark, table, v, data, masks,
+      withPosMeta = true).filter(condition)
+      .localCheckpoint() // one scan feeds both the DV and the new rows
+    val updated = set.foldLeft(matched) { case (df, (k, col)) =>
+      df.withColumn(k, col) }
+      .select(tableCols.map(c): _*)
+    enforceChecks(spark, table, updated)
+    enforceForeignKeys(spark, table, updated)
+    val (fs, root) = fsOf(spark, table)
+    val batchDir = freshBatchDir(root)
+    updated.write.mode("errorifexists").parquet(batchDir.toString)
+    val tmpDv = new Path(batchDir, "_dv_tmp")
+    matched.select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol))
+      .repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
+      .write.parquet(tmpDv.toString)
+    listParquet(fs, tmpDv).foreach { st =>
+      require(fs.rename(st.getPath,
+        new Path(batchDir, DvPrefix + st.getPath.getName)),
+        s"Snapshots.updateWhere: rename failed for ${st.getPath}")
+    }
+    fs.delete(tmpDv, true)
+    val entries = entriesFor(spark, table, batchDir,
+      (statsCols :+ DvPosCol).distinct, Seq.empty, Seq(DvFileCol))
+    val referenced = spark.read.parquet(entries.filter(e => isDv(e.path))
+        .map(e => s"$table/${e.path}"): _*)
+      .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap
+    publishManifest(spark, table, props, entries, baseFor = parent => {
+      val m = manifest(spark, table, parent)
+      val live = m.filterNot(e => isMask(e.path))
+        .map(e => new Path(e.path).getName).toSet
+      val gone = referenced -- live
+      require(gone.isEmpty, s"Snapshots.updateWhere: concurrent commit " +
+        s"rewrote ${gone.size} file(s) the vector references — retry")
+      m
+    })
+  }
+
   /** Read a version that may carry merge-on-read tombstones: data files
     * grouped by their data sequence number, each group anti-joined
     * against exactly the tombstones committed AFTER it (group count ≤
@@ -2376,30 +2583,50 @@ object Snapshots {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, table))
     val all = manifest(spark, table, v)
-    val (del, data) = all.partition(e => isTombstone(e.path))
+    val (masks, data) = all.partition(e => isMask(e.path))
     require(data.nonEmpty, s"Snapshots: version $v of $table is empty")
-    readMorEntries(spark, table, v, data, del)
+    readMorEntries(spark, table, v, data, masks)
   }
 
   /** The MOR-subtraction core of [[readMor]] over an explicit entry
     * subset — shared with [[changes]], whose delete pre-images are the
     * parent version's visible rows restricted to files that may hold an
-    * affected key.
+    * affected key. `masks` may mix equality tombstones and position
+    * DVs; each applies only to data files with a LOWER sequence number.
+    * `withPosMeta = true` keeps the (file name, row index) metadata
+    * columns on the result — what [[deleteVector]]/[[updateWhere]]
+    * compute their positions from.
     */
   private def readMorEntries(spark: SparkSession, table: String, v: Int,
-      data: Seq[FileEntry], del: Seq[FileEntry]): DataFrame = {
-    if (del.isEmpty) return readFiles(spark, table, v, data)
-    val keyCol = spark.read.parquet(tombPaths(table, del): _*).schema.head.name
+      data: Seq[FileEntry], masks: Seq[FileEntry],
+      withPosMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val (del, dvs) = masks.partition(e => isTombstone(e.path))
+    if (masks.isEmpty && !withPosMeta) return readFiles(spark, table, v, data)
+    if (dvs.nonEmpty) requireUniqueNames(data, table, v)
+    val props = properties(spark, table, v)
+    lazy val keyCol =
+      spark.read.parquet(tombPaths(table, del): _*).schema.head.name
     data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (gseq, es) =>
-      val applicable = del.filter(_.seq > gseq)
-      val dataDf = readFiles(spark, table, v, es)
-      if (applicable.isEmpty) dataDf
-      else {
-        val keys = spark.read.parquet(tombPaths(table, applicable): _*)
+      val applicDel = del.filter(_.seq > gseq)
+      val applicDv = dvs.filter(_.seq > gseq)
+      val needMeta = withPosMeta || applicDv.nonEmpty
+      var df = readFilesWithProps(spark, table, v, es, props,
+        withPosMeta = needMeta)
+      if (applicDv.nonEmpty) {
+        // DVs are kilobytes by construction — broadcast the anti side
+        val dv = broadcast(
+          spark.read.parquet(tombPaths(table, applicDv): _*).distinct())
+        df = df.join(dv, df(MetaFile) === dv(DvFileCol) &&
+          df(MetaPos) === dv(DvPosCol), "left_anti")
+      }
+      if (applicDel.nonEmpty) {
+        val keys = spark.read.parquet(tombPaths(table, applicDel): _*)
           .distinct()
-        dataDf.join(keys, dataDf(keyCol).cast("long") === keys(keyCol),
+        df = df.join(keys, df(keyCol).cast("long") === keys(keyCol),
           "left_anti")
       }
+      if (needMeta && !withPosMeta) df.drop(MetaFile, MetaPos) else df
     }.reduce(_.unionByName(_))
   }
 
@@ -2478,12 +2705,40 @@ object Snapshots {
             s"rewrites must carry $DataChangeProp=false")
         val parentPaths = parent.map(_.path).toSet
         val added = cur.filterNot(e => parentPaths(e.path))
-        val (tomb, data) = added.partition(e => isTombstone(e.path))
+        val (tomb, rest) = added.partition(e => isTombstone(e.path))
+        val (dvAdds, data) = rest.partition(e => isDv(e.path))
         val ins =
           if (data.isEmpty) None
           else Some(readFiles(spark, table, v, data)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
+        // position-DV deletes: pre-images are the parent's visible rows
+        // at exactly the named (file, position) pairs — the file-name
+        // set prunes the parent scan to only the touched files, tighter
+        // than any envelope
+        val dvDel =
+          if (dvAdds.isEmpty) None
+          else {
+            val dv = spark.read.parquet(tombPaths(table, dvAdds): _*)
+              .distinct()
+            val names = dv.select(DvFileCol).distinct().collect()
+              .map(_.getString(0)).toSet
+            val (pd, pmask) = parent.partition(e => !isMask(e.path))
+            val candidates =
+              pd.filter(e => names.contains(new Path(e.path).getName))
+            if (candidates.isEmpty) None
+            else {
+              val visible = readMorEntries(spark, table, parentV,
+                candidates, pmask, withPosMeta = true)
+              Some(visible.join(
+                  org.apache.spark.sql.functions.broadcast(dv),
+                  visible(MetaFile) === dv(DvFileCol) &&
+                    visible(MetaPos) === dv(DvPosCol), "left_semi")
+                .drop(MetaFile, MetaPos)
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_commit_version", lit(v)))
+            }
+          }
         val del =
           if (tomb.isEmpty) None
           else {
@@ -2495,7 +2750,7 @@ object Snapshots {
             val envs = tomb.flatMap(_.stats.get(keyCol))
             val env = if (envs.size == tomb.count(_.rows > 0) && envs.nonEmpty)
               Some((envs.map(_._1).min, envs.map(_._2).max)) else None
-            val (pd, pdel) = parent.partition(e => !isTombstone(e.path))
+            val (pd, pdel) = parent.partition(e => !isMask(e.path))
             val candidates = pd.filter { e =>
               e.rows > 0 && (env match {
                 case Some((lo, hi)) => e.stats.get(keyCol) match {
@@ -2517,7 +2772,7 @@ object Snapshots {
                 .withColumn("_commit_version", lit(v)))
             }
           }
-        ins.toSeq ++ del.toSeq
+        ins.toSeq ++ dvDel.toSeq ++ del.toSeq
       }
     }
     if (frames.isEmpty) {
@@ -2543,7 +2798,7 @@ object Snapshots {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val (fs, root) = fsOf(spark, table)
     val cur = latestVersion(spark, table)
-    val data = manifest(spark, table, cur).filterNot(e => isTombstone(e.path))
+    val data = manifest(spark, table, cur).filterNot(e => isMask(e.path))
     val bytes = data.map(e =>
       fs.getFileStatus(new Path(root, e.path)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

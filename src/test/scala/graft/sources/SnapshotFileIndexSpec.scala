@@ -94,7 +94,7 @@ class SnapshotFileIndexSpec extends SparkSpec {
     Snapshots.deleteWhere(spark, tbl, Seq(3L).toDF("k"), "k")
     val e = intercept[IllegalArgumentException](
       Snapshots.readIndexed(spark, tbl))
-    assert(e.getMessage.contains("tombstones"))
+    assert(e.getMessage.contains("merge-on-read deletes"))
     val tbl2 = freshTable("ren")
     buildKeyed(tbl2)
     Snapshots.renameColumn(spark, tbl2, "v", "val")
