@@ -1502,8 +1502,84 @@ object SnapshotQueries {
                        ELSE o_totalprice END AS p
            FROM orders) WHERE NOT p > 150000.0"""))
 
+  /** X116: SQL DML — UPDATE / DELETE / INSERT INTO ... SELECT through
+    * `spark.sql` on a catalog graft table ([[graft.plans.SqlDml]]): an
+    * analyzer rule rewrites the statements onto the snapshot protocol
+    * (UPDATE → atomic vector+rows commit, DELETE → position vector,
+    * INSERT → commit), and the INSERT's self-referencing SELECT plus
+    * the final aggregate read back through the catalog's merge-on-read
+    * relation. The oracle replays the three statements as plain SQL.
+    */
+  val sqlDml = Q("q_sql_dml",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqldml")
+      Snapshots.commit(src(s, d), tbl, statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_dml_q")
+      q.sql(s"CREATE TABLE graft_dml_q USING graft OPTIONS (path '$tbl')")
+      q.sql("UPDATE graft_dml_q SET o_totalprice = o_totalprice * 0.5 " +
+        s"WHERE o_orderdate < DATE '$cutoff'")
+      q.sql("DELETE FROM graft_dml_q WHERE o_totalprice > 150000.0")
+      q.sql("INSERT INTO graft_dml_q SELECT o_orderkey + 10000000, 1.0, " +
+        "DATE '1999-12-31' FROM graft_dml_q WHERE o_totalprice < 1000.0")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_dml_q""")
+    },
+    Some(s"""WITH updated AS (
+           SELECT CASE WHEN o_orderdate < DATE '$cutoff'
+                       THEN o_totalprice * 0.5
+                       ELSE o_totalprice END AS p
+           FROM orders),
+         kept AS (SELECT p FROM updated WHERE NOT p > 150000.0),
+         final AS (
+           SELECT p FROM kept
+           UNION ALL
+           SELECT 1.0 FROM kept WHERE p < 1000.0)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM final"""))
+
+  /** X116: SQL MERGE INTO — the analyzer expands `UPDATE SET * / INSERT
+    * *` into per-column assignments, which the rule turns into one
+    * key-exact [[Snapshots.merge]] upsert; a second MERGE with `WHEN
+    * MATCHED THEN DELETE` maps to the tombstoning merge. Target = even
+    * orders, source = div-3 orders at doubled price: matched (div 6)
+    * update, unmatched (odd div 3) insert, then div-5 keys delete.
+    */
+  val sqlMerge = Q("q_sql_merge",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrg")
+      Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_mrg_q")
+      q.sql(s"CREATE TABLE graft_mrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mrg_src AS " +
+        "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 3 = 0")
+      q.sql("MERGE INTO graft_mrg_q t USING graft_mrg_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_del_src AS " +
+        s"SELECT * FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 5 = 0")
+      q.sql("MERGE INTO graft_mrg_q t USING graft_del_src s " +
+        "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_mrg_q""")
+    },
+    Some(s"""WITH merged AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS p
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
+         FROM merged WHERE NOT k % 5 = 0"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    deletionVector, updateWhere,
+    deletionVector, updateWhere, sqlDml, sqlMerge,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

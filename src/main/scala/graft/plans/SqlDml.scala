@@ -1,0 +1,412 @@
+package graft.plans
+
+import graft.sources.{GraftMorRelation, SnapshotFileIndex, Snapshots}
+import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+
+/** SQL DML on graft tables — `INSERT INTO`, `DELETE FROM`, `UPDATE` and
+  * `MERGE INTO` through `spark.sql(...)`, routed onto the snapshot
+  * commit protocol instead of Spark's manifest-blind file writes:
+  *
+  * {{{
+  *   val s = SqlDml.enable(spark)   // sibling session with the rule
+  *   s.sql(s"CREATE TABLE t USING graft OPTIONS (path '\$tbl')")
+  *   s.sql("INSERT INTO t VALUES (1, 'a')")          // Snapshots.commit
+  *   s.sql("UPDATE t SET v = v * 2 WHERE k < 10")    // updateWhere (MOR)
+  *   s.sql("DELETE FROM t WHERE v IS NULL")          // deleteVector (MOR)
+  *   s.sql("MERGE INTO t USING s ON t.k = s.k " +
+  *     "WHEN MATCHED THEN UPDATE SET * " +
+  *     "WHEN NOT MATCHED THEN INSERT *")             // Snapshots.merge
+  * }}}
+  *
+  * The vehicle is a RESOLUTION rule ([[GraftDmlRule]]): once the
+  * analyzer has resolved the statement's relation to a graft
+  * [[SnapshotFileIndex]] relation and its expressions, the statement is
+  * rewritten to a [[LeafRunnableCommand]] that performs the matching
+  * snapshot operation — BEFORE `CheckAnalysis` would refuse row-level
+  * DML on a v1 relation, and before Spark's own `INSERT INTO` planning
+  * would write parquet files no manifest references. Expressions are
+  * re-anchored by NAME (attribute ids from the statement's relation
+  * instance mean nothing against the fresh MOR read inside the
+  * command); every rewrite requires the statement fully resolved first,
+  * so unknown columns still fail with Spark's own analysis errors.
+  *
+  * Semantics per statement (each is ONE atomic snapshot commit):
+  *  - INSERT INTO/OVERWRITE: positional, cast to the table's recorded
+  *    schema, `Snapshots.commit` append/overwrite — constraints
+  *    (CHECK/UNIQUE/FK) enforce exactly as for API commits.
+  *  - DELETE: `Snapshots.deleteVector` — a position-vector commit, so
+  *    arbitrary predicates work with no key column and no file rewrite.
+  *  - UPDATE: `Snapshots.updateWhere` — atomic vector + rewritten rows.
+  *  - MERGE: the canonical upsert shapes map onto `Snapshots.merge`
+  *    (copy-on-write, key-exact): `UPDATE SET * / INSERT *` in any
+  *    combination, and `WHEN MATCHED THEN DELETE`. Conditional actions,
+  *    column-list assignments, `NOT MATCHED BY SOURCE` and schema
+  *    evolution are refused loudly — not silently approximated.
+  *
+  * Time-traveled relations (`versionAsOf`/`timestampAsOf`/`tag`/
+  * `branch` reader options) refuse all DML: history is immutable.
+  */
+object SqlDml {
+
+  /** A sibling session (shared context, catalog, temp views) with the
+    * DML rule installed — see [[GraftBridge.siblingSessionWithExtensions]]
+    * for why a live session cannot take new analyzer rules directly.
+    * The graft SQL functions and the as-of-join strategy ride along, so
+    * the sibling is a strict superset of a `GraftExtensions` session.
+    */
+  def enable(spark: SparkSession): SparkSession =
+    GraftBridge.siblingSessionWithExtensions(spark, apply)
+
+  /** Extension installer — usable directly via
+    * `spark.sql.extensions=graft.GraftExtensions` plus this, or through
+    * [[enable]] at runtime.
+    */
+  def apply(ext: SparkSessionExtensions): Unit = {
+    new graft.GraftExtensions()(ext)
+    ext.injectResolutionRule(_ => GraftDmlRule)
+  }
+
+  /** Matches a fully-resolved scan over a graft snapshot relation and
+    * yields (table path, relation output, reader options).
+    */
+  private[plans] object GraftRel {
+    def unapply(plan: LogicalPlan)
+        : Option[(String, Seq[Attribute], Map[String, String], Option[String])] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case lr: LogicalRelation => lr.relation match {
+          case hfr: HadoopFsRelation => hfr.location match {
+            case idx: SnapshotFileIndex =>
+              Some((idx.table, lr.output, hfr.options,
+                lr.catalogTable.map(_.identifier.unquotedString)))
+            case _ => None
+          }
+          case mor: GraftMorRelation =>
+            Some((mor.table, lr.output, mor.options,
+              lr.catalogTable.map(_.identifier.unquotedString)))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  private val TravelKeys = Seq("versionAsOf", "timestampAsOf", "tag",
+    "branch")
+
+  private def requireWritable(table: String,
+      options: Map[String, String]): Unit = {
+    val travel = TravelKeys.filter(options.contains)
+    require(travel.isEmpty, s"graft DML: $table was read with " +
+      s"${travel.mkString("/")} — historical versions are immutable; " +
+      "point the relation at the table head")
+  }
+
+  /** Re-anchor an expression by NAME: attribute references resolved
+    * against the statement's relation instance are replaced with
+    * unresolved ones, so the expression re-resolves against the fresh
+    * frame the command reads at run time.
+    */
+  private[plans] def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+  }
+
+  private def asColumn(e: Expression): Column =
+    GraftBridge.column(byName(e))
+
+  // ---- the analyzer rule ------------------------------------------------
+
+  object GraftDmlRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case i @ InsertIntoStatement(GraftRel(table, out, opts, ident),
+            part, cols, query, overwrite, _, byNameIns)
+            if query.resolved =>
+          requireWritable(table, opts)
+          require(part.isEmpty, "graft DML: INSERT ... PARTITION is not " +
+            "supported — partitioning rides the table layout")
+          require(cols.isEmpty || byNameIns ||
+            cols.map(_.toLowerCase) ==
+              out.map(_.name.toLowerCase).take(cols.size),
+            s"graft DML: INSERT column list must be a prefix of the " +
+              s"table's columns in order, got (${cols.mkString(", ")})")
+          val _ = i
+          GraftInsertCommand(table, query, overwrite, schemaOf(out),
+            byNameIns, ident)
+
+        case DeleteFromTable(GraftRel(table, _, opts, ident), condition)
+            if condition.resolved =>
+          requireWritable(table, opts)
+          GraftDeleteCommand(table, asColumn(condition), ident)
+
+        case UpdateTable(GraftRel(table, _, opts, ident), assignments,
+            condition)
+            if assignments.forall(_.resolved) &&
+              condition.forall(_.resolved) =>
+          requireWritable(table, opts)
+          val set = assignments.map { a =>
+            val name = a.key match {
+              case ar: AttributeReference => ar.name
+              case u: UnresolvedAttribute => u.name
+              case other => throw new IllegalArgumentException(
+                s"graft DML: UPDATE SET target must be a plain column, " +
+                  s"got $other")
+            }
+            (name, asColumn(a.value))
+          }
+          GraftUpdateCommand(table, set,
+            asColumn(condition.getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+            ident)
+
+        case m: MergeIntoTable if m.targetTable.resolved &&
+            m.sourceTable.resolved && m.mergeCondition.resolved &&
+            GraftRel.unapply(m.targetTable).isDefined =>
+          val Some((table, tOut, opts, ident)) =
+            GraftRel.unapply(m.targetTable)
+          requireWritable(table, opts)
+          rewriteMerge(m, table, tOut, ident)
+      }
+
+    private def rewriteMerge(m: MergeIntoTable, table: String,
+        tOut: Seq[Attribute], ident: Option[String]): LogicalPlan = {
+      require(!m.withSchemaEvolution,
+        "graft DML: MERGE WITH SCHEMA EVOLUTION is not supported")
+      require(m.notMatchedBySourceActions.isEmpty,
+        "graft DML: MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
+      val sOut = m.sourceTable.output
+      // canonical equality key: ON t.k = s.k with the SAME column name
+      // on both sides — the shape Snapshots.merge upserts by
+      val keyCol = m.mergeCondition match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.name.equalsIgnoreCase(b.name) &&
+              ((tOut.exists(_.exprId == a.exprId) &&
+                sOut.exists(_.exprId == b.exprId)) ||
+                (tOut.exists(_.exprId == b.exprId) &&
+                  sOut.exists(_.exprId == a.exprId))) =>
+          tOut.find(_.name.equalsIgnoreCase(a.name)).get.name
+        case other => throw new IllegalArgumentException(
+          "graft DML: MERGE condition must be a single equality on one " +
+            s"same-named column of target and source, got $other")
+      }
+      require(m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1,
+        "graft DML: at most one WHEN MATCHED and one WHEN NOT MATCHED " +
+          "action")
+      require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty,
+        "graft DML: MERGE with no actions")
+      // an action's assignments (the analyzer expands SET * / INSERT *
+      // into per-column assignments) become a full-row SOURCE projection
+      // — Snapshots.merge replaces whole rows, so every target column
+      // must be assigned, and values may reference only the source
+      // (byName re-anchoring resolves them against the source frame)
+      def projOf(assigns: Seq[Assignment], what: String)
+          : Seq[(String, Column)] = {
+        val srcIds = sOut.map(_.exprId).toSet
+        val byTarget = assigns.map { asg =>
+          val name = asg.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new IllegalArgumentException(
+              s"graft DML: MERGE $what assigns to non-column $other")
+          }
+          asg.value.foreach {
+            case ar: AttributeReference =>
+              require(srcIds.contains(ar.exprId) ||
+                ar.name.equalsIgnoreCase(keyCol),
+                s"graft DML: MERGE $what value for '$name' references " +
+                  s"target column '${ar.name}' — whole-row replacement " +
+                  "can only compute from the source")
+            case _ => ()
+          }
+          (name, asColumn(asg.value))
+        }
+        val missing = tOut.map(_.name)
+          .filterNot(n => byTarget.exists(_._1.equalsIgnoreCase(n)))
+        require(missing.isEmpty, s"graft DML: MERGE $what must assign " +
+          s"every target column (missing ${missing.mkString(", ")}) — " +
+          "partial updates go through UPDATE")
+        tOut.map(t => byTarget.find(_._1.equalsIgnoreCase(t.name)).get)
+      }
+      var updateProj: Option[Seq[(String, Column)]] = None
+      var deletes = false
+      m.matchedActions.foreach {
+        case DeleteAction(None) => deletes = true
+        case UpdateAction(None, assigns, _) =>
+          updateProj = Some(projOf(assigns, "WHEN MATCHED"))
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unsupported WHEN MATCHED action $other — " +
+            "conditional actions are not supported")
+      }
+      var insertProj: Option[Seq[(String, Column)]] = None
+      m.notMatchedActions.foreach {
+        case InsertAction(None, assigns) =>
+          insertProj = Some(projOf(assigns, "WHEN NOT MATCHED"))
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unsupported WHEN NOT MATCHED action $other — " +
+            "conditional actions are not supported")
+      }
+      require(!(deletes && insertProj.nonEmpty), "graft DML: MATCHED " +
+        "DELETE plus NOT MATCHED INSERT is not an upsert — split into " +
+        "two statements")
+      GraftMergeCommand(table, m.sourceTable, keyCol,
+        updateProj = updateProj, insertProj = insertProj,
+        deleteMatched = deletes, targetSchema = schemaOf(tOut),
+        ident = ident)
+    }
+  }
+
+  /** Drop the cached catalog plan for this table: the session catalog
+    * caches resolved file relations (pinned at a version), so a
+    * post-DML read through the SAME catalog name must re-resolve to see
+    * the new version — the `REFRESH TABLE` a user would otherwise have
+    * to run. Only THIS session's cache: a sibling/parent session keeps
+    * Spark's normal refresh contract.
+    */
+  private def refreshCatalog(spark: SparkSession,
+      ident: Option[String]): Unit =
+    ident.foreach(spark.catalog.refreshTable)
+
+  private def schemaOf(out: Seq[Attribute])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(out.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType,
+        a.nullable)))
+
+  /** Re-stamp a frame with the table's RECORDED schema (zero-copy: the
+    * internal rows are reused). Casts and joins widen nullability, and
+    * a commit records its frame's schema — without this, one SQL MERGE
+    * would flip a NOT NULL table column nullable and the catalog
+    * relation would refuse to re-resolve against its stored schema.
+    */
+  private def withRecordedSchema(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    GraftBridge.internalDataFrame(spark, df.queryExecution.toRdd, schema)
+
+  // ---- the commands ------------------------------------------------------
+
+  /** INSERT INTO / INSERT OVERWRITE → one snapshot commit. Positional
+    * semantics (SQL INSERT), cast to the table's recorded types; with
+    * `byNameIns` (INSERT ... BY NAME / a named column list) columns are
+    * matched by name instead.
+    */
+  final case class GraftInsertCommand(table: String, query: LogicalPlan,
+      overwrite: Boolean,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      byNameIns: Boolean, ident: Option[String])
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val df = GraftBridge.dataFrame(spark, query)
+      require(df.columns.length == targetSchema.size,
+        s"graft DML: INSERT provides ${df.columns.length} column(s), " +
+          s"table $table has ${targetSchema.size}")
+      val aligned =
+        if (byNameIns)
+          df.select(targetSchema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        else
+          // positional: rename first (a VALUES column can be named
+          // "1.0", which col() would parse as a nested field)
+          df.toDF(targetSchema.fieldNames.toSeq: _*)
+            .select(targetSchema.fields.toSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
+      Snapshots.commit(withRecordedSchema(spark, aligned, targetSchema),
+        table, overwrite = overwrite)
+      refreshCatalog(spark, ident)
+      Seq.empty
+    }
+  }
+
+  /** DELETE FROM → a position delete-vector commit. The predicate is
+    * held as a [[Column]] (re-anchored by name): an Expression field
+    * would surface through the command's own `expressions` and fail
+    * CheckAnalysis as unresolved.
+    */
+  final case class GraftDeleteCommand(table: String, condition: Column,
+      ident: Option[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      Snapshots.deleteVector(spark, table, condition)
+      refreshCatalog(spark, ident)
+      Seq.empty
+    }
+  }
+
+  /** UPDATE → an atomic vector + rewritten-rows commit. */
+  final case class GraftUpdateCommand(table: String,
+      set: Seq[(String, Column)], condition: Column,
+      ident: Option[String])
+      extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      Snapshots.updateWhere(spark, table, condition, set)
+      refreshCatalog(spark, ident)
+      Seq.empty
+    }
+  }
+
+  /** MERGE INTO → [[Snapshots.merge]] (copy-on-write, key-exact). The
+    * projections turn the SOURCE into full target rows (the analyzer's
+    * expansion of SET * / INSERT *, or explicit full-column
+    * assignments); update-only restricts to keys present, insert-only
+    * to keys absent, both together is the plain upsert.
+    */
+  final case class GraftMergeCommand(table: String, source: LogicalPlan,
+      keyCol: String, updateProj: Option[Seq[(String, Column)]],
+      insertProj: Option[Seq[(String, Column)]],
+      deleteMatched: Boolean,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      ident: Option[String])
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val src0 = GraftBridge.dataFrame(spark, source)
+      // projections are target-ordered with target names (projOf) —
+      // shaping is a positional select + cast
+      def shaped(proj: Seq[(String, Column)]) =
+        src0.select(proj.zip(targetSchema.fields).map { case ((n, c), f) =>
+          c.cast(f.dataType).as(n) }: _*)
+      if (deleteMatched) {
+        // WHEN MATCHED THEN DELETE: drop target rows whose key appears
+        // in the source (keys absent from the target are no-ops)
+        val keys = src0.select(col(keyCol))
+        Snapshots.merge(spark, table,
+          upserts = shapedEmpty(spark), deleteKeys = keys,
+          keyCol = keyCol)
+      } else {
+        lazy val targetKeys = Snapshots.readMor(spark, table)
+          .select(col(keyCol)).distinct()
+        val ups = updateProj.map(p =>
+          shaped(p).join(targetKeys, Seq(keyCol), "left_semi"))
+        val ins = insertProj.map(p =>
+          shaped(p).join(targetKeys, Seq(keyCol), "left_anti"))
+        def fp(p: Option[Seq[(String, Column)]]) =
+          p.map(_.map { case (n, c) => (n, c.toString) })
+        val upserts = (ups, ins) match {
+          case (Some(u), Some(i)) =>
+            // the common SET * / INSERT * pair collapses to the plain
+            // source — one scan instead of a semi+anti union
+            if (fp(updateProj) == fp(insertProj)) shaped(updateProj.get)
+            else u.unionByName(i)
+          case (Some(u), None) => u
+          case (None, Some(i)) => i
+          case (None, None) => throw new IllegalStateException(
+            "graft DML: MERGE command with no actions")
+        }
+        Snapshots.merge(spark, table,
+          upserts = withRecordedSchema(spark, upserts, targetSchema),
+          deleteKeys = shapedEmpty(spark), keyCol = keyCol)
+      }
+      refreshCatalog(spark, ident)
+      Seq.empty
+    }
+    private def shapedEmpty(spark: SparkSession) =
+      spark.createDataFrame(new java.util.ArrayList[Row](), targetSchema)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -74,9 +74,19 @@ final class GraftSource extends RelationProvider
         eligible.max
       })
       .getOrElse(Snapshots.latestVersion(spark, table))
+    // a version carrying merge-on-read masks (equality tombstones or
+    // position vectors) cannot be served as a flat file listing — fall
+    // back to the MOR relation (plain scan + mask anti-joins) so SQL
+    // SELECT and DML keep working between a DELETE and the next
+    // compactMor; mask-free versions keep the data-skipping FileIndex
+    if (Snapshots.manifest(spark, table, version)
+        .exists(e => Snapshots.isMask(e.path)))
+      return new GraftMorRelation(sqlContext, table, version, parameters)
     val index = new SnapshotFileIndex(spark, table, version)
+    // reader options ride the relation so downstream layers (SQL DML)
+    // can see whether this relation was time-traveled
     HadoopFsRelation(index, new StructType(), index.dataSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new ParquetFileFormat, parameters)(spark)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -225,5 +235,70 @@ final class GraftSource extends RelationProvider
       }
       override def toString: String = s"GraftSink[$table]"
     }
+  }
+}
+
+/** The catalog relation for versions carrying merge-on-read masks:
+  * [[Snapshots.readMor]] behind Spark's v1 `PrunedFilteredScan` — column
+  * pruning and the translatable pushed filters are applied INSIDE the
+  * MOR plan (before the mask anti-joins), and Spark re-applies every
+  * filter on top (v1 contract), so results are exact even for filters
+  * the translator skips. Slower than the data-skipping FileIndex path
+  * by design; `compactMor` returns the table to the fast path.
+  */
+final class GraftMorRelation(sql: SQLContext, val table: String,
+    val version: Int, val options: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+  import org.apache.spark.sql.{Column, Row}
+  import org.apache.spark.sql.functions.col
+
+  override def sqlContext: SQLContext = sql
+
+  private def frame: DataFrame =
+    Snapshots.readMor(sql.sparkSession, table, Some(version))
+
+  // the RECORDED schema, not the MOR plan's (whose nullability widens
+  // through the mask joins) — it must equal what the FileIndex relation
+  // reported when the catalog table was created, or re-resolution after
+  // a DELETE refuses with a schema-mismatch error
+  override val schema: StructType =
+    Snapshots.properties(sql.sparkSession, table, version)
+      .get(Snapshots.SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(frame.schema) match {
+        // match the FileIndex relation's nullability convention exactly
+        case st => StructType(st.fields.map(_.copy(nullable = true)))
+      }
+
+  private def translate(f: org.apache.spark.sql.sources.Filter)
+      : Option[Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === v)
+      case GreaterThan(a, v) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case And(l, r) => (translate(l), translate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b) // AND may weaken to either side
+      }
+      case Or(l, r) => for { a <- translate(l); b <- translate(r) }
+        yield a || b
+      case Not(c) => translate(c).map(!_)
+      case _ => None
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[Row] = {
+    val filtered = filters.flatMap(translate)
+      .foldLeft(frame)((df, c) => df.filter(c))
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 }

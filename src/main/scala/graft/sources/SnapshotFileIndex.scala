@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rename/drop events (era-mapped reads need [[Snapshots.read]]'s
   * per-file aliasing, which a flat relation cannot express).
   */
-final class SnapshotFileIndex(spark: SparkSession, table: String,
+final class SnapshotFileIndex(spark: SparkSession, val table: String,
     val version: Int) extends FileIndex {
 
   /** The version's manifest entries — the evidence surface optimizer
@@ -58,10 +58,17 @@ final class SnapshotFileIndex(spark: SparkSession, table: String,
       "Snapshots.read (or compact to materialize)")
 
   /** The version's recorded schema — the committing writer's truth;
-    * footer inference would silently widen types.
+    * footer inference would silently widen types. NULLABILITY is
+    * normalized to nullable, Spark's own file-table convention: file
+    * scans always produce nullable output, and a copy-on-write merge
+    * re-records its scan's schema — a catalog table pinned to a NOT
+    * NULL creation-time schema would refuse to re-resolve after the
+    * first merge flipped it.
     */
   val dataSchema: StructType = props.get(Snapshots.SchemaProp) match {
-    case Some(json) => DataType.fromJson(json).asInstanceOf[StructType]
+    case Some(json) =>
+      val st = DataType.fromJson(json).asInstanceOf[StructType]
+      StructType(st.fields.map(_.copy(nullable = true)))
     case None => throw new IllegalStateException(
       s"SnapshotFileIndex: version $version of $table records no schema " +
         "(legacy manifest) — recommit or use Snapshots.read")

@@ -2292,7 +2292,7 @@ object Snapshots {
     * including one of two bit-identical rows.
     */
   private val DvPrefix = "dv-"
-  private[sources] def isDv(p: String): Boolean =
+  private[graft] def isDv(p: String): Boolean =
     new Path(p).getName.startsWith(DvPrefix)
 
   /** Any merge-on-read mask file: equality tombstone or position DV. */

@@ -43,6 +43,35 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming)
 
+  /** A SIBLING session: same SparkContext and SharedState (so the same
+    * external catalog and cached data), the parent's session state
+    * CLONED (temp views and conf carry over), but with `f`'s
+    * [[SparkSessionExtensions]] injections applied — the only way to
+    * add ANALYZER rules to a live application, since `spark.sql.
+    * extensions` is consumed at session build time and
+    * `newSession()`/`cloneSession()` reuse the parent's extensions
+    * object. The parent session is untouched.
+    */
+  def siblingSessionWithExtensions(spark: SparkSession,
+      f: SparkSessionExtensions => Unit): SparkSession = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val ext = new SparkSessionExtensions
+    f(ext)
+    // the 6-arg constructor (context, sharedState, parentSessionState,
+    // extensions, options, jobTags) is class-private — exactly what
+    // cloneSession() calls, minus the ability to swap extensions; reach
+    // it reflectively (same classloader, no module boundary: Spark jars
+    // live on the plain classpath)
+    val ctor = classOf[classic.SparkSession].getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession: no 6-arg constructor — Spark version drift"))
+    ctor.setAccessible(true)
+    ctor.newInstance(cs.sparkContext, Some(cs.sharedState),
+      Some(cs.sessionState), ext, Map.empty, Map.empty)
+      .asInstanceOf[classic.SparkSession]
+  }
+
   /** The analyzed logical plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed

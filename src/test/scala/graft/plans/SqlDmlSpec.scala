@@ -1,0 +1,163 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL DML over graft tables ([[SqlDml]]): INSERT/DELETE/UPDATE/MERGE
+  * through `spark.sql`, each one atomic snapshot commit.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private lazy val dml: SparkSession = SqlDml.enable(spark)
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dml_$tag").toString + "/t"
+
+  private def register(name: String, tbl: String): Unit = {
+    dml.sql(s"DROP TABLE IF EXISTS $name")
+    dml.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$tbl')")
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def seed(tbl: String, n: Long = 10L): Unit = {
+    import spark.implicits._
+    Snapshots.commit((0L until n).map(k => (k, k * 10)).toDF("k", "v"),
+      tbl, statsCols = Seq("k"))
+  }
+
+  test("INSERT INTO appends through the commit protocol; INSERT " +
+      "OVERWRITE replaces; types are cast positionally") {
+    val tbl = freshTable("ins")
+    seed(tbl, 3)
+    register("dml_ins", tbl)
+    dml.sql("INSERT INTO dml_ins VALUES (100, 1000), (101, 1010)")
+    assert(Snapshots.latestVersion(spark, tbl) === 2)
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      Set((0L, 0L), (1L, 10L), (2L, 20L), (100L, 1000L), (101L, 1010L)))
+    // INSERT ... SELECT
+    dml.sql("INSERT INTO dml_ins SELECT k + 200, v FROM dml_ins " +
+      "WHERE k >= 100")
+    assert(rows(Snapshots.readMor(spark, tbl))
+      .contains((300L, 1000L)))
+    // overwrite replaces content but keeps history
+    dml.sql("INSERT OVERWRITE dml_ins VALUES (7, 70)")
+    assert(rows(Snapshots.readMor(spark, tbl)) === Set((7L, 70L)))
+    assert(rows(Snapshots.readMor(spark, tbl, Some(2)))
+      .contains((100L, 1000L)))
+  }
+
+  test("DELETE FROM commits a position vector — arbitrary predicate, " +
+      "no key column, files untouched") {
+    val tbl = freshTable("del")
+    seed(tbl)
+    register("dml_del", tbl)
+    dml.sql("DELETE FROM dml_del WHERE v > 50 AND k % 2 = 0")
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      (0L until 10L).filterNot(k => k * 10 > 50 && k % 2 == 0)
+        .map(k => (k, k * 10)).toSet)
+    // the commit added only a dv- file
+    val m = Snapshots.manifest(spark, tbl, 2)
+    val m1 = Snapshots.manifest(spark, tbl, 1).map(_.path).toSet
+    assert(m.filterNot(e => m1(e.path)).forall(e => Snapshots.isDv(e.path)))
+    // DELETE with no WHERE empties the table
+    dml.sql("DELETE FROM dml_del")
+    assert(Snapshots.readMor(spark, tbl).count() === 0)
+  }
+
+  test("UPDATE commits an atomic vector + rewritten rows") {
+    val tbl = freshTable("upd")
+    seed(tbl)
+    register("dml_upd", tbl)
+    dml.sql("UPDATE dml_upd SET v = v + 1 WHERE k < 3")
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      (0L until 10L).map(k => (k, if (k < 3) k * 10 + 1 else k * 10)).toSet)
+    assert(Snapshots.latestVersion(spark, tbl) === 2)
+  }
+
+  test("MERGE INTO: UPDATE SET * + INSERT * is a key-exact upsert; " +
+      "MATCHED DELETE drops source keys; update-only and insert-only " +
+      "restrict correctly") {
+    import spark.implicits._
+    val tbl = freshTable("mrg")
+    seed(tbl, 5) // keys 0..4
+    register("dml_mrg", tbl)
+    // temp views cloned at enable() time carry over; views created
+    // AFTER must be registered on the sibling session itself
+    dml.createDataFrame(Seq((3L, 999L), (7L, 777L))).toDF("k", "v")
+      .createOrReplaceTempView("src_up")
+    dml.sql("MERGE INTO dml_mrg USING src_up ON dml_mrg.k = src_up.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      Set((0L, 0L), (1L, 10L), (2L, 20L), (3L, 999L), (4L, 40L),
+        (7L, 777L)))
+    // update-only: unmatched key 8 must NOT be inserted
+    dml.createDataFrame(Seq((4L, 444L), (8L, 888L))).toDF("k", "v")
+      .createOrReplaceTempView("src_uo")
+    dml.sql("MERGE INTO dml_mrg USING src_uo ON dml_mrg.k = src_uo.k " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    val afterUo = rows(Snapshots.readMor(spark, tbl))
+    assert(afterUo.contains((4L, 444L)) && !afterUo.exists(_._1 == 8L))
+    // insert-only: matched key 4 must NOT be updated
+    dml.createDataFrame(Seq((4L, 4444L), (9L, 99L))).toDF("k", "v")
+      .createOrReplaceTempView("src_io")
+    dml.sql("MERGE INTO dml_mrg USING src_io ON dml_mrg.k = src_io.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val afterIo = rows(Snapshots.readMor(spark, tbl))
+    assert(afterIo.contains((4L, 444L)) && afterIo.contains((9L, 99L)))
+    // matched delete
+    dml.createDataFrame(Seq((0L, 0L), (1L, 0L))).toDF("k", "v")
+      .createOrReplaceTempView("src_del")
+    dml.sql("MERGE INTO dml_mrg USING src_del ON dml_mrg.k = src_del.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(!rows(Snapshots.readMor(spark, tbl)).exists(_._1 <= 1L))
+  }
+
+  test("guards: time-traveled relations refuse DML; constraints " +
+      "enforce through SQL; unsupported MERGE shapes refuse loudly") {
+    val tbl = freshTable("guard")
+    seed(tbl, 5)
+    Snapshots.addCheck(spark, tbl, "v_nonneg", "v >= 0")
+    register("dml_g", tbl)
+    dml.sql("DROP TABLE IF EXISTS dml_g_v1")
+    dml.sql(s"CREATE TABLE dml_g_v1 USING graft " +
+      s"OPTIONS (path '$tbl', versionAsOf '1')")
+    val e1 = intercept[Exception] {
+      dml.sql("DELETE FROM dml_g_v1 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("immutable"))
+    val e2 = intercept[Exception] {
+      dml.sql("INSERT INTO dml_g VALUES (50, -1)")
+    }
+    assert(e2.getMessage.contains("v_nonneg"))
+    val e3 = intercept[Exception] {
+      dml.sql("MERGE INTO dml_g USING dml_g s ON dml_g.k = s.v " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e3.getMessage.contains("same-named column"))
+    // the parent session has no DML rule: its DELETE still refuses
+    intercept[Exception] {
+      spark.sql("DELETE FROM dml_g WHERE k = 1")
+    }
+    // and nothing above committed
+    assert(Snapshots.latestVersion(spark, tbl) === 2)
+  }
+
+  test("the sibling session shares the catalog and data but leaves the " +
+      "parent session's analyzer untouched") {
+    val tbl = freshTable("sib")
+    seed(tbl, 4)
+    register("dml_sib", tbl)
+    // parent session sees the catalog table and can SELECT through it
+    assert(spark.sql("SELECT count(*) FROM dml_sib").head().getLong(0) === 4)
+    dml.sql("INSERT INTO dml_sib VALUES (99, 990)")
+    // relation caches are per-session: the WRITING session refreshes its
+    // own automatically; any other session keeps Spark's normal contract
+    spark.catalog.refreshTable("dml_sib")
+    assert(spark.sql("SELECT count(*) FROM dml_sib").head().getLong(0) === 5)
+  }
+}
