@@ -1578,8 +1578,45 @@ object SnapshotQueries {
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
          FROM merged WHERE NOT k % 5 = 0"""))
 
+  /** X117: hidden partitioning — the table declares `month(o_orderdate)`
+    * ([[graft.sources.Partitioning.setSpec]]), the write path lays files
+    * out one-partition-tuple-per-file automatically, and
+    * `overwritePartitions` then atomically replaces EXACTLY the three
+    * months its batch touches (the idempotent re-load shape) while every
+    * other file is carried untouched. `n_parts` comes from the
+    * metadata-only partition listing (file names + footer counts, zero
+    * data IO) and is oracled against a real DISTINCT over the data.
+    */
+  val hiddenPartition = Q("q_hidden_partition",
+    (s, d) => {
+      import graft.sources.Partitioning
+      val tbl = freshTable(s, d, "hp")
+      val o = src(s, d)
+      Snapshots.commit(o.limit(0), tbl) // schema-bearing seed
+      Partitioning.setSpec(s, tbl, Seq(Partitioning.Month("o_orderdate")))
+      Partitioning.commitPartitioned(o, tbl)
+      Partitioning.overwritePartitions(
+        o.filter(col("o_orderdate") >= lit("1996-03-01") &&
+            col("o_orderdate") < lit("1996-06-01"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2), tbl)
+      val nParts = Partitioning.partitions(s, tbl)
+        .filter(col("spec") =!= "unpartitioned").count()
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(col("n_rows"), col("total"), lit(nParts).as("n_parts"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("p")} AS total,
+           (SELECT count(DISTINCT year(o_orderdate) * 12
+                         + month(o_orderdate)) FROM orders) AS n_parts
+         FROM (
+           SELECT CASE WHEN o_orderdate >= TIMESTAMP '1996-03-01'
+                        AND o_orderdate <  TIMESTAMP '1996-06-01'
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS p
+           FROM orders)"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    deletionVector, updateWhere, sqlDml, sqlMerge,
+    deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

@@ -93,7 +93,7 @@ object Snapshots {
     */
   val TxnStatusProp = "graft.txn.status"
 
-  private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
+  private[sources] def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -266,7 +266,7 @@ object Snapshots {
       strStatsCols))
   }
 
-  private def freshBatchDir(root: Path): Path =
+  private[sources] def freshBatchDir(root: Path): Path =
     new Path(new Path(root, "data"),
       "b" + java.util.UUID.randomUUID().toString.replace("-", "").take(16))
 
@@ -274,7 +274,7 @@ object Snapshots {
     * just-written batch directory — shared by the plain and bucketed
     * write paths so their manifests can never drift in shape.
     */
-  private def entriesFor(spark: SparkSession, table: String, batch: Path,
+  private[sources] def entriesFor(spark: SparkSession, table: String, batch: Path,
       statsCols: Seq[String], bloomCols: Seq[String],
       strStatsCols: Seq[String]): Seq[FileEntry] = {
     val (fs, root) = fsOf(spark, table)
@@ -812,6 +812,16 @@ object Snapshots {
   private[sources] final case class DefaultEvent(boundary: Int,
       name: String, typeName: String, value: String)
 
+  /** The constraint gates every append/overwrite write path runs,
+    * shared with [[Partitioning]]'s commit shapes.
+    */
+  private[sources] def enforceForCommit(spark: SparkSession, table: String,
+      df: DataFrame, overwrite: Boolean): Unit = {
+    enforceChecks(spark, table, df)
+    enforceForeignKeys(spark, table, df)
+    enforceUnique(spark, table, df, vsParent = !overwrite)
+  }
+
   private[sources] def defaultEvents(props: Map[String, String])
       : Seq[DefaultEvent] =
     props.get(DefaultsProp).toSeq.flatMap(_.split(",").toSeq).map { e =>
@@ -1132,6 +1142,11 @@ object Snapshots {
     require(!fkHit,
       s"Snapshots.$op: FOREIGN KEY on '$col' of $table — drop it first, " +
         "evolve, then re-declare on the new shape")
+    val specHit = Partitioning.specEvents(props)
+      .exists(_._2.exists(_.col == col))
+    require(!specHit,
+      s"Snapshots.$op: partition spec transforms '$col' of $table — " +
+        "evolve the spec off the column first (setSpec), then rename/drop")
   }
 
   private def requireNotDropped(props: Map[String, String],
@@ -1512,7 +1527,7 @@ object Snapshots {
       !(k + v).exists(c => c == '\n' || c == '\t') && !k.contains("=") },
       "property keys/values must be single-line, tab-free; keys '='-free")
 
-  private def publishManifest(spark: SparkSession, table: String,
+  private[sources] def publishManifest(spark: SparkSession, table: String,
       properties: Map[String, String], newEntries: Seq[FileEntry],
       baseFor: Int => Seq[FileEntry]): Int = {
     requireProps(properties)
@@ -1555,7 +1570,7 @@ object Snapshots {
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
                 k.startsWith(FkPrefix) ||
                 k == RenamesProp || k == DroppedProp || k == DropsProp ||
-                k == DefaultsProp
+                k == DefaultsProp || k == Partitioning.SpecProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -3321,7 +3336,7 @@ object Snapshots {
     } else None
   }
 
-  private def listParquet(fs: FileSystem, p: Path): Seq[FileStatus] = {
+  private[sources] def listParquet(fs: FileSystem, p: Path): Seq[FileStatus] = {
     if (!fs.exists(p)) return Seq.empty
     val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]

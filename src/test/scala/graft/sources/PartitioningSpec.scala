@@ -1,0 +1,190 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hidden partitioning with evolution ([[Partitioning]]): declared
+  * transform specs, automatic layout + skip evidence, metadata-only
+  * partition listings, dynamic partition overwrite, spec eras.
+  */
+class PartitioningSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_pt_$tag").toString + "/t"
+
+  // the driver's testdata ships o_orderdate as TIMESTAMP in some
+  // generations — normalize to DATE so literal comparisons and Row
+  // accessors are stable
+  private def orders = spark.read.parquet(s"$sf001/orders.parquet")
+    .select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").cast("date").as("o_orderdate"))
+
+  private def rows(df: DataFrame): Set[(Long, Double, java.sql.Date)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDate(2))).toSet
+
+  test("commitPartitioned lays files out one-partition-tuple-per-file; " +
+      "content round-trips exactly; partitions() answers from metadata") {
+    val tbl = freshTable("basic")
+    import spark.implicits._
+    Snapshots.commit(orders.limit(0), tbl) // schema-bearing empty seed
+    Partitioning.setSpec(spark, tbl,
+      Seq(Partitioning.Year("o_orderdate")))
+    Partitioning.commitPartitioned(orders, tbl)
+    assert(rows(Snapshots.read(spark, tbl)) === rows(orders))
+    // every data file of the spec'd era carries exactly one tuple
+    val es = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl)).filter(_.rows > 0)
+    assert(es.forall(e => Partitioning.tupleOf(e.path).exists(_.size == 1)))
+    // metadata-only listing: one row per year, counts exact
+    val parts = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned")
+      .select(col("partition"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = orders.groupBy((year(col("o_orderdate")) - 1970)
+        .cast("long").as("y"))
+      .count().collect().map(r => (r.getLong(0).toString, r.getLong(1)))
+      .toMap
+    assert(parts === truth)
+  }
+
+  test("plain WHERE on the raw column data-skips through the file " +
+      "index — no partition-aware predicate needed") {
+    val tbl = freshTable("skip")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    Partitioning.commitPartitioned(orders, tbl)
+    val (df, idx) = Snapshots.readIndexed(spark, tbl)
+    val got = df.filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") <= lit("1997-12-31"))
+      .agg(count(lit(1))).head().getLong(0)
+    val want = orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") <= lit("1997-12-31")).count()
+    assert(got === want)
+    val (kept, total) = idx.lastPrune
+    assert(kept < total, s"expected a file cut, kept $kept of $total")
+  }
+
+  test("bucket transform records blooms: equality on the raw column " +
+      "prunes sibling buckets") {
+    val tbl = freshTable("bucket")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl,
+      Seq(Partitioning.Bucket(8, "o_orderkey")))
+    Partitioning.commitPartitioned(orders, tbl)
+    val key = orders.select(max("o_orderkey")).head().getLong(0)
+    val (df, idx) = Snapshots.readIndexed(spark, tbl)
+    val got = df.filter(col("o_orderkey") === key).count()
+    assert(got === orders.filter(col("o_orderkey") === key).count())
+    val (kept, total) = idx.lastPrune
+    assert(kept < total, s"expected a bloom cut, kept $kept of $total")
+  }
+
+  test("overwritePartitions replaces exactly the touched tuples in one " +
+      "atomic commit; untouched files are carried byte-identical") {
+    val tbl = freshTable("dyn")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    Partitioning.commitPartitioned(orders, tbl)
+    val before = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    // recompute 1996 with zeroed prices and swap it in
+    val batch = orders.filter(year(col("o_orderdate")) === 1996)
+      .withColumn("o_totalprice", lit(0.0))
+    Partitioning.overwritePartitions(batch, tbl)
+    val expect = orders.withColumn("o_totalprice",
+      when(year(col("o_orderdate")) === 1996, 0.0)
+        .otherwise(col("o_totalprice")))
+    assert(rows(Snapshots.read(spark, tbl)) === rows(expect))
+    // untouched years: same manifest entries, carried not rewritten
+    val after = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    val untouchedBefore = before.filter(e =>
+      Partitioning.tupleOf(e.path).exists(_.head != 26L)).map(_.path).toSet
+    assert(untouchedBefore.subsetOf(after.map(_.path).toSet))
+    assert(!after.map(_.path).toSet
+      .exists(p => before.map(_.path).toSet.contains(p) &&
+        Partitioning.tupleOf(p).exists(_.head == 26L)))
+    // idempotent re-run: same content
+    Partitioning.overwritePartitions(batch, tbl)
+    assert(rows(Snapshots.read(spark, tbl)) === rows(expect))
+  }
+
+  test("partition EVOLUTION: old files keep their era's spec; " +
+      "overwrites refuse unprovable old-era files; rewriteLayout " +
+      "migrates; time travel still reads every version") {
+    val tbl = freshTable("evolve")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    val cut = "1998-01-01" // testdata dates span 1995..2001
+    Partitioning.commitPartitioned(
+      orders.filter(col("o_orderdate") < lit(cut)), tbl)
+    Partitioning.setSpec(spark, tbl,
+      Seq(Partitioning.Month("o_orderdate")))
+    Partitioning.commitPartitioned(
+      orders.filter(col("o_orderdate") >= lit(cut)), tbl)
+    // per-era listing: both specs present
+    val specs = Partitioning.partitions(spark, tbl)
+      .select("spec").distinct().collect().map(_.getString(0)).toSet
+    assert(specs === Set("year(o_orderdate)", "month(o_orderdate)"))
+    assert(rows(Snapshots.read(spark, tbl)) === rows(orders))
+    // dynamic overwrite under the NEW spec refuses: year-era files
+    // cannot prove tuple membership under month granularity
+    val e = intercept[IllegalArgumentException] {
+      Partitioning.overwritePartitions(
+        orders.filter(col("o_orderdate") >= lit(cut)).limit(10), tbl)
+    }
+    assert(e.getMessage.contains("rewriteLayout"))
+    // migrate everything to the current spec, then the overwrite lands
+    Partitioning.rewriteLayout(spark, tbl)
+    assert(Partitioning.partitions(spark, tbl)
+      .select("spec").distinct().collect().map(_.getString(0)).toSet ===
+      Set("month(o_orderdate)"))
+    assert(rows(Snapshots.read(spark, tbl)) === rows(orders))
+    val batch = orders.filter(col("o_orderdate").between("1996-03-01",
+      "1996-03-31")).withColumn("o_totalprice", lit(1.0))
+    Partitioning.overwritePartitions(batch, tbl)
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderdate").between("1996-03-01", "1996-03-31"), 1.0)
+        .otherwise(col("o_totalprice")))
+    assert(rows(Snapshots.read(spark, tbl)) === rows(expect))
+  }
+
+  test("guards: plain commits into a spec'd era are refused by " +
+      "partitions(); null transform sources refuse; rename/drop of a " +
+      "spec column refuses; spec survives inheritance") {
+    import spark.implicits._
+    val tbl = freshTable("guards")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    Partitioning.commitPartitioned(orders.filter(col("o_orderkey") <= 100),
+      tbl)
+    // a plain commit still lands (the protocol allows it)...
+    Snapshots.commit(orders.filter(col("o_orderkey") > 100 &&
+      col("o_orderkey") <= 120), tbl)
+    // ...but partition listings refuse the layout-less file loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Partitioning.partitions(spark, tbl).collect()
+    }
+    assert(e1.getMessage.contains("commitPartitioned"))
+    // rewriteLayout repairs
+    Partitioning.rewriteLayout(spark, tbl)
+    assert(Partitioning.partitions(spark, tbl).count() > 0)
+    // null transform source
+    val e2 = intercept[IllegalArgumentException] {
+      Partitioning.commitPartitioned(
+        Seq((1L, 1.0)).toDF("o_orderkey", "o_totalprice")
+          .withColumn("o_orderdate", lit(null).cast("date")), tbl)
+    }
+    assert(e2.getMessage.contains("NULL"))
+    // rename/drop of the transform column refuses
+    val e3 = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, tbl, "o_orderdate", "od")
+    }
+    assert(e3.getMessage.contains("partition spec"))
+    // the spec prop is inherited across unrelated commits
+    assert(Partitioning.currentSpec(spark, tbl).map(_.render) ===
+      Seq("year(o_orderdate)"))
+  }
+}
