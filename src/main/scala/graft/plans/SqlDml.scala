@@ -71,6 +71,10 @@ object SqlDml {
   def apply(ext: SparkSessionExtensions): Unit = {
     new graft.GraftExtensions()(ext)
     ext.injectResolutionRule(_ => GraftDmlRule)
+    // the Hints batch runs BEFORE the main resolution batch — the time
+    // travel substitution must beat ResolveRelations, which throws
+    // UNSUPPORTED_FEATURE.TIME_TRAVEL for v1 relations on sight
+    ext.injectHintResolutionRule(session => new GraftTimeTravelRule(session))
   }
 
   /** Matches a fully-resolved scan over a graft snapshot relation and
@@ -119,6 +123,80 @@ object SqlDml {
 
   private def asColumn(e: Expression): Column =
     GraftBridge.column(byName(e))
+
+  // ---- SQL time travel ----------------------------------------------------
+
+  /** `SELECT ... FROM t VERSION AS OF 3` / `TIMESTAMP AS OF ts` /
+    * `VERSION AS OF 'tag-or-branch'` on a catalog graft table: Spark
+    * parses the suffix into [[RelationTimeTravel]] but only resolves it
+    * for v2 catalogs — this rule resolves the identifier through the
+    * session catalog itself and substitutes the PINNED relation (the
+    * same reader-option machinery as `spark.read.format("graft")
+    * .option("versionAsOf", ...)`), so SQL users get time travel,
+    * tags and branches with standard syntax. Non-graft tables pass
+    * through untouched for Spark's own handling.
+    */
+  final class GraftTimeTravelRule(session: SparkSession)
+      extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+            if ts.forall(e => e.resolved && e.foldable) =>
+          graftTablePath(u.multipartIdentifier) match {
+            case None => tt // not ours — Spark's own error/v2 handling
+            case Some(path) =>
+              val travel: (String, String) = (ts, ver) match {
+                case (_, Some(v)) if v.forall(_.isDigit) =>
+                  ("versionAsOf", v)
+                case (_, Some(v)) =>
+                  // non-numeric version = a named ref (tag first, else
+                  // branch) — the reader options accept exactly one
+                  val isTag = graft.sources.Branches
+                    .tags(session, path).exists(_._1 == v)
+                  (if (isTag) "tag" else "branch", v)
+                case (Some(e), None) =>
+                  val micros = e.eval() match {
+                    case l: java.lang.Long => l.longValue()
+                    case other => throw new IllegalArgumentException(
+                      s"graft time travel: TIMESTAMP AS OF must fold to " +
+                        s"a timestamp, got $other")
+                  }
+                  ("timestampAsOf", (micros / 1000L).toString)
+                case (None, None) => throw new IllegalArgumentException(
+                  "graft time travel: neither version nor timestamp")
+              }
+              val rel = new graft.sources.GraftSource().createRelation(
+                session.asInstanceOf[org.apache.spark.sql.classic
+                  .SparkSession].sqlContext,
+                Map("path" -> path, travel._1 -> travel._2))
+              SubqueryAlias(u.multipartIdentifier.last,
+                LogicalRelation(rel, isStreaming = false))
+          }
+      }
+
+    /** The table path iff the identifier names a catalog table with
+      * provider `graft`; None otherwise (including missing tables).
+      */
+    private def graftTablePath(parts: Seq[String]): Option[String] = {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      val catalog = session.asInstanceOf[org.apache.spark.sql.classic
+        .SparkSession].sessionState.catalog
+      try {
+        val meta = catalog.getTableMetadata(ident)
+        if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+          meta.storage.properties.get("path")
+            .orElse(meta.storage.locationUri.map(_.getPath))
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
 
   // ---- the analyzer rule ------------------------------------------------
 

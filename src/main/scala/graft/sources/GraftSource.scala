@@ -215,14 +215,23 @@ final class GraftSource extends RelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
-      s"graft sink: append output mode only, got $outputMode (use " +
-        "SnapshotStream.ingestUpsert for update-mode upserts)")
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Update(),
+      s"graft sink: append or update output mode, got $outputMode")
     require(partitionColumns.isEmpty,
       "graft sink: partitioning rides the table layout (commitBucketed/" +
         "rebucket), not partitionBy")
     val table = pathOf(parameters)
     val statsCols = cols(parameters, "statsCols")
+    // UPDATE mode: every micro-batch is one atomic merge-on-read upsert
+    // keyed on the required `keyCol` option — a stateful aggregation's
+    // changed rows REPLACE their keys' previous values, giving a serving
+    // table that always reads as the latest state per key (exactly-once
+    // via the same replay marker as append)
+    val keyCol = parameters.get("keyCol")
+    require(outputMode == OutputMode.Append() || keyCol.nonEmpty,
+      "graft sink: update output mode needs .option(\"keyCol\", ...) — " +
+        "the upsert key")
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the incoming frame is bound to the streaming (incremental)
@@ -230,8 +239,18 @@ final class GraftSource extends RelationProvider
         // frame before handing it to the commit path
         val batch = org.apache.spark.sql.GraftBridge.internalDataFrame(
           data.sparkSession, data.queryExecution.toRdd, data.schema)
-        graft.streaming.SnapshotStream.commitBatch(batch, batchId, table,
-          statsCols)
+        if (outputMode == OutputMode.Update()) {
+          // the table's FIRST batch has nothing to upsert against —
+          // seed it as a plain marked commit
+          if (Snapshots.latestVersion(data.sparkSession, table) == 0)
+            graft.streaming.SnapshotStream.commitBatch(batch, batchId,
+              table, statsCols)
+          else
+            graft.streaming.SnapshotStream.upsertBatch(batch, batchId,
+              table, keyCol.get, statsCols)
+        } else
+          graft.streaming.SnapshotStream.commitBatch(batch, batchId, table,
+            statsCols)
       }
       override def toString: String = s"GraftSink[$table]"
     }

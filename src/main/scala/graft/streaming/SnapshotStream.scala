@@ -92,7 +92,7 @@ object SnapshotStream {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
-  private[streaming] def upsertBatch(batch: DataFrame, batchId: Long,
+  private[graft] def upsertBatch(batch: DataFrame, batchId: Long,
       table: String, keyCol: String, statsCols: Seq[String]): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession

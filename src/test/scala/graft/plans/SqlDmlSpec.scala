@@ -147,6 +147,46 @@ class SqlDmlSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, tbl) === 2)
   }
 
+  test("SQL time travel: VERSION AS OF, TIMESTAMP AS OF, and named " +
+      "refs resolve on catalog graft tables") {
+    val tbl = freshTable("tt")
+    seed(tbl, 3) // v1: keys 0..2
+    register("dml_tt", tbl)
+    dml.sql("INSERT INTO dml_tt VALUES (50, 500)") // v2
+    graft.sources.Branches.tag(spark, tbl, "before-fifty", Some(1))
+    assert(dml.sql("SELECT count(*) FROM dml_tt VERSION AS OF 1")
+      .head().getLong(0) === 3)
+    assert(dml.sql("SELECT count(*) FROM dml_tt VERSION AS OF 2")
+      .head().getLong(0) === 4)
+    assert(dml.sql("SELECT count(*) FROM dml_tt VERSION AS OF " +
+      "'before-fifty'").head().getLong(0) === 3)
+    // timestamp travel: v2's commit instant reads the full table
+    val ts2 = graft.sources.Snapshots.properties(spark, tbl, 2)(
+      graft.sources.Snapshots.CommitTsProp).toLong
+    val lit = new java.sql.Timestamp(ts2).toString
+    assert(dml.sql(s"SELECT count(*) FROM dml_tt TIMESTAMP AS OF " +
+      s"TIMESTAMP '$lit'").head().getLong(0) === 4)
+    // a plain SELECT still reads the head
+    assert(dml.sql("SELECT count(*) FROM dml_tt").head().getLong(0) === 4)
+    // non-graft tables pass through to Spark's own refusal
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW plainv AS SELECT 1 AS x")
+    intercept[Exception] {
+      dml.sql("SELECT * FROM plainv VERSION AS OF 1").collect()
+    }
+  }
+
+  test("CREATE TABLE ... USING graft AS SELECT commits through the " +
+      "protocol (CTAS)") {
+    val tbl = freshTable("ctas")
+    dml.sql("DROP TABLE IF EXISTS dml_ctas")
+    dml.sql(s"CREATE TABLE dml_ctas USING graft OPTIONS (path '$tbl') " +
+      "AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    assert(Snapshots.latestVersion(spark, tbl) === 1)
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      (0L until 5L).map(k => (k, k * 10)).toSet)
+    assert(dml.sql("SELECT count(*) FROM dml_ctas").head().getLong(0) === 5)
+  }
+
   test("the sibling session shares the catalog and data but leaves the " +
       "parent session's analyzer untouched") {
     val tbl = freshTable("sib")

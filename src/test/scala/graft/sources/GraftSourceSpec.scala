@@ -114,6 +114,48 @@ class GraftSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_ddl")
   }
 
+  test("writeStream.format(\"graft\") in UPDATE mode upserts each " +
+      "micro-batch's changed keys atomically — the table always reads " +
+      "as the latest state per key, across a checkpointed restart") {
+    import spark.implicits._
+    val dst = freshTable("upd")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_updsink_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    def start() = in.toDF().toDF("k", "n")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("n").as("total"))
+      .writeStream.format("graft").outputMode("update")
+      .option("path", dst).option("keyCol", "k")
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      in.addData((1L, 5L), (2L, 7L))
+      q.processAllAvailable()
+      in.addData((1L, 3L)) // key 1 changes: 5 → 8; key 2 untouched
+      q.processAllAvailable()
+    } finally q.stop()
+    def state(): Map[Long, Long] = Snapshots.readMor(spark, dst)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() === Map(1L -> 8L, 2L -> 7L))
+    // restart from the checkpoint: no duplicate keys, no lost state
+    val q2 = start()
+    try {
+      in.addData((2L, 1L), (3L, 9L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(state() === Map(1L -> 8L, 2L -> 8L, 3L -> 9L))
+    // update mode without a key refuses loudly
+    val e = intercept[Exception] {
+      val bad = MemoryStream[(Long, Long)]
+      bad.toDF().toDF("k", "n").groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("n").as("total"))
+        .writeStream.format("graft").outputMode("update")
+        .option("path", freshTable("updbad")).start()
+    }
+    assert(e.getMessage.contains("keyCol"))
+  }
+
   test("readStream.format(\"graft\") streams the version history: " +
       "snapshot first, then per-version deltas, layout commits " +
       "silent, deletes refused") {
