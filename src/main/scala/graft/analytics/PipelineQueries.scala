@@ -1093,6 +1093,61 @@ object PipelineQueries {
     },
     Some(graft.operators.Bpe.encodeOracleSql(nMerges = 8)))
 
+
+  /** X118: weighted shortest paths ([[graft.operators.Graphs
+    * .shortestPaths]]) — fixed-round Bellman-Ford over the co-ordered
+    * parts graph with an integer "relatedness distance" (frequently
+    * co-ordered pairs are cheap hops): the minimum 3-hop-budget cost
+    * from the seed parts to every reachable part. All-integer min-plus
+    * relaxation, so the oracle replays the SAME three rounds as chained
+    * CTEs hash-exactly — the weighted generalization of
+    * `q_contamination_bfs`.
+    */
+  val shortestPath = Q("q_shortest_path",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cnt"))
+      val edges = pairs.select(col("id_a"), col("id_b"),
+        greatest(lit(1L), lit(101L) - least(col("cnt"), lit(100L))).as("w"))
+      val seeds = part(s, d).select(col("p_partkey").as("id"))
+        .filter(col("id") <= 10)
+      graft.operators.Graphs.shortestPaths(seeds, edges, rounds = 3)
+        .select(col("node").as("part_id"), col("dist"))
+        .orderBy(col("part_id"))
+    },
+    Some {
+      def rnd(k: Int) =
+        s"""d$k AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM d${k - 1}
+              UNION ALL
+              SELECT e.dst AS node, p.dist + e.w AS dist
+              FROM d${k - 1} p JOIN sym e ON e.src = p.node)
+            GROUP BY node)"""
+      s"""WITH pairs AS (
+             SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+               count(*) AS cnt
+             FROM lineitem a
+             JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+           edges AS (SELECT id_a, id_b,
+               greatest(1, 101 - least(cnt, 100)) AS w FROM pairs),
+           sym AS MATERIALIZED (
+             SELECT src, dst, min(w) AS w FROM (
+               SELECT id_a AS src, id_b AS dst, w FROM edges
+               UNION ALL
+               SELECT id_b, id_a, w FROM edges)
+             GROUP BY 1, 2),
+           d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+                  FROM part WHERE p_partkey <= 10),
+           ${rnd(1)}, ${rnd(2)}, ${rnd(3)}
+           SELECT node AS part_id, dist FROM d3 ORDER BY part_id"""
+    })
+
   val all: Seq[Q] = Seq(decontaminate, repetition, boilerplate, domainMix,
     stratifiedSample, vocabStats, piiMask, dedupComponents,
     dedupComponentsStar, incrementalComponents, packSequences, tfidf,
@@ -1102,5 +1157,6 @@ object PipelineQueries {
     epochExpand, blocklist, vocabEncode, encodeCorpus, clusterReps,
     clusterSplit,
     bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch,
-    keywordSearchStored, bpeTrain, bpeEncode)
+    keywordSearchStored, bpeTrain, bpeEncode,
+    shortestPath)
 }

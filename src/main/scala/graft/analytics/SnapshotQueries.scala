@@ -1615,8 +1615,49 @@ object SnapshotQueries {
                        ELSE o_totalprice END AS p
            FROM orders)"""))
 
+  /** X116: SQL time travel — `VERSION AS OF` / `TIMESTAMP AS OF` /
+    * `VERSION AS OF '<tag>'` through plain `spark.sql` on a catalog
+    * graft table (the Hints-batch substitution rule): v1 reads
+    * pre-cutoff, the tag pins the same version under a name, and the
+    * head reads everything — all three resolved inside ONE SQL UNION.
+    */
+  val sqlTimeTravel = Q("q_sql_timetravel",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqltt")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderdate") < lit("1998-01-01")), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderdate") >= lit("1998-01-01")), tbl,
+        statsCols = Seq("o_orderkey"))
+      Branches.tag(s, tbl, "pre-cutoff", Some(1))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_tt_q")
+      q.sql(s"CREATE TABLE graft_tt_q USING graft OPTIONS (path '$tbl')")
+      q.sql(s"""SELECT 1 AS era, count(*) AS n_rows,
+          ${dsumSql("o_totalprice")} AS total
+          FROM graft_tt_q VERSION AS OF 1
+        UNION ALL
+        SELECT 2, count(*), ${dsumSql("o_totalprice")}
+          FROM graft_tt_q VERSION AS OF 'pre-cutoff'
+        UNION ALL
+        SELECT 3, count(*), ${dsumSql("o_totalprice")}
+          FROM graft_tt_q
+        ORDER BY era""")
+    },
+    Some(s"""SELECT 1 AS era, count(*) AS n_rows,
+           ${dsumSql("o_totalprice")} AS total
+           FROM orders WHERE o_orderdate < DATE '1998-01-01'
+         UNION ALL
+         SELECT 2, count(*), ${dsumSql("o_totalprice")}
+           FROM orders WHERE o_orderdate < DATE '1998-01-01'
+         UNION ALL
+         SELECT 3, count(*), ${dsumSql("o_totalprice")}
+           FROM orders
+         ORDER BY era"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
+    sqlTimeTravel,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

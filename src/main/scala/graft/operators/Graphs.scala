@@ -190,6 +190,51 @@ object Graphs {
     d
   }
 
+  /** Fixed-round WEIGHTED single-source-set shortest paths —
+    * Bellman-Ford relaxation over undirected integer-weighted edges
+    * `(id_a, id_b, w)`: after round k, `dist(v)` is the exact minimum
+    * path cost from any source using ≤ k edges (with `rounds >=
+    * longest shortest path's hop count`, the true distances — the
+    * caller bounds the budget exactly like [[bfsDistances]], whose
+    * unweighted special case this generalizes). All-integer arithmetic
+    * and a min() reduction per round: deterministic on any
+    * partitioning and replayable as chained SQL CTEs, which is what
+    * makes it oracle-able where iterative float algorithms are not.
+    * Each round is one join + one hash-aggregate, lineage cut per
+    * round (the CC-fixpoint lesson); the symmetrized edge relation is
+    * persisted across rounds and released before returning. Output:
+    * (node, dist) for nodes within `rounds` hops of a source.
+    */
+  def shortestPaths(sources: DataFrame, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val srcCol = sources.columns.head
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .unionAll(edges.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst"), col("w").cast("long").as("w")))
+      .filter(col("src") =!= col("dst"))
+      // parallel edges keep only the cheapest — fewer relax candidates,
+      // same result (min-plus semiring)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var d = sources
+      .select(col(srcCol).cast("long").as("node"), lit(0L).as("dist"))
+      .distinct()
+    for (_ <- 1 to rounds) {
+      val relaxed = d.as("d").join(sym.as("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          (col("d.dist") + col("e.w")).as("dist"))
+      d = d.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    d
+  }
+
   /** Fixed-round SYNCHRONOUS label-propagation community detection:
     * every node starts as its own label; each round every node adopts
     * its neighbors' most frequent previous-round label, ties broken by

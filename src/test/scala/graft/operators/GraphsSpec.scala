@@ -93,6 +93,64 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("shortestPaths: exact weighted distances on a hand graph; " +
+      "cheap long route beats expensive direct edge; budget truncates") {
+    import spark.implicits._
+    // 0 -5-> 1, 0 -1-> 2, 2 -1-> 3, 3 -1-> 1 : best 0→1 is 0,2,3,1 = 3
+    val edges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 1L, 1L)).toDF("id_a", "id_b", "w")
+    val seeds = Seq(0L).toDF("id")
+    def dists(rounds: Int): Map[Long, Long] =
+      graft.operators.Graphs.shortestPaths(seeds, edges, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(4) === Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L))
+    // one round: only direct edges reachable — 0→1 still costs 5
+    assert(dists(1) === Map(0L -> 0L, 1L -> 5L, 2L -> 1L))
+    // parallel edges take the cheaper; undirected: seed at 1 reaches 0
+    val par = edges.unionByName(Seq((0L, 1L, 2L)).toDF("id_a", "id_b", "w"))
+    assert(graft.operators.Graphs.shortestPaths(seeds, par, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(1L) === 2L)
+    assert(graft.operators.Graphs.shortestPaths(
+        Seq(1L).toDF("id"), edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .apply(0L) === 3L)
+  }
+
+  test("shortestPaths matches a driver-side Dijkstra on a " +
+      "deterministic random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val raw = (1 to 160).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        (rnd.nextInt(9) + 1).toLong)
+    }.filter(e => e._1 != e._2)
+    val edges = raw.toDF("id_a", "id_b", "w")
+    val got = graft.operators.Graphs
+      .shortestPaths(Seq(0L).toDF("id"), edges, rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain Dijkstra over the symmetrized min-weight graph
+    val adj = raw.flatMap(e => Seq(e, (e._2, e._1, e._3)))
+      .groupBy(e => (e._1, e._2)).map { case ((a, b), es) =>
+        (a, b, es.map(_._3).min) }
+      .groupBy(_._1).map { case (a, es) =>
+        a -> es.map(e => (e._2, e._3)).toSeq }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(
+      Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (dd, u) = pq.dequeue()
+      if (dist(u) == dd)
+        adj.getOrElse(u, Seq.empty).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > dd + w)) {
+            dist(v) = dd + w; pq.enqueue((dd + w, v))
+          }
+        }
+    }
+    assert(got === dist.toMap)
+  }
+
   test("kCoreSurvivors: clique survives 2-core, tail chain peels away") {
     val clique = for (u <- 0L to 3L; v <- u + 1 to 3L) yield (u, v)
     val tail = Seq((3L, 10L), (10L, 11L), (11L, 12L))
