@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotQueries {
 
-  private val cutoff = "1995-01-01"
+  // mid-range for every testdata generation seen so far (dates have
+  // shipped as 1992..1998 and 1995..2001): both sides of the split stay
+  // non-empty, so version-1 snapshots actually hold data
+  private val cutoff = "1996-07-01"
 
   private def freshTable(s: SparkSession, d: String, tag: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
@@ -1655,9 +1658,32 @@ object SnapshotQueries {
            FROM orders
          ORDER BY era"""))
 
+  /** X116: SQL metadata table functions ([[graft.plans.MetaTables]]) —
+    * `graft_history` / `graft_tags` answering from manifest metadata
+    * only, COMPOSED in plain SQL (the TVFs join like any relation): per
+    * version, its cumulative row count and the tag pinned to it. The
+    * oracle replays the commit predicates.
+    */
+  val metaTables = Q("q_meta_tables",
+    (s, d) => {
+      val tbl = buildTwoVersions(s, d, "mtv")
+      Branches.tag(s, tbl, "first-load", Some(1))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql(s"""SELECT h.version, h.n_rows, t.name AS tag
+        FROM graft_history('$tbl') h
+        LEFT JOIN graft_tags('$tbl') t ON h.version = t.version
+        ORDER BY h.version""")
+    },
+    Some(s"""SELECT 1 AS version, count(*) AS n_rows,
+           'first-load' AS tag
+           FROM orders WHERE o_orderdate < DATE '$cutoff'
+         UNION ALL
+         SELECT 2, count(*), NULL FROM orders
+         ORDER BY version"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
-    sqlTimeTravel,
+    sqlTimeTravel, metaTables,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

@@ -61,8 +61,15 @@ object SqlDml {
     * The graft SQL functions and the as-of-join strategy ride along, so
     * the sibling is a strict superset of a `GraftExtensions` session.
     */
-  def enable(spark: SparkSession): SparkSession =
-    GraftBridge.siblingSessionWithExtensions(spark, apply)
+  def enable(spark: SparkSession): SparkSession = {
+    val s = GraftBridge.siblingSessionWithExtensions(spark, apply)
+    // the cloned session state copies the parent's REGISTRIES (functions
+    // and table functions) rather than re-applying extensions — register
+    // the metadata table functions and SQL expressions directly
+    MetaTables.registerRuntime(s)
+    graft.GraftExtensions.register(s)
+    s
+  }
 
   /** Extension installer — usable directly via
     * `spark.sql.extensions=graft.GraftExtensions` plus this, or through
@@ -75,6 +82,7 @@ object SqlDml {
     // travel substitution must beat ResolveRelations, which throws
     // UNSUPPORTED_FEATURE.TIME_TRAVEL for v1 relations on sight
     ext.injectHintResolutionRule(session => new GraftTimeTravelRule(session))
+    MetaTables.install(ext)
   }
 
   /** Matches a fully-resolved scan over a graft snapshot relation and

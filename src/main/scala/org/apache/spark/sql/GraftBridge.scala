@@ -15,6 +15,17 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Runtime TABLE function registration on a live session — needed on
+    * cloned session states, whose registries copy the parent's instead
+    * of re-applying extensions.
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Runtime function registration on a live session (the config-time
     * path is `spark.sql.extensions=graft.GraftExtensions`).
     */

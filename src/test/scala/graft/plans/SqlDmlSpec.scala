@@ -187,6 +187,49 @@ class SqlDmlSpec extends SparkSpec {
     assert(dml.sql("SELECT count(*) FROM dml_ctas").head().getLong(0) === 5)
   }
 
+  test("metadata table functions: graft_history / graft_files / " +
+      "graft_tags / graft_partitions answer from manifests in plain SQL") {
+    val tbl = freshTable("meta")
+    seed(tbl, 4) // v1
+    dml.sql(s"SELECT 1").collect() // force session init
+    Snapshots.commit(
+      spark.range(10, 12).selectExpr("id AS k", "id * 10 AS v"), tbl,
+      statsCols = Seq("k")) // v2
+    graft.sources.Branches.tag(spark, tbl, "v-one", Some(1))
+    val hist = dml.sql(
+      s"SELECT version, n_rows FROM graft_history('$tbl') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hist === Seq((1, 4L), (2, 6L)))
+    // composes with the rest of SQL: filter + aggregate over the TVF
+    assert(dml.sql(s"SELECT max(version) FROM graft_history('$tbl')")
+      .head().getInt(0) === 2)
+    val files = dml.sql(s"SELECT path, rows, seq FROM graft_files('$tbl')")
+      .collect()
+    assert(files.length ===
+      Snapshots.manifest(spark, tbl, 2).size)
+    assert(files.map(_.getInt(2)).toSet === Set(1, 2))
+    assert(files.map(_.getLong(1)).sum === 6L)
+    // historical listing: version 1's files only
+    assert(dml.sql(s"SELECT count(*) FROM graft_files('$tbl', 1)")
+      .head().getLong(0) === Snapshots.manifest(spark, tbl, 1).size)
+    assert(dml.sql(s"SELECT name, version FROM graft_tags('$tbl')")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("v-one", 1)))
+    // partitions() over a spec'd table through SQL
+    val ptbl = freshTable("metap")
+    Snapshots.commit(
+      spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v"), ptbl)
+    graft.sources.Partitioning.setSpec(spark, ptbl,
+      Seq(graft.sources.Partitioning.Truncate(10, "k")))
+    graft.sources.Partitioning.commitPartitioned(
+      spark.range(20, 40).selectExpr("id AS k", "id * 2 AS v"), ptbl)
+    val parts = dml.sql("SELECT partition, n_rows FROM " +
+      s"graft_partitions('$ptbl') WHERE spec != 'unpartitioned' " +
+      "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts === Seq(("20", 10L), ("30", 10L)))
+  }
+
   test("the sibling session shares the catalog and data but leaves the " +
       "parent session's analyzer untouched") {
     val tbl = freshTable("sib")
