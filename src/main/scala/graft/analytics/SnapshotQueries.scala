@@ -1681,9 +1681,48 @@ object SnapshotQueries {
          SELECT 2, count(*), NULL FROM orders
          ORDER BY version"""))
 
+  /** X119: metadata-only type widening — v1 stores the key as INT,
+    * `widenColumn` flips it to LONG without touching a file, and the
+    * appended rows carry values beyond int range; the final aggregate
+    * unions pre-widen (cast at read from the era's physical type) and
+    * post-widen files exactly. The oracle replays the same arithmetic.
+    */
+  val widenColumnQ = Q("q_widen_column",
+    (s, d) => {
+      val tbl = freshTable(s, d, "widen")
+      val o = src(s, d)
+      Snapshots.commit(
+        o.filter(col("o_orderdate") < lit(cutoff))
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice")),
+        tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.widenColumn(s, tbl, "o_orderkey",
+        org.apache.spark.sql.types.LongType)
+      Snapshots.commit(
+        o.filter(col("o_orderdate") >= lit(cutoff))
+          .select((col("o_orderkey") + 10000000000L).as("o_orderkey"),
+            col("o_totalprice")),
+        tbl, statsCols = Seq("o_orderkey"))
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          max(col("o_orderkey")).as("key_max"),
+          dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           max(k) AS key_max,
+           ${dsumSql("p")} AS total
+         FROM (
+           SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+           WHERE o_orderdate < DATE '$cutoff'
+           UNION ALL
+           SELECT o_orderkey + 10000000000, o_totalprice FROM orders
+           WHERE o_orderdate >= DATE '$cutoff')"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
-    sqlTimeTravel, metaTables,
+    sqlTimeTravel, metaTables, widenColumnQ,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

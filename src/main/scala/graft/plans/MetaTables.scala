@@ -64,6 +64,20 @@ object MetaTables {
           e.strStats.keys.toSeq.sorted.mkString(","))
       }.toDF("path", "rows", "seq", "stats_cols", "bloom_cols",
         "str_stats_cols"))
+    },
+    // the one non-metadata function: the CHANGE DATA FEED as a relation
+    // (Delta's table_changes) — row-level insert/delete deltas between
+    // two versions, derived manifest-delta-scaled by Snapshots.changes
+    tvf("graft_changes") { (spark, args) =>
+      require(args.size == 3,
+        "graft_changes(path, fromVersion, toVersion)")
+      val table = evalLiteral("graft_changes", args(0)).toString
+      def num(i: Int) = evalLiteral("graft_changes", args(i)) match {
+        case n: java.lang.Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_changes: version arguments must be integers, got $other")
+      }
+      plan(Snapshots.changes(spark, table, num(1), num(2)))
     })
   }
 

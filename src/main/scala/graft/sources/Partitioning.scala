@@ -188,7 +188,12 @@ object Partitioning {
     val event = s"$v=${transforms.map(_.render).mkString("+")}"
     val merged = props.get(SpecProp).filter(_.nonEmpty)
       .map(_ + "," + event).getOrElse(event)
-    Snapshots.publishManifest(spark, table, props + (SpecProp -> merged),
+    // pass only what this DDL asserts: blanket-copying parent props
+    // would re-stamp one-shot markers (txn status, stream batch ids)
+    // onto an unrelated commit; constraints/eras inherit on their own
+    Snapshots.publishManifest(spark, table,
+      Map(Snapshots.SchemaProp -> props(Snapshots.SchemaProp),
+        SpecProp -> merged),
       Seq.empty, baseFor = parent => {
         require(parent == v, s"Partitioning.setSpec: concurrent commit " +
           s"on $table (planned against v$v, parent is v$parent) — retry")

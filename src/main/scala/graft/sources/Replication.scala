@@ -71,7 +71,10 @@ object Replication {
       val newDrop = dropEventsOf(props).drop(dropEventsOf(prevProps).size)
       val newDef = Snapshots.defaultEvents(props)
         .drop(Snapshots.defaultEvents(prevProps).size)
-      if (newRen.nonEmpty || newDrop.nonEmpty || newDef.nonEmpty) {
+      val newWiden = Snapshots.widenEvents(props)
+        .drop(Snapshots.widenEvents(prevProps).size)
+      if (newRen.nonEmpty || newDrop.nonEmpty || newDef.nonEmpty ||
+          newWiden.nonEmpty) {
         newRen.foreach { case (_, o, n) =>
           Snapshots.renameColumn(spark, dst, o, n, properties = mark)
           if (o == key) key = n
@@ -89,6 +92,14 @@ object Replication {
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           Snapshots.addColumn(spark, dst, d.name,
             srcSchema(d.name).dataType, Some(d.value), properties = mark)
+        }
+        // a type widening replays STRUCTURALLY for the same reason: the
+        // mirror's own narrow files must read cast exactly like the
+        // source's
+        newWiden.foreach { w =>
+          Snapshots.widenColumn(spark, dst, w.name,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(w.toType), properties = mark)
         }
       } else {
         // a position-DV delete names rows of the SOURCE's physical

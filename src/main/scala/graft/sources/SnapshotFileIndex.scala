@@ -56,6 +56,13 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
     s"SnapshotFileIndex: $table carries add-column defaults — a flat " +
       "relation would read pre-evolution files as NULL; use " +
       "Snapshots.read (or compact to materialize)")
+  // precise, not blanket: only files that PREDATE a widen boundary
+  // store the narrow physical type; once compaction rewrites them the
+  // (inherited) event is inert and the flat index works again
+  require(!Snapshots.widenEvents(props)
+      .exists(w => entries.exists(e => e.seq <= w.boundary)),
+    s"SnapshotFileIndex: $table has files narrower than a type " +
+      "widening — use Snapshots.read (or compact to materialize)")
 
   /** The version's recorded schema — the committing writer's truth;
     * footer inference would silently widen types. NULLABILITY is

@@ -798,6 +798,79 @@ object Snapshots {
     }
   }
 
+  // ---- metadata-only TYPE WIDENING --------------------------------------
+
+  /** Inherited property holding type-widening events, comma-joined
+    * `boundary:name:oldType>newType` — files with data sequence number
+    * <= boundary physically store `oldType` and are read in their era's
+    * type then CAST (lossless by construction: only integer→long and
+    * float→double are accepted); files written after carry the new
+    * type natively. The backfill a 100 TB `ALTER COLUMN TYPE` cannot
+    * materialize, done without rewriting a byte.
+    */
+  val WidensProp = "graft.widen"
+
+  private[sources] final case class WidenEvent(boundary: Int, name: String,
+      fromType: String, toType: String)
+
+  private[sources] def widenEvents(props: Map[String, String])
+      : Seq[WidenEvent] =
+    props.get(WidensProp).filter(_.nonEmpty).toSeq.flatMap(_.split(","))
+      .map { ev =>
+        val Array(b, name, types) = ev.split(":", 3)
+        val Array(from, to) = types.split(">", 2)
+        WidenEvent(b.toInt, name, from, to)
+      }.sortBy(_.boundary)
+
+  private val SafeWidenings = Set(("int", "bigint"), ("float", "double"))
+
+  /** Widen a column's type METADATA-ONLY: the DDL commit carries the
+    * parent's files verbatim and records a widen event; readers cast
+    * each file from its ERA's physical type, so old and new files union
+    * exactly and time travel keeps each version's own width. Only
+    * lossless widenings are accepted (integer→long, float→double — a
+    * narrowing or cross-family cast could corrupt silently). Columns
+    * under constraints, a partition spec, or rename history refuse
+    * toward evolving those off first.
+    */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType,
+      properties: Map[String, String] = Map.empty): Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.widenColumn: $table has no committed version")
+    val props = this.properties(spark, table, v)
+    val schema = props.get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"Snapshots.widenColumn: $table records no schema"))
+    require(schema.fieldNames.contains(name),
+      s"Snapshots.widenColumn: no column '$name' in $table")
+    val from = schema(name).dataType.catalogString
+    val to = newType.catalogString
+    require(SafeWidenings.contains((from, to)),
+      s"Snapshots.widenColumn: $from -> $to is not a lossless widening " +
+        s"(supported: ${SafeWidenings.map(p => s"${p._1}->${p._2}")
+          .mkString(", ")})")
+    requireNoConstraintOn(props, name, table, "widenColumn")
+    require(!(renameEvents(props) ++ dropEvents(props))
+        .exists(e => e.from == name || e.to == name),
+      s"Snapshots.widenColumn: '$name' of $table has rename/drop " +
+        "history — era interactions are not supported; compact first")
+    val widened = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == name) f.copy(dataType = newType) else f))
+    val event = s"$v:$name:$from>$to"
+    val merged = props.get(WidensProp).filter(_.nonEmpty)
+      .map(_ + "," + event).getOrElse(event)
+    publishManifest(spark, table, properties ++
+      Map(SchemaProp -> widened.json, WidensProp -> merged),
+      Seq.empty, baseFor = parent => {
+        require(parent == v, s"Snapshots.widenColumn: concurrent commit " +
+          s"on $table (planned against v$v, parent is v$parent) — retry")
+        manifest(spark, table, v)
+      })
+  }
+
   // ---- add-column with an initial DEFAULT (metadata-only) --------------
 
   /** Inherited property holding add-column default events, comma-joined
@@ -1147,6 +1220,12 @@ object Snapshots {
     require(!specHit,
       s"Snapshots.$op: partition spec transforms '$col' of $table — " +
         "evolve the spec off the column first (setSpec), then rename/drop")
+    if (op == "renameColumn") {
+      val widenHit = widenEvents(props).exists(_.name == col)
+      require(!widenHit,
+        s"Snapshots.$op: '$col' of $table has type-widening history " +
+          "(name-keyed events) — compact first")
+    }
   }
 
   private def requireNotDropped(props: Map[String, String],
@@ -1570,7 +1649,8 @@ object Snapshots {
               k.startsWith(CheckPrefix) || k.startsWith(UniquePrefix) ||
                 k.startsWith(FkPrefix) ||
                 k == RenamesProp || k == DroppedProp || k == DropsProp ||
-                k == DefaultsProp || k == Partitioning.SpecProp
+                k == DefaultsProp || k == WidensProp ||
+                k == Partitioning.SpecProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -1678,7 +1758,9 @@ object Snapshots {
         val events = renameEvents(props)
         val defaults = defaultEvents(props)
           .filter(d => st.fieldNames.contains(d.name)) // dropped: dead event
-        if (events.isEmpty && defaults.isEmpty)
+        val widens = widenEvents(props)
+          .filter(w => st.fieldNames.contains(w.name))
+        if (events.isEmpty && defaults.isEmpty && widens.isEmpty)
           withMeta(spark.read.schema(st).parquet(pathsOf(entries): _*))
         else {
           // a file written at data sequence s carries the names of its
@@ -1688,17 +1770,28 @@ object Snapshots {
           // every DEFAULT whose boundary is >= s was declared after the
           // file, whose null-fill therefore reads as the default
           entries.groupBy(e => (events.filter(_.boundary >= e.seq),
-              defaults.filter(_.boundary >= e.seq)))
+              defaults.filter(_.boundary >= e.seq),
+              widens.filter(_.boundary >= e.seq)))
             .toSeq.sortBy(_._2.map(_.seq).min)
-            .map { case ((applicable, applicableDefs), es) =>
+            .map { case ((applicable, applicableDefs, applicWidens), es) =>
               val eraName = scala.collection.mutable.LinkedHashMap(
                 st.fieldNames.map(n => n -> n): _*)
               applicable.sortBy(-_.boundary).foreach { ev =>
                 eraName.find(_._2 == ev.to)
                   .foreach { case (cur, _) => eraName(cur) = ev.from }
               }
+              // a widen whose boundary is >= the file's seq happened
+              // AFTER the file: it physically stores the OLD type (the
+              // FIRST event's old type, if widened twice) and reads in
+              // it, cast to current below
+              def eraType(f: org.apache.spark.sql.types.StructField) =
+                applicWidens.filter(_.name == f.name).headOption
+                  .map(w => org.apache.spark.sql.catalyst.parser
+                    .CatalystSqlParser.parseDataType(w.fromType))
+                  .getOrElse(f.dataType)
               val eraSchema = org.apache.spark.sql.types.StructType(
-                st.fields.map(f => f.copy(name = eraName(f.name))))
+                st.fields.map(f =>
+                  f.copy(name = eraName(f.name), dataType = eraType(f))))
               // the meta projection hangs directly off the scan, before
               // the era-alias select — unions do not propagate metadata
               // columns, so it cannot be deferred to the caller
@@ -1707,7 +1800,8 @@ object Snapshots {
               val metaCols =
                 if (withPosMeta) Seq(c(MetaFile), c(MetaPos)) else Seq.empty
               val base = scan.select(st.fields.toSeq
-                .map(f => c(eraName(f.name)).as(f.name)) ++ metaCols: _*)
+                .map(f => c(eraName(f.name)).cast(f.dataType).as(f.name))
+                ++ metaCols: _*)
               applicableDefs.foldLeft(base) { (df, d) =>
                 df.withColumn(d.name,
                   org.apache.spark.sql.functions.coalesce(c(d.name),
@@ -2703,6 +2797,13 @@ object Snapshots {
       s"Snapshots.changes: range ($from, $to] of $table crosses " +
         s"add-column default(s) ${defCrossing.map(_.name).mkString(", ")}" +
         " — split the range at the evolution commit")
+    // ... and type widenings: pre-event frames carry the narrow type and
+    // a silent union coercion would hide which version changed the shape
+    val widenCrossing = widenEvents(toProps).filter(_.boundary > from)
+    require(widenCrossing.isEmpty,
+      s"Snapshots.changes: range ($from, $to] of $table crosses type " +
+        s"widening(s) ${widenCrossing.map(_.name).mkString(", ")} — " +
+        "split the range at the evolution commit")
     val frames = vs.filter(v => v > from && v <= to).flatMap { v =>
       if (properties(spark, table, v).get(DataChangeProp).contains("false"))
         Seq.empty

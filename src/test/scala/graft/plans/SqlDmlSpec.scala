@@ -230,6 +230,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(parts === Seq(("20", 10L), ("30", 10L)))
   }
 
+  test("graft_changes: the change data feed as a SQL relation — " +
+      "inserts and delete pre-images per version, composable") {
+    val tbl = freshTable("cdf")
+    seed(tbl, 4) // v1: keys 0..3
+    register("dml_cdf", tbl)
+    dml.sql("INSERT INTO dml_cdf VALUES (10, 100)") // v2
+    Snapshots.deleteWhere(spark, tbl,
+      spark.range(0, 2).selectExpr("id AS k"), "k") // v3
+    val feed = dml.sql(s"SELECT _change_type, k, v FROM " +
+      s"graft_changes('$tbl', 1, 3) ORDER BY _commit_version, k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(feed.toSeq === Seq(("insert", 10L, 100L),
+      ("delete", 0L, 0L), ("delete", 1L, 10L)))
+    // composes: net row delta per change type
+    assert(dml.sql(s"SELECT _change_type, count(*) FROM " +
+      s"graft_changes('$tbl', 0, 3) GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("delete", 2L), ("insert", 5L)))
+  }
+
   test("the sibling session shares the catalog and data but leaves the " +
       "parent session's analyzer untouched") {
     val tbl = freshTable("sib")
