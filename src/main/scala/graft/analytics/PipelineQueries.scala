@@ -118,6 +118,35 @@ object PipelineQueries {
                CAST(sum(keep * n_tokens) AS BIGINT) AS tokens_kept
              FROM k GROUP BY 1, 2 ORDER BY source"""))
 
+  /** X120: temperature-flattened mixture (τ=2) —
+    * [[TrainingData.temperatureMixReport]]: per-domain sqrt-flattened
+    * keep rates met by deterministic Knuth-hash downsampling; the
+    * smallest domain keeps everything. Every float op is correctly
+    * rounded, so thresholds and kept counts replay hash-exactly.
+    */
+  val temperatureMix = Q("q_temperature_mix",
+    (s, d) => TrainingData.temperatureMixReport(documents(s, d))
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs
+              FROM documents GROUP BY 1),
+            m AS (SELECT min(n_docs) AS n_min FROM c),
+            r AS (SELECT source, n_docs,
+                CAST(floor(sqrt(CAST(n_min AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE)) * 4294967296.0) AS BIGINT)
+                  AS threshold
+              FROM c, m),
+            k AS (SELECT d.source, r.n_docs, r.threshold,
+                CASE WHEN (d.doc_id * 2654435761) % 4294967296
+                     < r.threshold THEN 1 ELSE 0 END AS keep
+              FROM documents d JOIN r USING (source))
+            SELECT source, n_docs, threshold,
+              CAST(sum(keep) AS BIGINT) AS n_kept,
+              round(CAST(sum(keep) AS DOUBLE) / n_docs, 6)
+                AS realized_rate,
+              round(CAST(threshold AS DOUBLE) / 4294967296.0, 6)
+                AS target_rate
+            FROM k GROUP BY 1, 2, 3 ORDER BY source"""))
+
   /** Deterministic stratified sample: 5 docs per source, chosen by
     * content-hash order (ties by doc_id) — reproducible across engines
     * and partitionings, and WindowGroupLimit-friendly in the plan.
@@ -1158,5 +1187,5 @@ object PipelineQueries {
     clusterSplit,
     bigramLm, contaminationBfs, incrementalQuantiles, keywordSearch,
     keywordSearchStored, bpeTrain, bpeEncode,
-    shortestPath)
+    shortestPath, temperatureMix)
 }

@@ -1720,9 +1720,43 @@ object SnapshotQueries {
            SELECT o_orderkey + 10000000000, o_totalprice FROM orders
            WHERE o_orderdate >= DATE '$cutoff')"""))
 
+  /** X121: DECLARED clustering — [[Snapshots.setClustering]] records
+    * the table's sort order (here `zorder(l_partkey, l_suppkey)`) as
+    * inherited metadata, and the next ordinary [[Snapshots
+    * .compactVersion]] re-establishes it automatically (range-partition
+    * on the z-value + in-file sort + auto-recorded envelopes) — the
+    * operator never re-states the layout, so skipping does not decay as
+    * the table churns. The box probe after compaction reads exactly the
+    * plain conjunctive filter's rows (the oracle); ClusteringSpec
+    * quantifies the file cut vs the pre-compaction scatter.
+    */
+  val clusteredCompact = Q("q_clustered_compact",
+    (s, d) => {
+      val tbl = freshTable(s, d, "clus")
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+      // committed SCATTERED: every file spans the whole key domain
+      Snapshots.commit(li.repartition(8), tbl,
+        statsCols = Seq("l_partkey", "l_suppkey"))
+      Snapshots.setClustering(s, tbl, "zorder(l_partkey,l_suppkey)")
+      Snapshots.compactVersion(s, tbl, targetBytes = 1L << 20)
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      Snapshots.scanPrunedBox(s, tbl,
+          Seq(("l_partkey", 1L, maxPart / 8), ("l_suppkey", 1L, maxSupp / 8)))
+        .df
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("qty"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("l_quantity")} AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
+           AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
+
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
-    sqlTimeTravel, metaTables, widenColumnQ,
+    sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
     wap, mergeInto,

@@ -237,6 +237,49 @@ object TrainingData {
         col("tokens_kept"))
   }
 
+  /** TEMPERATURE-FLATTENED domain mixture (τ = 2, i.e. square-root
+    * flattening — the multilingual/pretraining re-balancing that keeps
+    * small domains from drowning): target mixture q_d ∝ sqrt(p_d), met
+    * by pure DOWNSAMPLING with per-domain keep rate sqrt(n_min/n_d) —
+    * the smallest domain keeps everything, larger domains keep
+    * proportionally less, never upsampling. Per-doc selection is the
+    * Knuth multiplicative hash of the id against a per-domain threshold
+    * — deterministic on any partitioning, and every float op in the
+    * pipeline (integer→double divide, sqrt, one multiply, floor) is
+    * IEEE correctly-rounded, so the thresholds and therefore the kept
+    * SET replay bit-identically in any engine. τ is fixed at 2 because
+    * sqrt is correctly rounded where pow(x, 1/τ) is not — a general-τ
+    * variant would not be cross-engine exact.
+    *
+    * Plan shape: one tiny per-domain aggregate broadcast back onto the
+    * corpus, then a narrow filter — no corpus shuffle, the only shape
+    * that survives 100 TB.
+    */
+  def temperatureMixReport(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("threshold",
+        floor(sqrt(col("n_min").cast("double") / col("n_docs")
+          .cast("double")) * lit(4294967296.0)).cast("long"))
+      .drop("n_min")
+    docs.select(col(sourceCol), col(idCol))
+      .join(broadcast(rates), Seq(sourceCol))
+      .withColumn("keep",
+        (pmod(col(idCol).cast("long") * lit(2654435761L),
+          lit(4294967296L)) < col("threshold")).cast("int"))
+      .groupBy(col(sourceCol), col("n_docs"), col("threshold"))
+      .agg(sum(col("keep")).cast("bigint").as("n_kept"))
+      .select(col(sourceCol), col("n_docs"), col("threshold"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("realized_rate"),
+        round(col("threshold").cast("double") / 4294967296.0, 6)
+          .as("target_rate"))
+  }
+
   /** Token-budget mixture plan — the upsampling half of mixture weighting
     * ([[domainMixReport]] is the downsampling half): given a per-source
     * token budget, how many full passes (epochs) over the source fit, and

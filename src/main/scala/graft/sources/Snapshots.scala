@@ -798,6 +798,94 @@ object Snapshots {
     }
   }
 
+  // ---- declared CLUSTERING (table-level sort order) ----------------------
+
+  /** Inherited property declaring the table's CLUSTERING — the sort
+    * order maintenance applies automatically: `zorder(c1,c2[,c3...])`
+    * (interleaved bits — multi-dimensional locality) or `sort(c1[,...])`
+    * (lexicographic). Iceberg's table sort-order metadata: the layout
+    * intent lives WITH the table, so every compaction re-establishes
+    * tight file envelopes without the operator re-stating (or
+    * forgetting) the clustering — the difference between data skipping
+    * that decays as the table churns and skipping that holds.
+    */
+  val ClusterProp = "graft.cluster"
+
+  /** Declare (or replace; empty spec = drop) the table's clustering —
+    * metadata-only; the layout changes at the next [[compactVersion]] /
+    * [[compactMor]] / [[Partitioning.rewriteLayout]].
+    */
+  def setClustering(spark: SparkSession, table: String, spec: String)
+      : Int = {
+    val v = latestVersion(spark, table)
+    require(v > 0,
+      s"Snapshots.setClustering: $table has no committed version")
+    val props = this.properties(spark, table, v)
+    if (spec.nonEmpty) {
+      val (kind, cols) = parseClustering(spec)
+      require(kind == "sort" || cols.size >= 2,
+        s"Snapshots.setClustering: zorder needs >= 2 columns, got $spec")
+      val schema = props.get(SchemaProp)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      schema.foreach(st => cols.foreach(c =>
+        require(st.fieldNames.contains(c),
+          s"Snapshots.setClustering: no column '$c' in $table")))
+    }
+    publishManifest(spark, table,
+      props.get(SchemaProp).map(SchemaProp -> _).toMap
+        + (ClusterProp -> spec),
+      Seq.empty, baseFor = parent => {
+        require(parent == v, s"Snapshots.setClustering: concurrent " +
+          s"commit on $table (planned against v$v, parent is v$parent)")
+        manifest(spark, table, v)
+      })
+  }
+
+  private[sources] def parseClustering(spec: String)
+      : (String, Seq[String]) = {
+    val m = """(zorder|sort)\(([^)]+)\)""".r.findFirstMatchIn(spec.trim)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Snapshots: cannot parse clustering '$spec' — " +
+          "zorder(c1,c2[,...]) or sort(c1[,...])"))
+    (m.group(1), m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** The declared clustering of the table head, if any. */
+  def clustering(spark: SparkSession, table: String)
+      : Option[(String, Seq[String])] = {
+    val v = latestVersion(spark, table)
+    if (v == 0) return None
+    properties(spark, table, v).get(ClusterProp).filter(_.nonEmpty)
+      .map(parseClustering)
+  }
+
+  /** Apply the declared clustering to a frame about to be compacted:
+    * range-partition on the cluster key (files own disjoint key ranges)
+    * and sort within partitions (row groups tighten too). No
+    * declaration = plain repartition, the old behavior.
+    */
+  private def clusteredLayout(spark: SparkSession, table: String,
+      df: DataFrame, nOut: Int): DataFrame =
+    clustering(spark, table) match {
+      case None => df.repartition(nOut)
+      case Some((kind, cols)) =>
+        import org.apache.spark.sql.functions.{col => c}
+        val key = kind match {
+          case "sort" if cols.size == 1 => c(cols.head)
+          case "sort" => c(cols.head) // range key leads; full sort below
+          case "zorder" if cols.size == 2 =>
+            graft.functions.ZOrderExpression.zValue(c(cols(0)), c(cols(1)))
+          case "zorder" =>
+            graft.functions.ZOrderExpression.zValueN(cols.map(c): _*)
+        }
+        val ranged = df.repartitionByRange(nOut, key)
+        kind match {
+          case "sort" => ranged.sortWithinPartitions(cols.map(c): _*)
+          case _ => ranged.sortWithinPartitions(key)
+        }
+    }
+
   // ---- metadata-only TYPE WIDENING --------------------------------------
 
   /** Inherited property holding type-widening events, comma-joined
@@ -1650,7 +1738,7 @@ object Snapshots {
                 k.startsWith(FkPrefix) ||
                 k == RenamesProp || k == DroppedProp || k == DropsProp ||
                 k == DefaultsProp || k == WidensProp ||
-                k == Partitioning.SpecProp
+                k == ClusterProp || k == Partitioning.SpecProp
             val inherited =
               if (parent == 0) Map.empty[String, String]
               else committedManifestOpt(fs, root, parent)
@@ -2354,8 +2442,11 @@ object Snapshots {
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
     val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
-    commit(read(spark, table, Some(cur)).repartition(nOut), table,
-      overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
+    val clusterCols = clustering(spark, table).map(_._2).getOrElse(Seq.empty)
+    commit(clusteredLayout(spark, table, read(spark, table, Some(cur)), nOut),
+      table,
+      overwrite = true, statsCols = (statsCols ++ clusterCols).distinct,
+      bloomCols = bloomCols,
       strStatsCols = strCols,
       properties = Map(DataChangeProp -> "false"))
   }
@@ -2921,8 +3012,11 @@ object Snapshots {
     val statsCols = data.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = data.flatMap(_.blooms.keys).distinct.sorted
     val strCols = data.flatMap(_.strStats.keys).distinct.sorted
-    commit(readMor(spark, table, Some(cur)).repartition(nOut), table,
-      overwrite = true, statsCols = statsCols, bloomCols = bloomCols,
+    val clusterCols = clustering(spark, table).map(_._2).getOrElse(Seq.empty)
+    commit(clusteredLayout(spark, table, readMor(spark, table, Some(cur)),
+        nOut), table,
+      overwrite = true, statsCols = (statsCols ++ clusterCols).distinct,
+      bloomCols = bloomCols,
       strStatsCols = strCols,
       properties = Map(DataChangeProp -> "false"))
   }

@@ -497,4 +497,38 @@ class TrainingDataSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TrainingData.clusterSplitAssign(comps, trainPct = 90, validPct = 10))
   }
+
+  test("temperatureMixReport: sqrt-flattened keep rates — smallest " +
+      "domain keeps everything, thresholds formula-exact, corpus never " +
+      "shuffles (broadcast join)") {
+    import spark.implicits._
+    // three domains: 100 / 400 / 25 docs — rates sqrt(25/n)
+    val docs = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 500L).map(i => (i, "b")) ++
+      (500L until 525L).map(i => (i, "c")))
+      .toDF("doc_id", "source")
+    val rep = graft.operators.TrainingData.temperatureMixReport(docs)
+    val rows = rep.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def thr(n: Long) =
+      math.floor(math.sqrt(25.0 / n) * 4294967296.0).toLong
+    assert(rows("a")._2 === thr(100) && rows("b")._2 === thr(400) &&
+      rows("c")._2 === thr(25))
+    // smallest domain: threshold = 2^32 → every doc kept
+    assert(rows("c")._3 === 25L)
+    // kept counts match the per-doc formula exactly
+    def kept(lo: Long, hi: Long, t: Long) = (lo until hi).count(id =>
+      java.lang.Math.floorMod(id * 2654435761L, 4294967296L) < t).toLong
+    assert(rows("a")._3 === kept(0, 100, thr(100)))
+    assert(rows("b")._3 === kept(100, 500, thr(400)))
+    // partitioning invariance
+    val rep2 = graft.operators.TrainingData
+      .temperatureMixReport(docs.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rep2 === rows.map { case (k, v) => k -> v._3 })
+    // the corpus side joins broadcast — no corpus shuffle
+    val plan = executedPlan(rep)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
