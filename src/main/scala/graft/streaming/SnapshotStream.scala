@@ -122,8 +122,18 @@ object SnapshotStream {
     val props = Map(batchProp -> batchId.toString)
     val published = audit match {
       case None =>
-        Snapshots.commit(batch, table, statsCols = statsCols,
-          properties = props)
+        // a table with a declared partition spec keeps its layout under
+        // CONTINUOUS ingest: every micro-batch lands through the
+        // partitioned write path (one tuple per file, auto skip
+        // evidence), so partitions()/overwritePartitions never meet a
+        // layout-less file — streaming and the hidden-partitioning tier
+        // compose instead of requiring a rewriteLayout repair
+        if (graft.sources.Partitioning.currentSpec(spark, table).nonEmpty)
+          graft.sources.Partitioning.commitPartitioned(batch, table,
+            statsCols = statsCols, properties = props)
+        else
+          Snapshots.commit(batch, table, statsCols = statsCols,
+            properties = props)
         true
       case Some(a) =>
         Snapshots.commitAudited(batch, table, a, statsCols = statsCols,

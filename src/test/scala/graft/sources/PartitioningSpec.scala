@@ -187,4 +187,42 @@ class PartitioningSpec extends SparkSpec {
     assert(Partitioning.currentSpec(spark, tbl).map(_.render) ===
       Seq("year(o_orderdate)"))
   }
+
+  test("streaming ingest through format(\"graft\") keeps a declared " +
+      "partition spec: every micro-batch lands one-tuple-per-file and " +
+      "partitions() stays answerable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tbl = freshTable("stream")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pt_ckpt").toString
+    val in = MemoryStream[(Long, Double, String)]
+    val q = in.toDF().toDF("o_orderkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+      .writeStream.format("graft").option("path", tbl)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData((1L, 1.0, "1996-02-10"), (2L, 2.0, "1997-03-11"))
+      q.processAllAvailable()
+      in.addData((3L, 3.0, "1996-08-01"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned")
+      .select("partition", "n_rows").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts === Map("26" -> 2L, "27" -> 1L)) // years since 1970
+    assert(Snapshots.read(spark, tbl).count() === 3)
+    // dynamic overwrite works directly on the streamed layout
+    import spark.implicits._
+    Partitioning.overwritePartitions(
+      Seq((9L, 9.0, "1997-06-06")).toDF("o_orderkey", "o_totalprice", "d")
+        .withColumn("o_orderdate", col("d").cast("date")).drop("d"), tbl)
+    assert(Snapshots.read(spark, tbl)
+      .filter(col("o_orderkey") === 2L).count() === 0)
+    assert(Snapshots.read(spark, tbl).count() === 3)
+  }
 }
