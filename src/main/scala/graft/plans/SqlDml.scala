@@ -82,6 +82,10 @@ object SqlDml {
     // travel substitution must beat ResolveRelations, which throws
     // UNSUPPORTED_FEATURE.TIME_TRAVEL for v1 relations on sight
     ext.injectHintResolutionRule(session => new GraftTimeTravelRule(session))
+    // DDL must also beat ResolveSessionCatalog (Resolution batch), which
+    // would route v1 ALTER TABLE onto catalog-schema-only commands that
+    // no manifest ever sees
+    ext.injectHintResolutionRule(session => new GraftDdlRule(session))
     MetaTables.install(ext)
   }
 
@@ -184,26 +188,172 @@ object SqlDml {
           }
       }
 
-    /** The table path iff the identifier names a catalog table with
-      * provider `graft`; None otherwise (including missing tables).
-      */
-    private def graftTablePath(parts: Seq[String]): Option[String] = {
-      import org.apache.spark.sql.catalyst.TableIdentifier
-      val ident = parts match {
-        case Seq(t) => TableIdentifier(t)
-        case Seq(db, t) => TableIdentifier(t, Some(db))
-        case _ => return None
+    private def graftTablePath(parts: Seq[String]): Option[String] =
+      SqlDml.graftTablePath(session, parts)
+  }
+
+  // ---- SQL DDL (ALTER TABLE) ---------------------------------------------
+
+  /** `ALTER TABLE` on catalog graft tables, routed onto the
+    * METADATA-ONLY evolution ops — none of these rewrite a data byte:
+    *
+    *  - `ADD COLUMN c TYPE [DEFAULT lit]` → [[Snapshots.addColumn]]
+    *    (era-scoped initial default);
+    *  - `RENAME COLUMN a TO b` → [[Snapshots.renameColumn]];
+    *  - `DROP COLUMN c` → [[Snapshots.dropColumn]] (name retired);
+    *  - `ALTER COLUMN c TYPE wider` → [[Snapshots.widenColumn]].
+    *
+    * Runs in the Hints batch: Spark's own `ResolveSessionCatalog` would
+    * otherwise convert these to catalog-schema-only v1 commands that no
+    * manifest ever sees — the reader's schema is the MANIFEST's, so
+    * that path would silently change nothing (or worse, desync the
+    * catalog). Non-graft tables pass through untouched. Each statement
+    * is one atomic snapshot commit; the session's cached relation
+    * refreshes so the next read resolves the evolved schema.
+    */
+  final class GraftDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperators {
+        case a @ AddColumns(u: UnresolvedTable, cols) =>
+          withGraft(u, a) { table =>
+            cols.foreach { qc =>
+              require(qc.path.isEmpty && qc.name.size == 1,
+                s"graft DDL: nested columns are not supported, got " +
+                  qc.name.mkString("."))
+              require(qc.position.isEmpty,
+                "graft DDL: column POSITION is not supported")
+              val default = qc.default.map { d =>
+                require(d.child.foldable,
+                  s"graft DDL: DEFAULT must be a literal, got ${d.child}")
+                d.child.eval() match {
+                  case s: org.apache.spark.unsafe.types.UTF8String =>
+                    s.toString
+                  case other => other
+                }
+              }
+              Snapshots.addColumn(session, table, qc.name.head,
+                qc.dataType, default)
+            }
+          }
+
+        case r @ RenameColumn(u: UnresolvedTable, column, newName) =>
+          withGraft(u, r) { table =>
+            require(column.name.size == 1,
+              "graft DDL: nested columns are not supported")
+            Snapshots.renameColumn(session, table, column.name.head,
+              newName)
+          }
+
+        case d @ DropColumns(u: UnresolvedTable, cols, ifExists) =>
+          withGraft(u, d) { table =>
+            cols.foreach { f =>
+              require(f.name.size == 1,
+                "graft DDL: nested columns are not supported")
+              val exists = Snapshots.properties(session, table,
+                Snapshots.latestVersion(session, table))
+                .get(Snapshots.SchemaProp)
+                .exists(_.contains("\"" + f.name.head + "\""))
+              if (exists || !ifExists)
+                Snapshots.dropColumn(session, table, f.name.head)
+            }
+          }
+
+        case ac @ AlterColumns(u: UnresolvedTable, specs) =>
+          withGraft(u, ac) { table =>
+            specs.foreach { sp =>
+              require(sp.column.name.size == 1,
+                "graft DDL: nested columns are not supported")
+              val newType = sp.newDataType.getOrElse(
+                throw new IllegalArgumentException(
+                  "graft DDL: only ALTER COLUMN ... TYPE is supported " +
+                    "(widening)"))
+              Snapshots.widenColumn(session, table, sp.column.name.head,
+                newType)
+            }
+          }
       }
-      val catalog = session.asInstanceOf[org.apache.spark.sql.classic
-        .SparkSession].sessionState.catalog
-      try {
-        val meta = catalog.getTableMetadata(ident)
-        if (meta.provider.exists(_.equalsIgnoreCase("graft")))
-          meta.storage.properties.get("path")
-            .orElse(meta.storage.locationUri.map(_.getPath))
-        else None
-      } catch { case _: Exception => None }
+
+    /** Rewrite to a deferred command when the identifier names a graft
+      * table; otherwise return the node untouched. The side effects run
+      * at COMMAND EXECUTION, not analysis — an EXPLAIN must not alter
+      * the table.
+      */
+    private def withGraft(u: UnresolvedTable, orig: LogicalPlan)(
+        f: String => Unit): LogicalPlan =
+      SqlDml.graftTablePath(session, u.multipartIdentifier) match {
+        case None => orig
+        case Some(table) =>
+          GraftDdlCommand(table, orig.nodeName, { () =>
+            f(table)
+            // the catalog pins the CREATE-time schema and re-resolution
+            // compares it against the relation's — sync it to the new
+            // recorded schema (what Spark's own v1 ALTER commands do),
+            // nullable-normalized to the relation convention
+            val recorded = Snapshots.properties(session, table,
+                Snapshots.latestVersion(session, table))
+              .get(Snapshots.SchemaProp)
+              .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            recorded.foreach { st =>
+              val nullable = org.apache.spark.sql.types.StructType(
+                st.fields.map(_.copy(nullable = true)))
+              val ident = u.multipartIdentifier match {
+                case Seq(t) => org.apache.spark.sql.catalyst
+                  .TableIdentifier(t)
+                case Seq(db, t) => org.apache.spark.sql.catalyst
+                  .TableIdentifier(t, Some(db))
+                case _ => null
+              }
+              if (ident != null) {
+                // alterTableDataSchema refuses narrowing (rename/drop) —
+                // replace the whole catalog entry's schema instead
+                val catalog = session.asInstanceOf[org.apache.spark.sql
+                  .classic.SparkSession].sessionState.catalog
+                val meta = catalog.getTableMetadata(ident)
+                catalog.alterTable(meta.copy(schema = nullable))
+              }
+            }
+            refreshCatalog(session,
+              Some(u.multipartIdentifier.mkString(".")))
+          })
+      }
+  }
+
+  /** A deferred graft DDL statement — the body executes when Spark
+    * runs the command, never at analysis (EXPLAIN must not alter the
+    * table). A single parameter list: TreeNode's reflective makeCopy
+    * requires ctor args == product arity.
+    */
+  final case class GraftDdlCommand(table: String, statement: String,
+      body: () => Unit) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      body()
+      Seq.empty
     }
+  }
+
+  /** The table path iff the identifier names a catalog table with
+    * provider `graft`; None otherwise (including missing tables).
+    */
+  private[plans] def graftTablePath(session: SparkSession,
+      parts: Seq[String]): Option[String] = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    val catalog = session.asInstanceOf[org.apache.spark.sql.classic
+      .SparkSession].sessionState.catalog
+    try {
+      val meta = catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.getPath))
+      else None
+    } catch { case _: Exception => None }
   }
 
   // ---- the analyzer rule ------------------------------------------------

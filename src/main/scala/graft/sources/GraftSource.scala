@@ -74,19 +74,21 @@ final class GraftSource extends RelationProvider
         eligible.max
       })
       .getOrElse(Snapshots.latestVersion(spark, table))
-    // a version carrying merge-on-read masks (equality tombstones or
-    // position vectors) cannot be served as a flat file listing — fall
-    // back to the MOR relation (plain scan + mask anti-joins) so SQL
-    // SELECT and DML keep working between a DELETE and the next
-    // compactMor; mask-free versions keep the data-skipping FileIndex
-    if (Snapshots.manifest(spark, table, version)
-        .exists(e => Snapshots.isMask(e.path)))
-      return new GraftMorRelation(sqlContext, table, version, parameters)
-    val index = new SnapshotFileIndex(spark, table, version)
-    // reader options ride the relation so downstream layers (SQL DML)
-    // can see whether this relation was time-traveled
-    HadoopFsRelation(index, new StructType(), index.dataSchema, None,
-      new ParquetFileFormat, parameters)(spark)
+    // a version the flat FileIndex refuses (merge-on-read masks, or
+    // rename/drop/default/widen eras whose files need per-era mapping)
+    // falls back to the MOR relation — Snapshots.readMor behind a v1
+    // scan — so SQL SELECT and DML keep working on ANY table state;
+    // plain versions keep the data-skipping FileIndex fast path. The
+    // reader options ride the relation either way so downstream layers
+    // (SQL DML) can see whether this relation was time-traveled.
+    try {
+      val index = new SnapshotFileIndex(spark, table, version)
+      HadoopFsRelation(index, new StructType(), index.dataSchema, None,
+        new ParquetFileFormat, parameters)(spark)
+    } catch {
+      case _: IllegalArgumentException =>
+        new GraftMorRelation(sqlContext, table, version, parameters)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

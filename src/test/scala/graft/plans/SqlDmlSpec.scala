@@ -250,6 +250,46 @@ class SqlDmlSpec extends SparkSpec {
       Seq(("delete", 2L), ("insert", 5L)))
   }
 
+  test("SQL DDL: ALTER TABLE ADD/RENAME/DROP COLUMN and ALTER COLUMN " +
+      "TYPE route onto the metadata-only evolution ops") {
+    val tbl = freshTable("ddl2")
+    seed(tbl, 3) // (k long, v long), v1
+    register("dml_ddl", tbl)
+    dml.sql("ALTER TABLE dml_ddl ADD COLUMN tag STRING DEFAULT 'old'")
+    dml.sql("INSERT INTO dml_ddl VALUES (9, 90, 'new')")
+    val got = dml.sql("SELECT k, tag FROM dml_ddl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // pre-evolution rows read the DEFAULT, the new row its real value
+    assert(got === Seq((0L, "old"), (1L, "old"), (2L, "old"), (9L, "new")))
+    // renaming a DEFAULTED column refuses by the library's own
+    // contract (name-keyed events) — rename a plain one instead
+    intercept[Exception] {
+      dml.sql("ALTER TABLE dml_ddl RENAME COLUMN tag TO label")
+    }
+    dml.sql("ALTER TABLE dml_ddl RENAME COLUMN v TO val")
+    assert(dml.sql("SELECT val FROM dml_ddl WHERE k = 9").head()
+      .getLong(0) === 90L)
+    dml.sql("ALTER TABLE dml_ddl DROP COLUMN tag")
+    assert(!dml.sql("SELECT * FROM dml_ddl").columns.contains("tag"))
+    // widening through SQL: int column table
+    val tbl2 = freshTable("ddl3")
+    Snapshots.commit(spark.range(3).selectExpr(
+      "CAST(id AS INT) AS k", "id * 2 AS v"), tbl2, statsCols = Seq("k"))
+    dml.sql("DROP TABLE IF EXISTS dml_ddl3")
+    dml.sql(s"CREATE TABLE dml_ddl3 USING graft OPTIONS (path '$tbl2')")
+    dml.sql("ALTER TABLE dml_ddl3 ALTER COLUMN k TYPE BIGINT")
+    dml.sql("INSERT INTO dml_ddl3 VALUES (10000000000, 1)")
+    assert(dml.sql("SELECT max(k) FROM dml_ddl3").head().getLong(0) ===
+      10000000000L)
+    // an EXPLAIN does not execute the DDL
+    dml.sql("EXPLAIN ALTER TABLE dml_ddl3 DROP COLUMN v").collect()
+    assert(dml.sql("SELECT * FROM dml_ddl3").columns.contains("v"))
+    // non-graft targets pass through to Spark's own handling
+    intercept[Exception] {
+      dml.sql("ALTER TABLE does_not_exist ADD COLUMN x INT").collect()
+    }
+  }
+
   test("the sibling session shares the catalog and data but leaves the " +
       "parent session's analyzer untouched") {
     val tbl = freshTable("sib")
