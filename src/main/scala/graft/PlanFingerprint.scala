@@ -38,6 +38,12 @@ object PlanFingerprint {
     // and scan-node truncation can cut the hash to ANY length ([[D@40...),
     // so match one-or-more hex chars, not a minimum width
     .replaceAll("@[0-9a-fA-F]+", "@x")
+    // JVM lambda encodings (SerializeFromObject / mapPartitions closures
+    // print as pkg.Cls$$Lambda$1234/0x00007f...) differ per JVM launch
+    .replaceAll("\\$\\$Lambda\\$?[0-9/x$.]*[0-9a-fA-F]*", "\\$\\$Lambda\\$x")
+    // file-index path COUNTS vary with AQE-coalesced write parallelism
+    // (a fresh table's file count is runtime-sized, not plan-shaped)
+    .replaceAll("\\(\\d+ paths?\\)", "(N paths)")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

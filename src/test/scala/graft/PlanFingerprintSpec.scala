@@ -48,4 +48,17 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(!n.contains("local-1755034"))
     assert(n.contains("BroadcastHashJoin") && n.contains("hashpartitioning"))
   }
+
+  test("normalization strips JVM lambda encodings and file-index path " +
+      "counts (both vary across equal-plan runs)") {
+    import graft.PlanFingerprint.normalize
+    val a = normalize("MapPartitions graft.multimodal.Multimodal$$Lambda$2861/0x00007f0a1c2b3d40, obj#12")
+    val b = normalize("MapPartitions graft.multimodal.Multimodal$$Lambda$977/0x00007fee00112233, obj#99")
+    assert(a === b)
+    val c = normalize("Location: InMemoryFileIndex(12 paths)[<p>]")
+    val d = normalize("Location: InMemoryFileIndex(3 paths)[<p>]")
+    assert(c === d)
+    // idempotent: normalizing a normalized string is a no-op
+    assert(normalize(a) === a && normalize(c) === c)
+  }
 }
