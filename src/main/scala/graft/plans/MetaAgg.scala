@@ -34,6 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Registration-scoped like the MV and window rewrites: plans change
   * only for explicitly [[MetaAgg.enable]]-d table paths.
+  * String MIN/MAX exactness inherits [[graft.sources.Snapshots
+  * .statsAggStr]]'s writer contract: Spark's parquet writer records
+  * binary footer stats exactly or not at all, and stat-less files block
+  * the rewrite — a non-default truncating writer would have to be
+  * refused at ingest, exactly as that method documents.
   */
 object MetaAgg {
 

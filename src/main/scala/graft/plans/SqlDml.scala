@@ -169,7 +169,19 @@ object SqlDml {
                     .tags(session, path).exists(_._1 == v)
                   (if (isTag) "tag" else "branch", v)
                 case (Some(e), None) =>
-                  val micros = e.eval() match {
+                  // a bare string literal ('2024-01-01') is the common
+                  // SQL shape — cast it to a timestamp the way Spark's
+                  // own v2 time travel does, in the session timezone
+                  val tz = session.asInstanceOf[org.apache.spark.sql
+                    .classic.SparkSession].sessionState.conf
+                    .sessionLocalTimeZone
+                  val casted =
+                    if (e.dataType.isInstanceOf[
+                        org.apache.spark.sql.types.StringType])
+                      org.apache.spark.sql.catalyst.expressions.Cast(e,
+                        org.apache.spark.sql.types.TimestampType, Some(tz))
+                    else e
+                  val micros = casted.eval() match {
                     case l: java.lang.Long => l.longValue()
                     case other => throw new IllegalArgumentException(
                       s"graft time travel: TIMESTAMP AS OF must fold to " +
@@ -368,10 +380,10 @@ object SqlDml {
           require(part.isEmpty, "graft DML: INSERT ... PARTITION is not " +
             "supported — partitioning rides the table layout")
           require(cols.isEmpty || byNameIns ||
-            cols.map(_.toLowerCase) ==
-              out.map(_.name.toLowerCase).take(cols.size),
-            s"graft DML: INSERT column list must be a prefix of the " +
-              s"table's columns in order, got (${cols.mkString(", ")})")
+            cols.map(_.toLowerCase) == out.map(_.name.toLowerCase),
+            s"graft DML: an INSERT column list must name ALL the " +
+              s"table's columns in order (missing columns are not " +
+              s"default-filled), got (${cols.mkString(", ")})")
           val _ = i
           GraftInsertCommand(table, query, overwrite, schemaOf(out),
             byNameIns, ident)

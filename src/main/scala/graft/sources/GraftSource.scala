@@ -225,7 +225,11 @@ final class GraftSource extends RelationProvider
         "rebucket), not partitionBy")
     val table = pathOf(parameters)
     val statsCols = cols(parameters, "statsCols")
-    // UPDATE mode: every micro-batch is one atomic merge-on-read upsert
+    // UPDATE mode: every micro-batch is one atomic merge-on-read upsert.
+    // On a partition-spec'd table the upsert files carry no layout —
+    // partition listings refuse until the next compactMor, which
+    // restores the declared layout (compaction routes through the
+    // partitioned writer).
     // keyed on the required `keyCol` option — a stateful aggregation's
     // changed rows REPLACE their keys' previous values, giving a serving
     // table that always reads as the latest state per key (exactly-once
@@ -304,10 +308,12 @@ final class GraftMorRelation(sql: SQLContext, val table: String,
       case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
       case IsNull(a) => Some(col(a).isNull)
       case IsNotNull(a) => Some(col(a).isNotNull)
-      case And(l, r) => (translate(l), translate(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b) => a.orElse(b) // AND may weaken to either side
-      }
+      // STRICT And: weakening to one side would be unsound under a
+      // surrounding Not (the weakened predicate negates to something
+      // STRONGER, dropping rows the v1 contract cannot re-add) —
+      // untranslated shapes just stay with Spark's re-applied filter
+      case And(l, r) => for { a <- translate(l); b <- translate(r) }
+        yield a && b
       case Or(l, r) => for { a <- translate(l); b <- translate(r) }
         yield a || b
       case Not(c) => translate(c).map(!_)

@@ -395,6 +395,12 @@ object Partitioning {
       })
     }
     Snapshots.enforceForCommit(spark, table, df, overwrite = true)
+    // overwrite=true skipped the vs-parent UNIQUE check, but this is
+    // NOT a full overwrite: the batch's keys must not collide with the
+    // CARRIED files' visible rows (the dropped partitions' keys are
+    // legitimately replaceable, so the plain vs-parent check would
+    // false-reject an idempotent re-load)
+    Snapshots.enforceUniqueVsEntries(spark, table, df, carried)
     val (_, newEntries) = writePartitionedBatch(df, table, spec, statsCols,
       bloomCols, strStatsCols)
     val props = properties + (Snapshots.SchemaProp -> df.schema.json)

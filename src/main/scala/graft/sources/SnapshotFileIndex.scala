@@ -48,13 +48,20 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
   }
 
   private val props = Snapshots.properties(spark, table, version)
-  require(Snapshots.renameEvents(props).isEmpty &&
-    Snapshots.dropEvents(props).isEmpty,
-    s"SnapshotFileIndex: $table has rename/drop schema evolution — " +
-      "era-mapped reads need Snapshots.read")
-  require(Snapshots.defaultEvents(props).isEmpty,
-    s"SnapshotFileIndex: $table carries add-column defaults — a flat " +
-      "relation would read pre-evolution files as NULL; use " +
+  // era refusals are PRECISE, not blanket: evolution events are
+  // inherited forever, but once compaction rewrites every pre-event
+  // file (no entry's seq is at or below a boundary) the events are
+  // inert and the flat fast path is exact again
+  private def anyPreEventFile(boundaries: Seq[Int]): Boolean =
+    boundaries.exists(b => entries.exists(_.seq <= b))
+  require(!anyPreEventFile(
+      (Snapshots.renameEvents(props) ++ Snapshots.dropEvents(props))
+        .map(_.boundary)),
+    s"SnapshotFileIndex: $table has files from before a rename/drop — " +
+      "era-mapped reads need Snapshots.read (or compact to materialize)")
+  require(!anyPreEventFile(Snapshots.defaultEvents(props).map(_.boundary)),
+    s"SnapshotFileIndex: $table has files from before an add-column " +
+      "default — a flat relation would read them as NULL; use " +
       "Snapshots.read (or compact to materialize)")
   // precise, not blanket: only files that PREDATE a widen boundary
   // store the narrow physical type; once compaction rewrites them the

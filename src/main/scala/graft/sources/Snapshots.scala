@@ -959,6 +959,69 @@ object Snapshots {
       })
   }
 
+  /** A recorded (per-era) column name mapped to its CURRENT name —
+    * rename events applied in order; None if the name was dropped
+    * (retired names must fall out of derived stat-column lists).
+    */
+  private[sources] def currentColName(props: Map[String, String],
+      name: String): Option[String] = {
+    val renamed = renameEvents(props).foldLeft(name) { (n, ev) =>
+      if (ev.from == n) ev.to else n
+    }
+    if (dropEvents(props).exists(_.to == renamed) ||
+      props.get(DroppedProp).exists(_.split(",").contains(renamed))) None
+    else Some(renamed)
+  }
+
+  /** UNIQUE collision check for a batch against an EXPLICIT entry
+    * subset's visible rows — the partition-granular overwrite's gate:
+    * its batch replaces some files (whose keys are fair game) and
+    * carries the rest (whose keys must stay unique). Leading-column
+    * envelopes prune which carried files are read, like the plain
+    * vs-parent check.
+    */
+  private[sources] def enforceUniqueVsEntries(spark: SparkSession,
+      table: String, df: DataFrame, carried: Seq[FileEntry]): Unit = {
+    import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+    val keySets = uniqueKeySets(spark, table)
+    if (keySets.isEmpty || carried.isEmpty) return
+    val v = latestVersion(spark, table)
+    keySets.foreach { ks =>
+      val lead = ks.head
+      val leadIntegral = isIntegralType(df.schema(lead).dataType)
+      val nonNull = df.filter(ks.map(c(_).isNotNull).reduce(_ && _))
+      val bounds = nonNull.agg(
+        mn(if (leadIntegral) c(lead).cast("long") else c(lead)).as("lo"),
+        mx(if (leadIntegral) c(lead).cast("long") else c(lead)).as("hi"))
+        .head()
+      if (!bounds.isNullAt(0)) {
+        val candidates = carried.filter { e =>
+          e.rows > 0 && !isMask(e.path) && {
+            if (leadIntegral) e.stats.get(lead) match {
+              case Some((fMin, fMax)) =>
+                fMax >= bounds.getLong(0) && fMin <= bounds.getLong(1)
+              case None => true
+            } else e.strStats.get(lead) match {
+              case Some((fMin, fMax)) =>
+                !ParquetMeta.u8Less(fMax, bounds.getString(0)) &&
+                  !ParquetMeta.u8Less(bounds.getString(1), fMin)
+              case None => true
+            }
+          }
+        }
+        if (candidates.nonEmpty) {
+          val visible = readMorEntries(spark, table, v, candidates,
+            Seq.empty)
+          val clash = visible.join(nonNull.select(ks.map(c): _*).distinct(),
+            ks, "left_semi").limit(1).count()
+          require(clash == 0, s"Snapshots: UNIQUE '${ks.mkString(",")}' " +
+            "violated — batch keys already present in partitions the " +
+            "overwrite does not replace")
+        }
+      }
+    }
+  }
+
   // ---- add-column with an initial DEFAULT (metadata-only) --------------
 
   /** Inherited property holding add-column default events, comma-joined
@@ -2438,10 +2501,24 @@ object Snapshots {
       fs.getFileStatus(new Path(root, e.path)).getLen).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // union across ALL entries: a stats-less head entry (e.g. a 0-row
-    // file) must not silently drop envelopes from the rewritten files
-    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
-    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
-    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
+    // file) must not silently drop envelopes from the rewritten files.
+    // Recorded stat column names are PER-ERA — map them through the
+    // rename history to current names (and drop retired ones), or the
+    // rewrite would compute evidence for columns that no longer exist
+    val curProps = properties(spark, table, cur)
+    val statsCols = entries.flatMap(_.stats.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    val strCols = entries.flatMap(_.strStats.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    // a table with a declared partition spec compacts THROUGH the
+    // partitioned writer, so maintenance restores the layout instead of
+    // replacing it with plain files the partition tier would refuse
+    if (Partitioning.currentSpec(spark, table).nonEmpty)
+      return Partitioning.rewriteLayout(spark, table,
+        statsCols = statsCols, bloomCols = bloomCols,
+        strStatsCols = strCols)
     val clusterCols = clustering(spark, table).map(_._2).getOrElse(Seq.empty)
     commit(clusteredLayout(spark, table, read(spark, table, Some(cur)), nOut),
       table,
@@ -2663,35 +2740,58 @@ object Snapshots {
     requireUniqueNames(data, table, v)
     val visible = readMorEntries(spark, table, v, data, masks,
       withPosMeta = true)
+    // a zero-match delete is a NO-OP, not a commit: an empty dv- file
+    // would knock the table off every metadata fast path (statsAgg,
+    // the flat index, partition listings) until a compactMor, for
+    // nothing — return the unchanged head instead (idempotent cleanups
+    // re-fire freely)
     val matched = visible.filter(condition)
       .select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol))
+      .localCheckpoint()
+    if (matched.isEmpty) return v
+    val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
+      .map(SchemaProp -> _).toMap
+    publishDv(spark, table, matched, Seq.empty, props, "deleteVector")
+  }
+
+  /** Write a position vector (optionally alongside already-staged data
+    * entries in `withEntries`' batch) and publish, re-validating at the
+    * commit point that every referenced file name is still live in the
+    * final parent manifest — the race check both DV write paths must
+    * share byte-for-byte to stay correct.
+    */
+  private def publishDv(spark: SparkSession, table: String,
+      positions: DataFrame, withEntries: Seq[FileEntry],
+      props: Map[String, String], op: String,
+      batchDir: Option[Path] = None): Int = {
     val (fs, root) = fsOf(spark, table)
-    val batch = freshBatchDir(root)
-    matched.repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
-      .write.mode("errorifexists").parquet(batch.toString)
-    listParquet(fs, batch).foreach { st =>
+    val batch = batchDir.getOrElse(freshBatchDir(root))
+    val tmp = new Path(batch, "_dv_tmp")
+    positions.repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
+      .write.parquet(tmp.toString)
+    listParquet(fs, tmp).foreach { st =>
       require(fs.rename(st.getPath,
-        new Path(st.getPath.getParent, DvPrefix + st.getPath.getName)),
-        s"Snapshots.deleteVector: rename failed for ${st.getPath}")
+        new Path(batch, DvPrefix + st.getPath.getName)),
+        s"Snapshots.$op: rename failed for ${st.getPath}")
     }
+    fs.delete(tmp, true)
     val dvEntries = entriesFor(spark, table, batch, Seq(DvPosCol),
-      Seq.empty, Seq(DvFileCol))
+      Seq.empty, Seq(DvFileCol)).filter(e => isDv(e.path))
     // tiny by construction (≤ one row per deleted row, one file total) —
     // the referenced-name set is what the publish-time race check needs
     val referenced = spark.read.parquet(
         dvEntries.map(e => s"$table/${e.path}"): _*)
       .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
-    val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
-      .map(SchemaProp -> _).toMap
-    publishManifest(spark, table, props, dvEntries, baseFor = parent => {
-      val m = manifest(spark, table, parent)
-      val live = m.filterNot(e => isMask(e.path))
-        .map(e => new Path(e.path).getName).toSet
-      val gone = referenced -- live
-      require(gone.isEmpty, s"Snapshots.deleteVector: concurrent commit " +
-        s"rewrote ${gone.size} file(s) the vector references — retry")
-      m
-    })
+    publishManifest(spark, table, props, withEntries ++ dvEntries,
+      baseFor = parent => {
+        val m = manifest(spark, table, parent)
+        val live = m.filterNot(e => isMask(e.path))
+          .map(e => new Path(e.path).getName).toSet
+        val gone = referenced -- live
+        require(gone.isEmpty, s"Snapshots.$op: concurrent commit " +
+          s"rewrote ${gone.size} file(s) the vector references — retry")
+        m
+      })
   }
 
   /** MERGE-ON-READ UPDATE: ONE atomic commit holding a position DV of
@@ -2734,40 +2834,33 @@ object Snapshots {
     val matched = readMorEntries(spark, table, v, data, masks,
       withPosMeta = true).filter(condition)
       .localCheckpoint() // one scan feeds both the DV and the new rows
-    val updated = set.foldLeft(matched) { case (df, (k, col)) =>
+    if (matched.isEmpty) return v // zero matches: no-op, not a mask commit
+    // the rewritten rows must keep the RECORDED types: a type-changing
+    // SET (long / 2 is a double) would otherwise write files the
+    // recorded schema can no longer read — every later read of every
+    // later version would fail after a successful commit
+    val recorded = this.properties(spark, table, v).get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val updated0 = set.foldLeft(matched) { case (df, (k, col)) =>
       df.withColumn(k, col) }
-      .select(tableCols.map(c): _*)
+    val updated = recorded match {
+      case Some(st) => updated0.select(st.fields.toSeq.map(f =>
+        c(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => updated0.select(tableCols.map(c): _*)
+    }
     enforceChecks(spark, table, updated)
     enforceForeignKeys(spark, table, updated)
     val (fs, root) = fsOf(spark, table)
     val batchDir = freshBatchDir(root)
     updated.write.mode("errorifexists").parquet(batchDir.toString)
-    val tmpDv = new Path(batchDir, "_dv_tmp")
-    matched.select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol))
-      .repartition(1).sortWithinPartitions(DvFileCol, DvPosCol)
-      .write.parquet(tmpDv.toString)
-    listParquet(fs, tmpDv).foreach { st =>
-      require(fs.rename(st.getPath,
-        new Path(batchDir, DvPrefix + st.getPath.getName)),
-        s"Snapshots.updateWhere: rename failed for ${st.getPath}")
-    }
-    fs.delete(tmpDv, true)
-    val entries = entriesFor(spark, table, batchDir,
-      (statsCols :+ DvPosCol).distinct, Seq.empty, Seq(DvFileCol))
-    val referenced = spark.read.parquet(entries.filter(e => isDv(e.path))
-        .map(e => s"$table/${e.path}"): _*)
-      .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
+    val dataEntries = entriesFor(spark, table, batchDir,
+      statsCols.distinct, Seq.empty, Seq.empty)
     val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
       .map(SchemaProp -> _).toMap
-    publishManifest(spark, table, props, entries, baseFor = parent => {
-      val m = manifest(spark, table, parent)
-      val live = m.filterNot(e => isMask(e.path))
-        .map(e => new Path(e.path).getName).toSet
-      val gone = referenced -- live
-      require(gone.isEmpty, s"Snapshots.updateWhere: concurrent commit " +
-        s"rewrote ${gone.size} file(s) the vector references — retry")
-      m
-    })
+    publishDv(spark, table,
+      matched.select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol)),
+      dataEntries, props, "updateWhere", batchDir = Some(batchDir))
   }
 
   /** Read a version that may carry merge-on-read tombstones: data files
@@ -3012,12 +3105,25 @@ object Snapshots {
     val statsCols = data.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = data.flatMap(_.blooms.keys).distinct.sorted
     val strCols = data.flatMap(_.strStats.keys).distinct.sorted
+    val curProps2 = properties(spark, table, cur)
+    val statsColsM = statsCols
+      .flatMap(n => currentColName(curProps2, n)).distinct.sorted
+    val bloomColsM = bloomCols
+      .flatMap(n => currentColName(curProps2, n)).distinct.sorted
+    val strColsM = strCols
+      .flatMap(n => currentColName(curProps2, n)).distinct.sorted
+    // same partition-spec routing as compactVersion: materializing
+    // masks must not strip a declared layout
+    if (Partitioning.currentSpec(spark, table).nonEmpty)
+      return Partitioning.rewriteLayout(spark, table,
+        statsCols = statsColsM, bloomCols = bloomColsM,
+        strStatsCols = strColsM)
     val clusterCols = clustering(spark, table).map(_._2).getOrElse(Seq.empty)
     commit(clusteredLayout(spark, table, readMor(spark, table, Some(cur)),
         nOut), table,
-      overwrite = true, statsCols = (statsCols ++ clusterCols).distinct,
-      bloomCols = bloomCols,
-      strStatsCols = strCols,
+      overwrite = true, statsCols = (statsColsM ++ clusterCols).distinct,
+      bloomCols = bloomColsM,
+      strStatsCols = strColsM,
       properties = Map(DataChangeProp -> "false"))
   }
 

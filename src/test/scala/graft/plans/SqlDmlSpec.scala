@@ -166,6 +166,9 @@ class SqlDmlSpec extends SparkSpec {
     val lit = new java.sql.Timestamp(ts2).toString
     assert(dml.sql(s"SELECT count(*) FROM dml_tt TIMESTAMP AS OF " +
       s"TIMESTAMP '$lit'").head().getLong(0) === 4)
+    // the bare-string shape Delta/Iceberg accept works too
+    assert(dml.sql(s"SELECT count(*) FROM dml_tt TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 4)
     // a plain SELECT still reads the head
     assert(dml.sql("SELECT count(*) FROM dml_tt").head().getLong(0) === 4)
     // non-graft tables pass through to Spark's own refusal

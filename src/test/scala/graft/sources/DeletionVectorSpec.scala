@@ -170,4 +170,25 @@ class DeletionVectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("position delete vector"))
   }
+
+  test("zero-match deleteVector/updateWhere are NO-OPS (no mask commit " +
+      "degrading the metadata fast paths); a type-changing SET stays " +
+      "readable under the recorded schema") {
+    import spark.implicits._
+    val tbl = freshTable("noop")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), tbl,
+      statsCols = Seq("k"))
+    assert(Snapshots.deleteVector(spark, tbl, col("n") > 1000L) === 1)
+    assert(Snapshots.updateWhere(spark, tbl, col("n") > 1000L,
+      Seq("n" -> (col("n") + 1))) === 1)
+    // still mask-free: the metadata aggregate answers
+    assert(Snapshots.statsAgg(spark, tbl, "k")._1 === 2L)
+    // long / 2 is a DOUBLE in Spark — the rewritten rows must cast back
+    // to the recorded long schema or every later read would fail
+    Snapshots.updateWhere(spark, tbl, col("k") === 1L,
+      Seq("n" -> (col("n") / 2)))
+    assert(Snapshots.readMor(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 5L), (2L, 20L)))
+  }
 }

@@ -225,4 +225,29 @@ class PartitioningSpec extends SparkSpec {
       .filter(col("o_orderkey") === 2L).count() === 0)
     assert(Snapshots.read(spark, tbl).count() === 3)
   }
+
+  test("overwritePartitions enforces UNIQUE keys against the CARRIED " +
+      "partitions while allowing idempotent re-loads of the replaced one") {
+    import spark.implicits._
+    val tbl = freshTable("uq")
+    Snapshots.commit(Seq.empty[(Long, Long)].toDF("k", "bucketv")
+      .withColumn("g", (col("k") % 2).cast("long")), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Identity("g")))
+    Partitioning.commitPartitioned(
+      (0L until 10L).map(k => (k, k * 10, k % 2)).toDF("k", "bucketv", "g"),
+      tbl, statsCols = Seq("k"))
+    Snapshots.addUnique(spark, tbl, "k")
+    // re-load of partition g=0 with the SAME keys: legitimate (those
+    // keys live in the replaced files)
+    Partitioning.overwritePartitions(
+      (0L until 10L by 2).map(k => (k, k * 100, 0L)).toDF("k", "bucketv", "g"),
+      tbl, statsCols = Seq("k"))
+    // but a g=0 batch carrying a key that lives in CARRIED g=1 refuses
+    val e = intercept[IllegalArgumentException] {
+      Partitioning.overwritePartitions(
+        Seq((1L, 999L, 0L)).toDF("k", "bucketv", "g"), tbl,
+        statsCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("UNIQUE"))
+  }
 }

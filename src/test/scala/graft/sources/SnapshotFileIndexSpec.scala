@@ -100,6 +100,11 @@ class SnapshotFileIndexSpec extends SparkSpec {
     Snapshots.renameColumn(spark, tbl2, "v", "val")
     val e2 = intercept[IllegalArgumentException](
       Snapshots.readIndexed(spark, tbl2))
-    assert(e2.getMessage.contains("schema evolution"))
+    assert(e2.getMessage.contains("rename/drop"))
+    // ...but only while pre-event files exist: compaction rewrites them
+    // under the current names and the flat fast path is exact again
+    Snapshots.compactVersion(spark, tbl2)
+    assert(Snapshots.readIndexed(spark, tbl2)._1.count() ===
+      Snapshots.read(spark, tbl2).count())
   }
 }
