@@ -565,8 +565,17 @@ object SqlDml {
           df.toDF(targetSchema.fieldNames.toSeq: _*)
             .select(targetSchema.fields.toSeq.map(f =>
               col(f.name).cast(f.dataType).as(f.name)): _*)
-      Snapshots.commit(withRecordedSchema(spark, aligned, targetSchema),
-        table, overwrite = overwrite)
+      val shaped = withRecordedSchema(spark, aligned, targetSchema)
+      // a partition-spec'd table must take its appends through the
+      // partitioned writer (the SnapshotStream.commitBatch routing):
+      // a plain commit would land layout-less files in the spec'd era
+      // and knock the table off the partition tier (partitions/
+      // overwritePartitions refuse) until a rewriteLayout
+      if (graft.sources.Partitioning.currentSpec(spark, table).nonEmpty)
+        graft.sources.Partitioning.commitPartitioned(shaped, table,
+          overwrite = overwrite)
+      else
+        Snapshots.commit(shaped, table, overwrite = overwrite)
       refreshCatalog(spark, ident)
       Seq.empty
     }

@@ -283,27 +283,45 @@ object Partitioning {
   /** Commit `df` laid out under the current spec (append, or
     * `overwrite = true` for a full replace). The everyday write path of
     * a spec'd table — constraints enforce exactly like
-    * [[Snapshots.commit]].
+    * [[Snapshots.commit]], INCLUDING the uniquePinnedBase discipline:
+    * the UNIQUE collision check runs against a planning-time head, so
+    * the publish pins parent to that head (a concurrent commit aborts
+    * loudly for a re-checked retry) instead of silently rebasing the
+    * never-collision-checked batch. UNIQUE key columns also get file
+    * envelopes recorded whatever the caller asked for — a key-less
+    * envelope would force every later append's collision check to scan
+    * this batch's files forever (the [[Snapshots.commit]] rule).
     */
   def commitPartitioned(df: DataFrame, table: String,
       overwrite: Boolean = false, statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
       strStatsCols: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Int = {
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): Int = {
     val spark = df.sparkSession
     val spec = currentSpec(spark, table)
     require(spec.nonEmpty,
       s"Partitioning.commitPartitioned: $table declares no spec — " +
         "setSpec first (or use Snapshots.commit)")
+    val enforce =
+      !properties.get(Snapshots.DataChangeProp).contains("false")
+    // capture the pin BEFORE the check (the Snapshots.commit ordering):
+    // a commit landing between check and pin capture would otherwise
+    // slip under the pin
+    val base = Snapshots.uniquePinnedBase(spark, table, overwrite, enforce)
     // the same constraint gates as Snapshots.commit, pre-write
-    Snapshots.enforceForCommit(spark, table, df, overwrite)
-    val (_, entries) = writePartitionedBatch(df, table, spec, statsCols,
-      bloomCols, strStatsCols)
-    val v = Snapshots.latestVersion(spark, table)
+    if (enforce) Snapshots.enforceForCommit(spark, table, df, overwrite)
+    planHook() // test seam: collision check done, commit not yet published
+    val keyCols = Snapshots.uniqueKeySets(spark, table).flatten.distinct
+      .filter(df.columns.contains)
+    val (strK, intK) = keyCols.partition(k =>
+      df.schema(k).dataType == StringType)
+    val (_, entries) = writePartitionedBatch(df, table, spec,
+      (statsCols ++ intK.filter(k =>
+        Snapshots.isIntegralType(df.schema(k).dataType))).distinct,
+      bloomCols, (strStatsCols ++ strK).distinct)
     val props = properties + (Snapshots.SchemaProp -> df.schema.json)
-    Snapshots.publishManifest(spark, table, props, entries,
-      baseFor = parent =>
-        if (overwrite) Seq.empty else Snapshots.manifest(spark, table, parent))
+    Snapshots.publishManifest(spark, table, props, entries, baseFor = base)
   }
 
   /** Partition listing from MANIFEST METADATA ONLY (file names + footer

@@ -190,7 +190,7 @@ object Snapshots {
     * otherwise let a duplicate key land on a table that now declares
     * UNIQUE).
     */
-  private def uniquePinnedBase(spark: SparkSession, table: String,
+  private[sources] def uniquePinnedBase(spark: SparkSession, table: String,
       overwrite: Boolean, enforce: Boolean): Int => Seq[FileEntry] = {
     val pin =
       if (enforce && !overwrite && uniqueKeySets(spark, table).nonEmpty)
@@ -460,7 +460,7 @@ object Snapshots {
   def uniqueKeys(spark: SparkSession, table: String): Seq[String] =
     uniqueKeySets(spark, table).flatten.distinct.sorted
 
-  private def isIntegralType(dt: org.apache.spark.sql.types.DataType)
+  private[sources] def isIntegralType(dt: org.apache.spark.sql.types.DataType)
       : Boolean = dt match {
     case _: org.apache.spark.sql.types.ByteType |
          _: org.apache.spark.sql.types.ShortType |
@@ -828,9 +828,22 @@ object Snapshots {
       val schema = props.get(SchemaProp)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      schema.foreach(st => cols.foreach(c =>
+      schema.foreach(st => cols.foreach { c =>
         require(st.fieldNames.contains(c),
-          s"Snapshots.setClustering: no column '$c' in $table")))
+          s"Snapshots.setClustering: no column '$c' in $table")
+        // zorder columns feed ZOrderExpression (z_value/z_value_n), which
+        // accepts ONLY int/long — validate at DECLARATION time, the
+        // Partitioning.setSpec discipline, so a bad spec fails here and
+        // not inside a compactVersion/compactMor run weeks later
+        if (kind == "zorder") {
+          val dt = st(c).dataType
+          require(dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.LongType,
+            s"Snapshots.setClustering: zorder needs integral (int/long) " +
+              s"columns, '$c' is ${dt.simpleString} — sort(...) handles " +
+              "any orderable type")
+        }
+      })
     }
     publishManifest(spark, table,
       props.get(SchemaProp).map(SchemaProp -> _).toMap
@@ -2730,7 +2743,8 @@ object Snapshots {
     */
   def deleteVector(spark: SparkSession, table: String,
       condition: org.apache.spark.sql.Column,
-      properties: Map[String, String] = Map.empty): Int = {
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.deleteVector: $table has no committed version")
@@ -2749,20 +2763,31 @@ object Snapshots {
       .select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol))
       .localCheckpoint()
     if (matched.isEmpty) return v
+    planHook() // test seam: positions planned, commit not yet published
     val props = properties ++ this.properties(spark, table, v).get(SchemaProp)
       .map(SchemaProp -> _).toMap
-    publishDv(spark, table, matched, Seq.empty, props, "deleteVector")
+    publishDv(spark, table, matched, Seq.empty, props, "deleteVector",
+      plannedParent = v)
   }
 
   /** Write a position vector (optionally alongside already-staged data
-    * entries in `withEntries`' batch) and publish, re-validating at the
-    * commit point that every referenced file name is still live in the
-    * final parent manifest — the race check both DV write paths must
-    * share byte-for-byte to stay correct.
+    * entries in `withEntries`' batch) and publish, PINNED to the version
+    * the positions were computed against (`plannedParent`) — the same
+    * optimistic-concurrency discipline as every other row-level commit
+    * shape (uniquePinnedBase, setSpec, widenColumn). A mere liveness
+    * check on the referenced file NAMES is not enough: two concurrent
+    * updateWhere calls matching the same row never remove each other's
+    * files, so both would pass a liveness check and publish — each adds
+    * its own rewritten copy while both DVs mask only the ORIGINAL
+    * positions, silently duplicating the row (and an updateWhere's
+    * rewritten rows would escape a concurrent deleteVector's
+    * predicate). Pinning parent == plannedParent makes any concurrent
+    * commit — mask or data — abort this publish loudly for a retry that
+    * recomputes positions against the new head.
     */
   private def publishDv(spark: SparkSession, table: String,
       positions: DataFrame, withEntries: Seq[FileEntry],
-      props: Map[String, String], op: String,
+      props: Map[String, String], op: String, plannedParent: Int,
       batchDir: Option[Path] = None): Int = {
     val (fs, root) = fsOf(spark, table)
     val batch = batchDir.getOrElse(freshBatchDir(root))
@@ -2777,20 +2802,12 @@ object Snapshots {
     fs.delete(tmp, true)
     val dvEntries = entriesFor(spark, table, batch, Seq(DvPosCol),
       Seq.empty, Seq(DvFileCol)).filter(e => isDv(e.path))
-    // tiny by construction (≤ one row per deleted row, one file total) —
-    // the referenced-name set is what the publish-time race check needs
-    val referenced = spark.read.parquet(
-        dvEntries.map(e => s"$table/${e.path}"): _*)
-      .select(DvFileCol).distinct().collect().map(_.getString(0)).toSet
     publishManifest(spark, table, props, withEntries ++ dvEntries,
       baseFor = parent => {
-        val m = manifest(spark, table, parent)
-        val live = m.filterNot(e => isMask(e.path))
-          .map(e => new Path(e.path).getName).toSet
-        val gone = referenced -- live
-        require(gone.isEmpty, s"Snapshots.$op: concurrent commit " +
-          s"rewrote ${gone.size} file(s) the vector references — retry")
-        m
+        require(parent == plannedParent, s"Snapshots.$op: concurrent " +
+          s"commit on $table (positions computed against " +
+          s"v$plannedParent, parent is now v$parent) — retry")
+        manifest(spark, table, parent)
       })
   }
 
@@ -2810,7 +2827,8 @@ object Snapshots {
       condition: org.apache.spark.sql.Column,
       set: Seq[(String, org.apache.spark.sql.Column)],
       statsCols: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Int = {
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.updateWhere: $table has no committed version")
@@ -2835,6 +2853,7 @@ object Snapshots {
       withPosMeta = true).filter(condition)
       .localCheckpoint() // one scan feeds both the DV and the new rows
     if (matched.isEmpty) return v // zero matches: no-op, not a mask commit
+    planHook() // test seam: positions planned, commit not yet published
     // the rewritten rows must keep the RECORDED types: a type-changing
     // SET (long / 2 is a double) would otherwise write files the
     // recorded schema can no longer read — every later read of every
@@ -2860,7 +2879,8 @@ object Snapshots {
       .map(SchemaProp -> _).toMap
     publishDv(spark, table,
       matched.select(c(MetaFile).as(DvFileCol), c(MetaPos).as(DvPosCol)),
-      dataEntries, props, "updateWhere", batchDir = Some(batchDir))
+      dataEntries, props, "updateWhere", plannedParent = v,
+      batchDir = Some(batchDir))
   }
 
   /** Read a version that may carry merge-on-read tombstones: data files

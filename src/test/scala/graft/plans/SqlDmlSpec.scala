@@ -306,4 +306,34 @@ class SqlDmlSpec extends SparkSpec {
     spark.catalog.refreshTable("dml_sib")
     assert(spark.sql("SELECT count(*) FROM dml_sib").head().getLong(0) === 5)
   }
+
+  test("INSERT INTO a partition-spec'd table routes through the " +
+      "partitioned writer — the partition tier survives a plain SQL " +
+      "append") {
+    import graft.sources.Partitioning
+    import spark.implicits._
+    val tbl = freshTable("ptins")
+    Snapshots.commit((0L until 6L).map(k => (k, k % 3)).toDF("k", "g"),
+      tbl, statsCols = Seq("k"))
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Identity("g")))
+    Partitioning.rewriteLayout(spark, tbl)
+    register("dml_ptins", tbl)
+    dml.sql("INSERT INTO dml_ptins VALUES (100, 0), (101, 7)")
+    // a plain commit would have landed layout-less files here and the
+    // partition listing would refuse until rewriteLayout; the routed
+    // write keeps the metadata tier live and lists the new tuple
+    val parts = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned")
+      .select(col("partition"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts("7") === 1L)
+    assert(parts("0") === 3L) // 0,3 from the seed + the inserted 100
+    assert(rows(Snapshots.readMor(spark, tbl)).contains((101L, 7L)))
+    // INSERT OVERWRITE replaces content and stays partition-laid-out
+    dml.sql("INSERT OVERWRITE dml_ptins VALUES (1, 5)")
+    val after = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned")
+      .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(after === Map("5" -> 1L))
+  }
 }

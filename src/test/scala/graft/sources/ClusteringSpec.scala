@@ -64,4 +64,22 @@ class ClusteringSpec extends SparkSpec {
       Snapshots.setClustering(spark, tbl, "shuffle(l_orderkey)")
     }
   }
+
+  test("setClustering validates zorder column TYPES at declaration — a " +
+      "string/date column fails the DDL, not a compaction weeks later") {
+    import spark.implicits._
+    val tbl = freshTable("ty")
+    Snapshots.commit(Seq((1L, "a", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("k", "s", "d"), tbl)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.setClustering(spark, tbl, "zorder(k,s)")
+    }
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      Snapshots.setClustering(spark, tbl, "zorder(k,d)")
+    }
+    // sort() keeps accepting any orderable type
+    Snapshots.setClustering(spark, tbl, "sort(s)")
+    assert(Snapshots.clustering(spark, tbl) === Some(("sort", Seq("s"))))
+  }
 }

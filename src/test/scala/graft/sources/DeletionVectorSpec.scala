@@ -191,4 +191,42 @@ class DeletionVectorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 5L), (2L, 20L)))
   }
+
+  test("DV commits pin their planned parent: a concurrent commit between " +
+      "position planning and publish aborts loudly — two racing " +
+      "updateWhere on the same row cannot silently duplicate it") {
+    import spark.implicits._
+    val tbl = freshTable("race")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "n"),
+      tbl, statsCols = Seq("k"))
+    // racing updateWhere targeting the SAME row: each would add its own
+    // rewritten copy while both DVs mask only the original position — a
+    // liveness check on file names passes both; the parent pin must not
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, tbl, col("k") === 1L,
+        Seq("n" -> lit(100L)),
+        planHook = () => {
+          Snapshots.updateWhere(spark, tbl, col("k") === 1L,
+            Seq("n" -> lit(200L)))
+          ()
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the inner winner's update is visible EXACTLY once
+    val got = Snapshots.readMor(spark, tbl).filter(col("k") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 200L)))
+    // deleteVector pins too: even a plain append (which rewrites no
+    // referenced file) aborts the vector — its rows were never matched
+    // against the predicate
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.deleteVector(spark, tbl, col("k") === 2L,
+        planHook = () => {
+          Snapshots.commit(Seq((9L, 90L)).toDF("k", "n"), tbl)
+          ()
+        })
+    }
+    assert(e2.getMessage.contains("concurrent commit"))
+    assert(Snapshots.readMor(spark, tbl).count() === 4) // nothing deleted
+  }
 }

@@ -250,4 +250,49 @@ class PartitioningSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("UNIQUE"))
   }
+
+  test("commitPartitioned on a UNIQUE-keyed table pins the collision-" +
+      "checked parent (a racing commit aborts loudly) and records key " +
+      "envelopes unasked") {
+    val tbl = freshTable("uqpin")
+    Snapshots.commit(orders.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Year("o_orderdate")))
+    Partitioning.commitPartitioned(
+      orders.filter(col("o_orderkey") < 500), tbl)
+    Snapshots.addUnique(spark, tbl, "o_orderkey")
+    // a post-constraint partitioned append records the key envelope even
+    // though the caller asked for no statsCols — the next collision
+    // check must be able to prune this batch's files
+    val vBefore = Snapshots.latestVersion(spark, tbl)
+    val prior = Snapshots.manifest(spark, tbl, vBefore).map(_.path).toSet
+    Partitioning.commitPartitioned(
+      orders.filter(col("o_orderkey") >= 500 && col("o_orderkey") < 600),
+      tbl)
+    val fresh = Snapshots.manifest(spark, tbl,
+        Snapshots.latestVersion(spark, tbl))
+      .filterNot(e => prior(e.path)).filter(_.rows > 0)
+    assert(fresh.nonEmpty && fresh.forall(_.stats.contains("o_orderkey")))
+    // a commit landing between the collision check and the publish must
+    // abort THIS commit — silently rebasing would land a batch that was
+    // never collision-checked against the racer's keys
+    val e = intercept[IllegalArgumentException] {
+      Partitioning.commitPartitioned(
+        orders.filter(col("o_orderkey") >= 600 && col("o_orderkey") < 700),
+        tbl,
+        planHook = () => {
+          Partitioning.commitPartitioned(
+            orders.filter(col("o_orderkey") >= 700 &&
+              col("o_orderkey") < 750), tbl)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // only the racer's keys landed; the aborted batch left no rows
+    val keys = Snapshots.read(spark, tbl).agg(max(col("o_orderkey")))
+      .head.getLong(0)
+    assert(keys < 750)
+    assert(Snapshots.read(spark, tbl)
+      .filter(col("o_orderkey") >= 600 && col("o_orderkey") < 700)
+      .count() === 0)
+  }
 }
