@@ -44,6 +44,14 @@ object PlanFingerprint {
     // file-index path COUNTS vary with AQE-coalesced write parallelism
     // (a fresh table's file count is runtime-sized, not plan-shaped)
     .replaceAll("\\(\\d+ paths?\\)", "(N paths)")
+    // shuffle partition counts under ENSURE_REQUIREMENTS /
+    // REPARTITION_BY_COL are spark.sql.shuffle.partitions — an
+    // ENVIRONMENT knob (the cpu count in Bench), not a plan shape; a
+    // baseline refreshed on an N-core box must match a driver run on an
+    // M-core one. An explicit repartition(N) (REPARTITION_BY_NUM) keeps
+    // its count: that N IS the plan.
+    .replaceAll(", \\d+\\), (ENSURE_REQUIREMENTS|REPARTITION_BY_COL)",
+      ", NP), $1")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

@@ -107,29 +107,41 @@ object DataQuality {
 
   /** Single-pass per-column profile: null count and exact distinct count
     * for each named column, plus the row count — the discovery step that
-    * precedes writing [[audit]] checks. One `agg` call; Spark plans the
-    * multiple exact distincts as one scan with an Expand (one duplicate
-    * of each row per profiled column), which is the exact-answer
-    * tradeoff — swap `count_distinct` for `approx_count_distinct` when
-    * profiling very wide tables at full scale, where ±2% is fine and the
-    * Expand multiplier is not.
+    * precedes writing [[audit]] checks.
+    *
+    * Shape: UNION of per-column two-level aggregates — for each column,
+    * a column-pruned scan → groupBy(value) partial counts → one scalar
+    * fold — in the caller's declared column ORDER. Deliberately NOT one
+    * `agg` with N `count_distinct`s: Spark's RewriteDistinctAggregates
+    * plans that as an Expand whose per-column group ids come from
+    * hash-map iteration over expression ids — session-history-dependent,
+    * so the SAME query fingerprints differently across sessions (the one
+    * plan-drift source in 237 baselined queries) — and its Expand
+    * duplicates every row once per column with ALL grouping columns
+    * carried. Here each branch scans exactly one parquet column (total
+    * IO = one scan of the profiled columns), partial aggregation
+    * collapses low-cardinality columns map-side, the branches run
+    * concurrently, and the plan is order-stable by construction.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size,
       s"profile columns must be distinct, got duplicates: " +
         cols.diff(cols.distinct).distinct.mkString(", "))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      count(when(col(c).isNull, lit(1))).as(s"_n_$c"),
-      count_distinct(col(c)).as(s"_d_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
-          lit(c).as("column_name"),
-          col(s"_n_$c").as("n_nulls"),
-          col(s"_d_$c").as("n_distinct"))): _*)).as("_c"),
-        col("n_rows"))
-      .select(col("_c.column_name"), col("_c.n_nulls"),
-        col("_c.n_distinct"), col("n_rows"))
+    cols.map { c =>
+      // agg over the empty grouped frame still yields one row (sum of
+      // nothing coalesced to 0), so an EMPTY input reports one all-zeros
+      // row per column — the contract the single-agg form gave for free
+      df.select(col(c).as("_value")).groupBy(col("_value"))
+        .agg(count(lit(1)).as("_n"))
+        .agg(
+          coalesce(sum(when(col("_value").isNull, col("_n"))
+            .otherwise(lit(0L))), lit(0L)).as("n_nulls"),
+          count(when(col("_value").isNotNull, lit(1))).as("n_distinct"),
+          coalesce(sum(col("_n")), lit(0L)).as("n_rows"))
+        .select(lit(c).as("column_name"), col("n_nulls"),
+          col("n_distinct"), col("n_rows"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Gate form: fail fast (throw) if any check has violations — the

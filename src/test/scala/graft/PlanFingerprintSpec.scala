@@ -18,9 +18,13 @@ class PlanFingerprintSpec extends SparkSpec {
       SparkEntry.queries(name)(s, sf001).queryExecution.executedPlan.toString)
 
   test("fingerprints are stable across two independent sessions") {
-    // joins+broadcast, window+TakeOrdered, and a native-expression scan —
-    // the three plan families most at risk of silent shape drift
-    for (q <- Seq("q_star_monthly_segment", "q_top_customers", "q_ann_lsh")) {
+    // joins+broadcast, window+TakeOrdered, a native-expression scan, and
+    // the per-column profile (whose old multi-count_distinct form
+    // planned an Expand with session-history-dependent group ids — the
+    // one drift source in 237 baselined queries) — the plan families
+    // most at risk of silent shape drift
+    for (q <- Seq("q_star_monthly_segment", "q_top_customers", "q_ann_lsh",
+        "q_profile")) {
       val a = normalizedPlan(spark.newSession(), q)
       val b = normalizedPlan(spark.newSession(), q)
       if (a != b) {
@@ -60,5 +64,28 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(c === d)
     // idempotent: normalizing a normalized string is a no-op
     assert(normalize(a) === a && normalize(c) === c)
+  }
+
+  test("normalization strips ENVIRONMENT-sized shuffle partition counts " +
+      "but keeps explicit repartition(N) counts — a baseline refreshed " +
+      "on a 4-core box must match a 32-core driver run") {
+    import graft.PlanFingerprint.normalize
+    val a = normalize(
+      "Exchange hashpartitioning(k#1L, 4), ENSURE_REQUIREMENTS, [plan_id=1]")
+    val b = normalize(
+      "Exchange hashpartitioning(k#2L, 32), ENSURE_REQUIREMENTS, [plan_id=9]")
+    assert(a === b)
+    val c = normalize(
+      "Exchange rangepartitioning(k#1L ASC NULLS FIRST, 4), ENSURE_REQUIREMENTS, [plan_id=1]")
+    val d = normalize(
+      "Exchange rangepartitioning(k#2L ASC NULLS FIRST, 32), ENSURE_REQUIREMENTS, [plan_id=2]")
+    assert(c === d)
+    // an explicit df.repartition(8, col) is PLAN-shaped — its count stays
+    val e = normalize(
+      "Exchange hashpartitioning(k#1L, 8), REPARTITION_BY_NUM, [plan_id=1]")
+    val f = normalize(
+      "Exchange hashpartitioning(k#1L, 16), REPARTITION_BY_NUM, [plan_id=1]")
+    assert(e !== f)
+    assert(normalize(a) === a) // idempotent
   }
 }
