@@ -421,6 +421,73 @@ object SnapshotQueries {
              AND (SELECT max(s_suppkey) FROM supplier) // 2
                + (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
+  /** X109/X119: Catalyst-native data skipping SURVIVES schema evolution
+    * ([[Snapshots.readIndexedEvolved]]) — the most common long-lived-
+    * table state. A z-ordered commit, then a column RENAME, a type
+    * WIDEN (int→bigint), and an add-column DEFAULT, then a second
+    * commit under the evolved schema: the old files now need per-era
+    * name/type aliasing that a flat relation cannot express, yet a
+    * plain `.filter` on the evolved frame still cuts files from
+    * manifest envelopes in BOTH eras — Catalyst pushes the predicate
+    * through each era's re-aliasing projection (as widening casts /
+    * default coalesces, which the FileIndex's mayMatch understands).
+    * The query touches all three evolved columns: the renamed key in
+    * the box predicate, the widened quantity in a range, the defaulted
+    * tag in the grouping — and hash-matches DuckDB replaying the same
+    * evolution as CASE logic over the source table.
+    */
+  val autoSkipEvolved = Q("q_auto_skip_evolved",
+    (s, d) => {
+      val tbl = freshTable(s, d, "autoskipev")
+      val li = lineitem(s, d)
+      val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
+        .head().getLong(0)
+      val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
+        .head().getLong(0)
+      // era 1: even orderkeys, pre-evolution shape (pk int-era names)
+      val part1 = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("l_quantity").cast("int").as("qty_i"))
+      Snapshots.commit(
+        part1.orderBy(graft.functions.ZOrderExpression.zValue(
+          col("pk"), col("sk"))),
+        tbl, statsCols = Seq("pk", "sk", "qty_i"))
+      Snapshots.renameColumn(s, tbl, "pk", "part_key")
+      Snapshots.widenColumn(s, tbl, "qty_i",
+        org.apache.spark.sql.types.LongType)
+      Snapshots.addColumn(s, tbl, "tag",
+        org.apache.spark.sql.types.StringType, default = Some("legacy"))
+      // era 2: odd orderkeys, evolved shape with real tag values
+      val part2 = li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_partkey").as("part_key"), col("l_suppkey").as("sk"),
+          col("l_quantity").cast("long").as("qty_i"), lit("fresh").as("tag"))
+      Snapshots.commit(
+        part2.orderBy(graft.functions.ZOrderExpression.zValue(
+          col("part_key"), col("sk"))),
+        tbl, statsCols = Seq("part_key", "sk", "qty_i"))
+      Snapshots.readIndexedEvolved(s, tbl)._1
+        .filter(col("part_key").between(lit(1L), lit(maxPart / 8)) &&
+          col("sk").between(lit(maxSupp / 2),
+            lit(maxSupp / 2 + maxSupp / 8)) &&
+          col("qty_i") > lit(25L))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty_i")).as("total_qty"))
+        .orderBy(col("tag"))
+    },
+    Some(s"""WITH src AS (SELECT l_partkey AS part_key,
+               l_suppkey AS sk,
+               CAST(CAST(l_quantity AS INTEGER) AS BIGINT) AS qty_i,
+               CASE WHEN l_orderkey % 2 = 0 THEN 'legacy' ELSE 'fresh' END
+                 AS tag
+             FROM lineitem)
+         SELECT tag, count(*) AS n_rows, sum(qty_i) AS total_qty FROM src
+         WHERE part_key BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
+           AND sk BETWEEN (SELECT max(s_suppkey) FROM supplier) // 2
+             AND (SELECT max(s_suppkey) FROM supplier) // 2
+               + (SELECT max(s_suppkey) FROM supplier) // 8
+           AND qty_i > 25
+         GROUP BY tag ORDER BY tag"""))
+
   /** X71 serving path: HILBERT layout × manifest box pruning — the
     * no-jump curve through the same file-skipping tier as
     * [[zorderSkip]]: committed in hilbert_d order, every file is a
@@ -1758,7 +1825,8 @@ object SnapshotQueries {
     deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, formatIo, metaAgg, foreignKey, defaultColumn,
+    branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,
+    defaultColumn,
     wap, mergeInto,
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,

@@ -107,6 +107,9 @@ object SqlDml {
           case mor: GraftMorRelation =>
             Some((mor.table, lr.output, mor.options,
               lr.catalogTable.map(_.identifier.unquotedString)))
+          case ev: graft.sources.GraftEvolvedRelation =>
+            Some((ev.table, lr.output, ev.options,
+              lr.catalogTable.map(_.identifier.unquotedString)))
           case _ => None
         }
         case _ => None

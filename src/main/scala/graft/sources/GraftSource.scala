@@ -74,20 +74,28 @@ final class GraftSource extends RelationProvider
         eligible.max
       })
       .getOrElse(Snapshots.latestVersion(spark, table))
-    // a version the flat FileIndex refuses (merge-on-read masks, or
-    // rename/drop/default/widen eras whose files need per-era mapping)
-    // falls back to the MOR relation — Snapshots.readMor behind a v1
-    // scan — so SQL SELECT and DML keep working on ANY table state;
-    // plain versions keep the data-skipping FileIndex fast path. The
-    // reader options ride the relation either way so downstream layers
-    // (SQL DML) can see whether this relation was time-traveled.
-    try {
-      val index = new SnapshotFileIndex(spark, table, version)
-      HadoopFsRelation(index, new StructType(), index.dataSchema, None,
-        new ParquetFileFormat, parameters)(spark)
-    } catch {
-      case _: IllegalArgumentException =>
-        new GraftMorRelation(sqlContext, table, version, parameters)
+    // route by the EXPLICIT table state, not exception control flow
+    // (a malformed-manifest require must surface as itself, never as a
+    // confusing later MOR-path error):
+    //  - merge-on-read masks → the MOR relation (v1 scan over readMor;
+    //    metadata alone cannot subtract deletes);
+    //  - rename/widen/default eras with surviving pre-boundary files →
+    //    the EVOLVED relation (per-era FileIndex union — Catalyst data
+    //    skipping survives schema evolution);
+    //  - everything else → the flat data-skipping FileIndex fast path.
+    // The reader options ride the relation either way so downstream
+    // layers (SQL DML) can see whether this relation was time-traveled.
+    val entries = Snapshots.manifest(spark, table, version)
+    val props = Snapshots.properties(spark, table, version)
+    if (entries.exists(e => Snapshots.isMask(e.path)))
+      new GraftMorRelation(sqlContext, table, version, parameters)
+    else SnapshotFileIndex.refusalOf(table, version, entries, props) match {
+      case None =>
+        val index = new SnapshotFileIndex(spark, table, version)
+        HadoopFsRelation(index, new StructType(), index.dataSchema, None,
+          new ParquetFileFormat, parameters)(spark)
+      case Some(_) =>
+        new GraftEvolvedRelation(sqlContext, table, version, parameters)
     }
   }
 
@@ -296,8 +304,25 @@ final class GraftMorRelation(sql: SQLContext, val table: String,
         case st => StructType(st.fields.map(_.copy(nullable = true)))
       }
 
-  private def translate(f: org.apache.spark.sql.sources.Filter)
-      : Option[Column] = {
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[Row] = {
+    val filtered = filters.flatMap(GraftV1Filters.translate)
+      .foldLeft(frame)((df, c) => df.filter(c))
+    filtered.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+}
+
+/** v1 `Filter` → [[Column]] translation shared by the MOR and evolved
+  * relations — the pushed filters re-enter a full Catalyst plan, where
+  * they drive file skipping (evolved: per-era FileIndex envelopes) or
+  * scan-level pushdown (MOR: parquet row groups before the mask joins).
+  */
+private[sources] object GraftV1Filters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.col
+
+  def translate(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
     import org.apache.spark.sql.sources._
     f match {
       case EqualTo(a, v) => Some(col(a) === v)
@@ -308,6 +333,7 @@ final class GraftMorRelation(sql: SQLContext, val table: String,
       case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
       case IsNull(a) => Some(col(a).isNull)
       case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
       // STRICT And: weakening to one side would be unsound under a
       // surrounding Not (the weakened predicate negates to something
       // STRONGER, dropping rows the v1 contract cannot re-add) —
@@ -320,11 +346,46 @@ final class GraftMorRelation(sql: SQLContext, val table: String,
       case _ => None
     }
   }
+}
+
+/** The catalog relation for ERA-EVOLVED versions (rename / type-widen /
+  * add-column-default events with surviving pre-boundary files):
+  * [[Snapshots.readIndexedEvolved]] behind Spark's v1
+  * `PrunedFilteredScan`. Pushed filters re-apply INSIDE the evolved
+  * plan, where Catalyst pushes them through each era's re-aliasing
+  * projection into that era's [[SnapshotFileIndex]] — so a plain SQL
+  * `WHERE` still cuts files from manifest evidence on a renamed/widened
+  * 100 TB table (the numFiles cut is visible in the inner scans).
+  * Spark re-applies every filter on top (v1 contract), so results stay
+  * exact for shapes the translator skips. `compactMor`/compaction
+  * returns the table to the flat single-index fast path.
+  */
+final class GraftEvolvedRelation(sql: SQLContext, val table: String,
+    val version: Int, val options: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions.col
+
+  override def sqlContext: SQLContext = sql
+
+  private def frame: DataFrame =
+    Snapshots.readIndexedEvolved(sql.sparkSession, table, Some(version))._1
+
+  // the RECORDED schema, nullable-normalized to the relation convention
+  // (see GraftMorRelation.schema for why)
+  override val schema: StructType =
+    Snapshots.properties(sql.sparkSession, table, version)
+      .get(Snapshots.SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(frame.schema) match {
+        case st => StructType(st.fields.map(_.copy(nullable = true)))
+      }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.rdd.RDD[Row] = {
-    val filtered = filters.flatMap(translate)
+    val filtered = filters.flatMap(GraftV1Filters.translate)
       .foldLeft(frame)((df, c) => df.filter(c))
     filtered.select(requiredColumns.toSeq.map(col): _*).rdd
   }

@@ -28,48 +28,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * file at construction (cached — re-listing per query would be the
   * planning bottleneck the manifest exists to avoid).
   *
-  * Refused loudly: tombstoned versions (a tombstone read as data
-  * null-fills the schema — use [[Snapshots.readMor]]) and tables with
-  * rename/drop events (era-mapped reads need [[Snapshots.read]]'s
-  * per-file aliasing, which a flat relation cannot express).
+  * Two forms:
+  *  - the public `(spark, table, version)` constructor indexes the WHOLE
+  *    version and refuses states a single flat relation cannot read
+  *    exactly: tombstoned versions (a tombstone read as data null-fills
+  *    the schema — use [[Snapshots.readMor]]) and rename/drop/default/
+  *    widen events with surviving pre-boundary files ([[refusalOf]] is
+  *    the shared precise test — inert events, e.g. after a compaction
+  *    rewrote every old file, do NOT refuse);
+  *  - the `private[sources]` era form takes one [[Snapshots.EraGroup]]'s
+  *    entries plus that era's physical schema, and skips the era
+  *    refusals — [[Snapshots.readIndexedEvolved]] builds one per era and
+  *    unions, so an evolved 100 TB table KEEPS Catalyst data skipping.
+  *    The era projection re-shapes pushed predicates into widening casts
+  *    (`cast(old as long) > 5`) and default coalesces
+  *    (`coalesce(c, lit) = 7`); [[mayMatch]] understands both, so
+  *    pruning survives the projection.
   */
-final class SnapshotFileIndex(spark: SparkSession, val table: String,
-    val version: Int) extends FileIndex {
+final class SnapshotFileIndex private[sources] (spark: SparkSession,
+    val table: String, val version: Int,
+    entriesOverride: Option[Seq[Snapshots.FileEntry]],
+    schemaOverride: Option[StructType]) extends FileIndex {
 
-  /** The version's manifest entries — the evidence surface optimizer
-    * rules ([[graft.plans.MetaAggRule]]) compute from.
+  def this(spark: SparkSession, table: String, version: Int) =
+    this(spark, table, version, None, None)
+
+  /** The indexed manifest entries — the evidence surface optimizer
+    * rules ([[graft.plans.MetaAggRule]]) compute from. The whole
+    * version for the flat form; one era's slice for the era form.
     */
-  private[graft] val entries: Seq[Snapshots.FileEntry] = {
-    val es = Snapshots.manifest(spark, table, version)
-    require(!es.exists(e => Snapshots.isMask(e.path)),
-      s"SnapshotFileIndex: version $version of $table carries merge-on-" +
-        "read deletes — use Snapshots.readMor (or compactMor first)")
-    es
-  }
+  private[graft] val entries: Seq[Snapshots.FileEntry] =
+    entriesOverride.getOrElse(Snapshots.manifest(spark, table, version))
 
   private val props = Snapshots.properties(spark, table, version)
-  // era refusals are PRECISE, not blanket: evolution events are
-  // inherited forever, but once compaction rewrites every pre-event
-  // file (no entry's seq is at or below a boundary) the events are
-  // inert and the flat fast path is exact again
-  private def anyPreEventFile(boundaries: Seq[Int]): Boolean =
-    boundaries.exists(b => entries.exists(_.seq <= b))
-  require(!anyPreEventFile(
-      (Snapshots.renameEvents(props) ++ Snapshots.dropEvents(props))
-        .map(_.boundary)),
-    s"SnapshotFileIndex: $table has files from before a rename/drop — " +
-      "era-mapped reads need Snapshots.read (or compact to materialize)")
-  require(!anyPreEventFile(Snapshots.defaultEvents(props).map(_.boundary)),
-    s"SnapshotFileIndex: $table has files from before an add-column " +
-      "default — a flat relation would read them as NULL; use " +
-      "Snapshots.read (or compact to materialize)")
-  // precise, not blanket: only files that PREDATE a widen boundary
-  // store the narrow physical type; once compaction rewrites them the
-  // (inherited) event is inert and the flat index works again
-  require(!Snapshots.widenEvents(props)
-      .exists(w => entries.exists(e => e.seq <= w.boundary)),
-    s"SnapshotFileIndex: $table has files narrower than a type " +
-      "widening — use Snapshots.read (or compact to materialize)")
+
+  // flat form only: refuse what one relation cannot read exactly (the
+  // era form's caller already grouped entries into a uniform era)
+  if (entriesOverride.isEmpty)
+    SnapshotFileIndex.refusalOf(table, version, entries, props)
+      .foreach(msg => throw new IllegalArgumentException(msg))
 
   /** The version's recorded schema — the committing writer's truth;
     * footer inference would silently widen types. NULLABILITY is
@@ -77,16 +74,18 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
     * scans always produce nullable output, and a copy-on-write merge
     * re-records its scan's schema — a catalog table pinned to a NOT
     * NULL creation-time schema would refuse to re-resolve after the
-    * first merge flipped it.
+    * first merge flipped it. The era form reads in its era's physical
+    * (name, type) shape instead.
     */
-  val dataSchema: StructType = props.get(Snapshots.SchemaProp) match {
-    case Some(json) =>
-      val st = DataType.fromJson(json).asInstanceOf[StructType]
-      StructType(st.fields.map(_.copy(nullable = true)))
-    case None => throw new IllegalStateException(
-      s"SnapshotFileIndex: version $version of $table records no schema " +
-        "(legacy manifest) — recommit or use Snapshots.read")
-  }
+  val dataSchema: StructType = schemaOverride.getOrElse(
+    props.get(Snapshots.SchemaProp) match {
+      case Some(json) =>
+        val st = DataType.fromJson(json).asInstanceOf[StructType]
+        StructType(st.fields.map(_.copy(nullable = true)))
+      case None => throw new IllegalStateException(
+        s"SnapshotFileIndex: version $version of $table records no schema " +
+          "(legacy manifest) — recommit or use Snapshots.read")
+    })
 
   private val rootPath = {
     val p = new Path(table)
@@ -150,6 +149,63 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
     case _ => None
   }
 
+  /** What a pushed comparison side ultimately probes, seen through the
+    * ERA projection shapes Catalyst substitutes on pushdown:
+    * `(attribute name, the add-column default the file's null-fill
+    * reads as, if any)`. Unwraps INTEGRAL WIDENING casts (order-
+    * isomorphic, and manifest envelopes are recorded in the long domain
+    * anyway) and `coalesce(column, defaultLiteral)`. Anything else —
+    * narrowing or cross-family casts, expressions — returns None and
+    * the file is kept.
+    */
+  private def probeOf(e: Expression): Option[(String, Option[Any])] =
+    e match {
+      case a: AttributeReference => Some((a.name, None))
+      case c: Cast if integralWidening(c.child.dataType, c.dataType) =>
+        probeOf(c.child)
+      case Coalesce(Seq(inner, Literal(d, _))) =>
+        probeOf(inner).map { case (n, _) => (n, Some(d)) }
+      case _ => None
+    }
+
+  private def integralRank(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 0
+  }
+
+  private def integralWidening(from: DataType, to: DataType): Boolean = {
+    val (f, t) = (integralRank(from), integralRank(to))
+    f > 0 && t >= f
+  }
+
+  /** Does the literal `d` (a column's era default) satisfy `<d> op v`?
+    * Used for files that may hold null-stored rows READING AS the
+    * default; unknown type pairings answer true (keep).
+    */
+  private def litCmp(d: Any, v: Any, op: String): Boolean =
+    (longOf(d), longOf(v)) match {
+      case (Some(a), Some(b)) => op match {
+        case "eq" => a == b
+        case "gt" => a > b
+        case "ge" => a >= b
+        case "lt" => a < b
+        case "le" => a <= b
+      }
+      case _ => (strOf(d), strOf(v)) match {
+        case (Some(a), Some(b)) => op match {
+          case "eq" => a == b
+          case "gt" => ParquetMeta.u8Less(b, a)
+          case "ge" => !ParquetMeta.u8Less(a, b)
+          case "lt" => ParquetMeta.u8Less(a, b)
+          case "le" => !ParquetMeta.u8Less(b, a)
+        }
+        case _ => true // no comparable evidence — keep
+      }
+    }
+
   /** May `e` contain a row matching a single literal comparison on
     * `name`? Uses the integral envelope, the string envelope, and (for
     * equality) the bloom filter; a column with no recorded evidence
@@ -187,6 +243,17 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
       case None => true
     })
     envOk && bloomOk
+  }
+
+  /** [[cmpMay]] through a [[probeOf]] probe: a file with an era default
+    * may also match when a NULL-stored row's read-as-default value
+    * satisfies the comparison — we cannot know the file holds no nulls,
+    * so the default branch ORs in.
+    */
+  private def cmpMayP(e: Snapshots.FileEntry, probe: (String, Option[Any]),
+      v: Any, op: String): Boolean = probe match {
+    case (name, None) => cmpMay(e, name, v, op)
+    case (name, Some(d)) => cmpMay(e, name, v, op) || litCmp(d, v, op)
   }
 
   /** Prefix match: values with prefix `p` lie in [p, successor(p)), so
@@ -227,33 +294,87 @@ final class SnapshotFileIndex(spark: SparkSession, val table: String,
   }
 
   /** Conservative three-valued pruning: false ONLY when the manifest
-    * evidence proves no row of the file can satisfy `expr`.
+    * evidence proves no row of the file can satisfy `expr`. Comparison
+    * sides resolve through [[probeOf]], so widening casts and default
+    * coalesces (the era projection's pushdown shapes) prune too.
     */
   private def mayMatch(e: Snapshots.FileEntry, expr: Expression): Boolean =
     expr match {
       case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
       case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
-      case EqualTo(a: AttributeReference, Literal(v, _)) => cmpMay(e, a.name, v, "eq")
-      case EqualTo(Literal(v, _), a: AttributeReference) => cmpMay(e, a.name, v, "eq")
-      case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpMay(e, a.name, v, "gt")
-      case GreaterThan(Literal(v, _), a: AttributeReference) => cmpMay(e, a.name, v, "lt")
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMay(e, a.name, v, "ge")
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMay(e, a.name, v, "le")
-      case LessThan(a: AttributeReference, Literal(v, _)) => cmpMay(e, a.name, v, "lt")
-      case LessThan(Literal(v, _), a: AttributeReference) => cmpMay(e, a.name, v, "gt")
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMay(e, a.name, v, "le")
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMay(e, a.name, v, "ge")
-      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.collect { case Literal(v, _) => v }
-          .exists(v => cmpMay(e, a.name, v, "eq"))
-      case InSet(a: AttributeReference, hset) =>
-        hset.exists(v => cmpMay(e, a.name, v, "eq"))
-      case StartsWith(a: AttributeReference, Literal(v, StringType)) =>
-        strOf(v).forall(p => prefixMay(e, a.name, p))
-      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        cmpMay(e, a.name, v, "eq")
-      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-        cmpMay(e, a.name, v, "eq")
-      case _ => true // IsNotNull, casts, UDFs, non-literal sides: keep
+      case EqualTo(l, Literal(v, _)) =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "eq"))
+      case EqualTo(Literal(v, _), r) =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "eq"))
+      case GreaterThan(l, Literal(v, _)) =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "gt"))
+      case GreaterThan(Literal(v, _), r) =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "lt"))
+      case GreaterThanOrEqual(l, Literal(v, _)) =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "ge"))
+      case GreaterThanOrEqual(Literal(v, _), r) =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "le"))
+      case LessThan(l, Literal(v, _)) =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "lt"))
+      case LessThan(Literal(v, _), r) =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "gt"))
+      case LessThanOrEqual(l, Literal(v, _)) =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "le"))
+      case LessThanOrEqual(Literal(v, _), r) =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "ge"))
+      case In(l, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        probeOf(l).forall(p => vs.collect { case Literal(v, _) => v }
+          .exists(v => cmpMayP(e, p, v, "eq")))
+      case InSet(l, hset) =>
+        probeOf(l).forall(p => hset.exists(v => cmpMayP(e, p, v, "eq")))
+      case StartsWith(l, Literal(v, StringType)) =>
+        probeOf(l).forall { case (name, defOpt) =>
+          strOf(v).forall(pfx => prefixMay(e, name, pfx) ||
+            defOpt.exists(d => strOf(d).forall(_.startsWith(pfx))))
+        }
+      case EqualNullSafe(l, Literal(v, _)) if v != null =>
+        probeOf(l).forall(p => cmpMayP(e, p, v, "eq"))
+      case EqualNullSafe(Literal(v, _), r) if v != null =>
+        probeOf(r).forall(p => cmpMayP(e, p, v, "eq"))
+      case _ => true // IsNotNull, opaque casts, UDFs, non-literal sides: keep
     }
+}
+
+object SnapshotFileIndex {
+
+  /** Why a single FLAT relation cannot read this version exactly, or
+    * None when it can — the PRECISE refusal test shared by the class
+    * constructor and [[GraftSource]]'s relation routing (which must
+    * decide MOR/evolved/flat without exception-driven control flow).
+    * Evolution events are inherited forever, but once compaction
+    * rewrites every pre-event file the events are inert and the flat
+    * fast path is exact again.
+    */
+  private[sources] def refusalOf(table: String, version: Int,
+      entries: Seq[Snapshots.FileEntry],
+      props: Map[String, String]): Option[String] = {
+    def anyPreEventFile(boundaries: Seq[Int]): Boolean =
+      boundaries.exists(b => entries.exists(_.seq <= b))
+    if (entries.exists(e => Snapshots.isMask(e.path)))
+      Some(s"SnapshotFileIndex: version $version of $table carries " +
+        "merge-on-read deletes — use Snapshots.readMor (or compactMor " +
+        "first)")
+    else if (anyPreEventFile(
+        (Snapshots.renameEvents(props) ++ Snapshots.dropEvents(props))
+          .map(_.boundary)))
+      Some(s"SnapshotFileIndex: $table has files from before a " +
+        "rename/drop — era-mapped reads need Snapshots.read / " +
+        "readIndexedEvolved (or compact to materialize)")
+    else if (anyPreEventFile(Snapshots.defaultEvents(props).map(_.boundary)))
+      Some(s"SnapshotFileIndex: $table has files from before an " +
+        "add-column default — a flat relation would read them as NULL; " +
+        "use Snapshots.read / readIndexedEvolved (or compact to " +
+        "materialize)")
+    else if (Snapshots.widenEvents(props)
+        .exists(w => entries.exists(e => e.seq <= w.boundary)))
+      Some(s"SnapshotFileIndex: $table has files narrower than a type " +
+        "widening — use Snapshots.read / readIndexedEvolved (or compact " +
+        "to materialize)")
+    else None
+  }
 }

@@ -1885,6 +1885,117 @@ object Snapshots {
     readFilesWithProps(spark, table, version, entries,
       properties(spark, table, version))
 
+  /** One schema ERA of a version's file set: files whose physical
+    * (name, type) shape derives from the current recorded schema by
+    * reverse-applying the rename/widen events at or after their data
+    * sequence, with the add-column defaults that postdate them attached
+    * for coalescing. `eraNameOf` maps CURRENT name → physical name.
+    */
+  private[sources] final case class EraGroup(entries: Seq[FileEntry],
+      eraSchema: org.apache.spark.sql.types.StructType,
+      eraNameOf: Map[String, String],
+      defaults: Seq[DefaultEvent])
+
+  /** Partition `entries` into schema eras (see [[EraGroup]]), oldest
+    * first. A file written at data sequence s carries the names of its
+    * era: every rename whose boundary (the rename's parent version) is
+    * >= s happened after the file and must be reverse-applied to the
+    * current schema before reading it; a widen whose boundary is >= s
+    * means the file physically stores the OLD type (the FIRST event's
+    * old type, if widened twice) and reads in it, cast to current by the
+    * caller; every DEFAULT whose boundary is >= s was declared after the
+    * file, whose null-fill therefore reads as the default. Shared by the
+    * plain read path ([[readFilesWithProps]]) and the Catalyst-indexed
+    * one ([[readIndexedEvolved]]) so their era semantics can never
+    * drift.
+    */
+  private[sources] def eraGroupsOf(st: org.apache.spark.sql.types.StructType,
+      props: Map[String, String], entries: Seq[FileEntry]): Seq[EraGroup] = {
+    val events = renameEvents(props)
+    val defaults = defaultEvents(props)
+      .filter(d => st.fieldNames.contains(d.name)) // dropped: dead event
+    val widens = widenEvents(props)
+      .filter(w => st.fieldNames.contains(w.name))
+    entries.groupBy(e => (events.filter(_.boundary >= e.seq),
+        defaults.filter(_.boundary >= e.seq),
+        widens.filter(_.boundary >= e.seq)))
+      .toSeq.sortBy(_._2.map(_.seq).min)
+      .map { case ((applicable, applicableDefs, applicWidens), es) =>
+        val eraName = scala.collection.mutable.LinkedHashMap(
+          st.fieldNames.map(n => n -> n): _*)
+        applicable.sortBy(-_.boundary).foreach { ev =>
+          eraName.find(_._2 == ev.to)
+            .foreach { case (cur, _) => eraName(cur) = ev.from }
+        }
+        def eraType(f: org.apache.spark.sql.types.StructField) =
+          applicWidens.filter(_.name == f.name).headOption
+            .map(w => org.apache.spark.sql.catalyst.parser
+              .CatalystSqlParser.parseDataType(w.fromType))
+            .getOrElse(f.dataType)
+        val eraSchema = org.apache.spark.sql.types.StructType(
+          st.fields.map(f =>
+            f.copy(name = eraName(f.name), dataType = eraType(f))))
+        EraGroup(es, eraSchema, eraName.toMap, applicableDefs)
+      }
+  }
+
+  /** Read ANY non-masked version through per-era [[SnapshotFileIndex]]es:
+    * the general form of [[readIndexed]] that a rename / type-widen /
+    * add-column-default lineage does NOT knock off the Catalyst data-
+    * skipping path. Entries are grouped into schema eras
+    * ([[eraGroupsOf]]); each era scans through its own FileIndex (so a
+    * pushed WHERE prunes that era's files from manifest evidence — the
+    * index's mayMatch understands the widening casts and default
+    * coalesces the era projection re-shapes predicates into), then the
+    * era frames re-alias/cast/default to the CURRENT schema and union.
+    * The per-era indexes return so callers can observe the file cut
+    * (sum of lastPrune). An un-evolved version yields exactly one index
+    * — the [[readIndexed]] plan.
+    */
+  def readIndexedEvolved(spark: SparkSession, table: String,
+      version: Option[Int] = None): (DataFrame, Seq[SnapshotFileIndex]) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.functions.{col => c, coalesce}
+    val v = version.getOrElse(latestVersion(spark, table))
+    val entries = manifest(spark, table, v)
+    require(entries.nonEmpty, s"Snapshots: version $v of $table is empty")
+    require(!entries.exists(e => isMask(e.path)),
+      s"Snapshots.readIndexedEvolved: version $v of $table carries " +
+        "merge-on-read deletes — use readMor (or compactMor first)")
+    val props = properties(spark, table, v)
+    val st0 = props.get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"Snapshots.readIndexedEvolved: version $v of $table records no " +
+          "schema (legacy manifest) — recommit or use Snapshots.read"))
+    // nullable-normalized like the flat index: file scans produce
+    // nullable output, and era unions widen nullability anyway
+    val st = org.apache.spark.sql.types.StructType(
+      st0.fields.map(_.copy(nullable = true)))
+    val framesAndIndexes = eraGroupsOf(st, props, entries).map { g =>
+      val index = new SnapshotFileIndex(spark, table, v,
+        Some(g.entries),
+        Some(org.apache.spark.sql.types.StructType(
+          g.eraSchema.fields.map(_.copy(nullable = true)))))
+      val rel = HadoopFsRelation(index,
+        new org.apache.spark.sql.types.StructType(), index.dataSchema,
+        None, new ParquetFileFormat, Map.empty)(spark)
+      val df = org.apache.spark.sql.GraftBridge.dataFrame(spark,
+        LogicalRelation(rel, isStreaming = false))
+      val base = df.select(st.fields.toSeq.map(f =>
+        c(g.eraNameOf(f.name)).cast(f.dataType).as(f.name)): _*)
+      val framed = g.defaults.foldLeft(base) { (d2, d) =>
+        d2.withColumn(d.name,
+          coalesce(c(d.name), defaultLit(d).cast(st(d.name).dataType)))
+      }
+      (framed, index)
+    }
+    (framesAndIndexes.map(_._1).reduce(_.unionByName(_)),
+      framesAndIndexes.map(_._2))
+  }
+
   /** [[readFiles]] with the version's properties supplied by the caller —
     * the segment-index scan path ([[scanPrunedBoxSegmented]]) carries the
     * props in its index header so planning never re-reads the full
@@ -1927,52 +2038,23 @@ object Snapshots {
         if (events.isEmpty && defaults.isEmpty && widens.isEmpty)
           withMeta(spark.read.schema(st).parquet(pathsOf(entries): _*))
         else {
-          // a file written at data sequence s carries the names of its
-          // ERA: every rename whose boundary (the rename's parent
-          // version) is >= s happened after the file and must be
-          // reverse-applied to the current schema before reading it;
-          // every DEFAULT whose boundary is >= s was declared after the
-          // file, whose null-fill therefore reads as the default
-          entries.groupBy(e => (events.filter(_.boundary >= e.seq),
-              defaults.filter(_.boundary >= e.seq),
-              widens.filter(_.boundary >= e.seq)))
-            .toSeq.sortBy(_._2.map(_.seq).min)
-            .map { case ((applicable, applicableDefs, applicWidens), es) =>
-              val eraName = scala.collection.mutable.LinkedHashMap(
-                st.fieldNames.map(n => n -> n): _*)
-              applicable.sortBy(-_.boundary).foreach { ev =>
-                eraName.find(_._2 == ev.to)
-                  .foreach { case (cur, _) => eraName(cur) = ev.from }
-              }
-              // a widen whose boundary is >= the file's seq happened
-              // AFTER the file: it physically stores the OLD type (the
-              // FIRST event's old type, if widened twice) and reads in
-              // it, cast to current below
-              def eraType(f: org.apache.spark.sql.types.StructField) =
-                applicWidens.filter(_.name == f.name).headOption
-                  .map(w => org.apache.spark.sql.catalyst.parser
-                    .CatalystSqlParser.parseDataType(w.fromType))
-                  .getOrElse(f.dataType)
-              val eraSchema = org.apache.spark.sql.types.StructType(
-                st.fields.map(f =>
-                  f.copy(name = eraName(f.name), dataType = eraType(f))))
-              // the meta projection hangs directly off the scan, before
-              // the era-alias select — unions do not propagate metadata
-              // columns, so it cannot be deferred to the caller
-              val scan = withMeta(
-                spark.read.schema(eraSchema).parquet(pathsOf(es): _*))
-              val metaCols =
-                if (withPosMeta) Seq(c(MetaFile), c(MetaPos)) else Seq.empty
-              val base = scan.select(st.fields.toSeq
-                .map(f => c(eraName(f.name)).cast(f.dataType).as(f.name))
-                ++ metaCols: _*)
-              applicableDefs.foldLeft(base) { (df, d) =>
-                df.withColumn(d.name,
-                  org.apache.spark.sql.functions.coalesce(c(d.name),
-                    defaultLit(d).cast(st(d.name).dataType)))
-              }
+          eraGroupsOf(st, props, entries).map { g =>
+            // the meta projection hangs directly off the scan, before
+            // the era-alias select — unions do not propagate metadata
+            // columns, so it cannot be deferred to the caller
+            val scan = withMeta(
+              spark.read.schema(g.eraSchema).parquet(pathsOf(g.entries): _*))
+            val metaCols =
+              if (withPosMeta) Seq(c(MetaFile), c(MetaPos)) else Seq.empty
+            val base = scan.select(st.fields.toSeq
+              .map(f => c(g.eraNameOf(f.name)).cast(f.dataType).as(f.name))
+              ++ metaCols: _*)
+            g.defaults.foldLeft(base) { (df, d) =>
+              df.withColumn(d.name,
+                org.apache.spark.sql.functions.coalesce(c(d.name),
+                  defaultLit(d).cast(st(d.name).dataType)))
             }
-            .reduce(_.unionByName(_))
+          }.reduce(_.unionByName(_))
         }
       case None => withMeta(spark.read.parquet(pathsOf(entries): _*))
     }

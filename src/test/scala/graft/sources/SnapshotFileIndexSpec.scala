@@ -107,4 +107,88 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(Snapshots.readIndexed(spark, tbl2)._1.count() ===
       Snapshots.read(spark, tbl2).count())
   }
+
+  /** Era-evolved build shared by the evolved-read tests: era 1 = the
+    * 16 keyed files, then RENAME v→val, WIDEN k's sibling... (k stays),
+    * actually: rename v→val, widen val is long already — so a dedicated
+    * int column rides era 1 for the widen.
+    */
+  private def buildEvolved(tbl: String): Unit = {
+    import spark.implicits._
+    // era 1: k 0..15 (one file per key), q int, s string
+    val df = (0L until 16L).map(k => (k, (k * 10).toInt, f"s$k%02d"))
+      .toDF("k", "q", "s")
+      .repartitionByRange(16, col("k")).sortWithinPartitions(col("k"))
+    Snapshots.commit(df, tbl, statsCols = Seq("k", "q"),
+      strStatsCols = Seq("s"))
+    Snapshots.renameColumn(spark, tbl, "k", "key")
+    Snapshots.widenColumn(spark, tbl, "q",
+      org.apache.spark.sql.types.LongType)
+    Snapshots.addColumn(spark, tbl, "tag",
+      org.apache.spark.sql.types.StringType, default = Some("legacy"))
+    // era 2: key 16..31, evolved shape, real tags
+    val df2 = (16L until 32L).map(k => (k, k * 10, f"s$k%02d", "fresh"))
+      .toDF("key", "q", "s", "tag")
+      .repartitionByRange(16, col("key")).sortWithinPartitions(col("key"))
+    Snapshots.commit(df2, tbl, statsCols = Seq("key", "q"),
+      strStatsCols = Seq("s", "tag"))
+  }
+
+  test("readIndexedEvolved: rename + widen + default eras keep Catalyst " +
+      "data skipping — pushed filters prune BOTH eras' files through " +
+      "the era projection, results equal Snapshots.read") {
+    val tbl = freshTable("evolved")
+    buildEvolved(tbl)
+    val (df, ixs) = Snapshots.readIndexedEvolved(spark, tbl)
+    assert(ixs.size === 2)
+    // full read equals the era-mapped plain read
+    val want = Snapshots.read(spark, tbl).orderBy("key").collect().toSeq
+    assert(df.orderBy("key").collect().toSeq === want)
+    // a filter on the RENAMED column prunes era-1 files (stats live
+    // under the old name 'k') AND era-2 files
+    val q1 = df.filter(col("key") < 4L || col("key") >= 28L)
+    assert(q1.count() === 8L)
+    val cuts = ixs.map(_.lastPrune)
+    assert(cuts.forall { case (kept, total) => total === 16 && kept === 4 },
+      s"expected 4/16 kept per era, got $cuts")
+    // a range on the WIDENED column arrives as cast(q as bigint) > lit —
+    // mayMatch unwraps the widening cast and prunes from the int-era
+    // envelope
+    val q2 = df.filter(col("q") > 250L)
+    assert(q2.count() === 6L) // era1 none (max 150); era2 keys 26..31
+    val cut2 = ixs.map(_.lastPrune)
+    assert(cut2.head._1 === 0 && cut2(1)._1 === 6, s"got $cut2")
+    // equality on the DEFAULTED column: era-1 files must be KEPT for
+    // tag='legacy' (their null-fill reads as the default) and era-2
+    // prunes from its recorded string envelope
+    val q3 = df.filter(col("tag") === "legacy")
+    assert(q3.count() === 16L)
+    val cut3 = ixs.map(_.lastPrune)
+    assert(cut3.head._1 === 16 && cut3(1)._1 === 0, s"got $cut3")
+    // ...and a tag that matches neither the default nor era-2 values
+    // cuts era 2 while conservatively keeping era 1 (a stat-less column
+    // cannot prove absence)
+    val q4 = df.filter(col("tag") === "zzz")
+    assert(q4.count() === 0L)
+    assert(ixs(1).lastPrune._1 === 0)
+  }
+
+  test("format(\"graft\") routes era-evolved versions onto the evolved " +
+      "relation (not the MOR fallback) and reads exactly") {
+    val tbl = freshTable("evrel")
+    buildEvolved(tbl)
+    val df = spark.read.format("graft").load(tbl)
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }
+    assert(rels.size === 1 && rels.head.isInstanceOf[GraftEvolvedRelation])
+    assert(df.filter(col("key") < 4L).count() === 4L)
+    assert(df.filter(col("tag") === "legacy").count() === 16L)
+    assert(df.count() === 32L)
+    // the evolved table is still SQL-visible content-identically
+    val want = Snapshots.read(spark, tbl)
+      .orderBy("key").collect().toSeq
+    assert(df.orderBy("key").collect().toSeq === want)
+  }
 }
