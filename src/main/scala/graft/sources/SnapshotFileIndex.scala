@@ -53,18 +53,52 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
   def this(spark: SparkSession, table: String, version: Int) =
     this(spark, table, version, None, None)
 
+  /** SEGMENT-PLANNING mode: when [[Snapshots.buildSegmentIndex]] ran
+    * for this version and its header carries everything planning needs
+    * — the version props, per-segment byte totals, and a recorded ZERO
+    * mask count — the index never opens the full per-file manifest.
+    * [[listFiles]] prunes SEGMENTS from their rollup envelopes first
+    * and parses only the survivors' entry files, so planning cost
+    * follows the surviving fraction, not the table's file count (at a
+    * million files: O(segments) + O(kept), not O(files)).
+    * Evolution-event-bearing versions stay on the eager path: the era
+    * refusals need per-file sequence numbers the segment rollups don't
+    * carry (and the evolved read path takes over anyway).
+    */
+  private val segPlan: Option[Snapshots.SegIndex] =
+    if (entriesOverride.nonEmpty) None
+    else Snapshots.segmentIndexFor(spark, table, version).filter { ix =>
+      ix.maskCount.contains(0) && ix.bytes.nonEmpty &&
+        ix.props.contains(Snapshots.SchemaProp) &&
+        Snapshots.renameEvents(ix.props).isEmpty &&
+        Snapshots.dropEvents(ix.props).isEmpty &&
+        Snapshots.defaultEvents(ix.props).isEmpty &&
+        Snapshots.widenEvents(ix.props).isEmpty
+    }
+
   /** The indexed manifest entries — the evidence surface optimizer
     * rules ([[graft.plans.MetaAggRule]]) compute from. The whole
     * version for the flat form; one era's slice for the era form.
+    * LAZY in segment-planning mode: forcing it (a metadata-aggregate
+    * rewrite, `inputFiles`) parses every segment, which is still never
+    * the full-manifest reparse.
     */
-  private[graft] val entries: Seq[Snapshots.FileEntry] =
-    entriesOverride.getOrElse(Snapshots.manifest(spark, table, version))
+  private[graft] lazy val entries: Seq[Snapshots.FileEntry] =
+    entriesOverride.getOrElse(segPlan match {
+      case Some(ix) => ix.segments.flatMap(parsedSegment)
+      case None => Snapshots.manifest(spark, table, version)
+    })
 
-  private val props = Snapshots.properties(spark, table, version)
+  // segment-planning mode reads props from the INDEX HEADER — reading
+  // them from the manifest would parse the O(files) artifact this mode
+  // exists to avoid
+  private val props = segPlan.map(_.props)
+    .getOrElse(Snapshots.properties(spark, table, version))
 
-  // flat form only: refuse what one relation cannot read exactly (the
-  // era form's caller already grouped entries into a uniform era)
-  if (entriesOverride.isEmpty)
+  // flat EAGER form only: refuse what one relation cannot read exactly
+  // (the era form's caller already grouped entries into a uniform era;
+  // segment mode proved mask-freedom and event-freedom from the header)
+  if (entriesOverride.isEmpty && segPlan.isEmpty)
     SnapshotFileIndex.refusalOf(table, version, entries, props)
       .foreach(msg => throw new IllegalArgumentException(msg))
 
@@ -93,19 +127,51 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     fs.makeQualified(p)
   }
 
-  private val statuses: Seq[(Snapshots.FileEntry, FileStatus)] = {
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    entries.map { e =>
-      val p = if (new Path(e.path).isAbsolute) new Path(e.path)
-        else new Path(rootPath, e.path)
-      (e, fs.getFileStatus(p))
-    }
+  private val fs =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def resolved(e: Snapshots.FileEntry): Path =
+    if (new Path(e.path).isAbsolute) new Path(e.path)
+    else new Path(rootPath, e.path)
+
+  // one getFileStatus per file, paid ONCE per file and — in segment
+  // mode — only for files that survive pruning
+  private val statusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStatus]
+  private def statusOf(e: Snapshots.FileEntry): FileStatus =
+    statusCache.computeIfAbsent(e.path, _ => fs.getFileStatus(resolved(e)))
+
+  // segment entry files parse at most once each; the counter is the
+  // spec-observable probe ("how many segments were ever opened")
+  private val segCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Snapshots.FileEntry]]
+  val segmentParses = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def parsedSegment(se: Snapshots.FileEntry)
+      : Seq[Snapshots.FileEntry] =
+    segCache.computeIfAbsent(se.path, _ => {
+      segmentParses.incrementAndGet()
+      Snapshots.segmentEntries(spark, table, version, se)
+    })
+
+  private lazy val statuses: Seq[(Snapshots.FileEntry, FileStatus)] =
+    entries.map(e => (e, statusOf(e)))
+
+  private def totalFiles: Int = segPlan match {
+    case Some(ix) => ix.segments.map(_.seq).sum // seq = segment file count
+    case None => entries.size
   }
 
   /** (files kept, files total) of the most recent [[listFiles]] — the
     * observable skip counter specs and operators report on.
     */
-  @volatile var lastPrune: (Int, Int) = (entries.size, entries.size)
+  @volatile var lastPrune: (Int, Int) = (totalFiles, totalFiles)
+
+  /** (segments kept, segments total) of the most recent [[listFiles]]
+    * in segment-planning mode.
+    */
+  @volatile var lastSegPrune: (Int, Int) =
+    (segPlan.map(_.segments.size).getOrElse(0),
+      segPlan.map(_.segments.size).getOrElse(0))
 
   /** Table root FIRST (rules key on it), then the data dir. The
     * two-path shape is deliberate: Spark's `INSERT INTO` planning for
@@ -120,20 +186,37 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
   override def partitionSchema: StructType = new StructType()
 
   override def inputFiles: Array[String] =
-    statuses.map(_._2.getPath.toString).toArray
+    entries.map(e => resolved(e).toString).toArray
 
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  /** Segment mode answers from the index header's recorded byte totals
+    * (the planner asks this for every query — join-size estimation);
+    * otherwise one cached getFileStatus per file.
+    */
+  override def sizeInBytes: Long = segPlan.flatMap(_.bytes).map(_.sum)
+    .getOrElse(statuses.map(_._2.getLen).sum)
 
   override def refresh(): Unit = ()
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statuses.filter { case (e, _) =>
-      dataFilters.forall(f => mayMatch(e, f))
+    val kept = segPlan match {
+      case Some(ix) =>
+        // tier 1: segment rollup envelopes (the SAME mayMatch — rollups
+        // are sound by construction: a column participates only when
+        // every member file recorded it, blooms are OR'd)
+        val keptSegs = ix.segments.filter(se =>
+          dataFilters.forall(f => mayMatch(se, f)))
+        lastSegPrune = (keptSegs.size, ix.segments.size)
+        // tier 2: per-file entries of SURVIVING segments only
+        keptSegs.flatMap(parsedSegment)
+          .filter(e => dataFilters.forall(f => mayMatch(e, f)))
+      case None =>
+        statuses.collect { case (e, _)
+            if dataFilters.forall(f => mayMatch(e, f)) => e }
     }
-    lastPrune = (kept.size, statuses.size)
+    lastPrune = (kept.size, totalFiles)
     Seq(PartitionDirectory(InternalRow.empty,
-      kept.map { case (_, st) => FileStatusWithMetadata(st, Map.empty) }))
+      kept.map(e => FileStatusWithMetadata(statusOf(e), Map.empty))))
   }
 
   // ---- evidence evaluation -------------------------------------------

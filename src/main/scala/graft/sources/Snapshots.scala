@@ -2248,6 +2248,19 @@ object Snapshots {
     */
   val SegSizeProp = "graft.segix.segSize"
 
+  /** Index-header property: comma-joined total BYTES per segment,
+    * aligned with the segment entry order — so a planner can answer
+    * `sizeInBytes` from the index header instead of one getFileStatus
+    * per data file (the O(files) RPC the segment tier exists to kill).
+    */
+  val SegBytesProp = "graft.segix.bytes"
+
+  /** Index-header property: how many MASK entries (tombstones/DVs) the
+    * indexed version carries — the flat-relation refusal evidence,
+    * answerable without parsing any per-file segment.
+    */
+  val SegMasksProp = "graft.segix.masks"
+
   /** Number of files a segment entry covers (rides the codec's `seq`
     * field — always > 0, so segment lines always serialize in full).
     */
@@ -2302,22 +2315,41 @@ object Snapshots {
     // segment files, not eight thousand. Non-append lineage (compaction,
     // rebucket, rollback, CoW merge) fails the prefix compare and
     // rebuilds in full — reuse is proven, never assumed.
-    val reused: Seq[FileEntry] = versions(spark, table).filter(_ < v)
-      .reverse.iterator
-      .map(w => (w, readEntriesFileOpt(fs, new Path(segDir(root, w), "index"))))
-      .collectFirst { case (w, Some(ix)) => (w, ix) }
-      .filter { case (_, ix) =>
-        ix.props.get(SegSizeProp).contains(segSize.toString) }
-      .map { case (w, ix) =>
-        val pFiles = manifest(spark, table, w)
-        val isPrefix = pFiles.size <= files.size &&
-          pFiles.iterator.zip(files.iterator).forall {
-            case (a, b) => fmt(a) == fmt(b) }
-        if (!isPrefix) Seq.empty[FileEntry]
-        else ix.files.takeWhile(_.seq == segSize)
-      }
-      .getOrElse(Seq.empty)
+    val (reused: Seq[FileEntry], reusedBytes: Seq[Long]) =
+      versions(spark, table).filter(_ < v)
+        .reverse.iterator
+        .map(w => (w, readEntriesFileOpt(fs, new Path(segDir(root, w), "index"))))
+        .collectFirst { case (w, Some(ix)) => (w, ix) }
+        .filter { case (_, ix) =>
+          // same segSize AND recorded byte totals: a pre-bytes index
+          // cannot be reused (its segments' sizes are unknowable without
+          // the O(table) stat pass this reuse exists to avoid) — one
+          // full rebuild re-records them, reuse resumes after
+          ix.props.get(SegSizeProp).contains(segSize.toString) &&
+            ix.props.contains(SegBytesProp) }
+        .map { case (w, ix) =>
+          val pFiles = manifest(spark, table, w)
+          val isPrefix = pFiles.size <= files.size &&
+            pFiles.iterator.zip(files.iterator).forall {
+              case (a, b) => fmt(a) == fmt(b) }
+          if (!isPrefix) (Seq.empty[FileEntry], Seq.empty[Long])
+          else {
+            val segs = ix.files.takeWhile(_.seq == segSize)
+            val bytes = ix.props(SegBytesProp).split(",")
+              .filter(_.nonEmpty).map(_.toLong).toSeq
+            (segs, bytes.take(segs.size))
+          }
+        }
+        .getOrElse((Seq.empty[FileEntry], Seq.empty[Long]))
     val offset = reused.size * segSize
+    // byte totals are recorded at BUILD time (one getFileStatus per
+    // DELTA file — reused segments carry theirs forward), so planners
+    // never pay the per-file stat pass at query time
+    def fileLen(e: FileEntry): Long = {
+      val p = if (new Path(e.path).isAbsolute) new Path(e.path)
+        else new Path(fs.makeQualified(root), e.path)
+      fs.getFileStatus(p).getLen
+    }
     def writeEntries(p: Path, overwrite: Boolean,
         header: Seq[String], entries: Seq[FileEntry]): Boolean = {
       val created =
@@ -2332,7 +2364,9 @@ object Snapshots {
         case None => false
       }
     }
-    val tailEntries = files.drop(offset).grouped(segSize).toSeq.zipWithIndex
+    val tailGroups = files.drop(offset).grouped(segSize).toSeq
+    val tailBytes = tailGroups.map(_.map(fileLen).sum)
+    val tailEntries = tailGroups.zipWithIndex
       .map { case (g, i0) =>
         val i = reused.size + i0
         val name = f"seg-$i%05d"
@@ -2362,7 +2396,11 @@ object Snapshots {
           strStats, seq = g.size)
     }
     val segEntries = reused ++ tailEntries
-    val propLines = (props + (SegSizeProp -> segSize.toString)).toSeq
+    val segBytes = reusedBytes ++ tailBytes
+    val propLines = (props
+        + (SegSizeProp -> segSize.toString)
+        + (SegBytesProp -> segBytes.mkString(","))
+        + (SegMasksProp -> files.count(e => isMask(e.path)).toString)).toSeq
       .sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
     if (!writeEntries(indexPath, overwrite = false, propLines, segEntries)) {
       // create-no-overwrite lost: either a racing builder finished (its
@@ -2382,6 +2420,46 @@ object Snapshots {
       }
     }
     segEntries.size
+  }
+
+  /** A version's segment index as a planner sees it: header props,
+    * segment rollup entries, per-segment byte totals (when the index
+    * recorded them), and the recorded mask count. `bytes`/`maskCount`
+    * are None for indexes built before those header fields existed —
+    * consumers fall back to the eager path.
+    */
+  private[sources] final case class SegIndex(props: Map[String, String],
+      segments: Seq[FileEntry], bytes: Option[Seq[Long]],
+      maskCount: Option[Int])
+
+  /** The segment index of (table, version), if one was built. */
+  private[sources] def segmentIndexFor(spark: SparkSession, table: String,
+      version: Int): Option[SegIndex] = {
+    val (fs, root) = fsOf(spark, table)
+    readEntriesFileOpt(fs, new Path(segDir(root, version), "index"))
+      .map { ix =>
+        SegIndex(ix.props, ix.files,
+          ix.props.get(SegBytesProp)
+            .map(_.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+            .filter(_.size == ix.files.size),
+          ix.props.get(SegMasksProp).map(_.toInt))
+      }
+  }
+
+  /** Parse ONE segment's per-file entries (segment paths are relative
+    * to `_manifests` — incremental builds reuse ancestor versions'
+    * segment files by reference; bare legacy names resolve into the
+    * version's own dir).
+    */
+  private[sources] def segmentEntries(spark: SparkSession, table: String,
+      version: Int, seg: FileEntry): Seq[FileEntry] = {
+    val (fs, root) = fsOf(spark, table)
+    val p = if (seg.path.contains("/"))
+        new Path(new Path(root, "_manifests"), seg.path)
+      else new Path(segDir(root, version), seg.path)
+    readEntriesFileOpt(fs, p).getOrElse(throw new IllegalStateException(
+      s"Snapshots.segmentEntries: segment ${seg.path} of $table " +
+        s"v$version missing or corrupt")).files
   }
 
   /** Multi-dimensional box scan through the SEGMENT INDEX

@@ -153,4 +153,43 @@ class SegmentIndexSpec extends SparkSpec {
     assert(seg.df.count() === 1)
     assert(seg.segmentsRead + seg.segmentsSkipped === 2)
   }
+
+  test("readIndexed PLANS from the segment tier when an index exists: " +
+      "pruned segments' file entries are never parsed (probe-counted), " +
+      "sizeInBytes answers from the header, results stay exact") {
+    val tbl = freshTable("fidx")
+    buildKeyed(tbl) // 32 single-key files
+    Snapshots.buildSegmentIndex(spark, tbl, segSize = 4) // 8 segments
+    val (df, ix) = Snapshots.readIndexed(spark, tbl)
+    // size answered from the recorded per-segment byte totals — zero
+    // segment parses, zero per-file stats
+    val want = Snapshots.manifest(spark, tbl, 1).map(e =>
+      fs(tbl).getFileStatus(new Path(s"$tbl/${e.path}")).getLen).sum
+    assert(ix.sizeInBytes === want)
+    assert(ix.segmentParses.get === 0,
+      "sizeInBytes must not open segment files")
+    // a selective filter prunes SEGMENTS first; only survivors parse
+    val got = df.filter(col("k").between(9L, 14L))
+      .orderBy("k", "v").collect().toSeq
+    assert(ix.lastSegPrune === ((2, 8)), s"got ${ix.lastSegPrune}")
+    assert(ix.segmentParses.get === 2,
+      s"only surviving segments may parse, parsed ${ix.segmentParses.get}")
+    assert(ix.lastPrune === ((6, 32)), s"got ${ix.lastPrune}")
+    val flat = Snapshots.read(spark, tbl)
+      .filter(col("k").between(9L, 14L)).orderBy("k", "v").collect().toSeq
+    assert(got === flat)
+    // a full scan parses each remaining segment exactly once (cached)
+    assert(df.count() === 64L)
+    assert(ix.segmentParses.get === 8)
+    assert(df.count() === 64L)
+    assert(ix.segmentParses.get === 8, "segment parses must be cached")
+    // a masked version records its mask count in the header — the
+    // planner refuses it back to readMor instead of mis-reading
+    import spark.implicits._
+    Snapshots.deleteWhere(spark, tbl, Seq(3L).toDF("k"), "k")
+    Snapshots.buildSegmentIndex(spark, tbl, segSize = 4)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.readIndexed(spark, tbl))
+    assert(e.getMessage.contains("merge-on-read deletes"))
+  }
 }
