@@ -1648,6 +1648,55 @@ object SnapshotQueries {
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
          FROM merged WHERE NOT k % 5 = 0"""))
 
+  /** X116 (general form): CONDITIONAL MERGE — the clause shapes real
+    * CDC merges use, all in ONE statement landing as ONE atomic commit:
+    * `WHEN MATCHED AND <cond> THEN DELETE` ahead of an unconditional
+    * MATCHED UPDATE (first-true-wins cascade), a PARTIAL `SET` whose
+    * value references BOTH sides (unassigned columns keep target
+    * values), a conditional `NOT MATCHED ... INSERT *`, and
+    * `WHEN NOT MATCHED BY SOURCE THEN UPDATE`. DuckDB replays the
+    * cascade as CASE logic over the matched/unmatched partitions.
+    */
+  val sqlMergeConditional = Q("q_sql_merge_conditional",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrgc")
+      Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_cmrg_q")
+      q.sql(s"CREATE TABLE graft_cmrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cmrg_src AS " +
+        "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 3 = 0")
+      q.sql("""MERGE INTO graft_cmrg_q t USING graft_cmrg_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_totalprice > 150000 THEN DELETE
+        WHEN MATCHED THEN
+          UPDATE SET o_totalprice = s.o_totalprice + t.o_totalprice
+        WHEN NOT MATCHED AND s.o_totalprice < 100000 THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000 THEN
+          UPDATE SET o_totalprice = 0""")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_cmrg_q""")
+    },
+    Some(s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p
+               FROM orders WHERE o_orderkey % 2 = 0),
+             s AS (SELECT o_orderkey AS k, o_totalprice * 2 AS p
+               FROM orders WHERE o_orderkey % 3 = 0),
+             merged AS (
+               SELECT t.k, CASE WHEN t.p > 150000 THEN NULL
+                                ELSE s.p + t.p END AS p
+               FROM t JOIN s ON t.k = s.k
+               UNION ALL
+               SELECT s.k, s.p FROM s
+               WHERE s.k NOT IN (SELECT k FROM t) AND s.p < 100000
+               UNION ALL
+               SELECT t.k, CASE WHEN t.p < 50000 THEN 0 ELSE t.p END AS p
+               FROM t WHERE t.k NOT IN (SELECT k FROM s))
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
+         FROM merged WHERE p IS NOT NULL"""))
+
   /** X117: hidden partitioning — the table declares `month(o_orderdate)`
     * ([[graft.sources.Partitioning.setSpec]]), the write path lays files
     * out one-partition-tuple-per-file automatically, and
@@ -1822,7 +1871,8 @@ object SnapshotQueries {
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    deletionVector, updateWhere, sqlDml, sqlMerge, hiddenPartition,
+    deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
+    hiddenPartition,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,

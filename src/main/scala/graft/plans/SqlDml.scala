@@ -44,11 +44,17 @@ import org.apache.spark.sql.functions.col
   *  - DELETE: `Snapshots.deleteVector` — a position-vector commit, so
   *    arbitrary predicates work with no key column and no file rewrite.
   *  - UPDATE: `Snapshots.updateWhere` — atomic vector + rewritten rows.
-  *  - MERGE: the canonical upsert shapes map onto `Snapshots.merge`
-  *    (copy-on-write, key-exact): `UPDATE SET * / INSERT *` in any
-  *    combination, and `WHEN MATCHED THEN DELETE`. Conditional actions,
-  *    column-list assignments, `NOT MATCHED BY SOURCE` and schema
-  *    evolution are refused loudly — not silently approximated.
+  *  - MERGE: the canonical unconditional whole-row shapes
+  *    (`UPDATE SET * / INSERT *`, `WHEN MATCHED THEN DELETE`) map
+  *    DIRECTLY onto `Snapshots.merge` (copy-on-write, key-exact, no
+  *    extra join stage). Everything else real CDC merges use —
+  *    `WHEN MATCHED AND <cond>`, multiple clauses (first-true-wins),
+  *    partial `SET` (unassigned columns keep target values), values
+  *    referencing both sides, conditional INSERTs, and
+  *    `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` — evaluates as a
+  *    side-prefixed join cascade that still lands as ONE atomic
+  *    `Snapshots.merge` commit. Only `WITH SCHEMA EVOLUTION` and
+  *    key-changing SETs refuse.
   *
   * Time-traveled relations (`versionAsOf`/`timestampAsOf`/`tag`/
   * `branch` reader options) refuse all DML: history is immutable.
@@ -429,8 +435,6 @@ object SqlDml {
         tOut: Seq[Attribute], ident: Option[String]): LogicalPlan = {
       require(!m.withSchemaEvolution,
         "graft DML: MERGE WITH SCHEMA EVOLUTION is not supported")
-      require(m.notMatchedBySourceActions.isEmpty,
-        "graft DML: MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
       val sOut = m.sourceTable.output
       // canonical equality key: ON t.k = s.k with the SAME column name
       // on both sides — the shape Snapshots.merge upserts by
@@ -446,11 +450,42 @@ object SqlDml {
           "graft DML: MERGE condition must be a single equality on one " +
             s"same-named column of target and source, got $other")
       }
-      require(m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1,
-        "graft DML: at most one WHEN MATCHED and one WHEN NOT MATCHED " +
-          "action")
-      require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty,
+      require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
+        m.notMatchedBySourceActions.nonEmpty,
         "graft DML: MERGE with no actions")
+      // the canonical UNCONDITIONAL whole-row shapes keep the direct
+      // Snapshots.merge mapping (no extra join stage, baselined plans);
+      // everything else — conditional actions, multiple clauses,
+      // partial SETs, target-referencing values, NOT MATCHED BY
+      // SOURCE — takes the general first-match-wins cascade
+      def fullRowFromSource(assigns: Seq[Assignment]): Boolean = {
+        val srcIds = sOut.map(_.exprId).toSet
+        val names = assigns.flatMap(_.key match {
+          case ar: AttributeReference => Some(ar.name)
+          case _ => None
+        })
+        names.size == assigns.size &&
+          tOut.forall(t => names.exists(_.equalsIgnoreCase(t.name))) &&
+          assigns.forall(_.value.collect {
+              case ar: AttributeReference => ar
+            }.forall(ar => srcIds.contains(ar.exprId) ||
+              ar.name.equalsIgnoreCase(keyCol)))
+      }
+      val simple = m.notMatchedBySourceActions.isEmpty &&
+        m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
+        m.matchedActions.forall {
+          case DeleteAction(None) => true
+          case UpdateAction(None, assigns, _) => fullRowFromSource(assigns)
+          case _ => false
+        } &&
+        m.notMatchedActions.forall {
+          case InsertAction(None, assigns) => fullRowFromSource(assigns)
+          case _ => false
+        } &&
+        !(m.matchedActions.exists(_.isInstanceOf[DeleteAction]) &&
+          m.notMatchedActions.nonEmpty)
+      if (!simple)
+        return rewriteMergeGeneral(m, table, tOut, sOut, keyCol, ident)
       // an action's assignments (the analyzer expands SET * / INSERT *
       // into per-column assignments) become a full-row SOURCE projection
       // — Snapshots.merge replaces whole rows, so every target column
@@ -508,6 +543,91 @@ object SqlDml {
         updateProj = updateProj, insertProj = insertProj,
         deleteMatched = deletes, targetSchema = schemaOf(tOut),
         ident = ident)
+    }
+
+    /** The general MERGE form: conditional MATCHED/NOT-MATCHED actions
+      * (first-true-wins, the SQL cascade), multiple clauses, PARTIAL
+      * `SET` (unassigned columns keep target values), values referencing
+      * BOTH sides, and `WHEN NOT MATCHED BY SOURCE` — the shapes real
+      * CDC merges use. Expressions are re-anchored SIDE-AWARE: the
+      * command joins a target frame and a source frame whose columns are
+      * prefixed per side, so a target and a source column sharing a name
+      * (the norm in MERGE) resolve unambiguously.
+      */
+    private def rewriteMergeGeneral(m: MergeIntoTable, table: String,
+        tOut: Seq[Attribute], sOut: Seq[Attribute], keyCol: String,
+        ident: Option[String]): LogicalPlan = {
+      val tIds = tOut.map(_.exprId).toSet
+      val sIds = sOut.map(_.exprId).toSet
+      def sided(e: Expression): Column = GraftBridge.column(e.transform {
+        case a: AttributeReference if tIds.contains(a.exprId) =>
+          UnresolvedAttribute(Seq(GraftMergeConditionalCommand.TP + a.name))
+        case a: AttributeReference if sIds.contains(a.exprId) =>
+          UnresolvedAttribute(Seq(GraftMergeConditionalCommand.SP + a.name))
+      })
+      def onlySide(e: Expression, badIds: Set[
+          org.apache.spark.sql.catalyst.expressions.ExprId],
+          what: String, side: String): Unit = e.foreach {
+        case ar: AttributeReference if badIds.contains(ar.exprId) =>
+          throw new IllegalArgumentException(s"graft DML: MERGE $what " +
+            s"may reference only the $side, got '${ar.name}'")
+        case _ => ()
+      }
+      def assignsOf(assigns: Seq[Assignment], what: String,
+          allowKey: Boolean): Seq[(String, Column)] = assigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new IllegalArgumentException(
+            s"graft DML: MERGE $what assigns to non-column $other")
+        }
+        val t = tOut.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft DML: MERGE $what assigns unknown column '$name'"))
+        require(allowKey || !t.name.equalsIgnoreCase(keyCol),
+          s"graft DML: MERGE $what must not SET the merge key " +
+            s"'$keyCol' — key-changing updates are not a merge")
+        (t.name, sided(a.value))
+      }
+      val matched = m.matchedActions.map {
+        case DeleteAction(c) => (c.map(sided), None)
+        case UpdateAction(c, assigns, _) =>
+          (c.map(sided),
+            Some(assignsOf(assigns, "WHEN MATCHED", allowKey = false)))
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unsupported WHEN MATCHED action $other")
+      }
+      val notMatched = m.notMatchedActions.map {
+        case InsertAction(c, assigns) =>
+          c.foreach(onlySide(_, tIds, "NOT MATCHED condition", "source"))
+          assigns.foreach(a =>
+            onlySide(a.value, tIds, "INSERT value", "source"))
+          val proj = assignsOf(assigns, "WHEN NOT MATCHED", allowKey = true)
+          val missing = tOut.map(_.name)
+            .filterNot(n => proj.exists(_._1.equalsIgnoreCase(n)))
+          require(missing.isEmpty, "graft DML: MERGE INSERT must assign " +
+            s"every target column (missing ${missing.mkString(", ")})")
+          (c.map(sided),
+            tOut.map(t => proj.find(_._1.equalsIgnoreCase(t.name)).get))
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unsupported WHEN NOT MATCHED action $other")
+      }
+      val nmbs = m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          c.foreach(onlySide(_, sIds,
+            "NOT MATCHED BY SOURCE condition", "target"))
+          (c.map(sided), None)
+        case UpdateAction(c, assigns, _) =>
+          c.foreach(onlySide(_, sIds,
+            "NOT MATCHED BY SOURCE condition", "target"))
+          assigns.foreach(a => onlySide(a.value, sIds,
+            "NOT MATCHED BY SOURCE value", "target"))
+          (c.map(sided), Some(assignsOf(assigns,
+            "WHEN NOT MATCHED BY SOURCE", allowKey = false)))
+        case other => throw new IllegalArgumentException(
+          s"graft DML: unsupported WHEN NOT MATCHED BY SOURCE action $other")
+      }
+      GraftMergeConditionalCommand(table, m.sourceTable, keyCol,
+        matched, notMatched, nmbs, schemaOf(tOut), ident)
     }
   }
 
@@ -668,5 +788,120 @@ object SqlDml {
     }
     private def shapedEmpty(spark: SparkSession) =
       spark.createDataFrame(new java.util.ArrayList[Row](), targetSchema)
+  }
+
+  /** The GENERAL MERGE command (see `rewriteMergeGeneral`): evaluates
+    * the SQL action cascade — per matched/not-matched/not-matched-by-
+    * source row, the FIRST action whose condition holds applies; a row
+    * matching no action is untouched — then lands the whole statement
+    * as ONE atomic [[Snapshots.merge]] (update/insert rows as upserts,
+    * deletes as delete keys).
+    *
+    * Shape at scale: one inner join target⋈source on the merge key for
+    * the matched cascade (localCheckpoint'ed — every action filters the
+    * SAME materialized row set, so N actions never re-run the join), an
+    * anti-join per unmatched side, and the merge's own envelope-pruned
+    * rewrite. Everything is keyed on the merge key — AQE broadcasts the
+    * (typically CDC-batch-sized) source side. Duplicate source keys
+    * keep [[Snapshots.merge]]'s documented both-rows contract, exactly
+    * like the unconditional path.
+    */
+  final case class GraftMergeConditionalCommand(table: String,
+      source: LogicalPlan, keyCol: String,
+      matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+      notMatched: Seq[(Option[Column], Seq[(String, Column)])],
+      notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+      targetSchema: org.apache.spark.sql.types.StructType,
+      ident: Option[String])
+      extends LeafRunnableCommand {
+    import GraftMergeConditionalCommand.{TP, SP}
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val src0 = GraftBridge.dataFrame(spark, source)
+      val tgt0 = Snapshots.readMor(spark, table)
+      require((tgt0.columns ++ src0.columns)
+        .forall(c => !c.startsWith("__graft_")),
+        "graft DML: MERGE reserves the __graft_ column-name prefix")
+      val tgtP = tgt0.select(tgt0.columns.toSeq.map(c =>
+        col(c).as(TP + c)): _*)
+      val srcP = src0.select(src0.columns.toSeq.map(c =>
+        col(c).as(SP + c)): _*)
+      val tKey = col(TP + keyCol)
+      val sKey = col(SP + keyCol)
+      val act = "__graft_act"
+      // first-true-wins: when(c1,1).when(c2,2)...otherwise(0) — CaseWhen
+      // evaluates branches in order, 0 = no action touches the row
+      def actIdx(conds: Seq[Option[Column]]): Column = {
+        val first = when(conds.head.getOrElse(lit(true)), lit(1))
+        conds.zipWithIndex.drop(1).foldLeft(first) { case (w, (c, i)) =>
+          w.when(c.getOrElse(lit(true)), lit(i + 1))
+        }.otherwise(lit(0))
+      }
+      // full target row: assigned columns from the action's SET, the
+      // rest carried from the side `fallback` prefixes
+      def shapeRow(frame: org.apache.spark.sql.DataFrame,
+          set: Seq[(String, Column)], fallback: String) =
+        frame.select(targetSchema.fields.toSeq.map { f =>
+          set.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+            .getOrElse(col(fallback + f.name))
+            .cast(f.dataType).as(f.name)
+        }: _*)
+      var upserts = Seq.empty[org.apache.spark.sql.DataFrame]
+      var delKeys = Seq.empty[org.apache.spark.sql.DataFrame]
+      if (matched.nonEmpty) {
+        val j = tgtP.join(srcP, tKey === sKey, "inner")
+          .withColumn(act, actIdx(matched.map(_._1)))
+          .localCheckpoint() // N action filters share one join run
+        matched.zipWithIndex.foreach { case ((_, setOpt), i) =>
+          val rows = j.filter(col(act) === lit(i + 1))
+          setOpt match {
+            case Some(set) => upserts :+= shapeRow(rows, set, TP)
+            case None => delKeys :+= rows.select(tKey.as(keyCol))
+          }
+        }
+      }
+      if (notMatched.nonEmpty) {
+        val ins = srcP.join(tgtP, sKey === tKey, "left_anti")
+          .withColumn(act, actIdx(notMatched.map(_._1)))
+        notMatched.zipWithIndex.foreach { case ((_, proj), i) =>
+          upserts :+= shapeRow(ins.filter(col(act) === lit(i + 1)),
+            proj, SP)
+        }
+      }
+      if (notMatchedBySource.nonEmpty) {
+        val nm = tgtP.join(srcP, tKey === sKey, "left_anti")
+          .withColumn(act, actIdx(notMatchedBySource.map(_._1)))
+        notMatchedBySource.zipWithIndex.foreach { case ((_, setOpt), i) =>
+          val rows = nm.filter(col(act) === lit(i + 1))
+          setOpt match {
+            case Some(set) => upserts :+= shapeRow(rows, set, TP)
+            case None => delKeys :+= rows.select(tKey.as(keyCol))
+          }
+        }
+      }
+      def emptyTarget = spark.createDataFrame(
+        new java.util.ArrayList[Row](), targetSchema)
+      val ups =
+        if (upserts.isEmpty) emptyTarget
+        else upserts.reduce(_.unionByName(_))
+      val dels =
+        if (delKeys.isEmpty) emptyTarget
+        else delKeys.reduce(_.unionByName(_))
+      Snapshots.merge(spark, table,
+        upserts = withRecordedSchema(spark, ups, targetSchema),
+        deleteKeys = dels, keyCol = keyCol)
+      refreshCatalog(spark, ident)
+      Seq.empty
+    }
+  }
+
+  object GraftMergeConditionalCommand {
+    /** Side prefixes the general MERGE joins under — reserved names,
+      * refused loudly if a table/source column collides.
+      */
+    private[plans] val TP = "__graft_t__"
+    private[plans] val SP = "__graft_s__"
   }
 }

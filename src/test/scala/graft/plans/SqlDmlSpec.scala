@@ -307,6 +307,46 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dml_sib").head().getLong(0) === 5)
   }
 
+  test("conditional MERGE: MATCHED AND cascades first-match-wins, " +
+      "partial SET keeps target columns, conditional INSERT, and NOT " +
+      "MATCHED BY SOURCE updates/deletes — one atomic commit") {
+    val tbl = freshTable("cmrg")
+    seed(tbl, 10) // (k, k*10) for k = 0..9
+    register("dml_cmrg", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW cmrg_src AS " +
+      "SELECT id AS k, id * 1000 AS v FROM range(5, 13)") // keys 5..12
+    val vBefore = Snapshots.latestVersion(spark, tbl)
+    dml.sql("""MERGE INTO dml_cmrg t USING cmrg_src s ON t.k = s.k
+      WHEN MATCHED AND t.v >= 80 THEN DELETE
+      WHEN MATCHED AND s.v > 6000 THEN UPDATE SET v = s.v + t.v
+      WHEN NOT MATCHED AND s.k < 12 THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.k < 2 THEN UPDATE SET v = -1
+      WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN DELETE""")
+    // matched 5..9: 8,9 delete (t.v>=80); 7 updates (7000>6000) to
+    // 7000+70; 5,6 hit NO action and stay. unmatched source 10,11
+    // insert, 12 skipped. unmatched target 0,1 -> -1; 4 deleted; 2,3 stay
+    assert(rows(Snapshots.readMor(spark, tbl)) === Set(
+      (0L, -1L), (1L, -1L), (2L, 20L), (3L, 30L), (5L, 50L), (6L, 60L),
+      (7L, 7070L), (10L, 10000L), (11L, 11000L)))
+    // the whole cascade landed as ONE commit
+    assert(Snapshots.latestVersion(spark, tbl) === vBefore + 1)
+    // clause ORDER decides when several conditions hold: first wins
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW cmrg_src2 AS " +
+      "SELECT id AS k, id AS v FROM range(0, 3)")
+    dml.sql("""MERGE INTO dml_cmrg t USING cmrg_src2 s ON t.k = s.k
+      WHEN MATCHED AND s.v >= 0 THEN UPDATE SET v = 999
+      WHEN MATCHED THEN DELETE""")
+    val after = rows(Snapshots.readMor(spark, tbl))
+    assert(after.contains((0L, 999L)) && after.contains((1L, 999L)) &&
+      after.contains((2L, 999L)))
+    // SET on the merge key refuses loudly
+    val e = intercept[Exception] {
+      dml.sql("""MERGE INTO dml_cmrg t USING cmrg_src2 s ON t.k = s.k
+        WHEN MATCHED AND s.v > 1 THEN UPDATE SET k = 0""")
+    }
+    assert(e.getMessage.contains("merge key"))
+  }
+
   test("INSERT INTO a partition-spec'd table routes through the " +
       "partitioned writer — the partition tier survives a plain SQL " +
       "append") {
