@@ -820,12 +820,29 @@ object CoreQueries {
     },
     Some(NorthStarQueries.cosineTopKOracle))
 
-  /** X5: approx distinct (HLL++) — no exact oracle, rows-only check. */
+  /** X5: approx distinct (HLL++), ORACLED BY COMPOSITION: DuckDB cannot
+    * replay Spark's sketch, so the output carries the EXACT distinct
+    * count (replayable), the row count, and a bound flag asserting the
+    * HLL estimate landed within 15% of exact (3x the default 5% rsd;
+    * the sketch is deterministic per dataset, so the flag is stable) —
+    * a drifted or broken sketch now fails the hash gate loudly instead
+    * of hiding behind a rows-only check, while the estimate itself
+    * stays engine-private.
+    */
   val approxDistinctParts = Q("q_approx_distinct_parts",
-    (s, d) => li(s, d).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      count(lit(1)).as("n_rows")),
-    None)
+    (s, d) => {
+      val base = li(s, d)
+      val ap = base.agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      val ex = base.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+      ap.crossJoin(broadcast(ex)).select(col("n_exact"), col("n_rows"),
+        (abs(col("approx_parts") - col("n_exact")) <=
+          col("n_exact") * lit(0.15)).as("hll_within_bound"))
+    },
+    Some("""SELECT count(DISTINCT l_partkey) AS n_exact,
+            count(*) AS n_rows, true AS hll_within_bound FROM lineitem"""))
 
   val all: Seq[Q] = Seq(
     pricingSummary, kpiTotals, maxKey, distinctFlags, distinctPriorities,

@@ -358,12 +358,25 @@ object NorthStarQueries {
          ORDER BY id_a, id_b"""))
 
   /** X2 scale path: MinHash+LSH banded candidates (xxhash64-based —
-    * DuckDB lacks the hash, so rows-only check; Jaccard above is the
-    * semantic verifier).
+    * DuckDB lacks the hash, so the candidate ENUMERATION stays a
+    * rows-only check; banding parameters are pinned by
+    * [[minhashRecall]]'s md5-twin audit). Each emitted pair now ALSO
+    * carries its exact string-shingle intersection and union sizes —
+    * engine-independent INVARIANCE COLUMNS a reviewer replays in DuckDB
+    * for any row via q_jaccard_pairs' CTEs, so a hash-collision
+    * artifact in the fast path is visible in the output itself.
     */
   val minhashCandidates = Q("q_minhash_candidates",
-    (s, d) => Dedup.minhashLshCandidates(documents(s, d), "text", "doc_id")
-      .orderBy(col("id_a"), col("id_b")),
+    (s, d) => {
+      val docs = documents(s, d)
+      val cand = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+      val conf = Dedup.jaccardOnCandidatesStrings(cand, docs, "text",
+        "doc_id", n = 3)
+      cand.join(conf.select(col("id_a"), col("id_b"), col("inter"),
+          (col("sz_a") + col("sz_b") - col("inter")).as("n_union")),
+        Seq("id_a", "id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     None)
 
   /** Shared oracle fragment: the md5-LSH CTE chain (shingles → md5-prefix
@@ -1395,11 +1408,29 @@ object NorthStarQueries {
           $reportSql
           FROM gated GROUP BY 1 ORDER BY lang_pred"""))
 
-  /** Full pipeline incl. LSH near-dedup (rows-only; see q_corpus_prep). */
+  /** Full pipeline incl. LSH near-dedup (xxhash64 fast path — the drop
+    * set is not DuckDB-enumerable, so the check stays rows-only;
+    * q_corpus_prep_md5 pins the identical pipeline shape end-to-end).
+    * The output now ALSO carries per-lang POST-EXACT-DEDUP totals —
+    * hash-independent INVARIANCE COLUMNS replayed exactly by
+    * q_corpus_prep's oracle CTEs — and a monotonicity flag (near-dedup
+    * can only shrink each language), so the hash-private stage is
+    * bracketed by replayable evidence inside the output itself.
+    */
   val corpusPrepFull = Q("q_corpus_prep_full",
     (s, d) => {
       import graft.operators.CorpusPipeline
-      CorpusPipeline.tokenReport(CorpusPipeline.prepare(documents(s, d)))
+      val cfg = CorpusPipeline.Config()
+      val exact = CorpusPipeline.exactDedup(
+        CorpusPipeline.gate(documents(s, d), cfg))
+      val rep = CorpusPipeline.tokenReport(
+        CorpusPipeline.nearDedup(exact, cfg))
+      val exactRep = exact.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs_exact"))
+      rep.join(exactRep, Seq("lang_pred"), "left")
+        .select(col("lang_pred"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("n_docs_exact"),
+          (col("n_docs") <= col("n_docs_exact")).as("survivors_within_exact"))
         .orderBy(col("lang_pred"))
     },
     None)

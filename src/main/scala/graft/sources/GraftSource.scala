@@ -77,6 +77,9 @@ final class GraftSource extends RelationProvider
     // route by the EXPLICIT table state, not exception control flow
     // (a malformed-manifest require must surface as itself, never as a
     // confusing later MOR-path error):
+    //  - a segment-plannable version (header proves mask- and
+    //    era-freedom) → the flat fast path WITHOUT opening the flat
+    //    manifest at all (the segment tier's whole point);
     //  - merge-on-read masks → the MOR relation (v1 scan over readMor;
     //    metadata alone cannot subtract deletes);
     //  - rename/widen/default eras with surviving pre-boundary files →
@@ -85,17 +88,23 @@ final class GraftSource extends RelationProvider
     //  - everything else → the flat data-skipping FileIndex fast path.
     // The reader options ride the relation either way so downstream
     // layers (SQL DML) can see whether this relation was time-traveled.
-    val entries = Snapshots.manifest(spark, table, version)
-    val props = Snapshots.properties(spark, table, version)
-    if (entries.exists(e => Snapshots.isMask(e.path)))
-      new GraftMorRelation(sqlContext, table, version, parameters)
-    else SnapshotFileIndex.refusalOf(table, version, entries, props) match {
-      case None =>
-        val index = new SnapshotFileIndex(spark, table, version)
-        HadoopFsRelation(index, new StructType(), index.dataSchema, None,
-          new ParquetFileFormat, parameters)(spark)
-      case Some(_) =>
-        new GraftEvolvedRelation(sqlContext, table, version, parameters)
+    def flat(): BaseRelation = {
+      val index = new SnapshotFileIndex(spark, table, version)
+      HadoopFsRelation(index, new StructType(), index.dataSchema, None,
+        new ParquetFileFormat, parameters)(spark)
+    }
+    if (Snapshots.segmentIndexFor(spark, table, version)
+        .exists(SnapshotFileIndex.segmentPlannable)) flat()
+    else {
+      val entries = Snapshots.manifest(spark, table, version)
+      val props = Snapshots.properties(spark, table, version)
+      if (entries.exists(e => Snapshots.isMask(e.path)))
+        new GraftMorRelation(sqlContext, table, version, parameters)
+      else SnapshotFileIndex.refusalOf(table, version, entries, props) match {
+        case None => flat()
+        case Some(_) =>
+          new GraftEvolvedRelation(sqlContext, table, version, parameters)
+      }
     }
   }
 

@@ -67,14 +67,8 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     */
   private val segPlan: Option[Snapshots.SegIndex] =
     if (entriesOverride.nonEmpty) None
-    else Snapshots.segmentIndexFor(spark, table, version).filter { ix =>
-      ix.maskCount.contains(0) && ix.bytes.nonEmpty &&
-        ix.props.contains(Snapshots.SchemaProp) &&
-        Snapshots.renameEvents(ix.props).isEmpty &&
-        Snapshots.dropEvents(ix.props).isEmpty &&
-        Snapshots.defaultEvents(ix.props).isEmpty &&
-        Snapshots.widenEvents(ix.props).isEmpty
-    }
+    else Snapshots.segmentIndexFor(spark, table, version)
+      .filter(SnapshotFileIndex.segmentPlannable)
 
   /** The indexed manifest entries — the evidence surface optimizer
     * rules ([[graft.plans.MetaAggRule]]) compute from. The whole
@@ -424,6 +418,22 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
 }
 
 object SnapshotFileIndex {
+
+  /** Can the index PLAN from this segment tier alone? Requires the
+    * header to carry everything the flat refusals and the planner need
+    * without parsing per-file entries: a recorded ZERO mask count,
+    * per-segment byte totals, the schema, and NO evolution events (era
+    * refusals need per-file sequence numbers the rollups don't carry).
+    * Shared with [[GraftSource]]'s relation routing, which must make
+    * the same call without opening the flat manifest.
+    */
+  private[sources] def segmentPlannable(ix: Snapshots.SegIndex): Boolean =
+    ix.maskCount.contains(0) && ix.bytes.nonEmpty &&
+      ix.props.contains(Snapshots.SchemaProp) &&
+      Snapshots.renameEvents(ix.props).isEmpty &&
+      Snapshots.dropEvents(ix.props).isEmpty &&
+      Snapshots.defaultEvents(ix.props).isEmpty &&
+      Snapshots.widenEvents(ix.props).isEmpty
 
   /** Why a single FLAT relation cannot read this version exactly, or
     * None when it can — the PRECISE refusal test shared by the class
