@@ -108,6 +108,15 @@ object Snapshots {
     */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val (fs, root) = fsOf(spark, table)
+    // the completeness + txn filter needs only header props and the
+    // terminator — readPropsOpt, never the per-file body (a versions()
+    // call on a long-lived million-file table must not re-parse every
+    // manifest ever committed)
+    listedSlots(fs, root)
+      .filter(v => committedPropsOpt(fs, root, v).isDefined)
+  }
+
+  private def listedSlots(fs: FileSystem, root: Path): Seq[Int] = {
     val dir = new Path(root, "_manifests")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -115,11 +124,19 @@ object Snapshots {
       .collect { case n if n.matches("v\\d{6}\\.manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }
       .sorted
-      .filter(v => committedManifestOpt(fs, root, v).isDefined)
   }
 
-  def latestVersion(spark: SparkSession, table: String): Int =
-    versions(spark, table).lastOption.getOrElse(0)
+  /** The newest committed version — scanned from the TOP down with an
+    * early exit, so the everyday "where is the head" question (the
+    * first step of nearly every operation) costs one directory listing
+    * plus O(pending tail) props reads, independent of history length.
+    */
+  def latestVersion(spark: SparkSession, table: String): Int = {
+    val (fs, root) = fsOf(spark, table)
+    listedSlots(fs, root).reverse
+      .find(v => committedPropsOpt(fs, root, v).isDefined)
+      .getOrElse(0)
+  }
 
   /** Manifest of `version` (complete commits only). */
   def manifest(spark: SparkSession, table: String, version: Int)
@@ -137,8 +154,10 @@ object Snapshots {
   def properties(spark: SparkSession, table: String, version: Int)
       : Map[String, String] = {
     val (fs, root) = fsOf(spark, table)
-    committedManifestOpt(fs, root, version).getOrElse(
-      sys.error(s"Snapshots: no committed version $version at $table")).props
+    // props-only read: the metadata channel must never cost a per-file
+    // body parse (constraint/era/spec lookups hit this on every op)
+    committedPropsOpt(fs, root, version).getOrElse(
+      sys.error(s"Snapshots: no committed version $version at $table"))
   }
 
   /** Commit `df` as a new version. `overwrite=false` appends to the
@@ -3622,17 +3641,64 @@ object Snapshots {
     * always are; a pending-transaction manifest is visible only once its
     * status file resolved to "commit".
     */
-  private def txnCommitted(fs: FileSystem, m: ManifestData): Boolean =
-    m.props.get(TxnStatusProp) match {
+  private def txnCommittedProps(fs: FileSystem,
+      props: Map[String, String]): Boolean =
+    props.get(TxnStatusProp) match {
       case None => true
       case Some(p) =>
         val sp = new Path(p)
         readStatusOpt(sp.getFileSystem(fs.getConf), sp).contains("commit")
     }
 
+  private def txnCommitted(fs: FileSystem, m: ManifestData): Boolean =
+    txnCommittedProps(fs, m.props)
+
   private def committedManifestOpt(fs: FileSystem, root: Path, v: Int)
       : Option[ManifestData] =
     readManifestOpt(fs, root, v).filter(m => txnCommitted(fs, m))
+
+  /** PROPS-ONLY manifest read with the full completeness check, never
+    * parsing the per-file body: the header line and the leading
+    * `#k=v` props stream in (our writers emit props FIRST), and the
+    * terminator is verified by ONE positioned tail read (the writer's
+    * `mkString("\n")` layout puts `"\nend"` in the last four bytes, no
+    * trailing newline). Deciding commit-ness and reading the metadata
+    * channel — `versions()`, `latestVersion()`, `properties()`, every
+    * constraint/era/spec lookup — therefore costs O(props) + two small
+    * reads, not O(files): on a million-file manifest that is the
+    * difference between microseconds and re-parsing tens of MBs on
+    * EVERY metadata touch. A half-written manifest still reads as
+    * absent (missing/garbled tail).
+    */
+  private def readPropsOpt(fs: FileSystem, p: Path)
+      : Option[Map[String, String]] = {
+    val len =
+      try fs.getFileStatus(p).getLen
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (len < Header.length + Footer.length + 2) return None
+    val in = fs.open(p)
+    try {
+      val tail = new Array[Byte](Footer.length + 1)
+      in.readFully(len - tail.length, tail)
+      if (new String(tail, "UTF-8") != "\n" + Footer) return None
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      if (br.readLine() != Header) return None
+      val props = Map.newBuilder[String, String]
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        val Array(k, v2) = line.stripPrefix("#").split("=", 2)
+        props += (k -> v2)
+        line = br.readLine()
+      }
+      Some(props.result())
+    } finally in.close()
+  }
+
+  private def committedPropsOpt(fs: FileSystem, root: Path, v: Int)
+      : Option[Map[String, String]] =
+    readPropsOpt(fs, manifestPath(root, v))
+      .filter(ps => txnCommittedProps(fs, ps))
 
   /** Settle every IN-DOUBT transactional manifest of this table by
     * racing an "abort" into its status file (create-no-overwrite — the
@@ -3643,8 +3709,8 @@ object Snapshots {
   private def resolveInDoubtTxns(fs: FileSystem, root: Path,
       above: Int): Unit = {
     occupiedSlots(fs, root).filter(_ > above).foreach { s =>
-      readManifestOpt(fs, root, s).foreach { m =>
-        m.props.get(TxnStatusProp).foreach { p =>
+      readPropsOpt(fs, manifestPath(root, s)).foreach { props =>
+        props.get(TxnStatusProp).foreach { p =>
           val sp = new Path(p)
           val sfs = sp.getFileSystem(fs.getConf)
           if (readStatusOpt(sfs, sp).isEmpty) {

@@ -603,4 +603,35 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.statsAggStr(spark, tbl, "o_orderpriority")
     }
   }
+
+  test("manifest metadata reads are props-only and stay exact: values " +
+      "with '=' and multi-byte UTF-8 round-trip, a terminator-less " +
+      "manifest reads as absent, and an empty-props manifest parses") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("graft_props")
+      .toString + "/t"
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "v"), tbl)
+    val v2 = Snapshots.commit(Seq((2L, 20L)).toDF("k", "v"), tbl,
+      properties = Map("note" -> "a=b=c é", "empty.ish" -> "x"))
+    assert(Snapshots.properties(spark, tbl, v2)("note") === "a=b=c é")
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+    assert(Snapshots.latestVersion(spark, tbl) === 2)
+    // crash-shaped manifest at the next slot: header + props but NO
+    // terminator — every metadata read must treat it as never written,
+    // and the head must stay below it
+    val p = new org.apache.hadoop.fs.Path(
+      s"$tbl/_manifests/v000003.manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("graft-manifest-v1\n#k=v\ndata/bogus.parquet\t5\t"
+      .getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.versions(spark, tbl) === Seq(1, 2))
+    assert(Snapshots.latestVersion(spark, tbl) === 2)
+    intercept[RuntimeException] { Snapshots.properties(spark, tbl, 3) }
+    // ...and the slot stays occupied: the next commit skips past it
+    val v4 = Snapshots.commit(Seq((3L, 30L)).toDF("k", "v"), tbl)
+    assert(v4 === 4)
+    assert(Snapshots.readMor(spark, tbl).count() === 3)
+  }
 }
