@@ -45,13 +45,21 @@ object PlanFingerprint {
     // (a fresh table's file count is runtime-sized, not plan-shaped)
     .replaceAll("\\(\\d+ paths?\\)", "(N paths)")
     // shuffle partition counts under ENSURE_REQUIREMENTS /
-    // REPARTITION_BY_COL are spark.sql.shuffle.partitions — an
-    // ENVIRONMENT knob (the cpu count in Bench), not a plan shape; a
-    // baseline refreshed on an N-core box must match a driver run on an
-    // M-core one. An explicit repartition(N) (REPARTITION_BY_NUM) keeps
-    // its count: that N IS the plan.
-    .replaceAll(", \\d+\\), (ENSURE_REQUIREMENTS|REPARTITION_BY_COL)",
+    // REPARTITION_BY_COL / REBALANCE_* are spark.sql.shuffle.partitions
+    // — an ENVIRONMENT knob (the cpu count in Bench), not a plan shape;
+    // a baseline refreshed on an N-core box must match a driver run on
+    // an M-core one. An explicit repartition(N) (REPARTITION_BY_NUM)
+    // keeps its count: that N IS the plan.
+    .replaceAll(", \\d+\\), (ENSURE_REQUIREMENTS|REPARTITION_BY_COL|" +
+      "REBALANCE_PARTITIONS_BY_NONE|REBALANCE_PARTITIONS_BY_COL)",
       ", NP), $1")
+    // a query whose CONSTRUCTION executes jobs (count-adaptive
+    // broadcasts, localCheckpoint materializations) embeds REUSED
+    // runtime query stages in its "static" plan — their stage numbers
+    // and whole-stage-codegen ids are scheduling artifacts, not plan
+    // shape (the tree structure carries the shape)
+    .replaceAll("(Broadcast|Shuffle)QueryStage \\d+", "$1QueryStage N")
+    .replaceAll("\\*\\(\\d+\\)", "*(N)")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

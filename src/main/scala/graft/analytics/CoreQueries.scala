@@ -582,14 +582,26 @@ object CoreQueries {
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
           unix_date(to_date(col("o_orderdate"))).cast("long").as("o_start"))
         .withColumn("o_end", col("o_start") + lit(14L))
-      graft.operators.RangeJoin
+      val pairs = graft.operators.RangeJoin
         .intervalOverlap(liIv, odIv, "l_start", "l_end", "o_start", "o_end",
           bucketWidth = 7L)
-        .groupBy(col("o_year"))
+        // three aggregation consumers (count, two distincts) share one
+        // materialization instead of three range joins
+        .localCheckpoint()
+      // AT MOST ONE count_distinct per agg: two+ makes Spark's
+      // RewriteDistinctAggregates assign Expand group ids by hash-map
+      // iteration over expression ids — session-history-dependent plan
+      // text, the q_profile fingerprint-drift class. The second distinct
+      // is an explicit two-level aggregate instead.
+      val base = pairs.groupBy(col("o_year"))
         .agg(count(lit(1)).as("n_pairs"),
           count_distinct(col("l_orderkey"), col("l_linenumber"))
-            .as("n_lineitems"),
-          count_distinct(col("o_orderkey")).as("n_orders"))
+            .as("n_lineitems"))
+      val orders = pairs.select(col("o_year"), col("o_orderkey")).distinct()
+        .groupBy(col("o_year")).agg(count(lit(1)).as("n_orders"))
+      base.join(orders, Seq("o_year"))
+        .select(col("o_year"), col("n_pairs"), col("n_lineitems"),
+          col("n_orders"))
         .orderBy(col("o_year"))
     },
     Some("""WITH mk AS (SELECT max(o_orderkey) // 100 AS cap FROM orders),

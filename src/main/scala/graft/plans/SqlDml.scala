@@ -438,18 +438,32 @@ object SqlDml {
       val sOut = m.sourceTable.output
       // canonical equality key: ON t.k = s.k with the SAME column name
       // on both sides — the shape Snapshots.merge upserts by
-      val keyCol = m.mergeCondition match {
+      val keyAttr = m.mergeCondition match {
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if a.name.equalsIgnoreCase(b.name) &&
               ((tOut.exists(_.exprId == a.exprId) &&
                 sOut.exists(_.exprId == b.exprId)) ||
                 (tOut.exists(_.exprId == b.exprId) &&
                   sOut.exists(_.exprId == a.exprId))) =>
-          tOut.find(_.name.equalsIgnoreCase(a.name)).get.name
+          tOut.find(_.name.equalsIgnoreCase(a.name)).get
         case other => throw new IllegalArgumentException(
           "graft DML: MERGE condition must be a single equality on one " +
             s"same-named column of target and source, got $other")
       }
+      // Snapshots.merge keys by cast("long"): a string key would not
+      // error there — it would CORRUPT ('1' and '01' collapse to one
+      // key; non-numeric strings null out and duplicate rows) — so the
+      // type refuses HERE, loudly, at analysis
+      keyAttr.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft DML: MERGE key '${keyAttr.name}' must be an integral " +
+            s"column (Snapshots.merge keys by long), got ${dt.simpleString}")
+      }
+      val keyCol = keyAttr.name
       require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
         m.notMatchedBySourceActions.nonEmpty,
         "graft DML: MERGE with no actions")

@@ -88,20 +88,23 @@ final class GraftSource extends RelationProvider
     //  - everything else → the flat data-skipping FileIndex fast path.
     // The reader options ride the relation either way so downstream
     // layers (SQL DML) can see whether this relation was time-traveled.
-    def flat(): BaseRelation = {
-      val index = new SnapshotFileIndex(spark, table, version)
+    def flat(pre: Option[Seq[Snapshots.FileEntry]]): BaseRelation = {
+      // pass the already-parsed entries through: the routing decision
+      // and the index constructor must not each pay an O(files) parse
+      // (the refusal conditions were just checked by the router)
+      val index = new SnapshotFileIndex(spark, table, version, pre, None)
       HadoopFsRelation(index, new StructType(), index.dataSchema, None,
         new ParquetFileFormat, parameters)(spark)
     }
     if (Snapshots.segmentIndexFor(spark, table, version)
-        .exists(SnapshotFileIndex.segmentPlannable)) flat()
+        .exists(SnapshotFileIndex.segmentPlannable)) flat(None)
     else {
       val entries = Snapshots.manifest(spark, table, version)
       val props = Snapshots.properties(spark, table, version)
       if (entries.exists(e => Snapshots.isMask(e.path)))
         new GraftMorRelation(sqlContext, table, version, parameters)
       else SnapshotFileIndex.refusalOf(table, version, entries, props) match {
-        case None => flat()
+        case None => flat(Some(entries))
         case Some(_) =>
           new GraftEvolvedRelation(sqlContext, table, version, parameters)
       }
@@ -381,13 +384,19 @@ final class GraftEvolvedRelation(sql: SQLContext, val table: String,
     Snapshots.readIndexedEvolved(sql.sparkSession, table, Some(version))._1
 
   // the RECORDED schema, nullable-normalized to the relation convention
-  // (see GraftMorRelation.schema for why)
+  // (see GraftMorRelation.schema for why); no frame-schema fallback —
+  // readIndexedEvolved itself refuses schema-less legacy manifests, so
+  // falling back would build the whole per-era plan just to throw from
+  // inside it with a confusing stack
   override val schema: StructType =
     Snapshots.properties(sql.sparkSession, table, version)
       .get(Snapshots.SchemaProp)
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
-      .getOrElse(frame.schema) match {
+      .getOrElse(throw new IllegalStateException(
+        s"GraftEvolvedRelation: version $version of $table records no " +
+          "schema (legacy manifest) — recommit or use Snapshots.read"))
+      match {
         case st => StructType(st.fields.map(_.copy(nullable = true)))
       }
 

@@ -116,6 +116,11 @@ object Snapshots {
       .filter(v => committedPropsOpt(fs, root, v).isDefined)
   }
 
+  /** Every manifest slot number on disk (complete or not), ascending —
+    * the ONE place the manifest filename pattern is parsed, shared by
+    * versions()/latestVersion() and [[occupiedSlots]] so the read and
+    * commit paths can never disagree on what a slot is.
+    */
   private def listedSlots(fs: FileSystem, root: Path): Seq[Int] = {
     val dir = new Path(root, "_manifests")
     if (!fs.exists(dir)) Seq.empty
@@ -3726,16 +3731,13 @@ object Snapshots {
     }
   }
 
-  /** Every manifest file number present on disk, complete or not. */
+  /** Every manifest file number present on disk, complete or not
+    * ([[listedSlots]] with the commit path's 0-sentinel for an empty
+    * table).
+    */
   private def occupiedSlots(fs: FileSystem, root: Path): Seq[Int] = {
-    val dir = new Path(root, "_manifests")
-    if (!fs.exists(dir)) Seq(0)
-    else {
-      val ns = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.matches("v\\d{6}\\.manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      if (ns.isEmpty) Seq(0) else ns
-    }
+    val ns = listedSlots(fs, root)
+    if (ns.isEmpty) Seq(0) else ns
   }
 
   // ---- bloom filters (1024 bits, 2 probes from one xxhash64) ----------

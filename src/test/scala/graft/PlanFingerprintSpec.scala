@@ -24,7 +24,7 @@ class PlanFingerprintSpec extends SparkSpec {
     // one drift source in 237 baselined queries) — the plan families
     // most at risk of silent shape drift
     for (q <- Seq("q_star_monthly_segment", "q_top_customers", "q_ann_lsh",
-        "q_profile")) {
+        "q_profile", "q_interval_join")) {
       val a = normalizedPlan(spark.newSession(), q)
       val b = normalizedPlan(spark.newSession(), q)
       if (a != b) {
@@ -87,5 +87,26 @@ class PlanFingerprintSpec extends SparkSpec {
       "Exchange hashpartitioning(k#1L, 16), REPARTITION_BY_NUM, [plan_id=1]")
     assert(e !== f)
     assert(normalize(a) === a) // idempotent
+  }
+
+  test("normalization strips runtime query-stage numbers and codegen " +
+      "ids — a query whose construction executes jobs embeds reused " +
+      "stages whose numbering is scheduling, not plan shape") {
+    import graft.PlanFingerprint.normalize
+    val a = normalize("""BroadcastQueryStage 4
+      |  *(2) Filter (isnotnull(h#1))""".stripMargin)
+    val b = normalize("""BroadcastQueryStage 3
+      |  *(1) Filter (isnotnull(h#9))""".stripMargin)
+    assert(a === b)
+    val c = normalize("ShuffleQueryStage 5, Statistics(x)")
+    val d = normalize("ShuffleQueryStage 12, Statistics(x)")
+    assert(c === d)
+    // rebalance shuffles are shuffle.partitions-sized too
+    val e = normalize(
+      "Exchange hashpartitioning(k#1L, 4), REBALANCE_PARTITIONS_BY_COL, [plan_id=1]")
+    val f = normalize(
+      "Exchange hashpartitioning(k#2L, 32), REBALANCE_PARTITIONS_BY_COL, [plan_id=2]")
+    assert(e === f)
+    assert(normalize(a) === a && normalize(e) === e) // idempotent
   }
 }

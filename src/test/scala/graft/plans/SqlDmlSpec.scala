@@ -345,6 +345,20 @@ class SqlDmlSpec extends SparkSpec {
         WHEN MATCHED AND s.v > 1 THEN UPDATE SET k = 0""")
     }
     assert(e.getMessage.contains("merge key"))
+    // a STRING merge key refuses at analysis: Snapshots.merge keys by
+    // cast("long"), where '1'/'01' would collapse and non-numeric keys
+    // would null out — corruption, not an error, if this slipped through
+    import spark.implicits._
+    val stbl = freshTable("strkey")
+    Snapshots.commit(Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), stbl)
+    register("dml_strk", stbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW strk_src AS " +
+      "SELECT 'a' AS id, 10 AS v")
+    val e2 = intercept[Exception] {
+      dml.sql("""MERGE INTO dml_strk t USING strk_src s ON t.id = s.id
+        WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v""")
+    }
+    assert(e2.getMessage.contains("integral"))
   }
 
   test("INSERT INTO a partition-spec'd table routes through the " +
