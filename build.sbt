@@ -15,6 +15,10 @@ run / fork := true
 // the logger prefixes every line with "[info] ", which breaks any
 // driver/tooling that json-parses the Bench/Verify output lines.
 outputStrategy := Some(StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue after `sbt run`:
+// the driver keeps only a short stdout TAIL, and the epilogue after the
+// Bench JSON line pushed the JSON out of the captured window (r13).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,17 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: exactly ONE JSON line on stdout —
-  * `{"metric":"total",...,"queries":{...}}` with the COMPLETE per-query
-  * maps, machine-parseable by construction:
+/** Benchmark main: exactly ONE JSON line on stdout — a COMPACT summary
+  * sized to survive a tail capture — plus the complete per-query maps
+  * written to a file. Machine-parseable by construction:
   *
-  *  - the build forks `run` with `outputStrategy := StdoutOutput`, so
-  *    the line carries no sbt `[info] ` prefix (the reason every prior
-  *    round's driver artifact showed `"parsed": null`);
-  *  - it is the only `{`-leading line the program prints, so any
-  *    "first/last/all parseable lines" consumer finds the same object;
-  *  - `queries` (total seconds) is ordered slowest-LAST, so a tail
-  *    capture that truncates from the front keeps the heavy hitters.
+  *  - the build forks `run` with `outputStrategy := StdoutOutput`
+  *    (no sbt `[info] ` prefix) and `run / showSuccess := false`
+  *    (no `[success]` epilogue after the JSON), so the summary is the
+  *    LAST line of stdout;
+  *  - the summary is < 2000 bytes BY CONSTRUCTION: totals, error count,
+  *    fingerprint-drift count, and only the slowest-20 `queries` — the
+  *    r13 driver artifact kept a 2000-char stdout tail, which sliced
+  *    the previous 15 KB full-map line mid-object (`"parsed": null`
+  *    for 13 rounds);
+  *  - the COMPLETE maps (all per-query totals, build_ms/query_ms split,
+  *    full plan fingerprints, fp_drift, tables, errors) go to
+  *    `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LOCAL.json`, committed
+  *    each round) — same object shape as before, now on disk.
   *
   * Protocol: each query runs `SPARK_GRAFT_BENCH_ITERS` times (default 3)
   * and reports the MINIMUM — single-shot numbers on a shared box carry
@@ -141,10 +147,11 @@ object Bench {
       .map { case (k, t) => (k, t.buildMs.toString) })
     val queryMsJson = mapJson(ok.sortBy(_._1)
       .map { case (k, t) => (k, t.queryMs.toString) })
-    // slowest LAST: a front-truncating tail capture keeps the heavy end
     val qJson = mapJson(ok.sortBy(_._2.total)
       .map { case (k, t) => (k, (math.round(t.total * 1e6) / 1e6).toString) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // FULL artifact → file (committed per round as BENCH_LOCAL.json):
+    // every per-query total, the build/query split, all fingerprints.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""iters":$iters,"sf":${jsonStr(sfDir)},"cpus":$cpus""" +
       s""","n_queries":${results.size},"err":${errors.size}""" +
       s""","errors":$errJson,"tables":$tblJson""" +
@@ -152,7 +159,27 @@ object Bench {
       s""","n_drift":${drift.size},"n_new":$newCount""" +
       s""","fp_drift":$driftJson,"plans":$plansJson""" +
       s""","build_ms":$buildJson,"query_ms":$queryMsJson""" +
-      s""","queries":$qJson}""")
+      s""","queries":$qJson}"""
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      (fullJson + "\n").getBytes("UTF-8"))
+    // COMPACT summary → the one stdout line, slowest-20 only, sized to
+    // survive a 2000-char tail capture (hard-asserted below).
+    val slowest = mapJson(ok.sortBy(-_._2.total).take(20)
+      .map { case (k, t) => (k, (math.round(t.total * 1e3) / 1e3).toString) })
+    val errNames = errors.keys.toSeq.sorted.take(5)
+      .map(jsonStr).mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},""" +
+      s""""unit":"sec","iters":$iters,"sf":${jsonStr(sfDir)},"cpus":$cpus""" +
+      s""","n_queries":${results.size},"err":${errors.size}""" +
+      s""","err_names":$errNames""" +
+      s""","build_ms_total":${ok.map(_._2.buildMs).sum}""" +
+      s""","query_ms_total":${ok.map(_._2.queryMs).sum}""" +
+      s""","n_fp":${fp8.size},"n_drift":${drift.size},"n_new":$newCount""" +
+      s""","full":${jsonStr(fullOut)},"queries":$slowest}"""
+    require(compact.length < 1900,
+      s"compact bench summary ${compact.length} chars — must fit a 2000-char tail")
+    println(compact)
     spark.stop()
   }
 }

@@ -357,19 +357,21 @@ object NorthStarQueries {
          WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 1
          ORDER BY id_a, id_b"""))
 
-  /** X2 scale path: MinHash+LSH banded candidates (xxhash64-based —
-    * DuckDB lacks the hash, so the candidate ENUMERATION stays a
-    * rows-only check; banding parameters are pinned by
-    * [[minhashRecall]]'s md5-twin audit). Each emitted pair now ALSO
-    * carries its exact string-shingle intersection and union sizes —
-    * engine-independent INVARIANCE COLUMNS a reviewer replays in DuckDB
-    * for any row via q_jaccard_pairs' CTEs, so a hash-collision
-    * artifact in the fast path is visible in the output itself.
+  /** X2 scale path: MinHash+LSH banded candidates over the FULL corpus,
+    * now fully ORACLED — the md5-variant banding ([[Dedup
+    * .minhashLshCandidatesMd5]]) so DuckDB replays shingling, the
+    * md5-prefix hash, all 16 permutations, banding, the capped bucket
+    * self-join, AND each pair's exact string-shingle intersection/union
+    * sizes. (The xxhash64 fast path — narrower shuffle keys, same plan
+    * shape, the production choice at 100 TB — stays available as
+    * [[Dedup.minhashLshCandidates]], spec-pinned and bench-able via
+    * SPARK_GRAFT_BENCH_ONLY; it has no DuckDB twin, which kept this row
+    * `no_oracle` for 13 rounds.)
     */
   val minhashCandidates = Q("q_minhash_candidates",
     (s, d) => {
       val docs = documents(s, d)
-      val cand = Dedup.minhashLshCandidates(docs, "text", "doc_id")
+      val cand = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
       val conf = Dedup.jaccardOnCandidatesStrings(cand, docs, "text",
         "doc_id", n = 3)
       cand.join(conf.select(col("id_a"), col("id_b"), col("inter"),
@@ -377,7 +379,16 @@ object NorthStarQueries {
         Seq("id_a", "id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(s"""WITH gtoks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents),
+          ${md5LshSqlCtes()},
+          ${md5ConfirmedEdgesSqlCtes(0.0)}
+          SELECT c.id_a, c.id_b, p.n_shared_bands, c.inter,
+                 c.sz_a + c.sz_b - c.inter AS n_union
+          FROM conf c JOIN pairs p
+            ON c.id_a = p.id_a AND c.id_b = p.id_b
+          ORDER BY c.id_a, c.id_b"""))
 
   /** Shared oracle fragment: the md5-LSH CTE chain (shingles → md5-prefix
     * hash → permutation minima → banding → bucket stats → candidate
@@ -1408,14 +1419,15 @@ object NorthStarQueries {
           $reportSql
           FROM gated GROUP BY 1 ORDER BY lang_pred"""))
 
-  /** Full pipeline incl. LSH near-dedup (xxhash64 fast path — the drop
-    * set is not DuckDB-enumerable, so the check stays rows-only;
-    * q_corpus_prep_md5 pins the identical pipeline shape end-to-end).
-    * The output now ALSO carries per-lang POST-EXACT-DEDUP totals —
-    * hash-independent INVARIANCE COLUMNS replayed exactly by
-    * q_corpus_prep's oracle CTEs — and a monotonicity flag (near-dedup
-    * can only shrink each language), so the hash-private stage is
-    * bracketed by replayable evidence inside the output itself.
+  /** Full pipeline incl. LSH near-dedup over the FULL corpus, now
+    * ORACLED end-to-end: gate → exact dedup → md5-LSH candidates →
+    * string-shingle Jaccard confirm → survivors → per-lang report, every
+    * stage replayed by DuckDB, PLUS the post-exact-dedup per-lang counts
+    * and the monotonicity flag as invariance columns. (The xxhash64
+    * fast path — [[graft.operators.CorpusPipeline.prepare]], narrower
+    * shuffle keys, the production choice at 100 TB — stays spec-pinned
+    * in CorpusPipelineSpec; it has no DuckDB twin, which kept this row
+    * `no_oracle` for 13 rounds.)
     */
   val corpusPrepFull = Q("q_corpus_prep_full",
     (s, d) => {
@@ -1424,7 +1436,7 @@ object NorthStarQueries {
       val exact = CorpusPipeline.exactDedup(
         CorpusPipeline.gate(documents(s, d), cfg))
       val rep = CorpusPipeline.tokenReport(
-        CorpusPipeline.nearDedup(exact, cfg))
+        CorpusPipeline.nearDedupVerified(exact, cfg))
       val exactRep = exact.groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs_exact"))
       rep.join(exactRep, Seq("lang_pred"), "left")
@@ -1433,7 +1445,23 @@ object NorthStarQueries {
           (col("n_docs") <= col("n_docs_exact")).as("survivors_within_exact"))
         .orderBy(col("lang_pred"))
     },
-    None)
+    Some(s"""WITH ${gatedSqlCtes()},
+          gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                    FROM gated),
+          ${md5LshSqlCtes()},
+          ${md5ConfirmedEdgesSqlCtes(0.6)},
+          drops AS (SELECT DISTINCT id_b AS doc_id FROM jedges),
+          surv AS (SELECT g.* FROM gated g
+            LEFT JOIN drops d ON g.doc_id = d.doc_id
+            WHERE d.doc_id IS NULL),
+          srep AS ($reportSql FROM surv GROUP BY 1),
+          exrep AS (SELECT lang_pred, count(*) AS n_docs_exact
+                    FROM gated GROUP BY 1)
+          SELECT s.lang_pred, s.n_docs, s.total_tokens, s.total_chars,
+                 e.n_docs_exact,
+                 (s.n_docs <= e.n_docs_exact) AS survivors_within_exact
+          FROM srep s LEFT JOIN exrep e ON s.lang_pred = e.lang_pred
+          ORDER BY s.lang_pred"""))
 
   /** The full near-dedup pipeline, ORACLED end-to-end: gate → exact
     * dedup → md5-LSH candidates → string-shingle Jaccard confirm →

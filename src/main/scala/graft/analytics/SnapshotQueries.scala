@@ -471,7 +471,10 @@ object SnapshotQueries {
             lit(maxSupp / 2 + maxSupp / 8)) &&
           col("qty_i") > lit(25L))
         .groupBy(col("tag"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("qty_i")).as("total_qty"))
+        .agg(count(lit(1)).as("n_rows"),
+          // BIGINT on both sides: DuckDB's sum(BIGINT) yields HUGEINT
+          // (float64 at the compare boundary) — cast pins int64 parity.
+          sum(col("qty_i")).cast("long").as("total_qty"))
         .orderBy(col("tag"))
     },
     Some(s"""WITH src AS (SELECT l_partkey AS part_key,
@@ -480,7 +483,8 @@ object SnapshotQueries {
                CASE WHEN l_orderkey % 2 = 0 THEN 'legacy' ELSE 'fresh' END
                  AS tag
              FROM lineitem)
-         SELECT tag, count(*) AS n_rows, sum(qty_i) AS total_qty FROM src
+         SELECT tag, count(*) AS n_rows,
+                CAST(sum(qty_i) AS BIGINT) AS total_qty FROM src
          WHERE part_key BETWEEN 1 AND (SELECT max(p_partkey) FROM part) // 8
            AND sk BETWEEN (SELECT max(s_suppkey) FROM supplier) // 2
              AND (SELECT max(s_suppkey) FROM supplier) // 2

@@ -108,7 +108,15 @@ object CorpusPipeline {
     * same shapes.
     */
   def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    nearDedupFused(exactDedup(gate(docs, cfg)), cfg,
+    nearDedupVerified(exactDedup(gate(docs, cfg)), cfg)
+
+  /** [[nearDedup]]'s cross-engine-verifiable twin: same fused shape, md5
+    * LSH + string-shingle confirm, callable on an already-gated/deduped
+    * corpus (so a caller can keep a handle on the exact-dedup stage for
+    * invariance reporting without recomputing it).
+    */
+  def nearDedupVerified(docs: DataFrame, cfg: Config): DataFrame =
+    nearDedupFused(docs, cfg,
       // distinct string shingles, in the confirm's (doc, h) shape
       c => graft.operators.TrainingData
         .docShingles(c, "text", "doc_id", cfg.nearDupShingle)

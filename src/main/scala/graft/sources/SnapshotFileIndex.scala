@@ -228,20 +228,25 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
 
   /** What a pushed comparison side ultimately probes, seen through the
     * ERA projection shapes Catalyst substitutes on pushdown:
-    * `(attribute name, the add-column default the file's null-fill
-    * reads as, if any)`. Unwraps INTEGRAL WIDENING casts (order-
-    * isomorphic, and manifest envelopes are recorded in the long domain
-    * anyway) and `coalesce(column, defaultLiteral)`. Anything else —
-    * narrowing or cross-family casts, expressions — returns None and
-    * the file is kept.
+    * attribute name, the add-column default the file's null-fill reads
+    * as (if any), and whether an INTEGRAL WIDENING cast was traversed.
+    * Widening casts are order-isomorphic and manifest envelopes are
+    * recorded in the long domain, so ENVELOPE checks stay exact through
+    * them — but BLOOM probes are hash-of-bytes, and Spark's XxHash64
+    * hashes int 5 and long 5 differently, so [[cmpMay]] must know a
+    * cast sat between the literal and the file's physical column.
+    * Anything else — narrowing or cross-family casts, expressions —
+    * returns None and the file is kept.
     */
-  private def probeOf(e: Expression): Option[(String, Option[Any])] =
+  import SnapshotFileIndex.Probe
+
+  private def probeOf(e: Expression): Option[Probe] =
     e match {
-      case a: AttributeReference => Some((a.name, None))
+      case a: AttributeReference => Some(Probe(a.name, None, widened = false))
       case c: Cast if integralWidening(c.child.dataType, c.dataType) =>
-        probeOf(c.child)
+        probeOf(c.child).map(_.copy(widened = true))
       case Coalesce(Seq(inner, Literal(d, _))) =>
-        probeOf(inner).map { case (n, _) => (n, Some(d)) }
+        probeOf(inner).map(_.copy(default = Some(d)))
       case _ => None
     }
 
@@ -289,7 +294,7 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     * keeps the file.
     */
   private def cmpMay(e: Snapshots.FileEntry, name: String, v: Any,
-      op: String): Boolean = {
+      op: String, widened: Boolean = false): Boolean = {
     val long = longOf(v)
     val str = strOf(v)
     val envOk: Boolean = (long, str) match {
@@ -316,7 +321,25 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     val bloomOk: Boolean = op != "eq" || (e.blooms.get(name) match {
       case Some(bits) =>
         val jvm = v match { case u: UTF8String => u.toString; case x => x }
-        Snapshots.bloomMightContain(bits, jvm)
+        if (!widened) Snapshots.bloomMightContain(bits, jvm)
+        else {
+          // The literal arrived WIDENED (e.g. long 5) but this file may
+          // store the column at the pre-widen physical type, whose bloom
+          // was built hashing the NARROW representation (XxHash64 hashes
+          // byte/short/int through hashInt, long through hashLong — the
+          // two disagree on the same numeric value). Probe every
+          // physical representation the value could have been written
+          // at; reject only if none is present. A long outside int range
+          // cannot sit in a pre-widen file at all, so the long-only
+          // probe stays exact for the post-widen era and conservative
+          // envelopes already rejected the old era.
+          val reps: Seq[Any] = jvm match {
+            case l: java.lang.Long if l.longValue() == l.intValue().toLong =>
+              Seq(l, Int.box(l.intValue()))
+            case x => Seq(x)
+          }
+          reps.exists(r => Snapshots.bloomMightContain(bits, r))
+        }
       case None => true
     })
     envOk && bloomOk
@@ -327,10 +350,11 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     * satisfies the comparison — we cannot know the file holds no nulls,
     * so the default branch ORs in.
     */
-  private def cmpMayP(e: Snapshots.FileEntry, probe: (String, Option[Any]),
+  private def cmpMayP(e: Snapshots.FileEntry, probe: Probe,
       v: Any, op: String): Boolean = probe match {
-    case (name, None) => cmpMay(e, name, v, op)
-    case (name, Some(d)) => cmpMay(e, name, v, op) || litCmp(d, v, op)
+    case Probe(name, None, w) => cmpMay(e, name, v, op, w)
+    case Probe(name, Some(d), w) =>
+      cmpMay(e, name, v, op, w) || litCmp(d, v, op)
   }
 
   /** Prefix match: values with prefix `p` lie in [p, successor(p)), so
@@ -405,7 +429,7 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
       case InSet(l, hset) =>
         probeOf(l).forall(p => hset.exists(v => cmpMayP(e, p, v, "eq")))
       case StartsWith(l, Literal(v, StringType)) =>
-        probeOf(l).forall { case (name, defOpt) =>
+        probeOf(l).forall { case Probe(name, defOpt, _) =>
           strOf(v).forall(pfx => prefixMay(e, name, pfx) ||
             defOpt.exists(d => strOf(d).forall(_.startsWith(pfx))))
         }
@@ -418,6 +442,15 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
 }
 
 object SnapshotFileIndex {
+
+  /** A pushed comparison side resolved to manifest evidence: column
+    * name, era default (if the pushdown shape was a null-fill
+    * coalesce), and whether an integral-widening cast sat between the
+    * literal and the physical column (bloom probes must then try the
+    * narrow representation too).
+    */
+  private final case class Probe(name: String, default: Option[Any],
+      widened: Boolean)
 
   /** Can the index PLAN from this segment tier alone? Requires the
     * header to carry everything the flat refusals and the planner need

@@ -173,6 +173,44 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(ixs(1).lastPrune._1 === 0)
   }
 
+  test("widen + BLOOM: equality on a widened column probes the bloom at " +
+      "the file's narrow physical type — era-1 files are not false-dropped") {
+    import spark.implicits._
+    val tbl = freshTable("widenbloom")
+    // era 1: q is INT and carries a bloom (hashed at int width)
+    val df = (0L until 16L).map(k => (k, (k * 10).toInt))
+      .toDF("k", "q")
+      .repartitionByRange(16, col("k")).sortWithinPartitions(col("k"))
+    Snapshots.commit(df, tbl, statsCols = Seq("k", "q"),
+      bloomCols = Seq("q"))
+    Snapshots.widenColumn(spark, tbl, "q",
+      org.apache.spark.sql.types.LongType)
+    // era 2: q is LONG, bloom hashed at long width
+    val df2 = (16L until 32L).map(k => (k, k * 10))
+      .toDF("k", "q")
+      .repartitionByRange(16, col("k")).sortWithinPartitions(col("k"))
+    Snapshots.commit(df2, tbl, statsCols = Seq("k", "q"),
+      bloomCols = Seq("q"))
+    val (evolved, ixs) = Snapshots.readIndexedEvolved(spark, tbl)
+    // equality arrives as cast(q as bigint) = 50L; the era-1 file k=5
+    // holds int 50, whose bloom bits come from XxHash64.hashInt — a
+    // hashLong probe of the same value misses them and (pre-fix)
+    // silently dropped the row
+    assert(evolved.filter(col("q") === 50L).count() === 1L,
+      "widened equality lost the era-1 row to a type-mismatched bloom probe")
+    assert(ixs.head.lastPrune._1 === 1, s"era-1 cut ${ixs.head.lastPrune}")
+    // IN-list across both eras: one era-1 value, one era-2 value
+    assert(evolved.filter(col("q").isin(90L, 200L)).count() === 2L)
+    // era-2 equality still prunes exactly (long-built bloom, long probe)
+    assert(evolved.filter(col("q") === 310L).count() === 1L)
+    assert(ixs(1).lastPrune._1 === 1, s"era-2 cut ${ixs(1).lastPrune}")
+    // absent values still prune to zero files in both eras (the extra
+    // narrow-width probe must not blanket-keep)
+    assert(evolved.filter(col("q") === 55L).count() === 0L)
+    assert(ixs.map(_.lastPrune._1) === Seq(0, 0),
+      s"absent value kept files: ${ixs.map(_.lastPrune)}")
+  }
+
   test("format(\"graft\") routes era-evolved versions onto the evolved " +
       "relation (not the MOR fallback) and reads exactly") {
     val tbl = freshTable("evrel")

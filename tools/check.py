@@ -84,10 +84,26 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
         for i, (x, y) in enumerate(zip(sa, da)):
             if not values_equal(x, y):
                 return f"FAIL value col={c} row={i}: spark={x!r} duck={y!r}"
-    # dtype drift report (informational; exact value match already passed)
+    # Dtype drift is a FAIL, not a note: the driver hashes canonicalized
+    # value strings, and int64 `170` vs float64 `170.0` hash-differ even
+    # when numerically equal (r13: q_auto_skip_evolved passed this
+    # pre-flight with an "OK [dtype drift]" note and hash-failed in the
+    # driver). Only unify representations the driver's own
+    # canonicalization already treats as identical.
+    def _canon_dtype(dt) -> str:
+        t = str(dt)
+        if t.startswith("datetime64"):
+            return "datetime64"  # ns vs us resolution: same logical value
+        if t in ("object", "string", "str"):
+            return "object"      # both stringify identically
+        if t.lstrip("uU").startswith("int") or t in ("Int64", "Int32"):
+            return "int"         # width drift stringifies identically
+        return t
     dt = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
-          if str(s[c].dtype) != str(d[c].dtype)]
-    return "OK" + (f"  [dtype drift: {dt}]" if dt else "")
+          if _canon_dtype(s[c].dtype) != _canon_dtype(d[c].dtype)]
+    if dt:
+        return f"FAIL dtype drift (driver hash would differ): {dt}"
+    return "OK"
 
 
 def main(sf_dir: str, out_dir: str) -> int:
