@@ -440,6 +440,38 @@ object NorthStarQueries {
     * q_corpus_prep_md5 (drop set) and q_dedup_components (cluster edges)
     * so the confirm semantics cannot drift between them.
     */
+  /** [[md5ConfirmedEdgesSqlCtes]]'s HASHED-domain twin: sizes and
+    * intersections over the md5-prefix long shingle hashes (the `h` CTE
+    * [[md5LshSqlCtes]] already defines) instead of the shingle strings —
+    * the replay of [[graft.operators.CorpusPipeline.nearDedupVerified]],
+    * whose confirm joins 8-byte hashes so the corpus's n-gram strings
+    * never ride a shuffle. Collisions in the mod-P space fold two
+    * shingles into one set element on BOTH engines identically, so the
+    * drop set stays hash-exact. `hd` re-distincts because the Spark side
+    * keeps duplicate shingle occurrences (no dropDuplicates shuffle;
+    * collect_set dedups) while `h` here descends from distinct strings —
+    * distinct-of-hashes is the same set either way.
+    */
+  private[analytics] def md5HashedConfirmSqlCtes(threshold: Double): String =
+    s"""hd AS (SELECT DISTINCT doc_id, h FROM h),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM hd GROUP BY 1),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM pairs p
+            JOIN hd a ON p.id_a = a.doc_id
+            JOIN hd b ON p.id_b = b.doc_id AND a.h = b.h
+            GROUP BY 1, 2),
+          conf AS (SELECT p.id_a, p.id_b,
+              coalesce(i.inter, 0) AS inter,
+              coalesce(sa.sz, 0) AS sz_a, coalesce(sb.sz, 0) AS sz_b
+            FROM pairs p
+            LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+            LEFT JOIN sizes sa ON p.id_a = sa.doc_id
+            LEFT JOIN sizes sb ON p.id_b = sb.doc_id),
+          jedges AS (SELECT id_a, id_b FROM conf
+            WHERE (CASE WHEN sz_a + sz_b - inter = 0 THEN 0.0
+                        ELSE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) END)
+                  >= $threshold)"""
+
   private[analytics] def md5ConfirmedEdgesSqlCtes(threshold: Double): String =
     s"""sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
           inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
@@ -1449,7 +1481,7 @@ object NorthStarQueries {
           gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                     FROM gated),
           ${md5LshSqlCtes()},
-          ${md5ConfirmedEdgesSqlCtes(0.6)},
+          ${md5HashedConfirmSqlCtes(0.6)},
           drops AS (SELECT DISTINCT id_b AS doc_id FROM jedges),
           surv AS (SELECT g.* FROM gated g
             LEFT JOIN drops d ON g.doc_id = d.doc_id
@@ -1464,11 +1496,12 @@ object NorthStarQueries {
           ORDER BY s.lang_pred"""))
 
   /** The full near-dedup pipeline, ORACLED end-to-end: gate → exact
-    * dedup → md5-LSH candidates → string-shingle Jaccard confirm →
-    * survivors → report, every stage replayed by DuckDB. The strongest
-    * correctness statement the flagship LLM-data operation can make —
-    * q_corpus_prep_full (xxhash64) remains the fast path, this pins its
-    * semantics against an independent engine.
+    * dedup → md5-LSH candidates → hashed-shingle Jaccard confirm →
+    * survivors → report, every stage replayed by DuckDB in the
+    * md5-prefix long domain (the corpus's n-gram strings never ride a
+    * shuffle — the same key widths as the xxhash64 fast path). The
+    * strongest correctness statement the flagship LLM-data operation
+    * can make; this is q_corpus_prep_full's audit-subset twin.
     */
   val corpusPrepMd5 = Q("q_corpus_prep_md5",
     (s, d) => {
@@ -1481,7 +1514,7 @@ object NorthStarQueries {
           gtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                     FROM gated),
           ${md5LshSqlCtes()},
-          ${md5ConfirmedEdgesSqlCtes(0.6)},
+          ${md5HashedConfirmSqlCtes(0.6)},
           drops AS (SELECT DISTINCT id_b AS doc_id FROM jedges),
           surv AS (SELECT g.* FROM gated g
             LEFT JOIN drops d ON g.doc_id = d.doc_id

@@ -1738,6 +1738,61 @@ object SnapshotQueries {
                        ELSE o_totalprice END AS p
            FROM orders)"""))
 
+  /** X117 composite specs: MULTI-TRANSFORM hidden partitioning —
+    * `(month(o_orderdate), truncate[1000](o_custkey))` as ONE spec, the
+    * Iceberg composite-layout shape a time × entity table wants: the
+    * write path lays files out one (month, custkey-band) CELL per file,
+    * the metadata-only listing counts the 2-level tuples, and
+    * `overwritePartitions` replaces at CELL granularity — the batch
+    * touches three months of ONLY the low-custkey bands and every
+    * high-band file in those same months is carried untouched, a
+    * re-load shape a single-transform month spec cannot express. Both
+    * transforms are arithmetic (month index, truncate band), so DuckDB
+    * replays the cell count and the doubled-price overwrite exactly.
+    * The bucket-transform composite (bloom-pruned) is spec-pinned in
+    * PartitioningSpec — xxhash64 has no oracle twin.
+    */
+  val compositePartition = Q("q_composite_partition",
+    (s, d) => {
+      import graft.sources.Partitioning
+      val tbl = freshTable(s, d, "cpart")
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      Snapshots.commit(o.limit(0), tbl) // schema-bearing seed
+      Partitioning.setSpec(s, tbl, Seq(
+        Partitioning.Month("o_orderdate"),
+        Partitioning.Truncate(1000L, "o_custkey")))
+      Partitioning.commitPartitioned(o, tbl)
+      // cell-granular idempotent re-load: exactly the (month, band)
+      // cells present in the batch are replaced — the filter IS the
+      // full content of those cells, so the final table equals orders
+      // with the doubling applied to the predicate set
+      Partitioning.overwritePartitions(
+        o.filter(col("o_orderdate") >= lit("1996-03-01") &&
+            col("o_orderdate") < lit("1996-06-01") &&
+            col("o_custkey") < lit(2000))
+          .withColumn("o_totalprice", col("o_totalprice") * 2), tbl)
+      val nParts = Partitioning.partitions(s, tbl)
+        .filter(col("spec") =!= "unpartitioned").count()
+      Snapshots.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .select(col("n_rows"), col("total"), lit(nParts).as("n_parts"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("p")} AS total,
+           (SELECT count(DISTINCT
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS VARCHAR)
+                     || '/' ||
+                     CAST(o_custkey - (o_custkey % 1000) AS VARCHAR))
+              FROM orders) AS n_parts
+         FROM (
+           SELECT CASE WHEN o_orderdate >= TIMESTAMP '1996-03-01'
+                        AND o_orderdate <  TIMESTAMP '1996-06-01'
+                        AND o_custkey < 2000
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS p
+           FROM orders)"""))
+
   /** X116: SQL time travel — `VERSION AS OF` / `TIMESTAMP AS OF` /
     * `VERSION AS OF '<tag>'` through plain `spark.sql` on a catalog
     * graft table (the Hints-batch substitution rule): v1 reads
@@ -1876,7 +1931,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    hiddenPartition,
+    hiddenPartition, compositePartition,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,

@@ -110,18 +110,19 @@ object CorpusPipeline {
   def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedupVerified(exactDedup(gate(docs, cfg)), cfg)
 
-  /** [[nearDedup]]'s cross-engine-verifiable twin: same fused shape, md5
-    * LSH + string-shingle confirm, callable on an already-gated/deduped
-    * corpus (so a caller can keep a handle on the exact-dedup stage for
-    * invariance reporting without recomputing it).
+  /** [[nearDedup]]'s cross-engine-verifiable twin: the IDENTICAL fused
+    * shape and shuffle-key widths (8-byte hashed shingles, duplicates
+    * tolerated, no distinct shuffle) with xxhash64 swapped for the
+    * md5-prefix hash DuckDB replays verbatim — banding mins, the bucket
+    * join, AND the set-Jaccard confirm all run in the md5-long domain,
+    * so an ANSI oracle reproduces the drop set hash-exactly. Callable on
+    * an already-gated/deduped corpus so a caller can keep a handle on
+    * the exact-dedup stage for invariance reporting.
     */
   def nearDedupVerified(docs: DataFrame, cfg: Config): DataFrame =
     nearDedupFused(docs, cfg,
-      // distinct string shingles, in the confirm's (doc, h) shape
-      c => graft.operators.TrainingData
-        .docShingles(c, "text", "doc_id", cfg.nearDupShingle)
-        .select(col("doc_id").as("doc"), col("shingle").as("h")),
-      sh => Dedup.minhashLshCandidatesMd5FromShingles(sh))
+      c => Dedup.shingleHashRowsMd5(c, "text", "doc_id", cfg.nearDupShingle),
+      sh => Dedup.minhashLshCandidatesFromHashes(sh))
 
   /** Stage 5: corpus accounting (docs/tokens/chars per predicted lang). */
   def tokenReport(corpus: DataFrame): DataFrame =

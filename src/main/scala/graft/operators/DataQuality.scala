@@ -122,17 +122,38 @@ object DataQuality {
     * IO = one scan of the profiled columns), partial aggregation
     * collapses low-cardinality columns map-side, the branches run
     * concurrently, and the plan is order-stable by construction.
+    *
+    * The "one scan of the profiled columns" claim holds when the input
+    * is a (possibly column-pruned) SCAN; any computed input — filters,
+    * joins, expressions — would re-execute once per profiled column, so
+    * such inputs are persisted (column-pruned) before the fan-out: one
+    * upstream execution, N cache reads.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.distinct.size == cols.size,
       s"profile columns must be distinct, got duplicates: " +
         cols.diff(cols.distinct).distinct.mkString(", "))
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project, SubqueryAlias}
+    def isScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: LeafNode => true
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        isScan(pr.child)
+      case a: SubqueryAlias => isScan(a.child)
+      case _ => false
+    }
+    val src =
+      if (isScan(df.queryExecution.analyzed)) df
+      else df.select(cols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cols.map { c =>
       // agg over the empty grouped frame still yields one row (sum of
       // nothing coalesced to 0), so an EMPTY input reports one all-zeros
       // row per column — the contract the single-agg form gave for free
-      df.select(col(c).as("_value")).groupBy(col("_value"))
+      src.select(col(c).as("_value")).groupBy(col("_value"))
         .agg(count(lit(1)).as("_n"))
         .agg(
           coalesce(sum(when(col("_value").isNull, col("_n"))

@@ -358,6 +358,24 @@ object Dedup {
         (0 until n).map(k => col(s"h$k") * (2 * k + 1)).reduce(_ + _).as("h"))
   }
 
+  /** [[shingleHashRows]]'s ORACLE-REPLAYABLE twin: skinny (doc, h) rows
+    * where `h` is the md5-first-8-hex prefix of the n-gram STRING, mod
+    * [[minhashModulus]] — the exact value DuckDB's
+    * `md5(shingle)[1:8]::int % P` reproduces, so every downstream
+    * consumer (banding mins, set-Jaccard confirm) is hash-exactly
+    * replayable while shuffling 8-byte longs, not n-gram strings.
+    * Duplicates are KEPT (banding mins can't change; set consumers
+    * collect_set) — forming the string shingle via the same lead-window
+    * as [[TrainingData.shingleRows]] but skipping its dropDuplicates
+    * shuffle entirely.
+    */
+  def shingleHashRowsMd5(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    TrainingData.shingleRows(df, textCol, idCol, n)
+      .select(col("doc_id").as("doc"),
+        pmod(conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long"),
+          lit(P)).as("h"))
+
   /** Exact Jaccard over hashed shingle SETS for given candidate pairs
     * (id_a, id_b) — the confirm stage after LSH. Returns the pairs with
     * their similarity; collisions in the 2^31 hash space are negligible

@@ -877,8 +877,14 @@ object SqlDml {
         }
       }
       if (notMatched.nonEmpty) {
+        // checkpointed like the matched join: Snapshots.merge executes
+        // the upsert/delete frames TWICE (key-collect pass, write pass),
+        // and an un-pinned anti-join would re-run the user's source plan
+        // each time — a non-deterministic or externally-mutated source
+        // could then commit inconsistent action sets
         val ins = srcP.join(tgtP, sKey === tKey, "left_anti")
           .withColumn(act, actIdx(notMatched.map(_._1)))
+          .localCheckpoint()
         notMatched.zipWithIndex.foreach { case ((_, proj), i) =>
           upserts :+= shapeRow(ins.filter(col(act) === lit(i + 1)),
             proj, SP)
@@ -887,6 +893,7 @@ object SqlDml {
       if (notMatchedBySource.nonEmpty) {
         val nm = tgtP.join(srcP, tKey === sKey, "left_anti")
           .withColumn(act, actIdx(notMatchedBySource.map(_._1)))
+          .localCheckpoint() // same two-pass pinning as above
         notMatchedBySource.zipWithIndex.foreach { case ((_, setOpt), i) =>
           val rows = nm.filter(col(act) === lit(i + 1))
           setOpt match {

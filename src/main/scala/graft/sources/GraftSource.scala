@@ -380,7 +380,12 @@ final class GraftEvolvedRelation(sql: SQLContext, val table: String,
 
   override def sqlContext: SQLContext = sql
 
-  private def frame: DataFrame =
+  // memoized: the relation is pinned to an immutable version, and the
+  // evolved plan is expensive to build (manifest parse, era grouping,
+  // one SnapshotFileIndex per era with its file-status cache) — a def
+  // here repaid the full planning cost on EVERY buildScan against the
+  // catalog relation
+  private lazy val frame: DataFrame =
     Snapshots.readIndexedEvolved(sql.sparkSession, table, Some(version))._1
 
   // the RECORDED schema, nullable-normalized to the relation convention

@@ -111,6 +111,78 @@ class PartitioningSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, tbl)) === rows(expect))
   }
 
+  test("COMPOSITE spec (month × bucket): 2-level tuples, metadata " +
+      "listing matches the data, both transforms prune one query, " +
+      "overwrite replaces at CELL granularity") {
+    val tbl = freshTable("comp")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    def keyset(df: DataFrame): Set[(Long, Double)] =
+      df.select(col("o_orderkey").cast("long"), col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    Snapshots.commit(o.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(
+      Partitioning.Month("o_orderdate"),
+      Partitioning.Bucket(8, "o_custkey")))
+    Partitioning.commitPartitioned(o, tbl)
+    assert(keyset(Snapshots.read(spark, tbl)) === keyset(o))
+    // every data file carries exactly one 2-LEVEL tuple in its name
+    val es = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl)).filter(_.rows > 0)
+    assert(es.forall(e => Partitioning.tupleOf(e.path).exists(_.size == 2)))
+    // metadata-only listing = exact distinct (month, bucket) cells
+    val mOf = ((year(col("o_orderdate")) - 1970) * 12
+      + month(col("o_orderdate")) - 1).cast("long")
+    val bOf = pmod(xxhash64(col("o_custkey")), lit(8L))
+    val nCells = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned").count()
+    assert(nCells === o.select(mOf.as("m"), bOf.as("b")).distinct().count())
+    // ONE query filtered on BOTH raw columns: the month envelope cuts
+    // the date axis, the bucket bloom cuts the custkey axis — together
+    // they keep strictly fewer files than either alone
+    val ck = o.select(max(col("o_custkey")).cast("long")).head().getLong(0)
+    val cond = col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") <= lit("1997-03-31") && col("o_custkey") === ck
+    val (df, idx) = Snapshots.readIndexed(spark, tbl)
+    assert(df.filter(cond).count() === o.filter(cond).count())
+    val (kept, total) = idx.lastPrune
+    df.filter(col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") <= lit("1997-03-31")).count()
+    val monthOnly = idx.lastPrune._1
+    df.filter(col("o_custkey") === ck).count()
+    val bucketOnly = idx.lastPrune._1
+    assert(kept < monthOnly && kept < bucketOnly && kept < total,
+      s"composite cut $kept not finer than month-only $monthOnly / " +
+        s"bucket-only $bucketOnly / total $total")
+    // CELL-granular dynamic overwrite: the batch recomputes 1996 rows of
+    // ONE bucket; exactly those (month, bucket) cells are replaced —
+    // including their other custkeys (the batch is the cells' full new
+    // content) — and all sibling-bucket files in the same months carry
+    val batch = o.filter(year(col("o_orderdate")) === 1996 &&
+        col("o_custkey") === ck)
+      .withColumn("o_totalprice", lit(0.0))
+    val before = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl)).filter(_.rows > 0)
+    Partitioning.overwritePartitions(batch, tbl)
+    val touched = batch.select(mOf.as("m"), bOf.as("b")).distinct()
+    val expect = o.join(touched,
+        mOf === col("m") && bOf === col("b"), "left_anti")
+      .unionByName(batch.drop("m", "b"))
+    assert(keyset(Snapshots.read(spark, tbl)) === keyset(expect))
+    val touchedSet = touched.collect()
+      .map(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val after = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl)).map(_.path).toSet
+    before.foreach { e =>
+      val t = Partitioning.tupleOf(e.path).get
+      if (touchedSet.contains(t)) assert(!after.contains(e.path),
+        s"touched cell $t file ${e.path} not replaced")
+      else assert(after.contains(e.path),
+        s"untouched cell $t file ${e.path} not carried")
+    }
+  }
+
   test("partition EVOLUTION: old files keep their era's spec; " +
       "overwrites refuse unprovable old-era files; rewriteLayout " +
       "migrates; time travel still reads every version") {
