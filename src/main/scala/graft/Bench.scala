@@ -160,9 +160,19 @@ object Bench {
       s""","fp_drift":$driftJson,"plans":$plansJson""" +
       s""","build_ms":$buildJson,"query_ms":$queryMsJson""" +
       s""","queries":$qJson}"""
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
-      (fullJson + "\n").getBytes("UTF-8"))
+    // a failed artifact write must NOT take the compact stdout line down
+    // with it (that line is the driver's only parse source) — flag the
+    // failure inside the line instead
+    val fullOut = try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (fullJson + "\n").getBytes("UTF-8"))
+      p
+    } catch {
+      case e: Throwable =>
+        s"write-failed: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(120)
+    }
     // COMPACT summary → the one stdout line, slowest-20 only, sized to
     // survive a 2000-char tail capture (hard-asserted below).
     val slowest = mapJson(ok.sortBy(-_._2.total).take(20)

@@ -1453,9 +1453,11 @@ object NorthStarQueries {
 
   /** Full pipeline incl. LSH near-dedup over the FULL corpus, now
     * ORACLED end-to-end: gate → exact dedup → md5-LSH candidates →
-    * string-shingle Jaccard confirm → survivors → per-lang report, every
-    * stage replayed by DuckDB, PLUS the post-exact-dedup per-lang counts
-    * and the monotonicity flag as invariance columns. (The xxhash64
+    * HASHED-shingle Jaccard confirm (md5-prefix long domain — mod-P
+    * collisions fold identically on both engines) → survivors →
+    * per-lang report, every stage replayed by DuckDB, PLUS the
+    * post-exact-dedup per-lang counts and the monotonicity flag as
+    * invariance columns. (The xxhash64
     * fast path — [[graft.operators.CorpusPipeline.prepare]], narrower
     * shuffle keys, the production choice at 100 TB — stays spec-pinned
     * in CorpusPipelineSpec; it has no DuckDB twin, which kept this row

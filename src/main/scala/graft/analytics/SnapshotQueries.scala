@@ -1739,18 +1739,21 @@ object SnapshotQueries {
            FROM orders)"""))
 
   /** X117 composite specs: MULTI-TRANSFORM hidden partitioning —
-    * `(month(o_orderdate), truncate[1000](o_custkey))` as ONE spec, the
+    * `(year(o_orderdate), truncate[1000](o_custkey))` as ONE spec, the
     * Iceberg composite-layout shape a time × entity table wants: the
-    * write path lays files out one (month, custkey-band) CELL per file,
+    * write path lays files out one (year, custkey-band) CELL per file,
     * the metadata-only listing counts the 2-level tuples, and
     * `overwritePartitions` replaces at CELL granularity — the batch
-    * touches three months of ONLY the low-custkey bands and every
-    * high-band file in those same months is carried untouched, a
-    * re-load shape a single-transform month spec cannot express. Both
-    * transforms are arithmetic (month index, truncate band), so DuckDB
-    * replays the cell count and the doubled-price overwrite exactly.
-    * The bucket-transform composite (bloom-pruned) is spec-pinned in
-    * PartitioningSpec — xxhash64 has no oracle twin.
+    * recomputes ONE year of ONLY the two low-custkey bands and every
+    * high-band file in that same year is carried untouched, a re-load
+    * shape a single-transform time spec cannot express. Both transforms
+    * are arithmetic (year index, truncate band), so DuckDB replays the
+    * cell count and the doubled-price overwrite exactly. Year (not
+    * month) keeps the demo-scale cell count protocol-friendly (~100
+    * cells at sf0.1, not ~1200 two-row files — at 100 TB each cell is
+    * GBs and month is the right grain); the bucket-transform composite
+    * (bloom-pruned) is spec-pinned in PartitioningSpec — xxhash64 has
+    * no oracle twin.
     */
   val compositePartition = Q("q_composite_partition",
     (s, d) => {
@@ -1760,16 +1763,16 @@ object SnapshotQueries {
         col("o_totalprice"), col("o_orderdate"))
       Snapshots.commit(o.limit(0), tbl) // schema-bearing seed
       Partitioning.setSpec(s, tbl, Seq(
-        Partitioning.Month("o_orderdate"),
+        Partitioning.Year("o_orderdate"),
         Partitioning.Truncate(1000L, "o_custkey")))
       Partitioning.commitPartitioned(o, tbl)
-      // cell-granular idempotent re-load: exactly the (month, band)
+      // cell-granular idempotent re-load: exactly the (year, band)
       // cells present in the batch are replaced — the filter IS the
-      // full content of those cells, so the final table equals orders
-      // with the doubling applied to the predicate set
+      // full content of those cells (predicate boundary 2000 aligns
+      // with the band width), so the final table equals orders with
+      // the doubling applied to the predicate set
       Partitioning.overwritePartitions(
-        o.filter(col("o_orderdate") >= lit("1996-03-01") &&
-            col("o_orderdate") < lit("1996-06-01") &&
+        o.filter(year(col("o_orderdate")) === 1996 &&
             col("o_custkey") < lit(2000))
           .withColumn("o_totalprice", col("o_totalprice") * 2), tbl)
       val nParts = Partitioning.partitions(s, tbl)
@@ -1780,14 +1783,12 @@ object SnapshotQueries {
     },
     Some(s"""SELECT count(*) AS n_rows, ${dsumSql("p")} AS total,
            (SELECT count(DISTINCT
-                     CAST(year(o_orderdate) * 12 + month(o_orderdate)
-                          AS VARCHAR)
+                     CAST(year(o_orderdate) AS VARCHAR)
                      || '/' ||
                      CAST(o_custkey - (o_custkey % 1000) AS VARCHAR))
               FROM orders) AS n_parts
          FROM (
-           SELECT CASE WHEN o_orderdate >= TIMESTAMP '1996-03-01'
-                        AND o_orderdate <  TIMESTAMP '1996-06-01'
+           SELECT CASE WHEN year(o_orderdate) = 1996
                         AND o_custkey < 2000
                        THEN o_totalprice * 2
                        ELSE o_totalprice END AS p

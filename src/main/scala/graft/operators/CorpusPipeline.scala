@@ -98,14 +98,14 @@ object CorpusPipeline {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedup(exactDedup(gate(docs, cfg)), cfg)
 
-  /** The cross-engine-VERIFIABLE pipeline: the same fused stages, with
-    * the md5-variant LSH and the string-shingle confirm, so an ANSI
-    * oracle replays gate → exact dedup → LSH → confirm → survivors
-    * end-to-end hash-exactly (q_corpus_prep_md5) — the oracle itself
-    * derives banding and confirm from ONE `shs` CTE, which is exactly the
-    * shared-shingle-frame shape this runs. [[prepare]] (xxhash64 +
-    * hashed-shingle confirm) stays the fast path — narrower shuffle keys,
-    * same shapes.
+  /** The cross-engine-VERIFIABLE pipeline: the same fused stages with
+    * xxhash64 swapped for the md5-prefix hash, so an ANSI oracle
+    * replays gate → exact dedup → LSH banding → HASHED-shingle confirm
+    * → survivors end-to-end hash-exactly (q_corpus_prep_md5 /
+    * q_corpus_prep_full) — see [[nearDedupVerified]] for the confirm
+    * semantics (set Jaccard over md5-prefix longs; collisions fold
+    * identically on both engines). [[prepare]] (xxhash64) stays the
+    * fast path — same shapes, no md5 cost.
     */
   def prepareVerified(docs: DataFrame, cfg: Config = Config()): DataFrame =
     nearDedupVerified(exactDedup(gate(docs, cfg)), cfg)

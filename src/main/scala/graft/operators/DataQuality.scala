@@ -134,26 +134,38 @@ object DataQuality {
     require(cols.distinct.size == cols.size,
       s"profile columns must be distinct, got duplicates: " +
         cols.diff(cols.distinct).distinct.mkString(", "))
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Project, SubqueryAlias}
     def isScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Boolean = p match {
       case _: LeafNode => true
-      case pr: Project
-          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      // prune/rename-only projections keep the scan fast path (an Alias
+      // over a bare attribute is still a column-pruned scan)
+      case pr: Project if pr.projectList.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.isInstanceOf[AttributeReference]
+            case _ => false
+          } =>
         isScan(pr.child)
       case a: SubqueryAlias => isScan(a.child)
       case _ => false
     }
+    val scan = isScan(df.queryExecution.analyzed)
+    // positional aliases on the persisted projection: a dotted path like
+    // `meta.lang` extracts to a field NAMED `lang`, so re-selecting the
+    // original path off the projection would fail to resolve
     val src =
-      if (isScan(df.queryExecution.analyzed)) df
-      else df.select(cols.map(col): _*)
+      if (scan) df
+      else df.select(cols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"_pc_$i")
+        }: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cols.map { c =>
+    cols.zipWithIndex.map { case (c, i) =>
+      val value = if (scan) col(c) else col(s"_pc_$i")
       // agg over the empty grouped frame still yields one row (sum of
       // nothing coalesced to 0), so an EMPTY input reports one all-zeros
       // row per column — the contract the single-agg form gave for free
-      src.select(col(c).as("_value")).groupBy(col("_value"))
+      src.select(value.as("_value")).groupBy(col("_value"))
         .agg(count(lit(1)).as("_n"))
         .agg(
           coalesce(sum(when(col("_value").isNull, col("_n"))

@@ -55,6 +55,39 @@ class DataQualitySpec extends SparkSpec {
     assert(got.values.forall(_.getLong(3) === 4L))
   }
 
+  test("profile handles computed inputs (persisted once) and nested " +
+      "field paths; rename-only projections keep the scan fast path") {
+    import spark.implicits._
+    // COMPUTED input (filter): persisted pre-fan-out; answers stay exact
+    val p = Seq((Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")),
+      (None, Some("b"))).toDF("x", "y")
+    val gotF = DataQuality.profile(p.filter(lit(true)), Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(gotF("x").getLong(1) === 1L && gotF("x").getLong(2) === 2L)
+    assert(gotF.values.forall(_.getLong(3) === 4L))
+    // NESTED path over a computed input: the dotted path extracts to a
+    // field named only by its leaf — the positional-alias projection must
+    // still resolve it (pre-fix: AnalysisException)
+    val n = Seq((1, ("en", 5)), (2, ("de", 3)), (3, ("en", 9)))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta._1").as("lang"), col("meta._2").as("n"))
+      .select(col("id"), struct(col("lang"), col("n")).as("meta"))
+    val gotN = DataQuality.profile(n.filter(col("id") > 0), Seq("meta.lang"))
+      .collect()
+    assert(gotN.length === 1 && gotN.head.getLong(2) === 2L) // {en, de}
+    assert(gotN.head.getLong(3) === 3L)
+    // rename-only projection over a scan: NOT persisted (no
+    // InMemoryTableScan in any branch plan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq_scan").toString
+    p.write.mode("overwrite").parquet(dir)
+    val renamed = spark.read.parquet(dir).withColumnRenamed("x", "xr")
+    val prof = DataQuality.profile(renamed, Seq("xr"))
+    assert(prof.collect().head.getLong(2) === 2L)
+    assert(!prof.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "rename-only scan input was needlessly persisted")
+  }
+
   test("enforce throws on violations, passes on clean data") {
     DataQuality.enforce(df, Seq(DataQuality.Check("id_range", col("id").between(1, 10))))
     val ex = intercept[IllegalStateException] {
