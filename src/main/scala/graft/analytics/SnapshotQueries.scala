@@ -1794,6 +1794,50 @@ object SnapshotQueries {
                        ELSE o_totalprice END AS p
            FROM orders)"""))
 
+  /** X50 join tier: DYNAMIC FILE PRUNING from a dimension
+    * ([[Snapshots.dimPrunedScan]]) — the star-join scan cut Delta calls
+    * dynamic file pruning: a SELECTIVE dim filter (one nation's
+    * suppliers, 1/25 of the key space) collects its bounded distinct
+    * join keys, the FACT table's files prune through every manifest
+    * evidence tier (integral envelopes on the range-clustered key +
+    * blooms) BEFORE the join, and the join then runs over the surviving
+    * files with the dim broadcast. At 100 TB this is the difference
+    * between scanning the fact table and scanning one nation's slice of
+    * it. Keys cast to the fact column's recorded type pre-hash (bloom
+    * hashes are width-sensitive); the oracle replays the plain join.
+    * The file cut itself is pinned in SnapshotsSpec (evidence counts
+    * are data-layout-dependent, not oracle-replayable).
+    */
+  val dimFilePrune = Q("q_dim_file_prune",
+    (s, d) => {
+      val tbl = freshTable(s, d, "dfp")
+      val li = lineitem(s, d).select(col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      Snapshots.commit(
+        li.repartitionByRange(16, col("l_suppkey"))
+          .sortWithinPartitions(col("l_suppkey")),
+        tbl, statsCols = Seq("l_suppkey"), bloomCols = Seq("l_suppkey"))
+      // min(s_nationkey): non-empty at every scale factor (tiny
+      // generations may miss a fixed nation id entirely)
+      val nat = supplier(s, d).agg(min(col("s_nationkey")).cast("long"))
+        .head().getLong(0)
+      val dim = supplier(s, d)
+        .filter(col("s_nationkey") === lit(nat))
+        .select(col("s_suppkey"))
+      val pruned = Snapshots.dimPrunedScan(s, tbl, "l_suppkey",
+        dim, "s_suppkey")
+      pruned.df.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"),
+          count_distinct(col("l_suppkey")).as("n_suppliers"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+           ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+           count(DISTINCT l_suppkey) AS n_suppliers
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)"""))
+
   /** X116: SQL time travel — `VERSION AS OF` / `TIMESTAMP AS OF` /
     * `VERSION AS OF '<tag>'` through plain `spark.sql` on a catalog
     * graft table (the Hints-batch substitution rule): v1 reads
@@ -1932,7 +1976,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    hiddenPartition, compositePartition,
+    hiddenPartition, compositePartition, dimFilePrune,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,

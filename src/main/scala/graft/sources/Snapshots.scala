@@ -2216,19 +2216,67 @@ object Snapshots {
           !ParquetMeta.u8Less(s, mn) && !ParquetMeta.u8Less(mx, s)
         case _ => true
       }
+    // integral values prune from the [min,max] envelope too — on a
+    // range-clustered key the envelope alone cuts most files before the
+    // bloom is even consulted (and tables with stats but no bloom still
+    // prune)
+    def intOk(e: FileEntry, value: Any): Boolean =
+      (value, e.stats.get(col)) match {
+        case (n: java.lang.Number, Some((mn, mx))) =>
+          mn <= n.longValue() && n.longValue() <= mx
+        case _ => true
+      }
     def bloomOk(e: FileEntry, h: Long): Boolean = e.blooms.get(col) match {
       case Some(bits) => mightContain(bits, h)
       case None => true
     }
     val (kept, skipped) = files.partition(e =>
       values.iterator.zip(hashes.iterator).exists { case (value, h) =>
-        strOk(e, value) && bloomOk(e, h) })
+        strOk(e, value) && intOk(e, value) && bloomOk(e, h) })
     import org.apache.spark.sql.functions.{col => c}
     val pred = c(col).isin(values: _*)
     val df =
       if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
       else readFiles(spark, table, v, kept).filter(pred)
     PrunedScan(df, kept.size, skipped.size)
+  }
+
+  /** DYNAMIC FILE PRUNING from a dimension frame — the join shape that
+    * dominates a 100 TB star schema: a SELECTIVE dim filter should cut
+    * the FACT table's files before the join, not after a full scan.
+    * Collects the dim side's distinct join keys (bounded — the same
+    * premise as broadcasting that dim into the join itself), prunes the
+    * fact's files through every evidence tier [[scanPrunedIn]] holds
+    * (integral envelopes, UTF-8 string envelopes, blooms), and returns
+    * the pruned fact frame with its residual `isin` filter — join it to
+    * the dim as usual; AQE sees the post-prune size and broadcasts the
+    * dim at runtime. Keys are CAST to the fact column's RECORDED type
+    * before hashing (an int dim key probing a long fact column's bloom
+    * would miss — the hash is width-sensitive). Refuses loudly above
+    * `maxKeys` — an unselective dim is not a pruning opportunity, read
+    * the table plainly.
+    */
+  def dimPrunedScan(spark: SparkSession, table: String, col: String,
+      dim: DataFrame, dimCol: String, maxKeys: Int = 100000,
+      version: Option[Int] = None): PrunedScan = {
+    val v = version.getOrElse(latestVersion(spark, table))
+    val factType = properties(spark, table, v).get(SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .filter(_.fieldNames.contains(col))
+      .map(_.apply(col).dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"dimPrunedScan: $table records no schema field '$col'"))
+    import org.apache.spark.sql.functions.{col => c}
+    val keys = dim.select(c(dimCol).cast(factType)).na.drop()
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    require(keys.size <= maxKeys,
+      s"dimPrunedScan: dim side exceeds $maxKeys distinct keys — " +
+        "unselective; read the fact table plainly and join")
+    if (keys.isEmpty)
+      return PrunedScan(read(spark, table, Some(v)).limit(0), 0,
+        manifest(spark, table, v).size)
+    scanPrunedIn(spark, table, col, keys, Some(v))
   }
 
   /** Equality scan pruned by per-file BLOOM filters: if `value`'s two

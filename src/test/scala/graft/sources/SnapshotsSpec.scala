@@ -116,6 +116,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(after.forall(_.blooms.contains("o_custkey")))
   }
 
+  test("dimPrunedScan cuts fact files from a selective dim's join keys " +
+      "(envelope + bloom), loses no rows, casts key widths, refuses " +
+      "unselective dims") {
+    val tbl = freshTable("dfp")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    Snapshots.commit(
+      li.repartitionByRange(8, col("l_suppkey"))
+        .sortWithinPartitions(col("l_suppkey")),
+      tbl, statsCols = Seq("l_suppkey"), bloomCols = Seq("l_suppkey"))
+    val sup = spark.read.parquet(s"$sf001/supplier.parquet")
+    val nat = sup.agg(min(col("s_nationkey")).cast("long"))
+      .head().getLong(0)
+    val dim = sup.filter(col("s_nationkey") === lit(nat))
+      .select(col("s_suppkey"))
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    assert(dimKeys.nonEmpty)
+    val ps = Snapshots.dimPrunedScan(spark, tbl, "l_suppkey",
+      dim, "s_suppkey")
+    // the key is range-clustered, the dim is 1/25 of the key space —
+    // envelopes alone must cut files
+    assert(ps.filesSkipped > 0,
+      s"no file cut: read ${ps.filesRead}, skipped ${ps.filesSkipped}")
+    val want = li.filter(col("l_suppkey").isInCollection(dimKeys)).count()
+    assert(ps.df.count() === want)
+    // width-normalized hashing: an INT-typed dim key column must probe
+    // the LONG fact column's blooms correctly (cast before hash)
+    val psInt = Snapshots.dimPrunedScan(spark, tbl, "l_suppkey",
+      dim.select(col("s_suppkey").cast("int").as("s_suppkey")), "s_suppkey")
+    assert(psInt.df.count() === want,
+      "int-typed dim keys lost rows against the long fact column")
+    // empty dim → zero files read, empty result
+    val psEmpty = Snapshots.dimPrunedScan(spark, tbl, "l_suppkey",
+      dim.limit(0), "s_suppkey")
+    assert(psEmpty.filesRead === 0 && psEmpty.df.count() === 0L)
+    // unselective dim refuses loudly toward the plain join
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.dimPrunedScan(spark, tbl, "l_suppkey",
+        li.select(col("l_suppkey").as("s_suppkey")), "s_suppkey",
+        maxKeys = 3)
+    }
+    assert(e.getMessage.contains("unselective"))
+  }
+
   test("z-ordered layout + box pruning beats a linear layout") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
