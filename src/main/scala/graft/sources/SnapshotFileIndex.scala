@@ -322,24 +322,20 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
       case Some(bits) =>
         val jvm = v match { case u: UTF8String => u.toString; case x => x }
         if (!widened) Snapshots.bloomMightContain(bits, jvm)
-        else {
+        else
           // The literal arrived WIDENED (e.g. long 5) but this file may
           // store the column at the pre-widen physical type, whose bloom
           // was built hashing the NARROW representation (XxHash64 hashes
           // byte/short/int through hashInt, long through hashLong — the
           // two disagree on the same numeric value). Probe every
           // physical representation the value could have been written
-          // at; reject only if none is present. A long outside int range
-          // cannot sit in a pre-widen file at all, so the long-only
-          // probe stays exact for the post-widen era and conservative
-          // envelopes already rejected the old era.
-          val reps: Seq[Any] = jvm match {
-            case l: java.lang.Long if l.longValue() == l.intValue().toLong =>
-              Seq(l, Int.box(l.intValue()))
-            case x => Seq(x)
-          }
-          reps.exists(r => Snapshots.bloomMightContain(bits, r))
-        }
+          // at ([[Snapshots.narrowReps]]); reject only if none is
+          // present. A long outside int range cannot sit in a pre-widen
+          // file at all, so the long-only probe stays exact for the
+          // post-widen era and conservative envelopes already rejected
+          // the old era.
+          Snapshots.narrowReps(jvm)
+            .exists(r => Snapshots.bloomMightContain(bits, r))
       case None => true
     })
     envOk && bloomOk

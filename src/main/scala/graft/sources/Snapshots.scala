@@ -2226,13 +2226,22 @@ object Snapshots {
           mn <= n.longValue() && n.longValue() <= mx
         case _ => true
       }
-    def bloomOk(e: FileEntry, h: Long): Boolean = e.blooms.get(col) match {
-      case Some(bits) => mightContain(bits, h)
-      case None => true
-    }
+    val widens = widenEvents(properties(spark, table, v))
+      .filter(_.name == col)
+    def bloomOk(e: FileEntry, value: Any, h: Long): Boolean =
+      e.blooms.get(col) match {
+        case Some(bits) =>
+          // pre-widen era files store (and hashed) the NARROW physical
+          // type — probe the lossless narrowing too, or a correctly
+          // long-typed probe false-rejects an int-era file
+          if (widens.exists(_.boundary >= e.seq))
+            narrowReps(value).exists(r => mightContain(bits, bloomHash(r)))
+          else mightContain(bits, h)
+        case None => true
+      }
     val (kept, skipped) = files.partition(e =>
       values.iterator.zip(hashes.iterator).exists { case (value, h) =>
-        strOk(e, value) && intOk(e, value) && bloomOk(e, h) })
+        strOk(e, value) && intOk(e, value) && bloomOk(e, value, h) })
     import org.apache.spark.sql.functions.{col => c}
     val pred = c(col).isin(values: _*)
     val df =
@@ -2293,8 +2302,15 @@ object Snapshots {
     val v = version.getOrElse(latestVersion(spark, table))
     val files = manifest(spark, table, v)
     val h = bloomHash(value)
+    val widens = widenEvents(properties(spark, table, v))
+      .filter(_.name == col)
     val (kept, skipped) = files.partition(e => e.blooms.get(col) match {
-      case Some(bits) => mightContain(bits, h)
+      case Some(bits) =>
+        // pre-widen era files hashed the narrow physical type — see
+        // [[narrowReps]]
+        if (widens.exists(_.boundary >= e.seq))
+          narrowReps(value).exists(r => mightContain(bits, bloomHash(r)))
+        else mightContain(bits, h)
       case None => true
     })
     import org.apache.spark.sql.functions.{col => c, lit}
@@ -3840,6 +3856,22 @@ object Snapshots {
     */
   private[sources] def bloomMightContain(bits: Array[Long], value: Any)
       : Boolean = mightContain(bits, bloomHash(value))
+
+  /** Every physical representation `value` may have been BLOOM-HASHED at
+    * in a file that stores a NARROWER era type (int→bigint /
+    * float→double widens): XxHash64 hashes int 5 and long 5 differently,
+    * so a widened probe must also try the lossless narrowing. A value
+    * outside the narrow range keeps only its own representation — a
+    * narrow-era file cannot contain it, and its recorded envelope
+    * rejects it independently.
+    */
+  private[sources] def narrowReps(value: Any): Seq[Any] = value match {
+    case l: java.lang.Long if l.longValue() == l.intValue().toLong =>
+      Seq(l, Int.box(l.intValue()))
+    case d: java.lang.Double if d.doubleValue() == d.floatValue().toDouble =>
+      Seq(d, Float.box(d.floatValue()))
+    case x => Seq(x)
+  }
 
   private def mightContain(bits: Array[Long], h: Long): Boolean = {
     val b1 = (((h % BloomBits) + BloomBits) % BloomBits).toInt

@@ -158,6 +158,23 @@ class SnapshotsSpec extends SparkSpec {
         maxKeys = 3)
     }
     assert(e.getMessage.contains("unselective"))
+    // STRING join keys prune through the UTF-8 envelope tier: a fact
+    // range-clustered on a string key, dim'd by a handful of values
+    val tblS = freshTable("dfps")
+    val liS = li.select(
+      concat(lit("sup-"), lpad(col("l_suppkey").cast("string"), 4, "0"))
+        .as("sk"), col("l_extendedprice"))
+    Snapshots.commit(
+      liS.repartitionByRange(8, col("sk")).sortWithinPartitions(col("sk")),
+      tblS, strStatsCols = Seq("sk"))
+    val dimS = dim.select(
+      concat(lit("sup-"), lpad(col("s_suppkey").cast("string"), 4, "0"))
+        .as("sk"))
+    val psS = Snapshots.dimPrunedScan(spark, tblS, "sk", dimS, "sk")
+    assert(psS.filesSkipped > 0,
+      s"no string-envelope cut: ${psS.filesRead}/${psS.filesSkipped}")
+    val wantS = liS.join(dimS, "sk").count()
+    assert(psS.df.count() === wantS)
   }
 
   test("z-ordered layout + box pruning beats a linear layout") {

@@ -41,6 +41,36 @@ class WidenSpec extends SparkSpec {
     assert(Snapshots.scanPruned(spark, tbl, "k", big, big).df.count() === 1)
   }
 
+  test("bloom scans across a widen probe pre-widen files at their " +
+      "narrow physical width — no silent row loss") {
+    import spark.implicits._
+    val tbl = freshTable("wbloom")
+    // era 1: k INT, bloom hashed at int width, 4 key-clustered files
+    Snapshots.commit(
+      (0 until 16).map(k => (k, s"v$k")).toDF("k", "s")
+        .repartition(4, col("k")),
+      tbl, bloomCols = Seq("k"))
+    Snapshots.widenColumn(spark, tbl, "k", LongType)
+    // era 2: k LONG natively, incl. a value beyond int range
+    val big = 10000000000L
+    Snapshots.commit(Seq((100L, "x"), (big, "y")).toDF("k", "s")
+      .coalesce(1), tbl, bloomCols = Seq("k"))
+    // a LONG-typed probe of an era-1 value: the int-era file's bloom was
+    // hashed at int width — pre-fix this false-rejected the file and the
+    // scan silently lost the row
+    val ps = Snapshots.scanPrunedEq(spark, tbl, "k", 5L)
+    assert(ps.df.count() === 1L,
+      "widened bloom probe lost the pre-widen row")
+    assert(ps.filesSkipped > 0, "bloom pruning power lost entirely")
+    // IN-scan across both eras: era-1 value + era-2 beyond-int value
+    val psIn = Snapshots.scanPrunedIn(spark, tbl, "k", Seq(7L, big))
+    assert(psIn.df.collect().map(_.getLong(0)).toSet === Set(7L, big))
+    // absent values still skip every file (the narrow probe must not
+    // blanket-keep)
+    val psAbs = Snapshots.scanPrunedEq(spark, tbl, "k", 999L)
+    assert(psAbs.df.count() === 0L)
+  }
+
   test("float→double widens; narrowing and cross-family casts refuse; " +
       "constrained and renamed columns refuse") {
     import spark.implicits._
