@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.{GraftMorRelation, SnapshotFileIndex, Snapshots}
 import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -437,8 +437,31 @@ object SqlDml {
         "graft DML: MERGE WITH SCHEMA EVOLUTION is not supported")
       val sOut = m.sourceTable.output
       // canonical equality key: ON t.k = s.k with the SAME column name
-      // on both sides — the shape Snapshots.merge upserts by
-      val keyAttr = m.mergeCondition match {
+      // on both sides — the shape Snapshots.merge upserts by. Spark's
+      // type coercion wraps the NARROWER side in a widening cast when
+      // the key types differ (an int-keyed CDC feed against a bigint
+      // target is routine); a lossless integral widening is still the
+      // same single-column equality, so unwrap it before matching —
+      // merge keys collect as longs and upsert rows cast to the target
+      // schema either way. Narrowing/cross-family casts stay refused.
+      def integralRank(dt: org.apache.spark.sql.types.DataType): Int =
+        dt match {
+          case org.apache.spark.sql.types.ByteType => 1
+          case org.apache.spark.sql.types.ShortType => 2
+          case org.apache.spark.sql.types.IntegerType => 3
+          case org.apache.spark.sql.types.LongType => 4
+          case _ => 0
+        }
+      def stripWiden(e: Expression): Expression = e match {
+        case c: Cast if integralRank(c.child.dataType) > 0 &&
+            integralRank(c.dataType) >= integralRank(c.child.dataType) =>
+          stripWiden(c.child)
+        case other => other
+      }
+      val keyAttr = (m.mergeCondition match {
+        case EqualTo(l, r) => EqualTo(stripWiden(l), stripWiden(r))
+        case other => other
+      }) match {
         case EqualTo(a: AttributeReference, b: AttributeReference)
             if a.name.equalsIgnoreCase(b.name) &&
               ((tOut.exists(_.exprId == a.exprId) &&
