@@ -132,9 +132,12 @@ object Bench {
     // committed sf0.1 baseline — a plan regression ANYWHERE surfaces by
     // name in fp_drift (normally empty)
     val fp8 = plans.map { case (k, v) => k -> v.take(8) }
-    PlanBaseline.write(
+    // best-effort like the artifact write below: a full disk must not
+    // take down the compact stdout line
+    try PlanBaseline.write(
       sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "target/bench_plans.json"),
       fp8)
+    catch { case _: Throwable => () }
     val baseline = PlanBaseline.load(
       sys.env.getOrElse("SPARK_GRAFT_PLANS_BASELINE", "PLAN_BASELINE_sf01.json"))
     val drift = PlanBaseline.drift(fp8, baseline)
@@ -171,7 +174,7 @@ object Bench {
     } catch {
       case e: Throwable =>
         s"write-failed: ${e.getClass.getSimpleName}: " +
-          String.valueOf(e.getMessage).take(120)
+          String.valueOf(e.getMessage).take(60)
     }
     // COMPACT summary → the one stdout line, slowest-20 only, sized to
     // survive a 2000-char tail capture (hard-asserted below).
@@ -187,9 +190,15 @@ object Bench {
       s""","query_ms_total":${ok.map(_._2.queryMs).sum}""" +
       s""","n_fp":${fp8.size},"n_drift":${drift.size},"n_new":$newCount""" +
       s""","full":${jsonStr(fullOut)},"queries":$slowest}"""
-    require(compact.length < 1900,
-      s"compact bench summary ${compact.length} chars — must fit a 2000-char tail")
-    println(compact)
+    // NEVER throw past this point — the compact line is the driver's
+    // only parse source. Over budget (should be unreachable at 20
+    // queries): degrade to a minimal line rather than losing it all.
+    val line =
+      if (compact.length < 1900) compact
+      else s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},""" +
+        s""""unit":"sec","n_queries":${results.size},"err":${errors.size}""" +
+        s""","n_drift":${drift.size},"full":${jsonStr(fullOut.take(80))}}"""
+    println(line)
     spark.stop()
   }
 }

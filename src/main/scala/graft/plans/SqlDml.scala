@@ -468,6 +468,20 @@ object SqlDml {
                 sOut.exists(_.exprId == b.exprId)) ||
                 (tOut.exists(_.exprId == b.exprId) &&
                   sOut.exists(_.exprId == a.exprId))) =>
+          // the widening cast is only acceptable on the SOURCE side: a
+          // NARROW target key with a wide source would cast inserted
+          // keys down via the non-ANSI positional cast, silently
+          // WRAPPING out-of-range values into the key space
+          val (tAttr, sAttr) =
+            if (tOut.exists(_.exprId == a.exprId)) (a, b) else (b, a)
+          if (integralRank(tAttr.dataType) > 0 &&
+              integralRank(sAttr.dataType) > integralRank(tAttr.dataType))
+            throw new IllegalArgumentException(
+              "graft DML: MERGE source key '" + sAttr.name + "' is " +
+                s"${sAttr.dataType.simpleString} but the target key is " +
+                s"${tAttr.dataType.simpleString} — an out-of-range source " +
+                "key would WRAP under the insert cast; widen the target " +
+                "column (widenColumn) or cast the source down explicitly")
           tOut.find(_.name.equalsIgnoreCase(a.name)).get
         case other => throw new IllegalArgumentException(
           "graft DML: MERGE condition must be a single equality on one " +

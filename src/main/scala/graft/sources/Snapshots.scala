@@ -2196,9 +2196,10 @@ object Snapshots {
 
   /** IN-list scan pruned by whatever per-file evidence the manifest
     * holds: a file is kept iff SOME value of `values` might be in it —
-    * bloom says maybe (when a bloom for `col` is recorded) AND the
-    * UTF-8 string envelope contains the value (when recorded; string
-    * values only). Files with neither kind of evidence are always read,
+    * the integral [min,max] envelope contains the value (numeric
+    * values), AND the UTF-8 string envelope contains it (string
+    * values), AND the bloom says maybe (when recorded; widen-era-aware
+    * — see [[narrowReps]]). Files with no evidence are always read,
     * and the residual `isin` filter makes the result exactly the full
     * scan's either way. This is the posting-list/index serving scan: an
     * equality set over a clustered column keeps only the files whose
@@ -2209,7 +2210,8 @@ object Snapshots {
     require(values.nonEmpty, "scanPrunedIn needs at least one value")
     val v = version.getOrElse(latestVersion(spark, table))
     val files = manifest(spark, table, v)
-    val hashes = values.map(bloomHash)
+    // IndexedSeq: the partition loop below indexes per (file, value)
+    val hashes = values.map(bloomHash).toIndexedSeq
     def strOk(e: FileEntry, value: Any): Boolean =
       (value, e.strStats.get(col)) match {
         case (s: String, Some((mn, mx))) =>
@@ -2228,20 +2230,26 @@ object Snapshots {
       }
     val widens = widenEvents(properties(spark, table, v))
       .filter(_.name == col)
-    def bloomOk(e: FileEntry, value: Any, h: Long): Boolean =
+    // narrow-representation hashes hoisted ONCE per value (not per
+    // file × value — the probe loop runs files × values times and
+    // bloomHash constructs a Catalyst expression per call)
+    val narrowHashes: IndexedSeq[Seq[Long]] =
+      if (widens.isEmpty) IndexedSeq.empty
+      else values.map(v => narrowReps(v).map(bloomHash)).toIndexedSeq
+    def bloomOk(e: FileEntry, i: Int, h: Long): Boolean =
       e.blooms.get(col) match {
         case Some(bits) =>
           // pre-widen era files store (and hashed) the NARROW physical
           // type — probe the lossless narrowing too, or a correctly
           // long-typed probe false-rejects an int-era file
           if (widens.exists(_.boundary >= e.seq))
-            narrowReps(value).exists(r => mightContain(bits, bloomHash(r)))
+            narrowHashes(i).exists(nh => mightContain(bits, nh))
           else mightContain(bits, h)
         case None => true
       }
     val (kept, skipped) = files.partition(e =>
-      values.iterator.zip(hashes.iterator).exists { case (value, h) =>
-        strOk(e, value) && intOk(e, value) && bloomOk(e, value, h) })
+      values.iterator.zipWithIndex.exists { case (value, i) =>
+        strOk(e, value) && intOk(e, value) && bloomOk(e, i, hashes(i)) })
     import org.apache.spark.sql.functions.{col => c}
     val pred = c(col).isin(values: _*)
     val df =
@@ -3868,6 +3876,11 @@ object Snapshots {
   private[sources] def narrowReps(value: Any): Seq[Any] = value match {
     case l: java.lang.Long if l.longValue() == l.intValue().toLong =>
       Seq(l, Int.box(l.intValue()))
+    // NaN: the round-trip equality below is FALSE for NaN (NaN != NaN in
+    // Java) yet Spark SQL equality MATCHES NaN, so a double-NaN probe of
+    // a float-era bloom must still try the float representation
+    case d: java.lang.Double if d.isNaN =>
+      Seq(d, Float.box(Float.NaN))
     case d: java.lang.Double if d.doubleValue() == d.floatValue().toDouble =>
       Seq(d, Float.box(d.floatValue()))
     case x => Seq(x)

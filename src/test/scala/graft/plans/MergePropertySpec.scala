@@ -161,6 +161,24 @@ class MergePropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
   }
 
+  test("MERGE key widening is one-directional: an int SOURCE against a " +
+      "bigint target is accepted; a bigint source against an int TARGET " +
+      "refuses (out-of-range keys would wrap under the insert cast)") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_pmrg_narrow").toString + "/t"
+    Snapshots.commit(Seq((1, 10L)).toDF("k", "v"), tbl) // k is INT
+    dml.sql("DROP TABLE IF EXISTS pmrg_narrow")
+    dml.sql(s"CREATE TABLE pmrg_narrow USING graft OPTIONS (path '$tbl')")
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW pmrg_wide_src AS " +
+      "SELECT CAST(5000000000 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v")
+    val e = intercept[Exception] {
+      dml.sql("MERGE INTO pmrg_narrow t USING pmrg_wide_src s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    }
+    assert(e.getMessage.contains("WRAP"), e.getMessage)
+  }
+
   test("conditional MERGE ≡ first-true-wins reference model on random " +
       "tables and clause cascades") {
     val res = SCTest.check(

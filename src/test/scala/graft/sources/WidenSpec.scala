@@ -69,6 +69,22 @@ class WidenSpec extends SparkSpec {
     // blanket-keep)
     val psAbs = Snapshots.scanPrunedEq(spark, tbl, "k", 999L)
     assert(psAbs.df.count() === 0L)
+    // float→double widen with a NaN row: Java NaN != NaN breaks the
+    // lossless-roundtrip check, but Spark SQL equality MATCHES NaN —
+    // the probe must still try the float representation
+    val ftbl = freshTable("wbloomf")
+    Snapshots.commit(
+      Seq((1, 1.5f), (2, Float.NaN), (3, 3.5f)).toDF("k", "x")
+        .repartition(3, col("k")),
+      ftbl, bloomCols = Seq("x"))
+    Snapshots.widenColumn(spark, ftbl, "x", DoubleType)
+    Snapshots.commit(Seq((4, 4.5)).toDF("k", "x").coalesce(1), ftbl,
+      bloomCols = Seq("x"))
+    val psNaN = Snapshots.scanPrunedEq(spark, ftbl, "x", Double.NaN)
+    assert(psNaN.df.count() === 1L,
+      "NaN probe lost the pre-widen float-era row")
+    val psF = Snapshots.scanPrunedEq(spark, ftbl, "x", 1.5d)
+    assert(psF.df.count() === 1L)
   }
 
   test("float→double widens; narrowing and cross-family casts refuse; " +
