@@ -2285,8 +2285,13 @@ object Snapshots {
       .getOrElse(throw new IllegalArgumentException(
         s"dimPrunedScan: $table records no schema field '$col'"))
     import org.apache.spark.sql.functions.{col => c}
-    val keys = dim.select(c(dimCol).cast(factType)).na.drop()
-      .distinct().limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+    // ordered collect: a bare distinct().collect() returns keys in
+    // partition-race order, which would embed a run-varying literal
+    // list in the residual isin (plan-fingerprint flap, and needless
+    // plan-cache misses for repeated scans of the same dim slice)
+    val keys = dim.select(c(dimCol).cast(factType).as(dimCol)).na.drop()
+      .distinct().orderBy(c(dimCol)).limit(maxKeys + 1)
+      .collect().map(_.get(0)).toSeq
     require(keys.size <= maxKeys,
       s"dimPrunedScan: dim side exceeds $maxKeys distinct keys — " +
         "unselective; read the fact table plainly and join")
