@@ -1826,11 +1826,20 @@ object SnapshotQueries {
         .select(col("s_suppkey"))
       val pruned = Snapshots.dimPrunedScan(s, tbl, "l_suppkey",
         dim, "s_suppkey")
+      // two-level aggregate, NOT count_distinct mixed into the agg:
+      // RewriteDistinctAggregates plans mixed distinct/plain aggregates
+      // as an Expand whose group ids come from exprId hash-map
+      // iteration — session-history-dependent, the one plan-fingerprint
+      // instability class (NOTES r13); the per-key partial also
+      // combines map-side, which is the shape that scales
       pruned.df.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
-        .agg(count(lit(1)).as("n_rows"),
-          dsum(revenue(col("l_extendedprice"), col("l_discount")))
-            .as("revenue"),
-          count_distinct(col("l_suppkey")).as("n_suppliers"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("_n"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))
+            .cast("decimal(27,4)")).as("_rev"))
+        .agg(sum(col("_n")).as("n_rows"),
+          sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_suppliers"))
     },
     Some(s"""SELECT count(*) AS n_rows,
            ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
