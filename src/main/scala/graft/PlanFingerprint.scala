@@ -60,6 +60,14 @@ object PlanFingerprint {
     // shape (the tree structure carries the shape)
     .replaceAll("(Broadcast|Shuffle)QueryStage \\d+", "$1QueryStage N")
     .replaceAll("\\*\\(\\d+\\)", "*(N)")
+    // IN-list literal values in scan metadata (DataFilters INSET / the
+    // PushedFilters In(col,[...])) print TRUNCATED at a fixed string
+    // width — and the cut position shifts with the WIDTH of the
+    // normalized-away exprIds ("#12L" vs "#4567L"), so the same plan
+    // hashes differently across sessions. The predicate's presence,
+    // column, and shape are plan structure; the literal list is data.
+    .replaceAll("INSET [0-9, .]+", "INSET <vals>")
+    .replaceAll("\\bIn\\(([^,()\\[\\]]+), \\[[0-9., ]+", "In($1, [<vals>")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

@@ -109,4 +109,22 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(e === f)
     assert(normalize(a) === a && normalize(e) === e) // idempotent
   }
+
+  test("normalization collapses truncated IN-list literals — scan " +
+      "metadata cuts the value list at a fixed width, so exprId digit " +
+      "width shifts the cut point between sessions") {
+    import graft.PlanFingerprint.normalize
+    // the same INSET list truncated at two different positions (what a
+    // '#12L' vs '#4567L' exprId width difference does to the cut)
+    val a = normalize("DataFilters: [k#12L INSET 131, 141, 143, 342..., " +
+      "Format: Parquet, PushedFilters: [In(k, [131,141,143,34..., " +
+      "ReadSchema: struct<k:bigint>")
+    val b = normalize("DataFilters: [k#4567L INSET 131, 141, 143, 34..., " +
+      "Format: Parquet, PushedFilters: [In(k, [131,141,143,342..., " +
+      "ReadSchema: struct<k:bigint>")
+    assert(a === b)
+    // the predicate column stays visible (shape survives normalization)
+    assert(a.contains("INSET <vals>") && a.contains("In(k, [<vals>"))
+    assert(normalize(a) === a) // idempotent
+  }
 }
