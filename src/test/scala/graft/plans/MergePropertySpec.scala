@@ -13,7 +13,9 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
   * land exactly the rows an in-memory first-true-wins model computes.
   * This pins the semantics example tests cannot enumerate: clause-order
   * precedence under overlapping conditions, rows no clause touches,
-  * empty sections, empty source, and partial-SET column carry.
+  * empty sections, empty source, and partial-SET column carry (the
+  * third column `tag` is set by exactly one action — every other
+  * update must CARRY the target's value, inserts take the source's).
   */
 class MergePropertySpec extends SparkSpec {
 
@@ -26,7 +28,8 @@ class MergePropertySpec extends SparkSpec {
     * values; None = unconditional.
     */
   private case class MCond(sql: String, f: (Long, Long) => Boolean)
-  private case class MAct(sql: String, f: Option[(Long, Long) => Long]) // None = DELETE
+  private case class MAct(sql: String, f: Option[(Long, Long) => Long],
+      tagFromSource: Boolean = false) // f None = DELETE
   private case class NCond(sql: String, f: (Long, Long) => Boolean) // (sv, k)
   private case class NIns(sql: String, f: (Long, Long) => Long) // (sv, k) => v
   private case class BCond(sql: String, f: (Long, Long) => Boolean) // (tv, k)
@@ -39,18 +42,26 @@ class MergePropertySpec extends SparkSpec {
     lit.map(l => MCond(s"t.v >= $l", (tv, _) => tv >= l)),
     lit.map(l => MCond(s"s.v > $l", (_, sv) => sv > l)),
     Gen.const(MCond("s.v > t.v", (tv, sv) => sv > tv))))
+  /** Action value: new v plus whether tag comes from the source (the
+    * multi-assignment case) — everything else must CARRY the target tag
+    * (the partial-SET contract).
+    */
   private val mAct: Gen[MAct] = Gen.oneOf(
     Gen.const(MAct("DELETE", None)),
     Gen.const(MAct("UPDATE SET v = s.v + t.v", Some((tv, sv) => sv + tv))),
     lit.map(l => MAct(s"UPDATE SET v = $l", Some((_, _) => l))),
-    Gen.const(MAct("UPDATE SET v = s.v", Some((_, sv) => sv))))
+    Gen.const(MAct("UPDATE SET v = s.v", Some((_, sv) => sv))),
+    Gen.const(MAct("UPDATE SET v = s.v, tag = s.tag",
+      Some((_, sv) => sv), tagFromSource = true)))
 
   private val nCond: Gen[Option[NCond]] = Gen.option(Gen.oneOf(
     lit.map(l => NCond(s"s.v > $l", (sv, _) => sv > l)),
     Gen.choose(0L, 15L).map(l => NCond(s"s.k < $l", (_, k) => k < l))))
   private val nIns: Gen[NIns] = Gen.oneOf(
-    Gen.const(NIns("INSERT (k, v) VALUES (s.k, s.v)", (sv, _) => sv)),
-    lit.map(l => NIns(s"INSERT (k, v) VALUES (s.k, $l)", (_, _) => l)))
+    Gen.const(NIns("INSERT (k, v, tag) VALUES (s.k, s.v, s.tag)",
+      (sv, _) => sv)),
+    lit.map(l => NIns(s"INSERT (k, v, tag) VALUES (s.k, $l, s.tag)",
+      (_, _) => l)))
 
   private val bCond: Gen[Option[BCond]] = Gen.option(Gen.oneOf(
     lit.map(l => BCond(s"t.v >= $l", (tv, _) => tv >= l)),
@@ -99,50 +110,53 @@ class MergePropertySpec extends SparkSpec {
   /** The in-memory reference: first-true-wins per section, untouched
     * rows carried.
     */
-  private def model(c: Case): Map[Long, Long] = {
-    val out = scala.collection.mutable.Map.empty[Long, Long]
+  private def model(c: Case): Map[Long, (Long, String)] = {
+    val out = scala.collection.mutable.Map.empty[Long, (Long, String)]
     c.target.foreach { case (k, tv) =>
       c.source.get(k) match {
         case Some(sv) =>
           c.matched.find(_._1.forall(_.f(tv, sv))) match {
             case Some((_, act)) =>
-              act.f.foreach(f => out(k) = f(tv, sv)) // None = delete
-            case None => out(k) = tv
+              act.f.foreach(f => out(k) = (f(tv, sv),
+                if (act.tagFromSource) s"s$k" else s"t$k")) // None = delete
+            case None => out(k) = (tv, s"t$k")
           }
         case None =>
           c.bySource.find(_._1.forall(_.f(tv, k))) match {
             case Some((_, act)) =>
-              act.f.foreach(f => out(k) = f(tv, k))
-            case None => out(k) = tv
+              act.f.foreach(f => out(k) = (f(tv, k), s"t$k"))
+            case None => out(k) = (tv, s"t$k")
           }
       }
     }
     c.source.foreach { case (k, sv) =>
       if (!c.target.contains(k))
         c.notMatched.find(_._1.forall(_.f(sv, k)))
-          .foreach { case (_, ins) => out(k) = ins.f(sv, k) }
+          .foreach { case (_, ins) => out(k) = (ins.f(sv, k), s"s$k") }
     }
     out.toMap
   }
 
-  private def runSql(c: Case): Map[Long, Long] = {
+  private def runSql(c: Case): Map[Long, (Long, String)] = {
     import spark.implicits._
     caseNo += 1
     val tbl = java.nio.file.Files
       .createTempDirectory(s"graft_pmrg_$caseNo").toString + "/t"
     val tdf =
-      if (c.target.isEmpty) Seq((0L, 0L)).toDF("k", "v").limit(0)
-      else c.target.toSeq.toDF("k", "v")
+      if (c.target.isEmpty)
+        Seq((0L, 0L, "")).toDF("k", "v", "tag").limit(0)
+      else c.target.toSeq.map { case (k, v) => (k, v, s"t$k") }
+        .toDF("k", "v", "tag")
     Snapshots.commit(tdf, tbl, statsCols = Seq("k"))
     val name = s"pmrg_t_$caseNo"
     dml.sql(s"DROP TABLE IF EXISTS $name")
     dml.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$tbl')")
     val srcRows =
       if (c.source.isEmpty) "SELECT CAST(NULL AS LONG) k, " +
-        "CAST(NULL AS LONG) v WHERE 1 = 0"
+        "CAST(NULL AS LONG) v, CAST(NULL AS STRING) tag WHERE 1 = 0"
       else c.source.toSeq.sorted
-        .map { case (k, v) => s"($k, $v)" }
-        .mkString("SELECT * FROM VALUES ", ", ", " AS x(k, v)")
+        .map { case (k, v) => s"($k, $v, 's$k')" }
+        .mkString("SELECT * FROM VALUES ", ", ", " AS x(k, v, tag)")
     dml.sql(s"CREATE OR REPLACE TEMPORARY VIEW pmrg_s_$caseNo AS $srcRows")
     val clauses =
       c.matched.map { case (cond, act) =>
@@ -158,7 +172,7 @@ class MergePropertySpec extends SparkSpec {
     dml.sql(s"MERGE INTO $name t USING pmrg_s_$caseNo s ON t.k = s.k " +
       clauses.mkString(" "))
     Snapshots.readMor(spark, tbl).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
   }
 
   test("MERGE key widening is one-directional: an int SOURCE against a " +
