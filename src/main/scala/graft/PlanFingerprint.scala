@@ -66,8 +66,13 @@ object PlanFingerprint {
     // normalized-away exprIds ("#12L" vs "#4567L"), so the same plan
     // hashes differently across sessions. The predicate's presence,
     // column, and shape are plan structure; the literal list is data.
-    .replaceAll("INSET [0-9, .]+", "INSET <vals>")
-    .replaceAll("\\bIn\\(([^,()\\[\\]]+), \\[[0-9., ]+", "In($1, [<vals>")
+    // consume through the closing "])", a truncation ellipsis, or the
+    // line end, and emit ONE fixed tail — a list cut exactly at the
+    // metadata width must hash identically to a fully-printed one; the
+    // value class is open (string IN-lists truncate the same way)
+    .replaceAll("INSET [^)\\n]*", "INSET <vals>")
+    .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*(\\]\\)|\\.\\.\\.|$)",
+      "In($1, [<vals>])")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

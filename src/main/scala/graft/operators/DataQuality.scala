@@ -160,7 +160,7 @@ object DataQuality {
           col(c).as(s"_pc_$i")
         }: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cols.zipWithIndex.map { case (c, i) =>
+    val union = cols.zipWithIndex.map { case (c, i) =>
       val value = if (scan) col(c) else col(s"_pc_$i")
       // agg over the empty grouped frame still yields one row (sum of
       // nothing coalesced to 0), so an EMPTY input reports one all-zeros
@@ -175,6 +175,17 @@ object DataQuality {
         .select(lit(c).as("column_name"), col("n_nulls"),
           col("n_distinct"), col("n_rows"))
     }.reduce(_.unionByName(_))
+    if (scan) union
+    else {
+      // the persist exists only to share the upstream computation across
+      // the per-column fan-out; the result is one tiny row per column, so
+      // materialize eagerly and release the cache — a lazily-returned
+      // frame would pin the cached input for the session's lifetime
+      val rows = union.collect().toIndexedSeq
+      src.unpersist()
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(rows, 1), union.schema)
+    }
   }
 
   /** Gate form: fail fast (throw) if any check has violations — the

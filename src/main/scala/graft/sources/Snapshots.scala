@@ -1217,6 +1217,11 @@ object Snapshots {
       s"Snapshots.renameColumn: no column '$oldName' in $table")
     require(!schema.fieldNames.contains(newName),
       s"Snapshots.renameColumn: column '$newName' already exists in $table")
+    require(!widenEvents(props).exists(_.name == oldName),
+      s"Snapshots.renameColumn: '$oldName' of $table carries widen " +
+        "history (name-keyed events drive era-aware bloom probes — a " +
+        "rename would orphan them and reinstate silent false pruning); " +
+        "compact to materialize the widening first")
     requireNotDropped(props, Seq(newName), table)
     require(!manifest(spark, table, v).exists(e => isMask(e.path)),
       s"Snapshots.renameColumn: $table carries merge-on-read deletes " +

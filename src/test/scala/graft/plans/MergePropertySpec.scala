@@ -193,6 +193,27 @@ class MergePropertySpec extends SparkSpec {
     assert(e.getMessage.contains("WRAP"), e.getMessage)
   }
 
+  test("accepted direction end-to-end: an int-keyed source MERGEd into a " +
+      "bigint-keyed target updates matches and inserts misses correctly " +
+      "(stripWiden + lossless insert-cast path)") {
+    import spark.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft_pmrg_widen_ok").toString + "/t"
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), tbl) // BIGINT k
+    dml.sql("DROP TABLE IF EXISTS pmrg_widen_ok")
+    dml.sql(s"CREATE TABLE pmrg_widen_ok USING graft OPTIONS (path '$tbl')")
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW pmrg_narrow_src AS " +
+      "SELECT * FROM VALUES (CAST(2 AS INT), CAST(99 AS BIGINT)), " +
+      "(CAST(3 AS INT), CAST(30 AS BIGINT)) AS x(k, v)")
+    dml.sql("MERGE INTO pmrg_widen_ok t USING pmrg_narrow_src s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    val got = Snapshots.readMor(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 10L, 2L -> 99L, 3L -> 30L), got.toString)
+  }
+
   test("conditional MERGE ≡ first-true-wins reference model on random " +
       "tables and clause cascades") {
     val res = SCTest.check(
