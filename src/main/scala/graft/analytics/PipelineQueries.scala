@@ -398,9 +398,17 @@ object PipelineQueries {
   /** Batch-1 CC state (stored edges + labels for doc_id < `split`),
     * built ONCE per (dataset, application) — the same discipline as
     * [[storedDedupEdges]]: a continuous-crawl pipeline carries this state
-    * between runs and pays for it once per run, not once per query, so
-    * the measured body of q_incremental_components is the steady-state
-    * cost (edge merge + delta relabel), not re-staging batch 1's world.
+    * between runs and pays for it once per run, not once per query. The
+    * measured body of q_incremental_components is therefore the
+    * steady-state cost — edge merge + the delta-closure jobs
+    * [[graft.operators.DedupState.incrementalComponents]] runs at
+    * CONSTRUCTION (component-graph checkpoint, count-adaptive resolve,
+    * merge-map checkpoint: a handful of small sequential jobs whose wall
+    * time is stage latency, not data) — while the one-time state
+    * derivation lands in the first bench iteration only and min-of-N
+    * absorbs it. (Bench attribution note: those construction-side jobs
+    * are reported as build_ms, so this query's build_ms is steady-state
+    * delta work, NOT re-staging batch 1's world.)
     * A doc's LSH buckets depend only on its text, so the full-sample
     * edge set filtered to batch-1 endpoints equals batch-1 processed
     * alone.

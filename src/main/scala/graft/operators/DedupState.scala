@@ -90,11 +90,18 @@ object DedupState {
     // edges matter (within-component pairs are already resolved).
     val la = seeded.select(col("id").as("id_a"), col("component").as("ca"))
     val lb = seeded.select(col("id").as("id_b"), col("component").as("cb"))
+    // Materialize the (delta-bounded) component-edge set ONCE: three
+    // downstream consumers each force it — the count-adaptive CC's edge
+    // count, its driver collect, and the merge-map checkpoint (through
+    // compNodes) — and without this cut each re-runs the two seeded
+    // joins + distinct from scratch, tripling the steady-state cost the
+    // incremental contract exists to avoid.
     val compEdges = edges.join(la, "id_a").join(lb, "id_b")
       .filter(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("id_a"),
         greatest(col("ca"), col("cb")).as("id_b"))
       .distinct()
+      .localCheckpoint()
     val compNodes = compEdges.select(col("id_a").as(idCol))
       .union(compEdges.select(col("id_b"))).distinct()
     val resolved = TrainingData.connectedComponents(compNodes, compEdges,
