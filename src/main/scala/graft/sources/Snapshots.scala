@@ -305,13 +305,36 @@ object Snapshots {
     val conf = spark.sessionState.newHadoopConf()
     val blooms = fileBloomBits(spark, batch.toString, bloomCols)
     val rootUri = fs.makeQualified(root).toUri
-    listParquet(fs, batch).map { st =>
+    val files = listParquet(fs, batch)
+    // Footer reads are independent per-file IO — read them on a bounded
+    // pool instead of one at a time: a many-cell partitioned commit
+    // stages ~one file per cell, and a sequential O(files) footer loop
+    // on the driver is the commit path's scaling cliff (at object-store
+    // latency each footer is a round trip, not a local ms). Each task
+    // opens its own reader; the shared Configuration is only read.
+    // Small batches skip the pool — thread spin-up would dominate.
+    def entryOf(st: org.apache.hadoop.fs.FileStatus): FileEntry = {
       val (rows, ranges) = ParquetMeta.fileStats(conf, st, statsCols)
       val rel = rootUri.relativize(st.getPath.toUri).getPath
       FileEntry(rel, rows, ranges,
         blooms.getOrElse(st.getPath.toUri.getPath, Map.empty),
         ParquetMeta.fileStrStats(conf, st, strStatsCols))
-    }.sortBy(_.path)
+    }
+    val entries =
+      if (files.size <= 4) files.map(entryOf)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(16, files.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(
+              files.map(st => new java.util.concurrent.Callable[FileEntry] {
+                def call(): FileEntry = entryOf(st)
+              }).asJava)
+            .asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+      }
+    entries.sortBy(_.path)
   }
 
   /** Write-audit-publish (the lakehouse governance gate): stage the
