@@ -1847,6 +1847,51 @@ object SnapshotQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)"""))
 
+  /** X122's optimizer-rule completion: AUTOMATIC dynamic file pruning
+    * ([[graft.plans.DimFilePruneRule]]) — the SAME star-join scan cut as
+    * q_dim_file_prune, but from a PLAIN `fact.join(dim)` with zero graft
+    * API calls on the query path: the registration-scoped rule detects
+    * the selective-dim equi-join over the enabled indexed fact, collects
+    * the dim's bounded keys inside optimization, and swaps the fact's
+    * file index for the pruned copy — no residual filter needed, the
+    * inner join drops what the evidence proved row-free. This is how a
+    * BI tool's generated star join gets the cut at 100 TB without
+    * knowing the graft API exists. Uses the MAX nation (q_dim_file_prune
+    * probes the min) so the two entries pin different dim slices; the
+    * rewrite's firing (files kept/skipped) is pinned in DimFilePruneSpec.
+    */
+  val dimFilePruneAuto = Q("q_dim_file_prune_auto",
+    (s, d) => {
+      val tbl = freshTable(s, d, "dfpa")
+      val li = lineitem(s, d).select(col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      Snapshots.commit(
+        li.repartitionByRange(16, col("l_suppkey"))
+          .sortWithinPartitions(col("l_suppkey")),
+        tbl, statsCols = Seq("l_suppkey"), bloomCols = Seq("l_suppkey"))
+      graft.plans.DimFilePrune.enable(s, tbl)
+      val nat = supplier(s, d).agg(max(col("s_nationkey")).cast("long"))
+        .head().getLong(0)
+      val dim = supplier(s, d)
+        .filter(col("s_nationkey") === lit(nat))
+        .select(col("s_suppkey"))
+      val (fact, _) = Snapshots.readIndexed(s, tbl)
+      // the PLAIN join — no dimPrunedScan call; the rule injects the cut
+      fact.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("_n"),
+          sum(revenue(col("l_extendedprice"), col("l_discount"))
+            .cast("decimal(27,4)")).as("_rev"))
+        .agg(sum(col("_n")).as("n_rows"),
+          sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_suppliers"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+           ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+           count(DISTINCT l_suppkey) AS n_suppliers
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = (SELECT max(s_nationkey) FROM supplier)"""))
+
   /** X116: SQL time travel — `VERSION AS OF` / `TIMESTAMP AS OF` /
     * `VERSION AS OF '<tag>'` through plain `spark.sql` on a catalog
     * graft table (the Hints-batch substitution rule): v1 reads
@@ -1985,7 +2030,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    hiddenPartition, compositePartition, dimFilePrune,
+    hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,

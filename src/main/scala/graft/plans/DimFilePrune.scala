@@ -1,0 +1,305 @@
+package graft.plans
+
+import graft.sources.{SnapshotFileIndex, Snapshots}
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** AUTOMATIC dynamic file pruning — the optimizer-rule completion of
+  * [[Snapshots.dimPrunedScan]], the way [[graft.sources.SnapshotFileIndex]]
+  * completed the explicit `scanPruned*` calls: a plain
+  * `fact.join(dim.filter(...), key)` over a [[Snapshots.readIndexed]] /
+  * `format("graft")` fact gets the dim-driven file cut with ZERO graft
+  * API calls. The rule detects an inner (or left-semi) equi-join whose
+  * one side scans an enabled indexed snapshot table and whose other side
+  * is BOUNDED — structurally (a local relation, a limited subtree, or a
+  * graft table whose manifest row total is within `maxKeys`; filters and
+  * projections only shrink those) or by the optimizer's size estimate
+  * sitting under the session's broadcast threshold (the join would
+  * broadcast that side anyway) — executes the bounded side once to
+  * collect its distinct join keys, prunes the fact's manifest through
+  * every evidence tier [[Snapshots.scanPrunedIn]] holds (integral
+  * envelopes, UTF-8 string envelopes, widen-era-aware blooms), and swaps
+  * the fact relation's file index for the pruned copy. This is the scan
+  * cut Delta calls dynamic file pruning; at 100 TB it is the difference
+  * between scanning the fact table and scanning one dim slice of it.
+  *
+  * Soundness: no residual filter is needed — a file is dropped only when
+  * the evidence PROVES it holds no row equal to ANY dim key, and an
+  * inner/left-semi join emits nothing for such rows. `EqualNullSafe` is
+  * deliberately NOT matched (null <=> null matches rows no key set
+  * describes). Dim keys are narrowed to the fact column's RECORDED type
+  * driver-side before probing (bloom hashes are width-sensitive); a key
+  * outside the narrow type's range is dropped — through the join's own
+  * widening cast it can equal no fact value. Anything unprovable — an
+  * unbounded dim, an unsupported key type, a non-equi condition, >
+  * `maxKeys` distinct keys — leaves the plan untouched: unlike the
+  * explicit API there is no loud refusal, because the plain join IS the
+  * correct fallback.
+  *
+  * Registration-scoped like [[MetaAgg]]/[[MaterializedViews]]: plans
+  * change only for [[DimFilePrune.enable]]-d table paths. The dim-side
+  * execution happens INSIDE optimization (the same jobs
+  * `dimPrunedScan`'s explicit collect runs); a thread-local re-entrancy
+  * guard keeps that sub-query's own optimization from recursing, and the
+  * pruned index's `flatForm = false` marker keeps the fixed-point batch
+  * from re-pruning its own output.
+  */
+object DimFilePrune {
+
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, Int]
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Enable automatic dim-driven file pruning for joins against reads
+    * of `tablePath` (idempotent; installs the optimizer rule on first
+    * use). `maxKeys` bounds both the provable dim cardinality and the
+    * collected key count — above it the join plans untouched.
+    */
+  def enable(spark: SparkSession, tablePath: String,
+      maxKeys: Int = 100000): Unit = {
+    require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
+    registry.put(norm(tablePath), maxKeys)
+    if (!spark.experimental.extraOptimizations.contains(DimFilePruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DimFilePruneRule
+  }
+
+  def clear(): Unit = { registry.clear(); lastCut = None }
+
+  private[plans] def maxKeysFor(path: String): Option[Int] =
+    registry.get(norm(path))
+
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  /** (table, files kept, files skipped) of the most recent rewrite —
+    * the observable cut counter specs assert on.
+    */
+  @volatile var lastCut: Option[(String, Int, Int)] = None
+}
+
+object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  // re-entrancy: collecting the dim keys optimizes a sub-query on this
+  // thread, which must not re-enter the rule (or re-plan the fact scan)
+  private val inRule = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (DimFilePrune.isEmpty || inRule.get) plan
+    else {
+      inRule.set(true)
+      try plan.transformDown {
+        case j @ Join(_, _, jt, Some(_), _) if jt == Inner || jt == LeftSemi =>
+          tryPrune(j)
+      } finally inRule.set(false)
+    }
+
+  private def tryPrune(j: Join): Join = {
+    // inner: either side may be the fact; left-semi: only the left
+    // (pruning the semi's right by left keys would need the BIG side's
+    // key set — not a bounded-dim shape)
+    val sides =
+      if (j.joinType == LeftSemi) Seq((j.left, j.right))
+      else Seq((j.left, j.right), (j.right, j.left))
+    sides.iterator.flatMap { case (factSide, dimSide) =>
+      pruneSide(factSide, dimSide, j.condition.get).map { newFact =>
+        if (factSide eq j.left) j.copy(left = newFact)
+        else j.copy(right = newFact)
+      }
+    }.nextOption().getOrElse(j)
+  }
+
+  /** The fact-side subtree with its indexed scan swapped for a pruned
+    * copy, or None when any link of the proof chain fails.
+    */
+  private def pruneSide(factSide: LogicalPlan, dimSide: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    for {
+      (lr, hfs, fi) <- factScanOf(factSide)
+      maxKeys <- fi.rootPaths.headOption
+        .flatMap(rp => DimFilePrune.maxKeysFor(rp.toUri.getPath))
+      if boundOf(dimSide).exists(_ <= maxKeys) || broadcastable(dimSide)
+      (factCol, dimAttr) <- equiKeyOf(cond, lr, dimSide)
+      factType = fi.dataSchema(factCol).dataType if supported(factType)
+      keys <- collectKeys(spark, dimAttr, dimSide, factType, maxKeys)
+      pruned <- rewrite(spark, factSide, lr, hfs, fi, factCol, keys)
+    } yield pruned
+  }
+
+  /** The indexed snapshot scan under attribute-only Projects/Filters —
+    * operators that only REMOVE rows or columns keep the prune sound.
+    * Only the public flat form qualifies: era slices carry per-era
+    * physical names the current-name evidence probe would mis-read, and
+    * an already-pruned copy must not be re-pruned (fixed-point batch).
+    */
+  private def factScanOf(p: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, SnapshotFileIndex)] =
+    p match {
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        factScanOf(child)
+      case Filter(_, child) => factScanOf(child)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case fi: SnapshotFileIndex if fi.flatForm => Some((lr, h, fi))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Is the dim side under the session's broadcast threshold by the
+    * optimizer's own size estimate? Then the JOIN ITSELF would broadcast
+    * it — collecting its distinct keys at planning time is the same
+    * order of work, which is exactly Delta's DFP premise. A wrong-low
+    * estimate risks one dim-side scan at planning, never wrong results
+    * (the collect is `limit`-capped driver-side and over-limit aborts
+    * the rewrite); threshold <= 0 (broadcast disabled) disables this
+    * tier, leaving only structural proofs.
+    */
+  private def broadcastable(dimSide: LogicalPlan): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    threshold > 0 && dimSide.stats.sizeInBytes <= threshold
+  }
+
+  /** A provable upper bound on the dim side's row count, from plan
+    * structure alone — no jobs. Filters/projections/aggregates/sorts
+    * only shrink a child's bound; limits bound directly; a local
+    * relation or an indexed snapshot scan bounds from its own metadata.
+    */
+  private def boundOf(p: LogicalPlan): Option[Long] = p match {
+    case l: LocalRelation => Some(l.data.length.toLong)
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case fi: SnapshotFileIndex => Some(fi.entries.map(_.rows).sum)
+        case _ => None
+      }
+      case _ => None
+    }
+    case GlobalLimit(IntegerLiteral(n), child) =>
+      Some(boundOf(child).fold(n.toLong)(math.min(_, n.toLong)))
+    case LocalLimit(IntegerLiteral(n), child) =>
+      Some(boundOf(child).fold(n.toLong)(math.min(_, n.toLong)))
+    case Project(_, child) => boundOf(child)
+    case Filter(_, child) => boundOf(child)
+    case a: Aggregate =>
+      if (a.groupingExpressions.isEmpty) Some(1L) else boundOf(a.child)
+    case s: Sort => boundOf(s.child)
+    case d: Distinct => boundOf(d.child)
+    case r: RepartitionOperation => boundOf(r.child)
+    case _ => None
+  }
+
+  /** One equi-conjunct `factAttr = dimAttr` linking the fact scan's own
+    * output to the dim side's, traversing only INTEGRAL-WIDENING casts
+    * (what Catalyst inserts to reconcile key widths; anything else is
+    * not a shape the recorded-type narrowing below can reason about).
+    * Returns the fact SCAN column name and the dim attribute.
+    */
+  private def equiKeyOf(cond: Expression, lr: LogicalRelation,
+      dimSide: LogicalPlan): Option[(String, Attribute)] = {
+    def strip(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast if widening(c.child.dataType, c.dataType) =>
+        strip(c.child)
+      case _ => None
+    }
+    def factName(a: Attribute): Option[String] =
+      lr.output.find(_.exprId == a.exprId).map(_.name)
+    def dimAttr(a: Attribute): Option[Attribute] =
+      dimSide.outputSet.find(_.exprId == a.exprId)
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case EqualTo(l, r) =>
+        (strip(l), strip(r)) match {
+          case (Some(a), Some(b)) =>
+            factName(a).flatMap(n => dimAttr(b).map(d => (n, d)))
+              .orElse(factName(b).flatMap(n => dimAttr(a).map(d => (n, d))))
+          case _ => None
+        }
+      case _ => None
+    }.nextOption()
+  }
+
+  private def rank(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 0
+  }
+
+  private def widening(from: DataType, to: DataType): Boolean =
+    rank(from) > 0 && rank(to) >= rank(from)
+
+  private def supported(dt: DataType): Boolean =
+    rank(dt) > 0 || dt == StringType
+
+  /** Execute the dim side (bounded — `boundOf` proved it) and narrow its
+    * distinct non-null keys to the fact column's recorded type. Integral
+    * narrowing drops out-of-range keys (they can equal no fact value
+    * through the join's widening cast); a key the narrowing cannot
+    * express at all aborts the rewrite. None = leave the plan alone.
+    */
+  private def collectKeys(spark: SparkSession, dimAttr: Attribute,
+      dimSide: LogicalPlan, factType: DataType, maxKeys: Int)
+      : Option[Seq[Any]] = {
+    if (!supported(dimAttr.dataType)) return None
+    val rows = GraftBridge.dataFrame(spark, Project(Seq(dimAttr), dimSide))
+      .distinct().limit(maxKeys + 1).collect()
+    if (rows.length > maxKeys) return None // unselective: plain join
+    val keys = rows.iterator.map(_.get(0)).filter(_ != null).flatMap { v =>
+      (v, factType) match {
+        case (n: java.lang.Number, LongType) => Some(n.longValue())
+        case (n: java.lang.Number, IntegerType) =>
+          val l = n.longValue()
+          if (l >= Int.MinValue && l <= Int.MaxValue) Some(l.toInt) else None
+        case (n: java.lang.Number, ShortType) =>
+          val l = n.longValue()
+          if (l >= Short.MinValue && l <= Short.MaxValue) Some(l.toShort)
+          else None
+        case (n: java.lang.Number, ByteType) =>
+          val l = n.longValue()
+          if (l >= Byte.MinValue && l <= Byte.MaxValue) Some(l.toByte)
+          else None
+        case (s: String, StringType) => Some(s)
+        case _ => return None // cross-family key: not provable, abort
+      }
+    }.toSeq
+    Some(keys)
+  }
+
+  /** The fact subtree with `lr` swapped for a relation over the pruned
+    * index. None when no file is cut — a no-op rewrite would still churn
+    * the tree every fixed-point iteration.
+    */
+  private def rewrite(spark: SparkSession, factSide: LogicalPlan,
+      lr: LogicalRelation, hfs: HadoopFsRelation, fi: SnapshotFileIndex,
+      factCol: String, keys: Seq[Any]): Option[LogicalPlan] = {
+    val (kept, skipped) =
+      if (keys.isEmpty) (Seq.empty[Snapshots.FileEntry], fi.entries)
+      else Snapshots.prunedEntriesIn(spark, fi.table, factCol, keys,
+        fi.version)
+    if (skipped.isEmpty) None
+    else {
+      DimFilePrune.lastCut = Some((fi.table, kept.size, skipped.size))
+      val newFi = SnapshotFileIndex.prunedCopy(spark, fi, kept)
+      val newRel = hfs.copy(location = newFi)(hfs.sparkSession)
+      // same output attributes: downstream references resolve untouched
+      val newLr = lr.copy(relation = newRel)
+      Some(factSide.transformUp {
+        case l2: LogicalRelation if l2 eq lr => newLr
+      })
+    }
+  }
+}

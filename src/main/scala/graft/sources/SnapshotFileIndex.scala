@@ -70,6 +70,15 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     else Snapshots.segmentIndexFor(spark, table, version)
       .filter(SnapshotFileIndex.segmentPlannable)
 
+  /** True only for the public whole-version form — the shape whose
+    * `entries` are exactly the version's manifest. The era form and
+    * [[SnapshotFileIndex.prunedCopy]] slices answer false; optimizer
+    * rules that reason from "entries = the whole version" (metadata
+    * aggregates already require it structurally; the dim-prune rule
+    * gates on it) must check this.
+    */
+  private[graft] def flatForm: Boolean = entriesOverride.isEmpty
+
   /** The indexed manifest entries — the evidence surface optimizer
     * rules ([[graft.plans.MetaAggRule]]) compute from. The whole
     * version for the flat form; one era's slice for the era form.
@@ -438,6 +447,19 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
 }
 
 object SnapshotFileIndex {
+
+  /** A file-pruned copy of a FLAT index — the rewrite target of the
+    * automatic dim-driven prune rule ([[graft.plans.DimFilePruneRule]]):
+    * same table/version/schema, entries restricted to `kept`. Built
+    * through the era-form constructor, which skips the flat refusals —
+    * sound here because `kept` is a subset of a flat index that already
+    * passed them — and whose `flatForm = false` marker doubles as the
+    * rule's idempotence guard (a pruned index is never re-pruned).
+    */
+  private[graft] def prunedCopy(spark: SparkSession, fi: SnapshotFileIndex,
+      kept: Seq[Snapshots.FileEntry]): SnapshotFileIndex =
+    new SnapshotFileIndex(spark, fi.table, fi.version, Some(kept),
+      Some(fi.dataSchema))
 
   /** A pushed comparison side resolved to manifest evidence: column
     * name, era default (if the pushdown shape was a null-fill

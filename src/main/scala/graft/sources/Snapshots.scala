@@ -2237,6 +2237,26 @@ object Snapshots {
       values: Seq[Any], version: Option[Int] = None): PrunedScan = {
     require(values.nonEmpty, "scanPrunedIn needs at least one value")
     val v = version.getOrElse(latestVersion(spark, table))
+    val (kept, skipped) = prunedEntriesIn(spark, table, col, values, v)
+    import org.apache.spark.sql.functions.{col => c}
+    val pred = c(col).isin(values: _*)
+    val df =
+      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
+      else readFiles(spark, table, v, kept).filter(pred)
+    PrunedScan(df, kept.size, skipped.size)
+  }
+
+  /** The (kept, skipped) manifest partition under an IN-list probe — the
+    * evidence core of [[scanPrunedIn]], shared with the AUTOMATIC
+    * dim-driven prune rule ([[graft.plans.DimFilePruneRule]]), which
+    * swaps a join's fact-side [[SnapshotFileIndex]] for a pruned copy
+    * instead of building a residual-filtered frame. `values` must
+    * already be in the column's RECORDED type — bloom hashes are
+    * width-sensitive (see [[dimPrunedScan]]).
+    */
+  private[graft] def prunedEntriesIn(spark: SparkSession, table: String,
+      col: String, values: Seq[Any], v: Int)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
     val files = manifest(spark, table, v)
     // IndexedSeq: the partition loop below indexes per (file, value)
     val hashes = values.map(bloomHash).toIndexedSeq
@@ -2275,15 +2295,9 @@ object Snapshots {
           else mightContain(bits, h)
         case None => true
       }
-    val (kept, skipped) = files.partition(e =>
+    files.partition(e =>
       values.iterator.zipWithIndex.exists { case (value, i) =>
         strOk(e, value) && intOk(e, value) && bloomOk(e, i, hashes(i)) })
-    import org.apache.spark.sql.functions.{col => c}
-    val pred = c(col).isin(values: _*)
-    val df =
-      if (kept.isEmpty) read(spark, table, Some(v)).limit(0).filter(pred)
-      else readFiles(spark, table, v, kept).filter(pred)
-    PrunedScan(df, kept.size, skipped.size)
   }
 
   /** DYNAMIC FILE PRUNING from a dimension frame — the join shape that

@@ -1,0 +1,185 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{SnapshotFileIndex, Snapshots}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** The AUTOMATIC dim-driven file prune ([[DimFilePruneRule]]): a plain
+  * `fact.join(dim)` over an enabled indexed snapshot table must get the
+  * same file cut [[Snapshots.dimPrunedScan]] gives explicitly — and must
+  * leave every unprovable shape untouched.
+  */
+class DimFilePruneSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dfpr_$tag").toString + "/t"
+
+  private def li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    .select(col("l_suppkey"), col("l_extendedprice"))
+
+  private def sup = spark.read.parquet(s"$sf001/supplier.parquet")
+
+  /** Range-clustered fact snapshot with envelope + bloom evidence. */
+  private def buildFact(tag: String): String = {
+    val tbl = freshTable(tag)
+    Snapshots.commit(
+      li.repartitionByRange(8, col("l_suppkey"))
+        .sortWithinPartitions(col("l_suppkey")),
+      tbl, statsCols = Seq("l_suppkey"), bloomCols = Seq("l_suppkey"))
+    tbl
+  }
+
+  private def selectiveDim = {
+    val nat = sup.agg(min(col("s_nationkey")).cast("long")).head().getLong(0)
+    sup.filter(col("s_nationkey") === lit(nat)).select(col("s_suppkey"))
+  }
+
+  /** Entry count of the join's fact-side file index after optimization
+    * (the pruned copy when the rule fired, the full manifest when not).
+    */
+  private def factIndexFiles(df: org.apache.spark.sql.DataFrame,
+      table: String): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case fi: SnapshotFileIndex if fi.table == table =>
+            Some(fi.entries.size)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.flatten
+
+  test("a plain inner join over an enabled indexed fact gets the file " +
+      "cut automatically, loses no rows, and survives key-width casts") {
+    val tbl = buildFact("auto")
+    DimFilePrune.enable(spark, tbl)
+    try {
+      val dim = selectiveDim
+      val want = li.join(dim, col("l_suppkey") === col("s_suppkey")).count()
+      val total = Snapshots.manifest(spark, tbl,
+        Snapshots.latestVersion(spark, tbl)).size
+
+      DimFilePrune.lastCut = None
+      val (fact, _) = Snapshots.readIndexed(spark, tbl)
+      val joined = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      assert(joined.count() === want, "auto-pruned join lost/gained rows")
+      val cut = DimFilePrune.lastCut
+      assert(cut.exists(_._1 == tbl) && cut.exists(_._3 > 0),
+        s"rule fired no cut: $cut")
+      val sizes = factIndexFiles(joined, tbl)
+      assert(sizes.nonEmpty && sizes.min < total,
+        s"fact index not swapped: $sizes vs $total files")
+
+      // key-width reconciliation: an INT dim key against the LONG fact
+      // column goes through Catalyst's widening cast — the rule must
+      // narrow driver-side (bloom hashes are width-sensitive)
+      DimFilePrune.lastCut = None
+      val dimInt = dim.select(col("s_suppkey").cast("int").as("s_suppkey"))
+      val (fact2, _) = Snapshots.readIndexed(spark, tbl)
+      val j2 = fact2.join(dimInt,
+        col("l_suppkey") === col("s_suppkey"))
+      assert(j2.count() === want, "int-keyed dim lost rows")
+      assert(DimFilePrune.lastCut.exists(_._3 > 0))
+
+      // left-semi prunes too
+      DimFilePrune.lastCut = None
+      val (fact3, _) = Snapshots.readIndexed(spark, tbl)
+      val semi = fact3.join(dim,
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      val wantSemi = li.join(dim,
+        col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+      assert(semi.count() === wantSemi)
+      assert(DimFilePrune.lastCut.exists(_._3 > 0))
+    } finally DimFilePrune.clear()
+  }
+
+  test("an empty dim key set cuts every fact file and returns no rows") {
+    val tbl = buildFact("empty")
+    DimFilePrune.enable(spark, tbl)
+    try {
+      DimFilePrune.lastCut = None
+      val dim = sup.filter(col("s_nationkey") === lit(-1L))
+        .select(col("s_suppkey"))
+      val (fact, _) = Snapshots.readIndexed(spark, tbl)
+      val j = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      assert(j.count() === 0L)
+      assert(DimFilePrune.lastCut.exists(c => c._2 == 0 && c._3 == 8),
+        s"expected all 8 files cut: ${DimFilePrune.lastCut}")
+    } finally DimFilePrune.clear()
+  }
+
+  test("unprovable shapes plan untouched: outer joins, unbounded dims, " +
+      "over-limit key sets, null-safe equality, non-enabled tables") {
+    val tbl = buildFact("skip")
+    val dim = selectiveDim
+    def factDf = Snapshots.readIndexed(spark, tbl)._1
+
+    // not enabled: no rewrite even for the perfect shape
+    DimFilePrune.lastCut = None
+    factDf.join(dim, col("l_suppkey") === col("s_suppkey")).count()
+    assert(DimFilePrune.lastCut.isEmpty, "rule fired without enablement")
+
+    DimFilePrune.enable(spark, tbl, maxKeys = 1)
+    try {
+      // dim collects ABOVE maxKeys: plain join, same rows, no cut
+      DimFilePrune.lastCut = None
+      val wide = sup.select(col("s_suppkey"))
+      val want = li.join(wide, col("l_suppkey") === col("s_suppkey")).count()
+      assert(factDf.join(wide,
+        col("l_suppkey") === col("s_suppkey")).count() === want)
+      assert(DimFilePrune.lastCut.isEmpty, "over-limit key set still cut")
+    } finally DimFilePrune.clear()
+
+    DimFilePrune.enable(spark, tbl)
+    try {
+      // LEFT OUTER keeps unmatched fact rows — pruning would drop them;
+      // the rule must not touch it
+      DimFilePrune.lastCut = None
+      val outer = factDf.join(dim,
+        col("l_suppkey") === col("s_suppkey"), "left_outer")
+      assert(outer.count() ===
+        li.join(dim, col("l_suppkey") === col("s_suppkey"), "left_outer")
+          .count())
+      assert(DimFilePrune.lastCut.isEmpty, "outer join was rewritten")
+
+      // unbounded dim: a plain parquet relation has no structural bound,
+      // and with broadcasting disabled the size-estimate tier is off too
+      DimFilePrune.lastCut = None
+      val bt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val unbounded = sup.select(col("s_suppkey"))
+        factDf.join(unbounded, col("l_suppkey") === col("s_suppkey")).count()
+        assert(DimFilePrune.lastCut.isEmpty, "unbounded dim was collected")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+
+      // null-safe equality matches null <=> null — never rewritten
+      DimFilePrune.lastCut = None
+      val dimL = dim.limit(5)
+      factDf.join(dimL, col("l_suppkey") <=> col("s_suppkey")).count()
+      assert(DimFilePrune.lastCut.isEmpty, "<=> join was rewritten")
+    } finally DimFilePrune.clear()
+  }
+
+  test("a bounded GRAFT dim (manifest row total) proves the bound and a " +
+      "filter on the fact side composes with the cut") {
+    val tbl = buildFact("graftdim")
+    val dimTbl = freshTable("dim")
+    Snapshots.commit(selectiveDim, dimTbl)
+    DimFilePrune.enable(spark, tbl)
+    try {
+      DimFilePrune.lastCut = None
+      val (dimG, _) = Snapshots.readIndexed(spark, dimTbl)
+      val (fact, _) = Snapshots.readIndexed(spark, tbl)
+      val j = fact.filter(col("l_extendedprice") > 0)
+        .join(dimG, col("l_suppkey") === col("s_suppkey"))
+      val want = li.filter(col("l_extendedprice") > 0)
+        .join(selectiveDim, col("l_suppkey") === col("s_suppkey")).count()
+      assert(j.count() === want)
+      assert(DimFilePrune.lastCut.exists(c => c._1 == tbl && c._3 > 0),
+        s"graft-dim bound did not prove: ${DimFilePrune.lastCut}")
+    } finally DimFilePrune.clear()
+  }
+}
