@@ -1892,6 +1892,48 @@ object SnapshotQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE s_nationkey = (SELECT max(s_nationkey) FROM supplier)"""))
 
+  /** BATCH TWIN of the streaming lookup join
+    * ([[graft.streaming.SnapshotStream.lookupJoin]]): one micro-batch's
+    * exact per-batch semantics — the batch's bounded key set dim-prunes
+    * the static graft table's files, the batch LEFT-joins the surviving
+    * slice, misses null-extend. Static side = EVEN-keyed customers only
+    * (so odd-key lookups genuinely miss); batch = one month of orders.
+    * The oracle replays the same left join over the source tables;
+    * stream ≡ batch equivalence and the per-batch file cut are pinned in
+    * LookupStreamSpec (cut counts are layout-dependent, not
+    * oracle-replayable).
+    */
+  val lookupEnrich = Q("q_lookup_enrich",
+    (s, d) => {
+      val tbl = freshTable(s, d, "lkp")
+      val cust = customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_custkey") % 2 === 0)
+      Snapshots.commit(
+        cust.repartitionByRange(8, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")),
+        tbl, statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      val batch = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-02-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.streaming.SnapshotStream
+        .lookupBatch(batch, tbl, "c_custkey", "o_custkey", maxKeys = 100000)
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"))
+          .as("total"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""SELECT coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+           count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+         FROM orders LEFT JOIN
+           (SELECT c_custkey, c_mktsegment FROM customer
+             WHERE c_custkey % 2 = 0) c
+           ON o_custkey = c_custkey
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+         GROUP BY 1 ORDER BY 1"""))
+
   /** X116: SQL time travel — `VERSION AS OF` / `TIMESTAMP AS OF` /
     * `VERSION AS OF '<tag>'` through plain `spark.sql` on a catalog
     * graft table (the Hints-batch substitution rule): v1 reads
@@ -2031,6 +2073,7 @@ object SnapshotQueries {
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
+    lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,

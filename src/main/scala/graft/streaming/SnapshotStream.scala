@@ -92,6 +92,72 @@ object SnapshotStream {
     checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** (files read, files skipped) of the most recent [[lookupBatch]]
+    * prune — the observable cut counter specs assert on. None = the last
+    * batch fell back to the plain read (key set above `maxKeys`).
+    */
+  @volatile var lastLookupPrune: Option[(Int, Int)] = None
+
+  /** STREAMING LOOKUP JOIN against a large STATIC graft table — the
+    * enrichment shape where the STATIC side is the 100 TB one: each
+    * micro-batch's bounded distinct key set IS the selective dim, so
+    * [[Snapshots.dimPrunedScan]] cuts the static table's files to the
+    * slice that can match the batch (integral/UTF-8 envelopes, widen-
+    * aware blooms) and the batch LEFT-joins only that slice — per-batch
+    * scan cost follows the batch's key locality, not the table size.
+    * Sound for the left join: a static row contributes only when it
+    * equals some batch key, which is exactly what the prune keeps; batch
+    * rows without a match still emit null-extended. A batch whose key
+    * set exceeds `maxKeys` falls back to the plain read (a lookup must
+    * not fail because one batch ran hot; [[lastLookupPrune]] reads None).
+    * The static table resolves at its LATEST version each batch, so new
+    * commits surface at the next micro-batch boundary — the
+    * serving-table composition. A version carrying merge-on-read
+    * tombstones refuses LOUDLY through the shared read path (a masked
+    * row served into a lookup would be silent corruption) — run
+    * [[Snapshots.compactMor]] after upserts, the usual MOR serving
+    * discipline.
+    */
+  def lookupJoin(
+      stream: DataFrame,
+      table: String,
+      factCol: String,
+      streamCol: String,
+      maxKeys: Int = 100000,
+      checkpoint: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(lookupBatch(batch.toDF(), table, factCol, streamCol, maxKeys),
+          batchId)
+      }
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** One lookup step, factored out so the stream ≡ batch spec and the
+    * oracled batch-twin catalog entry (q_lookup_enrich) drive the exact
+    * per-batch semantics. Equal column names join `USING`-style (one key
+    * column out); distinct names keep both.
+    */
+  private[graft] def lookupBatch(batch: DataFrame, table: String,
+      factCol: String, streamCol: String, maxKeys: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val slice =
+      try {
+        val ps = Snapshots.dimPrunedScan(spark, table, factCol, batch,
+          streamCol, maxKeys)
+        lastLookupPrune = Some((ps.filesRead, ps.filesSkipped))
+        ps.df
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("unselective") =>
+          lastLookupPrune = None
+          Snapshots.read(spark, table)
+      }
+    if (factCol == streamCol) batch.join(slice, Seq(streamCol), "left")
+    else batch.join(slice, batch(streamCol) === slice(factCol), "left")
+  }
+
   private[graft] def upsertBatch(batch: DataFrame, batchId: Long,
       table: String, keyCol: String, statsCols: Seq[String]): Unit = {
     if (batch.isEmpty) return
