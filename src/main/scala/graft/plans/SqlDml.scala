@@ -899,44 +899,80 @@ object SqlDml {
             .getOrElse(col(fallback + f.name))
             .cast(f.dataType).as(f.name)
         }: _*)
+      // ONE join, ONE checkpoint: the three row classes (matched,
+      // source-only, target-only) are disjoint slices of a single outer
+      // join, classified by per-side presence flags — null join keys
+      // never match, exactly the anti-join semantics each class had when
+      // it ran its own join. The checkpoint pins every action frame
+      // against re-execution (Snapshots.merge runs them twice:
+      // key-collect pass, write pass — an un-pinned source plan could
+      // commit inconsistent action sets if non-deterministic), and doing
+      // it ONCE replaces the three per-class join runs + materializations
+      // this command used to pay (r14 advisory follow-up).
+      val needM = matched.nonEmpty
+      val needI = notMatched.nonEmpty // insert class: source-only rows
+      val needD = notMatchedBySource.nonEmpty // target-only rows
+      // single-anti-class statements keep their anti join — an outer
+      // join would checkpoint the matched rows only to filter them out
+      val joinType = (needM, needI, needD) match {
+        case (false, true, false) => "src_anti"
+        case (false, false, true) => "tgt_anti"
+        case (_, true, true) => "full_outer"
+        case (_, true, false) => "right_outer" // all source + matched
+        case (_, false, true) => "left_outer" // all target + matched
+        case _ => "inner"
+      }
+      val tFlag = "__graft_t"
+      val sFlag = "__graft_s"
+      val actM = act + "_m"
+      val actI = act + "_i"
+      val actD = act + "_d"
+      val tPresent = col(tFlag).isNotNull
+      val sPresent = col(sFlag).isNotNull
+      // per-class action index computed BEFORE the checkpoint (so a
+      // non-deterministic condition is evaluated exactly once), guarded
+      // by presence — a class's conditions reference columns the other
+      // side null-fills, and must never classify rows outside the class
+      var j = joinType match {
+        case "src_anti" =>
+          srcP.join(tgtP, sKey === tKey, "left_anti")
+            .withColumn(tFlag, lit(null).cast("boolean"))
+            .withColumn(sFlag, lit(true))
+        case "tgt_anti" =>
+          tgtP.join(srcP, tKey === sKey, "left_anti")
+            .withColumn(tFlag, lit(true))
+            .withColumn(sFlag, lit(null).cast("boolean"))
+        case jt =>
+          tgtP.withColumn(tFlag, lit(true))
+            .join(srcP.withColumn(sFlag, lit(true)), tKey === sKey, jt)
+      }
+      if (needM) j = j.withColumn(actM,
+        when(tPresent && sPresent, actIdx(matched.map(_._1)))
+          .otherwise(lit(0)))
+      if (needI) j = j.withColumn(actI,
+        when(!tPresent, actIdx(notMatched.map(_._1))).otherwise(lit(0)))
+      if (needD) j = j.withColumn(actD,
+        when(!sPresent, actIdx(notMatchedBySource.map(_._1)))
+          .otherwise(lit(0)))
+      val pinned = j.localCheckpoint()
       var upserts = Seq.empty[org.apache.spark.sql.DataFrame]
       var delKeys = Seq.empty[org.apache.spark.sql.DataFrame]
-      if (matched.nonEmpty) {
-        val j = tgtP.join(srcP, tKey === sKey, "inner")
-          .withColumn(act, actIdx(matched.map(_._1)))
-          .localCheckpoint() // N action filters share one join run
-        matched.zipWithIndex.foreach { case ((_, setOpt), i) =>
-          val rows = j.filter(col(act) === lit(i + 1))
-          setOpt match {
-            case Some(set) => upserts :+= shapeRow(rows, set, TP)
-            case None => delKeys :+= rows.select(tKey.as(keyCol))
-          }
+      matched.zipWithIndex.foreach { case ((_, setOpt), i) =>
+        val rows = pinned.filter(col(actM) === lit(i + 1))
+        setOpt match {
+          case Some(set) => upserts :+= shapeRow(rows, set, TP)
+          case None => delKeys :+= rows.select(tKey.as(keyCol))
         }
       }
-      if (notMatched.nonEmpty) {
-        // checkpointed like the matched join: Snapshots.merge executes
-        // the upsert/delete frames TWICE (key-collect pass, write pass),
-        // and an un-pinned anti-join would re-run the user's source plan
-        // each time — a non-deterministic or externally-mutated source
-        // could then commit inconsistent action sets
-        val ins = srcP.join(tgtP, sKey === tKey, "left_anti")
-          .withColumn(act, actIdx(notMatched.map(_._1)))
-          .localCheckpoint()
-        notMatched.zipWithIndex.foreach { case ((_, proj), i) =>
-          upserts :+= shapeRow(ins.filter(col(act) === lit(i + 1)),
-            proj, SP)
-        }
+      notMatched.zipWithIndex.foreach { case ((_, proj), i) =>
+        upserts :+= shapeRow(pinned.filter(col(actI) === lit(i + 1)),
+          proj, SP)
       }
-      if (notMatchedBySource.nonEmpty) {
-        val nm = tgtP.join(srcP, tKey === sKey, "left_anti")
-          .withColumn(act, actIdx(notMatchedBySource.map(_._1)))
-          .localCheckpoint() // same two-pass pinning as above
-        notMatchedBySource.zipWithIndex.foreach { case ((_, setOpt), i) =>
-          val rows = nm.filter(col(act) === lit(i + 1))
-          setOpt match {
-            case Some(set) => upserts :+= shapeRow(rows, set, TP)
-            case None => delKeys :+= rows.select(tKey.as(keyCol))
-          }
+      notMatchedBySource.zipWithIndex.foreach { case ((_, setOpt), i) =>
+        val rows = pinned.filter(col(actD) === lit(i + 1))
+        setOpt match {
+          case Some(set) => upserts :+= shapeRow(rows, set, TP)
+          case None => delKeys :+= rows.select(tKey.as(keyCol))
         }
       }
       def emptyTarget = spark.createDataFrame(
