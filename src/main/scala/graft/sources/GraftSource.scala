@@ -92,7 +92,8 @@ final class GraftSource extends RelationProvider
       // pass the already-parsed entries through: the routing decision
       // and the index constructor must not each pay an O(files) parse
       // (the refusal conditions were just checked by the router)
-      val index = new SnapshotFileIndex(spark, table, version, pre, None)
+      val index = new SnapshotFileIndex(spark, table, version, pre, None,
+        wholeVersion = true)
       HadoopFsRelation(index, new StructType(), index.dataSchema, None,
         new ParquetFileFormat, parameters)(spark)
     }

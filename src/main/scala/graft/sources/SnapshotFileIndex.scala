@@ -48,10 +48,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SnapshotFileIndex private[sources] (spark: SparkSession,
     val table: String, val version: Int,
     entriesOverride: Option[Seq[Snapshots.FileEntry]],
-    schemaOverride: Option[StructType]) extends FileIndex {
+    schemaOverride: Option[StructType],
+    wholeVersion: Boolean = false) extends FileIndex {
 
   def this(spark: SparkSession, table: String, version: Int) =
-    this(spark, table, version, None, None)
+    this(spark, table, version, None, None, wholeVersion = true)
 
   /** SEGMENT-PLANNING mode: when [[Snapshots.buildSegmentIndex]] ran
     * for this version and its header carries everything planning needs
@@ -70,14 +71,16 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     else Snapshots.segmentIndexFor(spark, table, version)
       .filter(SnapshotFileIndex.segmentPlannable)
 
-  /** True only for the public whole-version form — the shape whose
-    * `entries` are exactly the version's manifest. The era form and
-    * [[SnapshotFileIndex.prunedCopy]] slices answer false; optimizer
-    * rules that reason from "entries = the whole version" (metadata
-    * aggregates already require it structurally; the dim-prune rule
-    * gates on it) must check this.
+  /** True only for whole-version forms — shapes whose `entries` are
+    * exactly the version's manifest: the public constructor and
+    * [[GraftSource]]'s flat routing (which pre-parses the manifest and
+    * passes it through as an override, so `entriesOverride.isEmpty` is
+    * NOT the test). The era form and [[SnapshotFileIndex.prunedCopy]]
+    * slices answer false; optimizer rules that reason from "entries =
+    * the whole version" (the dim-prune rule gates on it — doubling as
+    * its fixed-point idempotence guard) must check this.
     */
-  private[graft] def flatForm: Boolean = entriesOverride.isEmpty
+  private[graft] def flatForm: Boolean = wholeVersion
 
   /** The indexed manifest entries — the evidence surface optimizer
     * rules ([[graft.plans.MetaAggRule]]) compute from. The whole

@@ -163,6 +163,32 @@ class DimFilePruneSpec extends SparkSpec {
     } finally DimFilePrune.clear()
   }
 
+  test("a PLAIN SQL star join over format(\"graft\") views gets the cut " +
+      "— the BI-generated-SQL path, zero graft API calls") {
+    val tbl = buildFact("sql")
+    DimFilePrune.enable(spark, tbl)
+    try {
+      val dim = selectiveDim
+      spark.read.format("graft").load(tbl).createOrReplaceTempView("dfpr_fact")
+      dim.createOrReplaceTempView("dfpr_dim")
+      DimFilePrune.lastCut = None
+      val got = spark.sql(
+        """SELECT count(*) AS n, sum(l_extendedprice) AS total
+          FROM dfpr_fact JOIN dfpr_dim ON l_suppkey = s_suppkey""")
+        .head()
+      val want = li.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .agg(count(lit(1)), sum(col("l_extendedprice"))).head()
+      assert(got.getLong(0) === want.getLong(0))
+      assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
+      assert(DimFilePrune.lastCut.exists(c => c._1 == tbl && c._3 > 0),
+        s"SQL star join got no cut: ${DimFilePrune.lastCut}")
+    } finally {
+      DimFilePrune.clear()
+      spark.catalog.dropTempView("dfpr_fact")
+      spark.catalog.dropTempView("dfpr_dim")
+    }
+  }
+
   test("a bounded GRAFT dim (manifest row total) proves the bound and a " +
       "filter on the fact side composes with the cut") {
     val tbl = buildFact("graftdim")
