@@ -183,6 +183,53 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("COMPOSITE spec with THREE transforms (year × truncate × bucket): " +
+      "each axis prunes independently and the conjunction cuts finest") {
+    val tbl = freshTable("comp3")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    Snapshots.commit(o.limit(0), tbl)
+    Partitioning.setSpec(spark, tbl, Seq(
+      Partitioning.Year("o_orderdate"),
+      Partitioning.Truncate(50, "o_custkey"),
+      Partitioning.Bucket(4, "o_orderkey")))
+    Partitioning.commitPartitioned(o, tbl)
+    // content roundtrip + every file carries one 3-LEVEL tuple
+    def keyset(df: DataFrame): Set[(Long, Double)] =
+      df.select(col("o_orderkey").cast("long"), col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(keyset(Snapshots.read(spark, tbl)) === keyset(o))
+    val es = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl)).filter(_.rows > 0)
+    assert(es.forall(e => Partitioning.tupleOf(e.path).exists(_.size == 3)))
+    // per-axis evidence, each asserted INDEPENDENTLY: year rides the
+    // date envelope, truncate is monotonic so the custkey envelope
+    // survives it, bucket records blooms for raw-key equality
+    val (df, idx) = Snapshots.readIndexed(spark, tbl)
+    val ok = o.select(max(col("o_orderkey")).cast("long")).head().getLong(0)
+    val yearCond = col("o_orderdate") >= lit("1997-01-01") &&
+      col("o_orderdate") <= lit("1997-12-31")
+    val truncCond = col("o_custkey") >= 0L && col("o_custkey") <= 49L
+    val bucketCond = col("o_orderkey") === ok
+    val total = es.size
+    def prunedCount(cond: org.apache.spark.sql.Column): Int = {
+      assert(df.filter(cond).count() === o.filter(cond).count())
+      idx.lastPrune._1
+    }
+    val yearKept = prunedCount(yearCond)
+    val truncKept = prunedCount(truncCond)
+    val bucketKept = prunedCount(bucketCond)
+    assert(yearKept < total, s"year axis cut nothing: $yearKept/$total")
+    assert(truncKept < total, s"truncate axis cut nothing: $truncKept/$total")
+    assert(bucketKept < total, s"bucket axis cut nothing: $bucketKept/$total")
+    val allKept = prunedCount(yearCond && truncCond && bucketCond)
+    assert(allKept <= yearKept && allKept <= truncKept &&
+      allKept <= bucketKept && allKept < total,
+      s"3-axis cut $allKept not finest of $yearKept/$truncKept/" +
+        s"$bucketKept/$total")
+  }
+
   test("partition EVOLUTION: old files keep their era's spec; " +
       "overwrites refuse unprovable old-era files; rewriteLayout " +
       "migrates; time travel still reads every version") {
