@@ -70,7 +70,12 @@ object PlanFingerprint {
     // line end, and emit ONE fixed tail — a list cut exactly at the
     // metadata width must hash identically to a fully-printed one; the
     // value class is open (string IN-lists truncate the same way)
-    .replaceAll("INSET [^)\\n]*", "INSET <vals>")
+    // an INSET list holds bare values (no brackets of its own): it ends
+    // at the DataFilters section's closing "]" or at the truncation
+    // ellipsis — a lazy match to either, emitting ONE fixed tail, makes
+    // a truncated list hash identically to a fully-printed one (a
+    // greedy [^)]* would eat the rest of the line incl. PushedFilters)
+    .replaceAll("INSET [^\\]\\n]*?(\\]|\\.\\.\\.)", "INSET <vals>]")
     .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*(\\]\\)|\\.\\.\\.|$)",
       "In($1, [<vals>])")
 

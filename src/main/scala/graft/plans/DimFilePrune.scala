@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.sources.{SnapshotFileIndex, Snapshots}
+import graft.sources.SnapshotFileIndex
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
@@ -66,9 +66,15 @@ object DimFilePrune {
       maxKeys: Int = 100000): Unit = {
     require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
     registry.put(norm(tablePath), maxKeys)
-    if (!spark.experimental.extraOptimizations.contains(DimFilePruneRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ DimFilePruneRule
+    // extraOptimizations is a plain var on the shared session — the
+    // contains-then-append must be atomic or two threads enabling
+    // concurrently can lose each other's rule (GraftBridge.addStrategy
+    // discipline)
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(DimFilePruneRule))
+        exp.extraOptimizations = exp.extraOptimizations :+ DimFilePruneRule
+    }
   }
 
   def clear(): Unit = { registry.clear(); lastCut = None }
@@ -281,18 +287,18 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The fact subtree with `lr` swapped for a relation over the pruned
     * index. None when no file is cut — a no-op rewrite would still churn
-    * the tree every fixed-point iteration.
+    * the tree every fixed-point iteration. The probe goes through
+    * [[SnapshotFileIndex.pruneByKeys]], which in segment-planning mode
+    * prunes whole segments from their rollups before parsing any
+    * per-file entry — O(segments + kept), not O(files).
     */
   private def rewrite(spark: SparkSession, factSide: LogicalPlan,
       lr: LogicalRelation, hfs: HadoopFsRelation, fi: SnapshotFileIndex,
       factCol: String, keys: Seq[Any]): Option[LogicalPlan] = {
-    val (kept, skipped) =
-      if (keys.isEmpty) (Seq.empty[Snapshots.FileEntry], fi.entries)
-      else Snapshots.prunedEntriesIn(spark, fi.table, factCol, keys,
-        fi.version)
-    if (skipped.isEmpty) None
+    val (kept, skipped) = fi.pruneByKeys(factCol, keys)
+    if (skipped == 0) None
     else {
-      DimFilePrune.lastCut = Some((fi.table, kept.size, skipped.size))
+      DimFilePrune.lastCut = Some((fi.table, kept.size, skipped))
       val newFi = SnapshotFileIndex.prunedCopy(spark, fi, kept)
       val newRel = hfs.copy(location = newFi)(hfs.sparkSession)
       // same output attributes: downstream references resolve untouched

@@ -53,9 +53,13 @@ object MetaAgg {
     */
   def enable(spark: SparkSession, tablePath: String): Unit = {
     registry.put(norm(tablePath), ())
-    if (!spark.experimental.extraOptimizations.contains(MetaAggRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ MetaAggRule
+    // atomic contains-then-append: extraOptimizations is a plain var on
+    // the shared session (GraftBridge.addStrategy discipline)
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(MetaAggRule))
+        exp.extraOptimizations = exp.extraOptimizations :+ MetaAggRule
+    }
   }
 
   def clear(): Unit = registry.clear()

@@ -179,6 +179,33 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     (segPlan.map(_.segments.size).getOrElse(0),
       segPlan.map(_.segments.size).getOrElse(0))
 
+  /** The (kept entries, skipped file count) under an IN-set key probe —
+    * the evidence surface the automatic dim-prune rule
+    * ([[graft.plans.DimFilePruneRule]]) computes from. Segment-planning
+    * mode probes the SEGMENT ROLLUPS first and parses only surviving
+    * segments' entries, so the cut costs O(segments + kept files), not
+    * O(files) — the rule must not defeat the planning economics this
+    * index exists for on a million-file table. `values` must already be
+    * in the column's recorded type (bloom hashes are width-sensitive);
+    * an empty set skips everything without parsing a single segment.
+    */
+  private[graft] def pruneByKeys(col: String, values: Seq[Any])
+      : (Seq[Snapshots.FileEntry], Int) = segPlan match {
+    case Some(ix) =>
+      // segment-plannable ⇒ no evolution events ⇒ no widen eras
+      val (keptSegs, skippedSegs) =
+        Snapshots.prunedEntriesInOver(ix.segments, Seq.empty, col, values)
+      val (kept, skippedFiles) = Snapshots.prunedEntriesInOver(
+        keptSegs.flatMap(parsedSegment), Seq.empty, col, values)
+      // a segment entry's `seq` field carries its file count
+      (kept, skippedFiles.size + skippedSegs.map(_.seq).sum)
+    case None =>
+      val widens = Snapshots.widenEvents(props).filter(_.name == col)
+      val (kept, skipped) =
+        Snapshots.prunedEntriesInOver(entries, widens, col, values)
+      (kept, skipped.size)
+  }
+
   /** Table root FIRST (rules key on it), then the data dir. The
     * two-path shape is deliberate: Spark's `INSERT INTO` planning for
     * file relations (`InsertIntoHadoopFsRelationCommand`) requires

@@ -2256,8 +2256,23 @@ object Snapshots {
     */
   private[graft] def prunedEntriesIn(spark: SparkSession, table: String,
       col: String, values: Seq[Any], v: Int)
+      : (Seq[FileEntry], Seq[FileEntry]) =
+    prunedEntriesInOver(manifest(spark, table, v),
+      widenEvents(properties(spark, table, v)).filter(_.name == col),
+      col, values)
+
+  /** The same IN-probe over an EXPLICIT entry list — what the segment
+    * tier needs: segment-rollup entries are [[FileEntry]]-shaped with
+    * sound evidence (a rollup envelope contains every member file's,
+    * blooms are OR'd), so probing them with this core prunes whole
+    * segments before any per-file entry is parsed
+    * ([[SnapshotFileIndex.pruneByKeys]]). `widens` must be the column's
+    * widen events — callers on the segment path pass none (segment
+    * planning requires event-freedom).
+    */
+  private[sources] def prunedEntriesInOver(files: Seq[FileEntry],
+      widens: Seq[WidenEvent], col: String, values: Seq[Any])
       : (Seq[FileEntry], Seq[FileEntry]) = {
-    val files = manifest(spark, table, v)
     // IndexedSeq: the partition loop below indexes per (file, value)
     val hashes = values.map(bloomHash).toIndexedSeq
     def strOk(e: FileEntry, value: Any): Boolean =
@@ -2276,8 +2291,6 @@ object Snapshots {
           mn <= n.longValue() && n.longValue() <= mx
         case _ => true
       }
-    val widens = widenEvents(properties(spark, table, v))
-      .filter(_.name == col)
     // narrow-representation hashes hoisted ONCE per value (not per
     // file × value — the probe loop runs files × values times and
     // bloomHash constructs a Catalyst expression per call)

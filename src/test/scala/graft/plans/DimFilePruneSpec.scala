@@ -189,6 +189,44 @@ class DimFilePruneSpec extends SparkSpec {
     }
   }
 
+  test("SEGMENT-planning mode: the key probe prunes whole segments from " +
+      "rollups and parses only survivors — O(segments + kept), and an " +
+      "empty dim parses none at all") {
+    import spark.implicits._
+    val tbl = freshTable("seg")
+    // 32 one-key files, range-clustered: 8 segments of 4, exact rollups
+    val df = (0L until 32L).map(i => (i, i * 100)).toDF("k", "v")
+      .repartitionByRange(32, col("k")).sortWithinPartitions(col("k"))
+    Snapshots.commit(df, tbl, statsCols = Seq("k"))
+    assert(Snapshots.buildSegmentIndex(spark, tbl, segSize = 4) === 8)
+    DimFilePrune.enable(spark, tbl)
+    try {
+      DimFilePrune.lastCut = None
+      val dim = Seq(9L, 10L).toDF("dk") // both keys live in segment 2
+      val (fact, idx) = Snapshots.readIndexed(spark, tbl)
+      val j = fact.join(dim, col("k") === col("dk"))
+      assert(j.count() === 2L)
+      assert(DimFilePrune.lastCut.exists(c => c._2 == 2 && c._3 == 30),
+        s"expected 2 kept / 30 skipped: ${DimFilePrune.lastCut}")
+      assert(idx.segmentParses.get() <= 1,
+        s"probe parsed ${idx.segmentParses.get()} segments; rollups " +
+          "should have pruned all but one")
+
+      // all-miss dim (a statically-EMPTY dim never reaches the rule —
+      // PropagateEmptyRelation folds the join away first, which is also
+      // correct): key 999 misses every rollup envelope, so everything
+      // skips without parsing a single segment
+      DimFilePrune.lastCut = None
+      val (fact2, idx2) = Snapshots.readIndexed(spark, tbl)
+      val none = fact2.join(Seq(999L).toDF("dk"), col("k") === col("dk"))
+      assert(none.count() === 0L)
+      assert(DimFilePrune.lastCut.exists(c => c._2 == 0 && c._3 == 32),
+        s"all-miss cut: ${DimFilePrune.lastCut}")
+      assert(idx2.segmentParses.get() === 0,
+        s"all-miss probe parsed ${idx2.segmentParses.get()} segments")
+    } finally DimFilePrune.clear()
+  }
+
   test("a bounded GRAFT dim (manifest row total) proves the bound and a " +
       "filter on the fact side composes with the cut") {
     val tbl = buildFact("graftdim")
