@@ -70,13 +70,20 @@ object PlanFingerprint {
     // line end, and emit ONE fixed tail — a list cut exactly at the
     // metadata width must hash identically to a fully-printed one; the
     // value class is open (string IN-lists truncate the same way)
-    // an INSET list holds bare values (no brackets of its own): it ends
-    // at the DataFilters section's closing "]" or at the truncation
-    // ellipsis — a lazy match to either, emitting ONE fixed tail, makes
-    // a truncated list hash identically to a fully-printed one (a
-    // greedy [^)]* would eat the rest of the line incl. PushedFilters)
-    .replaceAll("INSET [^\\]\\n]*?(\\]|\\.\\.\\.)", "INSET <vals>]")
-    .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*(\\]\\)|\\.\\.\\.|$)",
+    // an INSET list holds bare values (no brackets of its own). THREE
+    // print shapes, all normalized to a fixed tail so the literal list
+    // (data, not plan shape) never reaches the hash: scan metadata ends
+    // the list at DataFilters' closing "]" or truncates with "...";
+    // a Filter tree node prints the condition in full, ending at ")";
+    // a list at line end gets the scan tail. Lazy matches — a greedy
+    // [^)]* would eat the rest of the line including PushedFilters.
+    .replaceAll("INSET [^\\])\\n]*?(\\]|\\.\\.\\.)", "INSET <vals>]")
+    .replaceAll("INSET [^\\])\\n]*?\\)", "INSET <vals>)")
+    .replaceAll("(?m)INSET [^\\])\\n]*$", "INSET <vals>]")
+    // lazy value match to the earliest terminator — "])" (full print)
+    // or "..." (truncation, which Spark always appends at the cut) — so
+    // a truncated list never swallows the fields after it
+    .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*?(\\]\\)|\\.\\.\\.)",
       "In($1, [<vals>])")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two

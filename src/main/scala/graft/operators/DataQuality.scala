@@ -180,9 +180,12 @@ object DataQuality {
       // the persist exists only to share the upstream computation across
       // the per-column fan-out; the result is one tiny row per column, so
       // materialize eagerly and release the cache — a lazily-returned
-      // frame would pin the cached input for the session's lifetime
-      val rows = union.collect().toIndexedSeq
-      src.unpersist()
+      // frame would pin the cached input for the session's lifetime, and
+      // the release must survive a failing job too (finally), or the
+      // failure path leaks the exact pin this block exists to close
+      val rows =
+        try union.collect().toIndexedSeq
+        finally src.unpersist()
       df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.parallelize(rows, 1), union.schema)
     }

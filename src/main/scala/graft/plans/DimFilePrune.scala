@@ -66,15 +66,7 @@ object DimFilePrune {
       maxKeys: Int = 100000): Unit = {
     require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
     registry.put(norm(tablePath), maxKeys)
-    // extraOptimizations is a plain var on the shared session — the
-    // contains-then-append must be atomic or two threads enabling
-    // concurrently can lose each other's rule (GraftBridge.addStrategy
-    // discipline)
-    val exp = spark.experimental
-    exp.synchronized {
-      if (!exp.extraOptimizations.contains(DimFilePruneRule))
-        exp.extraOptimizations = exp.extraOptimizations :+ DimFilePruneRule
-    }
+    org.apache.spark.sql.GraftBridge.addOptimization(spark, DimFilePruneRule)
   }
 
   def clear(): Unit = { registry.clear(); lastCut = None }
@@ -134,6 +126,13 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
       maxKeys <- fi.rootPaths.headOption
         .flatMap(rp => DimFilePrune.maxKeysFor(rp.toUri.getPath))
       if boundOf(dimSide).exists(_ <= maxKeys) || broadcastable(dimSide)
+      // the dim side executes TWICE — key collect at plan time, the
+      // join itself at run time. A non-deterministic dim (rand-sampled,
+      // non-deterministic UDF) would produce two DIFFERENT key sets and
+      // the prune would silently lose rows; same defense the MERGE
+      // command's checkpoint gives its source
+      if dimSide.find(p =>
+        p.expressions.exists(e => !e.deterministic)).isEmpty
       (factCol, dimAttr) <- equiKeyOf(cond, lr, dimSide)
       factType = fi.dataSchema(factCol).dataType if supported(factType)
       keys <- collectKeys(spark, dimAttr, dimSide, factType, maxKeys)
@@ -188,7 +187,10 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case l: LocalRelation => Some(l.data.length.toLong)
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => h.location match {
-        case fi: SnapshotFileIndex => Some(fi.entries.map(_.rows).sum)
+        // rowBound, NOT entries: forcing entries on a segment-indexed
+        // dim would parse every segment at plan time — the O(files)
+        // cost the segment tier exists to avoid
+        case fi: SnapshotFileIndex => Some(fi.rowBound)
         case _ => None
       }
       case _ => None

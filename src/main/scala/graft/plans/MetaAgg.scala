@@ -53,13 +53,7 @@ object MetaAgg {
     */
   def enable(spark: SparkSession, tablePath: String): Unit = {
     registry.put(norm(tablePath), ())
-    // atomic contains-then-append: extraOptimizations is a plain var on
-    // the shared session (GraftBridge.addStrategy discipline)
-    val exp = spark.experimental
-    exp.synchronized {
-      if (!exp.extraOptimizations.contains(MetaAggRule))
-        exp.extraOptimizations = exp.extraOptimizations :+ MetaAggRule
-    }
+    org.apache.spark.sql.GraftBridge.addOptimization(spark, MetaAggRule)
   }
 
   def clear(): Unit = registry.clear()

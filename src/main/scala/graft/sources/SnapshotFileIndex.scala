@@ -189,6 +189,17 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     * in the column's recorded type (bloom hashes are width-sensitive);
     * an empty set skips everything without parsing a single segment.
     */
+  /** Total recorded rows — answered from the segment ROLLUPS in
+    * segment-planning mode (each rollup records its members' row total),
+    * per-file entries otherwise. The dim-side bound probe of the
+    * automatic prune rule reads this; forcing `entries` there would
+    * parse every segment of a million-file dim at plan time.
+    */
+  private[graft] def rowBound: Long = segPlan match {
+    case Some(ix) => ix.segments.map(_.rows).sum
+    case None => entries.map(_.rows).sum
+  }
+
   private[graft] def pruneByKeys(col: String, values: Seq[Any])
       : (Seq[Snapshots.FileEntry], Int) = segPlan match {
     case Some(ix) =>

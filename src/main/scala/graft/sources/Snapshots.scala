@@ -46,6 +46,14 @@ object Snapshots {
 
   final case class PrunedScan(df: DataFrame, filesRead: Int, filesSkipped: Int)
 
+  /** [[dimPrunedScan]]'s over-`maxKeys` refusal as a TYPE, so fallback
+    * paths (the streaming lookup join) match on it instead of sniffing
+    * message text; subclasses IllegalArgumentException to keep existing
+    * catch sites and specs valid.
+    */
+  final class UnselectiveDimException(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Outcome of a [[merge]] commit: the new version plus how many data
     * files the copy-on-write actually rewrote vs carried untouched — the
     * number a 100 TB merge lives or dies by.
@@ -331,7 +339,15 @@ object Snapshots {
               files.map(st => new java.util.concurrent.Callable[FileEntry] {
                 def call(): FileEntry = entryOf(st)
               }).asJava)
-            .asScala.map(_.get()).toSeq
+            .asScala.map(f =>
+              // surface the reader's own exception, not the pool's
+              // ExecutionException wrapper — commit errors must not
+              // change type/message with batch size (5 files vs 4)
+              try f.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw e.getCause
+              }).toSeq
         } finally pool.shutdown()
       }
     entries.sortBy(_.path)
@@ -2347,7 +2363,7 @@ object Snapshots {
     val keys = dim.select(c(dimCol).cast(factType).as(dimCol)).na.drop()
       .distinct().orderBy(c(dimCol)).limit(maxKeys + 1)
       .collect().map(_.get(0)).toSeq
-    require(keys.size <= maxKeys,
+    if (keys.size > maxKeys) throw new UnselectiveDimException(
       s"dimPrunedScan: dim side exceeds $maxKeys distinct keys — " +
         "unselective; read the fact table plainly and join")
     if (keys.isEmpty)

@@ -149,8 +149,7 @@ object SnapshotStream {
         lastLookupPrune = Some((ps.filesRead, ps.filesSkipped))
         ps.df
       } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("unselective") =>
+        case _: Snapshots.UnselectiveDimException =>
           lastLookupPrune = None
           Snapshots.read(spark, table)
       }

@@ -87,6 +87,22 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Idempotently add an OPTIMIZER rule to a live session — the shared
+    * append discipline for the registration-scoped rule family (MetaAgg,
+    * DimFilePrune): `extraOptimizations` is a plain var on the shared
+    * session, so the contains-then-append must be atomic or two threads
+    * enabling concurrently can lose each other's rule.
+    */
+  def addOptimization(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** Idempotently add a planner strategy to a live session (the
     * config-time path is `GraftExtensions.injectPlannerStrategy`).
     */

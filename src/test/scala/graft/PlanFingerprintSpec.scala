@@ -126,5 +126,18 @@ class PlanFingerprintSpec extends SparkSpec {
     // the predicate column stays visible (shape survives normalization)
     assert(a.contains("INSET <vals>") && a.contains("In(k, [<vals>"))
     assert(normalize(a) === a) // idempotent
+    // FILTER-node INSET: tree nodes print conditions in full, ending at
+    // ')' — no ']' anywhere, and the literal list is still data (a
+    // dim-pruned residual isin changes with the key set, not the plan)
+    val g = normalize(
+      "+- Filter (isnotnull(k#12L) AND k#12L INSET 131, 141, 143)")
+    val h = normalize(
+      "+- Filter (isnotnull(k#4567L) AND k#4567L INSET 131, 141, 150)")
+    assert(g === h, s"$g != $h")
+    assert(g.contains("INSET <vals>)"))
+    // and the scan normalization must NOT have eaten past the list into
+    // the rest of the line (the r15 greedy-match regression)
+    assert(a.contains("Format: Parquet") && a.contains("ReadSchema"))
+    assert(normalize(g) === g) // idempotent
   }
 }

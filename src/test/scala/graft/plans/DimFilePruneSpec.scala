@@ -160,6 +160,20 @@ class DimFilePruneSpec extends SparkSpec {
       val dimL = dim.limit(5)
       factDf.join(dimL, col("l_suppkey") <=> col("s_suppkey")).count()
       assert(DimFilePrune.lastCut.isEmpty, "<=> join was rewritten")
+
+      // NON-DETERMINISTIC dim: the plan-time key collect and the
+      // run-time join would see two different key sets — pruning
+      // against the first silently loses rows, so the rule must not
+      // touch it (rand() < 2 keeps every row, so the row count pins
+      // that the plain join ran)
+      DimFilePrune.lastCut = None
+      val dimNd = sup.select(col("s_suppkey")).filter(rand() < 2.0)
+      val wantAll = li.join(sup.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey")).count()
+      assert(factDf.join(dimNd,
+        col("l_suppkey") === col("s_suppkey")).count() === wantAll)
+      assert(DimFilePrune.lastCut.isEmpty,
+        "non-deterministic dim was collected at plan time")
     } finally DimFilePrune.clear()
   }
 
