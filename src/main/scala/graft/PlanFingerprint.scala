@@ -85,6 +85,15 @@ object PlanFingerprint {
     // a truncated list never swallows the fields after it
     .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*?(\\]\\)|\\.\\.\\.)",
       "In($1, [<vals>])")
+    // ANY remaining truncated metadata tail (must run AFTER the
+    // INSET/In rules, which consume their own ellipses): the 100-char
+    // cut falls at a position set by the RAW exprId digit widths —
+    // pre-normalization — so the final, PARTIALLY-printed list element
+    // differs between equal plans (r15: a timestamp literal cut at
+    // '1996-02' vs '1996-02-01' flipped q_lookup_enrich's hash between
+    // sessions). The fragment is width noise, not plan shape — fold it
+    // to a fixed tail; complete elements before the cut are kept.
+    .replaceAll("[^,\\[\\]\\n]*\\.\\.\\.", "<cut>...")
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

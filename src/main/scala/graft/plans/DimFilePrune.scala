@@ -133,11 +133,38 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
       // command's checkpoint gives its source
       if dimSide.find(p =>
         p.expressions.exists(e => !e.deterministic)).isEmpty
-      (factCol, dimAttr) <- equiKeyOf(cond, lr, dimSide)
-      factType = fi.dataSchema(factCol).dataType if supported(factType)
-      keys <- collectKeys(spark, dimAttr, dimSide, factType, maxKeys)
-      pruned <- rewrite(spark, factSide, lr, hfs, fi, factCol, keys)
+      cut <- combinedCut(spark, fi, lr, dimSide, cond, maxKeys)
+      pruned <- rewrite(spark, factSide, lr, hfs, fi, cut)
     } yield pruned
+  }
+
+  /** The INTERSECTION of per-conjunct file cuts: a composite-key star
+    * join (`fact.k1 = dim.a AND fact.k2 = dim.b`) must only read files
+    * that may match EVERY equi-conjunct, so each provable conjunct
+    * prunes independently and the kept sets intersect — strictly finer
+    * than any single-column cut. Conjuncts with unsupported key types
+    * just don't contribute (pruning by a subset of ANDed conjuncts is
+    * sound); capped at 4 to bound the plan-time dim executions. None
+    * when no conjunct is provable or nothing is cut.
+    */
+  private def combinedCut(spark: SparkSession, fi: SnapshotFileIndex,
+      lr: LogicalRelation, dimSide: LogicalPlan, cond: Expression,
+      maxKeys: Int): Option[(Seq[graft.sources.Snapshots.FileEntry], Int)] = {
+    val cuts = equiKeysOf(cond, lr, dimSide).take(4)
+      .flatMap { case (factCol, dimAttr) =>
+        val factType = fi.dataSchema(factCol).dataType
+        if (!supported(factType)) None
+        else collectKeys(spark, dimAttr, dimSide, factType, maxKeys)
+          .map(keys => fi.pruneByKeys(factCol, keys))
+      }
+    if (cuts.isEmpty) None
+    else {
+      val keptPaths = cuts.map(_._1.map(_.path).toSet).reduce(_ intersect _)
+      // first cut's order = manifest order, preserved for the copy
+      val kept = cuts.head._1.filter(e => keptPaths.contains(e.path))
+      val total = cuts.head._1.size + cuts.head._2
+      Some((kept, total - kept.size))
+    }
   }
 
   /** The indexed snapshot scan under attribute-only Projects/Filters —
@@ -209,14 +236,15 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** One equi-conjunct `factAttr = dimAttr` linking the fact scan's own
-    * output to the dim side's, traversing only INTEGRAL-WIDENING casts
-    * (what Catalyst inserts to reconcile key widths; anything else is
-    * not a shape the recorded-type narrowing below can reason about).
-    * Returns the fact SCAN column name and the dim attribute.
+  /** EVERY equi-conjunct `factAttr = dimAttr` linking the fact scan's
+    * own output to the dim side's, traversing only INTEGRAL-WIDENING
+    * casts (what Catalyst inserts to reconcile key widths; anything
+    * else is not a shape the recorded-type narrowing below can reason
+    * about). Returns (fact SCAN column name, dim attribute) pairs in
+    * condition order.
     */
-  private def equiKeyOf(cond: Expression, lr: LogicalRelation,
-      dimSide: LogicalPlan): Option[(String, Attribute)] = {
+  private def equiKeysOf(cond: Expression, lr: LogicalRelation,
+      dimSide: LogicalPlan): Seq[(String, Attribute)] = {
     def strip(e: Expression): Option[Attribute] = e match {
       case a: AttributeReference => Some(a)
       case c: Cast if widening(c.child.dataType, c.dataType) =>
@@ -227,7 +255,7 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
       lr.output.find(_.exprId == a.exprId).map(_.name)
     def dimAttr(a: Attribute): Option[Attribute] =
       dimSide.outputSet.find(_.exprId == a.exprId)
-    splitConjunctivePredicates(cond).iterator.flatMap {
+    splitConjunctivePredicates(cond).flatMap {
       case EqualTo(l, r) =>
         (strip(l), strip(r)) match {
           case (Some(a), Some(b)) =>
@@ -236,7 +264,7 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
           case _ => None
         }
       case _ => None
-    }.nextOption()
+    }
   }
 
   private def rank(dt: DataType): Int = dt match {
@@ -289,15 +317,16 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The fact subtree with `lr` swapped for a relation over the pruned
     * index. None when no file is cut — a no-op rewrite would still churn
-    * the tree every fixed-point iteration. The probe goes through
+    * the tree every fixed-point iteration. The probe went through
     * [[SnapshotFileIndex.pruneByKeys]], which in segment-planning mode
     * prunes whole segments from their rollups before parsing any
     * per-file entry — O(segments + kept), not O(files).
     */
   private def rewrite(spark: SparkSession, factSide: LogicalPlan,
       lr: LogicalRelation, hfs: HadoopFsRelation, fi: SnapshotFileIndex,
-      factCol: String, keys: Seq[Any]): Option[LogicalPlan] = {
-    val (kept, skipped) = fi.pruneByKeys(factCol, keys)
+      cut: (Seq[graft.sources.Snapshots.FileEntry], Int))
+      : Option[LogicalPlan] = {
+    val (kept, skipped) = cut
     if (skipped == 0) None
     else {
       DimFilePrune.lastCut = Some((fi.table, kept.size, skipped))

@@ -139,5 +139,15 @@ class PlanFingerprintSpec extends SparkSpec {
     // the rest of the line (the r15 greedy-match regression)
     assert(a.contains("Format: Parquet") && a.contains("ReadSchema"))
     assert(normalize(g) === g) // idempotent
+    // truncated COMPARISON tail: the cut falls INSIDE the last
+    // partially-printed predicate at an exprId-width-dependent position
+    // (q_lookup_enrich's timestamp filter: '1996-02-01' vs '1996-02')
+    val i1 = normalize("DataFilters: [isnotnull(d#12), " +
+      "(d#12 < 1996-02-01..., Format: Parquet")
+    val i2 = normalize("DataFilters: [isnotnull(d#4567), " +
+      "(d#4567 < 1996-02..., Format: Parquet")
+    assert(i1 === i2, s"$i1 != $i2")
+    assert(i1.contains("<cut>...") && i1.contains("Format: Parquet"))
+    assert(normalize(i1) === i1) // idempotent
   }
 }

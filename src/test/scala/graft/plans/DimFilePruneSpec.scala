@@ -203,6 +203,34 @@ class DimFilePruneSpec extends SparkSpec {
     }
   }
 
+  test("COMPOSITE-key join: per-conjunct cuts intersect — strictly finer " +
+      "than either axis alone") {
+    import spark.implicits._
+    val tbl = freshTable("multi")
+    // 16 one-k1 files; k2 spans a 4-value band per k1 (bloomed), so the
+    // two columns cut along DIFFERENT axes
+    val df = (0L until 256L).map { i =>
+      val k1 = i / 16
+      (k1, (i % 4) + (k1 % 4) * 4, i)
+    }.toDF("k1", "k2", "v")
+      .repartitionByRange(16, col("k1")).sortWithinPartitions(col("k1"))
+    Snapshots.commit(df, tbl, statsCols = Seq("k1"), bloomCols = Seq("k2"))
+    DimFilePrune.enable(spark, tbl)
+    try {
+      DimFilePrune.lastCut = None
+      val dim = Seq((5L, 5L), (6L, 5L)).toDF("a", "b")
+      val (fact, _) = Snapshots.readIndexed(spark, tbl)
+      val j = fact.join(dim, col("k1") === col("a") && col("k2") === col("b"))
+      // only (5,5) exists: file 5 holds k2 in {4..7}, 4 rows of k2=5;
+      // file 6 holds k2 in {8..11}, so (6,5) matches nothing
+      assert(j.count() === 4L)
+      // k1-cut alone keeps {5,6}; k2=5's bloom cut keeps {1,5,9,13};
+      // the intersection keeps exactly file 5
+      assert(DimFilePrune.lastCut.exists(c => c._2 == 1 && c._3 == 15),
+        s"composite cut not 1/15: ${DimFilePrune.lastCut}")
+    } finally DimFilePrune.clear()
+  }
+
   test("SEGMENT-planning mode: the key probe prunes whole segments from " +
       "rollups and parses only survivors — O(segments + kept), and an " +
       "empty dim parses none at all") {
