@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
 object SetSimJoin {
 
   /** All pairs `(id_a < id_b)` whose shingle-set Jaccard ≥ num/den, with
-    * exact integer `inter` / `n_union` columns. The element-rank build is
-    * a vocabulary-sized global sort (the [[TrainingData.buildVocab]]
-    * tradeoff: a dimension build, not a corpus-sized one).
+    * exact integer `inter` / `n_union` columns. The rarest-first element
+    * order is `(_df, shingle)` lexicographic, applied directly inside the
+    * per-document window — shingle is unique per `dfreq` row, so this IS
+    * the total order a global dense rank would encode, without ever
+    * sorting the distinct-shingle inventory on one partition (that
+    * inventory is corpus-scale for word n-grams, not vocabulary-scale).
     */
   def jaccardShingleJoin(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, num: Long = 1L, den: Long = 2L): DataFrame = {
@@ -40,11 +43,9 @@ object SetSimJoin {
     val el = TrainingData.shingleRows(docs, textCol, idCol, n).distinct()
     val sizes = el.groupBy(col("doc_id")).agg(count(lit(1)).as("n_el"))
     val dfreq = el.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val rankW = Window.orderBy(col("_df"), col("shingle"))
-    val ranked = dfreq.select(col("shingle"),
-      row_number().over(rankW).cast("long").as("_rk"))
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("_rk"))
-    val prefix = el.join(ranked, "shingle").join(sizes, "doc_id")
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_df"), col("shingle"))
+    val prefix = el.join(dfreq, "shingle").join(sizes, "doc_id")
       .withColumn("_pos", row_number().over(ord).cast("long"))
       .filter(col("_pos") <=
         col("n_el") - expr(s"(n_el * $num + $den - 1) div $den") + 1)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** SQL DML on graft tables — `INSERT INTO`, `DELETE FROM`, `UPDATE` and
   * `MERGE INTO` through `spark.sql(...)`, routed onto the snapshot
@@ -711,6 +711,32 @@ object SqlDml {
       : org.apache.spark.sql.DataFrame =
     GraftBridge.internalDataFrame(spark, df.queryExecution.toRdd, schema)
 
+  /** SQL MERGE cardinality guard (the Delta/standard-SQL rule): when
+    * more than one source row matches the SAME target row and attempts
+    * to modify it (UPDATE or DELETE), the statement is ambiguous —
+    * which source row wins is undefined — so it is REFUSED, loudly,
+    * before anything commits. `modifiers` carries one row per
+    * (matched-and-acted) source row with the target key as `keyCol`;
+    * one grouped count + limit(1) finds an offender without collecting
+    * the batch. Duplicate NOT-MATCHED (insert) keys are NOT refused —
+    * the standard inserts both rows — and duplicate delete keys within
+    * the unconditional WHEN MATCHED THEN DELETE shorthand are
+    * idempotent and deduped by the merge itself.
+    */
+  private def refuseMultiMatch(modifiers: org.apache.spark.sql.DataFrame,
+      keyCol: String, table: String): Unit = {
+    val dup = modifiers
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"graft DML: MERGE into $table — ${dup.head.getLong(1)} source " +
+        s"rows matched the target row with $keyCol = ${dup.head.get(0)} " +
+        "and attempted to modify it; which row wins is undefined. " +
+        "De-duplicate the source on the merge key (e.g. keep the " +
+        "latest row per key) and re-run.")
+  }
+
   // ---- the commands ------------------------------------------------------
 
   /** INSERT INTO / INSERT OVERWRITE → one snapshot commit. Positional
@@ -815,6 +841,10 @@ object SqlDml {
           .select(col(keyCol)).distinct()
         val ups = updateProj.map(p =>
           shaped(p).join(targetKeys, Seq(keyCol), "left_semi"))
+        // cardinality guard: two source rows updating one target row is
+        // ambiguous — refuse before anything commits (Delta semantics)
+        ups.foreach(u => refuseMultiMatch(u.select(col(keyCol)), keyCol,
+          table))
         val ins = insertProj.map(p =>
           shaped(p).join(targetKeys, Seq(keyCol), "left_anti"))
         def fp(p: Option[Seq[(String, Column)]]) =
@@ -853,8 +883,9 @@ object SqlDml {
     * SAME materialized row set, so N actions never re-run the join), an
     * anti-join per unmatched side, and the merge's own envelope-pruned
     * rewrite. Everything is keyed on the merge key — AQE broadcasts the
-    * (typically CDC-batch-sized) source side. Duplicate source keys
-    * keep [[Snapshots.merge]]'s documented both-rows contract, exactly
+    * (typically CDC-batch-sized) source side. Multiple source rows
+    * matching-and-acting on one target key are REFUSED (the standard
+    * MERGE cardinality rule — see [[SqlDml.refuseMultiMatch]]), exactly
     * like the unconditional path.
     */
   final case class GraftMergeConditionalCommand(table: String,
@@ -955,6 +986,13 @@ object SqlDml {
         when(!sPresent, actIdx(notMatchedBySource.map(_._1)))
           .otherwise(lit(0)))
       val pinned = j.localCheckpoint()
+      // cardinality guard over the already-materialized join: >1 source
+      // row matching AND acting on one target key is ambiguous — refuse
+      // (rows whose matched cascade selects no action modify nothing
+      // and are exempt, as are duplicate NOT-MATCHED insert keys)
+      if (needM) refuseMultiMatch(
+        pinned.filter(col(actM) >= 1).select(tKey.as(keyCol)), keyCol,
+        table)
       var upserts = Seq.empty[org.apache.spark.sql.DataFrame]
       var delKeys = Seq.empty[org.apache.spark.sql.DataFrame]
       matched.zipWithIndex.foreach { case ((_, setOpt), i) =>

@@ -390,4 +390,47 @@ class SqlDmlSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(3))).toMap
     assert(after === Map("5" -> 1L))
   }
+
+  test("MERGE cardinality guard: two source rows modifying one target " +
+      "row refuse (simple AND conditional paths); non-acting duplicates " +
+      "and duplicate NOT MATCHED inserts pass") {
+    val tbl = freshTable("card")
+    seed(tbl, 3) // keys 0..2, v = 10k
+    register("dml_card", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_card_dup AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v FROM VALUES " +
+      "(1, 100), (1, 200) AS x(k, v)")
+    // simple path (SET * / INSERT * → GraftMergeCommand)
+    val e1 = intercept[IllegalStateException] {
+      dml.sql("MERGE INTO dml_card t USING dml_card_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e1.getMessage.contains("attempted to modify"), e1.getMessage)
+    // general path (conditional cascade → GraftMergeConditionalCommand),
+    // both for UPDATE and for DELETE actions
+    val e2 = intercept[IllegalStateException] {
+      dml.sql("MERGE INTO dml_card t USING dml_card_dup s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 0 THEN DELETE")
+    }
+    assert(e2.getMessage.contains("attempted to modify"), e2.getMessage)
+    // nothing committed by the refused statements
+    assert(Snapshots.latestVersion(spark, tbl) === 1)
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      Set((0L, 0L), (1L, 10L), (2L, 20L)))
+    // a condition that lets only ONE of the duplicates act is
+    // unambiguous — allowed, and applies that row
+    dml.sql("MERGE INTO dml_card t USING dml_card_dup s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v = 200 THEN UPDATE SET v = s.v")
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      Set((0L, 0L), (1L, 200L), (2L, 20L)))
+    // duplicate NOT-MATCHED keys insert BOTH rows (the standard allows
+    // duplicate inserts; only matched-row modification is ambiguous)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_card_ins AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v FROM VALUES " +
+      "(9, 900), (9, 901) AS x(k, v)")
+    dml.sql("MERGE INTO dml_card t USING dml_card_ins s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(rows(Snapshots.readMor(spark, tbl)) ===
+      Set((0L, 0L), (1L, 200L), (2L, 20L), (9L, 900L), (9L, 901L)))
+  }
 }
