@@ -1701,6 +1701,47 @@ object SnapshotQueries {
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
          FROM merged WHERE p IS NOT NULL"""))
 
+  /** X116 (string keys): MERGE keyed on a STRING column — the CDC-feed
+    * shape whose primary keys are natural identifiers, not integers.
+    * Keys compare UNCAST end-to-end (a '1'/'01' pair can never collapse,
+    * non-numeric keys are first-class) and the copy-on-write file
+    * pruning rides the per-file UTF-8 string envelopes
+    * ([[graft.sources.ParquetMeta.fileStrStats]]) instead of the
+    * integral [min,max] stats. Same upsert shape as `q_sql_merge` over
+    * the injective key `'o' || o_orderkey`, so the oracle replays the
+    * identical arithmetic.
+    */
+  val sqlMergeStr = Q("q_sql_merge_str",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrgs")
+      Snapshots.commit(
+        src(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(concat(lit("o"), col("o_orderkey")).as("k"),
+            col("o_totalprice"), col("o_orderdate")),
+        tbl, strStatsCols = Seq("k"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_smrg_q")
+      q.sql(s"CREATE TABLE graft_smrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_smrg_src AS " +
+        "SELECT concat('o', o_orderkey) AS k, " +
+        "o_totalprice * 2 AS o_totalprice, o_orderdate " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+      q.sql("MERGE INTO graft_smrg_q t USING graft_smrg_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_smrg_q""")
+    },
+    Some(s"""WITH merged AS (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS p
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
+         FROM merged"""))
+
   /** X117: hidden partitioning — the table declares `month(o_orderdate)`
     * ([[graft.sources.Partitioning.setSpec]]), the write path lays files
     * out one-partition-tuple-per-file automatically, and
@@ -2072,6 +2113,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
+    sqlMergeStr,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,

@@ -67,15 +67,26 @@ object SqlDml {
     * The graft SQL functions and the as-of-join strategy ride along, so
     * the sibling is a strict superset of a `GraftExtensions` session.
     */
-  def enable(spark: SparkSession): SparkSession = {
-    val s = GraftBridge.siblingSessionWithExtensions(spark, apply)
-    // the cloned session state copies the parent's REGISTRIES (functions
-    // and table functions) rather than re-applying extensions — register
-    // the metadata table functions and SQL expressions directly
-    MetaTables.registerRuntime(s)
-    graft.GraftExtensions.register(s)
-    s
-  }
+  def enable(spark: SparkSession): SparkSession =
+    enabledSiblings.computeIfAbsent(spark, parent => {
+      val s = GraftBridge.siblingSessionWithExtensions(parent, apply)
+      // the cloned session state copies the parent's REGISTRIES
+      // (functions and table functions) rather than re-applying
+      // extensions — register the metadata table functions and SQL
+      // expressions directly
+      MetaTables.registerRuntime(s)
+      graft.GraftExtensions.register(s)
+      s
+    })
+
+  /** One DML sibling per parent session: building the sibling's
+    * analyzer/registries costs a visible fraction of a second, and DML
+    * statements keep no cross-statement state in the session, so every
+    * `enable` on the same parent shares one sibling (the catalog is
+    * shared with the parent either way).
+    */
+  private val enabledSiblings =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
   /** Extension installer — usable directly via
     * `spark.sql.extensions=graft.GraftExtensions` plus this, or through
@@ -487,18 +498,19 @@ object SqlDml {
           "graft DML: MERGE condition must be a single equality on one " +
             s"same-named column of target and source, got $other")
       }
-      // Snapshots.merge keys by cast("long"): a string key would not
-      // error there — it would CORRUPT ('1' and '01' collapse to one
-      // key; non-numeric strings null out and duplicate rows) — so the
-      // type refuses HERE, loudly, at analysis
+      // Snapshots.merge supports integral keys (collected as longs
+      // against the manifest [min,max] stats) and string keys (UNCAST,
+      // pruned through the UTF-8 string envelopes); anything else —
+      // dates, doubles, structs — refuses HERE, loudly, at analysis
       keyAttr.dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => ()
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => ()
         case dt => throw new IllegalArgumentException(
           s"graft DML: MERGE key '${keyAttr.name}' must be an integral " +
-            s"column (Snapshots.merge keys by long), got ${dt.simpleString}")
+            s"or string column, got ${dt.simpleString}")
       }
       val keyCol = keyAttr.name
       require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||

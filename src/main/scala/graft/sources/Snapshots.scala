@@ -2697,12 +2697,18 @@ object Snapshots {
     * bounded number of files at any table size — the shape that makes
     * row-level merge viable at 100 TB.
     *
-    * Keys must be integral and non-null (null-keyed upsert rows insert;
-    * null delete keys are ignored). Affected keys are collected
+    * Keys must be integral or string (validated against the table's
+    * schema — other types refuse loudly) and non-null (null-keyed
+    * upsert rows insert; null delete keys are ignored). Integral keys
+    * prune files through the manifest [min,max] stats; string keys
+    * through the UTF-8 string envelopes ([[ParquetMeta.fileStrStats]]),
+    * compared UNCAST end-to-end so '1'/'01' stay distinct keys and
+    * non-numeric keys are first-class. Affected keys are collected
     * driver-side when ≤ `maxCollectedKeys` (exact per-file envelope test
     * by binary search, and the anti-join side is broadcast); above that
     * the per-file test falls back to the batch's overall [min,max]
-    * envelope and the anti-join shuffles. Both are SOUND: a file is
+    * envelope (strings: min/max of the UTF-8 encoding, so the envelope
+    * order matches the footer stats') and the anti-join shuffles. Both are SOUND: a file is
     * only carried when its envelope proves no affected key is inside;
     * files without a recorded `keyCol` envelope are always rewritten.
     *
@@ -2735,22 +2741,53 @@ object Snapshots {
     require(deleteKeys.columns.contains(keyCol),
       s"Snapshots.merge: deleteKeys needs a '$keyCol' column")
     val entries = manifest(spark, table, v)
-    val tableCols = read(spark, table, Some(v)).columns
+    val tableDf = read(spark, table, Some(v))
+    val tableCols = tableDf.columns
     require(upserts.columns.sorted.sameElements(tableCols.sorted),
       s"Snapshots.merge: upserts columns [${upserts.columns.sorted.mkString(",")}] " +
         s"must match table columns [${tableCols.sorted.mkString(",")}]")
-    val keysDf = upserts.select(c(keyCol).cast("long").as("_merge_key"))
-      .unionByName(deleteKeys.select(c(keyCol).cast("long").as("_merge_key")))
+    val keyField = tableDf.schema.fields.find(_.name == keyCol)
+      .getOrElse(sys.error(s"Snapshots.merge: no column '$keyCol' in $table"))
+    val keyIsStr = keyField.dataType ==
+      org.apache.spark.sql.types.StringType
+    require(keyIsStr || isIntegralType(keyField.dataType),
+      s"Snapshots.merge: merge keys must be integral or string; " +
+        s"'$keyCol' is ${keyField.dataType.simpleString}")
+    // integral keys collect as longs (the manifest stats' width);
+    // string keys collect UNCAST — casting would collapse '1'/'01'
+    // and null out non-numeric keys, i.e. corrupt, not error
+    val keyRepr = if (keyIsStr) "string" else "long"
+    val keysDf = upserts.select(c(keyCol).cast(keyRepr).as("_merge_key"))
+      .unionByName(
+        deleteKeys.select(c(keyCol).cast(keyRepr).as("_merge_key")))
       .filter(c("_merge_key").isNotNull)
       .distinct()
-    val collected = keysDf.limit(maxCollectedKeys + 1).collect()
-      .map(_.getLong(0))
+    val collected0 = keysDf.limit(maxCollectedKeys + 1).collect()
+    val overCap = collected0.length > maxCollectedKeys
     val keysSorted: Option[Array[Long]] =
-      if (collected.length > maxCollectedKeys) None else Some(collected.sorted)
+      if (keyIsStr || overCap) None
+      else Some(collected0.map(_.getLong(0)).sorted)
+    // string keys sort under UTF-8 BYTE order (u8Less) — the order the
+    // footer envelopes fold under; JVM String ordering would disagree
+    // on supplementary characters and break the binary search
+    val keysSortedStr: Option[Array[String]] =
+      if (!keyIsStr || overCap) None
+      else Some(collected0.map(_.getString(0))
+        .sorted(Ordering.fromLessThan(ParquetMeta.u8Less)))
     lazy val (rangeLo, rangeHi) = {
       val r = keysDf.agg(org.apache.spark.sql.functions.min("_merge_key"),
         org.apache.spark.sql.functions.max("_merge_key")).head()
       (r.getLong(0), r.getLong(1))
+    }
+    // over-cap string fallback: min/max of the UTF-8 ENCODING (Spark
+    // orders binary bytewise-unsigned), decoded back — a plain string
+    // min/max would use UTF-16 order and could under-cover the batch
+    lazy val (rangeLoS, rangeHiS) = {
+      import org.apache.spark.sql.functions.{encode, max => mxf, min => mnf}
+      val r = keysDf.agg(mnf(encode(c("_merge_key"), "UTF-8")),
+        mxf(encode(c("_merge_key"), "UTF-8"))).head()
+      (new String(r.getAs[Array[Byte]](0), "UTF-8"),
+        new String(r.getAs[Array[Byte]](1), "UTF-8"))
     }
     def mayContain(mn: Long, mx: Long): Boolean = keysSorted match {
       case Some(a) => // first collected key >= mn; inside iff also <= mx
@@ -2759,15 +2796,36 @@ object Snapshots {
         from < a.length && a(from) <= mx
       case None => mx >= rangeLo && mn <= rangeHi
     }
-    val (touched, carried) = entries.partition(e =>
-      e.rows > 0 && (e.stats.get(keyCol) match {
-        case Some((mn, mx)) => mayContain(mn, mx)
+    def mayContainStr(mn: String, mx: String): Boolean =
+      keysSortedStr match {
+        case Some(a) => // first collected key >= mn (u8); inside iff <= mx
+          var lo = 0; var hi = a.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ParquetMeta.u8Less(a(mid), mn)) lo = mid + 1 else hi = mid
+          }
+          lo < a.length && !ParquetMeta.u8Less(mx, a(lo))
+        case None =>
+          !ParquetMeta.u8Less(mx, rangeLoS) &&
+            !ParquetMeta.u8Less(rangeHiS, mn)
+      }
+    // the envelope test the planning partition AND the rebase conflict
+    // check share: a file is carried only when its recorded envelope
+    // proves no affected key can be inside
+    def fileMayHoldKeys(e: FileEntry): Boolean =
+      if (keyIsStr) e.strStats.get(keyCol) match {
+        case Some((mn, mx)) => mayContainStr(mn, mx)
         case None => true // no envelope: cannot prove absence → rewrite
-      }))
+      } else e.stats.get(keyCol) match {
+        case Some((mn, mx)) => mayContain(mn, mx)
+        case None => true
+      }
+    val (touched, carried) = entries.partition(e =>
+      e.rows > 0 && fileMayHoldKeys(e))
     val base =
       if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
       else readFiles(spark, table, v, touched)
-    val antiSide = if (keysSorted.isDefined) broadcast(keysDf) else keysDf
+    val antiSide = if (!overCap) broadcast(keysDf) else keysDf
     val survivors = base.join(antiSide, c(keyCol) === c("_merge_key"),
       "left_anti")
     enforceUnique(spark, table, upserts, vsParent = false)
@@ -2776,7 +2834,11 @@ object Snapshots {
     // file) must not silently drop envelopes from the rewritten files
     val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
-    val strCols = entries.flatMap(_.strStats.keys).distinct.sorted
+    // a string-keyed merge RECORDS the key's string envelope on the
+    // files it writes even when the table never had one — the next
+    // merge then prunes instead of rewriting everything again
+    val strCols = (entries.flatMap(_.strStats.keys) ++
+      (if (keyIsStr) Seq(keyCol) else Nil)).distinct.sorted
     planHook()
     val touchedPaths = touched.map(_.path).toSet
     val priorPaths = entries.map(_.path).toSet
@@ -2815,10 +2877,7 @@ object Snapshots {
               "retry the merge")
             val added = cur.filterNot(e => priorPaths.contains(e.path))
             val conflicting = added.filter(e =>
-              e.rows > 0 && (e.stats.get(keyCol) match {
-                case Some((mn, mx)) => mayContain(mn, mx)
-                case None => true // no envelope: cannot prove disjoint
-              }))
+              e.rows > 0 && fileMayHoldKeys(e))
             require(conflicting.isEmpty, s"Snapshots.merge: concurrent " +
               s"commit on $table added ${conflicting.size} file(s) that " +
               s"may hold this merge's keys (planned against v$v, parent " +

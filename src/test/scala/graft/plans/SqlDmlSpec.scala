@@ -345,20 +345,20 @@ class SqlDmlSpec extends SparkSpec {
         WHEN MATCHED AND s.v > 1 THEN UPDATE SET k = 0""")
     }
     assert(e.getMessage.contains("merge key"))
-    // a STRING merge key refuses at analysis: Snapshots.merge keys by
-    // cast("long"), where '1'/'01' would collapse and non-numeric keys
-    // would null out — corruption, not an error, if this slipped through
+    // a non-integral, non-string merge key (e.g. double) refuses at
+    // analysis — neither the manifest stats nor the string envelopes
+    // can key it
     import spark.implicits._
-    val stbl = freshTable("strkey")
-    Snapshots.commit(Seq(("a", 1L), ("b", 2L)).toDF("id", "v"), stbl)
-    register("dml_strk", stbl)
-    dml.sql("CREATE OR REPLACE TEMPORARY VIEW strk_src AS " +
-      "SELECT 'a' AS id, 10 AS v")
+    val dtbl = freshTable("dblkey")
+    Snapshots.commit(Seq((1.5, 1L), (2.5, 2L)).toDF("id", "v"), dtbl)
+    register("dml_dblk", dtbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dblk_src AS " +
+      "SELECT CAST(1.5 AS DOUBLE) AS id, CAST(10 AS BIGINT) AS v")
     val e2 = intercept[Exception] {
-      dml.sql("""MERGE INTO dml_strk t USING strk_src s ON t.id = s.id
+      dml.sql("""MERGE INTO dml_dblk t USING dblk_src s ON t.id = s.id
         WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v""")
     }
-    assert(e2.getMessage.contains("integral"))
+    assert(e2.getMessage.contains("integral or string"))
   }
 
   test("INSERT INTO a partition-spec'd table routes through the " +
@@ -389,6 +389,30 @@ class SqlDmlSpec extends SparkSpec {
       .filter(col("spec") =!= "unpartitioned")
       .collect().map(r => (r.getString(1), r.getLong(3))).toMap
     assert(after === Map("5" -> 1L))
+  }
+
+  test("MERGE with a string key: uncast matching through SQL on the " +
+      "simple and conditional paths; '1'/'01' stay distinct keys") {
+    import spark.implicits._
+    val tbl = freshTable("strk")
+    Snapshots.commit(Seq(("01", 1L), ("1", 10L), ("apple", 3L))
+      .toDF("k", "v"), tbl, strStatsCols = Seq("k"))
+    register("dml_strk", tbl)
+    def content: Map[String, Long] = Snapshots.readMor(spark, tbl)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_strk_src AS " +
+      "SELECT k, CAST(v AS BIGINT) v FROM VALUES ('1', 100), ('pear', 7) " +
+      "AS x(k, v)")
+    // simple path: key '1' updates WITHOUT touching '01'
+    dml.sql("MERGE INTO dml_strk t USING dml_strk_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(content === Map("01" -> 1L, "1" -> 100L, "apple" -> 3L,
+      "pear" -> 7L))
+    // conditional path: string keys through the general cascade
+    dml.sql("MERGE INTO dml_strk t USING dml_strk_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = t.v + 1 " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k = 'apple' THEN DELETE")
+    assert(content === Map("01" -> 1L, "1" -> 101L, "pear" -> 7L))
   }
 
   test("MERGE cardinality guard: two source rows modifying one target " +

@@ -263,6 +263,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(ps.df.count() === 0)
   }
 
+  test("string-keyed merge: keys compare UNCAST ('1'/'01' distinct, " +
+      "non-numeric first-class), string envelopes prune, key evidence " +
+      "is recorded on rewritten files") {
+    import spark.implicits._
+    val tbl = freshTable("smerge")
+    // two commits with u8-disjoint key ranges → tight string envelopes
+    Snapshots.commit(
+      Seq(("01", 1L), ("1", 10L), ("a2", 2L), ("m1", 3L), ("m2", 4L))
+        .toDF("k", "v"),
+      tbl, strStatsCols = Seq("k"))
+    Snapshots.commit(Seq(("z1", 5L), ("z2", 6L)).toDF("k", "v"), tbl,
+      strStatsCols = Seq("k"))
+    // upsert '1' (must NOT collapse onto '01'), insert non-numeric
+    // 'b9', delete 'm1' — none reaches the z-range files
+    val r = Snapshots.merge(spark, tbl,
+      Seq(("1", 100L), ("b9", 9L)).toDF("k", "v"),
+      Seq("m1").toDF("k"), "k")
+    assert(r.filesCarried > 0, "z-range files hold no affected key")
+    val m1 = Snapshots.read(spark, tbl).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(m1 === Map("01" -> 1L, "1" -> 100L, "a2" -> 2L, "m2" -> 4L,
+      "b9" -> 9L, "z1" -> 5L, "z2" -> 6L))
+    // the rewritten files RECORDED the key envelope: a second merge on
+    // the z range carries them — and exercises the over-cap fallback
+    // (maxCollectedKeys = 0 → encode()-ordered range, shuffled anti)
+    val r2 = Snapshots.merge(spark, tbl,
+      Seq(("z1", 50L)).toDF("k", "v"),
+      Seq.empty[String].toDF("k"), "k", maxCollectedKeys = 0)
+    assert(r2.filesCarried > 0,
+      "rewritten low-range files carry their recorded k envelope")
+    val m2 = Snapshots.read(spark, tbl).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(m2 === m1 + ("z1" -> 50L))
+    // non-integral, non-string key types refuse loudly
+    val dbl = freshTable("smerge_dbl")
+    Snapshots.commit(Seq((1.5, 1L)).toDF("k", "v"), dbl)
+    val e = intercept[Exception] {
+      Snapshots.merge(spark, dbl, Seq((1.5, 2L)).toDF("k", "v"),
+        Seq.empty[Double].toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("integral or string"), e.getMessage)
+  }
+
   test("add-column evolution: per-version schema, old files null-filled") {
     val tbl = freshTable("evo")
     val o = spark.read.parquet(s"$sf001/orders.parquet")
