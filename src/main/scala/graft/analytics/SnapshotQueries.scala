@@ -1900,6 +1900,13 @@ object SnapshotQueries {
     * knowing the graft API exists. Uses the MAX nation (q_dim_file_prune
     * probes the min) so the two entries pin different dim slices; the
     * rewrite's firing (files kept/skipped) is pinned in DimFilePruneSpec.
+    * The dim slice is COMMITTED as a graft table so its manifest row
+    * total proves the bound STRUCTURALLY — the cut no longer rides the
+    * broadcast-threshold estimate tier, so a session with
+    * autoBroadcastJoinThreshold=-1 still gets it. The registration is
+    * deliberately NOT cleared here: the returned frame optimizes lazily
+    * (after this builder returns), and the registry key is this entry's
+    * own tmp path, which no other query's scan resolves to.
     */
   val dimFilePruneAuto = Q("q_dim_file_prune_auto",
     (s, d) => {
@@ -1913,9 +1920,11 @@ object SnapshotQueries {
       graft.plans.DimFilePrune.enable(s, tbl)
       val nat = supplier(s, d).agg(max(col("s_nationkey")).cast("long"))
         .head().getLong(0)
-      val dim = supplier(s, d)
+      val dimTbl = freshTable(s, d, "dfpa_dim")
+      Snapshots.commit(supplier(s, d)
         .filter(col("s_nationkey") === lit(nat))
-        .select(col("s_suppkey"))
+        .select(col("s_suppkey")), dimTbl)
+      val dim = Snapshots.readIndexed(s, dimTbl)._1
       val (fact, _) = Snapshots.readIndexed(s, tbl)
       // the PLAIN join — no dimPrunedScan call; the rule injects the cut
       fact.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))

@@ -2,8 +2,9 @@ package graft.plans
 
 import graft.sources.SnapshotFileIndex
 import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -14,9 +15,11 @@ import org.apache.spark.sql.types._
   * completed the explicit `scanPruned*` calls: a plain
   * `fact.join(dim.filter(...), key)` over a [[Snapshots.readIndexed]] /
   * `format("graft")` fact gets the dim-driven file cut with ZERO graft
-  * API calls. The rule detects an inner (or left-semi) equi-join whose
-  * one side scans an enabled indexed snapshot table and whose other side
-  * is BOUNDED — structurally (a local relation, a limited subtree, or a
+  * API calls. The rule detects an inner, left-semi, or outer equi-join
+  * (outer joins prune only the NON-preserved side by the preserved
+  * side's keys — a non-preserved row without a match emits nothing)
+  * whose fact side scans an enabled indexed snapshot table and whose
+  * other side is BOUNDED — structurally (a local relation, a limited subtree, or a
   * graft table whose manifest row total is within `maxKeys`; filters and
   * projections only shrink those) or by the optimizer's size estimate
   * sitting under the session's broadcast threshold (the join would
@@ -30,7 +33,13 @@ import org.apache.spark.sql.types._
   *
   * Soundness: no residual filter is needed — a file is dropped only when
   * the evidence PROVES it holds no row equal to ANY dim key, and an
-  * inner/left-semi join emits nothing for such rows. `EqualNullSafe` is
+  * inner/left-semi join (or an outer join's non-preserved side) emits
+  * nothing for such rows. When the dim side's rows fit under `maxKeys`
+  * they are materialized ONCE and substituted back as a
+  * [[LocalRelation]], so the keys the files were pruned by and the rows
+  * the join runs against are the SAME snapshot — no double execution,
+  * no window for an externally-mutated non-graft dim source to
+  * disagree with the cut. `EqualNullSafe` is
   * deliberately NOT matched (null <=> null matches rows no key set
   * describes). Dim keys are narrowed to the fact column's RECORDED type
   * driver-side before probing (bloom hashes are width-sensitive); a key
@@ -52,27 +61,46 @@ import org.apache.spark.sql.types._
 object DimFilePrune {
 
   private val registry =
-    new scala.collection.concurrent.TrieMap[String, Int]
+    new scala.collection.concurrent.TrieMap[String, (Int, Boolean)]
 
-  private def norm(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Registry key: the FileSystem-qualified absolute path, scheme
+    * stripped — the same form [[SnapshotFileIndex]]'s `rootPath`
+    * (`fs.makeQualified`) reduces to at lookup time. Normalizing with
+    * a bare `new Path(p).toUri.getPath` would leave a RELATIVE enable
+    * path relative, and the rule would silently never fire for it.
+    */
+  private def norm(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toUri.getPath
+  }
 
   /** Enable automatic dim-driven file pruning for joins against reads
     * of `tablePath` (idempotent; installs the optimizer rule on first
     * use). `maxKeys` bounds both the provable dim cardinality and the
     * collected key count — above it the join plans untouched.
+    * `attemptUnproven` additionally lets the rule TRY a dim side with
+    * no structural bound and no under-threshold size estimate — the
+    * collect is still `limit`-capped (overflow aborts the rewrite), but
+    * an arbitrarily expensive dim subtree may execute once at plan
+    * time; right when the caller KNOWS the dim is a materialized
+    * micro-batch (the streaming lookup join), wrong default otherwise.
     */
   def enable(spark: SparkSession, tablePath: String,
-      maxKeys: Int = 100000): Unit = {
+      maxKeys: Int = 100000, attemptUnproven: Boolean = false): Unit = {
     require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
-    registry.put(norm(tablePath), maxKeys)
+    registry.put(norm(spark, tablePath), (maxKeys, attemptUnproven))
     org.apache.spark.sql.GraftBridge.addOptimization(spark, DimFilePruneRule)
   }
 
+  /** Remove one table's registration (other enablements untouched). */
+  def disable(spark: SparkSession, tablePath: String): Unit =
+    registry.remove(norm(spark, tablePath))
+
   def clear(): Unit = { registry.clear(); lastCut = None }
 
-  private[plans] def maxKeysFor(path: String): Option[Int] =
-    registry.get(norm(path))
+  private[plans] def configFor(spark: SparkSession, path: String)
+      : Option[(Int, Boolean)] = registry.get(norm(spark, path))
 
   private[plans] def isEmpty: Boolean = registry.isEmpty
 
@@ -95,47 +123,78 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     else {
       inRule.set(true)
       try plan.transformDown {
-        case j @ Join(_, _, jt, Some(_), _) if jt == Inner || jt == LeftSemi =>
+        case j @ Join(_, _, jt, Some(_), _)
+            if jt == Inner || jt == LeftSemi ||
+              jt == LeftOuter || jt == RightOuter =>
           tryPrune(j)
       } finally inRule.set(false)
     }
 
   private def tryPrune(j: Join): Join = {
-    // inner: either side may be the fact; left-semi: only the left
+    // inner: either side may be the fact. left-semi: only the left
     // (pruning the semi's right by left keys would need the BIG side's
-    // key set — not a bounded-dim shape)
-    val sides =
-      if (j.joinType == LeftSemi) Seq((j.left, j.right))
-      else Seq((j.left, j.right), (j.right, j.left))
+    // key set — not a bounded-dim shape). Outer joins prune ONLY the
+    // NON-PRESERVED side by the preserved side's keys: a non-preserved
+    // row without a match emits nothing, so dropping files that can
+    // match no preserved key is sound; the preserved side itself must
+    // never be cut (its unmatched rows still emit, null-padded).
+    val sides = j.joinType match {
+      case LeftSemi => Seq((j.left, j.right))
+      case LeftOuter => Seq((j.right, j.left))
+      case RightOuter => Seq((j.left, j.right))
+      case _ => Seq((j.left, j.right), (j.right, j.left))
+    }
     sides.iterator.flatMap { case (factSide, dimSide) =>
-      pruneSide(factSide, dimSide, j.condition.get).map { newFact =>
-        if (factSide eq j.left) j.copy(left = newFact)
-        else j.copy(right = newFact)
+      pruneSide(factSide, dimSide, j.condition.get).map {
+        case (newFact, newDim) =>
+          if (factSide eq j.left) j.copy(left = newFact, right = newDim)
+          else j.copy(left = newDim, right = newFact)
       }
     }.nextOption().getOrElse(j)
   }
 
-  /** The fact-side subtree with its indexed scan swapped for a pruned
-    * copy, or None when any link of the proof chain fails.
+  /** The (fact, dim) pair with the fact's indexed scan swapped for a
+    * pruned copy — and, when the dim side's rows were materialized for
+    * the key collect, the dim side swapped for a [[LocalRelation]] of
+    * that exact snapshot, so run time REUSES the plan-time execution
+    * (Spark's subquery-reuse shape in DPP): no double execution, and no
+    * window in which an externally-mutated dim source could disagree
+    * with the keys the files were pruned by. None when any link of the
+    * proof chain fails.
     */
   private def pruneSide(factSide: LogicalPlan, dimSide: LogicalPlan,
-      cond: Expression): Option[LogicalPlan] = {
+      cond: Expression): Option[(LogicalPlan, LogicalPlan)] = {
     val spark = SparkSession.active
     for {
       (lr, hfs, fi) <- factScanOf(factSide)
-      maxKeys <- fi.rootPaths.headOption
-        .flatMap(rp => DimFilePrune.maxKeysFor(rp.toUri.getPath))
-      if boundOf(dimSide).exists(_ <= maxKeys) || broadcastable(dimSide)
-      // the dim side executes TWICE — key collect at plan time, the
-      // join itself at run time. A non-deterministic dim (rand-sampled,
-      // non-deterministic UDF) would produce two DIFFERENT key sets and
-      // the prune would silently lose rows; same defense the MERGE
-      // command's checkpoint gives its source
+      (maxKeys, attempt) <- fi.rootPaths.headOption
+        .flatMap(rp => DimFilePrune.configFor(spark, rp.toUri.getPath))
+      if attempt || boundOf(dimSide).exists(_ <= maxKeys) ||
+        broadcastable(dimSide)
+      // a non-deterministic dim (rand-sampled, non-deterministic UDF)
+      // has no single "correct" key set to prune by — leave it alone
+      // even though the LocalRelation substitution would pin one sample
       if dimSide.find(p =>
         p.expressions.exists(e => !e.deterministic)).isEmpty
-      cut <- combinedCut(spark, fi, lr, dimSide, cond, maxKeys)
+      dimRows = collectDim(spark, dimSide, maxKeys)
+      cut <- combinedCut(spark, fi, lr, dimSide, cond, maxKeys, dimRows)
       pruned <- rewrite(spark, factSide, lr, hfs, fi, cut)
-    } yield pruned
+    } yield (pruned,
+      dimRows.fold(dimSide)(rows =>
+        LocalRelation(dimSide.output, rows.toIndexedSeq)))
+  }
+
+  /** Materialize the dim side ONCE, driver-side — it is about to be
+    * broadcast by the join anyway, and the bounds above cap it. None
+    * when the row count exceeds `maxKeys` (a wide-but-few-keys dim can
+    * still prune through the per-conjunct distinct collect, it just
+    * keeps its own scan at run time).
+    */
+  private def collectDim(spark: SparkSession, dimSide: LogicalPlan,
+      maxKeys: Int): Option[Array[InternalRow]] = {
+    val rows = GraftBridge.dataFrame(spark, dimSide)
+      .queryExecution.executedPlan.executeTake(maxKeys + 1)
+    if (rows.length > maxKeys) None else Some(rows)
   }
 
   /** The INTERSECTION of per-conjunct file cuts: a composite-key star
@@ -145,16 +204,21 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     * than any single-column cut. Conjuncts with unsupported key types
     * just don't contribute (pruning by a subset of ANDed conjuncts is
     * sound); capped at 4 to bound the plan-time dim executions. None
-    * when no conjunct is provable or nothing is cut.
+    * when no conjunct is provable or nothing is cut. With materialized
+    * `dimRows` the keys come straight out of the snapshot (no further
+    * jobs); otherwise each conjunct runs one distinct-key collect.
     */
   private def combinedCut(spark: SparkSession, fi: SnapshotFileIndex,
       lr: LogicalRelation, dimSide: LogicalPlan, cond: Expression,
-      maxKeys: Int): Option[(Seq[graft.sources.Snapshots.FileEntry], Int)] = {
+      maxKeys: Int, dimRows: Option[Array[InternalRow]])
+      : Option[(Seq[graft.sources.Snapshots.FileEntry], Int)] = {
     val cuts = equiKeysOf(cond, lr, dimSide).take(4)
       .flatMap { case (factCol, dimAttr) =>
         val factType = fi.dataSchema(factCol).dataType
         if (!supported(factType)) None
-        else collectKeys(spark, dimAttr, dimSide, factType, maxKeys)
+        else dimRows.fold(
+            collectKeys(spark, dimAttr, dimSide, factType, maxKeys))(
+            rows => keysFrom(rows, dimSide.output, dimAttr, factType))
           .map(keys => fi.pruneByKeys(factCol, keys))
       }
     if (cuts.isEmpty) None
@@ -165,6 +229,24 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
       val total = cuts.head._1.size + cuts.head._2
       Some((kept, total - kept.size))
     }
+  }
+
+  /** Distinct non-null keys of `dimAttr` out of already-materialized
+    * dim rows, narrowed to the fact column's recorded type under the
+    * same rules as [[collectKeys]]. None aborts the conjunct.
+    */
+  private def keysFrom(rows: Array[InternalRow], output: Seq[Attribute],
+      dimAttr: Attribute, factType: DataType): Option[Seq[Any]] = {
+    val idx = output.indexWhere(_.exprId == dimAttr.exprId)
+    if (idx < 0 || !supported(dimAttr.dataType)) return None
+    val dt = output(idx).dataType
+    val distinct = new scala.collection.mutable.LinkedHashSet[Any]
+    rows.foreach(r => if (!r.isNullAt(idx)) distinct +=
+      (r.get(idx, dt) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      }))
+    narrowKeys(distinct.iterator, factType)
   }
 
   /** The indexed snapshot scan under attribute-only Projects/Filters —
@@ -294,7 +376,17 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val rows = GraftBridge.dataFrame(spark, Project(Seq(dimAttr), dimSide))
       .distinct().limit(maxKeys + 1).collect()
     if (rows.length > maxKeys) return None // unselective: plain join
-    val keys = rows.iterator.map(_.get(0)).filter(_ != null).flatMap { v =>
+    narrowKeys(rows.iterator.map(_.get(0)).filter(_ != null), factType)
+  }
+
+  /** Narrow raw key values to the fact column's recorded type. Integral
+    * narrowing DROPS out-of-range keys (through the join's widening
+    * cast they can equal no fact value); a key the narrowing cannot
+    * express at all (cross-family) aborts with None.
+    */
+  private def narrowKeys(values: Iterator[Any], factType: DataType)
+      : Option[Seq[Any]] = {
+    val keys = values.flatMap { v =>
       (v, factType) match {
         case (n: java.lang.Number, LongType) => Some(n.longValue())
         case (n: java.lang.Number, IntegerType) =>

@@ -101,10 +101,12 @@ object SnapshotStream {
   /** STREAMING LOOKUP JOIN against a large STATIC graft table — the
     * enrichment shape where the STATIC side is the 100 TB one: each
     * micro-batch's bounded distinct key set IS the selective dim, so
-    * [[Snapshots.dimPrunedScan]] cuts the static table's files to the
-    * slice that can match the batch (integral/UTF-8 envelopes, widen-
-    * aware blooms) and the batch LEFT-joins only that slice — per-batch
-    * scan cost follows the batch's key locality, not the table size.
+    * the automatic prune rule ([[graft.plans.DimFilePruneRule]], the
+    * same rule plain batch joins get) cuts the static table's files to
+    * the slice that can match the batch (integral/UTF-8 envelopes,
+    * widen-aware blooms) and the batch LEFT-joins only that slice —
+    * per-batch scan cost follows the batch's key locality, not the
+    * table size.
     * Sound for the left join: a static row contributes only when it
     * equals some batch key, which is exactly what the prune keeps; batch
     * rows without a match still emit null-extended. A batch whose key
@@ -138,23 +140,42 @@ object SnapshotStream {
     * oracled batch-twin catalog entry (q_lookup_enrich) drive the exact
     * per-batch semantics. Equal column names join `USING`-style (one key
     * column out); distinct names keep both.
+    *
+    * The cut routes through the AUTOMATIC rule
+    * ([[graft.plans.DimFilePruneRule]]) rather than a hand-rolled
+    * [[Snapshots.dimPrunedScan]] call: the batch-preserved LEFT join is
+    * exactly the rule's outer-join shape (the static side is
+    * non-preserved, so pruning it by batch keys is sound), and the rule
+    * additionally substitutes the batch's plan-time snapshot back as
+    * the join input. `attemptUnproven` is set because a micro-batch
+    * frame has no structural row bound yet is materialized and cheap to
+    * key-collect; an over-`maxKeys` batch aborts the rewrite inside the
+    * rule — the same plain-read fallback the explicit path had, minus
+    * the exception round-trip. The registration stays installed (the
+    * returned frame — and anything composed on top of it — optimizes
+    * lazily, after this method returns); it is per-table-path, so other
+    * queries are untouched.
     */
   private[graft] def lookupBatch(batch: DataFrame, table: String,
       factCol: String, streamCol: String, maxKeys: Int): DataFrame = {
     val spark = batch.sparkSession
-    val slice =
-      try {
-        val ps = Snapshots.dimPrunedScan(spark, table, factCol, batch,
-          streamCol, maxKeys)
-        lastLookupPrune = Some((ps.filesRead, ps.filesSkipped))
-        ps.df
-      } catch {
-        case _: Snapshots.UnselectiveDimException =>
-          lastLookupPrune = None
-          Snapshots.read(spark, table)
-      }
-    if (factCol == streamCol) batch.join(slice, Seq(streamCol), "left")
-    else batch.join(slice, batch(streamCol) === slice(factCol), "left")
+    // shared indexed read path: refuses MOR-masked versions LOUDLY
+    // (a masked row served into a lookup would be silent corruption)
+    // and resolves the LATEST version at each call = batch boundary
+    val fact = Snapshots.readIndexed(spark, table)._1
+    graft.plans.DimFilePrune.enable(spark, table, maxKeys,
+      attemptUnproven = true)
+    val joined =
+      if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
+      else batch.join(fact, batch(streamCol) === fact(factCol), "left")
+    // force optimization NOW: the rule fires (or declines) here, which
+    // pins the cut counter to THIS batch and reuses the optimized plan
+    // when the sink executes the same frame
+    graft.plans.DimFilePrune.lastCut = None
+    joined.queryExecution.optimizedPlan
+    lastLookupPrune = graft.plans.DimFilePrune.lastCut
+      .map { case (_, kept, skipped) => (kept, skipped) }
+    joined
   }
 
   private[graft] def upsertBatch(batch: DataFrame, batchId: Long,

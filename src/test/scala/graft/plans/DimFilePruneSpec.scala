@@ -95,6 +95,82 @@ class DimFilePruneSpec extends SparkSpec {
     } finally DimFilePrune.clear()
   }
 
+  test("outer joins prune the NON-preserved fact side by the preserved " +
+      "dim's keys; the dim side is substituted with its plan-time " +
+      "snapshot (LocalRelation — one execution, no mutation window)") {
+    val tbl = buildFact("outer")
+    DimFilePrune.enable(spark, tbl)
+    try {
+      val dim = selectiveDim
+      // dim LEFT OUTER fact: the fact (right) is non-preserved → cut
+      DimFilePrune.lastCut = None
+      val (fact, _) = Snapshots.readIndexed(spark, tbl)
+      val j = dim.join(fact,
+        col("s_suppkey") === col("l_suppkey"), "left_outer")
+      val want = selectiveDim.join(li,
+        col("s_suppkey") === col("l_suppkey"), "left_outer").count()
+      assert(j.count() === want, "left-outer pruned join lost/gained rows")
+      assert(DimFilePrune.lastCut.exists(_._3 > 0),
+        s"no cut on the non-preserved side: ${DimFilePrune.lastCut}")
+      // the bounded dim was materialized once and substituted back
+      val locals = j.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l
+      }
+      assert(locals.nonEmpty, "dim side not substituted (LocalRelation)")
+
+      // fact RIGHT OUTER dim: the fact (left) is non-preserved → cut
+      DimFilePrune.lastCut = None
+      val (fact2, _) = Snapshots.readIndexed(spark, tbl)
+      val j2 = fact2.join(dim,
+        col("l_suppkey") === col("s_suppkey"), "right_outer")
+      val want2 = li.join(selectiveDim,
+        col("l_suppkey") === col("s_suppkey"), "right_outer").count()
+      assert(j2.count() === want2)
+      assert(DimFilePrune.lastCut.exists(_._3 > 0))
+
+      // inner joins get the substitution too: plan-time keys and
+      // run-time dim rows are the same snapshot by construction
+      DimFilePrune.lastCut = None
+      val (fact3, _) = Snapshots.readIndexed(spark, tbl)
+      val j3 = fact3.join(dim, col("l_suppkey") === col("s_suppkey"))
+      val want3 = li.join(selectiveDim,
+        col("l_suppkey") === col("s_suppkey")).count()
+      assert(j3.count() === want3)
+      assert(DimFilePrune.lastCut.exists(_._3 > 0))
+      assert(j3.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l
+      }.nonEmpty, "inner join dim not substituted")
+    } finally DimFilePrune.clear()
+  }
+
+  test("enable() with a relative path still fires: the registry key is " +
+      "FileSystem-qualified, matching the index's rootPath form") {
+    val rel = s"target/graft_dfpr_rel_${System.nanoTime()}/t"
+    val abs = new java.io.File(rel).getAbsolutePath
+    try {
+      Snapshots.commit(
+        li.repartitionByRange(4, col("l_suppkey"))
+          .sortWithinPartitions(col("l_suppkey")),
+        abs, statsCols = Seq("l_suppkey"))
+      DimFilePrune.enable(spark, rel) // RELATIVE form
+      DimFilePrune.lastCut = None
+      val (fact, _) = Snapshots.readIndexed(spark, abs)
+      val j = fact.join(selectiveDim,
+        col("l_suppkey") === col("s_suppkey"))
+      assert(j.count() ===
+        li.join(selectiveDim, col("l_suppkey") === col("s_suppkey")).count())
+      assert(DimFilePrune.lastCut.exists(_._3 > 0),
+        s"relative enable never matched: ${DimFilePrune.lastCut}")
+    } finally {
+      DimFilePrune.clear()
+      val p = new org.apache.hadoop.fs.Path(abs).getParent
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   test("an empty dim key set cuts every fact file and returns no rows") {
     val tbl = buildFact("empty")
     DimFilePrune.enable(spark, tbl)
@@ -134,15 +210,18 @@ class DimFilePruneSpec extends SparkSpec {
 
     DimFilePrune.enable(spark, tbl)
     try {
-      // LEFT OUTER keeps unmatched fact rows — pruning would drop them;
-      // the rule must not touch it
+      // LEFT OUTER with the enabled fact as the PRESERVED side: its
+      // unmatched rows still emit, so the fact must never be cut (the
+      // non-preserved dim here is not an enabled table, so no rewrite
+      // at all)
       DimFilePrune.lastCut = None
       val outer = factDf.join(dim,
         col("l_suppkey") === col("s_suppkey"), "left_outer")
       assert(outer.count() ===
         li.join(dim, col("l_suppkey") === col("s_suppkey"), "left_outer")
           .count())
-      assert(DimFilePrune.lastCut.isEmpty, "outer join was rewritten")
+      assert(DimFilePrune.lastCut.isEmpty,
+        "outer join's preserved side was rewritten")
 
       // unbounded dim: a plain parquet relation has no structural bound,
       // and with broadcasting disabled the size-estimate tier is off too
