@@ -28,7 +28,7 @@ object PlanFingerprint {
     * join strategy, pushed filter, and partition key survives; ids and
     * locations don't.
     */
-  private[graft] def normalize(s: String): String = s
+  private[graft] def normalize(s: String): String = foldScanTails(s
     .replaceAll("#\\d+", "#x")                       // expression ids
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")        // exchange/stage ids
@@ -85,15 +85,33 @@ object PlanFingerprint {
     // a truncated list never swallows the fields after it
     .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*?(\\]\\)|\\.\\.\\.)",
       "In($1, [<vals>])")
-    // ANY remaining truncated metadata tail (must run AFTER the
-    // INSET/In rules, which consume their own ellipses): the 100-char
-    // cut falls at a position set by the RAW exprId digit widths —
-    // pre-normalization — so the final, PARTIALLY-printed list element
-    // differs between equal plans (r15: a timestamp literal cut at
-    // '1996-02' vs '1996-02-01' flipped q_lookup_enrich's hash between
-    // sessions). The fragment is width noise, not plan shape — fold it
-    // to a fixed tail; complete elements before the cut are kept.
-    .replaceAll("[^,\\[\\]\\n]*\\.\\.\\.", "<cut>...")
+    )
+
+  /** ANY remaining truncated metadata tail (runs AFTER the INSET/In
+    * rules, which consume their own ellipses): the 100-char metadata
+    * abbreviation cuts at a position set by the RAW exprId digit widths
+    * — pre-normalization — so the final, PARTIALLY-printed list element
+    * differs between equal plans (r15: a timestamp literal cut at
+    * '1996-02' vs '1996-02-01' flipped q_lookup_enrich's hash between
+    * sessions). The fragment is width noise, not plan shape — fold it
+    * to a fixed tail; complete elements before the cut are kept.
+    *
+    * SCOPED to scan-metadata lines: only the scan's metadata map is
+    * char-width-abbreviated; field-list truncation elsewhere prints
+    * "... N more fields" with a COUNT-based (session-stable) cut, and a
+    * string literal containing '...' in an ordinary predicate must keep
+    * its surrounding token or two genuinely different plans could hash
+    * identically.
+    */
+  private def foldScanTails(s: String): String = {
+    val keys = Seq("DataFilters:", "PushedFilters:", "ReadSchema:",
+      "PartitionFilters:", "Location:")
+    s.linesIterator.map { line =>
+      if (keys.exists(line.contains))
+        line.replaceAll("[^,\\[\\]\\n]*\\.\\.\\.", "<cut>...")
+      else line
+    }.mkString("\n")
+  }
 
   /** Shared by [[Bench]]'s table-schema fingerprints so the two
     * fingerprint encodings in one artifact stay identical by

@@ -29,9 +29,22 @@ object DataQuality {
     * (nothing finer is publishable). The cell ordering is a
     * cell-cardinality-sized sort (a dimension build, not a data one);
     * the data-sized work is one group count + one mask join.
+    *
+    * The suppression order is an UNPARTITIONED window, i.e. a
+    * single-task sort sized by the QUASI-CELL count — correct for
+    * release gates, whose publishable dimensions are bounded, but not
+    * for near-unique quasi tuples (user ids, timestamps), where the
+    * cell inventory approaches the row count. `maxCells` enforces that
+    * contract: the cell count rides the same broadcast aggregate the
+    * suppression flag already needs (no extra job), and exceeding the
+    * bound fails LOUDLY at run time instead of silently sorting a
+    * corpus-sized inventory on one task. Coarsen the quasi columns
+    * (bucket timestamps, drop identifiers) or raise `maxCells`
+    * deliberately.
     */
   def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
-      k: Long, mask: String = "(suppressed)")
+      k: Long, mask: String = "(suppressed)",
+      maxCells: Long = 1000000L)
       : org.apache.spark.sql.DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(quasiCols.forall(df.columns.contains),
@@ -48,11 +61,20 @@ object DataQuality {
     val cumBefore = coalesce(sum(col("_cnt"))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     val hasUnder = cells
-      .agg(max(when(col("_cnt") < k, 1).otherwise(0)).as("_any"))
+      .agg(max(when(col("_cnt") < k, 1).otherwise(0)).as("_any"),
+        count(lit(1)).as("_ncells"))
     val flagged = cells
       .crossJoin(org.apache.spark.sql.functions.broadcast(hasUnder))
       .withColumn("_supp",
-        col("_any") === 1 && (col("_cnt") < k || cumBefore < k))
+        when(col("_ncells") > maxCells,
+          raise_error(concat(lit("kAnonymize: "),
+            col("_ncells").cast("string"),
+            lit(s" quasi-identifier cells exceed maxCells=$maxCells — " +
+              "the suppression order is a single-task sort sized by the " +
+              "cell count; coarsen the quasi columns or raise maxCells")))
+            .cast("boolean"))
+          .otherwise(
+            col("_any") === 1 && (col("_cnt") < k || cumBefore < k)))
       .select(quasiCols.map(col) :+ col("_supp"): _*)
     df.join(flagged, quasiCols, "left")
       .select(df.columns.toSeq.map { c =>

@@ -442,21 +442,53 @@ object TrainingData {
 
   /** Deterministic token dictionary: every token occurring in >= `minCount`
     * rows gets a dense id by (count desc, token) rank — the vocabulary
-    * build before corpus encoding. The rank window runs over the
-    * thresholded vocabulary only; `minCount` is what bounds it at corpus
-    * scale (a 100 TB crawl's >=k-occurrence vocabulary is tokenizer-sized,
-    * its full token inventory is not). Ids start at 0.
+    * build before corpus encoding. Ids start at 0.
+    *
+    * The rank is assigned WITHOUT a global single-partition window — a
+    * >=k-occurrence vocabulary of a web crawl grows with the corpus, not
+    * the tokenizer. Two passes instead: the thresholded counts are
+    * range-partitioned along the rank order and PINNED with one
+    * localCheckpoint (so both passes see identical partitions), pass one
+    * collects the per-partition row counts (P rows) into cumulative
+    * offsets, pass two ranks each partition locally and adds its offset.
+    * Range partitions are disjoint and ordered and the sort key
+    * (count desc, token) is unique per row, so offset + local rank IS
+    * the global rank — ids are bit-identical to the single-window form.
     */
   def buildVocab(docs: DataFrame, minCount: Long = 2L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
     val counts = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= minCount)
-    val w = Window.orderBy(col("n_occurrences").desc, col("token"))
-    counts.select(col("token"), col("n_occurrences"),
-      (row_number().over(w) - 1).cast("long").as("token_id"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = counts
+      .repartitionByRange(parts, col("n_occurrences").desc, col("token"))
+      .localCheckpoint()
+    val sizes = sorted.select(spark_partition_id().as("_pid"))
+      .groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = sizes.map { case (pid, n) =>
+      val o = acc; acc += n
+      org.apache.spark.sql.Row(pid, o)
+    }
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    sorted.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("_pid"))
+      .select(col("token"), col("n_occurrences"),
+        (col("_rk") - 1 + col("_off")).as("token_id"))
   }
 
   /** Encode the corpus against [[buildVocab]]'s dictionary: one row per

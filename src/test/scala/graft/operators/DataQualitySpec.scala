@@ -128,6 +128,14 @@ class DataQualitySpec extends SparkSpec {
       Seq(("A", 1, 1.0)).toDF("seg", "nat", "bal"), Seq("seg", "nat"), k = 5)
       .collect().map(_.getString(0))
     assert(tiny.toSeq === Seq("(suppressed)"))
+    // the cell-cardinality contract is ENFORCED: a quasi-cell inventory
+    // above maxCells fails loudly instead of silently single-task
+    // sorting it (near-unique quasi tuples are the misuse this catches)
+    val e = intercept[Exception] {
+      DataQuality.kAnonymize(df, Seq("seg", "nat"), k = 2, maxCells = 2L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxCells"), e.getMessage)
   }
 
   test("lDiversity counts distinct sensitive values per cell") {
