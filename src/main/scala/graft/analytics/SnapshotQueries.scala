@@ -1742,6 +1742,55 @@ object SnapshotQueries {
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
          FROM merged"""))
 
+  /** X125: COMPOSITE-key MERGE — `ON t.k1 = s.k1 AND t.k2 = s.k2`, the
+    * (order_id, line_number)-shaped tuple keys real CDC feeds carry,
+    * landed through [[graft.sources.Snapshots.mergeComposite]]: the
+    * anti-join compares the FULL tuple (so rows sharing only one key
+    * column are never touched) while file pruning rides the LEADING
+    * column's envelope — lead-clustered layouts keep a bounded CDC
+    * batch's rewrite bounded at any table size. The key is
+    * (l_orderkey BIGINT, l_linenumber INT): mixed widths, so the tuple
+    * comparison's width-free long normalization is exercised too.
+    */
+  val sqlMergeMulti = Q("q_sql_merge_multi",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrgm")
+      // tuple-unique base: the driver's synthetic lineitem DUPLICATES
+      // some (orderkey, linenumber) tuples, which the MERGE cardinality
+      // guard correctly refuses — aggregate first (max: exact on
+      // doubles, no accumulation order)
+      val base = lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("qty"))
+      Snapshots.commit(base.filter(col("l_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("l_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_mmrg_q")
+      q.sql(s"CREATE TABLE graft_mmrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mmrg_src AS " +
+        "SELECT l_orderkey, l_linenumber, max(l_quantity) * 2 AS qty " +
+        s"FROM parquet.`$d/lineitem.parquet` " +
+        "WHERE l_orderkey % 3 = 0 AND l_linenumber <= 3 " +
+        "GROUP BY l_orderkey, l_linenumber")
+      q.sql("MERGE INTO graft_mmrg_q t USING graft_mmrg_src s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("qty")} AS total FROM graft_mmrg_q""")
+    },
+    Some(s"""WITH base AS (
+           SELECT l_orderkey AS k1, l_linenumber AS k2,
+                  max(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2),
+         merged AS (
+           SELECT CASE WHEN k1 % 3 = 0 AND k2 <= 3
+                       THEN q * 2 ELSE q END AS q2
+           FROM base
+           WHERE k1 % 2 = 0 OR (k1 % 3 = 0 AND k2 <= 3))
+         SELECT count(*) AS n_rows, ${dsumSql("q2")} AS total
+         FROM merged"""))
+
   /** X117: hidden partitioning — the table declares `month(o_orderdate)`
     * ([[graft.sources.Partitioning.setSpec]]), the write path lays files
     * out one-partition-tuple-per-file automatically, and
@@ -2122,7 +2171,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    sqlMergeStr,
+    sqlMergeStr, sqlMergeMulti,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,

@@ -204,7 +204,7 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     * than any single-column cut. Conjuncts with unsupported key types
     * just don't contribute (pruning by a subset of ANDed conjuncts is
     * sound); capped at 4 to bound the plan-time dim executions. None
-    * when no conjunct is provable or nothing is cut. With materialized
+    * when no conjunct is provable. With materialized
     * `dimRows` the keys come straight out of the snapshot (no further
     * jobs); otherwise each conjunct runs one distinct-key collect.
     */
@@ -408,27 +408,31 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The fact subtree with `lr` swapped for a relation over the pruned
-    * index. None when no file is cut — a no-op rewrite would still churn
-    * the tree every fixed-point iteration. The probe went through
-    * [[SnapshotFileIndex.pruneByKeys]], which in segment-planning mode
-    * prunes whole segments from their rollups before parsing any
-    * per-file entry — O(segments + kept), not O(files).
+    * index — UNCONDITIONALLY once the proof chain held, even when the
+    * evidence happened to cut zero files this time: how many files a
+    * bloom/envelope probe drops is data-layout noise (a range boundary
+    * shifting one row flips a file from cut to kept), and a rewrite
+    * whose SHAPE depended on it would flap the plan fingerprint between
+    * otherwise-identical runs. Convergence is structural, not
+    * cut-dependent: the pruned copy is `flatForm = false`, so the
+    * fixed-point batch's next pass refuses to re-prune it. The probe
+    * went through [[SnapshotFileIndex.pruneByKeys]], which in
+    * segment-planning mode prunes whole segments from their rollups
+    * before parsing any per-file entry — O(segments + kept), not
+    * O(files).
     */
   private def rewrite(spark: SparkSession, factSide: LogicalPlan,
       lr: LogicalRelation, hfs: HadoopFsRelation, fi: SnapshotFileIndex,
       cut: (Seq[graft.sources.Snapshots.FileEntry], Int))
       : Option[LogicalPlan] = {
     val (kept, skipped) = cut
-    if (skipped == 0) None
-    else {
-      DimFilePrune.lastCut = Some((fi.table, kept.size, skipped))
-      val newFi = SnapshotFileIndex.prunedCopy(spark, fi, kept)
-      val newRel = hfs.copy(location = newFi)(hfs.sparkSession)
-      // same output attributes: downstream references resolve untouched
-      val newLr = lr.copy(relation = newRel)
-      Some(factSide.transformUp {
-        case l2: LogicalRelation if l2 eq lr => newLr
-      })
-    }
+    DimFilePrune.lastCut = Some((fi.table, kept.size, skipped))
+    val newFi = SnapshotFileIndex.prunedCopy(spark, fi, kept)
+    val newRel = hfs.copy(location = newFi)(hfs.sparkSession)
+    // same output attributes: downstream references resolve untouched
+    val newLr = lr.copy(relation = newRel)
+    Some(factSide.transformUp {
+      case l2: LogicalRelation if l2 eq lr => newLr
+    })
   }
 }

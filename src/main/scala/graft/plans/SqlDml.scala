@@ -469,40 +469,53 @@ object SqlDml {
           stripWiden(c.child)
         case other => other
       }
-      val keyAttr = (m.mergeCondition match {
-        case EqualTo(l, r) => EqualTo(stripWiden(l), stripWiden(r))
-        case other => other
-      }) match {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if a.name.equalsIgnoreCase(b.name) &&
-              ((tOut.exists(_.exprId == a.exprId) &&
-                sOut.exists(_.exprId == b.exprId)) ||
-                (tOut.exists(_.exprId == b.exprId) &&
-                  sOut.exists(_.exprId == a.exprId))) =>
-          // the widening cast is only acceptable on the SOURCE side: a
-          // NARROW target key with a wide source would cast inserted
-          // keys down via the non-ANSI positional cast, silently
-          // WRAPPING out-of-range values into the key space
-          val (tAttr, sAttr) =
-            if (tOut.exists(_.exprId == a.exprId)) (a, b) else (b, a)
-          if (integralRank(tAttr.dataType) > 0 &&
-              integralRank(sAttr.dataType) > integralRank(tAttr.dataType))
-            throw new IllegalArgumentException(
-              "graft DML: MERGE source key '" + sAttr.name + "' is " +
-                s"${sAttr.dataType.simpleString} but the target key is " +
-                s"${tAttr.dataType.simpleString} — an out-of-range source " +
-                "key would WRAP under the insert cast; widen the target " +
-                "column (widenColumn) or cast the source down explicitly")
-          tOut.find(_.name.equalsIgnoreCase(a.name)).get
-        case other => throw new IllegalArgumentException(
-          "graft DML: MERGE condition must be a single equality on one " +
-            s"same-named column of target and source, got $other")
+      // the ON condition may be a CONJUNCTION of same-named equalities —
+      // the composite (order_id, line_number)-shaped tuple keys real CDC
+      // feeds carry; each conjunct is validated independently
+      def splitAnd(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          splitAnd(l) ++ splitAnd(r)
+        case other => Seq(other)
       }
-      // Snapshots.merge supports integral keys (collected as longs
+      val keyAttrs: Seq[Attribute] = splitAnd(m.mergeCondition).map { conj =>
+        (conj match {
+          case EqualTo(l, r) => EqualTo(stripWiden(l), stripWiden(r))
+          case other => other
+        }) match {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if a.name.equalsIgnoreCase(b.name) &&
+                ((tOut.exists(_.exprId == a.exprId) &&
+                  sOut.exists(_.exprId == b.exprId)) ||
+                  (tOut.exists(_.exprId == b.exprId) &&
+                    sOut.exists(_.exprId == a.exprId))) =>
+            // the widening cast is only acceptable on the SOURCE side: a
+            // NARROW target key with a wide source would cast inserted
+            // keys down via the non-ANSI positional cast, silently
+            // WRAPPING out-of-range values into the key space
+            val (tAttr, sAttr) =
+              if (tOut.exists(_.exprId == a.exprId)) (a, b) else (b, a)
+            if (integralRank(tAttr.dataType) > 0 &&
+                integralRank(sAttr.dataType) > integralRank(tAttr.dataType))
+              throw new IllegalArgumentException(
+                "graft DML: MERGE source key '" + sAttr.name + "' is " +
+                  s"${sAttr.dataType.simpleString} but the target key is " +
+                  s"${tAttr.dataType.simpleString} — an out-of-range source " +
+                  "key would WRAP under the insert cast; widen the target " +
+                  "column (widenColumn) or cast the source down explicitly")
+            tOut.find(_.name.equalsIgnoreCase(a.name)).get
+          case other => throw new IllegalArgumentException(
+            "graft DML: MERGE condition must be an equality (or a " +
+              "conjunction of equalities) on same-named columns of " +
+              s"target and source, got $other")
+        }
+      }
+      require(keyAttrs.map(_.name.toLowerCase).distinct.size ==
+        keyAttrs.size, "graft DML: MERGE condition repeats a key column")
+      // Snapshots.merge* supports integral keys (collected as longs
       // against the manifest [min,max] stats) and string keys (UNCAST,
       // pruned through the UTF-8 string envelopes); anything else —
       // dates, doubles, structs — refuses HERE, loudly, at analysis
-      keyAttr.dataType match {
+      keyAttrs.foreach(keyAttr => keyAttr.dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
@@ -511,8 +524,8 @@ object SqlDml {
         case dt => throw new IllegalArgumentException(
           s"graft DML: MERGE key '${keyAttr.name}' must be an integral " +
             s"or string column, got ${dt.simpleString}")
-      }
-      val keyCol = keyAttr.name
+      })
+      val keyCols = keyAttrs.map(_.name)
       require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
         m.notMatchedBySourceActions.nonEmpty,
         "graft DML: MERGE with no actions")
@@ -532,7 +545,7 @@ object SqlDml {
           assigns.forall(_.value.collect {
               case ar: AttributeReference => ar
             }.forall(ar => srcIds.contains(ar.exprId) ||
-              ar.name.equalsIgnoreCase(keyCol)))
+              keyCols.exists(ar.name.equalsIgnoreCase)))
       }
       val simple = m.notMatchedBySourceActions.isEmpty &&
         m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
@@ -548,7 +561,7 @@ object SqlDml {
         !(m.matchedActions.exists(_.isInstanceOf[DeleteAction]) &&
           m.notMatchedActions.nonEmpty)
       if (!simple)
-        return rewriteMergeGeneral(m, table, tOut, sOut, keyCol, ident)
+        return rewriteMergeGeneral(m, table, tOut, sOut, keyCols, ident)
       // an action's assignments (the analyzer expands SET * / INSERT *
       // into per-column assignments) become a full-row SOURCE projection
       // — Snapshots.merge replaces whole rows, so every target column
@@ -566,7 +579,7 @@ object SqlDml {
           asg.value.foreach {
             case ar: AttributeReference =>
               require(srcIds.contains(ar.exprId) ||
-                ar.name.equalsIgnoreCase(keyCol),
+                keyCols.exists(ar.name.equalsIgnoreCase),
                 s"graft DML: MERGE $what value for '$name' references " +
                   s"target column '${ar.name}' — whole-row replacement " +
                   "can only compute from the source")
@@ -602,7 +615,7 @@ object SqlDml {
       require(!(deletes && insertProj.nonEmpty), "graft DML: MATCHED " +
         "DELETE plus NOT MATCHED INSERT is not an upsert — split into " +
         "two statements")
-      GraftMergeCommand(table, m.sourceTable, keyCol,
+      GraftMergeCommand(table, m.sourceTable, keyCols,
         updateProj = updateProj, insertProj = insertProj,
         deleteMatched = deletes, targetSchema = schemaOf(tOut),
         ident = ident)
@@ -618,7 +631,7 @@ object SqlDml {
       * (the norm in MERGE) resolve unambiguously.
       */
     private def rewriteMergeGeneral(m: MergeIntoTable, table: String,
-        tOut: Seq[Attribute], sOut: Seq[Attribute], keyCol: String,
+        tOut: Seq[Attribute], sOut: Seq[Attribute], keyCols: Seq[String],
         ident: Option[String]): LogicalPlan = {
       val tIds = tOut.map(_.exprId).toSet
       val sIds = sOut.map(_.exprId).toSet
@@ -646,9 +659,9 @@ object SqlDml {
         val t = tOut.find(_.name.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(
             s"graft DML: MERGE $what assigns unknown column '$name'"))
-        require(allowKey || !t.name.equalsIgnoreCase(keyCol),
+        require(allowKey || !keyCols.exists(t.name.equalsIgnoreCase),
           s"graft DML: MERGE $what must not SET the merge key " +
-            s"'$keyCol' — key-changing updates are not a merge")
+            s"'${t.name}' — key-changing updates are not a merge")
         (t.name, sided(a.value))
       }
       val matched = m.matchedActions.map {
@@ -689,7 +702,7 @@ object SqlDml {
         case other => throw new IllegalArgumentException(
           s"graft DML: unsupported WHEN NOT MATCHED BY SOURCE action $other")
       }
-      GraftMergeConditionalCommand(table, m.sourceTable, keyCol,
+      GraftMergeConditionalCommand(table, m.sourceTable, keyCols,
         matched, notMatched, nmbs, schemaOf(tOut), ident)
     }
   }
@@ -736,17 +749,21 @@ object SqlDml {
     * idempotent and deduped by the merge itself.
     */
   private def refuseMultiMatch(modifiers: org.apache.spark.sql.DataFrame,
-      keyCol: String, table: String): Unit = {
+      keyCols: Seq[String], table: String): Unit = {
     val dup = modifiers
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("__graft_n"))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__graft_n"))
       .filter(col("__graft_n") > 1)
       .limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"graft DML: MERGE into $table — ${dup.head.getLong(1)} source " +
-        s"rows matched the target row with $keyCol = ${dup.head.get(0)} " +
-        "and attempted to modify it; which row wins is undefined. " +
-        "De-duplicate the source on the merge key (e.g. keep the " +
-        "latest row per key) and re-run.")
+    if (dup.nonEmpty) {
+      val tuple = keyCols.zipWithIndex
+        .map { case (k, i) => s"$k = ${dup.head.get(i)}" }.mkString(", ")
+      throw new IllegalStateException(
+        s"graft DML: MERGE into $table — " +
+          s"${dup.head.getLong(keyCols.size)} source rows matched the " +
+          s"target row with $tuple and attempted to modify it; which " +
+          "row wins is undefined. De-duplicate the source on the merge " +
+          "key (e.g. keep the latest row per key) and re-run.")
+    }
   }
 
   // ---- the commands ------------------------------------------------------
@@ -827,7 +844,7 @@ object SqlDml {
     * to keys absent, both together is the plain upsert.
     */
   final case class GraftMergeCommand(table: String, source: LogicalPlan,
-      keyCol: String, updateProj: Option[Seq[(String, Column)]],
+      keyCols: Seq[String], updateProj: Option[Seq[(String, Column)]],
       insertProj: Option[Seq[(String, Column)]],
       deleteMatched: Boolean,
       targetSchema: org.apache.spark.sql.types.StructType,
@@ -842,23 +859,23 @@ object SqlDml {
         src0.select(proj.zip(targetSchema.fields).map { case ((n, c), f) =>
           c.cast(f.dataType).as(n) }: _*)
       if (deleteMatched) {
-        // WHEN MATCHED THEN DELETE: drop target rows whose key appears
-        // in the source (keys absent from the target are no-ops)
-        val keys = src0.select(col(keyCol))
-        Snapshots.merge(spark, table,
+        // WHEN MATCHED THEN DELETE: drop target rows whose key (tuple)
+        // appears in the source (keys absent from the target are no-ops)
+        val keys = src0.select(keyCols.map(col): _*)
+        Snapshots.mergeComposite(spark, table,
           upserts = shapedEmpty(spark), deleteKeys = keys,
-          keyCol = keyCol)
+          keyCols = keyCols)
       } else {
         lazy val targetKeys = Snapshots.readMor(spark, table)
-          .select(col(keyCol)).distinct()
+          .select(keyCols.map(col): _*).distinct()
         val ups = updateProj.map(p =>
-          shaped(p).join(targetKeys, Seq(keyCol), "left_semi"))
+          shaped(p).join(targetKeys, keyCols, "left_semi"))
         // cardinality guard: two source rows updating one target row is
         // ambiguous — refuse before anything commits (Delta semantics)
-        ups.foreach(u => refuseMultiMatch(u.select(col(keyCol)), keyCol,
-          table))
+        ups.foreach(u => refuseMultiMatch(u.select(keyCols.map(col): _*),
+          keyCols, table))
         val ins = insertProj.map(p =>
-          shaped(p).join(targetKeys, Seq(keyCol), "left_anti"))
+          shaped(p).join(targetKeys, keyCols, "left_anti"))
         def fp(p: Option[Seq[(String, Column)]]) =
           p.map(_.map { case (n, c) => (n, c.toString) })
         val upserts = (ups, ins) match {
@@ -872,9 +889,9 @@ object SqlDml {
           case (None, None) => throw new IllegalStateException(
             "graft DML: MERGE command with no actions")
         }
-        Snapshots.merge(spark, table,
+        Snapshots.mergeComposite(spark, table,
           upserts = withRecordedSchema(spark, upserts, targetSchema),
-          deleteKeys = shapedEmpty(spark), keyCol = keyCol)
+          deleteKeys = shapedEmpty(spark), keyCols = keyCols)
       }
       refreshCatalog(spark, ident)
       Seq.empty
@@ -901,7 +918,7 @@ object SqlDml {
     * like the unconditional path.
     */
   final case class GraftMergeConditionalCommand(table: String,
-      source: LogicalPlan, keyCol: String,
+      source: LogicalPlan, keyCols: Seq[String],
       matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
       notMatched: Seq[(Option[Column], Seq[(String, Column)])],
       notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
@@ -922,8 +939,12 @@ object SqlDml {
         col(c).as(TP + c)): _*)
       val srcP = src0.select(src0.columns.toSeq.map(c =>
         col(c).as(SP + c)): _*)
-      val tKey = col(TP + keyCol)
-      val sKey = col(SP + keyCol)
+      val tKeys = keyCols.map(k => col(TP + k))
+      val sKeys = keyCols.map(k => col(SP + k))
+      // tuple equality: every key conjunct must hold (a null component
+      // matches nothing — exactly the anti-join semantics)
+      val tEqS = tKeys.zip(sKeys).map { case (t, q) => t === q }
+        .reduce(_ && _)
       val act = "__graft_act"
       // first-true-wins: when(c1,1).when(c2,2)...otherwise(0) — CaseWhen
       // evaluates branches in order, 0 = no action touches the row
@@ -978,16 +999,16 @@ object SqlDml {
       // side null-fills, and must never classify rows outside the class
       var j = joinType match {
         case "src_anti" =>
-          srcP.join(tgtP, sKey === tKey, "left_anti")
+          srcP.join(tgtP, tEqS, "left_anti")
             .withColumn(tFlag, lit(null).cast("boolean"))
             .withColumn(sFlag, lit(true))
         case "tgt_anti" =>
-          tgtP.join(srcP, tKey === sKey, "left_anti")
+          tgtP.join(srcP, tEqS, "left_anti")
             .withColumn(tFlag, lit(true))
             .withColumn(sFlag, lit(null).cast("boolean"))
         case jt =>
           tgtP.withColumn(tFlag, lit(true))
-            .join(srcP.withColumn(sFlag, lit(true)), tKey === sKey, jt)
+            .join(srcP.withColumn(sFlag, lit(true)), tEqS, jt)
       }
       if (needM) j = j.withColumn(actM,
         when(tPresent && sPresent, actIdx(matched.map(_._1)))
@@ -1003,15 +1024,17 @@ object SqlDml {
       // (rows whose matched cascade selects no action modify nothing
       // and are exempt, as are duplicate NOT-MATCHED insert keys)
       if (needM) refuseMultiMatch(
-        pinned.filter(col(actM) >= 1).select(tKey.as(keyCol)), keyCol,
-        table)
+        pinned.filter(col(actM) >= 1)
+          .select(keyCols.map(k => col(TP + k).as(k)): _*),
+        keyCols, table)
       var upserts = Seq.empty[org.apache.spark.sql.DataFrame]
       var delKeys = Seq.empty[org.apache.spark.sql.DataFrame]
       matched.zipWithIndex.foreach { case ((_, setOpt), i) =>
         val rows = pinned.filter(col(actM) === lit(i + 1))
         setOpt match {
           case Some(set) => upserts :+= shapeRow(rows, set, TP)
-          case None => delKeys :+= rows.select(tKey.as(keyCol))
+          case None => delKeys :+= rows
+            .select(keyCols.map(k => col(TP + k).as(k)): _*)
         }
       }
       notMatched.zipWithIndex.foreach { case ((_, proj), i) =>
@@ -1022,7 +1045,8 @@ object SqlDml {
         val rows = pinned.filter(col(actD) === lit(i + 1))
         setOpt match {
           case Some(set) => upserts :+= shapeRow(rows, set, TP)
-          case None => delKeys :+= rows.select(tKey.as(keyCol))
+          case None => delKeys :+= rows
+            .select(keyCols.map(k => col(TP + k).as(k)): _*)
         }
       }
       def emptyTarget = spark.createDataFrame(
@@ -1033,9 +1057,9 @@ object SqlDml {
       val dels =
         if (delKeys.isEmpty) emptyTarget
         else delKeys.reduce(_.unionByName(_))
-      Snapshots.merge(spark, table,
+      Snapshots.mergeComposite(spark, table,
         upserts = withRecordedSchema(spark, ups, targetSchema),
-        deleteKeys = dels, keyCol = keyCol)
+        deleteKeys = dels, keyCols = keyCols)
       refreshCatalog(spark, ident)
       Seq.empty
     }

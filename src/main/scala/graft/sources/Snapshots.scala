@@ -2890,6 +2890,181 @@ object Snapshots {
     MergeResult(next, touched.size, carriedCount.get)
   }
 
+  /** COMPOSITE-key copy-on-write MERGE — [[merge]] for the
+    * `(order_id, line_number)`-shaped tuple keys real CDC feeds carry
+    * (order lines, sensor (device, ts-bucket), account (region, id)).
+    * Row semantics are [[merge]]'s, tuple-wise: an `upserts` row
+    * replaces the stored row with the same key TUPLE, a tuple in
+    * `deleteKeys` is removed, a tuple in both is delete-then-insert.
+    * A tuple with ANY null component inserts (upserts) or is ignored
+    * (deletes) — null keys match nothing, exactly the join's semantics.
+    *
+    * File pruning rides the LEADING column's envelope (integral
+    * [min,max] stats or UTF-8 string envelope): a file whose lead
+    * envelope can hold no affected lead value holds no affected tuple —
+    * the same leading-column soundness [[addUnique]]'s parent check
+    * uses. Cluster the layout by the lead column and a bounded CDC
+    * batch touches a bounded file set at any table size. The anti-join
+    * compares ALL key columns (integral components as longs, string
+    * components UNCAST, so '1'/'01' never collapse). Concurrency: the
+    * same auto-rebase/abort protocol as [[merge]], with the racer
+    * conflict test on the lead envelope.
+    */
+  def mergeComposite(spark: SparkSession, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame, keyCols: Seq[String],
+      maxCollectedKeys: Int = 100000,
+      properties: Map[String, String] = Map.empty,
+      planHook: () => Unit = () => ()): MergeResult = {
+    require(keyCols.nonEmpty, "Snapshots.mergeComposite: empty key list")
+    require(keyCols.distinct == keyCols,
+      s"Snapshots.mergeComposite: duplicate key columns in " +
+        keyCols.mkString(","))
+    if (keyCols.size == 1)
+      return merge(spark, table, upserts, deleteKeys, keyCols.head,
+        maxCollectedKeys, properties, planHook)
+    import org.apache.spark.sql.functions.{broadcast, col => c}
+    val v = latestVersion(spark, table)
+    require(v > 0, s"Snapshots.mergeComposite: $table has no committed version")
+    keyCols.foreach(k => require(deleteKeys.columns.contains(k),
+      s"Snapshots.mergeComposite: deleteKeys needs a '$k' column"))
+    val entries = manifest(spark, table, v)
+    val tableDf = read(spark, table, Some(v))
+    val tableCols = tableDf.columns
+    require(upserts.columns.sorted.sameElements(tableCols.sorted),
+      s"Snapshots.mergeComposite: upserts columns " +
+        s"[${upserts.columns.sorted.mkString(",")}] must match table " +
+        s"columns [${tableCols.sorted.mkString(",")}]")
+    val strType = org.apache.spark.sql.types.StringType
+    val keyIsStr: Seq[Boolean] = keyCols.map { k =>
+      val f = tableDf.schema.fields.find(_.name == k).getOrElse(
+        sys.error(s"Snapshots.mergeComposite: no column '$k' in $table"))
+      require(f.dataType == strType || isIntegralType(f.dataType),
+        s"Snapshots.mergeComposite: merge keys must be integral or " +
+          s"string; '$k' is ${f.dataType.simpleString}")
+      f.dataType == strType
+    }
+    val leadIsStr = keyIsStr.head
+    val lead = keyCols.head
+    // tuple frame for the anti join: integral components as longs
+    // (width-free equality), string components UNCAST
+    val mk = keyCols.indices.map(i => s"_merge_key_$i")
+    def tupleOf(df: DataFrame): DataFrame =
+      df.select(keyCols.zip(mk).zip(keyIsStr).map { case ((k, a), isStr) =>
+        c(k).cast(if (isStr) "string" else "long").as(a)
+      }: _*)
+    val keysDf = tupleOf(upserts).unionByName(tupleOf(deleteKeys))
+      .filter(mk.map(c(_).isNotNull).reduce(_ && _))
+      .distinct()
+    val collected0 = keysDf.limit(maxCollectedKeys + 1).collect()
+    val overCap = collected0.length > maxCollectedKeys
+    // lead-value set for the per-file envelope test (distinct leads of
+    // the collected tuples; sorted for binary search — u8 order for
+    // strings, matching the footer envelopes)
+    val leadSorted: Option[Array[Long]] =
+      if (leadIsStr || overCap) None
+      else Some(collected0.map(_.getLong(0)).distinct.sorted)
+    val leadSortedStr: Option[Array[String]] =
+      if (!leadIsStr || overCap) None
+      else Some(collected0.map(_.getString(0)).distinct
+        .sorted(Ordering.fromLessThan(ParquetMeta.u8Less)))
+    lazy val (rangeLo, rangeHi) = {
+      val r = keysDf.agg(org.apache.spark.sql.functions.min(mk.head),
+        org.apache.spark.sql.functions.max(mk.head)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    lazy val (rangeLoS, rangeHiS) = {
+      import org.apache.spark.sql.functions.{encode, max => mxf, min => mnf}
+      val r = keysDf.agg(mnf(encode(c(mk.head), "UTF-8")),
+        mxf(encode(c(mk.head), "UTF-8"))).head()
+      (new String(r.getAs[Array[Byte]](0), "UTF-8"),
+        new String(r.getAs[Array[Byte]](1), "UTF-8"))
+    }
+    def mayContain(mn: Long, mx: Long): Boolean = leadSorted match {
+      case Some(a) =>
+        val i = java.util.Arrays.binarySearch(a, mn)
+        val from = if (i >= 0) i else -i - 1
+        from < a.length && a(from) <= mx
+      case None => mx >= rangeLo && mn <= rangeHi
+    }
+    def mayContainStr(mn: String, mx: String): Boolean =
+      leadSortedStr match {
+        case Some(a) =>
+          var lo = 0; var hi = a.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ParquetMeta.u8Less(a(mid), mn)) lo = mid + 1 else hi = mid
+          }
+          lo < a.length && !ParquetMeta.u8Less(mx, a(lo))
+        case None =>
+          !ParquetMeta.u8Less(mx, rangeLoS) &&
+            !ParquetMeta.u8Less(rangeHiS, mn)
+      }
+    def fileMayHoldKeys(e: FileEntry): Boolean =
+      if (leadIsStr) e.strStats.get(lead) match {
+        case Some((mn, mx)) => mayContainStr(mn, mx)
+        case None => true
+      } else e.stats.get(lead) match {
+        case Some((mn, mx)) => mayContain(mn, mx)
+        case None => true
+      }
+    val (touched, carried) = entries.partition(e =>
+      e.rows > 0 && fileMayHoldKeys(e))
+    val base =
+      if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
+      else readFiles(spark, table, v, touched)
+    val antiSide = if (!overCap) broadcast(keysDf) else keysDf
+    val antiCond = keyCols.zip(mk).map { case (k, a) => c(k) === c(a) }
+      .reduce(_ && _)
+    val survivors = base.join(antiSide, antiCond, "left_anti")
+      .select(tableCols.map(c): _*)
+    enforceUnique(spark, table, upserts, vsParent = false)
+    val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
+    // the lead column's envelope is RECORDED on the rewritten files even
+    // when the table never had one — the next merge then prunes
+    val statsCols = (entries.flatMap(_.stats.keys) ++
+      (if (!leadIsStr) Seq(lead) else Nil)).distinct.sorted
+    val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
+    val strCols = (entries.flatMap(_.strStats.keys) ++
+      (if (leadIsStr) Seq(lead) else Nil)).distinct.sorted
+    planHook()
+    val touchedPaths = touched.map(_.path).toSet
+    val priorPaths = entries.map(_.path).toSet
+    val carriedCount = new java.util.concurrent.atomic.AtomicInteger(
+      carried.size)
+    val next = commitWith(newData, table, statsCols, properties, bloomCols,
+      baseFor = parent => {
+        val base =
+          if (parent == v) carried
+          else {
+            // the same auto-rebase proof as [[merge]] (see there)
+            require(Snapshots.properties(spark, table, parent)
+              .get(SchemaProp) ==
+              Snapshots.properties(spark, table, v).get(SchemaProp),
+              s"Snapshots.mergeComposite: concurrent commit on $table " +
+                s"changed the schema (planned against v$v, parent is " +
+                s"now v$parent) — retry the merge")
+            val cur = manifest(spark, table, parent)
+            val curPaths = cur.map(_.path).toSet
+            val lost = touchedPaths -- curPaths
+            require(lost.isEmpty, s"Snapshots.mergeComposite: concurrent " +
+              s"commit on $table rewrote ${lost.size} file(s) this merge " +
+              s"also touches (planned against v$v, parent is now " +
+              s"v$parent) — retry the merge")
+            val added = cur.filterNot(e => priorPaths.contains(e.path))
+            val conflicting = added.filter(e =>
+              e.rows > 0 && fileMayHoldKeys(e))
+            require(conflicting.isEmpty, s"Snapshots.mergeComposite: " +
+              s"concurrent commit on $table added ${conflicting.size} " +
+              s"file(s) that may hold this merge's keys (planned against " +
+              s"v$v, parent is now v$parent) — retry the merge")
+            cur.filterNot(e => touchedPaths.contains(e.path))
+          }
+        carriedCount.set(base.size)
+        base
+      }, strStatsCols = strCols)
+    MergeResult(next, touched.size, carriedCount.get)
+  }
+
   /** Compact the latest version's layout into ~`targetBytes` files as a
     * NEW overwrite commit — same row content (the q_versioned_compact
     * oracle pins it), fewer files, and prior versions remain readable

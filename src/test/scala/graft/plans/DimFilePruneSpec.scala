@@ -240,13 +240,16 @@ class DimFilePruneSpec extends SparkSpec {
       factDf.join(dimL, col("l_suppkey") <=> col("s_suppkey")).count()
       assert(DimFilePrune.lastCut.isEmpty, "<=> join was rewritten")
 
-      // NON-DETERMINISTIC dim: the plan-time key collect and the
-      // run-time join would see two different key sets — pruning
-      // against the first silently loses rows, so the rule must not
-      // touch it (rand() < 2 keeps every row, so the row count pins
-      // that the plain join ran)
+      // NON-DETERMINISTIC dim: pinning one plan-time sample as the
+      // join's semantics is not the rule's call to make, so it must not
+      // touch the join. The predicate keeps every row (rand()+1 > 0.5
+      // always holds, so the row count pins the join ran complete) but
+      // is NOT foldable — Spark 4's rand-range simplification rewrites
+      // a bare `rand() < 2.0` to true and deletes the filter, which
+      // would make the dim genuinely deterministic and defeat the test
       DimFilePrune.lastCut = None
-      val dimNd = sup.select(col("s_suppkey")).filter(rand() < 2.0)
+      val dimNd = sup.select(col("s_suppkey"))
+        .filter(rand() + lit(1.0) > 0.5)
       val wantAll = li.join(sup.select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey")).count()
       assert(factDf.join(dimNd,

@@ -415,6 +415,65 @@ class SqlDmlSpec extends SparkSpec {
     assert(content === Map("01" -> 1L, "1" -> 101L, "pear" -> 7L))
   }
 
+  test("composite-key MERGE: ON k1 AND k2 matches tuples on the simple " +
+      "and conditional paths; the cardinality guard judges tuples, not " +
+      "columns") {
+    import spark.implicits._
+    val tbl = freshTable("comp")
+    Snapshots.commit(
+      Seq((1L, 1, 10L), (1L, 2, 20L), (2L, 1, 30L)).toDF("g", "i", "v"),
+      tbl, statsCols = Seq("g"))
+    register("dml_comp", tbl)
+    def content: Map[(Long, Int), Long] = Snapshots.readMor(spark, tbl)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_comp_src AS " +
+      "SELECT CAST(g AS BIGINT) g, CAST(i AS INT) i, CAST(v AS BIGINT) v " +
+      "FROM VALUES (1, 2, 200), (3, 1, 300) AS x(g, i, v)")
+    // simple path: tuple (1,2) updates; (3,1) inserts; (1,1)/(2,1)
+    // share a COLUMN with source rows but no TUPLE — untouched
+    dml.sql("MERGE INTO dml_comp t USING dml_comp_src s " +
+      "ON t.g = s.g AND t.i = s.i " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(content === Map((1L, 1) -> 10L, (1L, 2) -> 200L,
+      (2L, 1) -> 30L, (3L, 1) -> 300L))
+    // conditional path: tuple-matched DELETE + NOT MATCHED BY SOURCE
+    dml.sql("MERGE INTO dml_comp t USING dml_comp_src s " +
+      "ON t.g = s.g AND t.i = s.i " +
+      "WHEN MATCHED AND s.v >= 300 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v " +
+      "WHEN NOT MATCHED BY SOURCE AND t.v = 10 THEN UPDATE SET v = 0")
+    assert(content === Map((1L, 1) -> 0L, (1L, 2) -> 400L, (2L, 1) -> 30L))
+    // cardinality guard on TUPLES: two source rows for tuple (1,2)
+    // refuse; duplicate LEADS with distinct tuples pass
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_comp_dup AS " +
+      "SELECT CAST(g AS BIGINT) g, CAST(i AS INT) i, CAST(v AS BIGINT) v " +
+      "FROM VALUES (1, 2, 7), (1, 2, 8) AS x(g, i, v)")
+    val e = intercept[IllegalStateException] {
+      dml.sql("MERGE INTO dml_comp t USING dml_comp_dup s " +
+        "ON t.g = s.g AND t.i = s.i WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.contains("attempted to modify"), e.getMessage)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_comp_lead AS " +
+      "SELECT CAST(g AS BIGINT) g, CAST(i AS INT) i, CAST(v AS BIGINT) v " +
+      "FROM VALUES (1, 1, 70), (1, 2, 80) AS x(g, i, v)")
+    dml.sql("MERGE INTO dml_comp t USING dml_comp_lead s " +
+      "ON t.g = s.g AND t.i = s.i WHEN MATCHED THEN UPDATE SET *")
+    assert(content === Map((1L, 1) -> 70L, (1L, 2) -> 80L, (2L, 1) -> 30L))
+    // SET on ANY key column refuses
+    val e2 = intercept[Exception] {
+      dml.sql("MERGE INTO dml_comp t USING dml_comp_lead s " +
+        "ON t.g = s.g AND t.i = s.i " +
+        "WHEN MATCHED AND s.v > 0 THEN UPDATE SET i = 9")
+    }
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
+    // a repeated key column in the ON condition refuses
+    val e3 = intercept[Exception] {
+      dml.sql("MERGE INTO dml_comp t USING dml_comp_lead s " +
+        "ON t.g = s.g AND t.g = s.g WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e3.getMessage.contains("repeats"), e3.getMessage)
+  }
+
   test("MERGE cardinality guard: two source rows modifying one target " +
       "row refuse (simple AND conditional paths); non-acting duplicates " +
       "and duplicate NOT MATCHED inserts pass") {

@@ -306,6 +306,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral or string"), e.getMessage)
   }
 
+  test("composite-key merge: tuple semantics (mixed-width components), " +
+      "lead-envelope pruning, upsert wins over simultaneous delete") {
+    import spark.implicits._
+    val tbl = freshTable("cmerge")
+    // (g, i) tuple keys, i committed as INT (narrower than the long the
+    // tuple frame compares as); lead g range-disjoint across commits
+    Snapshots.commit(
+      Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c")).toDF("g", "i", "v"),
+      tbl, statsCols = Seq("g"))
+    Snapshots.commit(Seq((9L, 1, "x"), (9L, 2, "y")).toDF("g", "i", "v"),
+      tbl, statsCols = Seq("g"))
+    val ups = Seq((1L, 2, "B"), (3L, 1, "n"), (2L, 1, "C")).toDF("g", "i", "v")
+    // (2,1) is in BOTH upserts and deletes → the upsert row must win;
+    // (1,1) only deleted
+    val del = Seq((1L, 1), (2L, 1)).toDF("g", "i")
+    val r = Snapshots.mergeComposite(spark, tbl, ups, del, Seq("g", "i"))
+    assert(r.filesCarried > 0, "lead-9 file holds no affected lead")
+    val got = Snapshots.read(spark, tbl).collect()
+      .map(x => ((x.getLong(0), x.getInt(1)), x.getString(2))).toMap
+    assert(got === Map((1L, 2) -> "B", (2L, 1) -> "C", (3L, 1) -> "n",
+      (9L, 1) -> "x", (9L, 2) -> "y"))
+    // tuple, not per-column, matching: (1,1) was deleted but (1,2) and
+    // (2,1) survive — a column-wise IN test would have killed them too
+    assert(!got.contains((1L, 1)))
+    // deleteKeys must carry EVERY key column — a lead-only delete frame
+    // cannot express tuple deletion and refuses loudly
+    val e = intercept[Exception] {
+      Snapshots.mergeComposite(spark, tbl,
+        Seq((1L, 1, "z")).toDF("g", "i", "v"),
+        Seq(1L).toDF("g"), Seq("g", "i"))
+    }
+    assert(e.getMessage.contains("deleteKeys needs"), e.getMessage)
+  }
+
   test("add-column evolution: per-version schema, old files null-filled") {
     val tbl = freshTable("evo")
     val o = spark.read.parquet(s"$sf001/orders.parquet")
