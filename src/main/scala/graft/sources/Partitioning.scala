@@ -224,7 +224,7 @@ object Partitioning {
     * the tuple into the file name. Returns (batchDir, entries) — the
     * commit paths share it.
     */
-  private def writePartitionedBatch(df: DataFrame, table: String,
+  private[sources] def writePartitionedBatch(df: DataFrame, table: String,
       spec: Seq[Transform], statsCols: Seq[String],
       bloomCols: Seq[String], strStatsCols: Seq[String])
       : (Path, Seq[Snapshots.FileEntry]) = {

@@ -260,7 +260,13 @@ object Snapshots {
   private def commitWith(df: DataFrame, table: String,
       statsCols: Seq[String], properties: Map[String, String],
       bloomCols: Seq[String], baseFor: Int => Seq[FileEntry],
-      strStatsCols: Seq[String] = Seq.empty): Int = {
+      strStatsCols: Seq[String] = Seq.empty,
+      // batch-write strategy: merge on a partition-spec'd table passes
+      // the partitioned writer so its rewritten files keep the
+      // tuple-in-name layout instead of knocking the table off the
+      // partition tier until a rewriteLayout
+      writeVia: Option[(DataFrame, Seq[String], Seq[String], Seq[String])
+        => Seq[FileEntry]] = None): Int = {
     // validate BEFORE the data write: a rejected property must not cost a
     // full batch write and leave orphan debris
     requireProps(properties + (SchemaProp -> df.schema.json))
@@ -271,14 +277,32 @@ object Snapshots {
       enforceChecks(spark, table, df)
       enforceForeignKeys(spark, table, df)
     }
-    val (_, newEntries) = writeBatch(df, table, statsCols, bloomCols,
-      strStatsCols)
+    val newEntries = writeVia match {
+      case Some(w) => w(df, statsCols, bloomCols, strStatsCols)
+      case None =>
+        writeBatch(df, table, statsCols, bloomCols, strStatsCols)._2
+    }
     // the committing schema rides the manifest: readers apply it to every
     // file of the version, so files written before a column was added
     // read as null-filled (per-version schema = time travel keeps each
     // version's own shape)
     publishManifest(spark, table,
       properties + (SchemaProp -> df.schema.json), newEntries, baseFor)
+  }
+
+  /** The partitioned batch writer for `table` when it declares a spec —
+    * what [[merge]]/[[mergeComposite]] hand [[commitWith]] so their
+    * rewritten files keep the tuple-in-name layout (the partition tier
+    * would otherwise refuse the table until a rewriteLayout). None on
+    * unspec'd tables = the plain writer.
+    */
+  private def partitionedWriteVia(spark: SparkSession, table: String)
+      : Option[(DataFrame, Seq[String], Seq[String], Seq[String])
+        => Seq[FileEntry]] = {
+    val spec = Partitioning.currentSpec(spark, table)
+    if (spec.isEmpty) None
+    else Some((d, st, bl, ss) =>
+      Partitioning.writePartitionedBatch(d, table, spec, st, bl, ss)._2)
   }
 
   /** Stage `df` as an UNPUBLISHED data batch: files + manifest entries,
@@ -2886,7 +2910,8 @@ object Snapshots {
           }
         carriedCount.set(base.size)
         base
-      }, strStatsCols = strCols)
+      }, strStatsCols = strCols,
+      writeVia = partitionedWriteVia(spark, table))
     MergeResult(next, touched.size, carriedCount.get)
   }
 
@@ -3061,7 +3086,8 @@ object Snapshots {
           }
         carriedCount.set(base.size)
         base
-      }, strStatsCols = strCols)
+      }, strStatsCols = strCols,
+      writeVia = partitionedWriteVia(spark, table))
     MergeResult(next, touched.size, carriedCount.get)
   }
 

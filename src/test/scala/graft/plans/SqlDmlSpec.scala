@@ -415,6 +415,41 @@ class SqlDmlSpec extends SparkSpec {
     assert(content === Map("01" -> 1L, "1" -> 101L, "pear" -> 7L))
   }
 
+  test("MERGE INTO a partition-spec'd table keeps the partition tier " +
+      "live — rewritten files carry the tuple-in-name layout") {
+    import graft.sources.Partitioning
+    import spark.implicits._
+    val tbl = freshTable("ptmrg")
+    Snapshots.commit((0L until 6L).map(k => (k, k % 3)).toDF("k", "g"),
+      tbl, statsCols = Seq("k"))
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Identity("g")))
+    Partitioning.rewriteLayout(spark, tbl)
+    register("dml_ptmrg", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_ptmrg_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(g AS BIGINT) g FROM VALUES " +
+      "(1, 9), (100, 7) AS x(k, g)")
+    // k=1 moves to partition 9; k=100 inserts into partition 7
+    dml.sql("MERGE INTO dml_ptmrg t USING dml_ptmrg_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // the partition LISTING still answers (a plain-writer merge would
+    // have knocked the tier off until rewriteLayout) and counts the
+    // merged rows in their new partitions
+    val parts = Partitioning.partitions(spark, tbl)
+      .filter(col("spec") =!= "unpartitioned")
+      .select(col("partition"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parts("9") === 1L, parts.toString)
+    assert(parts("7") === 1L, parts.toString)
+    assert(parts.values.sum === 7L, parts.toString)
+    // and the rows themselves are exactly the merge's result
+    val got = Snapshots.readMor(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 1L -> 9L, 2L -> 2L, 3L -> 0L,
+      4L -> 1L, 5L -> 2L, 100L -> 7L))
+    // raw-column pruning still works through the auto evidence
+    assert(Snapshots.readMor(spark, tbl).filter(col("g") === 9).count() === 1)
+  }
+
   test("composite-key MERGE: ON k1 AND k2 matches tuples on the simple " +
       "and conditional paths; the cardinality guard judges tuples, not " +
       "columns") {
