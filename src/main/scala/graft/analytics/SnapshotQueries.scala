@@ -1742,6 +1742,51 @@ object SnapshotQueries {
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total
          FROM merged"""))
 
+  /** X126: MERGE WITH SCHEMA EVOLUTION — the CDC-feed shape whose
+    * upstream grew a column: source columns absent from the target
+    * become NEW nullable target columns via a metadata-only
+    * `Snapshots.addColumn` when the command executes (old rows read
+    * null-filled per the era discipline, prior versions keep their own
+    * schema), the star expansions carry the new columns' source values,
+    * and the whole statement still lands as one merge commit. Here the
+    * target starts as (o_orderkey, o_totalprice) and the source brings
+    * o_orderdate: matched+inserted rows carry their date, untouched
+    * even-key rows read NULL — `n_dated` pins exactly that split.
+    */
+  val sqlMergeEvolve = Q("q_sql_merge_evolve",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrge")
+      Snapshots.commit(
+        src(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        tbl, statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_emrg_q")
+      q.sql(s"CREATE TABLE graft_emrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_emrg_src AS " +
+        "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
+        s"o_orderdate FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 3 = 0")
+      q.sql("MERGE WITH SCHEMA EVOLUTION INTO graft_emrg_q t " +
+        "USING graft_emrg_src s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total,
+        count(o_orderdate) AS n_dated FROM graft_emrg_q""")
+    },
+    Some(s"""WITH merged AS (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN o_totalprice * 2
+                       ELSE o_totalprice END AS p,
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN o_orderdate END AS d
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total,
+                count(d) AS n_dated
+         FROM merged"""))
+
   /** X125: COMPOSITE-key MERGE — `ON t.k1 = s.k1 AND t.k2 = s.k2`, the
     * (order_id, line_number)-shaped tuple keys real CDC feeds carry,
     * landed through [[graft.sources.Snapshots.mergeComposite]]: the
@@ -2171,7 +2216,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    sqlMergeStr, sqlMergeMulti,
+    sqlMergeStr, sqlMergeMulti, sqlMergeEvolve,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,

@@ -53,8 +53,12 @@ import org.apache.spark.sql.functions.{col, count, lit}
   *    referencing both sides, conditional INSERTs, and
   *    `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` — evaluates as a
   *    side-prefixed join cascade that still lands as ONE atomic
-  *    `Snapshots.merge` commit. Only `WITH SCHEMA EVOLUTION` and
-  *    key-changing SETs refuse.
+  *    `Snapshots.merge` commit. Composite `ON k1 = k1 AND k2 = k2`
+  *    tuple keys route onto `Snapshots.mergeComposite`, and
+  *    `MERGE WITH SCHEMA EVOLUTION` adds source-only columns to the
+  *    target (metadata-only addColumn + catalog-schema sync; star
+  *    expansions carry their source values). Only explicit key-changing
+  *    SETs refuse.
   *
   * Time-traveled relations (`versionAsOf`/`timestampAsOf`/`tag`/
   * `branch` reader options) refuse all DML: history is immutable.
@@ -444,9 +448,23 @@ object SqlDml {
 
     private def rewriteMerge(m: MergeIntoTable, table: String,
         tOut: Seq[Attribute], ident: Option[String]): LogicalPlan = {
-      require(!m.withSchemaEvolution,
-        "graft DML: MERGE WITH SCHEMA EVOLUTION is not supported")
       val sOut = m.sourceTable.output
+      // MERGE WITH SCHEMA EVOLUTION: source columns absent from the
+      // target become NEW nullable target columns — a metadata-only
+      // Snapshots.addColumn when the command executes (old rows read
+      // null-filled, per the era discipline), so the evolution is as
+      // atomic-enough as Delta's (schema commit then merge commit).
+      // Star expansions carry the new columns' SOURCE values; explicit
+      // assignment actions leave them carried/null (an explicit SET of
+      // a new column can't resolve pre-evolution and refuses upstream).
+      // Column TYPE widening under evolution is NOT attempted —
+      // widenColumn is the explicit op for that.
+      val newCols: Seq[org.apache.spark.sql.types.StructField] =
+        if (!m.withSchemaEvolution) Nil
+        else sOut
+          .filterNot(sa => tOut.exists(_.name.equalsIgnoreCase(sa.name)))
+          .map(sa => org.apache.spark.sql.types.StructField(
+            sa.name, sa.dataType, nullable = true))
       // canonical equality key: ON t.k = s.k with the SAME column name
       // on both sides — the shape Snapshots.merge upserts by. Spark's
       // type coercion wraps the NARROWER side in a widening cast when
@@ -561,7 +579,7 @@ object SqlDml {
         !(m.matchedActions.exists(_.isInstanceOf[DeleteAction]) &&
           m.notMatchedActions.nonEmpty)
       if (!simple)
-        return rewriteMergeGeneral(m, table, tOut, sOut, keyCols, ident)
+        return rewriteMergeGeneral(m, table, tOut, sOut, keyCols, newCols, ident)
       // an action's assignments (the analyzer expands SET * / INSERT *
       // into per-column assignments) become a full-row SOURCE projection
       // — Snapshots.merge replaces whole rows, so every target column
@@ -615,10 +633,18 @@ object SqlDml {
       require(!(deletes && insertProj.nonEmpty), "graft DML: MATCHED " +
         "DELETE plus NOT MATCHED INSERT is not an upsert — split into " +
         "two statements")
+      // evolution: both canonical shapes are full-row-from-source, so
+      // the new columns ride every projection with their source values
+      def withNew(proj: Seq[(String, Column)]): Seq[(String, Column)] =
+        proj ++ newCols.map(f => (f.name,
+          GraftBridge.column(UnresolvedAttribute(Seq(f.name)))))
       GraftMergeCommand(table, m.sourceTable, keyCols,
-        updateProj = updateProj, insertProj = insertProj,
-        deleteMatched = deletes, targetSchema = schemaOf(tOut),
-        ident = ident)
+        updateProj = updateProj.map(withNew),
+        insertProj = insertProj.map(withNew),
+        deleteMatched = deletes,
+        targetSchema = org.apache.spark.sql.types.StructType(
+          schemaOf(tOut).fields ++ newCols),
+        newCols = newCols, ident = ident)
     }
 
     /** The general MERGE form: conditional MATCHED/NOT-MATCHED actions
@@ -632,7 +658,15 @@ object SqlDml {
       */
     private def rewriteMergeGeneral(m: MergeIntoTable, table: String,
         tOut: Seq[Attribute], sOut: Seq[Attribute], keyCols: Seq[String],
+        newCols: Seq[org.apache.spark.sql.types.StructField],
         ident: Option[String]): LogicalPlan = {
+      // evolution: a star UPDATE carries the new columns' source values;
+      // every INSERT is full-row-from-source (validated below), so new
+      // columns ride inserts too; explicit/bySource actions leave them
+      // to shapeRow's target-side carry (null-filled post-evolution)
+      val newAssigns: Seq[(String, Column)] = newCols.map(f => (f.name,
+        GraftBridge.column(UnresolvedAttribute(
+          Seq(GraftMergeConditionalCommand.SP + f.name)))))
       val tIds = tOut.map(_.exprId).toSet
       val sIds = sOut.map(_.exprId).toSet
       def sided(e: Expression): Column = GraftBridge.column(e.transform {
@@ -666,9 +700,14 @@ object SqlDml {
       }
       val matched = m.matchedActions.map {
         case DeleteAction(c) => (c.map(sided), None)
-        case UpdateAction(c, assigns, _) =>
+        case UpdateAction(c, assigns, fromStar) =>
+          // a star's key assignment is `k = s.k` — identical to the
+          // matched row's own key by the join condition, so allowed;
+          // an EXPLICIT key SET stays refused (key-changing update)
           (c.map(sided),
-            Some(assignsOf(assigns, "WHEN MATCHED", allowKey = false)))
+            Some(assignsOf(assigns, "WHEN MATCHED",
+              allowKey = fromStar) ++
+              (if (fromStar) newAssigns else Nil)))
         case other => throw new IllegalArgumentException(
           s"graft DML: unsupported WHEN MATCHED action $other")
       }
@@ -683,7 +722,8 @@ object SqlDml {
           require(missing.isEmpty, "graft DML: MERGE INSERT must assign " +
             s"every target column (missing ${missing.mkString(", ")})")
           (c.map(sided),
-            tOut.map(t => proj.find(_._1.equalsIgnoreCase(t.name)).get))
+            tOut.map(t => proj.find(_._1.equalsIgnoreCase(t.name)).get) ++
+              newAssigns)
         case other => throw new IllegalArgumentException(
           s"graft DML: unsupported WHEN NOT MATCHED action $other")
       }
@@ -703,7 +743,48 @@ object SqlDml {
           s"graft DML: unsupported WHEN NOT MATCHED BY SOURCE action $other")
       }
       GraftMergeConditionalCommand(table, m.sourceTable, keyCols,
-        matched, notMatched, nmbs, schemaOf(tOut), ident)
+        matched, notMatched, nmbs,
+        org.apache.spark.sql.types.StructType(
+          schemaOf(tOut).fields ++ newCols),
+        newCols, ident)
+    }
+  }
+
+  /** Sync the catalog entry's schema to the table's RECORDED schema,
+    * nullable-normalized to the relation convention — what Spark's own
+    * v1 ALTER commands do. The catalog pins the CREATE-time schema and
+    * re-resolution compares it against the relation's, so any command
+    * that evolves the table outside the DDL path (MERGE WITH SCHEMA
+    * EVOLUTION) must sync or the next statement on the name wedges.
+    */
+  private def syncCatalogSchema(spark: SparkSession, table: String,
+      ident: Option[String]): Unit = {
+    ident.foreach { id =>
+    Snapshots.properties(spark, table,
+        Snapshots.latestVersion(spark, table))
+      .get(Snapshots.SchemaProp)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .foreach { st =>
+        val nullable = org.apache.spark.sql.types.StructType(
+          st.fields.map(_.copy(nullable = true)))
+        // catalog idents print 1-3 parts ([catalog.][db.]table) — the
+        // session catalog keys on (db, table), so drop the catalog part
+        val tid = id.split("\\.").toSeq match {
+          case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+          case Seq(db, t) =>
+            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+          case Seq(_, db, t) =>
+            org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+          case _ => null
+        }
+        if (tid != null) {
+          val catalog = spark.asInstanceOf[org.apache.spark.sql
+            .classic.SparkSession].sessionState.catalog
+          val meta = catalog.getTableMetadata(tid)
+          catalog.alterTable(meta.copy(schema = nullable))
+        }
+      }
     }
   }
 
@@ -848,10 +929,18 @@ object SqlDml {
       insertProj: Option[Seq[(String, Column)]],
       deleteMatched: Boolean,
       targetSchema: org.apache.spark.sql.types.StructType,
+      newCols: Seq[org.apache.spark.sql.types.StructField] = Nil,
       ident: Option[String])
       extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
+      // WITH SCHEMA EVOLUTION: widen the table FIRST (metadata-only;
+      // every read below then sees the evolved schema, null-filled),
+      // and sync the catalog entry or the next statement on the name
+      // would compare the stale CREATE-time schema and wedge
+      newCols.foreach(f =>
+        Snapshots.addColumn(spark, table, f.name, f.dataType))
+      if (newCols.nonEmpty) syncCatalogSchema(spark, table, ident)
       val src0 = GraftBridge.dataFrame(spark, source)
       // projections are target-ordered with target names (projOf) —
       // shaping is a positional select + cast
@@ -923,13 +1012,20 @@ object SqlDml {
       notMatched: Seq[(Option[Column], Seq[(String, Column)])],
       notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
       targetSchema: org.apache.spark.sql.types.StructType,
-      ident: Option[String])
+      newCols: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      ident: Option[String] = None)
       extends LeafRunnableCommand {
     import GraftMergeConditionalCommand.{TP, SP}
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{col, lit, when}
+      // WITH SCHEMA EVOLUTION: widen the table FIRST (metadata-only) —
+      // the target read below then carries the new columns null-filled;
+      // catalog schema synced or the next statement on the name wedges
+      newCols.foreach(f =>
+        Snapshots.addColumn(spark, table, f.name, f.dataType))
+      if (newCols.nonEmpty) syncCatalogSchema(spark, table, ident)
       val src0 = GraftBridge.dataFrame(spark, source)
       val tgt0 = Snapshots.readMor(spark, table)
       require((tgt0.columns ++ src0.columns)

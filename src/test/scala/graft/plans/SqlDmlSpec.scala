@@ -415,6 +415,64 @@ class SqlDmlSpec extends SparkSpec {
     assert(content === Map("01" -> 1L, "1" -> 101L, "pear" -> 7L))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns become nullable " +
+      "target columns — stars carry source values, explicit actions and " +
+      "untouched rows leave them null/carried, old versions keep their " +
+      "own schema") {
+    import spark.implicits._
+    val tbl = freshTable("evo")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), tbl,
+      statsCols = Seq("k"))
+    register("dml_evo", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_evo_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v, " +
+      "CAST(tag AS STRING) tag FROM VALUES (2, 200, 'b'), (9, 900, 'i') " +
+      "AS x(k, v, tag)")
+    // simple path: SET * / INSERT * carry the evolved column
+    dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_evo t " +
+      "USING dml_evo_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val got = Snapshots.readMor(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got === Set((1L, 10L, null), (2L, 200L, "b"), (9L, 900L, "i")))
+    // the PRE-evolution version still reads its own 2-column schema
+    assert(Snapshots.read(spark, tbl, Some(1)).columns.toSeq ===
+      Seq("k", "v"))
+
+    // general path: star update carries the new column, the explicit
+    // update leaves it carried (null here), NOT MATCHED BY SOURCE works
+    val tbl2 = freshTable("evo2")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      tbl2, statsCols = Seq("k"))
+    register("dml_evo2", tbl2)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_evo2_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v, " +
+      "CAST(u AS BIGINT) u FROM VALUES (1, 500, 51), (2, 7, 52), " +
+      "(9, 900, 59) AS x(k, v, u)")
+    dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_evo2 t " +
+      "USING dml_evo2_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 100 THEN UPDATE SET * " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0")
+    val got2 = Snapshots.readMor(spark, tbl2).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))))
+      .toSet
+    assert(got2 === Set(
+      (1L, 500L, java.lang.Long.valueOf(51L)), // star: u from source
+      (2L, 27L, null),                         // explicit SET: u carried
+      (3L, 0L, null),                          // by-source: u carried
+      (9L, 900L, java.lang.Long.valueOf(59L))), got2.toString) // insert
+    // no new source columns → evolution is a no-op passthrough
+    dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_evo2 t " +
+      "USING (SELECT CAST(5 AS BIGINT) k, CAST(50 AS BIGINT) v, " +
+      "CAST(55 AS BIGINT) u) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(Snapshots.readMor(spark, tbl2).count() === 5)
+  }
+
   test("MERGE INTO a partition-spec'd table keeps the partition tier " +
       "live — rewritten files carry the tuple-in-name layout") {
     import graft.sources.Partitioning
