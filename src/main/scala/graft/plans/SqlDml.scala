@@ -148,6 +148,26 @@ object SqlDml {
       "point the relation at the table head")
   }
 
+  /** UNCORRELATED subqueries in DML predicates work: their resolved
+    * plans ride the re-anchored Column untouched (`DELETE ... WHERE k
+    * IN (SELECT ...)` is spec-pinned). CORRELATED ones cannot — the
+    * outer references are bound to the statement's relation instance,
+    * which the command replaces with a fresh read, and re-anchoring
+    * them by bare name inside the subquery would silently capture
+    * same-named INNER columns — so they refuse loudly at analysis
+    * instead of dying later with an internal attribute-not-found.
+    */
+  private def refuseCorrelated(e: Expression, what: String): Unit =
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if s.isCorrelated =>
+        throw new IllegalArgumentException(
+          s"graft DML: $what predicates support uncorrelated subqueries " +
+            "(IN/EXISTS over an independent query) but not CORRELATED " +
+            "ones — rewrite the correlation as an IN over a join")
+      case _ => ()
+    }
+
   /** Re-anchor an expression by NAME: attribute references resolved
     * against the statement's relation instance are replaced with
     * unresolved ones, so the expression re-resolves against the fresh
@@ -415,6 +435,7 @@ object SqlDml {
         case DeleteFromTable(GraftRel(table, _, opts, ident), condition)
             if condition.resolved =>
           requireWritable(table, opts)
+          refuseCorrelated(condition, "DELETE")
           GraftDeleteCommand(table, asColumn(condition), ident)
 
         case UpdateTable(GraftRel(table, _, opts, ident), assignments,
@@ -432,6 +453,8 @@ object SqlDml {
             }
             (name, asColumn(a.value))
           }
+          (assignments.flatMap(a => Seq(a.key, a.value)) ++ condition)
+            .foreach(refuseCorrelated(_, "UPDATE"))
           GraftUpdateCommand(table, set,
             asColumn(condition.getOrElse(
               org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),

@@ -415,6 +415,35 @@ class SqlDmlSpec extends SparkSpec {
     assert(content === Map("01" -> 1L, "1" -> 101L, "pear" -> 7L))
   }
 
+  test("DML predicates: uncorrelated IN-subqueries work end-to-end; " +
+      "correlated subqueries refuse loudly at analysis") {
+    val tbl = freshTable("sub")
+    seed(tbl) // keys 0..9
+    register("dml_sub", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_sub_bad AS " +
+      "SELECT CAST(k AS BIGINT) k FROM VALUES (2), (5) AS x(k)")
+    dml.sql("DELETE FROM dml_sub WHERE k IN (SELECT k FROM dml_sub_bad)")
+    assert(rows(Snapshots.readMor(spark, tbl)).map(_._1) ===
+      Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    dml.sql("UPDATE dml_sub SET v = 0 " +
+      "WHERE k IN (SELECT k + 1 FROM dml_sub_bad)")
+    assert(rows(Snapshots.readMor(spark, tbl))
+      .filter(_._2 == 0L).map(_._1) === Set(0L, 3L, 6L)) // 0: seed v=0
+    // correlated: the outer reference is bound to the statement's
+    // relation instance, which the command replaces with a fresh read —
+    // refused with guidance instead of an internal attribute error
+    val e = intercept[IllegalArgumentException] {
+      dml.sql("DELETE FROM dml_sub WHERE EXISTS " +
+        "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k + 1)")
+    }
+    assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      dml.sql("UPDATE dml_sub SET v = 1 WHERE EXISTS " +
+        "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k)")
+    }
+    assert(e2.getMessage.contains("CORRELATED"), e2.getMessage)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns become nullable " +
       "target columns — stars carry source values, explicit actions and " +
       "untouched rows leave them null/carried, old versions keep their " +
