@@ -61,7 +61,7 @@ import org.apache.spark.sql.types._
 object DimFilePrune {
 
   private val registry =
-    new scala.collection.concurrent.TrieMap[String, (Int, Boolean)]
+    new scala.collection.concurrent.TrieMap[String, Int]
 
   /** Registry key: the FileSystem-qualified absolute path, scheme
     * stripped — the same form [[SnapshotFileIndex]]'s `rootPath`
@@ -79,17 +79,23 @@ object DimFilePrune {
     * of `tablePath` (idempotent; installs the optimizer rule on first
     * use). `maxKeys` bounds both the provable dim cardinality and the
     * collected key count — above it the join plans untouched.
-    * `attemptUnproven` additionally lets the rule TRY a dim side with
-    * no structural bound and no under-threshold size estimate — the
-    * collect is still `limit`-capped (overflow aborts the rewrite), but
-    * an arbitrarily expensive dim subtree may execute once at plan
-    * time; right when the caller KNOWS the dim is a materialized
-    * micro-batch (the streaming lookup join), wrong default otherwise.
     */
   def enable(spark: SparkSession, tablePath: String,
-      maxKeys: Int = 100000, attemptUnproven: Boolean = false): Unit = {
+      maxKeys: Int = 100000): Unit = {
     require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
-    registry.put(norm(spark, tablePath), (maxKeys, attemptUnproven))
+    registry.put(norm(spark, tablePath), maxKeys)
+    org.apache.spark.sql.GraftBridge.addOptimization(spark, DimFilePruneRule)
+  }
+
+  /** [[enable]] that NEVER overwrites an existing registration — what
+    * library code (the streaming lookup join) uses, so a user's own
+    * `enable(table, maxKeys)` choice survives a lookup stream on the
+    * same table.
+    */
+  private[graft] def enableIfAbsent(spark: SparkSession,
+      tablePath: String, maxKeys: Int): Unit = {
+    require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
+    registry.putIfAbsent(norm(spark, tablePath), maxKeys)
     org.apache.spark.sql.GraftBridge.addOptimization(spark, DimFilePruneRule)
   }
 
@@ -99,8 +105,8 @@ object DimFilePrune {
 
   def clear(): Unit = { registry.clear(); lastCut = None }
 
-  private[plans] def configFor(spark: SparkSession, path: String)
-      : Option[(Int, Boolean)] = registry.get(norm(spark, path))
+  private[plans] def maxKeysFor(spark: SparkSession, path: String)
+      : Option[Int] = registry.get(norm(spark, path))
 
   private[plans] def isEmpty: Boolean = registry.isEmpty
 
@@ -167,15 +173,21 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     val spark = SparkSession.active
     for {
       (lr, hfs, fi) <- factScanOf(factSide)
-      (maxKeys, attempt) <- fi.rootPaths.headOption
-        .flatMap(rp => DimFilePrune.configFor(spark, rp.toUri.getPath))
-      if attempt || boundOf(dimSide).exists(_ <= maxKeys) ||
-        broadcastable(dimSide)
+      maxKeys <- fi.rootPaths.headOption
+        .flatMap(rp => DimFilePrune.maxKeysFor(spark, rp.toUri.getPath))
+      if boundOf(dimSide).exists(_ <= maxKeys) ||
+        broadcastable(dimSide) || materialized(dimSide)
       // a non-deterministic dim (rand-sampled, non-deterministic UDF)
       // has no single "correct" key set to prune by — leave it alone
       // even though the LocalRelation substitution would pin one sample
       if dimSide.find(p =>
         p.expressions.exists(e => !e.deterministic)).isEmpty
+      // no provable equi-conjunct → the cut can never fire; checked
+      // BEFORE the dim executes so unsupported key types cost no
+      // plan-time jobs on every (re)optimization
+      if equiKeysOf(cond, lr, dimSide).exists { case (fc, da) =>
+        supported(fi.dataSchema(fc).dataType) && supported(da.dataType)
+      }
       dimRows = collectDim(spark, dimSide, maxKeys)
       cut <- combinedCut(spark, fi, lr, dimSide, cond, maxKeys, dimRows)
       pruned <- rewrite(spark, factSide, lr, hfs, fi, cut)
@@ -316,6 +328,28 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     case d: Distinct => boundOf(d.child)
     case r: RepartitionOperation => boundOf(r.child)
     case _ => None
+  }
+
+  /** A dim side whose LEAVES are already-materialized row sets
+    * (LocalRelation, or the LogicalRDD a foreachBatch micro-batch frame
+    * is backed by) under row/column-shrinking operators: executing it
+    * at plan time re-reads memory, never an arbitrary pipeline — so it
+    * may be key-collected even without a row-count bound (the collect
+    * stays `limit`-capped; overflow aborts the rewrite). This is the
+    * tier the streaming lookup join rides: the batch IS the dim.
+    */
+  private def materialized(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation => true
+    case l: org.apache.spark.sql.execution.LogicalRDD => true
+    case Project(_, child) => materialized(child)
+    case Filter(_, child) => materialized(child)
+    case GlobalLimit(_, child) => materialized(child)
+    case LocalLimit(_, child) => materialized(child)
+    case a: Aggregate => materialized(a.child)
+    case d: Distinct => materialized(d.child)
+    case s: Sort => materialized(s.child)
+    case r: RepartitionOperation => materialized(r.child)
+    case _ => false
   }
 
   /** EVERY equi-conjunct `factAttr = dimAttr` linking the fact scan's

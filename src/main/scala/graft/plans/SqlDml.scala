@@ -88,9 +88,21 @@ object SqlDml {
     * statements keep no cross-statement state in the session, so every
     * `enable` on the same parent shares one sibling (the catalog is
     * shared with the parent either way).
+    *
+    * CONTRACT: the sibling's session state was cloned at FIRST enable —
+    * temp views/functions the PARENT registers later are not visible in
+    * it. Register statement inputs through the returned session (the
+    * normal pattern), or call [[invalidate]] after mutating the
+    * parent's session state to force a fresh clone.
     */
   private val enabledSiblings =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Drop the memoized DML sibling for `spark` — the next [[enable]]
+    * re-clones the parent's CURRENT session state (temp views included).
+    */
+  def invalidate(spark: SparkSession): Unit =
+    enabledSiblings.remove(spark)
 
   /** Extension installer — usable directly via
     * `spark.sql.extensions=graft.GraftExtensions` plus this, or through
@@ -552,6 +564,12 @@ object SqlDml {
       }
       require(keyAttrs.map(_.name.toLowerCase).distinct.size ==
         keyAttrs.size, "graft DML: MERGE condition repeats a key column")
+      // action conditions/values re-anchor by side-prefixed bare names —
+      // a CORRELATED subquery's outer references cannot (same reason as
+      // DELETE/UPDATE), so refuse loudly instead of dying downstream
+      (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions)
+        .foreach(a => refuseCorrelated(a, "MERGE action"))
       // Snapshots.merge* supports integral keys (collected as longs
       // against the manifest [min,max] stats) and string keys (UNCAST,
       // pruned through the UTF-8 string envelopes); anything else —
@@ -957,13 +975,18 @@ object SqlDml {
       extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
-      // WITH SCHEMA EVOLUTION: widen the table FIRST (metadata-only;
-      // every read below then sees the evolved schema, null-filled),
-      // and sync the catalog entry or the next statement on the name
-      // would compare the stale CREATE-time schema and wedge
-      newCols.foreach(f =>
-        Snapshots.addColumn(spark, table, f.name, f.dataType))
-      if (newCols.nonEmpty) syncCatalogSchema(spark, table, ident)
+      // WITH SCHEMA EVOLUTION widens the table AFTER every run-time
+      // validation (notably the cardinality guard): a REFUSED statement
+      // must leave the table untouched — schema included. The source
+      // projections and the key joins below never reference the new
+      // columns against the target, so they plan fine pre-evolution.
+      def evolve(): Unit = if (newCols.nonEmpty) {
+        newCols.foreach(f =>
+          Snapshots.addColumn(spark, table, f.name, f.dataType))
+        // sync the catalog entry or the next statement on the name
+        // would compare the stale CREATE-time schema and wedge
+        syncCatalogSchema(spark, table, ident)
+      }
       val src0 = GraftBridge.dataFrame(spark, source)
       // projections are target-ordered with target names (projOf) —
       // shaping is a positional select + cast
@@ -974,6 +997,7 @@ object SqlDml {
         // WHEN MATCHED THEN DELETE: drop target rows whose key (tuple)
         // appears in the source (keys absent from the target are no-ops)
         val keys = src0.select(keyCols.map(col): _*)
+        evolve()
         Snapshots.mergeComposite(spark, table,
           upserts = shapedEmpty(spark), deleteKeys = keys,
           keyCols = keyCols)
@@ -983,7 +1007,8 @@ object SqlDml {
         val ups = updateProj.map(p =>
           shaped(p).join(targetKeys, keyCols, "left_semi"))
         // cardinality guard: two source rows updating one target row is
-        // ambiguous — refuse before anything commits (Delta semantics)
+        // ambiguous — refuse before ANYTHING commits (Delta semantics),
+        // the pending schema evolution included
         ups.foreach(u => refuseMultiMatch(u.select(keyCols.map(col): _*),
           keyCols, table))
         val ins = insertProj.map(p =>
@@ -1001,6 +1026,7 @@ object SqlDml {
           case (None, None) => throw new IllegalStateException(
             "graft DML: MERGE command with no actions")
         }
+        evolve()
         Snapshots.mergeComposite(spark, table,
           upserts = withRecordedSchema(spark, upserts, targetSchema),
           deleteKeys = shapedEmpty(spark), keyCols = keyCols)
@@ -1043,13 +1069,12 @@ object SqlDml {
 
     override def run(spark: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{col, lit, when}
-      // WITH SCHEMA EVOLUTION: widen the table FIRST (metadata-only) —
-      // the target read below then carries the new columns null-filled;
-      // catalog schema synced or the next statement on the name wedges
-      newCols.foreach(f =>
-        Snapshots.addColumn(spark, table, f.name, f.dataType))
-      if (newCols.nonEmpty) syncCatalogSchema(spark, table, ident)
       val src0 = GraftBridge.dataFrame(spark, source)
+      // WITH SCHEMA EVOLUTION: the target is read PRE-evolution (the
+      // guard below must be able to refuse with the table untouched,
+      // schema included), so shapeRow carries new columns as typed
+      // NULLs on the target side; the actual addColumn + catalog sync
+      // happen only after every run-time validation passed
       val tgt0 = Snapshots.readMor(spark, table)
       require((tgt0.columns ++ src0.columns)
         .forall(c => !c.startsWith("__graft_")),
@@ -1075,11 +1100,15 @@ object SqlDml {
       }
       // full target row: assigned columns from the action's SET, the
       // rest carried from the side `fallback` prefixes
+      val newNames = newCols.map(_.name.toLowerCase).toSet
       def shapeRow(frame: org.apache.spark.sql.DataFrame,
           set: Seq[(String, Column)], fallback: String) =
         frame.select(targetSchema.fields.toSeq.map { f =>
           set.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
-            .getOrElse(col(fallback + f.name))
+            // an evolving column has no target-side value yet — the
+            // pre-evolution rows carry it as NULL by definition
+            .getOrElse(if (newNames.contains(f.name.toLowerCase))
+              lit(null) else col(fallback + f.name))
             .cast(f.dataType).as(f.name)
         }: _*)
       // ONE join, ONE checkpoint: the three row classes (matched,
@@ -1176,6 +1205,11 @@ object SqlDml {
       val dels =
         if (delKeys.isEmpty) emptyTarget
         else delKeys.reduce(_.unionByName(_))
+      if (newCols.nonEmpty) {
+        newCols.foreach(f =>
+          Snapshots.addColumn(spark, table, f.name, f.dataType))
+        syncCatalogSchema(spark, table, ident)
+      }
       Snapshots.mergeComposite(spark, table,
         upserts = withRecordedSchema(spark, ups, targetSchema),
         deleteKeys = dels, keyCols = keyCols)

@@ -2855,12 +2855,13 @@ object Snapshots {
     enforceUnique(spark, table, upserts, vsParent = false)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
     // union across ALL entries: a stats-less head entry (e.g. a 0-row
-    // file) must not silently drop envelopes from the rewritten files
-    val statsCols = entries.flatMap(_.stats.keys).distinct.sorted
+    // file) must not silently drop envelopes from the rewritten files.
+    // The merge KEY's envelope is RECORDED on the files it writes even
+    // when the table never had one — without it every later merge
+    // rewrites everything it rewrote, forever
+    val statsCols = (entries.flatMap(_.stats.keys) ++
+      (if (keyIsStr) Nil else Seq(keyCol))).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
-    // a string-keyed merge RECORDS the key's string envelope on the
-    // files it writes even when the table never had one — the next
-    // merge then prunes instead of rewriting everything again
     val strCols = (entries.flatMap(_.strStats.keys) ++
       (if (keyIsStr) Seq(keyCol) else Nil)).distinct.sorted
     planHook()

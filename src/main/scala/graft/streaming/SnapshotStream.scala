@@ -145,37 +145,78 @@ object SnapshotStream {
     * ([[graft.plans.DimFilePruneRule]]) rather than a hand-rolled
     * [[Snapshots.dimPrunedScan]] call: the batch-preserved LEFT join is
     * exactly the rule's outer-join shape (the static side is
-    * non-preserved, so pruning it by batch keys is sound), and the rule
-    * additionally substitutes the batch's plan-time snapshot back as
-    * the join input. `attemptUnproven` is set because a micro-batch
-    * frame has no structural row bound yet is materialized and cheap to
-    * key-collect; an over-`maxKeys` batch aborts the rewrite inside the
-    * rule — the same plain-read fallback the explicit path had, minus
-    * the exception round-trip. The registration stays installed (the
-    * returned frame — and anything composed on top of it — optimizes
-    * lazily, after this method returns); it is per-table-path, so other
-    * queries are untouched.
+    * non-preserved, so pruning it by batch keys is sound), the rule
+    * substitutes the batch's plan-time snapshot back as the join input,
+    * and a micro-batch frame qualifies through the rule's
+    * MATERIALIZED-dim tier (LogicalRDD leaves — no structural row bound
+    * needed; an over-`maxKeys` batch aborts the rewrite, the same
+    * plain-read fallback the explicit path had). The registration is
+    * if-absent (a user's own enable() on the table wins) and stays
+    * installed — the returned frame, and anything composed on top,
+    * optimizes lazily after this method returns. ERA-EVOLVED tables
+    * (rename/widen/default events with surviving pre-event files) take
+    * a flat index refusal and keep the explicit era-aware pruned scan.
     */
   private[graft] def lookupBatch(batch: DataFrame, table: String,
       factCol: String, streamCol: String, maxKeys: Int): DataFrame = {
     val spark = batch.sparkSession
-    // shared indexed read path: refuses MOR-masked versions LOUDLY
-    // (a masked row served into a lookup would be silent corruption)
-    // and resolves the LATEST version at each call = batch boundary
-    val fact = Snapshots.readIndexed(spark, table)._1
-    graft.plans.DimFilePrune.enable(spark, table, maxKeys,
-      attemptUnproven = true)
-    val joined =
-      if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
-      else batch.join(fact, batch(streamCol) === fact(factCol), "left")
-    // force optimization NOW: the rule fires (or declines) here, which
-    // pins the cut counter to THIS batch and reuses the optimized plan
-    // when the sink executes the same frame
-    graft.plans.DimFilePrune.lastCut = None
-    joined.queryExecution.optimizedPlan
-    lastLookupPrune = graft.plans.DimFilePrune.lastCut
-      .map { case (_, kept, skipped) => (kept, skipped) }
-    joined
+    // flat tables route through the AUTOMATIC rule; era-evolved tables
+    // (rename/widen/default events with surviving pre-event files)
+    // cannot take a flat index — they keep the explicit era-aware
+    // pruned scan below. MOR-masked versions refuse LOUDLY either way.
+    val flatFact =
+      try Some(Snapshots.readIndexed(spark, table))
+      catch {
+        case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("readIndexedEvolved") =>
+          None
+      }
+    flatFact match {
+      case Some((fact, fidx)) =>
+        // registration is if-absent (a user's own enable() choice on
+        // this table wins) and stays installed: the returned frame —
+        // and anything composed on top — optimizes lazily, after this
+        // method returns
+        graft.plans.DimFilePrune.enableIfAbsent(spark, table, maxKeys)
+        val joined =
+          if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
+          else batch.join(fact, batch(streamCol) === fact(factCol), "left")
+        // force optimization NOW: the rule fires (or declines) here,
+        // the optimized plan is reused when the sink executes the same
+        // frame, and the cut counter is read from THIS plan (the global
+        // lastCut would race with concurrent queries)
+        val kept = joined.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location match {
+              case fi: graft.sources.SnapshotFileIndex
+                  if fi.table == fidx.table && !fi.flatForm =>
+                Some(fi.entries.size)
+              case _ => None
+            }
+            case _ => None
+          }
+        }.flatten.headOption
+        lastLookupPrune = kept.map(k => (k, fidx.entries.size - k))
+        joined
+      case None =>
+        // era-evolved static side: the explicit era-aware prune — the
+        // same cut, computed through scanPrunedIn's per-era evidence
+        val slice =
+          try {
+            val ps = Snapshots.dimPrunedScan(spark, table, factCol, batch,
+              streamCol, maxKeys)
+            lastLookupPrune = Some((ps.filesRead, ps.filesSkipped))
+            ps.df
+          } catch {
+            case _: Snapshots.UnselectiveDimException =>
+              lastLookupPrune = None
+              Snapshots.read(spark, table)
+          }
+        if (factCol == streamCol) batch.join(slice, Seq(streamCol), "left")
+        else batch.join(slice, batch(streamCol) === slice(factCol), "left")
+    }
   }
 
   private[graft] def upsertBatch(batch: DataFrame, batchId: Long,

@@ -500,6 +500,24 @@ class SqlDmlSpec extends SparkSpec {
       "CAST(55 AS BIGINT) u) s ON t.k = s.k " +
       "WHEN NOT MATCHED THEN INSERT *")
     assert(Snapshots.readMor(spark, tbl2).count() === 5)
+
+    // a REFUSED evolution merge leaves the table untouched — SCHEMA
+    // included: the cardinality guard fires before the addColumn commits
+    val tbl3 = freshTable("evo3")
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "v"), tbl3)
+    register("dml_evo3", tbl3)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_evo3_dup AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v, " +
+      "CAST(w AS BIGINT) w FROM VALUES (1, 2, 3), (1, 4, 5) AS x(k, v, w)")
+    intercept[IllegalStateException] {
+      dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_evo3 t " +
+        "USING dml_evo3_dup s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(Snapshots.latestVersion(spark, tbl3) === 1,
+      "refused evolution merge committed something")
+    assert(Snapshots.read(spark, tbl3).columns.toSeq === Seq("k", "v"),
+      "refused evolution merge evolved the schema")
   }
 
   test("MERGE INTO a partition-spec'd table keeps the partition tier " +

@@ -75,6 +75,42 @@ class LookupStreamSpec extends SparkSpec {
     assert(out.filter(col("name").isNull).count() === 0L)
   }
 
+  test("a user's own DimFilePrune registration on the static table " +
+      "survives a lookup (if-absent) and keeps governing the cut") {
+    val tbl = buildStatic("useren")
+    graft.plans.DimFilePrune.enable(spark, tbl, maxKeys = 1)
+    try {
+      // 3 distinct batch keys > the USER's maxKeys=1 → the rule aborts
+      // (plain join, still correct); a clobbering registration with the
+      // lookup's own maxKeys=100000 would have pruned
+      val batch = Seq(Lookup(1, "a"), Lookup(2, "b"), Lookup(40, "c"))
+        .toDF()
+      SnapshotStream.lastLookupPrune = Some((0, 0))
+      val out = SnapshotStream.lookupBatch(batch, tbl, "k", "key",
+        maxKeys = 100000)
+      assert(out.count() === 3L)
+      assert(out.filter(col("name").isNull).count() === 0L)
+      assert(SnapshotStream.lastLookupPrune.isEmpty,
+        "lookup clobbered the user's maxKeys=1 registration")
+    } finally graft.plans.DimFilePrune.clear()
+  }
+
+  test("an era-evolved static table (rename with surviving old files) " +
+      "keeps enriching through the era-aware pruned scan") {
+    val tbl = buildStatic("evolved")
+    Snapshots.renameColumn(spark, tbl, "name", "label")
+    val batch = Seq(Lookup(1, "a"), Lookup(999, "miss")).toDF()
+    SnapshotStream.lastLookupPrune = None
+    val out = SnapshotStream.lookupBatch(batch, tbl, "k", "key",
+      maxKeys = 100000)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(rows === Set((1L, "name1"), (999L, null)), rows.toString)
+    // the explicit era-aware prune fired (flat index refused)
+    assert(SnapshotStream.lastLookupPrune.exists(_._2 > 0),
+      s"no era-aware cut: ${SnapshotStream.lastLookupPrune}")
+  }
+
   test("upserts into the static table surface at the next micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val tbl = buildStatic("upsert")
