@@ -1787,6 +1787,64 @@ object SnapshotQueries {
                 count(d) AS n_dated
          FROM merged"""))
 
+  /** X126 (type widening): MERGE WITH SCHEMA EVOLUTION against a feed
+    * that OUTGREW a column's width — the target stores `amt` as INT,
+    * the evolved source sends BIGINT values far outside int range. The
+    * statement composes the metadata-only [[Snapshots.widenColumn]]
+    * event (int->bigint, files unrewritten, per-era cast on read) with
+    * the merge commit, so matched/inserted rows carry the wide values
+    * EXACTLY while untouched rows read their old ints widened. The
+    * pre-merge version keeps its own width — `old_type`/`old_total`
+    * pin that through a `VERSION AS OF` travel read, and
+    * `new_type` pins the widened latest schema via `typeof`.
+    */
+  val sqlMergeEvolveWiden = Q("q_sql_merge_evolve_widen",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmrgw")
+      Snapshots.commit(
+        orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("int").as("amt")),
+        tbl, statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_wmrg_q")
+      q.sql(s"CREATE TABLE graft_wmrg_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wmrg_src AS " +
+        "SELECT o_orderkey, CAST(o_custkey AS BIGINT) * 100000000 AS amt " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+      q.sql("MERGE WITH SCHEMA EVOLUTION INTO graft_wmrg_q t " +
+        "USING graft_wmrg_src s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      q.sql("""SELECT l.n_rows, l.total, l.new_type,
+          o.old_rows, o.old_total, o.old_type
+        FROM (SELECT count(*) AS n_rows,
+                CAST(sum(CAST(amt AS DECIMAL(38,0))) AS DOUBLE) AS total,
+                max(typeof(amt)) AS new_type FROM graft_wmrg_q) l
+        CROSS JOIN (SELECT count(*) AS old_rows,
+                CAST(sum(CAST(amt AS DECIMAL(38,0))) AS DOUBLE)
+                  AS old_total,
+                max(typeof(amt)) AS old_type
+              FROM graft_wmrg_q VERSION AS OF 1) o""")
+    },
+    Some("""WITH merged AS (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+                       THEN CAST(o_custkey AS BIGINT) * 100000000
+                       ELSE CAST(o_custkey AS INTEGER) END AS amt
+           FROM orders
+           WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+         old AS (
+           SELECT CAST(o_custkey AS INTEGER) AS amt
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT (SELECT count(*) FROM merged) AS n_rows,
+                (SELECT CAST(sum(CAST(amt AS DECIMAL(38,0))) AS DOUBLE)
+                   FROM merged) AS total,
+                'bigint' AS new_type,
+                (SELECT count(*) FROM old) AS old_rows,
+                (SELECT CAST(sum(CAST(amt AS DECIMAL(38,0))) AS DOUBLE)
+                   FROM old) AS old_total,
+                'int' AS old_type"""))
+
   /** X125: COMPOSITE-key MERGE — `ON t.k1 = s.k1 AND t.k2 = s.k2`, the
     * (order_id, line_number)-shaped tuple keys real CDC feeds carry,
     * landed through [[graft.sources.Snapshots.mergeComposite]]: the
@@ -2216,7 +2274,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
-    sqlMergeStr, sqlMergeMulti, sqlMergeEvolve,
+    sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,

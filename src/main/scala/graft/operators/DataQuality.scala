@@ -35,11 +35,11 @@ object DataQuality {
     * release gates, whose publishable dimensions are bounded, but not
     * for near-unique quasi tuples (user ids, timestamps), where the
     * cell inventory approaches the row count. `maxCells` enforces that
-    * contract: the cell count rides the same broadcast aggregate the
-    * suppression flag already needs (no extra job), and exceeding the
-    * bound fails LOUDLY at run time instead of silently sorting a
-    * corpus-sized inventory on one task. Coarsen the quasi columns
-    * (bucket timestamps, drop identifiers) or raise `maxCells`
+    * contract BEFORE the window exists: the cell count is validated
+    * driver-side (one scalar aggregation job at call time — this method
+    * is eager), so the pathological case fails loudly in the count pass
+    * and the single-task sort is never even planned. Coarsen the quasi
+    * columns (bucket timestamps, drop identifiers) or raise `maxCells`
     * deliberately.
     */
   def kAnonymize(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
@@ -56,25 +56,30 @@ object DataQuality {
     // smallest-first, ties broken on the (string-cast) quasi values so
     // the order — and therefore the suppression set — is deterministic
     // and engine-replayable
+    // guard FIRST, driver-side: a near-unique quasi tuple makes the
+    // cell inventory corpus-sized, and the suppression window below is
+    // a single-task sort over it — the executor would OOM in that sort
+    // before any in-plan raise_error projection above the window ever
+    // evaluated. One scalar-row aggregation (map-side partial counts)
+    // establishes the bound before the window is planned at all.
+    val stats = cells
+      .agg(max(when(col("_cnt") < k, 1).otherwise(0)).as("_any"),
+        count(lit(1)).as("_ncells"))
+      .collect()(0)
+    val nCells = stats.getLong(1)
+    require(nCells <= maxCells,
+      s"kAnonymize: $nCells quasi-identifier cells exceed " +
+        s"maxCells=$maxCells — the suppression order is a single-task " +
+        "sort sized by the cell count; coarsen the quasi columns or " +
+        "raise maxCells")
+    val anyUnder = !stats.isNullAt(0) && stats.getInt(0) == 1
     val ord = Window.orderBy(
       col("_cnt") +: quasiCols.map(c => col(c).cast("string")): _*)
     val cumBefore = coalesce(sum(col("_cnt"))
       .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    val hasUnder = cells
-      .agg(max(when(col("_cnt") < k, 1).otherwise(0)).as("_any"),
-        count(lit(1)).as("_ncells"))
     val flagged = cells
-      .crossJoin(org.apache.spark.sql.functions.broadcast(hasUnder))
       .withColumn("_supp",
-        when(col("_ncells") > maxCells,
-          raise_error(concat(lit("kAnonymize: "),
-            col("_ncells").cast("string"),
-            lit(s" quasi-identifier cells exceed maxCells=$maxCells — " +
-              "the suppression order is a single-task sort sized by the " +
-              "cell count; coarsen the quasi columns or raise maxCells")))
-            .cast("boolean"))
-          .otherwise(
-            col("_any") === 1 && (col("_cnt") < k || cumBefore < k)))
+        lit(anyUnder) && (col("_cnt") < k || cumBefore < k))
       .select(quasiCols.map(col) :+ col("_supp"): _*)
     df.join(flagged, quasiCols, "left")
       .select(df.columns.toSeq.map { c =>

@@ -90,13 +90,16 @@ object DimFilePrune {
   /** [[enable]] that NEVER overwrites an existing registration — what
     * library code (the streaming lookup join) uses, so a user's own
     * `enable(table, maxKeys)` choice survives a lookup stream on the
-    * same table.
+    * same table. Returns true iff THIS call created the registration,
+    * so the caller knows whether it owns (and must eventually
+    * [[disable]]) it.
     */
   private[graft] def enableIfAbsent(spark: SparkSession,
-      tablePath: String, maxKeys: Int): Unit = {
+      tablePath: String, maxKeys: Int): Boolean = {
     require(maxKeys >= 1, s"maxKeys must be >= 1, got $maxKeys")
-    registry.putIfAbsent(norm(spark, tablePath), maxKeys)
+    val fresh = registry.putIfAbsent(norm(spark, tablePath), maxKeys).isEmpty
     org.apache.spark.sql.GraftBridge.addOptimization(spark, DimFilePruneRule)
+    fresh
   }
 
   /** Remove one table's registration (other enablements untouched). */

@@ -57,8 +57,10 @@ import org.apache.spark.sql.functions.{col, count, lit}
   *    tuple keys route onto `Snapshots.mergeComposite`, and
   *    `MERGE WITH SCHEMA EVOLUTION` adds source-only columns to the
   *    target (metadata-only addColumn + catalog-schema sync; star
-  *    expansions carry their source values). Only explicit key-changing
-  *    SETs refuse.
+  *    expansions carry their source values) and WIDENS target columns a
+  *    source feed outgrew (int->bigint, float->double — the metadata-only
+  *    widenColumn event; non-key columns only). Only explicit
+  *    key-changing SETs refuse.
   *
   * Time-traveled relations (`versionAsOf`/`timestampAsOf`/`tag`/
   * `branch` reader options) refuse all DML: history is immutable.
@@ -70,18 +72,30 @@ object SqlDml {
     * for why a live session cannot take new analyzer rules directly.
     * The graft SQL functions and the as-of-join strategy ride along, so
     * the sibling is a strict superset of a `GraftExtensions` session.
+    *
+    * MEMOIZED, one sibling per parent session: the sibling's session
+    * state is cloned at FIRST enable, so temp views/functions the
+    * PARENT registers later are not visible in it. Register statement
+    * inputs through the returned session (the normal pattern), or call
+    * [[invalidate]] after mutating the parent's session state to force
+    * a fresh clone.
     */
   def enable(spark: SparkSession): SparkSession =
-    enabledSiblings.computeIfAbsent(spark, parent => {
-      val s = GraftBridge.siblingSessionWithExtensions(parent, apply)
-      // the cloned session state copies the parent's REGISTRIES
-      // (functions and table functions) rather than re-applying
-      // extensions — register the metadata table functions and SQL
-      // expressions directly
-      MetaTables.registerRuntime(s)
-      graft.GraftExtensions.register(s)
-      s
-    })
+    enabledSiblings.synchronized {
+      val cached = Option(enabledSiblings.get(spark)).flatMap(r =>
+        Option(r.get()))
+      cached.getOrElse {
+        val s = GraftBridge.siblingSessionWithExtensions(spark, apply)
+        // the cloned session state copies the parent's REGISTRIES
+        // (functions and table functions) rather than re-applying
+        // extensions — register the metadata table functions and SQL
+        // expressions directly
+        MetaTables.registerRuntime(s)
+        graft.GraftExtensions.register(s)
+        enabledSiblings.put(spark, new java.lang.ref.WeakReference(s))
+        s
+      }
+    }
 
   /** One DML sibling per parent session: building the sibling's
     * analyzer/registries costs a visible fraction of a second, and DML
@@ -89,20 +103,23 @@ object SqlDml {
     * `enable` on the same parent shares one sibling (the catalog is
     * shared with the parent either way).
     *
-    * CONTRACT: the sibling's session state was cloned at FIRST enable —
-    * temp views/functions the PARENT registers later are not visible in
-    * it. Register statement inputs through the returned session (the
-    * normal pattern), or call [[invalidate]] after mutating the
-    * parent's session state to force a fresh clone.
+    * WEAK on both sides so the memo never pins sessions in long-lived
+    * JVMs that churn them: a WeakHashMap key (the parent) is collectable
+    * once the caller drops it, and the value is a WeakReference because
+    * the sibling's session state chains back to the parent's — a strong
+    * value would resurrect the key. Losing an entry to GC is benign:
+    * DML statements keep no cross-statement state, so the next
+    * [[enable]] just re-clones.
     */
   private val enabledSiblings =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[SparkSession]]()
 
   /** Drop the memoized DML sibling for `spark` — the next [[enable]]
     * re-clones the parent's CURRENT session state (temp views included).
     */
   def invalidate(spark: SparkSession): Unit =
-    enabledSiblings.remove(spark)
+    enabledSiblings.synchronized { enabledSiblings.remove(spark) }
 
   /** Extension installer — usable directly via
     * `spark.sql.extensions=graft.GraftExtensions` plus this, or through
@@ -585,6 +602,53 @@ object SqlDml {
             s"or string column, got ${dt.simpleString}")
       })
       val keyCols = keyAttrs.map(_.name)
+      // WITH SCHEMA EVOLUTION, part 2: a source column that exists on
+      // the target at a NARROWER width — exactly the lossless pairs
+      // Snapshots.widenColumn accepts (int->bigint, float->double) —
+      // widens the target via the metadata-only widen event when the
+      // command executes, same after-validation discipline as
+      // addColumn. KEY columns are excluded: the wide-source-key
+      // refusal above stands (widening a key under recorded envelopes
+      // is an explicit widenColumn decision, not a merge side effect).
+      // Without evolution the narrower-target positional cast applies,
+      // as before.
+      val widenCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        if (!m.withSchemaEvolution) Nil
+        else {
+          import org.apache.spark.sql.types.{DoubleType, FloatType,
+            IntegerType, LongType}
+          sOut.flatMap { sa =>
+            tOut.find(_.name.equalsIgnoreCase(sa.name))
+              .filterNot(ta => keyCols.exists(_.equalsIgnoreCase(ta.name)))
+              .collect {
+                case ta if (ta.dataType == IntegerType &&
+                    sa.dataType == LongType) ||
+                    (ta.dataType == FloatType &&
+                      sa.dataType == DoubleType) =>
+                  (ta.name, sa.dataType)
+              }
+          }
+        }
+      // the EFFECTIVE (post-evolution) schema every projection casts to
+      def widened(fs: Array[org.apache.spark.sql.types.StructField])
+          : Array[org.apache.spark.sql.types.StructField] =
+        fs.map(f => widenCols.find(_._1.equalsIgnoreCase(f.name))
+          .map(w => f.copy(dataType = w._2)).getOrElse(f))
+      // the analyzer aligns SET * / INSERT * values to the PRE-widen
+      // target type with an outer Cast — under ANSI that cast overflows
+      // on exactly the values the widen exists for, so strip it when the
+      // assignment targets a widened column (the projection re-casts to
+      // the widened type; in-range values are unchanged)
+      def unNarrow(name: String, e: Expression): Expression =
+        widenCols.find(_._1.equalsIgnoreCase(name)) match {
+          case Some((_, wdt)) => e match {
+            case c: Cast if c.child.dataType == wdt &&
+                tOut.exists(t => t.name.equalsIgnoreCase(name) &&
+                  t.dataType == c.dataType) => c.child
+            case other => other
+          }
+          case None => e
+        }
       require(m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
         m.notMatchedBySourceActions.nonEmpty,
         "graft DML: MERGE with no actions")
@@ -620,7 +684,8 @@ object SqlDml {
         !(m.matchedActions.exists(_.isInstanceOf[DeleteAction]) &&
           m.notMatchedActions.nonEmpty)
       if (!simple)
-        return rewriteMergeGeneral(m, table, tOut, sOut, keyCols, newCols, ident)
+        return rewriteMergeGeneral(m, table, tOut, sOut, keyCols, newCols,
+          widenCols, widened, ident)
       // an action's assignments (the analyzer expands SET * / INSERT *
       // into per-column assignments) become a full-row SOURCE projection
       // — Snapshots.merge replaces whole rows, so every target column
@@ -644,7 +709,7 @@ object SqlDml {
                   "can only compute from the source")
             case _ => ()
           }
-          (name, asColumn(asg.value))
+          (name, asColumn(unNarrow(name, asg.value)))
         }
         val missing = tOut.map(_.name)
           .filterNot(n => byTarget.exists(_._1.equalsIgnoreCase(n)))
@@ -684,8 +749,8 @@ object SqlDml {
         insertProj = insertProj.map(withNew),
         deleteMatched = deletes,
         targetSchema = org.apache.spark.sql.types.StructType(
-          schemaOf(tOut).fields ++ newCols),
-        newCols = newCols, ident = ident)
+          widened(schemaOf(tOut).fields) ++ newCols),
+        newCols = newCols, widenCols = widenCols, ident = ident)
     }
 
     /** The general MERGE form: conditional MATCHED/NOT-MATCHED actions
@@ -700,6 +765,9 @@ object SqlDml {
     private def rewriteMergeGeneral(m: MergeIntoTable, table: String,
         tOut: Seq[Attribute], sOut: Seq[Attribute], keyCols: Seq[String],
         newCols: Seq[org.apache.spark.sql.types.StructField],
+        widenCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+        widened: Array[org.apache.spark.sql.types.StructField] =>
+          Array[org.apache.spark.sql.types.StructField],
         ident: Option[String]): LogicalPlan = {
       // evolution: a star UPDATE carries the new columns' source values;
       // every INSERT is full-row-from-source (validated below), so new
@@ -724,6 +792,19 @@ object SqlDml {
             s"may reference only the $side, got '${ar.name}'")
         case _ => ()
       }
+      // same narrowing-cast strip as the simple path: the analyzer
+      // aligns star assignments to the PRE-widen target type, which
+      // would ANSI-overflow on the values the widen exists for
+      def unNarrow(name: String, e: Expression): Expression =
+        widenCols.find(_._1.equalsIgnoreCase(name)) match {
+          case Some((_, wdt)) => e match {
+            case c: Cast if c.child.dataType == wdt &&
+                tOut.exists(t => t.name.equalsIgnoreCase(name) &&
+                  t.dataType == c.dataType) => c.child
+            case other => other
+          }
+          case None => e
+        }
       def assignsOf(assigns: Seq[Assignment], what: String,
           allowKey: Boolean): Seq[(String, Column)] = assigns.map { a =>
         val name = a.key match {
@@ -737,7 +818,7 @@ object SqlDml {
         require(allowKey || !keyCols.exists(t.name.equalsIgnoreCase),
           s"graft DML: MERGE $what must not SET the merge key " +
             s"'${t.name}' — key-changing updates are not a merge")
-        (t.name, sided(a.value))
+        (t.name, sided(unNarrow(t.name, a.value)))
       }
       val matched = m.matchedActions.map {
         case DeleteAction(c) => (c.map(sided), None)
@@ -786,8 +867,8 @@ object SqlDml {
       GraftMergeConditionalCommand(table, m.sourceTable, keyCols,
         matched, notMatched, nmbs,
         org.apache.spark.sql.types.StructType(
-          schemaOf(tOut).fields ++ newCols),
-        newCols, ident)
+          widened(schemaOf(tOut).fields) ++ newCols),
+        newCols, widenCols, ident)
     }
   }
 
@@ -971,16 +1052,26 @@ object SqlDml {
       deleteMatched: Boolean,
       targetSchema: org.apache.spark.sql.types.StructType,
       newCols: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      widenCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
       ident: Option[String])
       extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(spark: SparkSession): Seq[Row] = {
-      // WITH SCHEMA EVOLUTION widens the table AFTER every run-time
-      // validation (notably the cardinality guard): a REFUSED statement
-      // must leave the table untouched — schema included. The source
-      // projections and the key joins below never reference the new
-      // columns against the target, so they plan fine pre-evolution.
-      def evolve(): Unit = if (newCols.nonEmpty) {
+      // WITH SCHEMA EVOLUTION commits its schema changes AFTER every
+      // guard that runs pre-merge (the cardinality guard, the in-batch
+      // UNIQUE pre-validation below): those refusals leave the table
+      // untouched, schema included. Guards that live INSIDE the merge
+      // commit itself — unique-vs-carried-files, CHECK/FK enforcement,
+      // the concurrent-commit rebase refusal — can still fire after the
+      // evolution committed; that outcome is benign to retry (the
+      // retried statement recomputes its evolution set as empty) but is
+      // a two-commit window, the same one Delta's schema-then-data
+      // evolution has. Widens go FIRST: widenColumn carries its own
+      // refusals (constraints, rename history) and must fire before any
+      // addColumn lands.
+      def evolve(): Unit = if (newCols.nonEmpty || widenCols.nonEmpty) {
+        widenCols.foreach { case (n, dt) =>
+          Snapshots.widenColumn(spark, table, n, dt) }
         newCols.foreach(f =>
           Snapshots.addColumn(spark, table, f.name, f.dataType))
         // sync the catalog entry or the next statement on the name
@@ -1026,6 +1117,11 @@ object SqlDml {
           case (None, None) => throw new IllegalStateException(
             "graft DML: MERGE command with no actions")
         }
+        // the in-batch UNIQUE refusal would otherwise fire inside the
+        // merge, AFTER the schema evolution committed — run it first so
+        // the common refusal leaves the schema untouched
+        if (newCols.nonEmpty || widenCols.nonEmpty)
+          Snapshots.preValidateUniqueBatch(spark, table, upserts)
         evolve()
         Snapshots.mergeComposite(spark, table,
           upserts = withRecordedSchema(spark, upserts, targetSchema),
@@ -1062,6 +1158,7 @@ object SqlDml {
       notMatchedBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])],
       targetSchema: org.apache.spark.sql.types.StructType,
       newCols: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      widenCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
       ident: Option[String] = None)
       extends LeafRunnableCommand {
     import GraftMergeConditionalCommand.{TP, SP}
@@ -1205,7 +1302,15 @@ object SqlDml {
       val dels =
         if (delKeys.isEmpty) emptyTarget
         else delKeys.reduce(_.unionByName(_))
-      if (newCols.nonEmpty) {
+      if (newCols.nonEmpty || widenCols.nonEmpty) {
+        // pre-validate the in-batch UNIQUE refusal, then commit the
+        // evolution (widens first — they carry their own refusals);
+        // guards inside the merge commit itself (unique-vs-carried,
+        // CHECK/FK, rebase) can still fire post-evolution — benign to
+        // retry, see GraftMergeCommand.evolve
+        Snapshots.preValidateUniqueBatch(spark, table, ups)
+        widenCols.foreach { case (n, dt) =>
+          Snapshots.widenColumn(spark, table, n, dt) }
         newCols.foreach(f =>
           Snapshots.addColumn(spark, table, f.name, f.dataType))
         syncCatalogSchema(spark, table, ident)

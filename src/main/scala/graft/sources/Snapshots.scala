@@ -829,6 +829,16 @@ object Snapshots {
     * string keys never pass through a numeric cast that could null
     * them out. Zero cost when the table declares no unique keys.
     */
+  /** In-batch UNIQUE pre-validation — the DML layer runs this BEFORE
+    * committing a MERGE's schema evolution, so the within-batch
+    * duplicate refusal (the common one) fires with the table untouched;
+    * the merge then re-checks on its own path (cheap: one grouped
+    * count + limit(1), and a no-op on tables without the constraint).
+    */
+  private[graft] def preValidateUniqueBatch(spark: SparkSession,
+      table: String, df: DataFrame): Unit =
+    enforceUnique(spark, table, df, vsParent = false)
+
   private def enforceUnique(spark: SparkSession, table: String,
       df: DataFrame, vsParent: Boolean): Unit = {
     import org.apache.spark.sql.functions.{col => c, count => cnt, lit => l,
@@ -2762,7 +2772,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.{broadcast, col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.merge: $table has no committed version")
-    require(deleteKeys.columns.contains(keyCol),
+    require(deleteKeys.columns.exists(_.equalsIgnoreCase(keyCol)),
       s"Snapshots.merge: deleteKeys needs a '$keyCol' column")
     val entries = manifest(spark, table, v)
     val tableDf = read(spark, table, Some(v))
@@ -2770,18 +2780,24 @@ object Snapshots {
     require(upserts.columns.sorted.sameElements(tableCols.sorted),
       s"Snapshots.merge: upserts columns [${upserts.columns.sorted.mkString(",")}] " +
         s"must match table columns [${tableCols.sorted.mkString(",")}]")
-    val keyField = tableDf.schema.fields.find(_.name == keyCol)
+    // resolve CASE-INSENSITIVELY (matching col()/SQL resolution — a
+    // caller passing 'ID' for column 'id' must not hit a misleading
+    // no-column or type-refusal path) and use the CANONICAL name
+    // downstream: footer stats maps and recorded envelopes are keyed by
+    // the table's own spelling
+    val keyField = tableDf.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
       .getOrElse(sys.error(s"Snapshots.merge: no column '$keyCol' in $table"))
+    val key = keyField.name
     val keyIsStr = keyField.dataType ==
       org.apache.spark.sql.types.StringType
     require(keyIsStr || isIntegralType(keyField.dataType),
       s"Snapshots.merge: merge keys must be integral or string; " +
-        s"'$keyCol' is ${keyField.dataType.simpleString}")
+        s"'$key' is ${keyField.dataType.simpleString}")
     // integral keys collect as longs (the manifest stats' width);
     // string keys collect UNCAST — casting would collapse '1'/'01'
     // and null out non-numeric keys, i.e. corrupt, not error
     val keyRepr = if (keyIsStr) "string" else "long"
-    val keysDf = upserts.select(c(keyCol).cast(keyRepr).as("_merge_key"))
+    val keysDf = upserts.select(c(key).cast(keyRepr).as("_merge_key"))
       .unionByName(
         deleteKeys.select(c(keyCol).cast(keyRepr).as("_merge_key")))
       .filter(c("_merge_key").isNotNull)
@@ -2837,10 +2853,10 @@ object Snapshots {
     // check share: a file is carried only when its recorded envelope
     // proves no affected key can be inside
     def fileMayHoldKeys(e: FileEntry): Boolean =
-      if (keyIsStr) e.strStats.get(keyCol) match {
+      if (keyIsStr) e.strStats.get(key) match {
         case Some((mn, mx)) => mayContainStr(mn, mx)
         case None => true // no envelope: cannot prove absence → rewrite
-      } else e.stats.get(keyCol) match {
+      } else e.stats.get(key) match {
         case Some((mn, mx)) => mayContain(mn, mx)
         case None => true
       }
@@ -2850,7 +2866,7 @@ object Snapshots {
       if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
       else readFiles(spark, table, v, touched)
     val antiSide = if (!overCap) broadcast(keysDf) else keysDf
-    val survivors = base.join(antiSide, c(keyCol) === c("_merge_key"),
+    val survivors = base.join(antiSide, c(key) === c("_merge_key"),
       "left_anti")
     enforceUnique(spark, table, upserts, vsParent = false)
     val newData = survivors.unionByName(upserts.select(tableCols.map(c): _*))
@@ -2860,10 +2876,10 @@ object Snapshots {
     // when the table never had one — without it every later merge
     // rewrites everything it rewrote, forever
     val statsCols = (entries.flatMap(_.stats.keys) ++
-      (if (keyIsStr) Nil else Seq(keyCol))).distinct.sorted
+      (if (keyIsStr) Nil else Seq(key))).distinct.sorted
     val bloomCols = entries.flatMap(_.blooms.keys).distinct.sorted
     val strCols = (entries.flatMap(_.strStats.keys) ++
-      (if (keyIsStr) Seq(keyCol) else Nil)).distinct.sorted
+      (if (keyIsStr) Seq(key) else Nil)).distinct.sorted
     planHook()
     val touchedPaths = touched.map(_.path).toSet
     val priorPaths = entries.map(_.path).toSet
@@ -2951,7 +2967,8 @@ object Snapshots {
     import org.apache.spark.sql.functions.{broadcast, col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.mergeComposite: $table has no committed version")
-    keyCols.foreach(k => require(deleteKeys.columns.contains(k),
+    keyCols.foreach(k => require(
+      deleteKeys.columns.exists(_.equalsIgnoreCase(k)),
       s"Snapshots.mergeComposite: deleteKeys needs a '$k' column"))
     val entries = manifest(spark, table, v)
     val tableDf = read(spark, table, Some(v))
@@ -2961,16 +2978,22 @@ object Snapshots {
         s"[${upserts.columns.sorted.mkString(",")}] must match table " +
         s"columns [${tableCols.sorted.mkString(",")}]")
     val strType = org.apache.spark.sql.types.StringType
-    val keyIsStr: Seq[Boolean] = keyCols.map { k =>
-      val f = tableDf.schema.fields.find(_.name == k).getOrElse(
-        sys.error(s"Snapshots.mergeComposite: no column '$k' in $table"))
+    // canonical (table-spelled) key names: resolution is case-insensitive
+    // like col()/SQL, and the footer stats maps downstream are keyed by
+    // the table's own spelling
+    val keyFields = keyCols.map { k =>
+      val f = tableDf.schema.fields.find(_.name.equalsIgnoreCase(k))
+        .getOrElse(
+          sys.error(s"Snapshots.mergeComposite: no column '$k' in $table"))
       require(f.dataType == strType || isIntegralType(f.dataType),
         s"Snapshots.mergeComposite: merge keys must be integral or " +
-          s"string; '$k' is ${f.dataType.simpleString}")
-      f.dataType == strType
+          s"string; '${f.name}' is ${f.dataType.simpleString}")
+      f
     }
+    val keyCanon = keyFields.map(_.name)
+    val keyIsStr: Seq[Boolean] = keyFields.map(_.dataType == strType)
     val leadIsStr = keyIsStr.head
-    val lead = keyCols.head
+    val lead = keyCanon.head
     // tuple frame for the anti join: integral components as longs
     // (width-free equality), string components UNCAST
     val mk = keyCols.indices.map(i => s"_merge_key_$i")
@@ -3039,7 +3062,7 @@ object Snapshots {
       if (touched.isEmpty) read(spark, table, Some(v)).limit(0)
       else readFiles(spark, table, v, touched)
     val antiSide = if (!overCap) broadcast(keysDf) else keysDf
-    val antiCond = keyCols.zip(mk).map { case (k, a) => c(k) === c(a) }
+    val antiCond = keyCanon.zip(mk).map { case (k, a) => c(k) === c(a) }
       .reduce(_ && _)
     val survivors = base.join(antiSide, antiCond, "left_anti")
       .select(tableCols.map(c): _*)

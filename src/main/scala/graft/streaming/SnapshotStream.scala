@@ -128,12 +128,51 @@ object SnapshotStream {
       maxKeys: Int = 100000,
       checkpoint: Option[String] = None)
       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = stream.sparkSession
+    // the lookup's DimFilePrune registration is scoped to THIS stream's
+    // lifetime: if the first batch created it (vs a user's own enable(),
+    // which is never touched), a termination listener removes it — so
+    // unrelated batch queries joining the same table path after the
+    // stream stops don't silently inherit plan-time dim executions
+    // governed by this stream's maxKeys
+    val owned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val qid =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = {
+          val id = qid.get()
+          if (id != null && e.id == id) {
+            if (owned.get()) graft.plans.DimFilePrune.disable(spark, table)
+            spark.streams.removeListener(this)
+          }
+        }
+      }
+    spark.streams.addListener(listener)
     val writer = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(lookupBatch(batch.toDF(), table, factCol, streamCol, maxKeys),
-          batchId)
+        sink(lookupBatch(batch.toDF(), table, factCol, streamCol, maxKeys,
+          Some(owned)), batchId)
       }
-    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
+    val q = checkpoint.fold(writer)(
+      writer.option("checkpointLocation", _)).start()
+    qid.set(q.id)
+    // a query that failed before qid was visible to the listener would
+    // leak the registration — close the race by cleaning up directly
+    // (disable/removeListener are both idempotent)
+    if (!q.isActive) {
+      if (owned.get()) graft.plans.DimFilePrune.disable(spark, table)
+      spark.streams.removeListener(listener)
+    }
+    q
   }
 
   /** One lookup step, factored out so the stream ≡ batch spec and the
@@ -152,13 +191,19 @@ object SnapshotStream {
     * needed; an over-`maxKeys` batch aborts the rewrite, the same
     * plain-read fallback the explicit path had). The registration is
     * if-absent (a user's own enable() on the table wins) and stays
-    * installed — the returned frame, and anything composed on top,
-    * optimizes lazily after this method returns. ERA-EVOLVED tables
-    * (rename/widen/default events with surviving pre-event files) take
-    * a flat index refusal and keep the explicit era-aware pruned scan.
+    * installed for the stream's LIFETIME — [[lookupJoin]] passes `owned`
+    * so a registration this lookup created (reported through
+    * `enableIfAbsent`) is removed when the stream terminates; direct
+    * batch callers that omit `owned` keep the registration, their
+    * returned frame (and anything composed on top) optimizes lazily
+    * after this method returns. ERA-EVOLVED tables (rename/widen/default
+    * events with surviving pre-event files) take a flat index refusal
+    * and keep the explicit era-aware pruned scan.
     */
   private[graft] def lookupBatch(batch: DataFrame, table: String,
-      factCol: String, streamCol: String, maxKeys: Int): DataFrame = {
+      factCol: String, streamCol: String, maxKeys: Int,
+      owned: Option[java.util.concurrent.atomic.AtomicBoolean] = None)
+      : DataFrame = {
     val spark = batch.sparkSession
     // flat tables route through the AUTOMATIC rule; era-evolved tables
     // (rename/widen/default events with surviving pre-event files)
@@ -174,10 +219,12 @@ object SnapshotStream {
     flatFact match {
       case Some((fact, fidx)) =>
         // registration is if-absent (a user's own enable() choice on
-        // this table wins) and stays installed: the returned frame —
-        // and anything composed on top — optimizes lazily, after this
-        // method returns
-        graft.plans.DimFilePrune.enableIfAbsent(spark, table, maxKeys)
+        // this table wins); if THIS call created it, report ownership so
+        // lookupJoin's termination listener can remove it — the returned
+        // frame, and anything composed on top, optimizes lazily after
+        // this method returns
+        if (graft.plans.DimFilePrune.enableIfAbsent(spark, table, maxKeys))
+          owned.foreach(_.set(true))
         val joined =
           if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
           else batch.join(fact, batch(streamCol) === fact(factCol), "left")

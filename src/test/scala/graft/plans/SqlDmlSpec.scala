@@ -520,6 +520,93 @@ class SqlDmlSpec extends SparkSpec {
       "refused evolution merge evolved the schema")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens outgrown columns: int->bigint " +
+      "via the metadata-only widen event, out-of-int-range source values " +
+      "land exactly, old versions keep their width, refusals leave the " +
+      "schema untouched") {
+    import spark.implicits._
+    val wide = 8L * 1000 * 1000 * 1000 // > Int.MaxValue
+    // simple path: SET * / INSERT * with a BIGINT source against an INT
+    // target column — the analyzer's alignment cast to int would ANSI-
+    // overflow; the widen strips it and the value lands exactly
+    val tbl = freshTable("wid")
+    Snapshots.commit(Seq((1L, 10), (2L, 20)).toDF("k", "v"), tbl,
+      statsCols = Seq("k"))
+    register("dml_wid", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_wid_src AS " +
+      s"SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v FROM VALUES " +
+      s"(2, $wide), (9, ${wide + 1}) AS x(k, v)")
+    dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_wid t " +
+      "USING dml_wid_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val latest = Snapshots.readMor(spark, tbl)
+    assert(latest.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(latest.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (2L, wide), (9L, wide + 1)))
+    // the PRE-widen version still reads its own INT width
+    assert(Snapshots.read(spark, tbl, Some(1)).schema("v").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+
+    // general path (conditional cascade) + float->double, and a NEW
+    // column riding the same statement
+    val tbl2 = freshTable("wid2")
+    Snapshots.commit(Seq((1L, 1.5f), (2L, 2.5f)).toDF("k", "w"), tbl2,
+      statsCols = Seq("k"))
+    register("dml_wid2", tbl2)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_wid2_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(w AS DOUBLE) w, " +
+      "CAST(tag AS STRING) tag FROM VALUES (2, 2.25, 'b'), " +
+      "(9, 9.125, 'i') AS x(k, w, tag)")
+    dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_wid2 t " +
+      "USING dml_wid2_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.w > 1 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val l2 = Snapshots.readMor(spark, tbl2)
+    assert(l2.schema("w").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val got2 = l2.collect().map(r => (r.getLong(0), r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got2 === Set((1L, 1.5d, null), (2L, 2.25d, "b"),
+      (9L, 9.125d, "i")), got2.toString)
+
+    // refusal BEFORE evolution: duplicate NOT-MATCHED insert keys are
+    // legal for the cardinality rule but violate the table's UNIQUE —
+    // the in-batch pre-validation fires with the schema untouched
+    val tbl3 = freshTable("wid3")
+    Snapshots.commit(Seq((1L, 10)).toDF("k", "v"), tbl3,
+      statsCols = Seq("k"))
+    Snapshots.addUnique(spark, tbl3, "k")
+    register("dml_wid3", tbl3)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_wid3_dup AS " +
+      s"SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v FROM VALUES " +
+      s"(9, $wide), (9, ${wide + 1}) AS x(k, v)")
+    val vBefore = Snapshots.latestVersion(spark, tbl3)
+    intercept[Exception] {
+      dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_wid3 t " +
+        "USING dml_wid3_dup s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(Snapshots.latestVersion(spark, tbl3) === vBefore,
+      "refused evolution merge committed something")
+    assert(Snapshots.read(spark, tbl3).schema("v").dataType ===
+      org.apache.spark.sql.types.IntegerType,
+      "refused evolution merge widened the schema")
+
+    // KEY columns never widen as a side effect: the wide-source-key
+    // refusal stands under WITH SCHEMA EVOLUTION too
+    val tbl4 = freshTable("wid4")
+    Snapshots.commit(Seq((1, 10L)).toDF("k", "v"), tbl4,
+      statsCols = Seq("k"))
+    register("dml_wid4", tbl4)
+    val e = intercept[IllegalArgumentException] {
+      dml.sql("MERGE WITH SCHEMA EVOLUTION INTO dml_wid4 t " +
+        "USING (SELECT CAST(9 AS BIGINT) k, CAST(90 AS BIGINT) v) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("widen"), e.getMessage)
+  }
+
   test("MERGE INTO a partition-spec'd table keeps the partition tier " +
       "live — rewritten files carry the tuple-in-name layout") {
     import graft.sources.Partitioning

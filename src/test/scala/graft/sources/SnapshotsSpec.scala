@@ -263,6 +263,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(ps.df.count() === 0)
   }
 
+  test("merge key resolves case-insensitively, like col()/SQL — the " +
+      "canonical table spelling drives envelope pruning either way") {
+    import spark.implicits._
+    val tbl = freshTable("cimerge")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), tbl,
+      statsCols = Seq("id"))
+    Snapshots.commit(Seq((100L, 30L)).toDF("id", "v"), tbl,
+      statsCols = Seq("id"))
+    // 'ID' for column 'id': resolution must not hit the no-column or
+    // type-refusal path, and pruning must still find the canonical
+    // 'id' envelopes (the high-key file is carried)
+    val r = Snapshots.merge(spark, tbl,
+      Seq((2L, 200L)).toDF("id", "v"),
+      Seq(1L).toDF("ID"), "ID")
+    assert(r.filesCarried > 0, "canonical-name envelope must still prune")
+    assert(Snapshots.read(spark, tbl).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap ===
+      Map(2L -> 200L, 100L -> 30L))
+    // composite path: mixed-case key list
+    val tbl2 = freshTable("cimergec")
+    Snapshots.commit(Seq((1L, 1, 10L), (2L, 2, 20L)).toDF("k1", "k2", "v"),
+      tbl2, statsCols = Seq("k1"))
+    Snapshots.mergeComposite(spark, tbl2,
+      Seq((2L, 2, 222L)).toDF("k1", "k2", "v"),
+      Seq((1L, 1)).toDF("K1", "K2"), Seq("K1", "k2"))
+    assert(Snapshots.read(spark, tbl2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet ===
+      Set((2L, 2, 222L)))
+  }
+
   test("string-keyed merge: keys compare UNCAST ('1'/'01' distinct, " +
       "non-numeric first-class), string envelopes prune, key evidence " +
       "is recorded on rewritten files") {
