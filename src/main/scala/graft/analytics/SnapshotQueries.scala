@@ -1611,6 +1611,96 @@ object SnapshotQueries {
            SELECT 1.0 FROM kept WHERE p < 1000.0)
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM final"""))
 
+  /** Correlated subqueries in DML predicates — the real CDC
+    * DELETE/UPDATE shape (`WHERE [NOT] EXISTS (SELECT ... WHERE s.k =
+    * t.k)`): the rule DECORRELATES the equality-correlated
+    * EXISTS/NOT-EXISTS/IN into the uncorrelated `(keys) IN (SELECT
+    * ...)` it denotes (exact under nulls — inner null keys filtered,
+    * null outer keys short-circuit FALSE) and the statement lands
+    * through the same vector/rewrite commits as any other predicate.
+    * DuckDB replays the NATIVE correlated form, so the oracle pins the
+    * decorrelation itself, not a hand-rewritten equivalent.
+    */
+  val sqlDmlCorr = Q("q_sql_dml_corr",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqldmlc")
+      Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql("DROP TABLE IF EXISTS graft_cdml_q")
+      q.sql(s"CREATE TABLE graft_cdml_q USING graft OPTIONS (path '$tbl')")
+      q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cdml_src AS " +
+        "SELECT o_orderkey, o_orderdate " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+      // correlated EXISTS DELETE: drop rows whose key has an OLD entry
+      // in the feed
+      q.sql("DELETE FROM graft_cdml_q WHERE EXISTS " +
+        "(SELECT 1 FROM graft_cdml_src s " +
+        "WHERE s.o_orderkey = graft_cdml_q.o_orderkey " +
+        s"AND s.o_orderdate < DATE '$cutoff')")
+      // correlated NOT EXISTS UPDATE: double rows the feed never saw
+      q.sql("UPDATE graft_cdml_q SET o_totalprice = o_totalprice * 2 " +
+        "WHERE NOT EXISTS (SELECT 1 FROM graft_cdml_src s " +
+        "WHERE s.o_orderkey = graft_cdml_q.o_orderkey)")
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_cdml_q""")
+    },
+    Some(s"""WITH t0 AS (
+           SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS dt
+           FROM orders WHERE o_orderkey % 2 = 0),
+         src AS (
+           SELECT o_orderkey AS k, o_orderdate AS dt
+           FROM orders WHERE o_orderkey % 3 = 0),
+         t1 AS (
+           SELECT * FROM t0 WHERE NOT EXISTS (
+             SELECT 1 FROM src s
+             WHERE s.k = t0.k AND s.dt < DATE '$cutoff')),
+         t2 AS (
+           SELECT k, CASE WHEN NOT EXISTS (
+               SELECT 1 FROM src s WHERE s.k = t1.k)
+             THEN p * 2 ELSE p END AS p
+           FROM t1)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM t2"""))
+
+  /** SQL maintenance surface: the snapshot tier's maintenance ops as
+    * Iceberg-procedure-shaped `CALL` statements
+    * ([[graft.plans.SqlMaintenance]]) — here `CALL graft_compact` folds
+    * a 3-commit scattered layout into one file as a NEW version
+    * (content identical, history preserved). The result pins all three
+    * claims: `n_files` = 1 proves the compaction ran, `n_versions` = 4
+    * proves it was a commit (not a rewrite-in-place), and the
+    * count/total prove content-preservation against the source table.
+    * The command executes at statement execution — `EXPLAIN CALL` is
+    * side-effect-free (spec-pinned in SqlMaintenanceSpec).
+    */
+  val sqlMaintain = Q("q_sql_maintain",
+    (s, d) => {
+      val tbl = freshTable(s, d, "sqlmnt")
+      val o = src(s, d)
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), tbl,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2), tbl,
+        statsCols = Seq("o_orderkey"))
+      val q = graft.plans.SqlDml.enable(s)
+      q.sql(s"CALL graft_compact('$tbl')")
+      // registered AFTER the call so the catalog relation resolves the
+      // compacted head (CALL takes a path, not a catalog ident, so it
+      // has no table entry to refresh)
+      q.sql("DROP TABLE IF EXISTS graft_mnt_q")
+      q.sql(s"CREATE TABLE graft_mnt_q USING graft OPTIONS (path '$tbl')")
+      q.sql(s"""SELECT
+          (SELECT count(*) FROM graft_files('$tbl')) AS n_files,
+          (SELECT count(*) FROM graft_history('$tbl')) AS n_versions,
+          count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+        FROM graft_mnt_q""")
+    },
+    Some(s"""SELECT CAST(1 AS BIGINT) AS n_files,
+           CAST(4 AS BIGINT) AS n_versions,
+           count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders"""))
+
   /** X116: SQL MERGE INTO — the analyzer expands `UPDATE SET * / INSERT
     * *` into per-column assignments, which the rule turns into one
     * key-exact [[Snapshots.merge]] upsert; a second MERGE with `WHEN
@@ -2273,7 +2363,8 @@ object SnapshotQueries {
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    deletionVector, updateWhere, sqlDml, sqlMerge, sqlMergeConditional,
+    deletionVector, updateWhere, sqlDml, sqlDmlCorr, sqlMaintain, sqlMerge,
+    sqlMergeConditional,
     sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
     lookupEnrich,

@@ -136,6 +136,9 @@ object SqlDml {
     // would route v1 ALTER TABLE onto catalog-schema-only commands that
     // no manifest ever sees
     ext.injectHintResolutionRule(session => new GraftDdlRule(session))
+    // CALL graft_*() maintenance procedures must also beat Spark's own
+    // procedure resolution (which refuses against the v1 session catalog)
+    ext.injectHintResolutionRule(session => new GraftCallRule(session))
     MetaTables.install(ext)
   }
 
@@ -196,6 +199,131 @@ object SqlDml {
             "ones — rewrite the correlation as an IN over a join")
       case _ => ()
     }
+
+  // ---- decorrelation (DELETE / UPDATE predicates) -------------------------
+
+  private def hasOuterE(e: Expression): Boolean = e.exists {
+    case _: org.apache.spark.sql.catalyst.expressions.OuterReference => true
+    case _ => false
+  }
+  private def planHasOuter(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(hasOuterE))
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+  /** The outer side of a correlated equality conjunct: an expression
+    * whose EVERY column is an outer reference (a bare outer column, the
+    * analyzer's widening cast over one, `t.k + 1`, ...). Unwrapping the
+    * OuterReference markers yields the expression as the OUTER query
+    * evaluates it — which is exactly the IN-subquery value side. A
+    * conjunct mixing inner and outer columns on one side is not a key
+    * equality and stays refused.
+    */
+  private object OuterKey {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    private def innerAttrFree(e: Expression): Boolean = e match {
+      case OuterReference(_) => true // the wrapped attr is the outer one
+      case _: AttributeReference => false
+      case other => other.children.forall(innerAttrFree)
+    }
+    def unapply(e: Expression): Option[Expression] =
+      if (hasOuterE(e) && innerAttrFree(e))
+        Some(e.transform { case OuterReference(a) => a })
+      else None
+  }
+  /** Peel a correlated subquery BODY: a [Filter over an outer-free
+    * child] whose correlated conjuncts are ALL same-shape equalities
+    * `outer = inner`. Returns the (outer, inner) key pairs and the body
+    * with only the uncorrelated conjuncts left. None = some correlation
+    * this rewrite cannot express (non-equality, outer refs under an
+    * aggregate/join, ...) — the caller refuses loudly.
+    */
+  private def peelBody(p: LogicalPlan)
+      : Option[(Seq[(Expression, Expression)], LogicalPlan)] = p match {
+    case Filter(cond, child) if !planHasOuter(child) =>
+      val (corr, plain) = conjuncts(cond).partition(hasOuterE)
+      val pairs = corr.map {
+        case EqualTo(OuterKey(o), i) if !hasOuterE(i) => Some((o, i))
+        case EqualTo(i, OuterKey(o)) if !hasOuterE(i) => Some((o, i))
+        case _ => None
+      }
+      if (pairs.exists(_.isEmpty)) None
+      else Some((pairs.flatten,
+        plain.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, child)).getOrElse(child)))
+    case other if !planHasOuter(other) => Some((Nil, other))
+    case _ => None
+  }
+  private def dropTopProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(list, child) if !list.exists(hasOuterE) =>
+      dropTopProjects(child)
+    case other => other
+  }
+
+  /** Decorrelate `EXISTS (... WHERE inner = outer)` and
+    * `v IN (SELECT x ... WHERE inner = outer)` in a DELETE/UPDATE
+    * predicate into the UNCORRELATED `(outer keys...) IN (SELECT inner
+    * keys ...)` they denote — the semi-join shape the engine already
+    * supports, and the most common real CDC DELETE/UPDATE form. The
+    * rewrite is EXACT under nulls in every boolean context (NOT EXISTS
+    * included):
+    *  - inner key rows with a NULL component are filtered out — they can
+    *    never satisfy the correlated equality, and leaving them in would
+    *    turn a definite FALSE into NULL under the tuple IN;
+    *  - a NULL outer key short-circuits to FALSE (`If` guard) — the
+    *    correlated equality can never hold for that row, while the bare
+    *    IN would yield NULL and flip under an enclosing NOT.
+    * Correlations this cannot express — non-equality conjuncts, outer
+    * references under aggregates/joins, correlated SCALAR subqueries —
+    * keep the loud refusal with rewrite guidance.
+    */
+  private def decorrelate(e: Expression, what: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd,
+      Exists, If, InSubquery, IsNotNull, ListQuery, Literal}
+    def keysIn(pairs: Seq[(Expression, Expression)], body: LogicalPlan)
+        : Expression = {
+      val inner = pairs.map(_._2)
+      val outer = pairs.map(_._1)
+      val guarded = Filter(inner.map(IsNotNull(_): Expression).reduce(CAnd(_, _)), body)
+      val proj = Project(inner.zipWithIndex.map { case (k, i) =>
+        Alias(k, s"__graft_ck$i")() }, guarded)
+      If(outer.map(IsNotNull(_): Expression).reduce(CAnd(_, _)),
+        InSubquery(outer, ListQuery(proj)), Literal.FalseLiteral)
+    }
+    val out = e.transformUp {
+      case ex: Exists if ex.isCorrelated =>
+        peelBody(dropTopProjects(ex.plan)) match {
+          case Some((pairs, body)) if pairs.nonEmpty => keysIn(pairs, body)
+          case _ => ex // not expressible — refused below
+        }
+      case in @ InSubquery(values, lq: ListQuery) if lq.isCorrelated =>
+        lq.plan match {
+          case Project(list, body0) if !list.exists(hasOuterE) =>
+            peelBody(body0) match {
+              case Some((pairs, body)) if pairs.nonEmpty =>
+                val inner = list.map(_.toAttribute) // value columns
+                // rebuild: original values compare against the projected
+                // value columns, appended key pairs carry the correlation
+                val keyAliases = pairs.map(_._2).zipWithIndex.map {
+                  case (k, i) => Alias(k, s"__graft_ck$i")() }
+                val guarded = Filter(pairs.map(_._2).map(IsNotNull(_): Expression)
+                  .reduce(CAnd(_, _)), body)
+                val proj = Project(list ++ keyAliases, guarded)
+                val allValues = values ++ pairs.map(_._1)
+                val _ = inner
+                If(pairs.map(_._1).map(IsNotNull(_): Expression).reduce(CAnd(_, _)),
+                  InSubquery(allValues, ListQuery(proj)),
+                  Literal.FalseLiteral)
+              case _ => in
+            }
+          case _ => in
+        }
+    }
+    refuseCorrelated(out, what)
+    out
+  }
 
   /** Re-anchor an expression by NAME: attribute references resolved
     * against the statement's relation instance are replaced with
@@ -464,8 +592,8 @@ object SqlDml {
         case DeleteFromTable(GraftRel(table, _, opts, ident), condition)
             if condition.resolved =>
           requireWritable(table, opts)
-          refuseCorrelated(condition, "DELETE")
-          GraftDeleteCommand(table, asColumn(condition), ident)
+          GraftDeleteCommand(table,
+            asColumn(decorrelate(condition, "DELETE")), ident)
 
         case UpdateTable(GraftRel(table, _, opts, ident), assignments,
             condition)
@@ -482,11 +610,12 @@ object SqlDml {
             }
             (name, asColumn(a.value))
           }
-          (assignments.flatMap(a => Seq(a.key, a.value)) ++ condition)
+          assignments.flatMap(a => Seq(a.key, a.value))
             .foreach(refuseCorrelated(_, "UPDATE"))
           GraftUpdateCommand(table, set,
-            asColumn(condition.getOrElse(
-              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)),
+            asColumn(decorrelate(condition.getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
+              "UPDATE")),
             ident)
 
         case m: MergeIntoTable if m.targetTable.resolved &&

@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.sources.{Partitioning, Snapshots}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Call, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+/** SQL surface for the snapshot tier's MAINTENANCE operations — the
+  * Iceberg-procedure-shaped `CALL` statements a table operator runs
+  * from plain SQL, with no graft imports:
+  *
+  * {{{
+  *   CALL graft_compact('/path/to/t')            -- compactVersion
+  *   CALL graft_compact('/path/to/t', 1048576)   --   (target bytes)
+  *   CALL graft_compact_mor('/path/to/t')        -- fold MOR tombstones
+  *   CALL graft_rewrite_layout('/path/to/t')     -- restore partition layout
+  *   CALL graft_vacuum('/path/to/t', 3)          -- reclaim old versions
+  *   CALL graft_remove_orphans('/path/to/t', 0)  -- unreferenced files
+  *   CALL graft_build_segment_index('/path/to/t')
+  * }}}
+  *
+  * Spark 4 parses `CALL` into a [[Call]] over an [[UnresolvedProcedure]];
+  * [[GraftCallRule]] (Hints batch — it must beat procedure resolution,
+  * which would refuse against the v1 session catalog) rewrites a
+  * graft-named procedure into a [[GraftMaintainCommand]], a
+  * `LeafRunnableCommand` that performs the operation when the statement
+  * EXECUTES — so `EXPLAIN CALL graft_compact(...)` plans and displays
+  * the command without touching the table. Each call returns one
+  * `(op, result)` row: the new-version/file-count style summary the
+  * underlying API returns, so scripts can assert on it.
+  */
+object SqlMaintenance {
+
+  /** op name (lower case) → (argument doc, runner(spark, path, optional
+    * numeric second argument) → result). Every op takes the table PATH
+    * first; the optional second argument is the op's single tunable.
+    */
+  private[plans] val ops: Map[String, (String, (SparkSession, String,
+      Option[Long]) => Long)] = Map(
+    "graft_compact" -> (("(path [, target_bytes])",
+      (s, t, n) => Snapshots.compactVersion(s, t,
+        n.getOrElse(128L << 20)).toLong)),
+    "graft_compact_mor" -> (("(path [, target_bytes])",
+      (s, t, n) => Snapshots.compactMor(s, t,
+        n.getOrElse(128L << 20)).toLong)),
+    "graft_rewrite_layout" -> (("(path)",
+      (s, t, n) => {
+        require(n.isEmpty, "graft_rewrite_layout takes only the path")
+        Partitioning.rewriteLayout(s, t).toLong
+      })),
+    "graft_vacuum" -> (("(path [, keep_last])",
+      (s, t, n) => Snapshots.vacuum(s, t,
+        n.getOrElse(1L).toInt).size.toLong)),
+    "graft_remove_orphans" -> (("(path [, older_than_ms])",
+      (s, t, n) => Snapshots.removeOrphans(s, t,
+        n.getOrElse(3600L * 1000)).size.toLong)),
+    "graft_build_segment_index" -> (("(path [, seg_size])",
+      (s, t, n) => Snapshots.buildSegmentIndex(s, t,
+        segSize = n.getOrElse(128L).toInt).toLong)))
+
+  private def evalLiteral(fn: String, e: Expression): Any = {
+    require(e.foldable, s"$fn: arguments must be literals, got $e")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+  }
+
+  private[plans] def command(name: String, args: Seq[Expression])
+      : GraftMaintainCommand = {
+    val (doc, _) = ops(name)
+    require(args.nonEmpty && args.size <= 2, s"CALL $name$doc")
+    val path = evalLiteral(name, args.head).toString
+    val num = args.lift(1).map(e => evalLiteral(name, e) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"CALL $name$doc: second argument must be a number, got $other")
+    })
+    GraftMaintainCommand(name, path, num)
+  }
+}
+
+/** One maintenance call, run at statement EXECUTION (never at plan /
+  * EXPLAIN time). Returns one `(op, result)` row.
+  */
+final case class GraftMaintainCommand(op: String, table: String,
+    num: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("op", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("result", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, runner) = SqlMaintenance.ops(op)
+    Seq(Row(op, runner(spark, table, num)))
+  }
+}
+
+/** Hints-batch rule: `CALL graft_*(...)` → [[GraftMaintainCommand]].
+  * Non-graft procedures pass through to Spark's own resolution.
+  */
+final class GraftCallRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case Call(UnresolvedProcedure(Seq(name)), args, _)
+          if SqlMaintenance.ops.contains(name.toLowerCase) =>
+        SqlMaintenance.command(name.toLowerCase, args)
+    }
+}

@@ -429,19 +429,79 @@ class SqlDmlSpec extends SparkSpec {
       "WHERE k IN (SELECT k + 1 FROM dml_sub_bad)")
     assert(rows(Snapshots.readMor(spark, tbl))
       .filter(_._2 == 0L).map(_._1) === Set(0L, 3L, 6L)) // 0: seed v=0
-    // correlated: the outer reference is bound to the statement's
-    // relation instance, which the command replaces with a fresh read —
-    // refused with guidance instead of an internal attribute error
+    // correlated EXISTS DECORRELATES into the uncorrelated IN it
+    // denotes — the common CDC DELETE shape works end-to-end, including
+    // an outer-side expression (`b.k = t.k + 1` ⇒ keys where k+1 is bad)
+    dml.sql("DELETE FROM dml_sub WHERE EXISTS " +
+      "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k + 1)")
+    assert(rows(Snapshots.readMor(spark, tbl)).map(_._1) ===
+      Set(0L, 3L, 6L, 7L, 8L, 9L)) // 1 and 4 gone (1+1=2, 4+1=5)
+    dml.sql("UPDATE dml_sub SET v = 77 WHERE EXISTS " +
+      "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k)")
+    // both bad keys (2, 5) were deleted by the first statement — the
+    // correlated UPDATE matches nothing and must be a clean no-op
+    assert(rows(Snapshots.readMor(spark, tbl))
+      .filter(_._2 == 77L).map(_._1) === Set.empty[Long])
+  }
+
+  test("correlated DML subqueries: EXISTS / NOT EXISTS / correlated IN " +
+      "decorrelate exactly (null keys included); inexpressible shapes " +
+      "keep the loud refusal") {
+    import spark.implicits._
+    val tbl = freshTable("corr")
+    Snapshots.commit(Seq(
+      (java.lang.Long.valueOf(1L), 10L), (java.lang.Long.valueOf(2L), 20L),
+      (java.lang.Long.valueOf(3L), 30L), (null.asInstanceOf[java.lang.Long],
+        40L)).toDF("k", "v"), tbl)
+    register("dml_corr", tbl)
+    // side table holds a NULL key too — both null directions covered
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_corr_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(g AS BIGINT) g FROM VALUES " +
+      "(2, 1), (9, 1), (NULL, 1), (3, 2) AS x(k, g)")
+    def content: Set[(Option[Long], Long)] =
+      Snapshots.readMor(spark, tbl).collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1))).toSet
+    // NOT EXISTS: the null-key target row has no match ⇒ KEPT, and the
+    // null inner key must not turn the whole predicate null
+    dml.sql("UPDATE dml_corr SET v = v + 1 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM dml_corr_src s WHERE s.k = dml_corr.k)")
+    assert(content === Set((Some(1L), 11L), (Some(2L), 20L),
+      (Some(3L), 30L), (None, 41L)))
+    // correlated IN with a second correlation column: v IN (...) AND the
+    // subquery filters on the outer key
+    dml.sql("DELETE FROM dml_corr WHERE k IN " +
+      "(SELECT s.k FROM dml_corr_src s WHERE s.g = dml_corr.k - 1)")
+    // k=2 (g=1=2-1 matches s.k=2) and k=3 (g=2=3-1 matches s.k=3) go
+    assert(content === Set((Some(1L), 11L), (None, 41L)))
+    // inexpressible: non-equality correlation refuses with guidance
     val e = intercept[IllegalArgumentException] {
-      dml.sql("DELETE FROM dml_sub WHERE EXISTS " +
-        "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k + 1)")
+      dml.sql("DELETE FROM dml_corr WHERE EXISTS " +
+        "(SELECT 1 FROM dml_corr_src s WHERE s.k < dml_corr.k)")
     }
     assert(e.getMessage.contains("CORRELATED"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      dml.sql("UPDATE dml_sub SET v = 1 WHERE EXISTS " +
-        "(SELECT 1 FROM dml_sub_bad b WHERE b.k = dml_sub.k)")
+    // a HAVING equality on the aggregate OUTPUT is still a key equality
+    // — `EXISTS (... HAVING max(g) = t.v)` is `t.v IN (SELECT max(g)
+    // ... GROUP BY k)` and decorrelates (no row has v ∈ {1}, so no-op)
+    dml.sql("DELETE FROM dml_corr WHERE EXISTS " +
+      "(SELECT max(s.g) FROM dml_corr_src s GROUP BY s.k " +
+      "HAVING max(s.g) = dml_corr.v)")
+    assert(content === Set((Some(1L), 11L), (None, 41L)))
+    // inexpressible: outer reference INSIDE the aggregate input — the
+    // grouping itself depends on the outer row (Spark's own analysis
+    // refuses this shape before the DML rule even sees it)
+    val e2 = intercept[Exception] {
+      dml.sql("DELETE FROM dml_corr WHERE EXISTS " +
+        "(SELECT 1 FROM dml_corr_src s GROUP BY s.g " +
+        "HAVING max(s.k + dml_corr.k) > 0)")
     }
-    assert(e2.getMessage.contains("CORRELATED"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("correlat"), e2.getMessage)
+    // correlated scalar subquery in a SET value stays refused
+    val e3 = intercept[IllegalArgumentException] {
+      dml.sql("UPDATE dml_corr SET v = " +
+        "(SELECT max(s.g) FROM dml_corr_src s WHERE s.k = dml_corr.k)")
+    }
+    assert(e3.getMessage.contains("CORRELATED"), e3.getMessage)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns become nullable " +

@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{Partitioning, Snapshots}
+import org.apache.spark.sql.SparkSession
+
+/** `CALL graft_*` maintenance procedures ([[SqlMaintenance]]): routed
+  * onto the snapshot tier's maintenance ops, executed at statement
+  * execution — never at plan/EXPLAIN time.
+  */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private lazy val dml: SparkSession = SqlDml.enable(spark)
+
+  private def freshTable(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mnt_$tag").toString + "/t"
+
+  private def seed3(tbl: String): Unit = {
+    import spark.implicits._
+    // three commits → three files, each with stats
+    (0 until 3).foreach { i =>
+      Snapshots.commit(
+        (0L until 10L).map(k => (i * 10 + k, k)).toDF("k", "v")
+          .coalesce(1),
+        tbl, statsCols = Seq("k"))
+    }
+  }
+
+  test("EXPLAIN CALL is side-effect-free; CALL graft_compact folds the " +
+      "file list and commits one version") {
+    val tbl = freshTable("cmp")
+    seed3(tbl)
+    assert(Snapshots.latestVersion(spark, tbl) === 3)
+    assert(Snapshots.manifest(spark, tbl, 3).size === 3)
+    // EXPLAIN plans the command but must not run it
+    val plan = dml.sql(s"EXPLAIN CALL graft_compact('$tbl')")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftMaintainCommand"), plan)
+    assert(Snapshots.latestVersion(spark, tbl) === 3,
+      "EXPLAIN executed the compaction")
+    // CALL runs it and returns the (op, result) summary row
+    val out = dml.sql(s"CALL graft_compact('$tbl')").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "graft_compact")
+    assert(Snapshots.latestVersion(spark, tbl) === 4)
+    assert(Snapshots.manifest(spark, tbl, 4).size === 1)
+    assert(Snapshots.read(spark, tbl).count() === 30)
+  }
+
+  test("CALL graft_compact_mor folds tombstones; graft_vacuum reclaims " +
+      "old versions; graft_build_segment_index records the index") {
+    import spark.implicits._
+    val tbl = freshTable("mor")
+    seed3(tbl)
+    Snapshots.upsertMor(spark, tbl,
+      Seq((5L, 555L)).toDF("k", "v"), "k")
+    // MOR-masked version: the maintenance call folds it
+    dml.sql(s"CALL graft_compact_mor('$tbl')")
+    val folded = Snapshots.read(spark, tbl)
+    assert(folded.filter(folded("k") === 5L).head().getLong(1) === 555L)
+    // segment index builds and reports the file count
+    val n = dml.sql(s"CALL graft_build_segment_index('$tbl')")
+      .collect().head.getLong(1)
+    assert(n >= 1)
+    // vacuum keeps the last version only and reports reclaimed files
+    val reclaimed = dml.sql(s"CALL graft_vacuum('$tbl', 1)")
+      .collect().head.getLong(1)
+    assert(reclaimed >= 1)
+    assert(Snapshots.read(spark, tbl).count() === 30)
+  }
+
+  test("CALL graft_rewrite_layout restores a partition-spec'd layout; " +
+      "bad calls refuse loudly; non-graft CALLs pass through") {
+    import spark.implicits._
+    val tbl = freshTable("lay")
+    Snapshots.commit((0L until 12L).map(k => (k, k % 3)).toDF("k", "g"),
+      tbl, statsCols = Seq("k"))
+    Partitioning.setSpec(spark, tbl, Seq(Partitioning.Identity("g")))
+    dml.sql(s"CALL graft_rewrite_layout('$tbl')")
+    assert(Partitioning.partitions(spark, tbl).count() === 3)
+    // arity/type refusals
+    val e = intercept[Exception] {
+      dml.sql(s"CALL graft_compact('$tbl', 'not-a-number')")
+    }
+    assert(e.getMessage.contains("graft_compact"), e.getMessage)
+    val e2 = intercept[Exception] { dml.sql("CALL graft_vacuum()") }
+    assert(e2.getMessage.contains("graft_vacuum"), e2.getMessage)
+    // an unknown procedure is NOT intercepted — Spark's own resolution
+    // refuses it (no procedure catalog), proving the rule scopes itself
+    intercept[Exception] { dml.sql("CALL not_graft('x')") }
+  }
+}
