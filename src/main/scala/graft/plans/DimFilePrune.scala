@@ -154,11 +154,12 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => Seq((j.left, j.right), (j.right, j.left))
     }
     sides.iterator.flatMap { case (factSide, dimSide) =>
-      pruneSide(factSide, dimSide, j.condition.get).map {
-        case (newFact, newDim) =>
+      pruneSide(factSide, dimSide, j.condition.get)
+        .orElse(pruneEvolvedSide(factSide, dimSide, j.condition.get))
+        .map { case (newFact, newDim) =>
           if (factSide eq j.left) j.copy(left = newFact, right = newDim)
           else j.copy(left = newDim, right = newFact)
-      }
+        }
     }.nextOption().getOrElse(j)
   }
 
@@ -458,6 +459,194 @@ object DimFilePruneRule extends Rule[LogicalPlan] with PredicateHelper {
     * before parsing any per-file entry — O(segments + kept), not
     * O(files).
     */
+  // ---- the EVOLVED tier: era-sliced fact scans -------------------------
+
+  /** One era branch of a [[graft.sources.Snapshots.readIndexedEvolved]]
+    * union: the era's scan plus a positional map from the CURRENT-name
+    * output column to the era's PHYSICAL (column name, type) — None at
+    * positions whose era projection is not a plain column or an
+    * integral-widening cast of one (e.g. a default-event coalesce),
+    * which simply leaves that branch unpruned for that key.
+    */
+  private final case class EraBranch(lr: LogicalRelation,
+      hfs: HadoopFsRelation, fi: SnapshotFileIndex,
+      colAt: Int => Option[(String, DataType)])
+
+  /** Physical column behind one era-projection item. */
+  private def eraColOf(ne: org.apache.spark.sql.catalyst.expressions
+      .NamedExpression): Option[(String, DataType)] = ne match {
+    case a: AttributeReference => Some((a.name, a.dataType))
+    case Alias(a: AttributeReference, _) => Some((a.name, a.dataType))
+    case Alias(c: Cast, _) => c.child match {
+      case a: AttributeReference if widening(a.dataType, c.dataType) =>
+        Some((a.name, a.dataType))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def eraScanOf(q: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, SnapshotFileIndex)] =
+    q match {
+      case Filter(_, c) => eraScanOf(c)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case fi: SnapshotFileIndex if fi.eraSlice => Some((lr, h, fi))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def branchOf(p: LogicalPlan): Option[EraBranch] = p match {
+    case Project(list, child) => eraScanOf(child).map { case (lr, h, fi) =>
+      EraBranch(lr, h, fi, i => list.lift(i).flatMap(eraColOf))
+    }
+    case _ => eraScanOf(p).map { case (lr, h, fi) =>
+      EraBranch(lr, h, fi,
+        i => lr.output.lift(i).map(a => (a.name, a.dataType)))
+    }
+  }
+
+  /** An era-evolved fact side — the shape `readIndexedEvolved` plans
+    * (and the optimizer reduces): [attribute-only Project | Filter]*
+    * over a Union of era branches, each a Project over an era-sliced
+    * index scan (or the bare scan once the optimizer dropped an
+    * identity projection); a single surviving era matches without the
+    * Union. Returns the positional output (the union's, for the
+    * key-position lookup) and every branch — all branches must resolve
+    * and agree on (table, version), or the side does not qualify.
+    */
+  private def evolvedFactOf(p: LogicalPlan)
+      : Option[(Seq[Attribute], Seq[EraBranch])] = p match {
+    case Project(pl, child)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      evolvedFactOf(child)
+    case Filter(_, child) => evolvedFactOf(child)
+    case u: Union =>
+      val bs = u.children.map(branchOf)
+      if (bs.nonEmpty && bs.forall(_.isDefined)) {
+        val all = bs.flatten
+        if (all.map(b => (b.fi.table, b.fi.version)).distinct.size == 1)
+          Some((u.output, all))
+        else None
+      } else None
+    case other => branchOf(other).map(b => (other.output, Seq(b)))
+  }
+
+  /** Equi-conjuncts linking the evolved fact's OUTPUT POSITIONS to dim
+    * attributes — positional because each era branch maps the position
+    * to its own physical column.
+    */
+  private def evolvedEquiKeys(cond: Expression, outs: Seq[Attribute],
+      dimSide: LogicalPlan): Seq[(Int, Attribute)] = {
+    def strip(e: Expression): Option[Attribute] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast if widening(c.child.dataType, c.dataType) =>
+        strip(c.child)
+      case _ => None
+    }
+    def factIdx(a: Attribute): Option[Int] = {
+      val i = outs.indexWhere(_.exprId == a.exprId)
+      if (i >= 0) Some(i) else None
+    }
+    def dimAttr(a: Attribute): Option[Attribute] =
+      dimSide.outputSet.find(_.exprId == a.exprId)
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(l, r) =>
+        (strip(l), strip(r)) match {
+          case (Some(a), Some(b)) =>
+            factIdx(a).flatMap(i => dimAttr(b).map(d => (i, d)))
+              .orElse(factIdx(b).flatMap(i => dimAttr(a).map(d => (i, d))))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The evolved counterpart of [[pruneSide]]: each era branch prunes
+    * INDEPENDENTLY through its own projection — the dim keys narrow to
+    * the era's physical type (a key outside an int era's range can
+    * match no row physically stored as int) and probe that era's
+    * evidence under its own column names, with
+    * [[SnapshotFileIndex.pruneByKeys]]'s widen-aware bloom reprobes. A
+    * branch whose key position hides behind a default-coalesce (or any
+    * unprovable projection) stays unpruned — soundness never depends on
+    * all branches participating. The dim executes ONCE and substitutes
+    * back as a LocalRelation, exactly like the flat tier.
+    */
+  private def pruneEvolvedSide(factSide: LogicalPlan, dimSide: LogicalPlan,
+      cond: Expression): Option[(LogicalPlan, LogicalPlan)] = {
+    val spark = SparkSession.active
+    for {
+      (outs, branches) <- evolvedFactOf(factSide)
+      fi0 = branches.head.fi
+      maxKeys <- fi0.rootPaths.headOption
+        .flatMap(rp => DimFilePrune.maxKeysFor(spark, rp.toUri.getPath))
+      if boundOf(dimSide).exists(_ <= maxKeys) ||
+        broadcastable(dimSide) || materialized(dimSide)
+      if dimSide.find(p =>
+        p.expressions.exists(e => !e.deterministic)).isEmpty
+      conjs = evolvedEquiKeys(cond, outs, dimSide).take(4)
+        .filter { case (i, d) => supported(d.dataType) &&
+          branches.exists(_.colAt(i).exists(c => supported(c._2))) }
+      if conjs.nonEmpty
+      dimRows = collectDim(spark, dimSide, maxKeys)
+      // raw distinct keys per conjunct, in the DIM's own type — each
+      // branch narrows to its own era width from this one collection
+      rawKeys = conjs.map { case (i, dimAttr) =>
+        (i, dimRows.fold(
+          collectKeys(spark, dimAttr, dimSide, dimAttr.dataType, maxKeys))(
+          rows => keysFrom(rows, dimSide.output, dimAttr,
+            dimAttr.dataType)))
+      }
+      if rawKeys.exists(_._2.isDefined)
+      pruned <- rewriteEvolved(spark, factSide, branches, rawKeys)
+    } yield (pruned,
+      dimRows.fold(dimSide)(rows =>
+        LocalRelation(dimSide.output, rows.toIndexedSeq)))
+  }
+
+  private def rewriteEvolved(spark: SparkSession, factSide: LogicalPlan,
+      branches: Seq[EraBranch],
+      rawKeys: Seq[(Int, Option[Seq[Any]])]): Option[LogicalPlan] = {
+    var keptTotal = 0
+    var skippedTotal = 0
+    val swaps: Seq[(LogicalRelation, LogicalRelation)] = branches.flatMap {
+      b =>
+        val cuts = rawKeys.flatMap { case (i, keysOpt) =>
+          for {
+            keys <- keysOpt
+            (eraCol, eraType) <- b.colAt(i)
+            if supported(eraType)
+            narrowed <- narrowKeys(keys.iterator, eraType)
+          } yield b.fi.pruneByKeys(eraCol, narrowed)
+        }
+        if (cuts.isEmpty) { keptTotal += b.fi.entries.size; None }
+        else {
+          val keptPaths =
+            cuts.map(_._1.map(_.path).toSet).reduce(_ intersect _)
+          val kept = cuts.head._1.filter(e => keptPaths.contains(e.path))
+          keptTotal += kept.size
+          skippedTotal += b.fi.entries.size - kept.size
+          val newFi = SnapshotFileIndex.prunedCopy(spark, b.fi, kept)
+          Some((b.lr, b.lr.copy(relation =
+            b.hfs.copy(location = newFi)(b.hfs.sparkSession))))
+        }
+    }
+    if (swaps.isEmpty) None
+    else {
+      DimFilePrune.lastCut =
+        Some((branches.head.fi.table, keptTotal, skippedTotal))
+      val byRef = swaps.toMap
+      Some(factSide.transformUp {
+        case l2: LogicalRelation
+            if byRef.keys.exists(_ eq l2) => byRef.find(_._1 eq l2).get._2
+      })
+    }
+  }
+
   private def rewrite(spark: SparkSession, factSide: LogicalPlan,
       lr: LogicalRelation, hfs: HadoopFsRelation, fi: SnapshotFileIndex,
       cut: (Seq[graft.sources.Snapshots.FileEntry], Int))

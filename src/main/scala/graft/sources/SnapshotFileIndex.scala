@@ -49,7 +49,8 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     val table: String, val version: Int,
     entriesOverride: Option[Seq[Snapshots.FileEntry]],
     schemaOverride: Option[StructType],
-    wholeVersion: Boolean = false) extends FileIndex {
+    wholeVersion: Boolean = false,
+    private[graft] val eraSlice: Boolean = false) extends FileIndex {
 
   def this(spark: SparkSession, table: String, version: Int) =
     this(spark, table, version, None, None, wholeVersion = true)
@@ -78,7 +79,10 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     * NOT the test). The era form and [[SnapshotFileIndex.prunedCopy]]
     * slices answer false; optimizer rules that reason from "entries =
     * the whole version" (the dim-prune rule gates on it — doubling as
-    * its fixed-point idempotence guard) must check this.
+    * its fixed-point idempotence guard) must check this. Era slices
+    * additionally answer `eraSlice = true` — the dim-prune rule's
+    * evolved tier prunes THOSE through their era projection, and the
+    * pruned copies answer false again, preserving the fixed point.
     */
   private[graft] def flatForm: Boolean = wholeVersion
 

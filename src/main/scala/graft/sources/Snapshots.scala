@@ -2080,7 +2080,8 @@ object Snapshots {
       val index = new SnapshotFileIndex(spark, table, v,
         Some(g.entries),
         Some(org.apache.spark.sql.types.StructType(
-          g.eraSchema.fields.map(_.copy(nullable = true)))))
+          g.eraSchema.fields.map(_.copy(nullable = true)))),
+        eraSlice = true)
       val rel = HadoopFsRelation(index,
         new org.apache.spark.sql.types.StructType(), index.dataSchema,
         None, new ParquetFileFormat, Map.empty)(spark)

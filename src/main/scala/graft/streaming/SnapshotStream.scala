@@ -197,73 +197,79 @@ object SnapshotStream {
     * batch callers that omit `owned` keep the registration, their
     * returned frame (and anything composed on top) optimizes lazily
     * after this method returns. ERA-EVOLVED tables (rename/widen/default
-    * events with surviving pre-event files) take a flat index refusal
-    * and keep the explicit era-aware pruned scan.
+    * events with surviving pre-event files) route through the SAME rule
+    * via the per-era indexed read ([[Snapshots.readIndexedEvolved]]):
+    * the rule's evolved tier prunes each era branch through its own
+    * projection, so an evolved lookup table keeps the cut.
     */
   private[graft] def lookupBatch(batch: DataFrame, table: String,
       factCol: String, streamCol: String, maxKeys: Int,
       owned: Option[java.util.concurrent.atomic.AtomicBoolean] = None)
       : DataFrame = {
     val spark = batch.sparkSession
-    // flat tables route through the AUTOMATIC rule; era-evolved tables
-    // (rename/widen/default events with surviving pre-event files)
-    // cannot take a flat index — they keep the explicit era-aware
-    // pruned scan below. MOR-masked versions refuse LOUDLY either way.
-    val flatFact =
-      try Some(Snapshots.readIndexed(spark, table))
+    // flat tables take the single whole-version index; era-evolved
+    // tables take the per-era union — BOTH route through the automatic
+    // rule. MOR-masked versions refuse LOUDLY either way.
+    val (fact, fidx) =
+      try { val (f, i) = Snapshots.readIndexed(spark, table); (f, Seq(i)) }
       catch {
         case e: IllegalArgumentException
             if String.valueOf(e.getMessage).contains("readIndexedEvolved") =>
-          None
+          Snapshots.readIndexedEvolved(spark, table)
       }
-    flatFact match {
-      case Some((fact, fidx)) =>
-        // registration is if-absent (a user's own enable() choice on
-        // this table wins); if THIS call created it, report ownership so
-        // lookupJoin's termination listener can remove it — the returned
-        // frame, and anything composed on top, optimizes lazily after
-        // this method returns
-        if (graft.plans.DimFilePrune.enableIfAbsent(spark, table, maxKeys))
-          owned.foreach(_.set(true))
-        val joined =
-          if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
-          else batch.join(fact, batch(streamCol) === fact(factCol), "left")
-        // force optimization NOW: the rule fires (or declines) here,
-        // the optimized plan is reused when the sink executes the same
-        // frame, and the cut counter is read from THIS plan (the global
-        // lastCut would race with concurrent queries)
-        val kept = joined.queryExecution.optimizedPlan.collect {
+    // registration is if-absent (a user's own enable() choice on
+    // this table wins); if THIS call created it, report ownership so
+    // lookupJoin's termination listener can remove it — the returned
+    // frame, and anything composed on top, optimizes lazily after
+    // this method returns
+    if (graft.plans.DimFilePrune.enableIfAbsent(spark, table, maxKeys))
+      owned.foreach(_.set(true))
+    val joined =
+      if (factCol == streamCol) batch.join(fact, Seq(streamCol), "left")
+      else batch.join(fact, batch(streamCol) === fact(factCol), "left")
+    // force optimization NOW: the rule fires (or declines) here,
+    // the optimized plan is reused when the sink executes the same
+    // frame, and the cut counter is read from THIS plan (the global
+    // lastCut would race with concurrent queries). Counted over PRUNED
+    // indexes only (!flatForm && !eraSlice): an unpruned era slice is
+    // not a cut, and a no-rewrite plan reads None.
+    val prunedSizes = joined.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location match {
+          case fi: graft.sources.SnapshotFileIndex
+              if fi.table == fidx.head.table && !fi.flatForm &&
+                !fi.eraSlice =>
+            Some(fi.entries.size)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.flatten
+    val total = fidx.map(_.entries.size).sum
+    lastLookupPrune =
+      if (prunedSizes.isEmpty) None
+      else {
+        // unpruned era branches (colAt unprovable) still count as kept
+        val prunedTotal = prunedSizes.sum
+        val unprunedKept = joined.queryExecution.optimizedPlan.collect {
           case lr: org.apache.spark.sql.execution.datasources
               .LogicalRelation => lr.relation match {
             case h: org.apache.spark.sql.execution.datasources
                 .HadoopFsRelation => h.location match {
               case fi: graft.sources.SnapshotFileIndex
-                  if fi.table == fidx.table && !fi.flatForm =>
+                  if fi.table == fidx.head.table && fi.eraSlice =>
                 Some(fi.entries.size)
               case _ => None
             }
             case _ => None
           }
-        }.flatten.headOption
-        lastLookupPrune = kept.map(k => (k, fidx.entries.size - k))
-        joined
-      case None =>
-        // era-evolved static side: the explicit era-aware prune — the
-        // same cut, computed through scanPrunedIn's per-era evidence
-        val slice =
-          try {
-            val ps = Snapshots.dimPrunedScan(spark, table, factCol, batch,
-              streamCol, maxKeys)
-            lastLookupPrune = Some((ps.filesRead, ps.filesSkipped))
-            ps.df
-          } catch {
-            case _: Snapshots.UnselectiveDimException =>
-              lastLookupPrune = None
-              Snapshots.read(spark, table)
-          }
-        if (factCol == streamCol) batch.join(slice, Seq(streamCol), "left")
-        else batch.join(slice, batch(streamCol) === slice(factCol), "left")
-    }
+        }.flatten.sum
+        val kept = prunedTotal + unprunedKept
+        Some((kept, total - kept))
+      }
+    joined
   }
 
   private[graft] def upsertBatch(batch: DataFrame, batchId: Long,

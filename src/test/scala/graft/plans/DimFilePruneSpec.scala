@@ -51,6 +51,46 @@ class DimFilePruneSpec extends SparkSpec {
       }
     }.flatten
 
+  test("EVOLVED tier: a plain join over readIndexedEvolved prunes each " +
+      "era branch through its own projection; a default-event key " +
+      "leaves its era unpruned but correct") {
+    import spark.implicits._
+    val tbl = freshTable("evodef")
+    // era 1: (k, v) over 4 range-clustered files, k 0..31
+    Snapshots.commit(
+      (0L until 32L).map(i => (i, i * 10)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k"), bloomCols = Seq("k"))
+    // g added WITH DEFAULT 7: era-1 rows read g = 7 via a coalesce
+    Snapshots.addColumn(spark, tbl, "g",
+      org.apache.spark.sql.types.LongType, default = Some(7L))
+    // era 2: (k, v, g) with g in 0..3, k 32..63
+    Snapshots.commit(
+      (32L until 64L).map(i => (i, i * 10, i % 4)).toDF("k", "v", "g")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k", "g"))
+    DimFilePrune.enable(spark, tbl)
+    try {
+      val (fact, idxs) = Snapshots.readIndexedEvolved(spark, tbl)
+      assert(idxs.size === 2)
+      // join on k: BOTH eras prune (k is a plain column in each
+      // projection) — one file kept per era
+      val j1 = fact.join(Seq(1L, 40L).toDF("k"), Seq("k"))
+      val rows1 = j1.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+      assert(rows1 === Set((1L, 10L, 7L), (40L, 400L, 0L)), rows1.toString)
+      val files1 = factIndexFiles(j1, tbl)
+      assert(files1.nonEmpty && files1.sum === 2, files1.toString)
+      // join on g = 7: era 1's g hides behind the default coalesce —
+      // UNPROVABLE, so that era keeps all 4 files (and must: every
+      // era-1 row materializes g = 7); era 2 prunes to zero (g ∈ 0..3)
+      val j2 = fact.join(Seq(7L).toDF("g"), Seq("g"))
+      assert(j2.count() === 32L)
+      val files2 = factIndexFiles(j2, tbl)
+      assert(files2.sum === 4, files2.toString)
+    } finally DimFilePrune.clear()
+  }
+
   test("a plain inner join over an enabled indexed fact gets the file " +
       "cut automatically, loses no rows, and survives key-width casts") {
     val tbl = buildFact("auto")

@@ -96,19 +96,64 @@ class LookupStreamSpec extends SparkSpec {
   }
 
   test("an era-evolved static table (rename with surviving old files) " +
-      "keeps enriching through the era-aware pruned scan") {
-    val tbl = buildStatic("evolved")
+      "routes through the automatic rule: each era branch prunes " +
+      "independently through its own projection") {
+    val tbl = fresh("evolved")
+    // era 1: k 0..31 over 4 range-clustered files, pre-rename names
+    Snapshots.commit(
+      (0L until 32L).map(i => (i, s"name$i")).toDF("k", "name")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k"), bloomCols = Seq("k"))
     Snapshots.renameColumn(spark, tbl, "name", "label")
-    val batch = Seq(Lookup(1, "a"), Lookup(999, "miss")).toDF()
+    // era 2: k 32..63 committed post-rename under the new name
+    Snapshots.commit(
+      (32L until 64L).map(i => (i, s"label$i")).toDF("k", "label")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val batch = Seq(Lookup(1, "a"), Lookup(40, "b"), Lookup(999, "miss"))
+      .toDF()
     SnapshotStream.lastLookupPrune = None
     val out = SnapshotStream.lookupBatch(batch, tbl, "k", "key",
       maxKeys = 100000)
     val rows = out.collect().map(r => (r.getLong(0),
       if (r.isNullAt(3)) null else r.getString(3))).toSet
-    assert(rows === Set((1L, "name1"), (999L, null)), rows.toString)
-    // the explicit era-aware prune fired (flat index refused)
-    assert(SnapshotStream.lastLookupPrune.exists(_._2 > 0),
-      s"no era-aware cut: ${SnapshotStream.lastLookupPrune}")
+    assert(rows === Set((1L, "name1"), (40L, "label40"), (999L, null)),
+      rows.toString)
+    // the rule's evolved tier fired: both eras pruned (1 file kept per
+    // era out of 4), totals accounted across branches
+    val cut = SnapshotStream.lastLookupPrune
+    assert(cut.exists(p => p._1 + p._2 == 8 && p._2 >= 6),
+      s"no evolved-tier cut: $cut")
+    graft.plans.DimFilePrune.clear()
+  }
+
+  test("a WIDENED key column (int era under a bigint head) still prunes " +
+      "per era: keys narrow to the era's physical width") {
+    val tbl = fresh("evolvedw")
+    Snapshots.commit(
+      (0 until 32).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k"), bloomCols = Seq("k"))
+    Snapshots.widenColumn(spark, tbl, "k",
+      org.apache.spark.sql.types.LongType)
+    Snapshots.commit(
+      (32L until 64L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      tbl, statsCols = Seq("k"), bloomCols = Seq("k"))
+    // one hit per era plus a key no int-era file could physically hold
+    val batch = Seq(Lookup(1, "a"), Lookup(40, "b"),
+      Lookup(5000000000L, "wide-miss")).toDF()
+    SnapshotStream.lastLookupPrune = None
+    val out = SnapshotStream.lookupBatch(batch, tbl, "k", "key",
+      maxKeys = 100000)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(rows === Set((1L, "v1"), (40L, "v40"), (5000000000L, null)),
+      rows.toString)
+    val cut = SnapshotStream.lastLookupPrune
+    assert(cut.exists(p => p._1 + p._2 == 8 && p._2 >= 6),
+      s"no widen-era cut: $cut")
+    graft.plans.DimFilePrune.clear()
   }
 
   test("upserts into the static table surface at the next micro-batch") {
