@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** The fixture memo ([[SnapshotQueries]]): a SECOND invocation of every
+  * snapshot-tier catalog entry inside one JVM must return results
+  * hash-identical to the first — the property Bench's min-of-3 relies
+  * on (iterations 2..n reuse the memoized tables) and the correctness
+  * dump (one invocation per JVM) can never catch. An entry whose build
+  * was not idempotent-under-memo — a re-applied mutation, a refused
+  * re-tag, a deleted-and-not-rebuilt side table — fails here by name.
+  */
+class FixtureMemoSpec extends SparkSpec {
+
+  test("every snapshot-tier entry returns identical results on a second " +
+      "invocation (memoized fixtures)") {
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    SnapshotQueries.all.foreach { q =>
+      try {
+        def run(): Seq[String] =
+          q.run(spark, sf001).collect().map(_.toString).toSeq.sorted
+        val first = run()
+        val second = run()
+        if (first != second)
+          failures += s"${q.name}: second invocation diverged " +
+            s"(${first.size} vs ${second.size} rows)"
+        if (first.isEmpty)
+          failures += s"${q.name}: returned no rows"
+      } catch {
+        case e: Throwable =>
+          failures += s"${q.name}: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(120)
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
