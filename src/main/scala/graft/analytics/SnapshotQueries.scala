@@ -2255,6 +2255,73 @@ object SnapshotQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE s_nationkey = (SELECT max(s_nationkey) FROM supplier)"""))
 
+  /** The EVOLVED tier of the automatic prune rule
+    * ([[graft.plans.DimFilePruneRule]]): the same zero-API star-join
+    * cut as q_dim_file_prune_auto, but the FACT table carries a column
+    * RENAME and a type WIDEN with surviving pre-event files — the state
+    * a long-lived 100 TB table is actually in. The per-era indexed read
+    * plans a union of era branches; the rule prunes EACH branch through
+    * its own projection (era-name evidence, keys narrowed to the era's
+    * physical width), so the evolved table keeps the dim-driven file
+    * cut a flat table gets. The oracle replays the evolution as
+    * CAST/CASE logic over the source tables; the per-branch cut counts
+    * are pinned in DimFilePruneSpec.
+    */
+  val dimPruneEvolved = Q("q_dim_prune_evolved",
+    (s, d) => {
+      val tbl = memoFixture(s, d, "dfpe") { tbl =>
+        val li = lineitem(s, d)
+        // era 1: even orderkeys under pre-rename/pre-widen shape
+        Snapshots.commit(
+          li.filter(col("l_orderkey") % 2 === 0)
+            .select(col("l_suppkey").as("sk0"),
+              col("l_quantity").cast("int").as("qty"),
+              col("l_extendedprice"))
+            .repartitionByRange(8, col("sk0"))
+            .sortWithinPartitions(col("sk0")),
+          tbl, statsCols = Seq("sk0"), bloomCols = Seq("sk0"))
+        Snapshots.renameColumn(s, tbl, "sk0", "supp_key")
+        Snapshots.widenColumn(s, tbl, "qty",
+          org.apache.spark.sql.types.LongType)
+        // era 2: odd orderkeys under the evolved shape
+        Snapshots.commit(
+          li.filter(col("l_orderkey") % 2 === 1)
+            .select(col("l_suppkey").as("supp_key"),
+              col("l_quantity").cast("long").as("qty"),
+              col("l_extendedprice"))
+            .repartitionByRange(8, col("supp_key"))
+            .sortWithinPartitions(col("supp_key")),
+          tbl, statsCols = Seq("supp_key"), bloomCols = Seq("supp_key"))
+      }
+      graft.plans.DimFilePrune.enable(s, tbl)
+      val nat = supplier(s, d).agg(min(col("s_nationkey")).cast("long"))
+        .head().getLong(0)
+      val dimTbl = memoFixture(s, d, "dfpe_dim") { dimTbl =>
+        Snapshots.commit(supplier(s, d)
+          .filter(col("s_nationkey") === lit(nat))
+          .select(col("s_suppkey")), dimTbl)
+      }
+      val dim = Snapshots.readIndexed(s, dimTbl)._1
+      val fact = Snapshots.readIndexedEvolved(s, tbl)._1
+      // the PLAIN join — the rule's evolved tier injects the per-era cut
+      fact.join(broadcast(dim), col("supp_key") === col("s_suppkey"))
+        .groupBy(col("supp_key"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("qty")).as("_q"),
+          sum(col("l_extendedprice").cast("decimal(27,4)")).as("_rev"))
+        .agg(sum(col("_n")).as("n_rows"),
+          sum(col("_q")).cast("long").as("total_qty"),
+          sum(col("_rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_suppliers"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+           CAST(sum(CAST(CAST(l_quantity AS INTEGER) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           ${dsumSql("l_extendedprice")} AS revenue,
+           count(DISTINCT l_suppkey) AS n_suppliers
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)"""))
+
   /** BATCH TWIN of the streaming lookup join
     * ([[graft.streaming.SnapshotStream.lookupJoin]]): one micro-batch's
     * exact per-batch semantics — the batch's bounded key set dim-prunes
@@ -2447,7 +2514,7 @@ object SnapshotQueries {
     sqlMergeConditional,
     sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,
-    lookupEnrich,
+    dimPruneEvolved, lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
     branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,
