@@ -30,6 +30,13 @@ object PlanFingerprint {
     */
   private[graft] def normalize(s: String): String = foldScanTails(s
     .replaceAll("#\\d+", "#x")                       // expression ids
+    // higher-order-function lambda variables print as `lambda x_33#x`:
+    // the NAME suffix is a JVM-global counter (fresh per lambda ever
+    // analyzed in the session), so a query using zip_with/transform/...
+    // hashes differently depending on how many lambdas EARLIER queries
+    // allocated — the r17 drift class the fixture memo exposed. The
+    // suffix is allocation history, not plan shape.
+    .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_n")
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")        // exchange/stage ids
     .replaceAll("(file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")

@@ -737,10 +737,10 @@ object CoreQueries {
     */
   val compactRoundtrip = Q("q_compact",
     (s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
-      nation(s, d).repartition(8).write.mode("overwrite").parquet(out)
-      graft.sources.Maintenance.compact(s, out)
+      val out = Fixtures.memo(s, d, "corecompact") { out =>
+        nation(s, d).repartition(8).write.mode("overwrite").parquet(out)
+        graft.sources.Maintenance.compact(s, out)
+      }
       s.read.parquet(out).orderBy(col("n_nationkey"))
     },
     Some("SELECT * FROM nation ORDER BY n_nationkey"))
@@ -753,16 +753,16 @@ object CoreQueries {
     */
   val partitionOverwrite = Q("q_partition_overwrite",
     (s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpo_" +
-        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
-      val base = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
-        col("o_orderstatus"))
-      graft.sources.Maintenance.overwritePartitions(base, out,
-        Seq("o_orderstatus"))
-      val patch = base.filter(col("o_orderstatus") === "O")
-        .withColumn("o_totalprice", col("o_totalprice") + 1)
-      graft.sources.Maintenance.overwritePartitions(patch, out,
-        Seq("o_orderstatus"))
+      val out = Fixtures.memo(s, d, "dpo") { out =>
+        val base = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        graft.sources.Maintenance.overwritePartitions(base, out,
+          Seq("o_orderstatus"))
+        val patch = base.filter(col("o_orderstatus") === "O")
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+        graft.sources.Maintenance.overwritePartitions(patch, out,
+          Seq("o_orderstatus"))
+      }
       s.read.parquet(out)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Versioned-table (time travel / snapshot) catalog entries over
   * [[graft.sources.Snapshots]]. Each query builds its own table under the
-  * JVM tmpdir from the driver's orders parquet — fresh per invocation
-  * (the dir is deleted first, so Bench's min-of-3 reruns are idempotent)
-  * — and the oracle replays the version contents as predicates over the
+  * JVM tmpdir from the driver's orders parquet — MEMOIZED per (JVM,
+  * dataset, tag) via [[Fixtures.memo]]: the construction (commits,
+  * mutations, maintenance) runs once, later invocations reuse the built
+  * table, and FixtureMemoSpec pins second-invocation hash-identity —
+  * and the oracle replays the version contents as predicates over the
   * SOURCE table, which is exactly the property a snapshot layer must
   * keep: a version reads as the data that was committed into it, no
   * matter what later commits, compactions, or layout changes happened.
@@ -23,36 +25,14 @@ object SnapshotQueries {
   private val cutoff = "1996-07-01"
 
   private def tablePath(s: SparkSession, d: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_" +
-      s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${s.sparkContext.applicationId}"
+    Fixtures.tablePath(s, d, tag)
 
-  private def freshTable(s: SparkSession, d: String, tag: String): String = {
-    val path = tablePath(s, d, tag)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    path
-  }
+  private def freshTable(s: SparkSession, d: String, tag: String): String =
+    Fixtures.freshTable(s, d, tag)
 
-  /** Session-scoped FIXTURE MEMO — the `SqlDml.enable` memo discipline
-    * applied to bench fixtures: an entry's table construction (commits,
-    * mutations, maintenance — all deterministic in the dataset dir)
-    * runs ONCE per (JVM, dataset, tag); later invocations reuse the
-    * built table. Sound because each memoized build ends in the FINAL
-    * state its entry's query reads, and entries never touch each
-    * other's tags. Bench's min-of-3 then measures the query against a
-    * warm fixture instead of re-paying the commit protocol three times;
-    * the correctness dump (one invocation per JVM) is unaffected, and
-    * FixtureMemoSpec pins that a SECOND invocation still returns
-    * hash-identical results.
-    */
-  private val builtFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  /** See [[Fixtures.memo]]. */
   private def memoFixture(s: SparkSession, d: String, tag: String)(
-      build: String => Unit): String =
-    builtFixtures.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$d|$tag",
-      _ => { val tbl = freshTable(s, d, tag); build(tbl); tbl })
+      build: String => Unit): String = Fixtures.memo(s, d, tag)(build)
 
   private def src(s: SparkSession, d: String): DataFrame =
     orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
@@ -120,15 +100,17 @@ object SnapshotQueries {
     */
   val cloneQ = Q("q_clone",
     (s, d) => {
-      val srcTbl = freshTable(s, d, "clsrc")
-      val o = src(s, d)
-      Snapshots.commit(o, srcTbl, statsCols = Seq("o_orderkey"))
-      val dstTbl = freshTable(s, d, "cldst")
-      Snapshots.cloneTable(s, srcTbl, dstTbl)
-      val upd = o.filter(col("o_orderkey") < 100)
-        .withColumn("o_totalprice", lit(0.0))
-      val del = s.range(100, 120).select(col("id").as("o_orderkey"))
-      Snapshots.merge(s, dstTbl, upd, del, "o_orderkey")
+      val dstTbl = memoFixture(s, d, "cldst") { dstTbl =>
+        val srcTbl = freshTable(s, d, "clsrc")
+        val o = src(s, d)
+        Snapshots.commit(o, srcTbl, statsCols = Seq("o_orderkey"))
+        Snapshots.cloneTable(s, srcTbl, dstTbl)
+        val upd = o.filter(col("o_orderkey") < 100)
+          .withColumn("o_totalprice", lit(0.0))
+        val del = s.range(100, 120).select(col("id").as("o_orderkey"))
+        Snapshots.merge(s, dstTbl, upd, del, "o_orderkey")
+      }
+      val srcTbl = tablePath(s, d, "clsrc")
       def side(tbl: String, name: String): DataFrame =
         Snapshots.read(s, tbl)
           .agg(count(lit(1)).as("n_orders"),
@@ -291,9 +273,10 @@ object SnapshotQueries {
     */
   val fileSkip = Q("q_file_skip",
     (s, d) => {
-      val tbl = freshTable(s, d, "skip")
-      Snapshots.commit(src(s, d).repartitionByRange(8, col("o_orderkey")),
-        tbl, statsCols = Seq("o_orderkey"))
+      val tbl = memoFixture(s, d, "skip") { tbl =>
+        Snapshots.commit(src(s, d).repartitionByRange(8, col("o_orderkey")),
+          tbl, statsCols = Seq("o_orderkey"))
+      }
       val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
         .head().getLong(0)
       val hi = maxKey / 10
@@ -313,13 +296,15 @@ object SnapshotQueries {
     */
   val versionedCompact = Q("q_versioned_compact",
     (s, d) => {
-      val tbl = freshTable(s, d, "vc")
-      val o = src(s, d)
-      Snapshots.commit(
-        o.filter(col("o_orderdate") < lit(cutoff)).repartition(6), tbl)
-      Snapshots.commit(
-        o.filter(col("o_orderdate") >= lit(cutoff)).repartition(6), tbl)
-      val v3 = Snapshots.compactVersion(s, tbl)
+      val tbl = memoFixture(s, d, "vc") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") < lit(cutoff)).repartition(6), tbl)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") >= lit(cutoff)).repartition(6), tbl)
+        Snapshots.compactVersion(s, tbl)
+      }
+      val v3 = 3 // the compaction commit above
       agg(Snapshots.read(s, tbl, Some(1)), 1)
         .unionByName(agg(Snapshots.read(s, tbl, Some(v3)), v3))
         .orderBy(col("version"))
@@ -371,11 +356,12 @@ object SnapshotQueries {
     */
   val bloomSkip = Q("q_bloom_skip",
     (s, d) => {
-      val tbl = freshTable(s, d, "bloom")
-      Snapshots.commit(
-        orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
-          col("o_custkey")).repartition(8, col("o_custkey")),
-        tbl, bloomCols = Seq("o_custkey"))
+      val tbl = memoFixture(s, d, "bloom") { tbl =>
+        Snapshots.commit(
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+            col("o_custkey")).repartition(8, col("o_custkey")),
+          tbl, bloomCols = Seq("o_custkey"))
+      }
       val cust = orders(s, d).agg(min(col("o_custkey")).cast("long"))
         .head().getLong(0)
       Snapshots.scanPrunedEq(s, tbl, "o_custkey", cust).df
@@ -394,13 +380,14 @@ object SnapshotQueries {
     */
   val zorderSkip = Q("q_zorder_skip",
     (s, d) => {
-      val tbl = freshTable(s, d, "zskip")
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity"))
-      Snapshots.commit(
-        li.orderBy(graft.functions.ZOrderExpression.zValue(
-          col("l_partkey"), col("l_suppkey"))),
-        tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      val tbl = memoFixture(s, d, "zskip") { tbl =>
+        val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+        Snapshots.commit(
+          li.orderBy(graft.functions.ZOrderExpression.zValue(
+            col("l_partkey"), col("l_suppkey"))),
+          tbl, statsCols = Seq("l_partkey", "l_suppkey"))
+      }
       val maxPart = part(s, d).agg(max(col("p_partkey")).cast("long"))
         .head().getLong(0)
       val maxSupp = supplier(s, d).agg(max(col("s_suppkey")).cast("long"))
@@ -779,17 +766,18 @@ object SnapshotQueries {
     */
   val defaultColumn = Q("q_default_column",
     (s, d) => {
-      val tbl = freshTable(s, d, "defcol")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
-        statsCols = Seq("o_orderkey"))
-      Snapshots.addColumn(s, tbl, "channel",
-        org.apache.spark.sql.types.StringType, default = Some("store"))
-      Snapshots.commit(
-        o.filter(col("o_orderdate") >= lit(cutoff))
-          .withColumn("channel",
-            when(col("o_orderkey") % 2 === 0, lit("web"))),
-        tbl, statsCols = Seq("o_orderkey"))
+      val tbl = memoFixture(s, d, "defcol") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.addColumn(s, tbl, "channel",
+          org.apache.spark.sql.types.StringType, default = Some("store"))
+        Snapshots.commit(
+          o.filter(col("o_orderdate") >= lit(cutoff))
+            .withColumn("channel",
+              when(col("o_orderkey") % 2 === 0, lit("web"))),
+          tbl, statsCols = Seq("o_orderkey"))
+      }
       Snapshots.read(s, tbl)
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
@@ -811,18 +799,19 @@ object SnapshotQueries {
     */
   val wap = Q("q_wap",
     (s, d) => {
-      val tbl = freshTable(s, d, "wap")
-      val o = src(s, d)
-      val audit: org.apache.spark.sql.DataFrame => Option[String] = b =>
-        if (b.filter(col("o_totalprice") <= 0).count() > 0)
-          Some("nonpositive totalprice") else None
-      val lo = o.filter(col("o_orderkey") % 3 === 0)
-      val poison = o.filter(col("o_orderkey") % 3 === 1)
-        .withColumn("o_totalprice", -col("o_totalprice"))
-      val hi = o.filter(col("o_orderkey") % 3 === 2)
-      require(Snapshots.commitAudited(lo, tbl, audit).isRight)
-      require(Snapshots.commitAudited(poison, tbl, audit).isLeft)
-      require(Snapshots.commitAudited(hi, tbl, audit).isRight)
+      val tbl = memoFixture(s, d, "wap") { tbl =>
+        val o = src(s, d)
+        val audit: org.apache.spark.sql.DataFrame => Option[String] = b =>
+          if (b.filter(col("o_totalprice") <= 0).count() > 0)
+            Some("nonpositive totalprice") else None
+        val lo = o.filter(col("o_orderkey") % 3 === 0)
+        val poison = o.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        val hi = o.filter(col("o_orderkey") % 3 === 2)
+        require(Snapshots.commitAudited(lo, tbl, audit).isRight)
+        require(Snapshots.commitAudited(poison, tbl, audit).isLeft)
+        require(Snapshots.commitAudited(hi, tbl, audit).isRight)
+      }
       Snapshots.read(s, tbl)
         .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
           max(col("o_orderkey")).as("max_key"))
@@ -889,13 +878,14 @@ object SnapshotQueries {
     */
   val schemaEvolution = Q("q_schema_evolution",
     (s, d) => {
-      val tbl = freshTable(s, d, "evo")
-      val o = orders(s, d)
-      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff))
-        .select(col("o_orderkey"), col("o_totalprice")), tbl)
-      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff))
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderpriority")), tbl)
+      val tbl = memoFixture(s, d, "evo") { tbl =>
+        val o = orders(s, d)
+        Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff))
+          .select(col("o_orderkey"), col("o_totalprice")), tbl)
+        Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority")), tbl)
+      }
       Snapshots.read(s, tbl)
         .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
           .as("priority"))
@@ -917,16 +907,19 @@ object SnapshotQueries {
     */
   val rollbackQ = Q("q_rollback",
     (s, d) => {
-      val tbl = freshTable(s, d, "rb")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl)
-      val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
-        .head().getLong(0)
-      // the mis-commit: an overwrite that truncates the table
-      val vBad = Snapshots.commit(o.filter(col("o_orderkey") <= maxKey / 50),
-        tbl, overwrite = true)
-      val vBack = Snapshots.rollback(s, tbl, toVersion = 1)
-      val vFinal = Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl)
+      val tbl = memoFixture(s, d, "rb") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl)
+        val maxKey = orders(s, d).agg(max(col("o_orderkey")).cast("long"))
+          .head().getLong(0)
+        // the mis-commit: an overwrite that truncates the table
+        Snapshots.commit(o.filter(col("o_orderkey") <= maxKey / 50),
+          tbl, overwrite = true) // v2
+        Snapshots.rollback(s, tbl, toVersion = 1) // v3
+        Snapshots.commit(
+          o.filter(col("o_orderdate") >= lit(cutoff)), tbl) // v4
+      }
+      val (vBad, vBack, vFinal) = (2, 3, 4)
       def tag(v: Int, t: String) = Snapshots.read(s, tbl, Some(v))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .select(lit(t).as("state"), col("n_orders"), col("total"))
@@ -955,18 +948,20 @@ object SnapshotQueries {
     */
   val compactSmallQ = Q("q_compact_small",
     (s, d) => {
-      val tbl = freshTable(s, d, "cs")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)).coalesce(1),
-        tbl)
-      Snapshots.commit(
-        o.filter(col("o_orderdate") >= lit(cutoff)).repartition(12), tbl)
-      val p = new org.apache.hadoop.fs.Path(tbl)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val maxLen = Snapshots.manifest(s, tbl, 2).map(e =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tbl/${e.path}"))
-          .getLen).max
-      val v = Snapshots.compactSmall(s, tbl, minBytes = maxLen)
+      val tbl = memoFixture(s, d, "cs") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") < lit(cutoff)).coalesce(1), tbl)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") >= lit(cutoff)).repartition(12), tbl)
+        val p = new org.apache.hadoop.fs.Path(tbl)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val maxLen = Snapshots.manifest(s, tbl, 2).map(e =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tbl/${e.path}"))
+            .getLen).max
+        Snapshots.compactSmall(s, tbl, minBytes = maxLen) // v3
+      }
+      val v = 3
       agg(Snapshots.read(s, tbl, Some(v)), v)
         .unionByName(agg(Snapshots.read(s, tbl, Some(1)), 1))
         .orderBy(col("version"))
@@ -985,12 +980,13 @@ object SnapshotQueries {
     */
   val tableHistory = Q("q_table_history",
     (s, d) => {
-      val tbl = freshTable(s, d, "hist")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
-        properties = Map("source" -> "backfill"))
-      Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
-        properties = Map("source" -> "daily"))
+      val tbl = memoFixture(s, d, "hist") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderdate") < lit(cutoff)), tbl,
+          properties = Map("source" -> "backfill"))
+        Snapshots.commit(o.filter(col("o_orderdate") >= lit(cutoff)), tbl,
+          properties = Map("source" -> "daily"))
+      }
       Snapshots.history(s, tbl)
         .select(col("version"), col("n_rows"), col("commit_props"))
         .orderBy(col("version"))
@@ -1012,12 +1008,13 @@ object SnapshotQueries {
     */
   val strSkip = Q("q_str_skip",
     (s, d) => {
-      val tbl = freshTable(s, d, "strskip")
-      Snapshots.commit(
-        orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
-            col("o_orderpriority"))
-          .repartitionByRange(5, col("o_orderpriority")),
-        tbl, strStatsCols = Seq("o_orderpriority"))
+      val tbl = memoFixture(s, d, "strskip") { tbl =>
+        Snapshots.commit(
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .repartitionByRange(5, col("o_orderpriority")),
+          tbl, strStatsCols = Seq("o_orderpriority"))
+      }
       Snapshots.scanPrunedStr(s, tbl, "o_orderpriority",
           "1-URGENT", "2-HIGH").df
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
@@ -1402,13 +1399,14 @@ object SnapshotQueries {
     */
   val dropColumnQ = Q("q_drop_column",
     (s, d) => {
-      val tbl = freshTable(s, d, "dropc")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
-        statsCols = Seq("o_orderkey"))
-      Snapshots.dropColumn(s, tbl, "o_orderdate")
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1)
-          .drop("o_orderdate"), tbl, statsCols = Seq("o_orderkey"))
+      val tbl = memoFixture(s, d, "dropc") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.dropColumn(s, tbl, "o_orderdate")
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1)
+            .drop("o_orderdate"), tbl, statsCols = Seq("o_orderkey"))
+      }
       def row(v: Option[Int], tag: Int) = {
         val r = Snapshots.read(s, tbl, v)
         r.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
@@ -1435,12 +1433,13 @@ object SnapshotQueries {
   val statsAggQ = Q("q_stats_agg",
     (s, d) => {
       import s.implicits._
-      val tbl = freshTable(s, d, "stats")
-      val o = src(s, d)
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
-        statsCols = Seq("o_orderkey"))
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
-        statsCols = Seq("o_orderkey"))
+      val tbl = memoFixture(s, d, "stats") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+          statsCols = Seq("o_orderkey"))
+      }
       val (n, env) = Snapshots.statsAgg(s, tbl, "o_orderkey")
       val (lo, hi) = env.getOrElse(sys.error("empty table"))
       Seq((n, lo, hi)).toDF("n_rows", "min_key", "max_key")
@@ -1459,17 +1458,21 @@ object SnapshotQueries {
     */
   val txnConsistent = Q("q_txn_consistent",
     (s, d) => {
-      val a = freshTable(s, d, "txna"); val b = freshTable(s, d, "txnb")
-      val txns = freshTable(s, d, "txnlog")
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      def roll(df: DataFrame) =
-        df.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      val lo = o.filter(col("o_orderkey") % 2 === 0)
-      val hi = o.filter(col("o_orderkey") % 2 === 1)
-      Snapshots.commitTxn(s, Seq(
-        Snapshots.TxnWrite(lo, a), Snapshots.TxnWrite(roll(lo), b)), txns)
-      Snapshots.commitTxn(s, Seq(
-        Snapshots.TxnWrite(hi, a), Snapshots.TxnWrite(roll(hi), b)), txns)
+      val a = memoFixture(s, d, "txna") { a =>
+        val b = freshTable(s, d, "txnb")
+        val txns = freshTable(s, d, "txnlog")
+        val o = orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        def roll(df: DataFrame) =
+          df.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        val lo = o.filter(col("o_orderkey") % 2 === 0)
+        val hi = o.filter(col("o_orderkey") % 2 === 1)
+        Snapshots.commitTxn(s, Seq(
+          Snapshots.TxnWrite(lo, a), Snapshots.TxnWrite(roll(lo), b)), txns)
+        Snapshots.commitTxn(s, Seq(
+          Snapshots.TxnWrite(hi, a), Snapshots.TxnWrite(roll(hi), b)), txns)
+      }
+      val b = tablePath(s, d, "txnb")
       val facts = Snapshots.read(s, a)
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_facts"))
       val rollup = Snapshots.read(s, b)
@@ -1560,12 +1563,14 @@ object SnapshotQueries {
   val statsAggStrQ = Q("q_stats_agg_str",
     (s, d) => {
       import s.implicits._
-      val tbl = freshTable(s, d, "statss")
-      val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
-        strStatsCols = Seq("o_orderpriority"))
-      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
-        strStatsCols = Seq("o_orderpriority"))
+      val tbl = memoFixture(s, d, "statss") { tbl =>
+        val o = orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), tbl,
+          strStatsCols = Seq("o_orderpriority"))
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), tbl,
+          strStatsCols = Seq("o_orderpriority"))
+      }
       val (n, env) = Snapshots.statsAggStr(s, tbl, "o_orderpriority")
       val (lo, hi) = env.getOrElse(sys.error("empty table"))
       Seq((n, lo, hi)).toDF("n_rows", "min_pri", "max_pri")

@@ -15,7 +15,12 @@ class FixtureMemoSpec extends SparkSpec {
   test("every snapshot-tier entry returns identical results on a second " +
       "invocation (memoized fixtures)") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
-    SnapshotQueries.all.foreach { q =>
+    // memoized entries OUTSIDE SnapshotQueries ride the same check
+    val extra = Seq(
+      NorthStarQueries.annBucketed, NorthStarQueries.annPqUpsert,
+      NorthStarQueries.annPqStored, NorthStarQueries.annPqRerank,
+      CoreQueries.partitionOverwrite, CoreQueries.compactRoundtrip)
+    (SnapshotQueries.all ++ extra).foreach { q =>
       try {
         def run(): Seq[String] =
           q.run(spark, sf001).collect().map(_.toString).toSeq.sorted
