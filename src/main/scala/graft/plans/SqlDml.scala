@@ -710,12 +710,19 @@ object SqlDml {
       }
       require(keyAttrs.map(_.name.toLowerCase).distinct.size ==
         keyAttrs.size, "graft DML: MERGE condition repeats a key column")
-      // action conditions/values re-anchor by side-prefixed bare names —
-      // a CORRELATED subquery's outer references cannot (same reason as
-      // DELETE/UPDATE), so refuse loudly instead of dying downstream
+      // assignment VALUES re-anchor by side-prefixed bare names — a
+      // CORRELATED subquery's outer references cannot (and a per-row
+      // scalar subquery in a SET is not a merge shape), so those refuse
+      // loudly. Action CONDITIONS decorrelate like DELETE/UPDATE
+      // predicates do — see rewriteMergeGeneral's `decond`.
       (m.matchedActions ++ m.notMatchedActions ++
-        m.notMatchedBySourceActions)
-        .foreach(a => refuseCorrelated(a, "MERGE action"))
+        m.notMatchedBySourceActions).foreach {
+        case UpdateAction(_, assigns, _) => assigns.foreach(a =>
+          refuseCorrelated(a.value, "MERGE assignment"))
+        case InsertAction(_, assigns) => assigns.foreach(a =>
+          refuseCorrelated(a.value, "MERGE assignment"))
+        case _ => ()
+      }
       // Snapshots.merge* supports integral keys (collected as longs
       // against the manifest [min,max] stats) and string keys (UNCAST,
       // pruned through the UTF-8 string envelopes); anything else —
@@ -949,13 +956,21 @@ object SqlDml {
             s"'${t.name}' — key-changing updates are not a merge")
         (t.name, sided(unNarrow(t.name, a.value)))
       }
+      // action conditions take the SAME equality decorrelation as
+      // DELETE/UPDATE predicates (e.g. `WHEN MATCHED AND EXISTS (SELECT
+      // 1 FROM blocklist b WHERE b.k = t.k) THEN DELETE` — the
+      // blocklist-gated CDC shape); the extracted outer keys are plain
+      // t/s attributes, which sided() then re-anchors per side, and the
+      // uncorrelated subquery plan rides untouched
+      def decond(c: Option[Expression], what: String): Option[Column] =
+        c.map(e => sided(decorrelate(e, what)))
       val matched = m.matchedActions.map {
-        case DeleteAction(c) => (c.map(sided), None)
+        case DeleteAction(c) => (decond(c, "WHEN MATCHED condition"), None)
         case UpdateAction(c, assigns, fromStar) =>
           // a star's key assignment is `k = s.k` — identical to the
           // matched row's own key by the join condition, so allowed;
           // an EXPLICIT key SET stays refused (key-changing update)
-          (c.map(sided),
+          (decond(c, "WHEN MATCHED condition"),
             Some(assignsOf(assigns, "WHEN MATCHED",
               allowKey = fromStar) ++
               (if (fromStar) newAssigns else Nil)))
@@ -972,7 +987,7 @@ object SqlDml {
             .filterNot(n => proj.exists(_._1.equalsIgnoreCase(n)))
           require(missing.isEmpty, "graft DML: MERGE INSERT must assign " +
             s"every target column (missing ${missing.mkString(", ")})")
-          (c.map(sided),
+          (decond(c, "WHEN NOT MATCHED condition"),
             tOut.map(t => proj.find(_._1.equalsIgnoreCase(t.name)).get) ++
               newAssigns)
         case other => throw new IllegalArgumentException(
@@ -982,14 +997,15 @@ object SqlDml {
         case DeleteAction(c) =>
           c.foreach(onlySide(_, sIds,
             "NOT MATCHED BY SOURCE condition", "target"))
-          (c.map(sided), None)
+          (decond(c, "NOT MATCHED BY SOURCE condition"), None)
         case UpdateAction(c, assigns, _) =>
           c.foreach(onlySide(_, sIds,
             "NOT MATCHED BY SOURCE condition", "target"))
           assigns.foreach(a => onlySide(a.value, sIds,
             "NOT MATCHED BY SOURCE value", "target"))
-          (c.map(sided), Some(assignsOf(assigns,
-            "WHEN NOT MATCHED BY SOURCE", allowKey = false)))
+          (decond(c, "NOT MATCHED BY SOURCE condition"),
+            Some(assignsOf(assigns,
+              "WHEN NOT MATCHED BY SOURCE", allowKey = false)))
         case other => throw new IllegalArgumentException(
           s"graft DML: unsupported WHEN NOT MATCHED BY SOURCE action $other")
       }

@@ -69,9 +69,26 @@ object SqlMaintenance {
     }
   }
 
-  private[plans] def command(name: String, args: Seq[Expression])
+  private[plans] def command(name: String, args0: Seq[Expression])
       : GraftMaintainCommand = {
+    import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
     val (doc, _) = ops(name)
+    // named arguments (`CALL graft_compact(path => '/t')`) normalize to
+    // the positional order: `path` first, then the op's single tunable
+    // (any name — target_bytes/keep_last/... — maps to position 2)
+    val named = args0.collect {
+      case NamedArgumentExpression(n, v) => (n.toLowerCase, v) }
+    val args =
+      if (named.isEmpty) args0
+      else {
+        require(named.size == args0.size,
+          s"CALL $name$doc: mix of named and positional arguments")
+        val (paths, rest) = named.partition(_._1 == "path")
+        require(paths.size == 1 && rest.size <= 1,
+          s"CALL $name$doc: expected `path` plus at most one tunable, " +
+            s"got ${named.map(_._1).mkString(", ")}")
+        paths.map(_._2) ++ rest.map(_._2)
+      }
     require(args.nonEmpty && args.size <= 2, s"CALL $name$doc")
     val path = evalLiteral(name, args.head).toString
     val num = args.lift(1).map(e => evalLiteral(name, e) match {

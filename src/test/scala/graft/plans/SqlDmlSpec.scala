@@ -504,6 +504,47 @@ class SqlDmlSpec extends SparkSpec {
     assert(e3.getMessage.contains("CORRELATED"), e3.getMessage)
   }
 
+  test("MERGE action conditions decorrelate: a blocklist-gated " +
+      "WHEN MATCHED DELETE via correlated EXISTS; values still refuse") {
+    import spark.implicits._
+    val tbl = freshTable("mcorr")
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v"), tbl, statsCols = Seq("k"))
+    register("dml_mcorr", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_mcorr_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(v AS BIGINT) v FROM VALUES " +
+      "(1, 100), (2, 200), (9, 900) AS x(k, v)")
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_mcorr_block AS " +
+      "SELECT CAST(k AS BIGINT) k FROM VALUES (2), (7) AS x(k)")
+    // matched AND blocklisted -> DELETE; matched otherwise -> UPDATE;
+    // unmatched AND NOT blocklisted -> INSERT
+    dml.sql("""MERGE INTO dml_mcorr t USING dml_mcorr_src s ON t.k = s.k
+      WHEN MATCHED AND EXISTS (
+        SELECT 1 FROM dml_mcorr_block b WHERE b.k = t.k) THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND NOT EXISTS (
+        SELECT 1 FROM dml_mcorr_block b WHERE b.k = s.k) THEN INSERT *""")
+    val got = Snapshots.readMor(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 updated, 2 deleted (blocklisted), 3/4 untouched, 9 inserted
+    assert(got === Set((1L, 100L), (3L, 30L), (4L, 40L), (9L, 900L)),
+      got.toString)
+    // correlated subqueries in assignment VALUES stay refused
+    val e = intercept[IllegalArgumentException] {
+      dml.sql("MERGE INTO dml_mcorr t USING dml_mcorr_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = (SELECT max(b.k) " +
+        "FROM dml_mcorr_block b WHERE b.k = t.k)")
+    }
+    assert(e.getMessage.contains("CORRELATED"), e.getMessage)
+    // non-equality correlation in a condition refuses with guidance
+    val e2 = intercept[IllegalArgumentException] {
+      dml.sql("MERGE INTO dml_mcorr t USING dml_mcorr_src s ON t.k = s.k " +
+        "WHEN MATCHED AND EXISTS (SELECT 1 FROM dml_mcorr_block b " +
+        "WHERE b.k < t.k) THEN DELETE")
+    }
+    assert(e2.getMessage.contains("CORRELATED"), e2.getMessage)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source-only columns become nullable " +
       "target columns — stars carry source values, explicit actions and " +
       "untouched rows leave them null/carried, old versions keep their " +

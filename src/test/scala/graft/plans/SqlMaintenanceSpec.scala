@@ -89,4 +89,24 @@ class SqlMaintenanceSpec extends SparkSpec {
     // refuses it (no procedure catalog), proving the rule scopes itself
     intercept[Exception] { dml.sql("CALL not_graft('x')") }
   }
+
+  test("CALL accepts named arguments in any order; mixed or unknown " +
+      "names refuse") {
+    val tbl = freshTable("named")
+    seed3(tbl)
+    val out = dml.sql(
+      s"CALL graft_compact(target_bytes => 1048576, path => '$tbl')")
+      .collect()
+    assert(out.head.getString(0) === "graft_compact")
+    assert(Snapshots.latestVersion(spark, tbl) === 4)
+    assert(Snapshots.read(spark, tbl).count() === 30)
+    val e = intercept[Exception] {
+      dml.sql(s"CALL graft_vacuum(keep => 1, retain => 2, path => '$tbl')")
+    }
+    assert(e.getMessage.contains("graft_vacuum"), e.getMessage)
+    val e2 = intercept[Exception] {
+      dml.sql(s"CALL graft_vacuum('$tbl', keep_last => 1)")
+    }
+    assert(e2.getMessage.contains("mix"), e2.getMessage)
+  }
 }
