@@ -34,6 +34,20 @@ object SnapshotQueries {
   private def memoFixture(s: SparkSession, d: String, tag: String)(
       build: String => Unit): String = Fixtures.memo(s, d, tag)(build)
 
+  /** (Re-)bind a session-global catalog NAME to this dataset's table
+    * path. The SQL-DML entries register their names inside the memoized
+    * builder (the build's statements need them), but the memo is keyed
+    * per (JVM, dataset, tag) while the NAME is session-global and only
+    * rebound on a memo MISS — a JVM interleaving two datasets (d1
+    * build, d2 build, d1 memo-hit) would silently read d2's table for
+    * d1. Re-running the metadata-only DROP/CREATE after every memo
+    * return pins the name to the caller's dataset.
+    */
+  private def bindName(q: SparkSession, name: String, tbl: String): Unit = {
+    q.sql(s"DROP TABLE IF EXISTS $name")
+    q.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$tbl')")
+  }
+
   private def src(s: SparkSession, d: String): DataFrame =
     orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
       col("o_orderdate"))
@@ -1649,16 +1663,16 @@ object SnapshotQueries {
   val sqlDml = Q("q_sql_dml",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqldml") { tbl =>
+      val tbl = memoFixture(s, d, "sqldml") { tbl =>
         Snapshots.commit(src(s, d), tbl, statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_dml_q")
-        q.sql(s"CREATE TABLE graft_dml_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_dml_q", tbl)
         q.sql("UPDATE graft_dml_q SET o_totalprice = o_totalprice * 0.5 " +
           s"WHERE o_orderdate < DATE '$cutoff'")
         q.sql("DELETE FROM graft_dml_q WHERE o_totalprice > 150000.0")
         q.sql("INSERT INTO graft_dml_q SELECT o_orderkey + 10000000, 1.0, " +
           "DATE '1999-12-31' FROM graft_dml_q WHERE o_totalprice < 1000.0")
       }
+      bindName(q, "graft_dml_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total FROM graft_dml_q""")
     },
@@ -1687,11 +1701,10 @@ object SnapshotQueries {
   val sqlDmlCorr = Q("q_sql_dml_corr",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqldmlc") { tbl =>
+      val tbl = memoFixture(s, d, "sqldmlc") { tbl =>
         Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
           statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_cdml_q")
-        q.sql(s"CREATE TABLE graft_cdml_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_cdml_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cdml_src AS " +
           "SELECT o_orderkey, o_orderdate " +
           s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
@@ -1706,6 +1719,7 @@ object SnapshotQueries {
           "WHERE NOT EXISTS (SELECT 1 FROM graft_cdml_src s " +
           "WHERE s.o_orderkey = graft_cdml_q.o_orderkey)")
       }
+      bindName(q, "graft_cdml_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total FROM graft_cdml_q""")
     },
@@ -1752,9 +1766,9 @@ object SnapshotQueries {
         // registered AFTER the call so the catalog relation resolves the
         // compacted head (CALL takes a path, not a catalog ident, so it
         // has no table entry to refresh)
-        q.sql("DROP TABLE IF EXISTS graft_mnt_q")
-        q.sql(s"CREATE TABLE graft_mnt_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_mnt_q", tbl)
       }
+      bindName(q, "graft_mnt_q", tbl)
       q.sql(s"""SELECT
           (SELECT count(*) FROM graft_files('$tbl')) AS n_files,
           (SELECT count(*) FROM graft_history('$tbl')) AS n_versions,
@@ -1776,11 +1790,10 @@ object SnapshotQueries {
   val sqlMerge = Q("q_sql_merge",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrg") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrg") { tbl =>
         Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
           statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_mrg_q")
-        q.sql(s"CREATE TABLE graft_mrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_mrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mrg_src AS " +
           "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
           s"o_orderdate FROM parquet.`$d/orders.parquet` " +
@@ -1795,6 +1808,7 @@ object SnapshotQueries {
         q.sql("MERGE INTO graft_mrg_q t USING graft_del_src s " +
           "ON t.o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE")
       }
+      bindName(q, "graft_mrg_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total FROM graft_mrg_q""")
     },
@@ -1820,11 +1834,10 @@ object SnapshotQueries {
   val sqlMergeConditional = Q("q_sql_merge_conditional",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrgc") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrgc") { tbl =>
         Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 0), tbl,
           statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_cmrg_q")
-        q.sql(s"CREATE TABLE graft_cmrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_cmrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cmrg_src AS " +
           "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
           s"o_orderdate FROM parquet.`$d/orders.parquet` " +
@@ -1838,6 +1851,7 @@ object SnapshotQueries {
           WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000 THEN
             UPDATE SET o_totalprice = 0""")
       }
+      bindName(q, "graft_cmrg_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total FROM graft_cmrg_q""")
     },
@@ -1871,14 +1885,13 @@ object SnapshotQueries {
   val sqlMergeStr = Q("q_sql_merge_str",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrgs") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrgs") { tbl =>
         Snapshots.commit(
           src(s, d).filter(col("o_orderkey") % 2 === 0)
             .select(concat(lit("o"), col("o_orderkey")).as("k"),
               col("o_totalprice"), col("o_orderdate")),
           tbl, strStatsCols = Seq("k"))
-        q.sql("DROP TABLE IF EXISTS graft_smrg_q")
-        q.sql(s"CREATE TABLE graft_smrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_smrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_smrg_src AS " +
           "SELECT concat('o', o_orderkey) AS k, " +
           "o_totalprice * 2 AS o_totalprice, o_orderdate " +
@@ -1888,6 +1901,7 @@ object SnapshotQueries {
           "WHEN MATCHED THEN UPDATE SET * " +
           "WHEN NOT MATCHED THEN INSERT *")
       }
+      bindName(q, "graft_smrg_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total FROM graft_smrg_q""")
     },
@@ -1914,13 +1928,12 @@ object SnapshotQueries {
   val sqlMergeEvolve = Q("q_sql_merge_evolve",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrge") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrge") { tbl =>
         Snapshots.commit(
           src(s, d).filter(col("o_orderkey") % 2 === 0)
             .select(col("o_orderkey"), col("o_totalprice")),
           tbl, statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_emrg_q")
-        q.sql(s"CREATE TABLE graft_emrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_emrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_emrg_src AS " +
           "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, " +
           s"o_orderdate FROM parquet.`$d/orders.parquet` " +
@@ -1930,6 +1943,7 @@ object SnapshotQueries {
           "WHEN MATCHED THEN UPDATE SET * " +
           "WHEN NOT MATCHED THEN INSERT *")
       }
+      bindName(q, "graft_emrg_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("o_totalprice")} AS total,
         count(o_orderdate) AS n_dated FROM graft_emrg_q""")
@@ -1960,14 +1974,13 @@ object SnapshotQueries {
   val sqlMergeEvolveWiden = Q("q_sql_merge_evolve_widen",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrgw") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrgw") { tbl =>
         Snapshots.commit(
           orders(s, d).filter(col("o_orderkey") % 2 === 0)
             .select(col("o_orderkey"),
               col("o_custkey").cast("int").as("amt")),
           tbl, statsCols = Seq("o_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_wmrg_q")
-        q.sql(s"CREATE TABLE graft_wmrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_wmrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wmrg_src AS " +
           "SELECT o_orderkey, CAST(o_custkey AS BIGINT) * 100000000 AS amt " +
           s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
@@ -1976,6 +1989,7 @@ object SnapshotQueries {
           "WHEN MATCHED THEN UPDATE SET * " +
           "WHEN NOT MATCHED THEN INSERT *")
       }
+      bindName(q, "graft_wmrg_q", tbl)
       q.sql("""SELECT l.n_rows, l.total, l.new_type,
           o.old_rows, o.old_total, o.old_type
         FROM (SELECT count(*) AS n_rows,
@@ -2018,7 +2032,7 @@ object SnapshotQueries {
   val sqlMergeMulti = Q("q_sql_merge_multi",
     (s, d) => {
       val q = graft.plans.SqlDml.enable(s)
-      memoFixture(s, d, "sqlmrgm") { tbl =>
+      val tbl = memoFixture(s, d, "sqlmrgm") { tbl =>
         // tuple-unique base: the driver's synthetic lineitem DUPLICATES
         // some (orderkey, linenumber) tuples, which the MERGE cardinality
         // guard correctly refuses — aggregate first (max: exact on
@@ -2028,8 +2042,7 @@ object SnapshotQueries {
           .agg(max(col("l_quantity")).as("qty"))
         Snapshots.commit(base.filter(col("l_orderkey") % 2 === 0), tbl,
           statsCols = Seq("l_orderkey"))
-        q.sql("DROP TABLE IF EXISTS graft_mmrg_q")
-        q.sql(s"CREATE TABLE graft_mmrg_q USING graft OPTIONS (path '$tbl')")
+        bindName(q, "graft_mmrg_q", tbl)
         q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mmrg_src AS " +
           "SELECT l_orderkey, l_linenumber, max(l_quantity) * 2 AS qty " +
           s"FROM parquet.`$d/lineitem.parquet` " +
@@ -2040,6 +2053,7 @@ object SnapshotQueries {
           "WHEN MATCHED THEN UPDATE SET * " +
           "WHEN NOT MATCHED THEN INSERT *")
       }
+      bindName(q, "graft_mmrg_q", tbl)
       q.sql(s"""SELECT count(*) AS n_rows,
         ${dsumSql("qty")} AS total FROM graft_mmrg_q""")
     },

@@ -79,6 +79,13 @@ object SqlDml {
     * inputs through the returned session (the normal pattern), or call
     * [[invalidate]] after mutating the parent's session state to force
     * a fresh clone.
+    *
+    * HOLD the returned session across dependent statements: the memo
+    * keeps only a weak reference (see [[enabledSiblings]]), so a caller
+    * that registers temp views through one `enable()` result, drops it,
+    * and calls `enable()` again may get a FRESH clone without them if a
+    * GC ran in between. Sibling-local temp state is only as durable as
+    * the caller's own reference to the sibling.
     */
   def enable(spark: SparkSession): SparkSession =
     enabledSiblings.synchronized {
@@ -107,9 +114,12 @@ object SqlDml {
     * JVMs that churn them: a WeakHashMap key (the parent) is collectable
     * once the caller drops it, and the value is a WeakReference because
     * the sibling's session state chains back to the parent's — a strong
-    * value would resurrect the key. Losing an entry to GC is benign:
-    * DML statements keep no cross-statement state, so the next
-    * [[enable]] just re-clones.
+    * value would resurrect the key. Losing an entry to GC is benign
+    * FOR DML ITSELF (statements keep no cross-statement state; the next
+    * [[enable]] just re-clones) — but sibling-LOCAL temp views and
+    * functions a caller registered die with the dropped sibling, which
+    * is why [[enable]]'s contract requires holding the returned session
+    * across dependent statements.
     */
   private val enabledSiblings =
     new java.util.WeakHashMap[SparkSession,
@@ -303,7 +313,6 @@ object SqlDml {
           case Project(list, body0) if !list.exists(hasOuterE) =>
             peelBody(body0) match {
               case Some((pairs, body)) if pairs.nonEmpty =>
-                val inner = list.map(_.toAttribute) // value columns
                 // rebuild: original values compare against the projected
                 // value columns, appended key pairs carry the correlation
                 val keyAliases = pairs.map(_._2).zipWithIndex.map {
@@ -312,7 +321,6 @@ object SqlDml {
                   .reduce(CAnd(_, _)), body)
                 val proj = Project(list ++ keyAliases, guarded)
                 val allValues = values ++ pairs.map(_._1)
-                val _ = inner
                 If(pairs.map(_._1).map(IsNotNull(_): Expression).reduce(CAnd(_, _)),
                   InSubquery(allValues, ListQuery(proj)),
                   Literal.FalseLiteral)
@@ -774,7 +782,15 @@ object SqlDml {
       // target type with an outer Cast — under ANSI that cast overflows
       // on exactly the values the widen exists for, so strip it when the
       // assignment targets a widened column (the projection re-casts to
-      // the widened type; in-range values are unchanged)
+      // the widened type; in-range values are unchanged).
+      // KNOWN EDGE: a user-written `CAST(v AS INT)` on a widened column
+      // is textually identical to the analyzer's alignment cast after
+      // analysis, so under WITH SCHEMA EVOLUTION it is stripped too and
+      // the wide value is kept instead of the requested truncation /
+      // ANSI overflow error. Accepted: asking for evolution and a
+      // narrowing cast on the same column in one statement is
+      // contradictory intent, and the analyzer does not preserve the
+      // cast's origin for us to tell the two apart.
       def unNarrow(name: String, e: Expression): Expression =
         widenCols.find(_._1.equalsIgnoreCase(name)) match {
           case Some((_, wdt)) => e match {

@@ -51,9 +51,16 @@ object SqlMaintenance {
         require(n.isEmpty, "graft_rewrite_layout takes only the path")
         Partitioning.rewriteLayout(s, t).toLong
       })),
-    "graft_vacuum" -> (("(path [, keep_last])",
+    // the SQL surface REQUIRES keep_last: the API default (1 = reclaim
+    // every non-latest unpinned version) is the most destructive
+    // setting, too sharp for a no-argument statement an operator can
+    // fire by accident
+    "graft_vacuum" -> (("(path, keep_last)",
       (s, t, n) => Snapshots.vacuum(s, t,
-        n.getOrElse(1L).toInt).size.toLong)),
+        n.getOrElse(throw new IllegalArgumentException(
+          "CALL graft_vacuum(path, keep_last): keep_last is required " +
+            "on the SQL surface — the API default (1) reclaims every " +
+            "non-latest version")).toInt).size.toLong)),
     "graft_remove_orphans" -> (("(path [, older_than_ms])",
       (s, t, n) => Snapshots.removeOrphans(s, t,
         n.getOrElse(3600L * 1000)).size.toLong)),
@@ -92,9 +99,18 @@ object SqlMaintenance {
     require(args.nonEmpty && args.size <= 2, s"CALL $name$doc")
     val path = evalLiteral(name, args.head).toString
     val num = args.lift(1).map(e => evalLiteral(name, e) match {
-      case n: java.lang.Number => n.longValue()
+      // integral only: 1.9 silently becoming keep_last=1 (or 0.5 →
+      // target_bytes=0) is exactly the truncation surprise to refuse
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        n.asInstanceOf[java.lang.Number].longValue()
+      case d: java.math.BigDecimal if d.stripTrailingZeros.scale <= 0 =>
+        d.longValueExact()
+      case d: org.apache.spark.sql.types.Decimal if d.toBigDecimal.isWhole =>
+        d.toLong
       case other => throw new IllegalArgumentException(
-        s"CALL $name$doc: second argument must be a number, got $other")
+        s"CALL $name$doc: second argument must be an integral number, " +
+          s"got $other")
     })
     GraftMaintainCommand(name, path, num)
   }

@@ -39,4 +39,22 @@ class FixtureMemoSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("interleaved datasets: a memo-hit invocation re-binds its " +
+      "session-global catalog name to ITS dataset's table") {
+    // the latent bug this pins: names like graft_dml_q are session-global
+    // but the fixture memo is per (JVM, dataset, tag) — before the
+    // bindName-outside-the-memo fix, the sequence d1-build, d2-build,
+    // d1-memo-hit read d2's table for d1
+    val d1 = sf001
+    val d2 = "/root/testdata/sf0.01"
+    def rows(d: String): Seq[String] =
+      SnapshotQueries.sqlDml.run(spark, d).collect()
+        .map(_.toString).toSeq.sorted
+    val first = rows(d1)
+    val other = rows(d2)
+    assert(first != other, "datasets too similar to distinguish")
+    assert(rows(d1) == first, "memo-hit read the other dataset's table")
+    assert(rows(d2) == other)
+  }
 }

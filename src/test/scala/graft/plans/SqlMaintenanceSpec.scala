@@ -85,6 +85,24 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_compact"), e.getMessage)
     val e2 = intercept[Exception] { dml.sql("CALL graft_vacuum()") }
     assert(e2.getMessage.contains("graft_vacuum"), e2.getMessage)
+    // non-integral tunables refuse instead of silently truncating
+    // (1.9 → keep_last=1 would reclaim more than asked)
+    val e3 = intercept[Exception] {
+      dml.sql(s"CALL graft_vacuum('$tbl', 1.9)").collect()
+    }
+    assert(e3.getMessage.contains("integral"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      dml.sql(s"CALL graft_compact('$tbl', 0.5)").collect()
+    }
+    assert(e4.getMessage.contains("integral"), e4.getMessage)
+    // a WHOLE decimal literal is fine (1e6 parses as decimal)
+    dml.sql(s"CALL graft_compact('$tbl', 2.0)").collect()
+    // the SQL surface requires keep_last explicitly — the API default
+    // (reclaim every non-latest version) is too destructive to imply
+    val e5 = intercept[Exception] {
+      dml.sql(s"CALL graft_vacuum('$tbl')").collect()
+    }
+    assert(e5.getMessage.contains("keep_last"), e5.getMessage)
     // an unknown procedure is NOT intercepted — Spark's own resolution
     // refuses it (no procedure catalog), proving the rule scopes itself
     intercept[Exception] { dml.sql("CALL not_graft('x')") }
