@@ -469,6 +469,36 @@ object SnapshotQueries {
     * tag in the grouping — and hash-matches DuckDB replaying the same
     * evolution as CASE logic over the source table.
     */
+  /** DATE/TIMESTAMP file-skip envelopes — the single most common real
+    * prune (`WHERE ts BETWEEN ...`) on a PLAIN unpartitioned table, no
+    * hidden-partition transform declared: commit records epoch-micros /
+    * epoch-day long envelopes for timestamp and date statsCols (the
+    * write path forces INT64-micros parquet timestamps —
+    * [[graft.sources.Snapshots.withMicrosTs]] — because INT96's Binary
+    * stats can never prune), and a plain `.filter` range on the indexed
+    * read cuts files driver-side. SnapshotFileIndexSpec pins the
+    * numFiles cut and compaction survival; the oracle pins exactness.
+    */
+  val tsSkip = Q("q_ts_skip",
+    (s, d) => {
+      val tbl = memoFixture(s, d, "tsskip") { tbl =>
+        Snapshots.commit(
+          src(s, d).withColumn("o_date", to_date(col("o_orderdate")))
+            .repartitionByRange(8, col("o_orderdate")),
+          tbl, statsCols = Seq("o_orderdate", "o_date"))
+      }
+      Snapshots.readIndexed(s, tbl)._1
+        .filter(col("o_orderdate") <
+            lit("1996-10-01 00:00:00").cast("timestamp") &&
+          col("o_date") >= lit("1996-03-01").cast("date"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"))
+    },
+    Some(s"""SELECT count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders
+         WHERE o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-03-01'"""))
+
   val autoSkipEvolved = Q("q_auto_skip_evolved",
     (s, d) => {
       val li = lineitem(s, d)
@@ -2536,7 +2566,8 @@ object SnapshotQueries {
     dimPruneEvolved, lookupEnrich,
     sqlTimeTravel, metaTables, widenColumnQ, clusteredCompact,
     snapshotRollup, bloomSkip, zorderSkip, hilbertSkip, manifestList,
-    branchMerge, autoSkip, autoSkipEvolved, formatIo, metaAgg, foreignKey,
+    branchMerge, autoSkip, tsSkip, autoSkipEvolved, formatIo, metaAgg,
+    foreignKey,
     defaultColumn,
     wap, mergeInto,
     schemaEvolution,

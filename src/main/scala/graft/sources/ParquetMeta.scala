@@ -157,19 +157,34 @@ object ParquetMeta {
     val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
     try {
       import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
       def asLong(v: Any): Long = v match {
         case i: java.lang.Integer => i.longValue()
         case l: java.lang.Long => l.longValue()
         case other => sys.error(s"fileStats: non-integral stats ${other.getClass}")
       }
+      // INT32/INT64 physical columns only: this is what makes the long
+      // envelope tier cover DATE (INT32 epoch-day) and TIMESTAMP_MICROS
+      // (INT64 epoch-micros) columns for free — both are stored in
+      // exactly the ordered integral domain Catalyst compares their
+      // literals in — while an INT96 legacy timestamp (Binary stats,
+      // deprecated and unordered) or any other physical type records no
+      // envelope instead of failing the commit
+      def integralPhysical(
+          c: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
+        c.`type`().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => true
+          case _ => false
+        }
       val perGroup = r.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
         block.getColumns.asScala
           .filter(c => cols.contains(c.getPath.toDotString))
           .flatMap { c =>
-            Option(c.getStatistics).filterNot(_.isEmpty).map { st =>
-              c.getPath.toDotString ->
-                (asLong(st.genericGetMin), asLong(st.genericGetMax))
-            }
+            Option(c.getStatistics).filterNot(_.isEmpty)
+              .filter(integralPhysical).map { st =>
+                c.getPath.toDotString ->
+                  (asLong(st.genericGetMin), asLong(st.genericGetMax))
+              }
           }
       }
       // a column must have stats in EVERY row group to get a file envelope

@@ -243,9 +243,11 @@ object Partitioning {
       d.withColumn(s"_pt_$i", t.expr)
     }
     val batch = Snapshots.freshBatchDir(root)
-    staged.repartition(ptCols.map(col): _*)
-      .write.mode("errorifexists").partitionBy(ptCols: _*)
-      .parquet(batch.toString)
+    Snapshots.withMicrosTs(df.sparkSession) {
+      staged.repartition(ptCols.map(col): _*)
+        .write.mode("errorifexists").partitionBy(ptCols: _*)
+        .parquet(batch.toString)
+    }
     // flatten: data/<batch>/_pt_0=12/_pt_1=3/part-x.parquet →
     // data/<batch>/pt-12_3-part-x.parquet — the tuple must ride the
     // file NAME (manifest carries survive), and no k=v directory may

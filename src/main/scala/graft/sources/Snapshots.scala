@@ -176,9 +176,15 @@ object Snapshots {
   /** Commit `df` as a new version. `overwrite=false` appends to the
     * parent version's file set; `overwrite=true` replaces it (the file
     * BYTES of prior versions are untouched either way — that is what
-    * keeps them readable). `statsCols` selects integral columns whose
-    * file envelopes the manifest records for [[scanPruned]]. Returns the
-    * committed version number.
+    * keeps them readable). `statsCols` selects columns whose file
+    * envelopes the manifest records for [[scanPruned]] and the
+    * Catalyst-native skip path ([[SnapshotFileIndex]]): integral
+    * columns, plus DATE and TIMESTAMP columns — both are stored
+    * physically as ordered integrals (epoch-day INT32 / epoch-micros
+    * INT64, see [[withMicrosTs]]) in exactly the domain Catalyst
+    * compares their literals in, so `WHERE ts BETWEEN ...` on a plain
+    * unpartitioned table file-skips from the same long envelopes.
+    * Returns the committed version number.
     */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
@@ -317,9 +323,35 @@ object Snapshots {
     val spark = df.sparkSession
     val (_, root) = fsOf(spark, table)
     val batch = freshBatchDir(root)
-    df.write.mode("errorifexists").parquet(batch.toString)
+    withMicrosTs(spark) {
+      df.write.mode("errorifexists").parquet(batch.toString)
+    }
     (batch, entriesFor(spark, table, batch, statsCols, bloomCols,
       strStatsCols))
+  }
+
+  /** Run `body` with parquet TimestampType output forced to INT64
+    * micros. Spark still defaults to the deprecated INT96 encoding,
+    * whose footer statistics are Binary and unordered — a timestamp
+    * column could then never earn a manifest envelope, and `WHERE ts
+    * BETWEEN ...` (the single most common real prune) would scan every
+    * file. INT64 micros is what Iceberg and Delta write, values are
+    * unchanged (Spark truncates to micros internally either way), and
+    * the footer min/max land in exactly the epoch-micros long domain
+    * Catalyst compares timestamp literals in — so every snapshot data
+    * write goes through this. Session-conf save/restore because the
+    * parquet writer exposes no per-write option for it; the restore
+    * races only against a concurrent commit on the SAME session setting
+    * the SAME value, which is benign.
+    */
+  private[sources] def withMicrosTs[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.get(key)
+    if (old == "TIMESTAMP_MICROS") body
+    else {
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try body finally spark.conf.set(key, old)
+    }
   }
 
   private[sources] def freshBatchDir(root: Path): Path =
@@ -1616,12 +1648,14 @@ object Snapshots {
     val tmpName = "graft_tmp_bucketed_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     import org.apache.spark.sql.functions.{col => c}
-    df.repartition(nBuckets, c(bucketCol))
-      .write.format("parquet")
-      .option("path", fs.makeQualified(batch).toString)
-      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .mode("errorifexists")
-      .saveAsTable(tmpName)
+    withMicrosTs(spark) {
+      df.repartition(nBuckets, c(bucketCol))
+        .write.format("parquet")
+        .option("path", fs.makeQualified(batch).toString)
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .mode("errorifexists")
+        .saveAsTable(tmpName)
+    }
     spark.sql(s"DROP TABLE `$tmpName`")
     entriesFor(spark, table, batch, statsCols, bloomCols, strStatsCols)
   }
@@ -3322,8 +3356,10 @@ object Snapshots {
       .filter(c(keyCol).isNotNull).distinct()
     val (fs, root) = fsOf(spark, table)
     val batchDir = freshBatchDir(root)
-    batch.select(tableCols.map(c): _*)
-      .write.mode("errorifexists").parquet(batchDir.toString)
+    withMicrosTs(spark) {
+      batch.select(tableCols.map(c): _*)
+        .write.mode("errorifexists").parquet(batchDir.toString)
+    }
     val tmpDel = new Path(batchDir, "_del_tmp")
     keys.coalesce(1).write.parquet(tmpDel.toString)
     listParquet(fs, tmpDel).foreach { st =>
@@ -3489,7 +3525,9 @@ object Snapshots {
     enforceForeignKeys(spark, table, updated)
     val (fs, root) = fsOf(spark, table)
     val batchDir = freshBatchDir(root)
-    updated.write.mode("errorifexists").parquet(batchDir.toString)
+    withMicrosTs(spark) {
+      updated.write.mode("errorifexists").parquet(batchDir.toString)
+    }
     val dataEntries = entriesFor(spark, table, batchDir,
       statsCols.distinct, Seq.empty, Seq.empty)
     val props = properties ++ this.properties(spark, table, v).get(SchemaProp)

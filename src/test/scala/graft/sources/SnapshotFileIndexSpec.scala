@@ -229,4 +229,63 @@ class SnapshotFileIndexSpec extends SparkSpec {
       .orderBy("key").collect().toSeq
     assert(df.orderBy("key").collect().toSeq === want)
   }
+
+  test("DATE and TIMESTAMP columns earn long envelopes (epoch-day / " +
+      "epoch-micros) and a plain range filter on an UNPARTITIONED " +
+      "table file-skips; envelopes survive compaction") {
+    import spark.implicits._
+    val tbl = freshTable("ts")
+    // 16 days, one file per day: ts rides as TIMESTAMP (written INT64
+    // micros via withMicrosTs — Spark's default INT96 has no usable
+    // stats), dt as DATE, tsn as TIMESTAMP_NTZ
+    val df = (0 until 16).map { i =>
+        (i.toLong, f"2024-03-${i + 1}%02d 12:00:00", f"2024-03-${i + 1}%02d")
+      }.toDF("k", "tss", "dts")
+      .select(col("k"), col("tss").cast("timestamp").as("ts"),
+        col("dts").cast("date").as("dt"),
+        col("tss").cast("timestamp_ntz").as("tsn"))
+      .repartitionByRange(16, col("k"))
+    Snapshots.commit(df, tbl, statsCols = Seq("ts", "dt", "tsn"))
+    // every file recorded envelopes for all three datetime columns
+    val entries = Snapshots.manifest(spark, tbl, 1)
+    assert(entries.size === 16)
+    assert(entries.forall(e => Seq("ts", "dt", "tsn")
+      .forall(e.stats.contains)), "missing datetime envelope")
+    def kept(cond: org.apache.spark.sql.Column): (Long, Int) = {
+      val (d, ix) = Snapshots.readIndexed(spark, tbl)
+      val got = d.filter(cond).count()
+      val want = Snapshots.read(spark, tbl).filter(cond).count()
+      assert(got === want, s"cond $cond pruned rows away")
+      (got, ix.lastPrune._1)
+    }
+    // the single most common real prune: a timestamp BETWEEN
+    assert(kept(col("ts").between(lit("2024-03-05 00:00:00").cast("timestamp"),
+      lit("2024-03-08 23:59:59").cast("timestamp"))) === ((4L, 4)))
+    // date range and equality
+    assert(kept(col("dt") >= lit("2024-03-14").cast("date")) === ((3L, 3)))
+    assert(kept(col("dt") === lit("2024-03-03").cast("date")) === ((1L, 1)))
+    // NTZ prunes through the same long envelope
+    assert(kept(col("tsn") < lit("2024-03-02 00:00:00")
+      .cast("timestamp_ntz")) === ((1L, 1)))
+    // out-of-range proves zero files
+    assert(kept(col("ts") > lit("2025-01-01 00:00:00").cast("timestamp"))
+      === ((0L, 0)))
+    // compaction recomputes the same envelopes from the rewritten
+    // footers (statsCols inherited from the entries' stats keys)
+    Snapshots.compactVersion(spark, tbl, targetBytes = 1L << 14)
+    val compacted = Snapshots.manifest(spark, tbl,
+      Snapshots.latestVersion(spark, tbl))
+    assert(compacted.size < 16, "compaction did not fold files")
+    assert(compacted.forall(e => Seq("ts", "dt", "tsn")
+      .forall(e.stats.contains)), "datetime envelope lost in compaction")
+    val (afterKept, afterTotal) = {
+      val (d, ix) = Snapshots.readIndexed(spark, tbl)
+      val n = d.filter(col("ts") > lit("2025-01-01 00:00:00")
+        .cast("timestamp")).count()
+      assert(n === 0L)
+      ix.lastPrune
+    }
+    assert(afterKept === 0, s"post-compaction skip kept $afterKept")
+    assert(afterTotal === compacted.size)
+  }
 }
