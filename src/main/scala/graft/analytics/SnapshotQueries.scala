@@ -1770,6 +1770,72 @@ object SnapshotQueries {
            FROM t1)
          SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM t2"""))
 
+  /** Correlated SCALAR subqueries in UPDATE SET values — the CDC
+    * enrichment shape (`SET v = v + (SELECT agg FROM s WHERE s.k =
+    * t.k)`): the rule lifts each scalar into a per-key aggregate
+    * LEFT-JOIN lookup, with the aggregate-over-empty default for
+    * unmatched keys — so the COUNT statement pins the classic
+    * decorrelation bug (unmatched groups add 0, never NULL). The
+    * second statement carries a decimal-exact SUM nested inside a
+    * larger SET expression. DuckDB replays both statements in their
+    * NATIVE correlated form, so the hash pins the decorrelation
+    * itself.
+    */
+  val sqlUpdateScalar = Q("q_sql_update_scalar",
+    (s, d) => {
+      val q = graft.plans.SqlDml.enable(s)
+      val tbl = memoFixture(s, d, "sqlusc") { tbl =>
+        Snapshots.commit(src(s, d).filter(col("o_orderkey") % 2 === 1), tbl,
+          statsCols = Seq("o_orderkey"))
+        bindName(q, "graft_usc_q", tbl)
+        q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_usc_src AS " +
+          "SELECT o_orderkey, o_totalprice " +
+          s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0")
+        // COUNT lookup on a GROUP correlation (o_orderkey % 100): every
+        // pre-cutoff row adds its group's feed count; groups the feed
+        // never saw add 0 — the empty default, not NULL
+        q.sql("UPDATE graft_usc_q SET o_totalprice = o_totalprice + " +
+          "(SELECT count(*) FROM graft_usc_src s " +
+          "WHERE s.o_orderkey % 100 = graft_usc_q.o_orderkey % 100) " +
+          s"WHERE o_orderdate < DATE '$cutoff'")
+        // decimal-exact SUM on the exact key, nested in the SET value —
+        // the whole addition stays in DECIMAL(·,4) so every post-update
+        // row value is a scale-4 decimal that round-trips the
+        // double boundary identically in both engines
+        q.sql("UPDATE graft_usc_q SET o_totalprice = " +
+          "CAST(CAST(o_totalprice AS DECIMAL(27,4)) + " +
+          "coalesce((SELECT sum(CAST(s.o_totalprice AS DECIMAL(27,4))) " +
+          "FROM graft_usc_src s " +
+          "WHERE s.o_orderkey = graft_usc_q.o_orderkey), " +
+          "CAST(0 AS DECIMAL(27,4))) AS DOUBLE) " +
+          s"WHERE o_orderdate >= DATE '$cutoff'")
+      }
+      bindName(q, "graft_usc_q", tbl)
+      q.sql(s"""SELECT count(*) AS n_rows,
+        ${dsumSql("o_totalprice")} AS total FROM graft_usc_q""")
+    },
+    Some(s"""WITH t0 AS (
+           SELECT o_orderkey AS k, o_totalprice AS p, o_orderdate AS dt
+           FROM orders WHERE o_orderkey % 2 = 1),
+         src AS (
+           SELECT o_orderkey AS k, o_totalprice AS p
+           FROM orders WHERE o_orderkey % 3 = 0),
+         t1 AS (
+           SELECT k, CASE WHEN dt < DATE '$cutoff'
+             THEN p + (SELECT count(*) FROM src s
+                       WHERE s.k % 100 = t0.k % 100)
+             ELSE p END AS p, dt
+           FROM t0),
+         t2 AS (
+           SELECT k, CASE WHEN dt >= DATE '$cutoff'
+             THEN CAST(CAST(p AS DECIMAL(27,4)) +
+               coalesce((SELECT sum(CAST(s.p AS DECIMAL(27,4)))
+                 FROM src s WHERE s.k = t1.k),
+                 CAST(0 AS DECIMAL(27,4))) AS DOUBLE)
+             ELSE p END AS p
+           FROM t1)
+         SELECT count(*) AS n_rows, ${dsumSql("p")} AS total FROM t2"""))
+
   /** SQL maintenance surface: the snapshot tier's maintenance ops as
     * Iceberg-procedure-shaped `CALL` statements
     * ([[graft.plans.SqlMaintenance]]) — here `CALL graft_compact` folds
@@ -2559,7 +2625,8 @@ object SnapshotQueries {
            AND l_suppkey BETWEEN 1 AND (SELECT max(s_suppkey) FROM supplier) // 8"""))
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
-    deletionVector, updateWhere, sqlDml, sqlDmlCorr, sqlMaintain, sqlMerge,
+    deletionVector, updateWhere, sqlDml, sqlDmlCorr, sqlUpdateScalar,
+    sqlMaintain, sqlMerge,
     sqlMergeConditional,
     sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,

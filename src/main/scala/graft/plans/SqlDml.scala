@@ -333,6 +333,95 @@ object SqlDml {
     out
   }
 
+  // ---- decorrelation (UPDATE SET scalar values) ----------------------------
+
+  /** One correlated SCALAR subquery lifted out of an UPDATE SET value:
+    * `SET v = (SELECT agg FROM s WHERE s.k = t.k)` decorrelates into the
+    * per-key LEFT-JOIN lookup it denotes. The command runs [[agg]] (the
+    * subquery grouped by its correlation keys, each row flagged), LEFT
+    * joins the matched target rows on [[outerKeys]] = [[keyCols]], and
+    * the SET value reads the joined result through [[valueCol]]:
+    * matched groups take the group's aggregate, unmatched rows (and
+    * NULL outer keys — the correlated equality can never hold) take the
+    * aggregate-over-EMPTY-input default computed from [[default]] —
+    * which is how `COUNT` stays 0 instead of flipping to NULL, the
+    * classic decorrelation bug. Exactly one row per key group by
+    * aggregate construction, so the original scalar's cardinality
+    * contract holds structurally.
+    */
+  private[plans] final case class ScalarSetLookup(
+      valueCol: String, rawCol: String, matchCol: String,
+      keyCols: Seq[String], outerKeys: Seq[Column],
+      agg: LogicalPlan, default: LogicalPlan,
+      dataType: org.apache.spark.sql.types.DataType)
+
+  /** Lift every equality-correlated scalar subquery out of the UPDATE
+    * SET value expressions: each lifted node is replaced by a reference
+    * to its lookup's [[ScalarSetLookup.valueCol]] (resolved against the
+    * command's enriched matched frame at run time). Shapes this cannot
+    * express — non-aggregate scalar bodies, grouped aggregates,
+    * non-equality correlation, outer refs under the aggregate — are
+    * left in place for [[refuseCorrelated]]'s loud refusal.
+    */
+  private def liftScalarSets(values: Seq[Expression])
+      : (Seq[Expression], Seq[ScalarSetLookup]) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd,
+      IsNotNull, Literal, NamedExpression, ScalarSubquery}
+    val lookups = scala.collection.mutable.ListBuffer.empty[ScalarSetLookup]
+    // outer-free Project chain over a group-less Aggregate — `(SELECT
+    // agg ...)` plus any post-aggregate arithmetic the parser projected
+    def peelScalar(p: LogicalPlan)
+        : Option[(List[Seq[NamedExpression]], Aggregate)] = p match {
+      case Project(list, child) if !list.exists(hasOuterE) =>
+        peelScalar(child).map { case (chain, a) => (list :: chain, a) }
+      case a @ Aggregate(Nil, aggs, _, _) if !aggs.exists(hasOuterE) =>
+        Some((Nil, a))
+      case _ => None
+    }
+    val out = values.map(_.transform {
+      case s: ScalarSubquery if s.isCorrelated =>
+        (for {
+          (chain, aggNode) <- peelScalar(s.plan)
+          (pairs, uncorrBody) <- peelBody(aggNode.child)
+          if pairs.nonEmpty
+        } yield {
+          val i = lookups.size
+          // inner rows with NULL keys can never satisfy the equality —
+          // dropping them shrinks the aggregate's state, and their
+          // group could never join anyway
+          val guarded = Filter(pairs.map(_._2)
+            .map(IsNotNull(_): Expression).reduce(CAnd(_, _)), uncorrBody)
+          val keyAliases = pairs.map(_._2).zipWithIndex.map {
+            case (k, j) => Alias(k, s"__gsk${i}_$j")() }
+          val flag = Alias(Literal.TrueLiteral, s"__gmatch$i")()
+          val extras = (keyAliases :+ flag).map(_.toAttribute)
+          val grouped = Aggregate(pairs.map(_._2),
+            aggNode.aggregateExpressions ++ keyAliases :+ flag, guarded)
+          // replay the post-aggregate Project chain, passing the key
+          // and flag columns through each level
+          val replayed = chain.foldRight(grouped: LogicalPlan) {
+            (list, child) => Project(list ++ extras, child) }
+          val outAttr = s.plan.output.head
+          val aggPlan = Project(
+            Alias(outAttr, s"__gv$i")() +: extras, replayed)
+          // the aggregate over EMPTY input — what the scalar returns
+          // when no inner row correlates (COUNT: 0, SUM: NULL, ...)
+          val defaultPlan = Project(Seq(Alias(outAttr, s"__gv$i")()),
+            chain.foldRight(Aggregate(Nil, aggNode.aggregateExpressions,
+              LocalRelation(uncorrBody.output)): LogicalPlan) {
+              (list, child) => Project(list, child) })
+          lookups += ScalarSetLookup(
+            valueCol = s"__graft_scv$i", rawCol = s"__gv$i",
+            matchCol = s"__gmatch$i",
+            keyCols = keyAliases.map(_.name),
+            outerKeys = pairs.map(p => asColumn(p._1)),
+            agg = aggPlan, default = defaultPlan, dataType = s.dataType)
+          UnresolvedAttribute(Seq(s"__graft_scv$i")): Expression
+        }).getOrElse(s) // not expressible — refused by the caller
+    })
+    (out, lookups.toSeq)
+  }
+
   /** Re-anchor an expression by NAME: attribute references resolved
     * against the statement's relation instance are replaced with
     * unresolved ones, so the expression re-resolves against the fresh
@@ -608,7 +697,13 @@ object SqlDml {
             if assignments.forall(_.resolved) &&
               condition.forall(_.resolved) =>
           requireWritable(table, opts)
-          val set = assignments.map { a =>
+          // correlated SCALAR subqueries in SET values decorrelate into
+          // per-key left-join lookups (the CDC enrichment shape `SET v =
+          // (SELECT agg FROM s WHERE s.k = t.k)`); anything the lift
+          // cannot express stays in the value and refuses loudly below
+          val (values, scalarLookups) =
+            liftScalarSets(assignments.map(_.value))
+          val set = assignments.zip(values).map { case (a, value) =>
             val name = a.key match {
               case ar: AttributeReference => ar.name
               case u: UnresolvedAttribute => u.name
@@ -616,15 +711,15 @@ object SqlDml {
                 s"graft DML: UPDATE SET target must be a plain column, " +
                   s"got $other")
             }
-            (name, asColumn(a.value))
+            (name, asColumn(value))
           }
-          assignments.flatMap(a => Seq(a.key, a.value))
+          (assignments.map(_.key) ++ values)
             .foreach(refuseCorrelated(_, "UPDATE"))
           GraftUpdateCommand(table, set,
             asColumn(decorrelate(condition.getOrElse(
               org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral),
               "UPDATE")),
-            ident)
+            ident, scalarLookups)
 
         case m: MergeIntoTable if m.targetTable.resolved &&
             m.sourceTable.resolved && m.mergeCondition.resolved &&
@@ -719,10 +814,12 @@ object SqlDml {
       require(keyAttrs.map(_.name.toLowerCase).distinct.size ==
         keyAttrs.size, "graft DML: MERGE condition repeats a key column")
       // assignment VALUES re-anchor by side-prefixed bare names — a
-      // CORRELATED subquery's outer references cannot (and a per-row
-      // scalar subquery in a SET is not a merge shape), so those refuse
-      // loudly. Action CONDITIONS decorrelate like DELETE/UPDATE
-      // predicates do — see rewriteMergeGeneral's `decond`.
+      // CORRELATED subquery's outer references cannot (the UPDATE-style
+      // scalar lift does not compose with the merge cascade's
+      // two-sided projections), so those refuse loudly; plain UPDATE
+      // supports the scalar shape via liftScalarSets. Action CONDITIONS
+      // decorrelate like DELETE/UPDATE predicates do — see
+      // rewriteMergeGeneral's `decond`.
       (m.matchedActions ++ m.notMatchedActions ++
         m.notMatchedBySourceActions).foreach {
         case UpdateAction(_, assigns, _) => assigns.foreach(a =>
@@ -1189,13 +1286,37 @@ object SqlDml {
     }
   }
 
-  /** UPDATE → an atomic vector + rewritten-rows commit. */
+  /** UPDATE → an atomic vector + rewritten-rows commit. Scalar-subquery
+    * SET values arrive decorrelated as [[ScalarSetLookup]]s: each one
+    * LEFT-joins the matched rows against its per-key aggregate (grouped
+    * lookups are per-key-unique by construction, so the join is
+    * row-preserving — [[graft.sources.Snapshots.updateWhere]] still
+    * guards the count) and exposes the scalar as a column the SET
+    * expressions reference by name; unmatched rows take the
+    * aggregate-over-empty default the original scalar denotes.
+    */
   final case class GraftUpdateCommand(table: String,
       set: Seq[(String, Column)], condition: Column,
-      ident: Option[String])
+      ident: Option[String],
+      scalarLookups: Seq[SqlDml.ScalarSetLookup] = Nil)
       extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      Snapshots.updateWhere(spark, table, condition, set)
+      import org.apache.spark.sql.functions.{col => c, lit, when}
+      val enrich = Option(scalarLookups).filter(_.nonEmpty).map { ls =>
+        (matched: org.apache.spark.sql.DataFrame) =>
+          ls.foldLeft(matched) { (df, l) =>
+            val lk = GraftBridge.dataFrame(spark, l.agg)
+            val dflt = GraftBridge.dataFrame(spark, l.default).head().get(0)
+            val cond = l.outerKeys.zip(l.keyCols)
+              .map { case (o, k) => o === lk(k) }.reduce(_ && _)
+            df.join(lk, cond, "left")
+              .withColumn(l.valueCol,
+                when(c(l.matchCol).isNotNull, c(l.rawCol))
+                  .otherwise(lit(dflt).cast(l.dataType)))
+              .drop((l.keyCols :+ l.rawCol :+ l.matchCol): _*)
+          }
+      }
+      Snapshots.updateWhere(spark, table, condition, set, enrich = enrich)
       refreshCatalog(spark, ident)
       Seq.empty
     }

@@ -3481,7 +3481,8 @@ object Snapshots {
       set: Seq[(String, org.apache.spark.sql.Column)],
       statsCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      planHook: () => Unit = () => ()): Int = {
+      planHook: () => Unit = () => (),
+      enrich: Option[DataFrame => DataFrame] = None): Int = {
     import org.apache.spark.sql.functions.{col => c}
     val v = latestVersion(spark, table)
     require(v > 0, s"Snapshots.updateWhere: $table has no committed version")
@@ -3514,7 +3515,22 @@ object Snapshots {
     val recorded = this.properties(spark, table, v).get(SchemaProp)
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val updated0 = set.foldLeft(matched) { case (df, (k, col)) =>
+    // optional lookup enrichment (decorrelated scalar-subquery SET
+    // values join per-key aggregates in): it must be ROW-PRESERVING —
+    // the DV positions come from `matched`, the rewritten rows from the
+    // enriched frame, and they must stay 1:1. A left join can only
+    // preserve or duplicate, never drop, so count-equality proves
+    // exactly one match per row.
+    val enriched = enrich match {
+      case None => matched
+      case Some(f) =>
+        val e = f(matched)
+        require(e.count() == matched.count(),
+          s"Snapshots.updateWhere: enrichment changed the matched row " +
+            "count — lookup joins must be per-key-unique")
+        e
+    }
+    val updated0 = set.foldLeft(enriched) { case (df, (k, col)) =>
       df.withColumn(k, col) }
     val updated = recorded match {
       case Some(st) => updated0.select(st.fields.toSeq.map(f =>

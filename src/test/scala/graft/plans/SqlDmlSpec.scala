@@ -496,12 +496,64 @@ class SqlDmlSpec extends SparkSpec {
         "HAVING max(s.k + dml_corr.k) > 0)")
     }
     assert(e2.getMessage.toLowerCase.contains("correlat"), e2.getMessage)
-    // correlated scalar subquery in a SET value stays refused
+    // a NON-equality-correlated scalar in a SET value stays refused
+    // (equality-correlated ones decorrelate — next test)
     val e3 = intercept[IllegalArgumentException] {
       dml.sql("UPDATE dml_corr SET v = " +
-        "(SELECT max(s.g) FROM dml_corr_src s WHERE s.k = dml_corr.k)")
+        "(SELECT max(s.g) FROM dml_corr_src s WHERE s.k < dml_corr.k)")
     }
     assert(e3.getMessage.contains("CORRELATED"), e3.getMessage)
+  }
+
+  test("correlated SCALAR subqueries in UPDATE SET values decorrelate " +
+      "into per-key left-join lookups: COUNT stays 0 for unmatched " +
+      "keys, post-aggregate arithmetic rides, NULL outer keys take " +
+      "the empty default; inexpressible shapes refuse") {
+    import spark.implicits._
+    val tbl = freshTable("scal")
+    Snapshots.commit(Seq(
+      (java.lang.Long.valueOf(1L), 10L), (java.lang.Long.valueOf(2L), 20L),
+      (java.lang.Long.valueOf(3L), 30L),
+      (null.asInstanceOf[java.lang.Long], 40L)).toDF("k", "v"), tbl)
+    register("dml_scal", tbl)
+    dml.sql("CREATE OR REPLACE TEMPORARY VIEW dml_scal_src AS " +
+      "SELECT CAST(k AS BIGINT) k, CAST(x AS BIGINT) x FROM VALUES " +
+      "(1, 5), (1, 7), (3, 100), (NULL, 9) AS s(k, x)")
+    def content: Set[(Option[Long], Option[Long])] =
+      Snapshots.readMor(spark, tbl).collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // COUNT: the classic decorrelation bug — unmatched keys (k=2) and
+    // NULL outer keys must read 0 (the aggregate over empty input),
+    // never NULL
+    dml.sql("UPDATE dml_scal SET v = (SELECT count(*) " +
+      "FROM dml_scal_src s WHERE s.k = dml_scal.k)")
+    assert(content === Set((Some(1L), Some(2L)), (Some(2L), Some(0L)),
+      (Some(3L), Some(1L)), (None, Some(0L))))
+    // post-aggregate arithmetic + the scalar nested inside a larger SET
+    // expression; SUM over empty is NULL, so coalesce carries the miss
+    dml.sql("UPDATE dml_scal SET v = v + coalesce((SELECT sum(s.x) * 2 " +
+      "FROM dml_scal_src s WHERE s.k = dml_scal.k), 0)")
+    assert(content === Set((Some(1L), Some(26L)), (Some(2L), Some(0L)),
+      (Some(3L), Some(201L)), (None, Some(0L))))
+    // bare SUM without coalesce: unmatched rows take the NULL the
+    // original scalar denotes
+    dml.sql("UPDATE dml_scal SET v = (SELECT sum(s.x) " +
+      "FROM dml_scal_src s WHERE s.k = dml_scal.k) WHERE k = 2")
+    assert(content.contains((Some(2L), None)))
+    // refusal: grouped scalar (its cardinality contract is not
+    // structural — a group-by scalar can return many rows)
+    val e = intercept[Exception] {
+      dml.sql("UPDATE dml_scal SET v = (SELECT max(s.x) " +
+        "FROM dml_scal_src s WHERE s.k = dml_scal.k GROUP BY s.x)")
+    }
+    assert(e.getMessage.toLowerCase.contains("correlat"), e.getMessage)
+    // refusal: outer reference INSIDE the aggregate input
+    val e2 = intercept[Exception] {
+      dml.sql("UPDATE dml_scal SET v = (SELECT sum(s.x + dml_scal.v) " +
+        "FROM dml_scal_src s WHERE s.k = dml_scal.k)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("correlat"), e2.getMessage)
   }
 
   test("MERGE action conditions decorrelate: a blocklist-gated " +
