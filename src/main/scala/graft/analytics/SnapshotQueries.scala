@@ -1876,6 +1876,49 @@ object SnapshotQueries {
            count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
          FROM orders"""))
 
+  /** Predicate-scoped compaction ([[Snapshots.compactWhere]], the
+    * Iceberg/Delta `OPTIMIZE ... WHERE` shape) through `CALL
+    * graft_compact(path => ..., where => ...)`: two KEY-DISJOINT
+    * batches (pre-cutoff in 4 files, post-cutoff in 3), then a
+    * compaction scoped to the pre-cutoff key range — envelope evidence
+    * proves the 3 post-cutoff files row-free for the predicate, so
+    * they carry BYTE-IDENTICAL (SqlMaintenanceSpec pins path/bytes/seq
+    * identity) while the 4 touched files fold into 1. `n_files` = 4
+    * pins the split (1 rewritten + 3 carried — a whole-version compact
+    * would read 1), `n_versions` = 3 pins it was a commit, the
+    * count/total pin content preservation.
+    */
+  val compactWhereQ = Q("q_compact_where",
+    (s, d) => {
+      val q = graft.plans.SqlDml.enable(s)
+      val tbl = memoFixture(s, d, "cmpw") { tbl =>
+        val o = src(s, d)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") < lit(cutoff)).repartition(4),
+          tbl, statsCols = Seq("o_orderkey"),
+          strStatsCols = Seq.empty)
+        Snapshots.commit(
+          o.filter(col("o_orderdate") >= lit(cutoff))
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .repartition(3),
+          tbl, statsCols = Seq("o_orderkey"))
+        q.sql(s"CALL graft_compact(path => '$tbl', " +
+          "where => 'o_orderkey < 10000000', " +
+          "target_bytes => 1073741824)")
+        bindName(q, "graft_cmpw_q", tbl)
+      }
+      bindName(q, "graft_cmpw_q", tbl)
+      q.sql(s"""SELECT
+          (SELECT count(*) FROM graft_files('$tbl')) AS n_files,
+          (SELECT count(*) FROM graft_history('$tbl')) AS n_versions,
+          count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+        FROM graft_cmpw_q""")
+    },
+    Some(s"""SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(3 AS BIGINT) AS n_versions,
+           count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders"""))
+
   /** X116: SQL MERGE INTO — the analyzer expands `UPDATE SET * / INSERT
     * *` into per-column assignments, which the rule turns into one
     * key-exact [[Snapshots.merge]] upsert; a second MERGE with `WHEN
@@ -2626,7 +2669,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlDmlCorr, sqlUpdateScalar,
-    sqlMaintain, sqlMerge,
+    sqlMaintain, compactWhereQ, sqlMerge,
     sqlMergeConditional,
     sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,

@@ -15,6 +15,10 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   * {{{
   *   CALL graft_compact('/path/to/t')            -- compactVersion
   *   CALL graft_compact('/path/to/t', 1048576)   --   (target bytes)
+  *   CALL graft_compact(path => '/t',
+  *                      where => 'k < 100')      -- compactWhere: rewrite
+  *                                               -- only envelope-matching
+  *                                               -- files, carry the rest
   *   CALL graft_compact_mor('/path/to/t')        -- fold MOR tombstones
   *   CALL graft_rewrite_layout('/path/to/t')     -- restore partition layout
   *   CALL graft_vacuum('/path/to/t', 3)          -- reclaim old versions
@@ -82,15 +86,22 @@ object SqlMaintenance {
     val (doc, _) = ops(name)
     // named arguments (`CALL graft_compact(path => '/t')`) normalize to
     // the positional order: `path` first, then the op's single tunable
-    // (any name — target_bytes/keep_last/... — maps to position 2)
+    // (any name — target_bytes/keep_last/... — maps to position 2).
+    // graft_compact additionally takes `where => '<predicate>'` — the
+    // predicate-scoped OPTIMIZE shape — as a NAMED argument only
     val named = args0.collect {
       case NamedArgumentExpression(n, v) => (n.toLowerCase, v) }
+    val (whereArg, rest0) = named.partition(_._1 == "where")
+    require(whereArg.isEmpty || name == "graft_compact",
+      s"CALL $name$doc: `where` is only supported by graft_compact")
+    val where = whereArg.headOption.map(w =>
+      evalLiteral(name, w._2).toString)
     val args =
       if (named.isEmpty) args0
       else {
         require(named.size == args0.size,
           s"CALL $name$doc: mix of named and positional arguments")
-        val (paths, rest) = named.partition(_._1 == "path")
+        val (paths, rest) = rest0.partition(_._1 == "path")
         require(paths.size == 1 && rest.size <= 1,
           s"CALL $name$doc: expected `path` plus at most one tunable, " +
             s"got ${named.map(_._1).mkString(", ")}")
@@ -112,7 +123,7 @@ object SqlMaintenance {
         s"CALL $name$doc: second argument must be an integral number, " +
           s"got $other")
     })
-    GraftMaintainCommand(name, path, num)
+    GraftMaintainCommand(name, path, num, where)
   }
 }
 
@@ -120,15 +131,26 @@ object SqlMaintenance {
   * EXPLAIN time). Returns one `(op, result)` row.
   */
 final case class GraftMaintainCommand(op: String, table: String,
-    num: Option[Long]) extends LeafRunnableCommand {
+    num: Option[Long], where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("op", org.apache.spark.sql.types.StringType,
       nullable = false)(),
     AttributeReference("result", org.apache.spark.sql.types.LongType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (_, runner) = SqlMaintenance.ops(op)
-    Seq(Row(op, runner(spark, table, num)))
+    val result = where match {
+      case Some(pred) =>
+        // predicate-scoped compaction: rewrite only the files whose
+        // envelope may intersect the predicate; result = new version
+        Snapshots.compactWhere(spark, table,
+          org.apache.spark.sql.functions.expr(pred),
+          num.getOrElse(128L << 20)).version.toLong
+      case None =>
+        val (_, runner) = SqlMaintenance.ops(op)
+        runner(spark, table, num)
+    }
+    Seq(Row(op, result))
   }
 }
 

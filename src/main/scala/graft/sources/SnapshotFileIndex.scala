@@ -444,6 +444,18 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     a.length < b.length
   }
 
+  /** Split this version's entries by [[mayMatch]] evidence:
+    * (may-hold-a-matching-row, provably-row-free). The maintenance
+    * tier's predicate-scoped compaction uses this to bound a rewrite to
+    * the files a literal predicate can touch — same conservative
+    * three-valued rule as query-time pruning, so an unprovable
+    * predicate shape lands files on the REWRITE side (sound: rewriting
+    * an extra file never changes content).
+    */
+  private[graft] def evidenceSplit(filter: Expression)
+      : (Seq[Snapshots.FileEntry], Seq[Snapshots.FileEntry]) =
+    entries.partition(e => mayMatch(e, filter))
+
   /** Conservative three-valued pruning: false ONLY when the manifest
     * evidence proves no row of the file can satisfy `expr`. Comparison
     * sides resolve through [[probeOf]], so widening casts and default

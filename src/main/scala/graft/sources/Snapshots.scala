@@ -3192,6 +3192,90 @@ object Snapshots {
       properties = Map(DataChangeProp -> "false"))
   }
 
+  /** PREDICATE-SCOPED compaction (the Iceberg/Delta `OPTIMIZE ...
+    * WHERE` shape): compact ONLY the files whose manifest envelope
+    * evidence says they may hold a row matching `predicate`; every
+    * other file is carried BYTE-IDENTICAL into the new version — same
+    * entry, same path, same data sequence number, no read and no write
+    * — so an operator can re-cluster one hot key range of a 100 TB
+    * table at a cost proportional to that range, not the table. The
+    * evidence split is [[SnapshotFileIndex]]'s conservative
+    * three-valued rule: a file is carried only when provably row-free
+    * for the predicate, and an unprovable predicate shape lands files
+    * on the REWRITE side (sound — rewriting extra files never changes
+    * content). Declared clustering (X121) is honored on the rewritten
+    * subset; a partition-spec'd table rewrites through the partitioned
+    * writer so the tuple-in-name layout survives. Merge-on-read masks
+    * refuse toward [[compactMor]] (a scoped rewrite under masks would
+    * have to split vectors per file); era-evolved versions refuse
+    * through the index's own gate. Zero matching files = no-op (no
+    * empty commit). Returns (version, filesRewritten, filesCarried).
+    */
+  def compactWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      targetBytes: Long = 128L << 20): MergeResult = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val (fs, root) = fsOf(spark, table)
+    val cur = latestVersion(spark, table)
+    require(cur > 0, s"Snapshots.compactWhere: $table has no committed version")
+    val all = manifest(spark, table, cur)
+    require(!all.exists(e => isMask(e.path)),
+      s"Snapshots.compactWhere: version $cur of $table carries " +
+        "merge-on-read masks — run compactMor first")
+    // resolve the predicate against the version's schema, then split
+    // the file set on manifest evidence; the filter must be a plain
+    // row-level predicate (no subqueries, deterministic)
+    val df = read(spark, table, Some(cur))
+    val cond0 = df.filter(predicate).queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    }.getOrElse(sys.error("Snapshots.compactWhere: no filter resolved"))
+    // fold foldable subtrees to literals — the analyzer leaves type
+    // promotion as `cast(50 as bigint)` around literals, which the
+    // evidence matcher (built for post-optimizer pushed filters) only
+    // reads in folded form
+    val cond = cond0.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(e.eval(), e.dataType)
+    }
+    require(cond.deterministic && !cond.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      "Snapshots.compactWhere: the predicate must be a deterministic " +
+        "row-level expression without subqueries")
+    val ix = new SnapshotFileIndex(spark, table, cur)
+    val (touched, carried) = ix.evidenceSplit(cond)
+    if (touched.isEmpty) return MergeResult(cur, 0, carried.size)
+    val bytes = touched.map(e =>
+      fs.getFileStatus(new Path(root, e.path)).getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // evidence-column union across ALL entries (carried included) mapped
+    // through the rename history — the rewritten files must keep every
+    // envelope the version records, same discipline as compactVersion
+    val curProps = properties(spark, table, cur)
+    val statsCols = all.flatMap(_.stats.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    val bloomCols = all.flatMap(_.blooms.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    val strCols = all.flatMap(_.strStats.keys).distinct
+      .flatMap(n => currentColName(curProps, n)).distinct.sorted
+    val clusterCols = clustering(spark, table).map(_._2).getOrElse(Seq.empty)
+    val subset = readMorEntries(spark, table, cur, touched, Seq.empty)
+    val shaped = clusteredLayout(spark, table, subset, nOut)
+    val v2 = commitWith(shaped, table,
+      statsCols = (statsCols ++ clusterCols).distinct,
+      properties = Map(DataChangeProp -> "false"),
+      bloomCols = bloomCols, strStatsCols = strCols,
+      baseFor = parent => {
+        require(parent == cur, s"Snapshots.compactWhere: concurrent " +
+          s"commit on $table (planned against v$cur, parent is now " +
+          s"v$parent) — retry")
+        carried
+      },
+      writeVia = partitionedWriteVia(spark, table))
+    MergeResult(v2, touched.size, carried.size)
+  }
+
   /** Roll the table back to `toVersion` as a NEW commit whose file set is
     * that version's manifest, carried verbatim (stats, blooms and schema
     * included) — a metadata-only operation: no data file is read,

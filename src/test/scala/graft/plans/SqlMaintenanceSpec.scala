@@ -108,6 +108,80 @@ class SqlMaintenanceSpec extends SparkSpec {
     intercept[Exception] { dml.sql("CALL not_graft('x')") }
   }
 
+  test("CALL graft_compact(where => ...) rewrites ONLY envelope-matching " +
+      "files — untouched files carry byte-identical (path, bytes, seq); " +
+      "zero-match is a no-op; other ops refuse `where`") {
+    import spark.implicits._
+    val tbl = freshTable("cw")
+    // two key-disjoint batches, two files each: the predicate can only
+    // touch batch A's files, so batch B's two files must carry verbatim
+    Snapshots.commit((0L until 10L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k")),
+      tbl, statsCols = Seq("k"))
+    Snapshots.commit((100L until 120L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k")),
+      tbl, statsCols = Seq("k"))
+    val before = Snapshots.manifest(spark, tbl, 2)
+    assert(before.size === 4)
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sig(path: String): (Long, Long) = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(tbl, path))
+      (st.getLen, st.getModificationTime)
+    }
+    val carriedBefore = before.filter(_.stats("k")._1 >= 100L)
+      .map(e => (e.path, e.seq, sig(e.path))).sortBy(_._1)
+    assert(carriedBefore.size === 2)
+    val out = dml.sql(
+      s"CALL graft_compact(path => '$tbl', where => 'k < 50', " +
+        "target_bytes => 1073741824)").collect()
+    assert(out.head.getLong(1) === 3L) // result = the new version
+    val after = Snapshots.manifest(spark, tbl, 3)
+    // 2 touched files folded into 1, 2 carried verbatim
+    assert(after.size === 3, after.map(_.path).mkString(","))
+    val carriedAfter = after.filter(_.stats("k")._1 >= 100L)
+      .map(e => (e.path, e.seq, sig(e.path))).sortBy(_._1)
+    assert(carriedAfter === carriedBefore,
+      "carried files must keep path, seq, and bytes")
+    // content identical, history preserved
+    assert(Snapshots.read(spark, tbl).orderBy("k").collect().toSeq ===
+      Snapshots.read(spark, tbl, Some(2)).orderBy("k").collect().toSeq)
+    // zero matching files: no-op, no empty commit
+    val r = Snapshots.compactWhere(spark, tbl,
+      org.apache.spark.sql.functions.col("k") > 100000L)
+    assert(r === Snapshots.MergeResult(3, 0, 3))
+    assert(Snapshots.latestVersion(spark, tbl) === 3)
+    // `where` on any other op refuses
+    val e = intercept[Exception] {
+      dml.sql(s"CALL graft_vacuum(path => '$tbl', where => 'k < 5')")
+    }
+    assert(e.getMessage.contains("where"), e.getMessage)
+  }
+
+  test("compactWhere honors declared clustering on the rewritten subset " +
+      "and refuses merge-on-read masks toward compactMor") {
+    import spark.implicits._
+    val tbl = freshTable("cwc")
+    Snapshots.commit((0L until 40L).map(k => (k % 7, k)).toDF("g", "k")
+      .repartition(4), tbl, statsCols = Seq("g", "k"))
+    Snapshots.setClustering(spark, tbl, "sort(k)")
+    val r = Snapshots.compactWhere(spark, tbl,
+      org.apache.spark.sql.functions.col("k") >= 0L,
+      targetBytes = 1L << 30)
+    assert(r.filesRewritten === 4 && r.filesCarried === 0)
+    // clustered layout: the single rewritten file is sorted by k
+    val ks = Snapshots.read(spark, tbl).select("k").collect().map(_.getLong(0))
+    assert(ks.toSeq === ks.sorted.toSeq, "declared sort clustering ignored")
+    // MOR masks refuse with guidance
+    Snapshots.deleteVector(spark, tbl,
+      org.apache.spark.sql.functions.col("k") === 3L)
+    val e = intercept[Exception] {
+      Snapshots.compactWhere(spark, tbl,
+        org.apache.spark.sql.functions.col("k") < 10L)
+    }
+    assert(e.getMessage.contains("compactMor"), e.getMessage)
+  }
+
   test("CALL accepts named arguments in any order; mixed or unknown " +
       "names refuse") {
     val tbl = freshTable("named")
