@@ -1919,6 +1919,55 @@ object SnapshotQueries {
            count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
          FROM orders"""))
 
+  /** DECIMAL end-to-end (the last untested type family in the table
+    * format tier): a DECIMAL(18,4) price column and a DECIMAL(38,6)
+    * sibling ride commit → unscaled-long manifest envelopes (precision
+    * ≤ 18 is INT64-backed parquet; 38 is FLBA — correctly records no
+    * envelope) → a partial-SET SQL MERGE whose decimal arithmetic casts
+    * back to the recorded type → a range-filtered INDEXED read that
+    * file-skips from the decimal envelope (SnapshotFileIndexSpec pins
+    * per-type prune counts incl. the finer-scale-literal conservative
+    * keep). All aggregates are decimal-exact; the oracle replays the
+    * merge as decimal CASE arithmetic.
+    */
+  val decimalRoundtrip = Q("q_decimal_roundtrip",
+    (s, d) => {
+      val q = graft.plans.SqlDml.enable(s)
+      val tbl = memoFixture(s, d, "decrt") { tbl =>
+        Snapshots.commit(
+          src(s, d).select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,4)").as("price"),
+            col("o_totalprice").cast("decimal(38,6)").as("big"))
+            .repartitionByRange(6, col("price")),
+          tbl, statsCols = Seq("o_orderkey", "price", "big"))
+        bindName(q, "graft_dec_q", tbl)
+        q.sql("CREATE OR REPLACE TEMPORARY VIEW graft_dec_src AS " +
+          "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) " +
+          s"AS delta FROM parquet.`$d/orders.parquet` " +
+          "WHERE o_orderkey % 3 = 0")
+        q.sql("MERGE INTO graft_dec_q t USING graft_dec_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET price = t.price + s.delta")
+      }
+      bindName(q, "graft_dec_q", tbl)
+      Snapshots.readIndexed(s, tbl)._1
+        .filter(col("price") >= lit("50000").cast("decimal(18,4)"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("total"),
+          max(col("big")).cast("double").as("max_big"))
+    },
+    Some(s"""SELECT count(*) AS n_rows,
+           CAST(sum(p2) AS DOUBLE) AS total,
+           CAST(max(big) AS DOUBLE) AS max_big
+         FROM (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+               THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2
+                    AS DECIMAL(18,4))
+               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END AS p2,
+             CAST(o_totalprice AS DECIMAL(38,6)) AS big
+           FROM orders)
+         WHERE p2 >= CAST(50000 AS DECIMAL(18,4))"""))
+
   /** X116: SQL MERGE INTO — the analyzer expands `UPDATE SET * / INSERT
     * *` into per-column assignments, which the rule turns into one
     * key-exact [[Snapshots.merge]] upsert; a second MERGE with `WHEN
@@ -2669,7 +2718,7 @@ object SnapshotQueries {
 
   val all: Seq[Q] = Seq(timeTravel, snapshotDiff, fileSkip, versionedCompact,
     deletionVector, updateWhere, sqlDml, sqlDmlCorr, sqlUpdateScalar,
-    sqlMaintain, compactWhereQ, sqlMerge,
+    sqlMaintain, compactWhereQ, decimalRoundtrip, sqlMerge,
     sqlMergeConditional,
     sqlMergeStr, sqlMergeMulti, sqlMergeEvolve, sqlMergeEvolveWiden,
     hiddenPartition, compositePartition, dimFilePrune, dimFilePruneAuto,

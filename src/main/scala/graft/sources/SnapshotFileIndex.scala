@@ -270,7 +270,31 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
   // ---- evidence evaluation -------------------------------------------
 
   private def longOf(v: Any): Option[Long] = v match {
+    case _: org.apache.spark.sql.types.Decimal => None // see decUnscaled
     case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** A Decimal literal probing column `name`, rescaled to the COLUMN's
+    * recorded scale and returned as the unscaled long the manifest
+    * envelope is recorded in (INT32/INT64-backed decimals, precision ≤
+    * 18, store unscaled integers — the stats reader records exactly
+    * that domain). None — keep the file — when the column is not a
+    * ≤18-precision decimal, or the literal needs rounding to reach the
+    * column's scale (a finer-scale literal can never be proven absent
+    * from envelope evidence alone), or the unscaled value leaves the
+    * long domain.
+    */
+  private def decUnscaled(name: String, v: Any): Option[Long] = v match {
+    case d: org.apache.spark.sql.types.Decimal =>
+      dataSchema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(_.dataType).flatMap {
+          case dt: DecimalType if dt.precision <= 18 =>
+            try Some(d.toJavaBigDecimal.setScale(dt.scale)
+              .unscaledValue().longValueExact())
+            catch { case _: ArithmeticException => None }
+          case _ => None
+        }
     case _ => None
   }
 
@@ -299,6 +323,16 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
       case a: AttributeReference => Some(Probe(a.name, None, widened = false))
       case c: Cast if integralWidening(c.child.dataType, c.dataType) =>
         probeOf(c.child).map(_.copy(widened = true))
+      // decimal comparison coercion: SAME-SCALE precision widening is
+      // order-isomorphic and keeps the unscaled domain the envelope is
+      // recorded in (the literal rescales to the COLUMN's own scale in
+      // decUnscaled either way); cross-scale casts stay opaque — keep
+      case c: Cast => (c.child.dataType, c.dataType) match {
+        case (f: DecimalType, t: DecimalType)
+            if f.scale == t.scale && t.precision >= f.precision =>
+          probeOf(c.child).map(_.copy(widened = true))
+        case _ => None
+      }
       case Coalesce(Seq(inner, Literal(d, _))) =>
         probeOf(inner).map(_.copy(default = Some(d)))
       case _ => None
@@ -349,7 +383,7 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
     */
   private def cmpMay(e: Snapshots.FileEntry, name: String, v: Any,
       op: String, widened: Boolean = false): Boolean = {
-    val long = longOf(v)
+    val long = longOf(v).orElse(decUnscaled(name, v))
     val str = strOf(v)
     val envOk: Boolean = (long, str) match {
       case (Some(l), _) => e.stats.get(name).forall { case (mn, mx) =>
@@ -372,7 +406,12 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
       }
       case _ => true // unsupported literal type: no evidence, keep
     }
-    val bloomOk: Boolean = op != "eq" || (e.blooms.get(name) match {
+    // decimal literals stay envelope-only: a decimal column's bloom
+    // hashes the runtime Decimal representation, which this probe does
+    // not reconstruct — conservative keep
+    val bloomOk: Boolean =
+      v.isInstanceOf[org.apache.spark.sql.types.Decimal] ||
+        (op != "eq" || (e.blooms.get(name) match {
       case Some(bits) =>
         val jvm = v match { case u: UTF8String => u.toString; case x => x }
         if (!widened) Snapshots.bloomMightContain(bits, jvm)
@@ -391,7 +430,7 @@ final class SnapshotFileIndex private[sources] (spark: SparkSession,
           Snapshots.narrowReps(jvm)
             .exists(r => Snapshots.bloomMightContain(bits, r))
       case None => true
-    })
+    }))
     envOk && bloomOk
   }
 

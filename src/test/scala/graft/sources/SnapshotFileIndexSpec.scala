@@ -288,4 +288,52 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(afterKept === 0, s"post-compaction skip kept $afterKept")
     assert(afterTotal === compacted.size)
   }
+
+  test("DECIMAL(<=18) columns earn unscaled-long envelopes and range " +
+      "filters file-skip; finer-scale literals keep conservatively; " +
+      "DECIMAL(38) reads/filters exactly with no envelope") {
+    import spark.implicits._
+    val tbl = freshTable("dec")
+    // 8 files, one per price band: d18 = k.25 at scale 4, d38 = the
+    // same value at precision 38 (FIXED_LEN_BYTE_ARRAY — no envelope)
+    val df = (0 until 16).map(k => (k.toLong, s"$k.25"))
+      .toDF("k", "p")
+      .select(col("k"),
+        col("p").cast("decimal(18,4)").as("d18"),
+        col("p").cast("decimal(38,6)").as("d38"))
+      .repartitionByRange(8, col("d18"))
+    Snapshots.commit(df, tbl, statsCols = Seq("d18", "d38"))
+    val entries = Snapshots.manifest(spark, tbl, 1)
+    assert(entries.size === 8)
+    assert(entries.forall(_.stats.contains("d18")),
+      "missing DECIMAL(18) envelope")
+    assert(entries.forall(e => !e.stats.contains("d38")),
+      "DECIMAL(38) (FLBA) must not record a long envelope")
+    // unscaled-long check: k=0 file holds 0.25 → 2500 at scale 4
+    assert(entries.map(_.stats("d18")._1).min === 2500L)
+    def kept(cond: org.apache.spark.sql.Column): (Long, Int) = {
+      val (d, ix) = Snapshots.readIndexed(spark, tbl)
+      val got = d.filter(cond).count()
+      val want = Snapshots.read(spark, tbl).filter(cond).count()
+      assert(got === want, s"cond $cond pruned rows away")
+      (got, ix.lastPrune._1)
+    }
+    // range and equality prune on the decimal envelope (same-scale
+    // literals; the comparison's precision-widening cast is traversed)
+    assert(kept(col("d18") >= lit("12.25").cast("decimal(18,4)"))
+      === ((4L, 2)))
+    assert(kept(col("d18") === lit("5.25").cast("decimal(18,4)"))
+      === ((1L, 1)))
+    assert(kept(col("d18") < lit("2").cast("decimal(18,4)")) === ((2L, 1)))
+    // a FINER-scale literal (needs rounding to reach the column's
+    // scale) keeps every file — conservative, results still exact
+    assert(kept(col("d18") === lit("5.25001").cast("decimal(18,5)"))._1
+      === 0L)
+    // DECIMAL(38): no evidence → full keep, but filters stay exact
+    assert(kept(col("d38") > lit("13").cast("decimal(38,6)"))
+      === ((3L, 8)))
+    // out-of-range proves zero files on the 18-precision tier
+    assert(kept(col("d18") > lit("100").cast("decimal(18,4)"))
+      === ((0L, 0)))
+  }
 }
