@@ -1243,6 +1243,64 @@ object SnapshotQueries {
          FROM orders WHERE o_orderkey % 97 = 0
          ORDER BY commit_version, change_type"""))
 
+  /** X134: STREAMING change-data-feed source —
+    * `readStream.format("graft").option("readChangeFeed", true)`
+    * ([[graft.sources.GraftSource.createSource]]): q_change_feed's
+    * timeline consumed AS A STREAM. The fixture builds the same
+    * v1/v2 appends + v3 MOR delete (keys ≡ 0 mod 31) + v4 MOR upsert
+    * (keys ≡ 0 mod 97, price doubled), then runs the REAL checkpointed
+    * streaming query — CDC source into the graft sink, exactly-once end
+    * to end — and the entry aggregates the SINK table. The oracle
+    * replays the expected feed per version, so the hash pins that the
+    * stream delivered exactly the batch CDC surface, deletes included
+    * (the shape the append-only streaming tail refuses loudly), with
+    * key 0's already-invisible rule intact across the stream boundary.
+    */
+  val cdcStream = Q("q_cdc_stream",
+    (s, d) => {
+      val root = memoFixture(s, d, "cdcs") { rootDir =>
+        val srcTbl = s"$rootDir/src"
+        val o = src(s, d)
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), srcTbl,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.commit(o.filter(col("o_orderkey") % 2 === 1), srcTbl,
+          statsCols = Seq("o_orderkey"))
+        Snapshots.deleteWhere(s, srcTbl,
+          o.filter(col("o_orderkey") % 31 === 0).select("o_orderkey"),
+          "o_orderkey")
+        Snapshots.upsertMor(s, srcTbl,
+          o.filter(col("o_orderkey") % 97 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          "o_orderkey")
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true").load(srcTbl)
+          .writeStream.format("graft").option("path", s"$rootDir/out")
+          .option("checkpointLocation", s"$rootDir/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.format("graft").load(s"$root/out")
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("commit_version"), col("change_type"))
+    },
+    Some(s"""SELECT 1 AS commit_version, 'insert' AS change_type,
+         count(*) AS n_rows, ${dsumSql("o_totalprice")} AS total
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT 2, 'insert', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 2 = 1
+         UNION ALL
+         SELECT 3, 'delete', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 31 = 0
+         UNION ALL
+         SELECT 4, 'delete', count(*), ${dsumSql("o_totalprice")}
+         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 31 <> 0
+         UNION ALL
+         SELECT 4, 'insert', count(*), ${dsumSql("o_totalprice * 2")}
+         FROM orders WHERE o_orderkey % 97 = 0
+         ORDER BY commit_version, change_type"""))
+
   /** X96: change-feed MV maintenance ([[graft.plans.SnapshotMv]] over
     * [[Snapshots.changes]]) — the rollup is refreshed at v1, then a
     * merge-on-read delete (keys ≡ 0 mod 7) and an upsert (keys ≡ 0 mod
@@ -2732,7 +2790,8 @@ object SnapshotQueries {
     schemaEvolution,
     rollbackQ, compactSmallQ, tableHistory, strSkip, bucketJoin,
     bucketMergeJoin, cloneQ, morDelete, morUpsert, mvIncremental,
-    resultCacheQ, timeTravelTs, changeFeed, txnConsistent, mvChanges,
+    resultCacheQ, timeTravelTs, changeFeed, cdcStream, txnConsistent,
+    mvChanges,
     replicate, checkConstraintsQ, uniqueKey, uniqueKeyStr, uniqueKeyPair,
     renameColumnQ, dropColumnQ, statsAggQ, statsAggStrQ)
 }

@@ -530,9 +530,18 @@ object Dedup {
     * shrinks with |B| even at full containment).
     *
     * Candidate generation is the rarest-probe trick (the prefix-filter
-    * family, [[SetSimJoin]]): one global shingle document-frequency
-    * pass, each doc probes with its RAREST shingle (ties by shingle
-    * text), and a doc pairs only with docs sharing that probe. COMPLETE:
+    * family, [[SetSimJoin]]): per-shingle document frequency computed as
+    * a WINDOW over the shingle key — not a groupBy-then-rejoin, for two
+    * reasons: at corpus scale the rejoin is a second full shuffle of a
+    * corpus-sized frequency table (the window clusters the shingle rows
+    * ONCE and reads counts in place), and at test scale the rejoin's
+    * AQE build-side choice reads the persisted shingle cache's size,
+    * which depends on how much of the cache materialized when the stage
+    * planned — a scheduling-dependent BuildLeft/BuildRight flip that
+    * drifted this query's plan fingerprint exactly once in seven r17
+    * runs (reproduced 3/30 under deliberate box contention, r18). Each
+    * doc then probes with its RAREST shingle (ties by shingle text),
+    * and a doc pairs only with docs sharing that probe. COMPLETE:
     * if A ⊆ B then B holds every A-shingle including the probe — no
     * false negatives; candidate cost is Σ df(rarest shingle), the same
     * bound class as every prefix-filtered join here (real text keeps
@@ -545,15 +554,16 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
-    // cached: feeds the df-count pass, the probe argmin, and the
-    // candidate join (no common-subplan elimination across self-joins;
-    // LRU eviction reclaims the blocks, same policy as jaccardConfirm)
+    // cached: feeds the windowed probe-argmin pass and the candidate
+    // join (no common-subplan elimination across self-joins; LRU
+    // eviction reclaims the blocks, same policy as jaccardConfirm)
     val sh = df.select(col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val probes = sh.join(dfreq, "h")
+    // df-per-shingle as a window, not groupBy+rejoin — see scaladoc
+    val probes = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("doc"))
       .agg(min(struct(col("df"), col("h"))).as("m"))
       .select(col("doc").as("id_a"), col("m.h").as("h"))

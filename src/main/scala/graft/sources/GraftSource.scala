@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** `format("graft")` — the [[Snapshots]] table format surfaced through
   * Spark's OWN reader/writer/stream APIs, so a user needs no graft
@@ -149,8 +149,18 @@ final class GraftSource extends RelationProvider
         .asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"graft source: version $v of $table records no schema"))
-    (shortName(), schema.getOrElse(recorded))
+    if (cdcMode(parameters)) {
+      require(schema.isEmpty, "graft source: readChangeFeed streams the " +
+        "table's RECORDED schema plus the change columns — a user schema " +
+        "cannot apply")
+      (shortName(), StructType(recorded.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", IntegerType, nullable = false))))
+    } else (shortName(), schema.getOrElse(recorded))
   }
+
+  private def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   /** `spark.readStream.format("graft")`: the table's VERSION HISTORY as
     * a stream — batch 1 is the snapshot as of stream start (or
@@ -162,12 +172,31 @@ final class GraftSource extends RelationProvider
     * compaction/rebucket) advance the offset with no rows; commits that
     * DELETE rows (tombstones) refuse loudly — this is the append-only
     * tail, row-level deletes are [[Snapshots.changes]]' CDC surface.
+    *
+    * `option("readChangeFeed", "true")` switches the source to that CDC
+    * surface AS A STREAM (Delta's streaming change-feed read): each
+    * trigger delivers the committed versions' row-level change feed —
+    * the table's columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version` — so delete-bearing commits (MOR tombstones,
+    * position vectors, `upsertMor` = delete-of-old + insert-of-new)
+    * STREAM instead of refusing, and a downstream consumer can maintain
+    * state from a MUTATING 100 TB serving table incrementally (cost
+    * follows the manifest delta: inserts read added files, delete
+    * pre-images read only the parent files whose key envelope the
+    * tombstone intersects). Offsets stay version numbers (exactly-once
+    * across checkpointed restarts); layout-only commits advance
+    * silently. Feed-underivable commits keep [[Snapshots.changes]]'
+    * loud refusals: a copy-on-write rewrite doesn't say which rows
+    * changed, and a schema-evolution commit changes the shape mid-
+    * stream — restart the stream from the boundary with the new schema
+    * (`startingVersion`).
     */
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
+    val cdc = cdcMode(parameters)
     val startingVersion = parameters.get("startingVersion").map(_.toInt)
       .getOrElse(0)
     val srcSchema = sourceSchema(sqlContext, schema, providerName,
@@ -201,32 +230,39 @@ final class GraftSource extends RelationProvider
             spark, spark.sparkContext
               .emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
             srcSchema, isStreaming = true)
-        // append-only contract: a version that ADDS tombstones deletes
-        // rows — not expressible as an insert stream; refuse loudly
-        // (data.change=false layout commits are fine, changes() skips
-        // them)
-        val vs = Snapshots.versions(spark, table)
-          .filter(v => v > from && v <= to)
-        vs.foreach { v =>
-          if (!Snapshots.properties(spark, table, v)
-              .get(Snapshots.DataChangeProp).contains("false")) {
-            val parent = Snapshots.versions(spark, table).filter(_ < v)
-              .lastOption
-            val parentPaths = parent
-              .map(p => Snapshots.manifest(spark, table, p)
-                .map(_.path).toSet)
-              .getOrElse(Set.empty[String])
-            val tomb = Snapshots.manifest(spark, table, v)
-              .filterNot(e => parentPaths(e.path))
-              .filter(e => Snapshots.isMask(e.path))
-            require(tomb.isEmpty, s"graft source: version $v of $table " +
-              "deletes rows (tombstones or position vectors) — the " +
-              "streaming tail is append-only; consume row-level " +
-              "deletes via Snapshots.changes")
+        // append-only contract (default mode): a version that ADDS
+        // tombstones deletes rows — not expressible as an insert
+        // stream; refuse loudly (data.change=false layout commits are
+        // fine, changes() skips them). readChangeFeed mode DELIVERS
+        // those deletes as typed change rows instead.
+        if (!cdc) {
+          val vs = Snapshots.versions(spark, table)
+            .filter(v => v > from && v <= to)
+          vs.foreach { v =>
+            if (!Snapshots.properties(spark, table, v)
+                .get(Snapshots.DataChangeProp).contains("false")) {
+              val parent = Snapshots.versions(spark, table).filter(_ < v)
+                .lastOption
+              val parentPaths = parent
+                .map(p => Snapshots.manifest(spark, table, p)
+                  .map(_.path).toSet)
+                .getOrElse(Set.empty[String])
+              val tomb = Snapshots.manifest(spark, table, v)
+                .filterNot(e => parentPaths(e.path))
+                .filter(e => Snapshots.isMask(e.path))
+              require(tomb.isEmpty, s"graft source: version $v of $table " +
+                "deletes rows (tombstones or position vectors) — the " +
+                "streaming tail is append-only; consume row-level " +
+                "deletes as a stream via option(\"readChangeFeed\", " +
+                "\"true\"), or in batch via Snapshots.changes")
+            }
           }
         }
-        val feed = Snapshots.changes(spark, table, from, to)
-          .drop("_change_type", "_commit_version")
+        val raw = Snapshots.changes(spark, table, from, to)
+        val feed =
+          if (cdc) raw.select(srcSchema.fieldNames.map(
+            org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          else raw.drop("_change_type", "_commit_version")
         wrap(feed)
       }
 

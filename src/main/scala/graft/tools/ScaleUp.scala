@@ -97,11 +97,22 @@ object ScaleUp {
     }, "documents")
 
     val vecOff = maxOf(rd("embeddings"), "vec_id") + 1
+    val dim = rd("embeddings")
+      .selectExpr("size(embedding) d").head().getInt(0)
     wr(replicate(rd("embeddings")) { (df, i) =>
-      val emb =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 100000),
-          slice(col("embedding"), 1, i))
+      // Rotate by i MOD dim (a plain rotate-by-i is the IDENTITY once
+      // i reaches the vector length — factor>dim replicas would be
+      // exact cross-replica cosine duplicates, the same generator-
+      // artifact class as the shingle-separator lesson above), and
+      // reverse on odd i/dim blocks so replicas a full period apart
+      // (same rotation) still differ in direction. Both transforms
+      // are norm-preserving permutations.
+      val r = i % dim
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      val emb = if ((i / dim) % 2 == 1) reverse(rot) else rot
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
         .withColumn("embedding", emb)
     }, "embeddings")

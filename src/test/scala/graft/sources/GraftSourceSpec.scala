@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** format("graft"): Spark's own reader/writer/stream APIs over the
   * snapshot format — save-mode semantics, time travel options, automatic
@@ -236,5 +237,91 @@ class GraftSourceSpec extends SparkSpec {
       Snapshots.properties(spark, tbl, v)
         .get(graft.streaming.SnapshotStream.batchProp))
     assert(markers === Seq("0", "1"))
+  }
+
+  test("readChangeFeed streams row-level deletes and upserts as typed " +
+      "change rows, layout commits silent, stream content ≡ batch " +
+      "changes()") {
+    import spark.implicits._
+    val tbl = freshTable("cdcsrc")
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), tbl,
+      statsCols = Seq("k"))
+    def rows(name: String): Seq[(Long, String, String, Int)] =
+      spark.table(name).select("k", "s", "_change_type", "_commit_version")
+        .as[(Long, String, String, Int)].collect().toSeq
+        .sortBy(r => (r._4, r._3, r._1))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(tbl)
+      .writeStream.format("memory").queryName("gcdc1").start()
+    try {
+      q.processAllAvailable()
+      assert(rows("gcdc1") ===
+        Seq((1L, "a", "insert", 1), (2L, "b", "insert", 1)))
+      // a MOR delete STREAMS (the append-only mode refuses it)
+      Snapshots.deleteWhere(spark, tbl, Seq(1L).toDF("k"), "k")
+      q.processAllAvailable()
+      assert(rows("gcdc1").last === ((1L, "a", "delete", 2)))
+      // an upsert surfaces as delete-of-old + insert-of-new at one version
+      Snapshots.upsertMor(spark, tbl, Seq((2L, "B")).toDF("k", "s"), "k")
+      q.processAllAvailable()
+      assert(rows("gcdc1").takeRight(2) ===
+        Seq((2L, "b", "delete", 3), (2L, "B", "insert", 3)))
+      // layout-only commit: offset advances, zero change rows
+      Snapshots.compactMor(spark, tbl)
+      q.processAllAvailable()
+      assert(rows("gcdc1").size === 5)
+      // the stream delivered exactly the batch CDC surface
+      val batch = Snapshots.changes(spark, tbl, 0,
+        Snapshots.latestVersion(spark, tbl))
+        .select("k", "s", "_change_type", "_commit_version")
+        .as[(Long, String, String, Int)].collect().toSeq
+        .sortBy(r => (r._4, r._3, r._1))
+      assert(rows("gcdc1") === batch)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed is exactly-once across a checkpointed restart, " +
+      "and keeps changes()' loud refusal for feed-underivable commits") {
+    import spark.implicits._
+    val src = freshTable("cdcrst")
+    val dst = freshTable("cdcdst")
+    val cp = java.nio.file.Files.createTempDirectory("graft_cdc_cp").toString
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      src, statsCols = Seq("k"))
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.format("graft").option("path", dst)
+      .option("checkpointLocation", cp).start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("graft").load(dst).count() === 3)
+    // offline delete; the restart must deliver ONLY the one delete row
+    Snapshots.deleteWhere(spark, src, Seq(2L).toDF("k"), "k")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.format("graft").load(dst)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+      .sorted
+    assert(got === Seq((1L, "insert"), (2L, "delete"), (2L, "insert"),
+      (3L, "insert"))) // no duplicates, nothing lost
+    // a copy-on-write rewrite (file-dropping commit) stays underivable:
+    // the stream refuses loudly instead of inventing a row-level feed
+    Snapshots.compactMor(spark, src) // layout-only, streams silently
+    Snapshots.merge(spark, src, Seq((3L, "C")).toDF("k", "s"),
+      Seq.empty[Long].toDF("k"), "k")
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    assert(msg.contains("drops") || msg.contains("not derivable"))
+    // ... and a user-supplied schema cannot apply to the CDC shape
+    val e2 = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").schema(StructType(Seq(
+          StructField("k", LongType)))).option("readChangeFeed", "true")
+        .load(src).writeStream.format("memory").queryName("gcdc_bad")
+        .start()
+    }
+    assert(e2.getMessage.contains("RECORDED schema"))
   }
 }
