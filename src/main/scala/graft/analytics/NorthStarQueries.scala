@@ -371,7 +371,14 @@ object NorthStarQueries {
   val minhashCandidates = Q("q_minhash_candidates",
     (s, d) => {
       val docs = documents(s, d)
+      // The LSH chain (shingle → md5 hash → 16 permutations → banding →
+      // capped bucket self-join) feeds BOTH the output's left side and
+      // the Jaccard confirm; unpersisted it ran twice (57 source scans
+      // in the r18 baseline plan). The confirm's internal pairs.count()
+      // materializes this cache during build, so the final action reads
+      // it warm on both paths.
       val cand = Dedup.minhashLshCandidatesMd5(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val conf = Dedup.jaccardOnCandidatesStrings(cand, docs, "text",
         "doc_id", n = 3)
       cand.join(conf.select(col("id_a"), col("id_b"), col("inter"),

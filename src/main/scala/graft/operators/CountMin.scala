@@ -67,17 +67,40 @@ object CountMin {
     * exact always; CountMinSpec pins the overestimate invariant). The
     * threshold rides a broadcast one-row aggregate — integer arithmetic,
     * oracle-replayable.
+    *
+    * Built from the EXACT COUNTS this query needs anyway, not from the
+    * raw occurrence stream: a sketch cell's count is the count of
+    * occurrences hashing into it, i.e. the SUM of `n_exact` over the
+    * tokens hashing into it — identical cell values, but the depth md5
+    * hashes are computed once per DISTINCT token instead of once per
+    * occurrence, and the `(tok, h, bucket)` rows are computed ONCE and
+    * feed both the cell aggregation and the min-read (the previous
+    * shape hashed the stream for the sketch and the distinct tokens
+    * again for the estimates — ~4 x corpus-token md5 calls vs
+    * ~4 x vocabulary now). The standalone [[sketch]] keeps the
+    * stream shape for callers without exact counts (the streaming
+    * sketch fold).
     */
   def heavyHitters(docs: DataFrame, textCol: String = "text",
       depth: Int = 4, width: Int = 256,
       fractionDenom: Long = 50L): DataFrame = {
-    val toks = tokens(docs, textCol)
+    val exact = tokens(docs, textCol)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sk = sketch(toks, depth, width)
-    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
-    val thr = toks.agg((count(lit(1)) / fractionDenom).cast("long").as("thr"))
-    estimates(sk, exact.select(col("tok")), depth, width)
-      .join(exact, Seq("tok"))
+    val rb = exact.select(col("tok"), col("n_exact"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("h"), saltedBucket(col("tok"), r, width).as("bucket"))): _*))
+          .as("rb"))
+      .select(col("tok"), col("n_exact"),
+        col("rb.h").as("h"), col("rb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sk = rb.groupBy(col("h"), col("bucket"))
+      .agg(sum(col("n_exact")).as("cnt"))
+    val thr = exact.agg((sum(col("n_exact")) / fractionDenom)
+      .cast("long").as("thr"))
+    rb.join(broadcast(sk), Seq("h", "bucket"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("est"),
+        min(col("n_exact")).as("n_exact"))
       .crossJoin(broadcast(thr))
       .filter(col("est") >= col("thr"))
       .select(col("tok"), col("est"), col("n_exact"))

@@ -985,9 +985,15 @@ object TrainingData {
         slice(col("_toks"), lit(2), size(col("_toks")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("d"))
-    big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+    // big feeds the transition counts AND the per-doc scoring join —
+    // persist so the corpus is exploded into bigrams once, not three
+    // times; the unigram denominator d(w1) = Σ_w2 c(w1,w2) folds from
+    // the bigram counts (exact integer identity), replacing a second
+    // corpus-wide aggregation with a vocabulary-sized one.
+    val bigP = big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bigP.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("c")).as("d"))
+    bigP.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
       .withColumn("s", expr(s"($scale * c) div d"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("score_sum"))
