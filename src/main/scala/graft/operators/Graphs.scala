@@ -103,47 +103,42 @@ object Graphs {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
-    // normalized once and persisted: every peeling round (and the final
-    // induce) re-joins against e — without the persist each round's job
-    // would redo the cast/canonicalize/distinct shuffle from source
-    // (the same reason connectedComponents persists its sym)
-    val e = edges
+    // EDGE-STATE peeling: the node-survivor formulation referenced the
+    // previous survivor set twice per round (u- and v-side semi-joins),
+    // which forced a per-round eager localCheckpoint (driver job + RDD
+    // copy per round) and re-joined the full persisted edge relation
+    // every round. Iterating on the SHRINKING induced edge set instead
+    // references the state exactly once per round — "an edge survives
+    // iff both its endpoints have induced degree >= k" is the same peel
+    // (a node dies iff its degree < k; an edge dies iff either endpoint
+    // dies), per-endpoint degrees ride ONE window over the doubled edge
+    // list (no groupBy-and-rejoin), and the min over an edge's two rows
+    // applies the rule. Round i's edge set equals the old e|surv_{i-1}
+    // by induction, so values are unchanged; the plan is linear in the
+    // round count with NO checkpoints, no persisted base relation, and
+    // two node/edge-keyed shuffles per round instead of five.
+    var ek = edges
       .select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def degrees(ed: DataFrame): DataFrame = ed
-      .select(col("u").as("node"))
-      .unionAll(ed.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // Each round references the previous survivor set TWICE (u- and
-    // v-side semi-joins), so an un-cut lineage doubles per round and
-    // Catalyst re-analysis goes exponential — the same reason the CC
-    // fixpoint checkpoints. localCheckpoint materializes the (node-set-
-    // sized) frame and restarts the plan; values are unchanged.
-    var surv = degrees(e).filter(col("deg") >= k).select(col("node"))
-      .localCheckpoint()
-    for (_ <- 2 to rounds) {
-      val kept = e
-        .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-      surv = degrees(kept).filter(col("deg") >= k).select(col("node"))
-        .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+    for (_ <- 1 to rounds) {
+      ek = ek
+        .select(col("u"), col("v"),
+          explode(array(col("u"), col("v"))).as("node"))
+        .withColumn("deg", count(lit(1)).over(w))
+        .groupBy(col("u"), col("v")).agg(min(col("deg")).as("_mindeg"))
+        .filter(col("_mindeg") >= k)
+        .select(col("u"), col("v"))
     }
-    val fin = e
-      .join(surv.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-      .join(surv.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-    val result = degrees(fin)
-      .join(surv, "node") // isolated survivors (none unless k=0) dropped
-      .localCheckpoint()
-    // result is materialized above, so the cached edge relation can be
-    // released now — otherwise repeated invocations (bench iterations)
-    // accumulate cached blocks for the session lifetime
-    e.unpersist()
-    result
+    // final induced degrees of the surviving subgraph (isolated
+    // survivors cannot exist for k >= 1: surviving nodes have deg >= k)
+    ek.select(col("u").as("node"))
+      .unionAll(ek.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
   /** Multi-source BFS distances over an undirected edge table: for every
@@ -172,9 +167,25 @@ object Graphs {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
     val srcCol = sources.columns.head
-    // self-loops dropped AFTER symmetrizing (both directions), and the
-    // normalized relation persisted: every relaxation round re-joins
-    // against sym (the connectedComponents persist rationale)
+    // Self-loops dropped AFTER symmetrizing (both directions). The
+    // carry-over of round k's distances used to be an explicit
+    // `d union relaxed(d)` — which references d TWICE per round, forcing
+    // a per-round eager localCheckpoint to keep the plan linear (the
+    // CC-fixpoint lesson) at the cost of one driver job + one RDD
+    // materialization per round. Instead, append a ZERO-WEIGHT SELF-LOOP
+    // for every node that can ever hold a distance (edge endpoints +
+    // seeds): relaxation over the looped relation carries d implicitly
+    // (dist + 0 through the loop edge), each round references d exactly
+    // ONCE, the plan stays linear with NO checkpoints, and the whole
+    // fixed-round relaxation collapses into one declarative query — AQE
+    // plans every round from real sizes and the identical sym subtrees
+    // dedup through exchange reuse instead of a persisted cache.
+    // Values are unchanged: min(d(v), min over edges u→v of d(u)+1)
+    // equals the min over looped edges of d(u)+w with w(loop)=0.
+    // sym stays persisted: the self-loop node set is a DIFFERENT
+    // projection of it than the relaxation side, so exchange reuse
+    // cannot dedup the two (measured: unpersisted, the upstream edge
+    // derivation ran twice and the query regressed 3x).
     val sym = edges
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"))
@@ -186,21 +197,17 @@ object Graphs {
     var d = sources
       .select(col(srcCol).cast("long").as("node"), lit(0).as("dist"))
       .distinct()
+    val loops = sym.select(col("src").as("node"))
+      .unionByName(d.select(col("node")))
+      .distinct()
+      .select(col("node").as("src"), col("node").as("dst"), lit(0).as("w"))
+    val looped = sym.select(col("src"), col("dst"), lit(1).as("w"))
+      .unionByName(loops)
     for (_ <- 1 to rounds) {
-      // alias both sides: after round 1, d's lineage contains sym, and
-      // unqualified column refs would be ambiguous self-join references
-      val relaxed = d.as("d").join(sym.as("e"), col("d.node") === col("e.src"))
-        .select(col("e.dst").as("node"), (col("d.dist") + 1).as("dist"))
-      // d appears twice per round (carry + relax): cut the lineage so
-      // the plan tree stays linear in the round count (the CC-fixpoint
-      // lesson — without this, analysis cost doubles every round)
-      d = d.unionByName(relaxed)
+      d = d.as("d").join(looped.as("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").as("node"), (col("d.dist") + col("e.w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
     }
-    // every round checkpointed d, so nothing downstream re-reads sym —
-    // release the cache instead of holding it for the session lifetime
-    sym.unpersist()
     d
   }
 
@@ -224,6 +231,10 @@ object Graphs {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
     val srcCol = sources.columns.head
+    // Same zero-weight-self-loop carry as [[bfsDistances]]: one
+    // declarative plan, no per-round checkpoints or driver jobs, d
+    // referenced once per round. min-plus semiring: w(loop)=0 makes the
+    // loop edge the identity, so values are unchanged.
     val sym = edges
       .select(col("id_a").cast("long").as("src"),
         col("id_b").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -231,21 +242,25 @@ object Graphs {
         col("id_a").cast("long").as("dst"), col("w").cast("long").as("w")))
       .filter(col("src") =!= col("dst"))
       // parallel edges keep only the cheapest — fewer relax candidates,
-      // same result (min-plus semiring)
+      // same result (min-plus semiring); persisted for the same
+      // two-projection reason as [[bfsDistances]]
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var d = sources
       .select(col(srcCol).cast("long").as("node"), lit(0L).as("dist"))
       .distinct()
+    val looped = sym.unionByName(
+      sym.select(col("src").as("node"))
+        .unionByName(d.select(col("node")))
+        .distinct()
+        .select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("w")))
     for (_ <- 1 to rounds) {
-      val relaxed = d.as("d").join(sym.as("e"), col("d.node") === col("e.src"))
+      d = d.as("d").join(looped.as("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           (col("d.dist") + col("e.w")).as("dist"))
-      d = d.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
     }
-    sym.unpersist()
     d
   }
 
