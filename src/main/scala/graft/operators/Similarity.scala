@@ -523,19 +523,28 @@ object Similarity {
       transform(col("_cents"), c => struct(
         graft.functions.CosineExpression.cosine(col(vecCol), c.getField("centv")).as("sim"),
         c.getField("cent_id").as("cent_id"))))), 1, 1), 1).getField("cent_id")
-    // coarse assignment + residual, map-side
+    // coarse assignment + residual, map-side; persisted — it feeds the
+    // subvector explosion AND the final reconstruction join, and each
+    // recompute re-runs the 16-cosine scan of the corpus
     val asgn = corpus.crossJoin(broadcast(cents))
       .select(col(idCol).as("vec_id"), col(vecCol).as("_emb"),
         nearest1.as("cent_id"))
       .join(broadcast(centroids), "cent_id")
       .withColumn("resid",
         zip_with(col("_emb"), col("centv"), (x, y) => x.cast("double") - y))
-    // m contiguous subvectors per vector
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // m contiguous subvectors per vector. Persist (lazy), NOT an eager
+    // localCheckpoint: the frame feeds codebook training and the final
+    // encode, but materializing a corpus-sized RDD copy up front costs a
+    // full extra job + storage write of the whole explosion; the cache
+    // fills on first use and lineage stays shallow (one map-side stage),
+    // so the unrolled training loop cannot compound through it — cb is
+    // checkpointed per iteration, subs' plan is constant.
     val subs = asgn.select(col("vec_id"),
         explode(array((0 until m).map(si => struct(lit(si).as("sub"),
           slice(col("resid"), si * dsub + 1, dsub).as("subv"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subv").as("subv"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (asgn, subs)
   }
 
