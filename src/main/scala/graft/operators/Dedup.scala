@@ -554,9 +554,10 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3): DataFrame = {
-    // cached: feeds the windowed probe-argmin pass and the candidate
-    // join (no common-subplan elimination across self-joins; LRU
-    // eviction reclaims the blocks, same policy as jaccardConfirm)
+    // cached: feeds the windowed probe-argmin pass, the candidate join
+    // AND the confirm's pruned shingle rows (no common-subplan
+    // elimination across self-joins; LRU eviction reclaims the blocks,
+    // same policy as jaccardConfirm)
     val sh = df.select(col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("h"))
@@ -571,7 +572,16 @@ object Dedup {
       .join(sh.select(col("doc").as("id_b"), col("h")), "h")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    jaccardOnCandidatesStrings(candidates, df, textCol, idCol, n)
+    // Confirm on the ALREADY-SHINGLED persisted frame: semi-join-pruning
+    // `sh` to candidate docs yields exactly the rows the string confirm
+    // ([[jaccardOnCandidatesStrings]]) would re-derive from text —
+    // pruning commutes with the per-doc shingle projection — so the
+    // corpus text is shingled ONCE for probe, candidates and confirm
+    // (the r18 baseline plan re-shingled candidate docs from source:
+    // 44 scans / 87 exchanges for this query's static tree).
+    jaccardConfirmCore(candidates,
+      candidateIds => sh.join(candidateIds,
+        col("doc") === col("_cand_doc"), "left_semi"))
       .filter(col("inter") === col("sz_a") && col("sz_a") > 0)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
   }
