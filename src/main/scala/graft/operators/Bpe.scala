@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   * bit-deterministic across engines.
   *
   * The per-round driver round-trip (argmax collect) is bounded by
-  * `nMerges` — the standard structure of every BPE trainer; rounds cut
-  * lineage with localCheckpoint (the iterative-plan lesson).
+  * `nMerges` — the standard structure of every BPE trainer. Only the
+  * corpus-sized word-count base is checkpointed; merge rounds compose
+  * literal replaces on top of it (a vocabulary-sized expression chain
+  * is cheaper to replay than a per-round eager checkpoint job).
   */
 object Bpe {
 
@@ -80,9 +82,16 @@ object Bpe {
         .limit(1).collect()
       require(top.nonEmpty, s"Bpe: vocabulary exhausted at round $round")
       val pr = top(0).getString(0)
+      // NO per-round localCheckpoint: the merge is one literal replace
+      // over the VOCABULARY-sized checkpointed base, so letting round i
+      // replay the i-deep replace chain costs microseconds of codegen'd
+      // string work, while the eager checkpoint it replaces cost a full
+      // driver job + RDD serialization per round (measured r18: ~40% of
+      // q_bpe_train's build was the 8 checkpoint jobs). The plan depth
+      // stays bounded by nMerges <= 64 cheap expressions.
       seqs = seqs.select(
         replace(col("seq"), lit(searchOf(pr)), lit(replOf(pr))).as("seq"),
-        col("cnt")).localCheckpoint()
+        col("cnt"))
       merges += ((round, pr, top(0).getLong(1)))
     }
     merges.result().toDF("round", "pair", "n_pairs")

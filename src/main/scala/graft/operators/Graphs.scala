@@ -304,6 +304,12 @@ object Graphs {
             .orderBy(col("c").desc, col("nl").asc)))
         .filter(col("rk") === 1)
         .select(col("node"), col("nl"))
+      // Eager per-round localCheckpoint, MEASURED against the lazy-persist
+      // alternative (r18): swapping these for lazy persists pushed the
+      // whole 3-round chain into one action-time mega-plan and regressed
+      // q_communities +74% — unlike the ksub-bounded k-means carries
+      // (Similarity), `lab` here is node-sized and doubly-referenced, so
+      // the eager cut is the cheaper shape. Kept.
       lab = lab.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
         .localCheckpoint()

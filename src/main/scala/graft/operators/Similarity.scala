@@ -317,11 +317,21 @@ object Similarity {
       val updated = means.groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("_new"))
+      // lazy persist instead of a per-round eager checkpoint: the round
+      // still computes exactly once (the cache serializes its two
+      // consumers — next round's broadcast build and the carry join) but
+      // the corpus-wide assignment+mean pass now rides the final action
+      // instead of running as a separate build-time job per round (the
+      // IVF-PQ encode lesson, r18). The static plan nests ~2^iters copies
+      // of the tiny seed subtree before cache substitution, which is
+      // bounded for any sane iteration count; the frames themselves stay
+      // nCentroids x dim.
       cents = cents
         .join(updated, Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("_new"), col("centv")).as("centv"))
-        .coalesce(1).localCheckpoint()
+        .coalesce(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     cents
   }
@@ -406,10 +416,13 @@ object Similarity {
       val updated = means.groupBy(col("sub"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("_new"))
+      // lazy persist, not an eager checkpoint — same reasoning as
+      // [[trainIvfCentroids]]'s round carry.
       cb = cb.join(updated, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
           coalesce(col("_new"), col("centv")).as("centv"))
-        .coalesce(1).localCheckpoint()
+        .coalesce(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     cb
   }

@@ -74,6 +74,11 @@ object TrainingData {
   def repeatedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 8, minDocs: Long = 2L): DataFrame = {
     require(n >= 1, s"need n >= 1, got $n")
+    // `rows` feeds both the duplicated-window set and the semi-join
+    // probe. Persisting it was MEASURED AND REJECTED (r18): the cache
+    // write + decompress of the corpus-sized md5 rows cost more than
+    // recomputing the posexplode+lead window on otherwise-idle cores
+    // (+27% on q_repeated_spans) — the dual subtree recompute stays.
     val rows = spanRows(docs, textCol, idCol, n)
       .select(col("doc_id"), col("pos"), md5(col("shingle")).as("h"))
     val dup = rows.groupBy(col("h"))
