@@ -60,6 +60,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // untruncated scan metadata: required for stable plan
+      // fingerprints (see PlanFingerprint.of — the 100-char cut moves
+      // with the JVM-global exprId width)
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

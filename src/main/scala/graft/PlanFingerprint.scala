@@ -21,6 +21,23 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanFingerprint {
 
+  /** SESSION REQUIREMENT: fingerprinting sessions must set
+    * `spark.sql.maxMetadataStringLength` high (Bench and the fp tools
+    * set 100000) so scan metadata prints UNTRUNCATED. The default
+    * 100-char abbreviation cuts at a position set by the RAW exprId
+    * digit widths — a JVM-GLOBAL counter — so which COMPLETE filter
+    * elements survive the cut depends on how many expressions every
+    * EARLIER query in the session allocated (localized r18 with
+    * FpOrderProbe: running the ann family first grew
+    * q_auto_skip_evolved's exprIds by a digit, the DataFilters cut
+    * moved one element left, and the fingerprint flipped — the fifth
+    * drift class, and in hindsight the r17 one-off q_containment_dedup
+    * flap). foldScanTails folds the partial fragment at a cut but
+    * cannot restore whole dropped elements; only rendering untruncated
+    * removes the class. The conf is captured at plan CONSTRUCTION, so
+    * it must be set on the session before queries are built — a
+    * fingerprint-time override here would be too late.
+    */
   def of(df: DataFrame): String = md5hex(normalize(
     df.queryExecution.executedPlan.toString))
 
@@ -41,6 +58,11 @@ object PlanFingerprint {
     .replaceAll("\\[id=[^\\]]*\\]", "[id=x]")        // exchange/stage ids
     .replaceAll("(file|hdfs|s3a?):[^\\s,\\)\\]]+", "<path>")
     .replaceAll("/[^\\s,\\)\\]]*tmp[^\\s,\\)\\]]*", "<path>")
+    // with untruncated metadata (see [[of]]) a multi-file table prints
+    // its WHOLE path list; the file count is write-parallelism runtime
+    // noise (same reason as the "(N paths)" rule), so collapse runs of
+    // normalized paths to one token
+    .replaceAll("<path>(,\\s*<path>)+", "<path>")
     // object identities — e.g. a literal plane matrix prints as [[D@1a2b,
     // and scan-node truncation can cut the hash to ANY length ([[D@40...),
     // so match one-or-more hex chars, not a minimum width

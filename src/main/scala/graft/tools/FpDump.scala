@@ -16,6 +16,10 @@ object FpDump {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // untruncated scan metadata: required for stable plan
+      // fingerprints (see PlanFingerprint.of — the 100-char cut moves
+      // with the JVM-global exprId width)
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 3).foreach { i =>
