@@ -45,7 +45,7 @@ object PlanFingerprint {
     * join strategy, pushed filter, and partition key survives; ids and
     * locations don't.
     */
-  private[graft] def normalize(s: String): String = foldScanTails(s
+  private[graft] def normalize(s: String): String = foldRuntimeReads(foldScanTails(s
     .replaceAll("#\\d+", "#x")                       // expression ids
     // higher-order-function lambda variables print as `lambda x_33#x`:
     // the NAME suffix is a JVM-global counter (fresh per lambda ever
@@ -114,7 +114,27 @@ object PlanFingerprint {
     // a truncated list never swallows the fields after it
     .replaceAll("(?m)\\bIn\\(([^,()\\[\\]]+), \\[[^\\]\\n]*?(\\]\\)|\\.\\.\\.)",
       "In($1, [<vals>])")
-    )
+    ))
+
+  /** AQE runtime shuffle reads are ENVIRONMENT, not plan shape: a query
+    * whose construction executes jobs embeds REUSED materialized stages,
+    * and whether the finalized read above such a stage is coalesced (and
+    * so whether an `AQEShuffleRead coalesced` level exists AT ALL)
+    * depends on the shuffle-partition count vs the data — i.e. on the
+    * core count of the box (r18: q_containment_dedup hashed differently
+    * at local[32] vs local[4] through exactly this node; the bench's
+    * core-count sweep must keep one fingerprint, the same contract as
+    * the ENSURE_REQUIREMENTS partition-count fold). Dropping the node
+    * removes one tree LEVEL, so the subtree under it prints at different
+    * indentation — canonicalize by stripping the leading tree art from
+    * every line; operator order plus per-line content still pins the
+    * shape for drift-alarm purposes.
+    */
+  private def foldRuntimeReads(s: String): String =
+    s.linesIterator
+      .filterNot(_.replaceAll("^[\\s:+-]*", "").startsWith("AQEShuffleRead"))
+      .map(_.replaceAll("^[\\s:+-]*", ""))
+      .mkString("\n")
 
   /** ANY remaining truncated metadata tail (runs AFTER the INSET/In
     * rules, which consume their own ellipses): the 100-char metadata
